@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text kernels re-expressing the reference's string functions
+  * (SURVEY.md §2.8) as pure Catalyst column expressions — codegen'd
+  * built-ins only, no UDFs on the hot path.
+  *
+  * Reference semantics: extract_utils.py:63-82 (slugify, alias),
+  * text_cleaner.py:8-35 (clean_text), clean_summary.py:3-23,
+  * raw_articles.py:99 (double unescape), embedded_articles.py:193-194
+  * (md5 → UUID point id).
+  */
+object Text {
+
+  /** Vietnamese diacritic fold table. One (base, variants) pair per base
+    * letter; NFC single-codepoint forms, mirroring the reference's table
+    * (extract_utils.py:63-78). Exposed so oracle SQL can be generated
+    * from the exact same constants.
+    */
+  val diacritics: Seq[(Char, String)] = Seq(
+    'a' -> "áàảãạăắằẳẵặâấầẩẫậ",
+    'e' -> "éèẻẽẹêếềểễệ",
+    'i' -> "íìỉĩị",
+    'o' -> "óòỏõọôốồổỗộơớờởỡợ",
+    'u' -> "úùủũụưứừửữự",
+    'y' -> "ýỳỷỹỵ",
+    'd' -> "đ"
+  )
+
+  /** All diacritic source chars concatenated (lowercase NFC). */
+  val diacriticFrom: String = diacritics.map(_._2).mkString
+  /** Parallel string of fold targets, same length as [[diacriticFrom]]. */
+  val diacriticTo: String =
+    diacritics.map { case (b, vs) => b.toString * vs.length }.mkString
+
+  /** slugify: lowercase, fold Vietnamese diacritics, drop all whitespace.
+    * "Tuổi Trẻ" → "tuoitre". Single pass of codegen'd built-ins.
+    */
+  def slugify(c: Column): Column =
+    regexp_replace(translate(lower(c), diacriticFrom, diacriticTo), "\\s+", "")
+
+  /** alias_from_topic: first letter of each word, lowercased.
+    * "Thể thao" → "tt".
+    */
+  def aliasFromTopic(c: Column): Column =
+    lower(concat_ws("", transform(
+      filter(split(c, "\\s+"), w => length(w) > 0),
+      w => substring(w, 1, 1))))
+
+  /** Minimal HTML entity map (the entities RSS titles actually carry).
+    * `&amp;` is deliberately LAST: decoding it earlier in a pass would
+    * let the same pass decode the entity it just exposed (turning
+    * `&amp;lt;` into `<` in one pass), which html.unescape does not do.
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+  )
+
+  private def unescapeOnce(c: Column): Column =
+    htmlEntities.foldLeft(c) { case (col, (ent, ch)) =>
+      regexp_replace(col, java.util.regex.Pattern.quote(ent), ch)
+    }
+
+  /** Double HTML unescape — two full passes, handling `&amp;amp;`
+    * (reference applies html.unescape twice, raw_articles.py:99).
+    */
+  def htmlUnescapeTwice(c: Column): Column = unescapeOnce(unescapeOnce(c))
+
+  /** clean_text (text_cleaner.py:8-35): drop "Ảnh: …" photo credits,
+    * strip chars outside Unicode [\w\s.!?], collapse whitespace, collapse
+    * dot runs, order-preserving sentence dedup, re-join with ". " and a
+    * trailing ". ".
+    */
+  def cleanText(c: Column): Column = {
+    val noCredit = regexp_replace(c, "(?U)Ảnh:\\s*[^.!?]*[.!?]?", "")
+    val kept     = regexp_replace(noCredit, "(?U)[^\\w\\s.!?]", "")
+    val ws       = regexp_replace(kept, "(?U)\\s+", " ")
+    val dots     = regexp_replace(ws, "\\.{2,}", ".")
+    // split on sentence ends, trim, drop empties, first-occurrence dedup
+    val sentences = filter(
+      transform(split(dots, "\\.\\s*"), s => trim(s)),
+      s => length(s) > 0)
+    val deduped = array_distinct(sentences)
+    when(size(deduped) > 0, concat(array_join(deduped, ". "), lit(". ")))
+      .otherwise(lit(""))
+  }
+
+  /** clean_summary (clean_summary.py:3-23): drop boilerplate intro lines,
+    * strip leading bullet glyphs, collapse blank lines, trim.
+    */
+  def cleanSummary(c: Column): Column = {
+    val noIntro  = regexp_replace(c,
+      "(?im)^.*(here are|dưới đây là|sau đây là).*$\\n?", "")
+    val noBullet = regexp_replace(noIntro, "(?m)^[\\s]*[•\\-*–—]+[\\s]*", "")
+    val noBlank  = regexp_replace(noBullet, "\\n{2,}", "\n")
+    trim(noBlank)
+  }
+
+  /** Summary text → bullet array: split lines, trim, drop empties
+    * (summarize_utils.py:78).
+    */
+  def summaryBullets(c: Column): Column =
+    filter(transform(split(c, "\n"), s => trim(s)), s => length(s) > 0)
+
+  /** Deterministic point id: md5(url) reformatted as a UUID string
+    * (embedded_articles.py:193-194). Pure built-ins.
+    */
+  def md5Uuid(c: Column): Column = {
+    val h = md5(c)
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** Lenient RSS date parse: RFC-822 variants then ISO-8601
+    * (raw_articles.py:113-114 `dateutil.parse`). Spark's post-3.0
+    * parser rejects day-of-week fields on parse, so the RFC-822 leading
+    * "EEE, " is stripped rather than pattern-matched.
+    */
+  def parseDateLenient(c: Column): Column = {
+    val noDow = regexp_replace(c, "^[A-Za-z]{3}, ", "")
+    coalesce(
+      try_to_timestamp(noDow, lit("dd MMM yyyy HH:mm:ss Z")),
+      try_to_timestamp(noDow, lit("dd MMM yyyy HH:mm:ss zzz")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd")))
+  }
+
+  /** First `<img src="...">` URL inside an HTML snippet
+    * (extract_utils.py:50-59).
+    */
+  def firstImgSrc(c: Column): Column =
+    regexp_extract(c, "<img[^>]*src=\"([^\"]+)\"", 1)
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector kernels over `ArrayType(FloatType)` columns — the engine's
+  * embedding representation (SURVEY.md §1.1, qdrant_io_manager.py:31-34).
+  * All math is done in DOUBLE via codegen'd higher-order functions; no
+  * UDFs, so whole-stage codegen stays intact across the similarity join.
+  */
+object Vectors {
+
+  /** Element-wise cast to double (floats promote exactly). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product in double precision (M5 hot path, SURVEY.md §2.11). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity (Qdrant collection metric, qdrant_io_manager.py:33).
+    * NULL when either vector has zero norm.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > 0.0 && nb > 0.0, d / (na * nb))
+  }
+
+  /** L2-normalize (prep for LSH / banded ANN where dot == cosine). */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n > 0.0, transform(toDouble(v), x => x / n))
+  }
+
+  /** Element-wise sum of two equal-length vectors. */
+  def add(a: Column, b: Column): Column =
+    zip_with(toDouble(a), toDouble(b), (x, y) => x + y)
+
+  /** True when the vector is non-degenerate: expected size and at least
+    * one non-zero component (embedded_articles.py:146-166 guards, F13).
+    */
+  def isValid(v: Column, dim: Int): Column =
+    size(v) === dim && exists(v, x => x =!= 0.0f)
+
+  /** All-zero vector literal of the given dimension. */
+  def zeros(dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), _ => lit(0.0))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recursive character text chunker — the engine's G3 operator
+  * (chunk_splitter.py:14-64: size 400, overlap 50, separators
+  * `. ! ? \n\n`, keep separator, drop chunks ≤ 10 chars).
+  *
+  * Contract (SURVEY.md §2.12 #9 invariants, not byte-identical output):
+  * every chunk ≤ `size` (unless a single unsplittable segment exceeds
+  * it), consecutive chunks share an `overlap`-char tail/head, no
+  * emitted chunk ≤ `minLen` chars.
+  *
+  * Runs as a typed `flatMap` over the Dataset — per-row pure Scala,
+  * embarrassingly parallel, no shuffle. (A custom Catalyst `Generator`
+  * would regain codegen; flatMap keeps the logic testable in isolation
+  * and is never the bottleneck next to the downstream embed stage.)
+  */
+object Chunker extends Serializable {
+
+  val DefaultSeps: Seq[String] = Seq(". ", "! ", "? ", "\n\n", "\n", " ")
+
+  /** Split `text` into segments at the highest-priority separator that
+    * actually occurs, keeping the separator attached to the left piece.
+    */
+  private def segment(text: String, seps: Seq[String]): Seq[String] =
+    seps.find(s => text.contains(s)) match {
+      case None => Seq(text)
+      case Some(sep) =>
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var rest = text
+        var idx = rest.indexOf(sep)
+        while (idx >= 0) {
+          parts += rest.substring(0, idx + sep.length)
+          rest = rest.substring(idx + sep.length)
+          idx = rest.indexOf(sep)
+        }
+        if (rest.nonEmpty) parts += rest
+        parts.toSeq
+    }
+
+  /** Pure chunking function: greedy packing of separator segments into
+    * ≤ `size`-char chunks with an `overlap`-char carry-over between
+    * consecutive chunks; segments longer than `size` recurse on the
+    * next separator (character-split as last resort).
+    */
+  def chunk(text: String, size: Int = 400, overlap: Int = 50,
+            minLen: Int = 10, seps: Seq[String] = DefaultSeps): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+
+    def explode(t: String, sepIdx: Int): Seq[String] =
+      if (t.length <= size) Seq(t)
+      else if (sepIdx >= seps.length) // unsplittable: hard character cut
+        t.grouped(size).toSeq
+      else segment(t, seps.drop(sepIdx)) match {
+        case single if single.length <= 1 => explode(t, sepIdx + 1)
+        case parts => parts.flatMap(p => explode(p, sepIdx + 1))
+      }
+
+    val segments = explode(text, 0)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val current = new StringBuilder
+    for (seg <- segments) {
+      if (current.nonEmpty && current.length + seg.length > size) {
+        chunks += current.toString
+        val tail = current.takeRight(overlap).toString
+        current.clear()
+        current ++= tail
+      }
+      current ++= seg
+    }
+    if (current.nonEmpty) chunks += current.toString
+    chunks.map(_.trim).filter(_.length > minLen).toSeq
+  }
+
+  /** DataFrame form: (idCol, text) → (idCol, chunk_idx, chunk). */
+  def chunkDF(df: DataFrame, idCol: String, textCol: String,
+              size: Int = 400, overlap: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sz = size; val ov = overlap
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        chunk(text, sz, ov).zipWithIndex.map { case (c, i) => (id, i, c) }
+      }
+      .toDF("id", "chunk_idx", "chunk")
+      .withColumnRenamed("id", idCol)
+  }
+}

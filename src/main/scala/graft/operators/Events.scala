@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time / incremental operators over the `events` table — the
+  * Spark-native re-expression of the reference's sensor+state-machine
+  * incremental semantics (SURVEY.md §2.10 ST1-ST6) plus the event-time
+  * windows a real engine needs (tumbling / sliding / session) and an
+  * as-of join.
+  */
+object Events {
+
+  /** Tumbling event-time window aggregate: (window_start, group, count,
+    * sum). Same result batch or streaming (`window()` is shared).
+    */
+  def tumbling(df: DataFrame, tsCol: String, groupCol: String,
+               valueCol: String, width: String = "1 hour"): DataFrame =
+    df.groupBy(window(col(tsCol), width).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(groupCol),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding event-time window aggregate. */
+  def sliding(df: DataFrame, tsCol: String, groupCol: String,
+              valueCol: String, width: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(groupCol),
+        col("cnt"), col("sum_value"))
+
+  /** Session stats per key with a fixed inactivity gap: a new session
+    * starts when the time since the previous event exceeds `gap`.
+    * Pure window functions (gaps-and-islands) so the same code is the
+    * batch oracle for `session_window()` streaming jobs.
+    * Output: (key, session_cnt, max_session_events, round-tripped total).
+    */
+  def sessionStats(df: DataFrame, tsCol: String, keyCol: String,
+                   tieCol: String, gapMinutes: Int = 30): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val gapExpr = (unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1)
+      .over(byKey))) > gapMinutes * 60L * 1000000L
+    val marked = df.withColumn("new_sess",
+      when(lag(col(tsCol), 1).over(byKey).isNull || gapExpr, 1).otherwise(0))
+    val sessioned = marked.withColumn("sess_id",
+      sum(col("new_sess")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned.groupBy(col(keyCol), col("sess_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("session_cnt"),
+        max(col("n")).as("max_session_events"),
+        sum(col("n")).as("total_events"))
+  }
+
+  /** As-of join: for each left row, the most recent right row with
+    * `right.ts <= left.ts` and equal key. Implemented as a tagged union
+    * + one window pass (last non-null looking back) — linear, one
+    * shuffle on the key, no range cross-product; survives arbitrary
+    * skew via the same AQE paths as any windowed plan.
+    * Output: left rows + `asof_<rightTsCol>` / `asof_<rightIdCol>`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightIdCol: String): DataFrame = {
+    val ridType = right.schema(rightIdCol).dataType
+    val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(ridType).as("__rid"))
+    val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(0).as("__side"),
+      lit(null).cast(l.schema("__l").dataType).as("__l"),
+      col(rightIdCol).as("__rid"))
+    // right rows sort before left rows at equal ts: a match at the same
+    // timestamp is visible to the left row (<= semantics)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matchStruct = when(col("__side") === 0,
+      struct(col("__ts").as("ts"), col("__rid").as("id")))
+    l.unionByName(r)
+      .withColumn("__match", last(matchStruct, ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c")) :+
+        col("__match.ts").as("asof_ts") :+ col("__match.id").as("asof_id"): _*)
+  }
+
+  /** Rows needing refresh: ts < max(ts) − days (computed via a scalar
+    * aggregate joined in, not a driver collect).
+    */
+  def staleRows(df: DataFrame, tsCol: String, days: Int): DataFrame = {
+    val cut = df.agg((max(col(tsCol)) - expr(s"INTERVAL $days DAYS"))
+      .as("__cut"))
+    df.crossJoin(broadcast(cut)).filter(col(tsCol) < col("__cut"))
+      .drop("__cut")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis over the `documents` table: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * codegen'd column expressions — at 100 TB these run inside the scan's
+  * whole-stage-codegen span with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword proxy: alphanumeric runs split into ≤4-char pieces
+    * (a deterministic stand-in for a real tokenizer's piece count).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]{1,4}"))
+
+  /** Distinct whitespace tokens. */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(filter(split(text, "\\s+"), t => length(t) > 0)))
+
+  /** English-ish stopwords used by the quality heuristic. Kept tiny and
+    * public so the DuckDB oracle can mirror it exactly.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def stopwordRegex: String = s"\\b(${stopwords.mkString("|")})\\b"
+
+  /** Stopword hits (non-overlapping regex count, identical semantics in
+    * Java regex and RE2).
+    */
+  def stopwordCount(text: Column): Column =
+    regexp_count(lower(text), lit(stopwordRegex))
+
+  /** Document quality score in [0,1]:
+    * 0.4·min(1, tokens/100) + 0.3·min(1, 5·stopwords/tokens)
+    * + 0.3·(distinct/tokens). Length, naturalness, repetition — the
+    * same three signals the reference's validator family gates on.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokenCount(text).cast("double")
+    val stop = stopwordCount(text).cast("double")
+    val dist = distinctTokenCount(text).cast("double")
+    when(toks > 0,
+      least(lit(1.0), toks / 100.0) * 0.4 +
+      least(lit(1.0), stop * 5.0 / toks) * 0.3 +
+      (dist / toks) * 0.3
+    ).otherwise(lit(0.0))
+  }
+
+  /** Language-ID stopword profiles (lang → regex of marker words).
+    * Deterministic n-gram/stopword heuristic; argmax with alphabetical
+    * tiebreak, "und" when every profile scores zero.
+    */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "en" -> "\\b(the|a|of|and|is|to)\\b",
+    "es" -> "\\b(el|la|los|las|es|y)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une)\\b"
+  )
+
+  /** Detected language code: argmax of profile hit-counts, first
+    * (alphabetical) profile wins ties, "und" if all zero.
+    */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (lang, re) =>
+      lang -> regexp_count(lower(text), lit(re))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight keeps the FIRST matching profile (alphabetical) on ties
+    pick
+  }
+
+  /** Normalized-content fingerprint: md5 of whitespace-collapsed,
+    * lowercased text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 64-bit rolling-style fingerprint (cheap integer form). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,816 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.operators._
+
+/** The engine's demonstrable query suite: one entry per operator family
+  * from SURVEY.md §2 (+ the large-scale curation extensions), each with
+  * a DuckDB-runnable oracle where SQL can express the semantics.
+  *
+  * Column names and types are aligned pairwise between the Spark plan
+  * and the oracle SQL — the driver's compare hashes values under sorted
+  * column names. Nondeterministic orderings are always tie-broken by a
+  * unique key; floating aggregates are rounded identically on both
+  * sides (engine-difference ≈1e-15 ≪ rounding granularity).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark reads as
+    // long under spark.sql.legacy.parquet.nanosAsLong (set in
+    // Verify/Bench); truncate to µs TimestampType, matching the
+    // `ts::TIMESTAMP` casts on the DuckDB oracle side.
+    df.schema.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  // ---------------------------------------------------------------- q01
+  // A-family: grouped aggregation (pricing summary; SURVEY §2.5)
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  // J1: multi-way dim enrichment, dims broadcast (SURVEY §2.4)
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("order_cnt"),
+        round(sum($"o_totalprice"), 2).as("total_price"),
+        round(avg($"c_acctbal"), 4).as("avg_bal"))
+      .orderBy($"r_name", $"n_name")
+  }
+  private val q02Sql =
+    """SELECT r_name, n_name, count(*) AS order_cnt,
+      | round(sum(o_totalprice), 2) AS total_price,
+      | round(avg(c_acctbal), 4) AS avg_bal
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  // P2/J2: anti-join dedup (parts never ordered)
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"), $"p_partkey" === $"l_partkey", "left_anti")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("never_ordered"))
+      .orderBy($"p_brand")
+  }
+  private val q03Sql =
+    """SELECT p_brand, count(*) AS never_ordered
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  // J3: semi-join validation (customers having orders)
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cust_cnt"))
+      .orderBy($"c_mktsegment")
+  }
+  private val q04Sql =
+    """SELECT c_mktsegment, count(*) AS cust_cnt
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  // T1/P13: ranked top-k per group window
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_mktsegment", $"rn")
+  }
+  private val q05Sql =
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      | SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  // T2: weighted-score top-k per group (0.7/0.3 formula)
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val combined = $"o_totalprice" / 1000.0 * 0.7 + $"c_acctbal" * 0.3
+    val w = Window.partitionBy($"n_name")
+      .orderBy(combined.desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"n_name", $"rn", $"o_orderkey",
+        round(combined, 4).as("combined"))
+      .orderBy($"n_name", $"rn")
+  }
+  private val q06Sql =
+    """SELECT n_name, rn, o_orderkey, round(combined, 4) AS combined FROM (
+      | SELECT n_name, o_orderkey,
+      |  o_totalprice / 1000.0 * 0.7 + c_acctbal * 0.3 AS combined,
+      |  row_number() OVER (PARTITION BY n_name
+      |    ORDER BY o_totalprice / 1000.0 * 0.7 + c_acctbal * 0.3 DESC,
+      |             o_orderkey) AS rn
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |WHERE rn <= 5 ORDER BY n_name, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  // K2: keyed MERGE upsert (replace-row semantics), checksum output
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val updates = orders.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"),
+        round($"o_totalprice" * 1.1, 2).as("o_totalprice"),
+        $"o_orderdate", $"o_orderpriority")
+    val inserts = orders.filter($"o_orderkey" % 1000 === 0)
+      .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+        lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+        $"o_orderdate", $"o_orderpriority")
+    val merged = Upsert.merge(orders, updates.unionByName(inserts),
+      Seq("o_orderkey"))
+    merged.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderstatus")
+  }
+  private val q07Sql =
+    """WITH delta AS (
+      | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |  round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+      | FROM orders WHERE o_orderkey % 7 = 0
+      | UNION ALL
+      | SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, o_orderdate, o_orderpriority
+      | FROM orders WHERE o_orderkey % 1000 = 0
+      |), merged AS (
+      | SELECT * FROM delta
+      | UNION ALL
+      | SELECT * FROM orders o
+      | WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+      |)
+      |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  // K4: partial column-patch upsert ($set semantics, coalesce per column)
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = t(s, dir, "customer")
+    val patch = customer.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"))
+    val merged = Upsert.merge(customer, patch, Seq("c_custkey"), patch = true)
+    merged.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+  private val q08Sql =
+    """WITH patch AS (
+      | SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+      |  CAST(NULL AS VARCHAR) AS c_mktsegment
+      | FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT c_mktsegment, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+      |FROM (
+      | SELECT coalesce(p.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+      |        coalesce(p.c_acctbal, c.c_acctbal) AS c_acctbal
+      | FROM customer c LEFT JOIN patch p USING (c_custkey))
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  // P4-P6: validation constraints with routed rejects
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val okLangs = Seq("en", "de", "fr")
+    t(s, dir, "documents")
+      .withColumn("status",
+        when($"text".isNull || length($"text") < 200, lit("reject_short"))
+          .when(!$"lang".isin(okLangs.map(lit): _*), lit("reject_fk"))
+          .otherwise(lit("ok")))
+      .groupBy($"lang", $"status")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"lang", $"status")
+  }
+  private val q09Sql =
+    """SELECT lang,
+      | CASE WHEN text IS NULL OR length(text) < 200 THEN 'reject_short'
+      |      WHEN lang NOT IN ('en','de','fr') THEN 'reject_fk'
+      |      ELSE 'ok' END AS status,
+      | count(*) AS cnt
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, status""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // ST4/ST5: staleness refresh predicate (deterministic cursor)
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Events.staleRows(t(s, dir, "events"), "ts", 7)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("stale_cnt"))
+      .orderBy($"user_id")
+  }
+  private val q10Sql =
+    """SELECT user_id, count(*) AS stale_cnt FROM events
+      |WHERE ts < (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  // A5: fact-check scorecard (conditional counts + tiered clamp)
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = t(s, dir, "events").groupBy($"user_id").agg(
+      sum(when($"event_type" === "purchase", 1).otherwise(0)).as("confirmed"),
+      sum(when($"event_type" === "error", 1).otherwise(0)).as("refuted"),
+      count(lit(1)).as("total"))
+    agg.select($"user_id",
+      when($"total" === 0, 0.0)
+        .when($"total" < 5, 1.0)
+        .when($"total" < 8, 2.0)
+        .when($"total" < 10, 3.0)
+        .otherwise(round(
+          greatest(lit(3.0), least(lit(10.0),
+            ($"confirmed".cast("double") / $"total" -
+              $"refuted".cast("double") * 0.5 / $"total") * 10.0)), 4))
+        .as("score"))
+      .orderBy($"user_id")
+  }
+  private val q11Sql =
+    """SELECT user_id,
+      | CASE WHEN total = 0 THEN 0.0
+      |      WHEN total < 5 THEN 1.0
+      |      WHEN total < 8 THEN 2.0
+      |      WHEN total < 10 THEN 3.0
+      |      ELSE round(greatest(3.0, least(10.0,
+      |        (CAST(confirmed AS DOUBLE) / total
+      |         - CAST(refuted AS DOUBLE) * 0.5 / total) * 10.0)), 4)
+      | END AS score
+      |FROM (
+      | SELECT user_id,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS confirmed,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS refuted,
+      |  count(*) AS total
+      | FROM events GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // U2: priority-then-refresh union of ranked batches
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = t(s, dir, "events")
+    val priority = events.filter($"event_type" === "error")
+      .orderBy($"ts".desc, $"event_id".asc).limit(10)
+    val refresh = events.filter($"event_type" === "view")
+      .orderBy($"ts".asc, $"event_id".asc).limit(10)
+    priority.unionByName(refresh)
+      .select($"event_id", $"event_type", $"ts")
+      .orderBy($"event_id")
+  }
+  private val q12Sql =
+    """SELECT event_id, event_type, ts FROM (
+      | SELECT * FROM (SELECT event_id, event_type, ts FROM events
+      |  WHERE event_type = 'error' ORDER BY ts DESC, event_id LIMIT 10)
+      | UNION ALL
+      | SELECT * FROM (SELECT event_id, event_type, ts FROM events
+      |  WHERE event_type = 'view' ORDER BY ts ASC, event_id LIMIT 10))
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  // Event-time tumbling window aggregate
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Events.tumbling(t(s, dir, "events"), "ts", "event_type", "value")
+      .select($"window_start", $"event_type", $"cnt",
+        round($"sum_value", 2).as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+  private val q13Sql =
+    """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+      | count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // Event-time sliding window aggregate (1h width, 30m slide)
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Events.sliding(t(s, dir, "events"), "ts", "event_type", "value")
+      .select($"window_start", $"event_type", $"cnt",
+        round($"sum_value", 2).as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+  private val q14Sql =
+    """WITH e AS (
+      | SELECT event_type, value,
+      |  (date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+      |    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END)::TIMESTAMP AS slot
+      | FROM events)
+      |SELECT window_start, event_type, count(*) AS cnt,
+      | round(sum(value), 2) AS sum_value
+      |FROM (SELECT unnest([slot, slot - INTERVAL 30 MINUTE]) AS window_start,
+      |       event_type, value FROM e)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // Session windows (30-min gap) per user — gaps-and-islands
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Events.sessionStats(t(s, dir, "events"), "ts", "user_id", "event_id", 30)
+      .orderBy($"user_id")
+  }
+  private val q15Sql =
+    """WITH o AS (
+      | SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+      |  CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+      |        OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL 30 MINUTE
+      |       THEN 1 ELSE 0 END AS ns
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+      |), se AS (
+      | SELECT user_id,
+      |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS UNBOUNDED PRECEDING) AS sess_id
+      | FROM o
+      |), g AS (
+      | SELECT user_id, sess_id, count(*) AS n FROM se GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS session_cnt, max(n) AS max_session_events,
+      | CAST(sum(n) AS BIGINT) AS total_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // F1/F2: slugify + alias over Vietnamese fixture names
+  val slugFixtures: Seq[String] = Seq(
+    "Tuổi Trẻ", "Thể thao", "Giáo dục", "VnExpress", "Thanh Niên",
+    "Khoa học", "Sức khỏe", "Giải trí", "Kinh doanh", "Thời sự",
+    "Pháp luật", "Du lịch", "Công nghệ", "Thế giới")
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    slugFixtures.toDF("name")
+      .select($"name", Text.slugify($"name").as("slug"),
+        Text.aliasFromTopic($"name").as("alias"))
+      .orderBy($"name")
+  }
+  private def q16Sql: String = {
+    val values = slugFixtures.map(n => s"('$n')").mkString(", ")
+    s"""SELECT name,
+       | replace(translate(lower(name), '${Text.diacriticFrom}', '${Text.diacriticTo}'), ' ', '') AS slug,
+       | lower(array_to_string(list_transform(string_split(name, ' '),
+       |   w -> substr(w, 1, 1)), '')) AS alias
+       |FROM (VALUES $values) t(name) ORDER BY name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q17
+  // Token counting (whitespace + BPE-ish + distinct)
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      TextAnalysis.wsTokenCount($"text").cast("long").as("ws_tokens"),
+      TextAnalysis.bpeTokenCount($"text").cast("long").as("bpe_tokens"),
+      TextAnalysis.distinctTokenCount($"text").cast("long")
+        .as("distinct_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val q17Sql =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      | len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS bpe_tokens,
+      | len(list_distinct(regexp_extract_all(text, '\S+'))) AS distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  // Document quality scoring
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // floor(x·10⁴+0.5)/10⁴ instead of round(x, 4): both engines compute
+    // it on the same IEEE double, so half-way ties break identically
+    // (round() ties differ: Spark BigDecimal HALF_UP vs DuckDB scaled
+    // double).
+    t(s, dir, "documents").select($"doc_id",
+      (floor(TextAnalysis.qualityScore($"text") * 10000.0 + 0.5) / 10000.0)
+        .as("quality"))
+      .orderBy($"doc_id")
+  }
+  private def q18Sql: String = {
+    val stopRe = s"\\b(${TextAnalysis.stopwords.mkString("|")})\\b"
+    s"""SELECT doc_id, floor((CASE WHEN toks > 0 THEN
+       |  least(1.0, toks / 100.0) * 0.4
+       |  + least(1.0, stop * 5.0 / toks) * 0.3
+       |  + (dist / toks) * 0.3 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS quality
+       |FROM (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE) AS stop,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) AS dist
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q19
+  // Language ID (stopword-profile argmax heuristic)
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      TextAnalysis.langId($"text").as("lang_pred"))
+      .orderBy($"doc_id")
+  }
+  private def q19Sql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS s_$lang"
+    }.mkString(",\n  ")
+    val names = TextAnalysis.langProfiles.map(_._1)
+    val best = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val cases = names.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, CASE WHEN best = 0 THEN 'und' $cases END AS lang_pred
+       |FROM (SELECT doc_id, $best AS best, s_de, s_en, s_es, s_fr FROM (
+       | SELECT doc_id,
+       |  $scores
+       | FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q20
+  // Content fingerprinting (md5 of normalized text)
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+  private val q20Sql =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // Exact dedup: keep min-id survivor per fingerprint (dup'd input)
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val dup = docs.filter($"doc_id" < 100)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    Dedup.exact(docs.unionByName(dup), "text", "doc_id")
+      .select($"fp", $"keeper", $"copies")
+      .orderBy($"keeper")
+  }
+  private val q21Sql =
+    """WITH u AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100)
+      |SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+      | min(doc_id) AS keeper, count(*) AS copies
+      |FROM u GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // Exact n-gram (3-word shingle) Jaccard similarity pairs
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").filter($"doc_id" < 40)
+      .select($"doc_id", $"text")
+    // inject exact copies (id+1000) so near-dup pairs exist at any sf
+    val docs = base.unionByName(base.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        Dedup.jaccard($"a.text", $"b.text").as("jac"))
+    pairs.filter($"jac" > 0.03)
+      .select($"id_a", $"id_b", round($"jac", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q22Sql =
+    """WITH u AS (
+      | SELECT doc_id, text FROM documents WHERE doc_id < 40
+      | UNION ALL
+      | SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20),
+      |d AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+      | FROM u),
+      |sh AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sgl
+      | FROM d),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      | FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      | round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE i * 1.0 / (ca.n + cb.n - i) > 0.03
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  // A2: element-wise vector mean per group
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"v"), 5).as("mean_val"))
+      .select($"label", $"pos".cast("long").as("idx"), $"mean_val")
+      .orderBy($"label", $"idx")
+  }
+  private val q23Sql =
+    """SELECT label, i - 1 AS idx, round(avg(embedding[i]), 5) AS mean_val
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY 1, 2 ORDER BY label, idx""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  // J5: brute-force cosine top-k similarity join
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "embedding", 5)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+  private val q24Sql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |sc AS (
+      | SELECT q_id, c_id,
+      |  list_dot_product(qv, cv)
+      |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+      |    AS sim
+      | FROM q, c WHERE q_id <> c_id),
+      |r AS (SELECT q_id, c_id, sim,
+      | row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      | FROM sc)
+      |SELECT q_id, rank, c_id, round(sim, 6) AS sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // MinHash+LSH near-dup candidates (rows-only: engine-specific hashes)
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val dup = docs.filter($"doc_id" < 50)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    Dedup.minhashCandidates(docs.unionByName(dup), "text", "doc_id")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------------- q26
+  // SimHash near-dup candidates (rows-only)
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val dup = docs.filter($"doc_id" < 50)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    Dedup.simhashCandidates(docs.unionByName(dup), "text", "doc_id")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------------- q27
+  // G3: recursive text chunker (rows-only; invariants property-tested)
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Chunker.chunkDF(t(s, dir, "documents"), "doc_id", "text",
+        size = 100, overlap = 20)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  // ---------------------------------------------------------------- q28
+  // M3 stand-in: hash-embedding + per-language mean pool (rows-only)
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "documents").select($"lang",
+      Similarity.hashEmbedding($"text", 16).as("vec"))
+    Similarity.vecMean(emb, "lang", "vec")
+      .select($"key".as("lang"),
+        transform($"mean_vec", v => round(v, 5)).as("mean_vec"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------- q29
+  // LSH-bucketed approximate ANN (rows-only; recall spec'd in tests)
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "embedding", 5, dim = 64, bits = 8)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  // ---------------------------------------------------------------- q30
+  // As-of join: latest click at-or-before each purchase, per user
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = t(s, dir, "events")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    Events.asofJoin(purchases, clicks, "user_id", "ts", "event_id")
+      .select($"event_id", $"user_id", $"asof_ts", $"asof_id")
+      .orderBy($"event_id")
+  }
+  private val q30Sql =
+    """SELECT p.event_id, p.user_id, c.ts AS asof_ts, c.event_id AS asof_id
+      |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |      WHERE event_type = 'click') c
+      | ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  // F3: double HTML unescape fixtures
+  val unescapeFixtures: Seq[String] = Seq(
+    "Tom &amp;amp; Jerry", "a &amp;lt;b&amp;gt; c", "x &amp; y",
+    "&quot;quoted&quot;", "&#39;s", "5&nbsp;6", "plain text",
+    "&amp;quot;deep&amp;quot;")
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unescapeFixtures.toDF("raw")
+      .select($"raw", Text.htmlUnescapeTwice($"raw").as("unescaped"))
+      .orderBy($"raw")
+  }
+  private def q31Sql: String = {
+    val values = unescapeFixtures.map(v => s"('$v')").mkString(", ")
+    def onePass(expr: String): String =
+      Text.htmlEntities.foldLeft(expr) { case (e, (ent, ch)) =>
+        val repl = if (ch == "'") "''" else ch
+        s"replace($e, '$ent', '$repl')"
+      }
+    val twoPass = onePass(onePass("raw"))
+    s"""SELECT raw, $twoPass AS unescaped
+       |FROM (VALUES $values) t(raw) ORDER BY raw""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q32
+  // F5: clean_text Vietnamese golden path (rows-only: needs (?U) regex)
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixtures = Seq(
+      "Đây là câu. Đây là câu. Ảnh: Hoài Thanh",
+      "Một câu!! Hai câu?? Một câu.",
+      "  nhiều   khoảng   trắng  . chấm..câu  ",
+      "no-op sentence. another one.")
+    fixtures.toDF("raw")
+      .select($"raw", Text.cleanText($"raw").as("cleaned"))
+      .orderBy($"raw")
+  }
+
+  // ---------------------------------------------------------------- q33
+  // F4: lenient date parsing fixtures
+  val dateFixtures: Seq[String] = Seq(
+    "Mon, 05 Aug 2024 10:30:00 +0700",
+    "Tue, 06 Aug 2024 08:00:00 -0500",
+    "2024-08-05T03:30:00Z",
+    "2024-08-05T03:30:00+02:00",
+    "2024-08-05 03:30:00",
+    "2024-08-05",
+    "not a date")
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dateFixtures.toDF("raw")
+      .select($"raw", Text.parseDateLenient($"raw").as("parsed"))
+      .orderBy($"raw")
+  }
+  private def q33Sql: String = {
+    val values = dateFixtures.map(v => s"('$v')").mkString(", ")
+    s"""SELECT raw, coalesce(
+       |  try_strptime(raw, '%a, %d %b %Y %H:%M:%S %z')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%dT%H:%M:%SZ')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%dT%H:%M:%S%z')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%d %H:%M:%S')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%d')::TIMESTAMP) AS parsed
+       |FROM (VALUES $values) t(raw) ORDER BY raw""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q34
+  // F9: md5 → UUID deterministic point ids
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      Text.md5Uuid(concat(lit("doc://"), $"doc_id")).as("point_id"))
+      .orderBy($"doc_id")
+  }
+  private val q34Sql =
+    """SELECT doc_id,
+      | substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+      |  || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS point_id
+      |FROM (SELECT doc_id, md5('doc://' || doc_id) AS h FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ================================================================ //
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg"   -> (q01 _),
+    "q02_enrich_join"   -> (q02 _),
+    "q03_anti_join"     -> (q03 _),
+    "q04_semi_join"     -> (q04 _),
+    "q05_topk_window"   -> (q05 _),
+    "q06_weighted_topk" -> (q06 _),
+    "q07_upsert_merge"  -> (q07 _),
+    "q08_patch_upsert"  -> (q08 _),
+    "q09_validate"      -> (q09 _),
+    "q10_stale_refresh" -> (q10 _),
+    "q11_scorecard"     -> (q11 _),
+    "q12_union_priority"-> (q12 _),
+    "q13_tumbling"      -> (q13 _),
+    "q14_sliding"       -> (q14 _),
+    "q15_session"       -> (q15 _),
+    "q16_slugify"       -> (q16 _),
+    "q17_tokens"        -> (q17 _),
+    "q18_quality"       -> (q18 _),
+    "q19_langid"        -> (q19 _),
+    "q20_fingerprint"   -> (q20 _),
+    "q21_exact_dedup"   -> (q21 _),
+    "q22_ngram_jaccard" -> (q22 _),
+    "q23_vec_mean"      -> (q23 _),
+    "q24_cosine_topk"   -> (q24 _),
+    "q25_minhash_lsh"   -> (q25 _),
+    "q26_simhash"       -> (q26 _),
+    "q27_chunker"       -> (q27 _),
+    "q28_hash_embed"    -> (q28 _),
+    "q29_lsh_ann"       -> (q29 _),
+    "q30_asof_join"     -> (q30 _),
+    "q31_html_unescape" -> (q31 _),
+    "q32_clean_text"    -> (q32 _),
+    "q33_date_parse"    -> (q33 _),
+    "q34_md5_uuid"      -> (q34 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_agg"   -> q01Sql,
+    "q02_enrich_join"   -> q02Sql,
+    "q03_anti_join"     -> q03Sql,
+    "q04_semi_join"     -> q04Sql,
+    "q05_topk_window"   -> q05Sql,
+    "q06_weighted_topk" -> q06Sql,
+    "q07_upsert_merge"  -> q07Sql,
+    "q08_patch_upsert"  -> q08Sql,
+    "q09_validate"      -> q09Sql,
+    "q10_stale_refresh" -> q10Sql,
+    "q11_scorecard"     -> q11Sql,
+    "q12_union_priority"-> q12Sql,
+    "q13_tumbling"      -> q13Sql,
+    "q14_sliding"       -> q14Sql,
+    "q15_session"       -> q15Sql,
+    "q16_slugify"       -> q16Sql,
+    "q17_tokens"        -> q17Sql,
+    "q18_quality"       -> q18Sql,
+    "q19_langid"        -> q19Sql,
+    "q20_fingerprint"   -> q20Sql,
+    "q21_exact_dedup"   -> q21Sql,
+    "q22_ngram_jaccard" -> q22Sql,
+    "q23_vec_mean"      -> q23Sql,
+    "q24_cosine_topk"   -> q24Sql,
+    "q30_asof_join"     -> q30Sql,
+    "q31_html_unescape" -> q31Sql,
+    "q33_date_parse"    -> q33Sql,
+    "q34_md5_uuid"      -> q34Sql
+  )
+}

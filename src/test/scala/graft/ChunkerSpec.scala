@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Chunker
+
+/** Property tests for the G3 chunker contract (SURVEY.md §2.12 #9):
+  * every chunk ≤ size (unless a single unsplittable run exceeds it),
+  * no emitted chunk ≤ minLen, and full coverage of the source text.
+  * (Raw ScalaCheck generators sampled with fixed seeds — the
+  * scalatest-scalacheck bridge artifact isn't in the offline cache.)
+  */
+class ChunkerSpec extends AnyFunSuite {
+
+  private val sentenceGen: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty))
+    sep <- Gen.oneOf(". ", "! ", "? ", "\n\n")
+  } yield ws.mkString(" ") + sep
+
+  private val textGen: Gen[String] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, sentenceGen).map(_.mkString))
+
+  private def samples(n: Int): Seq[String] =
+    (0 until n).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("chunks respect size bound when text is separator-splittable") {
+    samples(200).foreach { text =>
+      Chunker.chunk(text, size = 100, overlap = 20).foreach { c =>
+        assert(c.length <= 100 ||
+          Chunker.DefaultSeps.forall(s => !c.contains(s)))
+      }
+    }
+  }
+
+  test("no emitted chunk is <= minLen chars") {
+    samples(200).foreach { text =>
+      Chunker.chunk(text, size = 100, overlap = 20, minLen = 10)
+        .foreach(c => assert(c.length > 10))
+    }
+  }
+
+  test("every word of the input appears in some chunk") {
+    samples(200).foreach { text =>
+      val chunks = Chunker.chunk(text, size = 100, overlap = 20, minLen = 0)
+      val joined = chunks.mkString(" ")
+      text.split("[\\s.!?]+").filter(_.nonEmpty).foreach { w =>
+        assert(joined.contains(w), s"lost word: $w in <$text>")
+      }
+    }
+  }
+
+  test("hard character cut applies to unsplittable runs") {
+    val text = "x" * 950
+    val chunks = Chunker.chunk(text, size = 400, overlap = 50, minLen = 10)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 400))
+    assert(chunks.map(_.length).sum >= 950 - 400) // coverage minus trims
+  }
+
+  test("empty and null input produce no chunks") {
+    assert(Chunker.chunk("").isEmpty)
+    assert(Chunker.chunk(null).isEmpty)
+  }
+
+  test("consecutive chunks share overlap context") {
+    val sents = (1 to 40).map(i => s"sentence number $i with padding words. ")
+    val text = sents.mkString
+    val chunks = Chunker.chunk(text, size = 200, overlap = 40, minLen = 10)
+    assert(chunks.length > 1)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        val tail = a.takeRight(20).trim
+        assert(tail.isEmpty || b.contains(tail.take(10)))
+      case _ => ()
+    }
+  }
+}

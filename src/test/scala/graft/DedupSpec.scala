@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog " * 5
+  private val docANear = // one word changed → near-dup, not exact
+    ("the quick brown fox jumps over the lazy dog " * 4) +
+      "the quick brown fox leaps over the lazy dog "
+  private val docB = "completely different content about spark engines " +
+    "partitioning shuffles and catalyst optimization rules " * 4
+
+  test("shingles: distinct 3-grams, short text → empty") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles($"t").as("s")).collect()
+    assert(out(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("exact dedup keeps min-id survivor with copy count") {
+    val df = Seq((1L, "Same  Text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    // fingerprint lowercases + collapses whitespace → 1 and 2 collide
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("keeper").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keeper") == 1L &&
+      out(0).getAs[Long]("copies") == 2L)
+  }
+
+  test("jaccard: identical → 1, near-dup high, unrelated low") {
+    val df = Seq((docA, docA), (docA, docANear), (docA, docB))
+      .toDF("a", "b")
+    val out = df.select(Dedup.jaccard($"a", $"b").as("j")).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) > 0.5)
+    assert(out(2).getDouble(0) < 0.1)
+  }
+
+  test("minhashCandidates surfaces near-dups, not unrelated pairs") {
+    val df = Seq((1L, docA), (2L, docANear), (3L, docB)).toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(df, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("minhashJaccard estimates true jaccard within tolerance") {
+    val df = Seq((docA, docANear)).toDF("a", "b")
+      .select(Dedup.minhashSignature($"a", 64).as("sa"),
+        Dedup.minhashSignature($"b", 64).as("sb"))
+    val est = df.select(Dedup.minhashJaccard($"sa", $"sb").as("e"))
+      .head.getDouble(0)
+    val exact = Seq((docA, docANear)).toDF("a", "b")
+      .select(Dedup.jaccard($"a", $"b")).head.getDouble(0)
+    assert(math.abs(est - exact) < 0.25)
+  }
+
+  test("simhash: identical texts equal, near-dups within small hamming") {
+    val df = Seq((docA, docA), (docA, docANear), (docA, docB)).toDF("a", "b")
+      .select(Dedup.hamming(Dedup.simhash($"a"), Dedup.simhash($"b")).as("h"))
+    val out = df.collect().map(_.getLong(0))
+    assert(out(0) == 0L)
+    assert(out(1) < out(2)) // near-dup closer than unrelated
+  }
+
+  test("simhashCandidates finds exact copies") {
+    val df = Seq((1L, docA), (2L, docA), (3L, docB)).toDF("id", "text")
+    val pairs = Dedup.simhashCandidates(df, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+}

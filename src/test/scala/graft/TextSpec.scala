@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Golden tests for the scalar text kernels, anchored to the
+  * reference's own fixture strings (src/tests/test_embedding.py:4-8,
+  * extract_utils.py:63-82).
+  */
+class TextSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def one(col: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("x").select(col.as("r")).head.getString(0)
+
+  test("slugify folds Vietnamese diacritics and drops spaces") {
+    assert(one(Text.slugify($"x"), "Tuổi Trẻ") == "tuoitre")
+    assert(one(Text.slugify($"x"), "Thể thao") == "thethao")
+    assert(one(Text.slugify($"x"), "Giáo dục") == "giaoduc")
+    assert(one(Text.slugify($"x"), "Sức khỏe") == "suckhoe")
+    assert(one(Text.slugify($"x"), "Đời sống") == "doisong")
+    assert(one(Text.slugify($"x"), "VnExpress") == "vnexpress")
+  }
+
+  test("aliasFromTopic takes lowercased initials") {
+    assert(one(Text.aliasFromTopic($"x"), "Thể thao") == "tt")
+    assert(one(Text.aliasFromTopic($"x"), "Khoa học Công nghệ") == "khcn")
+    assert(one(Text.aliasFromTopic($"x"), "  padded   words ") == "pw")
+  }
+
+  test("htmlUnescapeTwice decodes double-encoded entities") {
+    assert(one(Text.htmlUnescapeTwice($"x"), "Tom &amp;amp; Jerry")
+      == "Tom & Jerry")
+    assert(one(Text.htmlUnescapeTwice($"x"), "a &amp;lt;b&amp;gt; c")
+      == "a <b> c")
+    assert(one(Text.htmlUnescapeTwice($"x"), "x &amp; y") == "x & y")
+    assert(one(Text.htmlUnescapeTwice($"x"), "plain") == "plain")
+  }
+
+  test("cleanText: reference golden — dedup sentences, drop photo credit") {
+    // reference test_embedding.py:5-8 golden assertion
+    assert(one(Text.cleanText($"x"), "Đây là câu. Đây là câu. Ảnh: Hoài Thanh")
+      == "Đây là câu. ")
+  }
+
+  test("cleanText collapses whitespace and dot runs") {
+    assert(one(Text.cleanText($"x"), "  nhiều   khoảng   trắng  . chấm..câu  ")
+      == "nhiều khoảng trắng. chấm. câu. ")
+  }
+
+  test("md5Uuid is UUID-shaped and deterministic") {
+    val u = one(Text.md5Uuid($"x"), "https://example.com/a")
+    assert(u.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(u == one(Text.md5Uuid($"x"), "https://example.com/a"))
+  }
+
+  test("parseDateLenient handles RFC-822 and ISO variants") {
+    val df = Seq(
+      "Mon, 05 Aug 2024 10:30:00 +0700",
+      "2024-08-05T03:30:00Z",
+      "2024-08-05 03:30:00",
+      "2024-08-05",
+      "garbage").toDF("x")
+      .select(Text.parseDateLenient($"x").as("ts"))
+    val rows = df.collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(rows(0).contains("2024-08-05 03:30:00.0")) // +0700 → UTC
+    assert(rows(1).contains("2024-08-05 03:30:00.0"))
+    assert(rows(2).contains("2024-08-05 03:30:00.0"))
+    assert(rows(3).contains("2024-08-05 00:00:00.0"))
+    assert(rows(4).isEmpty)
+  }
+
+  test("firstImgSrc extracts the first img URL") {
+    assert(one(Text.firstImgSrc($"x"),
+      """<p>x</p><img alt="a" src="http://a/b.jpg"><img src="http://c.png">""")
+      == "http://a/b.jpg")
+  }
+
+  test("summaryBullets splits, trims, drops empties") {
+    val r = Seq("a\n\n  b \nc").toDF("x")
+      .select(Text.summaryBullets($"x").as("r")).head.getSeq[String](0)
+    assert(r == Seq("a", "b", "c"))
+  }
+
+  test("cleanSummary strips boilerplate intro and bullets") {
+    val in = "Here are the 4 points:\n• first\n- second\n\n\nthird"
+    assert(one(Text.cleanSummary($"x"), in) == "first\nsecond\nthird")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** K2/K4 merge semantics: replace-row vs $set patch, idempotency,
+  * schema-accretion (SURVEY.md §1.3 "dynamic accretion").
+  */
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    ("u1", "t1", Some(5)),
+    ("u2", "t2", Some(7)),
+    ("u3", "t3", None)
+  ).toDF("url", "title", "score")
+
+  test("replace-row merge: delta row wins entirely, nulls included") {
+    val delta = Seq(("u2", "t2x", None: Option[Int]),
+      ("u4", "t4", Some(1))).toDF("url", "title", "score")
+    val out = Upsert.merge(base, delta, Seq("url"))
+      .orderBy("url").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("u1", "u2", "u3", "u4"))
+    val u2 = out(1)
+    assert(u2.getString(1) == "t2x" && u2.isNullAt(2)) // replaced, null wins
+    assert(out(3).getString(1) == "t4")
+  }
+
+  test("patch merge: delta nulls preserve base values ($set)") {
+    val delta = Seq(("u2", null.asInstanceOf[String], Some(9)))
+      .toDF("url", "title", "score")
+    val out = Upsert.merge(base, delta, Seq("url"), patch = true)
+      .orderBy("url").collect()
+    val u2 = out(1)
+    assert(u2.getString(1) == "t2")  // null in delta → base kept
+    assert(u2.getInt(2) == 9)        // patched
+    assert(out(0).getString(1) == "t1") // untouched row intact
+  }
+
+  test("merge is idempotent: applying the same delta twice is a no-op") {
+    val delta = Seq(("u1", "t1b", Some(6))).toDF("url", "title", "score")
+    val once = Upsert.merge(base, delta, Seq("url"))
+    val twice = Upsert.merge(once, delta, Seq("url"))
+    assert(once.orderBy("url").collect().toSeq ==
+      twice.orderBy("url").collect().toSeq)
+  }
+
+  test("schema accretion: delta-only columns are added, null elsewhere") {
+    val delta = Seq(("u1", "completed")).toDF("url", "embedding_status")
+    val out = Upsert.merge(base, delta, Seq("url"), patch = true)
+    assert(out.columns.toSeq ==
+      Seq("url", "title", "score", "embedding_status"))
+    val m = out.orderBy("url").collect()
+    assert(m(0).getString(3) == "completed")
+    assert(m(1).isNullAt(3))
+    // base columns survive the accretion untouched
+    assert(m(1).getString(1) == "t2" && m(1).getInt(2) == 7)
+  }
+
+  test("mergeIntoTable round-trips through parquet atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val path = s"$dir/articles"
+    Upsert.mergeIntoTable(spark, path, base, Seq("url"))
+    val delta = Seq(("u3", "t3x", Some(2))).toDF("url", "title", "score")
+    Upsert.mergeIntoTable(spark, path, delta, Seq("url"))
+    val back = spark.read.parquet(path).orderBy("url").collect()
+    assert(back.length == 3 && back(2).getString(1) == "t3x")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.operators.Similarity
+
+/** Vector kernels + similarity-search operators (A2/M5/J5 family). */
+class VectorSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("cosine: known values, zero-norm → null") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),   // identical → 1
+      (Array(1f, 0f), Array(0f, 1f)),   // orthogonal → 0
+      (Array(1f, 0f), Array(-1f, 0f)),  // opposite → -1
+      (Array(0f, 0f), Array(1f, 0f))    // degenerate → null
+    ).toDF("a", "b")
+    val out = df.select(Vectors.cosine($"a", $"b").as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(0)) < 1e-12)
+    assert(math.abs(out(2).getDouble(0) + 1.0) < 1e-12)
+    assert(out(3).isNullAt(0))
+  }
+
+  test("l2Normalize produces unit vectors") {
+    val out = Seq(Array(3f, 4f)).toDF("v")
+      .select(Vectors.norm(Vectors.l2Normalize($"v")).as("n"))
+      .head.getDouble(0)
+    assert(math.abs(out - 1.0) < 1e-12)
+  }
+
+  test("isValid rejects wrong-size and all-zero vectors") {
+    val df = Seq(Array(1f, 2f, 3f), Array(0f, 0f, 0f), Array(1f, 2f))
+      .toDF("v")
+    val out = df.select(Vectors.isValid($"v", 3).as("ok")).collect()
+    assert(out.map(_.getBoolean(0)).toSeq == Seq(true, false, false))
+  }
+
+  test("bruteForceTopK: exact neighbors, rank-ordered, self excluded") {
+    val rows = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0.01f))
+    ).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(
+        rows.filter($"id" === 0), rows, "id", "vec", 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("c_id") == 3L) // closest to (1,0)
+    assert(out(1).getAs[Long]("c_id") == 1L)
+    assert(out.forall(_.getAs[Long]("c_id") != 0L))
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(7)
+    def cluster(cx: Double, cy: Double, n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong, Array(
+        (cx + rnd.nextGaussian() * 0.05).toFloat,
+        (cy + rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat)))
+    val data = (cluster(1, 0, 50, 0) ++ cluster(0, 1, 50, 100) ++
+      cluster(-1, 0, 50, 200)).toDF("id", "vec")
+    val queries = data.filter($"id".isin(0L, 100L, 200L))
+    val exact = Similarity.bruteForceTopK(queries, data, "id", "vec", 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, data, "id", "vec", 5,
+        dim = 4, bits = 6)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+  }
+
+  test("vecMean matches manual element-wise mean") {
+    val df = Seq(
+      ("a", Array(1f, 2f)), ("a", Array(3f, 4f)), ("b", Array(5f, 6f))
+    ).toDF("k", "vec")
+    val out = Similarity.vecMean(df, "k", "vec")
+      .orderBy("key").collect()
+    assert(out(0).getSeq[Double](1) == Seq(2.0, 3.0))
+    assert(out(1).getSeq[Double](1) == Seq(5.0, 6.0))
+  }
+
+  test("hashEmbedding is deterministic and L2-normalized") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "other text")
+      .toDF("t").select(Similarity.hashEmbedding($"t", 16).as("v"))
+    val rows = df.collect().map(_.getSeq[Double](0))
+    assert(rows(0) == rows(1))           // deterministic
+    assert(rows(0) != rows(2))
+    val n = math.sqrt(rows(0).map(x => x * x).sum)
+    assert(math.abs(n - 1.0) < 1e-9)
+  }
+}
