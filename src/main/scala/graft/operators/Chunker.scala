@@ -64,7 +64,10 @@ object Chunker extends Serializable {
     for (seg <- segments) {
       if (current.nonEmpty && current.length + seg.length > size) {
         chunks += current.toString
-        val tail = current.takeRight(overlap).toString
+        // carry the overlap tail only as far as the size budget allows:
+        // tail + seg must stay <= size, so every emitted chunk does too
+        val carry = math.min(overlap, size - seg.length)
+        val tail = if (carry > 0) current.takeRight(carry).toString else ""
         current.clear()
         current ++= tail
       }
