@@ -136,4 +136,24 @@ object Text {
     */
   def firstImgSrc(c: Column): Column =
     regexp_extract(c, "<img[^>]*src=\"([^\"]+)\"", 1)
+
+  /** Tags whose entire content is chrome, not article text — stripped
+    * with their bodies (extract_utils.py:21-45). One pass per tag (no
+    * backreferences) so the oracle's RE2 engine can express the exact
+    * same chain.
+    */
+  val chromeTags: Seq[String] =
+    Seq("script", "style", "iframe", "nav", "header", "footer")
+
+  /** S3 offline stand-in: main-text extraction from stored HTML — drop
+    * chrome tags with their content, strip remaining markup, collapse
+    * whitespace (the reference GETs the URL then does the same strip;
+    * the HTTP fetch is a source concern, not an operator).
+    */
+  def htmlMainText(c: Column): Column = {
+    val noChrome = chromeTags.foldLeft(c)((e, tag) =>
+      regexp_replace(e, s"(?is)<$tag[^>]*>.*?</$tag>", " "))
+    val noTags = regexp_replace(noChrome, "<[^>]+>", " ")
+    trim(regexp_replace(noTags, "\\s+", " "))
+  }
 }

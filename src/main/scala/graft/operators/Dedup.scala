@@ -18,15 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-shingles (distinct), lowercased. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = filter(split(lower(text), "\\s+"), w => length(w) > 0)
-    val count = size(words) - (n - 1)
-    when(count > 0,
-      array_distinct(transform(sequence(lit(1), count), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Let-binding for column expressions: evaluate `value` ONCE per row
+    * and make it available to `body` as a lambda variable. Catalyst
+    * freely inlines projected expressions into every use site (no CSE
+    * across lambda captures), so an expression like `element_at(words,
+    * i)` inside a loop would otherwise re-run the whole `words`
+    * computation per access — this pins it to one evaluation.
+    */
+  private[operators] def bound(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Word 3-shingles (distinct), lowercased. The word array is bound
+    * once; without the binding the split+filter re-runs for every
+    * element_at — O(words²) per doc.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    bound(filter(split(lower(text), "\\s+"), w => length(w) > 0)) { words =>
+      val count = size(words) - (n - 1)
+      when(count > 0,
+        array_distinct(transform(sequence(lit(1), count), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Exact dedup: keep one survivor row per normalized-text fingerprint
     * (min of `idCol` = deterministic survivor). Returns
@@ -36,23 +49,36 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
-  /** MinHash signature: `numHashes` minima of seeded xxhash64 over the
-    * shingle set. Computed entirely scan-side (HOFs, no shuffle).
+  /** MinHash signature from a precomputed shingle array: the shingles are
+    * hashed with xxhash64 ONCE (the only pass that touches strings), then
+    * each of the `numHashes` minima re-mixes that one long array through
+    * `xxhash64(h, seed_i)` — a fixed-width 12-byte hash, ~10× cheaper than
+    * re-hashing every shingle string per seed (plain `h·a+b` mixing would
+    * be cheaper still but trips ANSI overflow checks). Empty shingle sets
+    * yield an all-null signature; callers that band must filter those out
+    * first (see [[minhashCandidates]]) or every degenerate doc collides
+    * into a single quadratic bucket.
     */
-  def minhashSignature(text: Column, numHashes: Int = 32): Column = {
-    val sh = shingles(text)
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      array_min(transform(sh, s => xxhash64(s, seed))))
-  }
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 32): Column =
+    bound(transform(sh, s => xxhash64(s))) { hv =>
+      array((0 until numHashes).map(seed =>
+        array_min(transform(hv, h => xxhash64(h, lit(seed))))): _*)
+    }
+
+  /** MinHash signature of a text column (shingling inlined). */
+  def minhashSignature(text: Column, numHashes: Int = 32): Column =
+    minhashSignatureOfShingles(shingles(text), numHashes)
 
   /** LSH band keys: signature sliced into `bands` bands, each hashed.
     * Docs sharing any (band index, band hash) are near-dup candidates.
     */
   def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64(array_join(slice(signature, b * rows + 1, rows), ","))
-          .as("band_hash"))): _*)
+    bound(signature) { sg =>
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(array_join(slice(sg, b * rows + 1, rows), ","))
+            .as("band_hash"))): _*)
+    }
 
   /** Candidate near-dup pairs via MinHash+LSH banding.
     * Returns (id_a, id_b) with id_a < id_b, distinct.
@@ -60,8 +86,14 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
+    // degenerate docs (< n words → zero shingles) are dropped BEFORE
+    // banding: they carry no similarity signal, and their constant
+    // signature would put every one of them in the same bucket — a
+    // quadratic self-join at corpus scale
     val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes).as("sig"))
+        shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
     val buckets = sig
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
@@ -80,14 +112,19 @@ object Dedup {
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
 
-  /** Exact n-gram Jaccard between two texts' shingle sets. */
-  def jaccard(textA: Column, textB: Column, n: Int = 3): Column = {
-    val a = shingles(textA, n)
-    val b = shingles(textB, n)
+  /** Jaccard between two precomputed shingle sets. Use this form inside
+    * pairwise joins — shingling each doc once before the join beats
+    * re-shingling both texts per pair (O(pairs·len) regex work saved).
+    */
+  def jaccardOfSets(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
+
+  /** Exact n-gram Jaccard between two texts' shingle sets. */
+  def jaccard(textA: Column, textB: Column, n: Int = 3): Column =
+    jaccardOfSets(shingles(textA, n), shingles(textB, n))
 
   /** SimHash-64: sign-aggregated bit votes of shingle hashes.
     * Near-dups have small hamming distance; at scale, split into 4
@@ -95,26 +132,51 @@ object Dedup {
     */
   def simhash(text: Column): Column = {
     val hs = transform(shingles(text), s => xxhash64(s))
-    aggregate(hs,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(j =>
-          when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
-        (a, b) => a + b),
-      acc => (0 until 64).map(j =>
-        when(element_at(acc, j + 1) > 0, shiftleft(lit(1L), j))
-          .otherwise(lit(0L))).reduce((a, b) => a.bitwiseOR(b)))
+    // bit j of the result = majority vote of bit j across shingle hashes.
+    // ones_j > n/2  ⟺  votes_j = 2·ones_j − n > 0 (the classic ±1 sum).
+    val n = size(hs)
+    (0 until 64).map { j =>
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(1L))
+      when(ones * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Hamming distance between two 64-bit signatures. */
-  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** SimHash signatures for a whole table, relationally: explode each
+    * doc's shingle hashes (hashed ONCE), then a single hash-aggregate
+    * with 64 codegen'd long sums — one shuffle of (id, 64 longs)
+    * partials with map-side combine. This is the scale path: the
+    * per-row HOF [[simhash]] evaluates 64 interpreted lambda passes per
+    * doc, which profiling shows is ~30× slower than this plan at sf0.01.
+    * Output: (id, sig). Docs with zero shingles are dropped (no
+    * similarity signal — same rationale as [[minhashCandidates]]).
+    */
+  def simhashSignatures(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+        explode(transform(shingles(col(textCol)), s => xxhash64(s))).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
+    hashed.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j))
+            .otherwise(lit(0L))).reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Hamming distance between two 64-bit signatures (as long — bit_count
+    * itself yields int).
+    */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** SimHash near-dup candidates: docs agreeing on any 16-bit quarter of
     * the signature (catches all pairs with hamming ≤ 3).
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sig = simhashSignatures(df, textCol, idCol)
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

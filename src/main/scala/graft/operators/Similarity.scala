@@ -38,6 +38,35 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
   }
 
+  /** J6: filtered top-k with relaxed fallback fill, as ONE ranked window
+    * instead of the reference's two sequential ANN queries
+    * (get_relevant_articles.py:64-113): rank candidates by
+    * (same-topic desc, sim desc, id) and take k. Same-topic ("must")
+    * hits always outrank fallback hits — a primary hit keeps priority
+    * even when a fallback candidate scores higher — and the fallback
+    * fills exactly the remainder, excluding the query's own id
+    * ("must_not"). One pass, no union, no driver round-trip.
+    */
+  def topKWithFallback(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, topicCol: String,
+                       k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(topicCol).as("q_topic"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      col(topicCol).as("c_topic"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("same_topic",
+        (col("q_topic") === col("c_topic")).cast("int"))
+      .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("same_topic").desc, col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("same_topic"),
+        col("sim"))
+  }
+
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
     * seeded — the driver-side constants are tiny and broadcast as
     * literals into the plan.
@@ -95,16 +124,57 @@ object Similarity {
     */
   def hashEmbedding(text: Column, dim: Int = 64): Column = {
     val tokens = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val raw = aggregate(tokens,
-      array_repeat(lit(0.0), dim),
-      (acc, t) => {
-        val idx  = pmod(xxhash64(t), lit(dim)).cast("int")
-        val sign = when(pmod(xxhash64(t, lit(1)), lit(2)) === 0, 1.0)
-          .otherwise(-1.0)
-        zip_with(acc, sequence(lit(0), lit(dim - 1)),
-          (a, j) => a + when(j === idx, sign).otherwise(0.0))
-      })
+    // hash every token ONCE into (bucket, ±1), then one cheap filtered
+    // sum per bucket — O(dim·tokens) integer compares, instead of
+    // rebuilding a dim-wide accumulator array per token
+    val pairs = transform(tokens, tk => struct(
+      pmod(xxhash64(tk), lit(dim)).cast("int").as("idx"),
+      when(pmod(xxhash64(tk, lit(1)), lit(2)) === 0, 1.0).otherwise(-1.0)
+        .as("s")))
+    val raw = array((0 until dim).map { i =>
+      aggregate(filter(pairs, p => p.getField("idx") === i),
+        lit(0.0), (acc, p) => acc + p.getField("s"))
+    }: _*)
     Vectors.l2Normalize(raw)
+  }
+
+  /** Feature-hash embed + L2-normalize + per-key mean pool, relationally
+    * (the whole-table form of [[hashEmbedding]] + [[vecMean]]): tokens
+    * are exploded and hashed ONCE, then everything is codegen'd
+    * hash-aggregates — (id,idx) signed sums → per-doc norm → per-key
+    * component means densified over key×dim. Zero-norm docs are dropped,
+    * matching `l2Normalize`'s null-on-zero guard. The per-row HOF
+    * composition evaluates interpreted lambdas per token and is an
+    * order of magnitude slower at table scale; this plan is three
+    * map-side-combined shuffles of narrow rows.
+    * Output: (key, idx, mean_val).
+    */
+  def hashEmbedMeanByKey(df: DataFrame, keyCol: String, idCol: String,
+                         textCol: String, dim: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("tk"))
+      .select(col("id"), col("key"),
+        pmod(xxhash64(col("tk")), lit(dim)).cast("int").as("idx"),
+        when(pmod(xxhash64(col("tk"), lit(1)), lit(2)) === 0, 1.0)
+          .otherwise(-1.0).as("s"))
+    val sparse = tok.groupBy(col("id"), col("key"), col("idx"))
+      .agg(sum(col("s")).as("v"))
+    val norms = sparse.groupBy(col("id"))
+      .agg(sqrt(sum(col("v") * col("v"))).as("norm"))
+      .filter(col("norm") > 0.0)
+    val unit = sparse.join(norms, Seq("id"))
+    val nDocs = unit.select(col("id"), col("key")).distinct()
+      .groupBy(col("key")).agg(count(lit(1)).as("n_docs"))
+    val sums = unit
+      .select(col("key"), col("idx"), (col("v") / col("norm")).as("uv"))
+      .groupBy(col("key"), col("idx")).agg(sum(col("uv")).as("sv"))
+    val dims = df.sparkSession.range(dim)
+      .select(col("id").cast("int").as("idx"))
+    nDocs.crossJoin(broadcast(dims))
+      .join(sums, Seq("key", "idx"), "left")
+      .select(col("key"), col("idx"),
+        (coalesce(col("sv"), lit(0.0)) / col("n_docs")).as("mean_val"))
   }
 
   /** Element-wise mean of grouped vectors (A2 mean-pool,

@@ -165,9 +165,13 @@ object Queries {
   private def q07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = t(s, dir, "orders")
+    // floor(x·100+0.5)/100 instead of round(x, 2): both engines evaluate
+    // it on the same IEEE double, so half-way ties break identically
+    // (round() ties differ: Spark BigDecimal HALF_UP vs DuckDB scaled
+    // double) — same trick as q18's quality rounding.
     val updates = orders.filter($"o_orderkey" % 7 === 0)
       .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"),
-        round($"o_totalprice" * 1.1, 2).as("o_totalprice"),
+        (floor($"o_totalprice" * 1.1 * 100.0 + 0.5) / 100.0).as("o_totalprice"),
         $"o_orderdate", $"o_orderpriority")
     val inserts = orders.filter($"o_orderkey" % 1000 === 0)
       .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
@@ -176,13 +180,15 @@ object Queries {
     val merged = Upsert.merge(orders, updates.unionByName(inserts),
       Seq("o_orderkey"))
     merged.groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"),
+        (floor(sum($"o_totalprice") * 100.0 + 0.5) / 100.0).as("total"))
       .orderBy($"o_orderstatus")
   }
   private val q07Sql =
     """WITH delta AS (
       | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-      |  round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+      |  floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0 AS o_totalprice,
+      |  o_orderdate, o_orderpriority
       | FROM orders WHERE o_orderkey % 7 = 0
       | UNION ALL
       | SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, o_orderdate, o_orderpriority
@@ -193,7 +199,8 @@ object Queries {
       | SELECT * FROM orders o
       | WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
       |)
-      |SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |SELECT o_orderstatus, count(*) AS cnt,
+      | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------- q08
@@ -510,10 +517,13 @@ object Queries {
     // inject exact copies (id+1000) so near-dup pairs exist at any sf
     val docs = base.unionByName(base.filter($"doc_id" < 20)
       .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      // shingle each doc ONCE before the pairwise join — shingling is the
+      // expensive part, so it must not run per pair
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
     val pairs = docs.as("a").crossJoin(docs.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        Dedup.jaccard($"a.text", $"b.text").as("jac"))
+        Dedup.jaccardOfSets($"a.sh", $"b.sh").as("jac"))
     pairs.filter($"jac" > 0.03)
       .select($"id_a", $"id_b", round($"jac", 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
@@ -622,12 +632,13 @@ object Queries {
   // M3 stand-in: hash-embedding + per-language mean pool (rows-only)
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = t(s, dir, "documents").select($"lang",
-      Similarity.hashEmbedding($"text", 16).as("vec"))
-    Similarity.vecMean(emb, "lang", "vec")
-      .select($"key".as("lang"),
-        transform($"mean_vec", v => round(v, 5)).as("mean_vec"))
-      .orderBy($"lang")
+    // scalar (lang, idx, mean_val) rows — an array-typed result column
+    // would break the driver's pandas sort-by-value hashing
+    Similarity.hashEmbedMeanByKey(t(s, dir, "documents"),
+        "lang", "doc_id", "text", 16)
+      .select($"key".as("lang"), $"idx".cast("long").as("idx"),
+        round($"mean_val", 5).as("mean_val"))
+      .orderBy($"lang", $"idx")
   }
 
   // ---------------------------------------------------------------- q29

@@ -50,6 +50,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("minhashCandidates: degenerate (empty/short) docs never collide") {
+    // empty and sub-shingle-length docs have no similarity signal; if
+    // they banded, every degenerate doc would land in ONE bucket — a
+    // quadratic self-join at corpus scale
+    val df = Seq((1L, docA), (2L, docANear), (3L, ""), (4L, ""),
+      (5L, "one two"), (6L, null.asInstanceOf[String])).toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(df, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("minhashJaccard estimates true jaccard within tolerance") {
     val df = Seq((docA, docANear)).toDF("a", "b")
       .select(Dedup.minhashSignature($"a", 64).as("sa"),
