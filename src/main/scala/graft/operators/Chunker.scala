@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Contract (SURVEY.md §2.12 #9 invariants, not byte-identical output):
   * every chunk ≤ `size` (unless a single unsplittable segment exceeds
-  * it), consecutive chunks share an `overlap`-char tail/head, no
-  * emitted chunk ≤ `minLen` chars.
+  * it), consecutive chunks share up to `overlap` chars of tail/head —
+  * reduced (possibly to zero) when carrying the full overlap would push
+  * the next chunk past `size`, matching the reference splitter's merge
+  * behavior — and no emitted chunk ≤ `minLen` chars.
   *
   * Runs as a typed `flatMap` over the Dataset — per-row pure Scala,
   * embarrassingly parallel, no shuffle. (A custom Catalyst `Generator`

@@ -700,17 +700,37 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q32
-  // F5: clean_text Vietnamese golden path (rows-only: needs (?U) regex)
+  // F5: clean_text Vietnamese golden path (oracle: RE2 \p{L}\p{N} class
+  // mirrors Java's (?U)\w for NFC Vietnamese; order-preserving dedup via
+  // positional list_filter since DuckDB's list_distinct reorders)
+  val cleanFixtures: Seq[String] = Seq(
+    "Đây là câu. Đây là câu. Ảnh: Hoài Thanh",
+    "Một câu!! Hai câu?? Một câu.",
+    "  nhiều   khoảng   trắng  . chấm..câu  ",
+    "no-op sentence. another one.")
   private def q32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fixtures = Seq(
-      "Đây là câu. Đây là câu. Ảnh: Hoài Thanh",
-      "Một câu!! Hai câu?? Một câu.",
-      "  nhiều   khoảng   trắng  . chấm..câu  ",
-      "no-op sentence. another one.")
-    fixtures.toDF("raw")
+    cleanFixtures.toDF("raw")
       .select($"raw", Text.cleanText($"raw").as("cleaned"))
       .orderBy($"raw")
+  }
+  private def q32Sql: String = {
+    val values = cleanFixtures.map(v => s"('$v')").mkString(", ")
+    s"""WITH c1 AS (SELECT raw,
+       |  regexp_replace(raw, 'Ảnh:\\s*[^.!?]*[.!?]?', '', 'g') AS x
+       |  FROM (VALUES $values) t(raw)),
+       |c2 AS (SELECT raw,
+       |  regexp_replace(x, '[^\\p{L}\\p{N}_\\s.!?]', '', 'g') AS x FROM c1),
+       |c3 AS (SELECT raw, regexp_replace(regexp_replace(x, '\\s+', ' ', 'g'),
+       |  '\\.{2,}', '.', 'g') AS x FROM c2),
+       |c4 AS (SELECT raw, list_filter(list_transform(
+       |  string_split_regex(x, '\\.\\s*'), y -> trim(y)),
+       |  y -> len(y) > 0) AS l FROM c3),
+       |c5 AS (SELECT raw,
+       |  list_filter(l, (y, i) -> list_position(l, y) = i) AS d FROM c4)
+       |SELECT raw, CASE WHEN len(d) > 0
+       |  THEN array_to_string(d, '. ') || '. ' ELSE '' END AS cleaned
+       |FROM c5 ORDER BY raw""".stripMargin
   }
 
   // ---------------------------------------------------------------- q33
@@ -755,6 +775,266 @@ object Queries {
       |FROM (SELECT doc_id, md5('doc://' || doc_id) AS h FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  // S1/G1/G2/J2/F1/F2: ingest entry point — nested JSON config scan,
+  // double map explode, anti-join vs already-seen urls, entry explode
+  // with per-feed cap, slug/alias enrichment (rss_feeds.py:9-15 +
+  // raw_articles.py:44-95)
+  private val feedConfigPath = "/root/repo/fixtures/rss_feeds.json"
+  private val seenFeedUrls = Seq(
+    "https://feeds.example.com/vnexpress/thoi-su.rss",
+    "https://feeds.example.com/dantri/suc-khoe.rss")
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feeds = Ingest.feedConfig(s, feedConfigPath)
+    val fresh = feeds.join(seenFeedUrls.toDF("url"), Seq("url"), "left_anti")
+    Ingest.explodeEntries(fresh, perFeed = 3, cap = 2)
+      .select($"source", $"topic", Text.slugify($"topic").as("slug"),
+        Text.aliasFromTopic($"topic").as("alias"), $"link")
+      .orderBy($"source", $"topic", $"link")
+  }
+  private def q35Sql: String = {
+    val seen = seenFeedUrls.map(u => s"'$u'").mkString(", ")
+    s"""WITH raw AS (SELECT CAST(json AS MAP(VARCHAR, MAP(VARCHAR, VARCHAR))) AS m
+       |  FROM read_json_objects('$feedConfigPath', format='unstructured')),
+       |lvl1 AS (SELECT unnest(map_entries(m)) AS e FROM raw),
+       |lvl2 AS (SELECT e.key AS source, unnest(map_entries(e.value)) AS t FROM lvl1),
+       |feeds AS (SELECT source, t.key AS topic, t.value AS url FROM lvl2),
+       |fresh AS (SELECT * FROM feeds WHERE url NOT IN ($seen)),
+       |entries AS (SELECT source, topic, url, unnest([1, 2]) AS entry_no FROM fresh)
+       |SELECT source, topic,
+       | replace(translate(lower(topic), '${Text.diacriticFrom}', '${Text.diacriticTo}'), ' ', '') AS slug,
+       | lower(array_to_string(list_transform(string_split(topic, ' '),
+       |   w -> substr(w, 1, 1)), '')) AS alias,
+       | url || '?item=' || entry_no AS link
+       |FROM entries ORDER BY source, topic, link""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q36
+  // M1/F6/F7: summarize lifecycle — extractive bullet summary, cleaned
+  // and split back to bullets; oracle derives the expected bullets
+  // independently from the raw words
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Summarize.extractiveSummaryRaw($"text", n = 4, width = 2)
+    val bullets = Text.summaryBullets(Text.cleanSummary(raw))
+    t(s, dir, "documents")
+      .select($"doc_id", size(bullets).cast("long").as("n_bullets"),
+        array_join(bullets, " | ").as("bullets"))
+      .orderBy($"doc_id")
+  }
+  private val q36Sql =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      | FROM documents)
+      |SELECT doc_id, CAST(4 AS BIGINT) AS n_bullets,
+      | array_to_string(w[1:2], ' ') || ' | ' || array_to_string(w[3:4], ' ')
+      |  || ' | ' || array_to_string(w[5:6], ' ') || ' | '
+      |  || array_to_string(w[7:8], ' ') AS bullets
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  // G5+A5: statement extraction explode + rule-based status + scorecard
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stmts = t(s, dir, "documents")
+      .select($"doc_id",
+        explode(Summarize.statements($"text", width = 6)).as("statement"))
+      .withColumn("status", Summarize.statementStatus($"statement"))
+    Summarize.scorecard(stmts, "doc_id", "status")
+      .orderBy($"doc_id")
+  }
+  private val q37Sql =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      | FROM documents),
+      |ix AS (SELECT doc_id, w,
+      | unnest(range(0, CAST(ceil(len(w) / 6.0) AS INT))) AS i FROM d),
+      |st AS (SELECT doc_id,
+      | array_to_string(w[(i*6+1):(i*6+6)], ' ') AS statement FROM ix),
+      |cl AS (SELECT doc_id,
+      | CASE WHEN statement LIKE '%window%' OR statement LIKE '%stream%'
+      |      THEN 'confirmed'
+      |      WHEN statement LIKE '%dup%' THEN 'refuted'
+      |      ELSE 'unverified' END AS status FROM st),
+      |agg AS (SELECT doc_id,
+      | CAST(sum(CASE WHEN status = 'confirmed' THEN 1 ELSE 0 END) AS BIGINT) AS confirmed,
+      | CAST(sum(CASE WHEN status = 'refuted' THEN 1 ELSE 0 END) AS BIGINT) AS refuted,
+      | count(*) AS total FROM cl GROUP BY 1)
+      |SELECT doc_id, confirmed, refuted, total,
+      | CASE WHEN total = 0 THEN 0.0
+      |      WHEN total < 5 THEN 1.0
+      |      ELSE round(greatest(3.0, least(10.0,
+      |        (CAST(confirmed AS DOUBLE) / total
+      |         - CAST(refuted AS DOUBLE) * 0.5 / total) * 10.0)), 4)
+      | END AS score
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  // J5+J6+U3: filtered top-k with same-topic priority and fallback fill
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    Similarity.topKWithFallback(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "embedding", "label", 5)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        $"same_topic".cast("long").as("same_topic"),
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+  private val q38Sql =
+    """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+      |  embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id, label AS c_label,
+      |  embedding::DOUBLE[] AS cv FROM embeddings),
+      |sc AS (
+      | SELECT q_id, c_id,
+      |  CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS same_topic,
+      |  list_dot_product(qv, cv)
+      |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+      |    AS sim
+      | FROM q, c WHERE q_id <> c_id),
+      |r AS (SELECT q_id, c_id, same_topic, sim,
+      | row_number() OVER (PARTITION BY q_id
+      |   ORDER BY same_topic DESC, sim DESC, c_id) AS rank
+      | FROM sc)
+      |SELECT q_id, rank, c_id, CAST(same_topic AS BIGINT) AS same_topic,
+      | round(sim, 6) AS sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  // P11: NaN vs NULL tri-state handling (text_to_speech.py:40-43 — the
+  // pandas-NaN-leaks-into-Mongo distinction, made explicit)
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events").select($"event_id", $"user_id",
+      when($"event_id" % 13 === 0, lit(Double.NaN))
+        .when($"event_id" % 13 === 1, lit(null).cast("double"))
+        .otherwise($"value").as("v"))
+    e.groupBy($"user_id").agg(
+        sum(when($"v".isNotNull && isnan($"v"), 1).otherwise(0))
+          .cast("long").as("nan_cnt"),
+        sum(when($"v".isNull, 1).otherwise(0)).cast("long").as("null_cnt"),
+        sum(when($"v".isNotNull && !isnan($"v"), 1).otherwise(0))
+          .cast("long").as("ok_cnt"),
+        round(sum(when($"v".isNotNull && !isnan($"v"), $"v").otherwise(0.0)), 2)
+          .as("ok_sum"))
+      .orderBy($"user_id")
+  }
+  private val q39Sql =
+    """WITH e AS (SELECT event_id, user_id,
+      | CASE WHEN event_id % 13 = 0 THEN 'NaN'::DOUBLE
+      |      WHEN event_id % 13 = 1 THEN NULL
+      |      ELSE value END AS v FROM events)
+      |SELECT user_id,
+      | CAST(sum(CASE WHEN v IS NOT NULL AND isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS nan_cnt,
+      | CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+      | CAST(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS ok_cnt,
+      | round(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v ELSE 0.0 END), 2) AS ok_sum
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  // F12/K1: JSON serialization for the raw zone (s3_io_manager.py:37)
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey",
+        to_json(struct($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_orderpriority")).as("js"))
+      .orderBy($"o_orderkey")
+  }
+  private val q40Sql =
+    """SELECT o_orderkey,
+      | CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+      |   o_custkey := o_custkey, o_orderstatus := o_orderstatus,
+      |   o_orderpriority := o_orderpriority)) AS VARCHAR) AS js
+      |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  // K6: physical layout — each key clustered into exactly one partition
+  // (the oracle asserts the n_parts=1 invariant relationally)
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Layout.byKey(t(s, dir, "documents"), "lang", 8, "doc_id")
+      .withColumn("pid", spark_partition_id())
+      .groupBy($"lang")
+      .agg(countDistinct($"pid").as("n_parts"), count(lit(1)).as("cnt"))
+      .orderBy($"lang")
+  }
+  private val q41Sql =
+    """SELECT lang, CAST(1 AS BIGINT) AS n_parts, count(*) AS cnt
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  // S3+S4: HTML main-text extraction + first image URL over fixtures
+  val htmlFixtures: Seq[(Long, String)] = Seq(
+    (0L, "<html><head><style>p{color:red}</style></head><body><nav>menu" +
+      "</nav><p>First para.</p><script>var x=1;</script><p>Second para." +
+      "</p><img src=\"https://img.example.com/a.jpg\"/><footer>foot" +
+      "</footer></body></html>"),
+    (1L, "<div><p>Hello <b>world</b>.</p><iframe src=\"https://e.example" +
+      ".com\">junk</iframe><img src=\"https://img.example.com/b.png\"></div>"),
+    (2L, "<article>Text with no image, just <em>emphasis</em>.</article>"),
+    (3L, "plain text with no tags at all"))
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    htmlFixtures.toDF("id", "html")
+      .select($"id", Text.htmlMainText($"html").as("main_text"),
+        Text.firstImgSrc($"html").as("img"))
+      .orderBy($"id")
+  }
+  private def q42Sql: String = {
+    val values = htmlFixtures
+      .map { case (i, h) => s"($i, '$h')" }.mkString(", ")
+    val stripChrome = Text.chromeTags.foldLeft("html")((e, tag) =>
+      s"regexp_replace($e, '(?is)<$tag[^>]*>.*?</$tag>', ' ', 'g')")
+    s"""SELECT id,
+       | trim(regexp_replace(regexp_replace($stripChrome,
+       |   '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS main_text,
+       | regexp_extract(html, '<img[^>]*src="([^"]+)"', 1) AS img
+       |FROM (VALUES $values) t(id, html) ORDER BY id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q43
+  // A1+U1: union of work lists, dedup'd and sorted
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    e.filter($"event_type" === "error").select($"user_id")
+      .union(e.filter($"event_type" === "purchase").select($"user_id"))
+      .distinct()
+      .orderBy($"user_id")
+  }
+  private val q43Sql =
+    """SELECT DISTINCT user_id FROM events
+      |WHERE event_type IN ('error', 'purchase')
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  // ST2/P7/K4: the lifecycle minimum slice — stage filter selects
+  // unsummarized rows, a batch subset is patched via column-patch
+  // upsert, and the re-filter shrinks to exactly the unpatched subset
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val articles = t(s, dir, "documents")
+      .select($"doc_id", $"text", lit(null).cast("string").as("summary"))
+    val todo = articles.filter($"summary".isNull)
+      .filter($"doc_id" % 3 =!= 0)
+    val patch = todo.select($"doc_id",
+      array_join(Text.summaryBullets(Text.cleanSummary(
+        Summarize.extractiveSummaryRaw($"text"))), " | ").as("summary"))
+    val after = Upsert.merge(articles, patch, Seq("doc_id"), patch = true)
+    after.agg(
+      count(lit(1)).as("total"),
+      sum(when($"summary".isNotNull, 1).otherwise(0)).cast("long")
+        .as("summarized"),
+      sum(when($"summary".isNull, 1).otherwise(0)).cast("long")
+        .as("remaining"))
+  }
+  private val q44Sql =
+    """SELECT count(*) AS total,
+      | CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS summarized,
+      | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS remaining
+      |FROM documents""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -791,7 +1071,17 @@ object Queries {
     "q31_html_unescape" -> (q31 _),
     "q32_clean_text"    -> (q32 _),
     "q33_date_parse"    -> (q33 _),
-    "q34_md5_uuid"      -> (q34 _)
+    "q34_md5_uuid"      -> (q34 _),
+    "q35_ingest_config" -> (q35 _),
+    "q36_summarize"     -> (q36 _),
+    "q37_statements"    -> (q37 _),
+    "q38_fallback_topk" -> (q38 _),
+    "q39_nan_null"      -> (q39 _),
+    "q40_to_json"       -> (q40 _),
+    "q41_layout"        -> (q41 _),
+    "q42_html_extract"  -> (q42 _),
+    "q43_distinct_union"-> (q43 _),
+    "q44_lifecycle"     -> (q44 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -821,7 +1111,18 @@ object Queries {
     "q24_cosine_topk"   -> q24Sql,
     "q30_asof_join"     -> q30Sql,
     "q31_html_unescape" -> q31Sql,
+    "q32_clean_text"    -> q32Sql,
     "q33_date_parse"    -> q33Sql,
-    "q34_md5_uuid"      -> q34Sql
+    "q34_md5_uuid"      -> q34Sql,
+    "q35_ingest_config" -> q35Sql,
+    "q36_summarize"     -> q36Sql,
+    "q37_statements"    -> q37Sql,
+    "q38_fallback_topk" -> q38Sql,
+    "q39_nan_null"      -> q39Sql,
+    "q40_to_json"       -> q40Sql,
+    "q41_layout"        -> q41Sql,
+    "q42_html_extract"  -> q42Sql,
+    "q43_distinct_union"-> q43Sql,
+    "q44_lifecycle"     -> q44Sql
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Ingest, Layout, Summarize}
+
+/** Ingest entry point (S1/G1/G2), summarize/statement stand-ins
+  * (M1/G5/A5), HTML extraction (S3) and physical layout (K6).
+  */
+class IngestSummarizeSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("feedConfig explodes nested source→topic→url map to rows") {
+    val rows = Ingest.feedConfig(spark, "/root/repo/fixtures/rss_feeds.json")
+      .collect()
+    assert(rows.length == 11)
+    val bySource = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySource == Map("vnexpress" -> 3, "tuoitre" -> 3,
+      "thanhnien" -> 3, "dantri" -> 2))
+    assert(rows.forall(_.getString(2).startsWith("https://feeds.example.com/")))
+  }
+
+  test("explodeEntries caps per-feed fan-out and derives links") {
+    val feeds = Seq(("s", "t", "https://u.example.com/f.rss"))
+      .toDF("source", "topic", "url")
+    val out = Ingest.explodeEntries(feeds, perFeed = 5, cap = 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("link")).toSet ==
+      Set("https://u.example.com/f.rss?item=1",
+        "https://u.example.com/f.rss?item=2"))
+  }
+
+  test("extractive summary round-trips through cleanSummary + bullets") {
+    val out = Seq("one two three four five six seven eight nine")
+      .toDF("text")
+      .select(Text.summaryBullets(Text.cleanSummary(
+        Summarize.extractiveSummaryRaw($"text", n = 4, width = 2)))
+        .as("b"))
+      .head.getSeq[String](0)
+    // intro line stripped, bullet glyphs stripped, word pairs preserved
+    assert(out == Seq("one two", "three four", "five six", "seven eight"))
+  }
+
+  test("statements covers every word exactly once; status rules apply") {
+    val df = Seq("the window is open and the stream runs while dup rows wait")
+      .toDF("text")
+      .select(explode(Summarize.statements($"text", width = 4)).as("st"))
+      .withColumn("status", Summarize.statementStatus($"st"))
+    val out = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == 3) // 12 words / 4 per statement
+    assert(out(0) == ("the window is open", "confirmed"))
+    assert(out(1) == ("and the stream runs", "confirmed"))
+    assert(out(2) == ("while dup rows wait", "refuted"))
+  }
+
+  test("scorecard applies tier short-circuits and clamp") {
+    val stmts = (
+      Seq.fill(3)((1L, "unverified")) ++              // < 5 → 1.0
+      Seq.fill(10)((2L, "confirmed")) ++              // all confirmed → 10
+      (Seq.fill(10)((3L, "refuted")) :+ (3L, "unverified")) // → clamp 3
+    ).toDF("id", "status")
+    val out = Summarize.scorecard(stmts, "id", "status")
+      .orderBy("id").collect().map(_.getAs[Double]("score"))
+    assert(out.toSeq == Seq(1.0, 10.0, 3.0))
+  }
+
+  test("htmlMainText strips chrome tags with bodies, keeps article text") {
+    val html = "<html><style>p{}</style><nav>menu</nav><p>Keep <b>this" +
+      "</b>.</p><script>drop();</script></html>"
+    val out = Seq(html).toDF("h")
+      .select(Text.htmlMainText($"h")).head.getString(0)
+    assert(out == "Keep this .")
+  }
+
+  test("Layout.byKey puts each key in exactly one partition, sorted") {
+    val df = (0L until 100L).map(i => (i, s"k${i % 7}")).toDF("id", "k")
+    val laid = Layout.byKey(df, "k", 4, "id")
+    val parts = laid.withColumn("pid", spark_partition_id())
+      .groupBy($"k").agg(countDistinct($"pid").as("n")).collect()
+    assert(parts.forall(_.getAs[Long]("n") == 1L))
+  }
+}

@@ -74,6 +74,53 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 
+  test("topKWithFallback: same-topic hits keep priority over higher-" +
+    "scoring fallback; fallback fills the remainder") {
+    // query 0 (topic A, vec (1,0)); candidates: 1 = topic A sim .848,
+    // 2 = topic B sim .995 (better score, wrong topic), 3 = topic A
+    // sim .995, 4 = topic B sim .707
+    val rows = Seq(
+      (0L, "A", Array(1f, 0f)),
+      (1L, "A", Array(0.9f, 0.56f)),
+      (2L, "B", Array(1f, 0.1f)),
+      (3L, "A", Array(1f, 0.1f)),
+      (4L, "B", Array(1f, 1f))
+    ).toDF("id", "topic", "vec")
+    val out = Similarity.topKWithFallback(
+        rows.filter($"id" === 0), rows, "id", "vec", "topic", 3)
+      .orderBy("rank").collect()
+    // golden (get_relevant_articles.py:64-113 semantics): the two
+    // same-topic hits come first in sim order — candidate 2 scores
+    // higher than candidate 1 but must NOT displace it — then the
+    // best fallback fills rank 3
+    assert(out.map(r => (r.getAs[Long]("c_id"),
+      r.getAs[Int]("same_topic"))).toSeq ==
+      Seq((3L, 1), (1L, 1), (2L, 0)))
+  }
+
+  test("hashEmbedMeanByKey matches per-row hashEmbedding + vecMean") {
+    val docs = Seq(
+      (1L, "a", "the quick brown fox jumps"),
+      (2L, "a", "spark shuffles and partitions data"),
+      (3L, "b", "completely different words here"),
+      (4L, "b", "")
+    ).toDF("doc_id", "lang", "text")
+    val viaRow = Similarity.vecMean(
+        docs.select($"lang",
+          Similarity.hashEmbedding($"text", 8).as("vec"))
+          .filter($"vec".isNotNull), "lang", "vec")
+      .select($"key", posexplode($"mean_vec").as(Seq("idx", "v")))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val relational = Similarity.hashEmbedMeanByKey(
+        docs, "lang", "doc_id", "text", 8)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(relational == viaRow)
+  }
+
   test("vecMean matches manual element-wise mean") {
     val df = Seq(
       ("a", Array(1f, 2f)), ("a", Array(3f, 4f)), ("b", Array(5f, 6f))
