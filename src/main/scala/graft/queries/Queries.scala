@@ -1035,6 +1035,38 @@ object Queries {
       | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS remaining
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  // Multimodal metadata plan: frame sampling + aspect-preserving resize
+  // targets over media rows synthesized from documents — the
+  // metadata-only half of the media pipeline stays fully relational
+  // (the binary decode half is partition-wise, spec-tested)
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select($"doc_id".as("media_id"),
+      (lit(320) + ($"doc_id" % 16) * 40).cast("int").as("width"),
+      (lit(240) + ($"doc_id" % 9) * 40).cast("int").as("height"),
+      (lit(1000) + ($"doc_id" % 120) * 500).as("duration_ms"))
+    val frames = graft.multimodal.Multimodal.frameSample(
+      media, "media_id", "duration_ms", everyMs = 2000L, maxFrames = 5)
+    val (outW, outH) = graft.multimodal.Multimodal.resizeSpec(
+      $"width", $"height", maxEdge = 224)
+    frames.select($"media_id", $"frame_no", $"frame_ts_ms",
+        outW.as("out_w"), outH.as("out_h"))
+      .orderBy($"media_id", $"frame_no")
+  }
+  private val q45Sql =
+    """WITH m AS (SELECT doc_id AS media_id,
+      | CAST(320 + (doc_id % 16) * 40 AS INT) AS width,
+      | CAST(240 + (doc_id % 9) * 40 AS INT) AS height,
+      | 1000 + (doc_id % 120) * 500 AS duration_ms FROM documents),
+      |f AS (SELECT media_id, width, height,
+      | unnest(range(0, CAST(least(duration_ms // 2000, 4) AS INT) + 1))
+      |   AS frame_no FROM m)
+      |SELECT media_id, frame_no, frame_no * 2000 AS frame_ts_ms,
+      | CAST(floor(width * least(1.0, 224.0 / greatest(width, height))) AS INT) AS out_w,
+      | CAST(floor(height * least(1.0, 224.0 / greatest(width, height))) AS INT) AS out_h
+      |FROM f ORDER BY media_id, frame_no""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1081,7 +1113,8 @@ object Queries {
     "q41_layout"        -> (q41 _),
     "q42_html_extract"  -> (q42 _),
     "q43_distinct_union"-> (q43 _),
-    "q44_lifecycle"     -> (q44 _)
+    "q44_lifecycle"     -> (q44 _),
+    "q45_frame_plan"    -> (q45 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1123,6 +1156,7 @@ object Queries {
     "q41_layout"        -> q41Sql,
     "q42_html_extract"  -> q42Sql,
     "q43_distinct_union"-> q43Sql,
-    "q44_lifecycle"     -> q44Sql
+    "q44_lifecycle"     -> q44Sql,
+    "q45_frame_plan"    -> q45Sql
   )
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.Upsert
+
+/** Structured Streaming re-expression of the reference's polling-sensor
+  * incremental machinery (SURVEY.md §2.10 ST1-ST6): the 60s/120s/300s
+  * Dagster sensors (embedding_sensors.py:18, article_sensors.py:15)
+  * become micro-batch triggers, the "backfill every 6h" dual mode
+  * (ST4) is `Trigger.AvailableNow`, run-key dedup (ST3) is upsert
+  * idempotency, and the state-machine column patches (ST2) run inside
+  * `foreachBatch`. Event-time windows carry watermarks so the same
+  * aggregations Events.scala runs in batch hold under late data.
+  */
+object Streams {
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionState(sessStart: Long, lastTs: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+
+  /** ST1+ST2+ST3: the incremental micro-batch runner — stream in, apply
+    * the stage transform, MERGE into the keyed table. `AvailableNow`
+    * drains the backlog once (the sensor's backfill mode);
+    * `Trigger.ProcessingTime("60 seconds")` reproduces the polling
+    * cadence. Upsert idempotency makes replayed batches safe — the
+    * reference gets the same guarantee from Mongo `$set` upserts.
+    */
+  def incrementalUpsert(input: DataFrame, stage: DataFrame => DataFrame,
+                        tablePath: String, keys: Seq[String],
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit = (batch, _) =>
+      Upsert.mergeIntoTable(batch.sparkSession, tablePath,
+        stage(batch.toDF()), keys, patch = true)
+    input.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(sink)
+      .start()
+  }
+
+  /** Watermarked tumbling window aggregate — the streaming twin of
+    * `Events.tumbling` (same output schema, append-mode safe: a window
+    * is emitted once the watermark passes its end).
+    */
+  def tumbling(events: DataFrame, tsCol: String, groupCol: String,
+               valueCol: String, width: String = "1 hour",
+               watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(groupCol),
+        col("cnt"), col("sum_value"))
+
+  /** Custom sessionization state machine via flatMapGroupsWithState:
+    * per key, events extend the open session while within `gapMinutes`;
+    * a later event (or event-time timeout) closes it and emits one
+    * `ClosedSession` row. The batch oracle is `Events.sessionStats` —
+    * same gap semantics, windowed-SQL formulation.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, new Timestamp(s.sessStart),
+              new Timestamp(s.lastTs), s.n))
+          } else {
+            // micro-batch iterators carry no order guarantee
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[ClosedSession]
+            var st = state.getOption
+            sorted.foreach { e =>
+              st match {
+                case Some(s) if e.ts.getTime - s.lastTs <= gapMs =>
+                  st = Some(s.copy(
+                    lastTs = math.max(s.lastTs, e.ts.getTime), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid, new Timestamp(s.sessStart),
+                    new Timestamp(s.lastTs), s.n)
+                  st = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+                case None =>
+                  st = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

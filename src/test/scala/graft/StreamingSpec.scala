@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{ClosedSession, SessionEvent}
+
+/** Structured Streaming operators (ST1-ST3): micro-batch incremental
+  * upsert, watermarked tumbling windows, flatMapGroupsWithState
+  * sessionization — each checked against its batch twin.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("incrementalUpsert: stream batches MERGE into the keyed table " +
+    "and replays are idempotent") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val table = s"$dir/articles"
+    // seed table: two unsummarized articles
+    Seq((1L, "alpha text", null: String), (2L, "beta text", null: String))
+      .toDF("doc_id", "text", "summary")
+      .write.parquet(table)
+
+    val stream = MemoryStream[(Long, String)]
+    val stage = (b: org.apache.spark.sql.DataFrame) =>
+      b.select(col("_1").as("doc_id"),
+        concat(lit("sum:"), col("_2")).as("summary"))
+
+    stream.addData((1L, "alpha text"))
+    val q1 = Streams.incrementalUpsert(stream.toDF(), stage, table,
+      Seq("doc_id"), s"$dir/cp1")
+    q1.awaitTermination()
+
+    val afterFirst = spark.read.parquet(table)
+      .orderBy("doc_id").collect()
+    assert(afterFirst.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "sum:alpha text"), (2L, null)))
+
+    // replay the same payload (new stream+checkpoint = redelivery):
+    // ST3 — the patch upsert is idempotent, text column untouched
+    val replay = MemoryStream[(Long, String)]
+    replay.addData((1L, "alpha text"))
+    val q2 = Streams.incrementalUpsert(replay.toDF(), stage, table,
+      Seq("doc_id"), s"$dir/cp2")
+    q2.awaitTermination()
+    val afterReplay = spark.read.parquet(table)
+      .orderBy("doc_id").collect()
+    assert(afterReplay.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((1L, "alpha text", "sum:alpha text"),
+        (2L, "beta text", null)))
+  }
+
+  test("tumbling with watermark emits closed windows matching the " +
+    "batch aggregation") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val query = Streams.tumbling(df, "ts", "event_type", "value",
+        width = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+
+    stream.addData((ts(0), "view", 1.0), (ts(10), "view", 2.0),
+      (ts(20), "click", 5.0))
+    query.processAllAvailable()
+    // advance watermark far past the first window's end
+    stream.addData((ts(600), "view", 9.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("sum_value")))
+    // only the first (closed) window is emitted; the ts(600) window is
+    // still open
+    assert(rows.toSeq == Seq(("click", 1L, 5.0), ("view", 2L, 3.0)))
+  }
+
+  test("sessionize closes a session when the gap is exceeded, matching " +
+    "batch sessionStats counts") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val query = Streams.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+
+    stream.addData(SessionEvent(1L, ts(0), 100L),
+      SessionEvent(1L, ts(10), 101L), SessionEvent(2L, ts(5), 200L))
+    query.processAllAvailable()
+    // user 1 comes back 2h later → first session closes on arrival
+    stream.addData(SessionEvent(1L, ts(130), 102L))
+    query.processAllAvailable()
+    query.stop()
+
+    // two close paths fire: user 1's session closes on arrival of the
+    // out-of-gap event; user 2's closes via EventTimeTimeout once the
+    // watermark (ts(130) − 30min) passes its deadline (ts(5) + 30min)
+    val closed = spark.table("sessions_out").as[ClosedSession].collect()
+      .sortBy(_.user_id)
+    assert(closed.toSeq == Seq(
+      ClosedSession(1L, ts(0), ts(10), 2L),
+      ClosedSession(2L, ts(5), ts(5), 1L)))
+
+    // batch twin agrees: user 1 has 2 sessions of sizes (2, 1)
+    val batch = graft.operators.Events.sessionStats(
+      Seq((1L, ts(0), 100L), (1L, ts(10), 101L), (1L, ts(130), 102L))
+        .toDF("user_id", "ts", "event_id"),
+      "ts", "user_id", "event_id", 30).collect()
+    val u1 = batch.find(_.getLong(0) == 1L).get
+    assert(u1.getAs[Long]("session_cnt") == 2L &&
+      u1.getAs[Long]("max_session_events") == 2L)
+  }
+}
