@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries INT64 TIMESTAMP(NANOS); read as long and
       // convert at the loader (Queries.t) — Spark has no nanos type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -10,11 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def expr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
   /** Element-wise cast to double (floats promote exactly). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product in double precision (M5 hot path, SURVEY.md §2.11). */
+  /** Dot product in double precision (M5 hot path, SURVEY.md §2.11) —
+    * native codegen'd expression; same summation order as the HOF
+    * formulation, so results are bit-identical.
+    */
   def dot(a: Column, b: Column): Column =
+    native(graft.expressions.DotProduct(expr(a), expr(b)))
+
+  /** HOF dot product (kept as the independent cross-check the native
+    * expression is tested against).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
@@ -22,12 +36,17 @@ object Vectors {
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity (Qdrant collection metric, qdrant_io_manager.py:33).
-    * NULL when either vector has zero norm.
+    * NULL when either vector has zero norm. Native codegen'd single-pass
+    * loop — the hot inner expression of every similarity join.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
+  def cosine(a: Column, b: Column): Column =
+    native(graft.expressions.CosineSimilarity(expr(a), expr(b)))
+
+  /** HOF cosine (cross-check twin of [[cosine]]). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d  = dotHof(a, b)
+    val na = sqrt(dotHof(a, a))
+    val nb = sqrt(dotHof(b, b))
     when(na > 0.0 && nb > 0.0, d / (na * nb))
   }
 

@@ -80,8 +80,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val planeLit = array(p.map(lit): _*)
-      val d = aggregate(zip_with(Vectors.toDouble(vec), planeLit,
-        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val d = Vectors.dot(vec, planeLit)
       when(d >= 0.0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** Sink family (SURVEY.md §2.2): K1 raw-zone JSON, K3 replace
+  * (overwrite), K5 vector upsert, K7 warehouse parquet layout.
+  */
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  test("K1: raw-zone JSON sink round-trips run-scoped records") {
+    val dir = s"${tmp()}/raw_data/src0/run1/extract"
+    Seq((1L, "alpha", "https://a.example.com"),
+      (2L, "beta", "https://b.example.com"))
+      .toDF("id", "title", "url")
+      .write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.filter($"id" === 1L).head.getAs[String]("title") == "alpha")
+  }
+
+  test("K3: replace sink overwrites the whole table") {
+    val dir = s"${tmp()}/rss_feed_list"
+    Seq(("old", 1)).toDF("name", "v").write.mode("overwrite").parquet(dir)
+    Seq(("new-a", 2), ("new-b", 3)).toDF("name", "v")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy("name").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("new-a", "new-b"))
+  }
+
+  test("K5: vector upsert replaces the embedding for an existing point " +
+    "and inserts new points, leaving payload columns intact") {
+    val base = Seq(
+      ("p1", Array(1f, 0f), "topicA"),
+      ("p2", Array(0f, 1f), "topicB")
+    ).toDF("point_id", "embedding", "topic_id")
+    val delta = Seq(
+      ("p2", Array(0.5f, 0.5f), null: String),  // re-embed p2, keep topic
+      ("p3", Array(1f, 1f), "topicC")           // new point
+    ).toDF("point_id", "embedding", "topic_id")
+    val merged = Upsert.merge(base, delta, Seq("point_id"), patch = true)
+      .orderBy("point_id").collect()
+    assert(merged.length == 3)
+    assert(merged(1).getSeq[Float](1) == Seq(0.5f, 0.5f)) // p2 replaced
+    assert(merged(1).getString(2) == "topicB")            // payload kept
+    assert(merged(2).getString(0) == "p3")
+  }
+
+  test("K7: warehouse sink writes lang-partitioned parquet that prunes") {
+    val dir = s"${tmp()}/warehouse/documents"
+    Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("doc_id", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    assert(new java.io.File(s"$dir/lang=en").exists())
+    val scan = spark.read.parquet(dir).filter($"lang" === "en")
+    assert(scan.count() == 2)
+    // partition pruning: the physical scan's read path carries the
+    // partition filter, not a post-scan filter over all rows
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || scan.inputFiles.length == 1)
+  }
+}
