@@ -105,6 +105,16 @@ object Text {
   def summaryBullets(c: Column): Column =
     filter(transform(split(c, "\n"), s => trim(s)), s => length(s) > 0)
 
+  /** P5: non-blank after trimming (article.py:75-80 alias constraint). */
+  def nonBlank(c: Column): Column = length(trim(c)) >= 1
+
+  /** F10: truncate fallback — the primary value when present, else the
+    * first `n` chars of the fallback (summarize_utils.py:70 `content[:500]`,
+    * validation_utils.py:124 `text[:100]`).
+    */
+  def truncateFallback(primary: Column, fallback: Column, n: Int): Column =
+    coalesce(primary, substring(fallback, 1, n))
+
   /** Deterministic point id: md5(url) reformatted as a UUID string
     * (embedded_articles.py:193-194). Pure built-ins.
     */

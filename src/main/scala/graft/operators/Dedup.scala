@@ -126,6 +126,43 @@ object Dedup {
   def jaccard(textA: Column, textB: Column, n: Int = 3): Column =
     jaccardOfSets(shingles(textA, n), shingles(textB, n))
 
+  /** All-pairs exact Jaccard above a threshold, via a shingle inverted
+    * index instead of a cross join: explode (id, shingle), self-join on
+    * the shingle (only docs SHARING a shingle ever meet — zero-overlap
+    * pairs are never materialized), count intersections, recover the
+    * union from per-doc set sizes. This is the 100 TB shape: shuffle is
+    * keyed on shingle, fan-in per key = that shingle's doc frequency.
+    * `maxDocFreq` (optional) drops stop-shingles whose posting lists
+    * would skew the shuffle — exact results require it disabled.
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   minJaccard: Double = 0.0,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol))).as("sgl"))
+    val posting = maxDocFreq match {
+      case Some(m) =>
+        val hot = sh.groupBy("sgl").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("sgl")
+        sh.join(hot, Seq("sgl"), "left_anti")
+      case None => sh
+    }
+    // shingles are distinct per doc, so count(*) = |set|
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = posting.as("a").join(posting.as("b"),
+        col("a.sgl") === col("b.sgl") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter.join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") > minJaccard)
+  }
+
   /** SimHash-64: sign-aggregated bit votes of shingle hashes.
     * Near-dups have small hamming distance; at scale, split into 4
     * 16-bit bands and exact-match any band (hamming ≤ 3 guarantee).

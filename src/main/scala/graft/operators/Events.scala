@@ -86,6 +86,14 @@ object Events {
         col("__match.ts").as("asof_ts") :+ col("__match.id").as("asof_id"): _*)
   }
 
+  /** ST6 threshold gate: run the job only when at least `n` eligible
+    * rows exist (related_articles_sensor.py:57-59's ≥50 gate). The one
+    * deliberate driver-side action in the engine — a scheduling
+    * decision, not a dataflow operator.
+    */
+  def thresholdGate(df: DataFrame, n: Long): Boolean =
+    df.limit(n.toInt).count() >= n
+
   /** Rows needing refresh: ts < max(ts) − days (computed via a scalar
     * aggregate joined in, not a driver collect).
     */

@@ -517,15 +517,10 @@ object Queries {
     // inject exact copies (id+1000) so near-dup pairs exist at any sf
     val docs = base.unionByName(base.filter($"doc_id" < 20)
       .select(($"doc_id" + 1000).as("doc_id"), $"text"))
-      // shingle each doc ONCE before the pairwise join — shingling is the
-      // expensive part, so it must not run per pair
-      .select($"doc_id", Dedup.shingles($"text").as("sh"))
-    val pairs = docs.as("a").crossJoin(docs.as("b"))
-      .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        Dedup.jaccardOfSets($"a.sh", $"b.sh").as("jac"))
-    pairs.filter($"jac" > 0.03)
-      .select($"id_a", $"id_b", round($"jac", 4).as("jaccard"))
+    // inverted-index all-pairs join (no cross join): only docs that
+    // actually share a shingle ever meet
+    Dedup.jaccardPairs(docs, "text", "doc_id", minJaccard = 0.03)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
   private val q22Sql =

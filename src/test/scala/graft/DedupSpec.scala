@@ -61,6 +61,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("jaccardPairs (inverted index) agrees with direct pairwise " +
+    "jaccard and never materializes zero-overlap pairs") {
+    val df = Seq((1L, docA), (2L, docANear), (3L, "zz yy xx ww vv uu"))
+      .toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(df, "text", "id").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val direct = Seq((docA, docANear)).toDF("a", "b")
+      .select(Dedup.jaccard($"a", $"b")).head.getDouble(0)
+    assert(math.abs(pairs((1L, 2L)) - direct) < 1e-12)
+    // doc 3 shares no shingle with anything → absent entirely
+    assert(pairs.keySet == Set((1L, 2L)))
+  }
+
   test("minhashJaccard estimates true jaccard within tolerance") {
     val df = Seq((docA, docANear)).toDF("a", "b")
       .select(Dedup.minhashSignature($"a", 64).as("sa"),

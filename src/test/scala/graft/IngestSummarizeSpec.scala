@@ -74,6 +74,23 @@ class IngestSummarizeSpec extends AnyFunSuite {
     assert(out == "Keep this .")
   }
 
+  test("nonBlank, truncateFallback, thresholdGate small-op semantics") {
+    // P5: alias constraint
+    val p5 = Seq("ok", "  ", "", " x ").toDF("a")
+      .filter(Text.nonBlank($"a")).collect().map(_.getString(0))
+    assert(p5.toSeq == Seq("ok", " x "))
+    // F10: summary falls back to truncated content
+    val f10 = Seq((null: String, "0123456789"), ("have", "ignored"))
+      .toDF("summary", "content")
+      .select(Text.truncateFallback($"summary", $"content", 4))
+      .collect().map(_.getString(0))
+    assert(f10.toSeq == Seq("0123", "have"))
+    // ST6: job gate fires only at the threshold
+    val df = (1 to 49).toDF("n")
+    assert(!graft.operators.Events.thresholdGate(df, 50))
+    assert(graft.operators.Events.thresholdGate(df, 49))
+  }
+
   test("Layout.byKey puts each key in exactly one partition, sorted") {
     val df = (0L until 100L).map(i => (i, s"k${i % 7}")).toDF("id", "k")
     val laid = Layout.byKey(df, "k", 4, "id")
