@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * failure routing — is real and tested; swapping the stub for a JNI
   * or library decoder changes one function.
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   val Magic: Int = 0x47524d4d // "GRMM"
 

@@ -1062,6 +1062,34 @@ object Queries {
       | CAST(floor(height * least(1.0, 224.0 / greatest(width, height))) AS INT) AS out_h
       |FROM f ORDER BY media_id, frame_no""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  // Multimodal blob decode: synthesize binary media (12-byte header +
+  // payload) from document ids, run the partition-wise decode stub, and
+  // verify the recovered metadata relationally — the oracle recomputes
+  // the expected header fields straight from doc_id
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map(id => m.syntheticBlob(id,
+        if (id % 3 == 0) "image" else "video",
+        320 + (id % 16).toInt * 40, 240 + (id % 9).toInt * 40,
+        (id % 50).toInt + 10))
+    m.decodeStub(blobs).toDF()
+      .select($"media_id", $"media_type", $"width", $"height",
+        $"payload_bytes", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private val q46Sql =
+    """SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type,
+      | CAST(320 + (doc_id % 16) * 40 AS INT) AS width,
+      | CAST(240 + (doc_id % 9) * 40 AS INT) AS height,
+      | doc_id % 50 + 10 AS payload_bytes,
+      | true AS decode_ok
+      |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1109,7 +1137,8 @@ object Queries {
     "q42_html_extract"  -> (q42 _),
     "q43_distinct_union"-> (q43 _),
     "q44_lifecycle"     -> (q44 _),
-    "q45_frame_plan"    -> (q45 _)
+    "q45_frame_plan"    -> (q45 _),
+    "q46_blob_decode"   -> (q46 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1152,6 +1181,7 @@ object Queries {
     "q42_html_extract"  -> q42Sql,
     "q43_distinct_union"-> q43Sql,
     "q44_lifecycle"     -> q44Sql,
-    "q45_frame_plan"    -> q45Sql
+    "q45_frame_plan"    -> q45Sql,
+    "q46_blob_decode"   -> q46Sql
   )
 }
