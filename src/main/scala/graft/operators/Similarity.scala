@@ -116,6 +116,32 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: docs whose vectors land in
+    * the same random-hyperplane bucket are compared exactly; pairs above
+    * `threshold` survive. The bucketed self-join is the 100 TB shape
+    * (shuffle keyed on bucket id, candidate fan-in ≈ corpus/2^bits);
+    * multiprobe on the query side of [[lshTopK]] is intentionally
+    * omitted here — near-dup vectors at cosine ≥ 0.9 almost always
+    * share the exact bucket, and all-pairs multiprobe doubles the
+    * shuffle. `bits = 0` degrades to the exact all-pairs cross join
+    * (small corpora / oracle checks).
+    * Output: (id_a, id_b, sim), id_a < id_b.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, dim: Int, bits: Int = 8,
+                   seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sides =
+      if (bits <= 0) base.withColumn("bucket", lit(0L))
+      else base.withColumn("bucket",
+        lshBucket(col("vec"), hyperplanes(dim, bits, seed)))
+    sides.as("a").join(sides.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Vectors.cosine(col("a.vec"), col("b.vec")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
   /** Deterministic feature-hash embedding stand-in for the reference's
     * sentence-transformer (M3, embedding_utils.py:26-92): tokens hashed
     * into `dim` signed buckets, L2-normalized. Pure HOF expressions —

@@ -1090,6 +1090,38 @@ object Queries {
       | true AS decode_ok
       |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  // Embedding-cosine near-dup pairs, exact mode (bits=0) on a bounded
+  // subset so DuckDB can verify; the LSH-bucketed mode is the scale
+  // path (recall-tested in VectorSimilaritySpec)
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "embeddings").filter($"vec_id" < 200)
+      .select($"vec_id", $"embedding")
+    // inject exact copies (id+1000) so near-dup pairs exist at any sf
+    val emb = base.unionByName(base.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+    Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.8, dim = 64, bits = 0)
+      .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q47Sql =
+    """WITH e AS (
+      | SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id < 200
+      | UNION ALL
+      | SELECT vec_id + 1000, embedding::DOUBLE[]
+      |  FROM embeddings WHERE vec_id < 50),
+      |p AS (
+      | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_dot_product(a.v, b.v)
+      |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      |   AS sim
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(sim, 6) AS sim
+      |FROM p WHERE sim > 0.8 ORDER BY id_a, id_b""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1138,7 +1170,8 @@ object Queries {
     "q43_distinct_union"-> (q43 _),
     "q44_lifecycle"     -> (q44 _),
     "q45_frame_plan"    -> (q45 _),
-    "q46_blob_decode"   -> (q46 _)
+    "q46_blob_decode"   -> (q46 _),
+    "q47_vec_neardup"   -> (q47 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1182,6 +1215,7 @@ object Queries {
     "q43_distinct_union"-> q43Sql,
     "q44_lifecycle"     -> q44Sql,
     "q45_frame_plan"    -> q45Sql,
-    "q46_blob_decode"   -> q46Sql
+    "q46_blob_decode"   -> q46Sql,
+    "q47_vec_neardup"   -> q47Sql
   )
 }

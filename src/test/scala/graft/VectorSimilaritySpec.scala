@@ -121,6 +121,27 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(relational == viaRow)
   }
 
+  test("nearDupPairs: LSH-bucketed mode recovers the near-dup pairs " +
+    "the exact mode finds on clustered vectors") {
+    val rnd = new scala.util.Random(13)
+    // 30 near-identical vectors around one center + 30 spread-out ones
+    val dup = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(d =>
+      (math.cos(d) + rnd.nextGaussian() * 0.01).toFloat)))
+    val far = (100 until 130).map(i => (i.toLong, Array.fill(8)(
+      (rnd.nextGaussian() * 2).toFloat)))
+    val df = (dup ++ far).toDF("id", "vec")
+    def pairs(bits: Int) = graft.operators.Similarity
+      .nearDupPairs(df, "id", "vec", threshold = 0.999, dim = 8, bits = bits)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0)
+    val lsh = pairs(4)
+    assert(exact.nonEmpty)
+    assert(exact.forall { case (a, b) => a < 30 && b < 30 })
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"near-dup LSH recall too low: $recall")
+  }
+
   test("vecMean matches manual element-wise mean") {
     val df = Seq(
       ("a", Array(1f, 2f)), ("a", Array(3f, 4f)), ("b", Array(5f, 6f))
