@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{ChunkText, CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions registration: exposes the engine's native
   * codegen'd vector kernels as SQL functions (`graft_cosine`,
@@ -24,5 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // table-generating: LATERAL VIEW graft_chunk(text[, size, overlap])
+    ext.injectFunction((
+      new FunctionIdentifier("graft_chunk"),
+      new ExpressionInfo(classOf[ChunkText].getName, "graft_chunk"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => ChunkText(c)
+        case Seq(c, s, o) => ChunkText(c,
+          s.eval().asInstanceOf[Int], o.eval().asInstanceOf[Int])
+        case other => throw new IllegalArgumentException(
+          s"graft_chunk expects 1 or 3 arguments, got ${other.length}")
+      }))
   }
 }

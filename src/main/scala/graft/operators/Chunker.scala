@@ -79,9 +79,24 @@ object Chunker extends Serializable {
     chunks.map(_.trim).filter(_.length > minLen).toSeq
   }
 
-  /** DataFrame form: (idCol, text) → (idCol, chunk_idx, chunk). */
+  /** DataFrame form via the native [[graft.expressions.ChunkText]]
+    * Generator: (idCol, text) → (idCol, chunk_idx, chunk). Plans as a
+    * `Generate` node (like explode) — no encoder round-trip.
+    */
   def chunkDF(df: DataFrame, idCol: String, textCol: String,
               size: Int = 400, overlap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol),
+      ColumnBridge.column(graft.expressions.ChunkText(
+        ColumnBridge.expression(col(textCol)), size, overlap))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** Typed flatMap form (the pre-Generator formulation, kept as the
+    * cross-check twin the Generator is tested against).
+    */
+  def chunkDFTyped(df: DataFrame, idCol: String, textCol: String,
+                   size: Int = 400, overlap: Int = 50): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sz = size; val ov = overlap

@@ -1122,6 +1122,20 @@ object Queries {
       |SELECT id_a, id_b, round(sim, 6) AS sim
       |FROM p WHERE sim > 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  // IVF approximate ANN (rows-only: k-means cell boundaries are
+  // engine-specific; recall vs brute force is asserted in
+  // VectorSimilaritySpec)
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1171,7 +1185,8 @@ object Queries {
     "q44_lifecycle"     -> (q44 _),
     "q45_frame_plan"    -> (q45 _),
     "q46_blob_decode"   -> (q46 _),
-    "q47_vec_neardup"   -> (q47 _)
+    "q47_vec_neardup"   -> (q47 _),
+    "q48_ivf_ann"       -> (q48 _)
   )
 
   val oracles: Map[String, String] = Map(

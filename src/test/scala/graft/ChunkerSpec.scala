@@ -77,4 +77,23 @@ class ChunkerSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("ChunkText Generator matches the typed flatMap formulation " +
+    "and handles null/empty text") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("alpha beta. " * 60).trim),
+      (2L, "short. "),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val gen = rows(Chunker.chunkDF(docs, "doc_id", "text", 100, 20))
+    val typed = rows(Chunker.chunkDFTyped(docs, "doc_id", "text", 100, 20))
+    assert(gen == typed)
+    assert(gen.nonEmpty)
+    assert(!gen.exists(r => r._1 == 3L || r._1 == 4L)) // null/empty → 0 rows
+  }
 }

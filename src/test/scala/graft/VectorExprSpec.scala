@@ -46,4 +46,14 @@ class VectorExprSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(0) - 1.0 / math.sqrt(2.0)) < 1e-12)
     assert(out.getDouble(1) == 11.0)
   }
+
+  test("graft_chunk generator is callable from SQL") {
+    val out = spark.sql(
+      "SELECT chunk_idx, chunk FROM (SELECT 'one two. three four. five " +
+        "six. seven eight.' AS t) LATERAL VIEW graft_chunk(t, 20, 5) " +
+        "AS chunk_idx, chunk")
+      .collect()
+    assert(out.length > 1)
+    assert(out.forall(_.getString(1).length <= 20))
+  }
 }

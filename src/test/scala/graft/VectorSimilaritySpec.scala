@@ -121,6 +121,28 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(relational == viaRow)
   }
 
+  test("ivfTopK achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(23)
+    def cluster(cx: Double, cy: Double, n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong, Array(
+        (cx + rnd.nextGaussian() * 0.05).toFloat,
+        (cy + rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat)))
+    val data = (cluster(1, 0, 50, 0) ++ cluster(0, 1, 50, 100) ++
+      cluster(-1, 0, 50, 200)).toDF("id", "vec")
+    val queries = data.filter($"id".isin(0L, 100L, 200L))
+    val exact = Similarity.bruteForceTopK(queries, data, "id", "vec", 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, data, "id", "vec", 5,
+        nlist = 6, nprobe = 2)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall too low: $recall")
+  }
+
   test("nearDupPairs: LSH-bucketed mode recovers the near-dup pairs " +
     "the exact mode finds on clustered vectors") {
     val rnd = new scala.util.Random(13)
