@@ -46,6 +46,18 @@ object Streams {
       .start()
   }
 
+  /** ST3: exactly-once work-item admission — the reference dedups
+    * sensor run submissions by `run_key = f(url)` (article_sensors.py:71
+    * et al.); in Structured Streaming that is dropDuplicates on the key
+    * with a watermark bounding the dedup state (keys older than the
+    * horizon are evicted — unbounded state is the naive version's
+    * 100 TB failure mode).
+    */
+  def dedupedStream(input: DataFrame, keyCol: String, tsCol: String,
+                    watermark: String): DataFrame =
+    input.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Watermarked tumbling window aggregate — the streaming twin of
     * `Events.tumbling` (same output schema, append-mode safe: a window
     * is emitted once the watermark passes its end).

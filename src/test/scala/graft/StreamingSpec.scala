@@ -61,6 +61,23 @@ class StreamingSpec extends AnyFunSuite {
         (2L, "beta text", null)))
   }
 
+  test("dedupedStream admits each run key once across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp)]
+    val query = graft.streaming.Streams.dedupedStream(
+        stream.toDF().toDF("run_key", "ts"), "run_key", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    stream.addData(("u1", ts(0)), ("u2", ts(1)), ("u1", ts(2)))
+    query.processAllAvailable()
+    stream.addData(("u1", ts(3)), ("u3", ts(4)))   // u1 is a replay
+    query.processAllAvailable()
+    query.stop()
+    val keys = spark.table("dedup_out").collect()
+      .map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("u1", "u2", "u3"))
+  }
+
   test("tumbling with watermark emits closed windows matching the " +
     "batch aggregation") {
     implicit val sc = spark.sqlContext
