@@ -1136,6 +1136,71 @@ object Queries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- q49
+  // Semi-structured JSON column: field extraction + aggregation over
+  // the events props payload (the raw-zone JSON read path, K1 inverse)
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+  private val q49Sql =
+    """SELECT event_type, count(*) AS cnt,
+      | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // S2 offline: RSS/XML feed parse — item explode, title double-
+  // unescape (F3), lenient pubDate parse (F4), first-image extraction
+  // (S4) — the real ingest parse chain over a stored feed document
+  private val feedXmlPath = "/root/repo/fixtures/feed_sample.xml"
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.option("wholetext", "true").text(feedXmlPath)
+    raw.select(explode(split($"value", "<item>")).as("x"))
+      .filter($"x".contains("</item>"))
+      .select(
+        regexp_extract($"x", "<link>([^<]*)</link>", 1).as("link"),
+        Text.htmlUnescapeTwice(
+          regexp_extract($"x", "(?s)<title>(.*?)</title>", 1)).as("title"),
+        Text.parseDateLenient(
+          regexp_extract($"x", "<pubDate>([^<]*)</pubDate>", 1))
+          .as("published"),
+        Text.firstImgSrc(
+          regexp_extract($"x", "(?s)<description>(.*?)</description>", 1))
+          .as("image"))
+      .orderBy($"link")
+  }
+  private def q50Sql: String = {
+    def onePass(expr: String): String =
+      Text.htmlEntities.foldLeft(expr) { case (e, (ent, ch)) =>
+        val repl = if (ch == "'") "''" else ch
+        s"replace($e, '$ent', '$repl')"
+      }
+    val title = onePass(onePass(
+      "regexp_extract(x, '(?s)<title>(.*?)</title>', 1)"))
+    s"""WITH items AS (
+       | SELECT unnest(string_split(content, '<item>')) AS x
+       | FROM read_text('$feedXmlPath'))
+       |SELECT regexp_extract(x, '<link>([^<]*)</link>', 1) AS link,
+       | $title AS title,
+       | coalesce(
+       |  try_strptime(regexp_extract(x, '<pubDate>([^<]*)</pubDate>', 1),
+       |    '%a, %d %b %Y %H:%M:%S %z')::TIMESTAMP,
+       |  try_strptime(regexp_extract(x, '<pubDate>([^<]*)</pubDate>', 1),
+       |    '%Y-%m-%dT%H:%M:%SZ')::TIMESTAMP) AS published,
+       | regexp_extract(
+       |   regexp_extract(x, '(?s)<description>(.*?)</description>', 1),
+       |   '<img[^>]*src="([^"]+)"', 1) AS image
+       |FROM items WHERE x LIKE '%</item>%' ORDER BY link""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1186,7 +1251,9 @@ object Queries {
     "q45_frame_plan"    -> (q45 _),
     "q46_blob_decode"   -> (q46 _),
     "q47_vec_neardup"   -> (q47 _),
-    "q48_ivf_ann"       -> (q48 _)
+    "q48_ivf_ann"       -> (q48 _),
+    "q49_json_props"    -> (q49 _),
+    "q50_feed_parse"    -> (q50 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1231,6 +1298,8 @@ object Queries {
     "q44_lifecycle"     -> q44Sql,
     "q45_frame_plan"    -> q45Sql,
     "q46_blob_decode"   -> q46Sql,
-    "q47_vec_neardup"   -> q47Sql
+    "q47_vec_neardup"   -> q47Sql,
+    "q49_json_props"    -> q49Sql,
+    "q50_feed_parse"    -> q50Sql
   )
 }
