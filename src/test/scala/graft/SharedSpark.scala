@@ -14,6 +14,9 @@ object SharedSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) — same setting
+      // Verify/Bench use; Queries.t converts to µs timestamps
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()

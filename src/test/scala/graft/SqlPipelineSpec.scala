@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's SQL surface: a user who only speaks `spark.sql` can
+  * run a multi-stage pipeline — chunk documents with the registered
+  * generator, embed-and-rank with the registered cosine — over plain
+  * temp views.
+  */
+class SqlPipelineSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("chunk → filter → count pipeline runs in pure SQL") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs")
+    val out = spark.sql(
+      """SELECT d.doc_id, count(*) AS n_chunks
+        |FROM docs d
+        |LATERAL VIEW graft_chunk(d.text, 100, 20) AS chunk_idx, chunk
+        |WHERE length(chunk) > 10
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+    assert(out.count() > 0)
+    assert(out.head.getAs[Long]("n_chunks") >= 1)
+  }
+
+  test("cosine ranking over the embeddings view runs in pure SQL") {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val out = spark.sql(
+      """SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |       graft_cosine(q.embedding, c.embedding) AS sim
+        |FROM emb q JOIN emb c ON q.vec_id = 0 AND c.vec_id <> 0
+        |ORDER BY sim DESC LIMIT 3""".stripMargin).collect()
+    assert(out.length == 3)
+    assert(out(0).getDouble(2) >= out(1).getDouble(2))
+  }
+}
