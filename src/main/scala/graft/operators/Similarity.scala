@@ -260,6 +260,18 @@ object Similarity {
         (coalesce(col("sv"), lit(0.0)) / col("n_docs")).as("mean_val"))
   }
 
+  /** A2 mean-pool via the typed [[graft.expressions.VecMeanAgg]]
+    * Aggregator: ONE shuffle of (sums[dim], count) partials per group —
+    * at 768-d this carries dim× less shuffle volume than the
+    * posexplode formulation below. Output: (key, mean_vec).
+    */
+  def vecMeanAgg(df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val agg = udaf(new graft.expressions.VecMeanAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    df.groupBy(col(keyCol).as("key"))
+      .agg(agg(col(vecCol)).as("mean_vec"))
+  }
+
   /** Element-wise mean of grouped vectors (A2 mean-pool,
     * embedded_articles.py:167), as a relational posexplode→avg→reassemble:
     * shuffles (key, component) pairs — scales linearly, no driver state,

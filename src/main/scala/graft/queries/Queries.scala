@@ -553,11 +553,12 @@ object Queries {
   // A2: element-wise vector mean per group
   private def q23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "embeddings")
-      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos")
-      .agg(round(avg($"v"), 5).as("mean_val"))
-      .select($"label", $"pos".cast("long").as("idx"), $"mean_val")
+    // typed Aggregator: ONE shuffle of (sums[64], count) partials per
+    // label — not 64× exploded rows (scale note in VecMeanAgg docs)
+    Similarity.vecMeanAgg(t(s, dir, "embeddings"), "label", "embedding")
+      .select($"key".as("label"), posexplode($"mean_vec").as(Seq("pos", "v")))
+      .select($"label", $"pos".cast("long").as("idx"),
+        round($"v", 5).as("mean_val"))
       .orderBy($"label", $"idx")
   }
   private val q23Sql =

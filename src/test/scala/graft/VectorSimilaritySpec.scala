@@ -174,6 +174,19 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(out(1).getSeq[Double](1) == Seq(5.0, 6.0))
   }
 
+  test("vecMeanAgg (typed Aggregator) matches the posexplode vecMean") {
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 200).map(i =>
+      (s"k${i % 5}", Array.fill(16)(rnd.nextFloat()))).toDF("k", "vec")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getSeq[Double](1)
+        .map(d => BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toMap
+    val viaAgg = norm(Similarity.vecMeanAgg(df, "k", "vec").collect())
+    val viaExplode = norm(Similarity.vecMean(df, "k", "vec").collect())
+    assert(viaAgg == viaExplode)
+  }
+
   test("hashEmbedding is deterministic and L2-normalized") {
     val df = Seq("the quick brown fox", "the quick brown fox", "other text")
       .toDF("t").select(Similarity.hashEmbedding($"t", 16).as("v"))
