@@ -25,13 +25,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
     // table-generating: LATERAL VIEW graft_chunk(text[, size, overlap])
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)
+          if v > 0 => v
+      case other => throw new IllegalArgumentException(
+        s"graft_chunk $name must be a positive INT literal, got $other")
+    }
     ext.injectFunction((
       new FunctionIdentifier("graft_chunk"),
       new ExpressionInfo(classOf[ChunkText].getName, "graft_chunk"),
       (children: Seq[Expression]) => children match {
         case Seq(c) => ChunkText(c)
-        case Seq(c, s, o) => ChunkText(c,
-          s.eval().asInstanceOf[Int], o.eval().asInstanceOf[Int])
+        case Seq(c, s, o) =>
+          ChunkText(c, intLit(s, "size"), intLit(o, "overlap"))
         case other => throw new IllegalArgumentException(
           s"graft_chunk expects 1 or 3 arguments, got ${other.length}")
       }))

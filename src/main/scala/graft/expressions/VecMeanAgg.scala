@@ -13,9 +13,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * partition's vectors locally and the shuffle carries one buffer per
   * (group × partition).
   *
-  * Vectors of differing lengths: the buffer adopts the first length it
-  * sees and ignores trailing elements of longer inputs (validity
-  * filtering — `Vectors.isValid` — belongs upstream).
+  * Null and empty vectors are skipped (not counted). Ragged lengths are
+  * handled deterministically regardless of partition/encounter order:
+  * the buffer grows to the longest length seen and shorter vectors are
+  * zero-padded — though validity filtering (`Vectors.isValid`) belongs
+  * upstream for meaningful means.
   */
 case class VecMeanBuffer(var sums: Array[Double], var n: Long)
 
@@ -24,21 +26,20 @@ class VecMeanAgg extends Aggregator[Seq[Float], VecMeanBuffer, Seq[Double]] {
   override def zero: VecMeanBuffer = VecMeanBuffer(Array.emptyDoubleArray, 0L)
 
   override def reduce(b: VecMeanBuffer, v: Seq[Float]): VecMeanBuffer = {
-    if (v == null) return b
-    if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+    if (v == null || v.isEmpty) return b
+    if (v.length > b.sums.length)
+      b.sums = java.util.Arrays.copyOf(b.sums, v.length)
     var i = 0
-    val n = math.min(b.sums.length, v.length)
-    while (i < n) { b.sums(i) += v(i); i += 1 }
+    while (i < v.length) { b.sums(i) += v(i); i += 1 }
     b.n += 1
     b
   }
 
   override def merge(a: VecMeanBuffer, b: VecMeanBuffer): VecMeanBuffer = {
-    if (a.sums.isEmpty) return b
-    if (b.sums.isEmpty) return a
+    if (b.sums.length > a.sums.length)
+      a.sums = java.util.Arrays.copyOf(a.sums, b.sums.length)
     var i = 0
-    val n = math.min(a.sums.length, b.sums.length)
-    while (i < n) { a.sums(i) += b.sums(i); i += 1 }
+    while (i < b.sums.length) { a.sums(i) += b.sums(i); i += 1 }
     a.n += b.n
     a
   }

@@ -57,7 +57,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += get(a, ta, i) * get(b, tb, i); i += 1 }
+    while (i < n) {
+      // a null element nulls the whole result, like the HOF twin
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += get(a, ta, i) * get(b, tb, i); i += 1
+    }
     dot
   }
 
@@ -69,10 +73,11 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += ${getJava(a, elementType(left), i)}
          |    * ${getJava(b, elementType(right), i)};
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) { ${ev.value} = $dot; }
        """.stripMargin
     })
 
@@ -96,6 +101,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null element nulls the whole result, like the HOF twin
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = get(a, ta, i); val y = get(b, tb, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -112,11 +119,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = ${getJava(a, elementType(left), i)};
          |  double $y = ${getJava(b, elementType(right), i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |if ($na > 0.0 && $nb > 0.0) {
+         |if (!${ev.isNull} && $na > 0.0 && $nb > 0.0) {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na)
          |    * java.lang.Math.sqrt($nb));
          |} else {

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  /** Let-binding for column expressions: evaluate `value` ONCE per row
+    * and hand it to `body` as a lambda variable. Catalyst inlines
+    * projected subexpressions into every use site (no CSE through
+    * lambda captures), so any value referenced more than once — or
+    * referenced inside a HOF lambda, where it would re-evaluate per
+    * element — must be pinned this way.
+    */
+  def bound(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   private def native(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Column = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
   private def expr(c: Column) =
@@ -50,11 +60,17 @@ object Vectors {
     when(na > 0.0 && nb > 0.0, d / (na * nb))
   }
 
-  /** L2-normalize (prep for LSH / banded ANN where dot == cosine). */
-  def l2Normalize(v: Column): Column = {
-    val n = norm(v)
-    when(n > 0.0, transform(toDouble(v), x => x / n))
-  }
+  /** L2-normalize (prep for LSH / banded ANN where dot == cosine).
+    * Both the vector and its norm are bound: the norm would otherwise
+    * be inlined into the per-element division lambda and re-computed
+    * per component — O(dim²) per row.
+    */
+  def l2Normalize(v: Column): Column =
+    bound(toDouble(v)) { dv =>
+      bound(sqrt(dot(dv, dv))) { n =>
+        when(n > 0.0, transform(dv, x => x / n))
+      }
+    }
 
   /** Element-wise sum of two equal-length vectors. */
   def add(a: Column, b: Column): Column =

@@ -18,15 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Let-binding for column expressions: evaluate `value` ONCE per row
-    * and make it available to `body` as a lambda variable. Catalyst
-    * freely inlines projected expressions into every use site (no CSE
-    * across lambda captures), so an expression like `element_at(words,
-    * i)` inside a loop would otherwise re-run the whole `words`
-    * computation per access — this pins it to one evaluation.
+  /** Let-binding for column expressions — see
+    * [[graft.functions.Vectors.bound]] (shared definition); re-exported
+    * here because every dedup kernel needs it.
     */
   private[operators] def bound(value: Column)(body: Column => Column): Column =
-    element_at(transform(array(value), body), 1)
+    graft.functions.Vectors.bound(value)(body)
 
   /** Word 3-shingles (distinct), lowercased. The word array is bound
     * once; without the binding the split+filter re-runs for every
@@ -167,17 +164,19 @@ object Dedup {
     * Near-dups have small hamming distance; at scale, split into 4
     * 16-bit bands and exact-match any band (hamming ≤ 3 guarantee).
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(shingles(text), s => xxhash64(s))
-    // bit j of the result = majority vote of bit j across shingle hashes.
-    // ones_j > n/2  ⟺  votes_j = 2·ones_j − n > 0 (the classic ±1 sum).
-    val n = size(hs)
-    (0 until 64).map { j =>
-      val ones = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(1L))
-      when(ones * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    // bind the hashed-shingle array: it is referenced 65× below (64
+    // bit-aggregates + size) and would otherwise re-shingle per bit
+    bound(transform(shingles(text), s => xxhash64(s))) { hv =>
+      // bit j of the result = majority vote of bit j across hashes.
+      // ones_j > n/2  ⟺  votes_j = 2·ones_j − n > 0 (the classic ±1 sum)
+      val n = size(hv)
+      (0 until 64).map { j =>
+        val ones = aggregate(hv, lit(0L),
+          (acc, h) => acc + shiftright(h, j).bitwiseAND(1L))
+        when(ones * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
 
   /** SimHash signatures for a whole table, relationally: explode each
     * doc's shingle hashes (hashed ONCE), then a single hash-aggregate

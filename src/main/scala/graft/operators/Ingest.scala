@@ -39,10 +39,16 @@ object Ingest {
     * the *explode + cap* dataflow is the operator under test), keeping
     * only the first `cap` per feed.
     */
-  def explodeEntries(feeds: DataFrame, perFeed: Int, cap: Int): DataFrame =
+  def explodeEntries(feeds: DataFrame, perFeed: Int, cap: Int): DataFrame = {
+    // sequence(1, 0) yields a DESCENDING [1, 0], not an empty array —
+    // perFeed=0 must mean zero entries, not two phantom ones
+    val entryNos =
+      if (perFeed <= 0) array().cast("array<int>")
+      else sequence(lit(1), lit(perFeed))
     feeds
       .select(col("source"), col("topic"), col("url"),
-        explode(sequence(lit(1), lit(perFeed))).as("entry_no"))
+        explode(entryNos).as("entry_no"))
       .filter(col("entry_no") <= cap)
       .withColumn("link", concat(col("url"), lit("?item="), col("entry_no")))
+  }
 }

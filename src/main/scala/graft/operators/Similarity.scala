@@ -143,26 +143,26 @@ object Similarity {
       Vectors.toDouble(col(vecCol))).as("features")).limit(trainSample)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
-    import spark.implicits._
-    val cells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-    // 2. assign corpus rows to their nearest cell: broadcast the tiny
-    //    centroid table, rank by distance — one scan, no corpus shuffle
-    def assign(df: DataFrame, id: String, vec: String, probes: Int) = {
-      val d = df.select(col(id), col(vec))
-        .crossJoin(broadcast(cells))
-        .withColumn("dist", -Vectors.dot(col(vec), col("centroid")) * 2 +
-          Vectors.dot(col("centroid"), col("centroid")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("dist").asc, col("cell").asc)
-      d.withColumn("rk", row_number().over(w)).filter(col("rk") <= probes)
-        .select(col(id), col(vec), col("cell"))
-    }
-    val c = assign(corpus.select(col(idCol).as("c_id"),
-      col(vecCol).as("c_vec")), "c_id", "c_vec", 1)
-    val q = assign(queries.select(col(idCol).as("q_id"),
-      col(vecCol).as("q_vec")), "q_id", "q_vec", nprobe)
+    // 2. assignment is a pure map-side expression: per centroid LITERAL,
+    //    squared-L2 up to the query-constant term (−2·v·c + ‖c‖²) as a
+    //    (dist, cell) struct; array_min/array_sort give argmin / top
+    //    nprobe by lexicographic struct order. No per-row join, no
+    //    shuffle, no nlist× row blowup — the corpus is touched once.
+    def cellDists(vec: Column): Column =
+      array(model.clusterCenters.zipWithIndex.map { case (cArr, i) =>
+        val c = cArr.toArray
+        struct(
+          (Vectors.dot(vec, array(c.map(lit): _*)) * -2.0 +
+            lit(c.map(x => x * x).sum)).as("dist"),
+          lit(i).as("cell"))
+      }: _*)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell",
+        array_min(cellDists(col("c_vec"))).getField("cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(transform(
+        slice(array_sort(cellDists(col("q_vec"))), 1, nprobe),
+        s => s.getField("cell"))))
     // 3. exact re-rank within probed cells
     val scored = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
@@ -214,10 +214,14 @@ object Similarity {
       pmod(xxhash64(tk), lit(dim)).cast("int").as("idx"),
       when(pmod(xxhash64(tk, lit(1)), lit(2)) === 0, 1.0).otherwise(-1.0)
         .as("s")))
-    val raw = array((0 until dim).map { i =>
-      aggregate(filter(pairs, p => p.getField("idx") === i),
-        lit(0.0), (acc, p) => acc + p.getField("s"))
-    }: _*)
+    // bind the hashed pairs once — referenced dim× below, and Catalyst
+    // would otherwise re-hash every token per output dimension
+    val raw = Dedup.bound(pairs) { pv =>
+      array((0 until dim).map { i =>
+        aggregate(filter(pv, p => p.getField("idx") === i),
+          lit(0.0), (acc, p) => acc + p.getField("s"))
+      }: _*)
+    }
     Vectors.l2Normalize(raw)
   }
 

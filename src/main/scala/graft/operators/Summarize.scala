@@ -41,8 +41,12 @@ object Summarize {
   def statements(text: Column, width: Int = 6): Column = {
     val w = words(text)
     val n = ceil(size(w) / lit(width.toDouble)).cast("int")
-    transform(sequence(lit(0), n - 1), i =>
-      concat_ws(" ", slice(w, i * width + 1, lit(width))))
+    // guard n=0: Spark's sequence(0, -1) yields a DESCENDING [0, -1],
+    // not an empty array — an empty text would emit phantom statements
+    when(n > 0,
+      transform(sequence(lit(0), n - 1), i =>
+        concat_ws(" ", slice(w, i * width + 1, lit(width)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Rule-based statement status (deterministic classifier stand-in):

@@ -821,12 +821,14 @@ object Queries {
   }
   private val q36Sql =
     """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
-      | FROM documents)
-      |SELECT doc_id, CAST(4 AS BIGINT) AS n_bullets,
-      | array_to_string(w[1:2], ' ') || ' | ' || array_to_string(w[3:4], ' ')
-      |  || ' | ' || array_to_string(w[5:6], ' ') || ' | '
-      |  || array_to_string(w[7:8], ' ') AS bullets
-      |FROM d ORDER BY doc_id""".stripMargin
+      | FROM documents),
+      |b AS (SELECT doc_id, list_filter([
+      |  array_to_string(w[1:2], ' '), array_to_string(w[3:4], ' '),
+      |  array_to_string(w[5:6], ' '), array_to_string(w[7:8], ' ')],
+      |  x -> len(x) > 0) AS bl FROM d)
+      |SELECT doc_id, CAST(len(bl) AS BIGINT) AS n_bullets,
+      | array_to_string(bl, ' | ') AS bullets
+      |FROM b ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q37
   // G5+A5: statement extraction explode + rule-based status + scorecard

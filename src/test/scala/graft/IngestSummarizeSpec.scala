@@ -74,6 +74,16 @@ class IngestSummarizeSpec extends AnyFunSuite {
     assert(out == "Keep this .")
   }
 
+  test("statements/explodeEntries emit ZERO rows on empty inputs " +
+    "(sequence(0,-1) descending-range regression)") {
+    val st = Seq("", "   ", null.asInstanceOf[String])
+      .toDF("text")
+      .select(explode(Summarize.statements($"text")).as("s"))
+    assert(st.count() == 0)
+    val feeds = Seq(("s", "t", "u")).toDF("source", "topic", "url")
+    assert(Ingest.explodeEntries(feeds, perFeed = 0, cap = 2).count() == 0)
+  }
+
   test("nonBlank, truncateFallback, thresholdGate small-op semantics") {
     // P5: alias constraint
     val p5 = Seq("ok", "  ", "", " x ").toDF("a")

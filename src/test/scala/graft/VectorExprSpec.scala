@@ -38,6 +38,20 @@ class VectorExprSpec extends AnyFunSuite {
     assert(math.abs(ok - 1.0) < 1e-12)
   }
 
+  test("native expressions null the result on null array elements, " +
+    "matching the HOF twins") {
+    val out = spark.sql(
+      """SELECT graft_dot(array(1.0D, NULL), array(1.0D, 2.0D)) AS d,
+        |       graft_cosine(array(1.0D, NULL), array(1.0D, 2.0D)) AS c
+        |""".stripMargin).head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
+    val hof = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(Vectors.dotHof($"a", $"b").as("d"),
+        Vectors.cosineHof($"a", $"b").as("c")).head()
+    assert(hof.isNullAt(0) && hof.isNullAt(1))
+  }
+
   test("graft_cosine / graft_dot are callable from SQL via extensions") {
     val out = spark.sql(
       """SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 1.0F)) AS c,

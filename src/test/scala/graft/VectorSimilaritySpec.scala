@@ -187,6 +187,18 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(viaAgg == viaExplode)
   }
 
+  test("vecMeanAgg skips empty vectors and zero-pads ragged lengths " +
+    "deterministically") {
+    val df = Seq(
+      ("a", Array.empty[Float]), ("a", Array(2f)),        // empty skipped
+      ("b", Array(3f)), ("b", Array(1f, 4f))              // ragged → pad
+    ).toDF("k", "vec").repartition(3)
+    val out = Similarity.vecMeanAgg(df, "k", "vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") == Seq(2.0))
+    assert(out("b") == Seq(2.0, 2.0)) // (3+1)/2, (0+4)/2
+  }
+
   test("hashEmbedding is deterministic and L2-normalized") {
     val df = Seq("the quick brown fox", "the quick brown fox", "other text")
       .toDF("t").select(Similarity.hashEmbedding($"t", 16).as("v"))
