@@ -19,10 +19,23 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Rank scored (q_id, c_id, sim) candidates per query — desc sim,
+    * tie-broken by candidate id so results are total-ordered and
+    * reproducible — and keep the top k. Shared tail of every top-k
+    * variant below.
+    */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       extraCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((Seq("q_id", "rank", "c_id") ++ extraCols :+ "sim").map(col): _*)
+  }
+
   /** Exact top-k cosine neighbors for each query row.
     * `queries`/`corpus` need (idCol, vecCol). Output:
-    * (q_id, rank, c_id, sim). Tie-broken by candidate id so results are
-    * total-ordered and reproducible.
+    * (q_id, rank, c_id, sim).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -31,11 +44,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** J6: filtered top-k with relaxed fallback fill, as ONE ranked window
@@ -109,11 +118,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: k-means centroids partition
@@ -135,7 +140,6 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
     // 1. train centroids on a bounded sample (at 100 TB the sample cap
     //    keeps the fit constant-cost; limit() is deterministic enough
     //    for an index — exactness lives in the re-ranking step)
@@ -167,11 +171,7 @@ object Similarity {
     val scored = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: docs whose vectors land in
