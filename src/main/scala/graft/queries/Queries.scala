@@ -1204,6 +1204,26 @@ object Queries {
        |FROM items WHERE x LIKE '%</item>%' ORDER BY link""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q51
+  // Distinct-count + exact percentiles per group (the analytics ops a
+  // 100 TB engine user reaches for daily; floor-rounding guards the
+  // interpolation ulps between engines)
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events").groupBy($"event_type").agg(
+        countDistinct($"user_id").as("users"),
+        (floor(median($"value") * 10000.0 + 0.5) / 10000.0).as("med_value"),
+        (floor(percentile($"value", lit(0.9)) * 10000.0 + 0.5) / 10000.0)
+          .as("p90_value"))
+      .orderBy($"event_type")
+  }
+  private val q51Sql =
+    """SELECT event_type,
+      | count(DISTINCT user_id) AS users,
+      | floor(median(value) * 10000.0 + 0.5) / 10000.0 AS med_value,
+      | floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1256,7 +1276,8 @@ object Queries {
     "q47_vec_neardup"   -> (q47 _),
     "q48_ivf_ann"       -> (q48 _),
     "q49_json_props"    -> (q49 _),
-    "q50_feed_parse"    -> (q50 _)
+    "q50_feed_parse"    -> (q50 _),
+    "q51_distinct_pct"  -> (q51 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1303,6 +1324,7 @@ object Queries {
     "q46_blob_decode"   -> q46Sql,
     "q47_vec_neardup"   -> q47Sql,
     "q49_json_props"    -> q49Sql,
-    "q50_feed_parse"    -> q50Sql
+    "q50_feed_parse"    -> q50Sql,
+    "q51_distinct_pct"  -> q51Sql
   )
 }
