@@ -1224,6 +1224,65 @@ object Queries {
       | floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  // Rollup with grouping id — hierarchical subtotals in one pass
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        (floor(sum($"c_acctbal") * 100.0 + 0.5) / 100.0).as("bal"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"n_name", $"c_mktsegment")
+  }
+  private val q52Sql =
+    """SELECT n_name, c_mktsegment, count(*) AS cnt,
+      | floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS bal,
+      | CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY gid, n_name, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  // Timezone conversion (SURVEY §7.4: UTC storage, Asia/Ho_Chi_Minh at
+  // the edge) — local-hour histogram; the oracle nests timezone()
+  // twice so it never depends on the session timezone
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(hour(from_utc_timestamp($"ts", "Asia/Ho_Chi_Minh"))
+        .cast("long").as("local_hour"))
+      .groupBy($"local_hour")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"local_hour")
+  }
+  private val q53Sql =
+    """SELECT CAST(hour(timezone('Asia/Ho_Chi_Minh',
+      |   timezone('UTC', ts::TIMESTAMP))) AS BIGINT) AS local_hour,
+      | count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY local_hour""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  // Running (cumulative) sum window frame per key — same insertion
+  // order both engines, so the float sequence is identical
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "events").filter($"user_id" < 20)
+      .select($"user_id", $"event_id",
+        (floor(sum($"value").over(w) * 100.0 + 0.5) / 100.0).as("run_sum"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q54Sql =
+    """SELECT user_id, event_id,
+      | floor(sum(value) OVER (PARTITION BY user_id
+      |   ORDER BY ts::TIMESTAMP, event_id
+      |   ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS run_sum
+      |FROM events WHERE user_id < 20
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1277,7 +1336,10 @@ object Queries {
     "q48_ivf_ann"       -> (q48 _),
     "q49_json_props"    -> (q49 _),
     "q50_feed_parse"    -> (q50 _),
-    "q51_distinct_pct"  -> (q51 _)
+    "q51_distinct_pct"  -> (q51 _),
+    "q52_rollup"        -> (q52 _),
+    "q53_timezone"      -> (q53 _),
+    "q54_running_sum"   -> (q54 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1325,6 +1387,9 @@ object Queries {
     "q47_vec_neardup"   -> q47Sql,
     "q49_json_props"    -> q49Sql,
     "q50_feed_parse"    -> q50Sql,
-    "q51_distinct_pct"  -> q51Sql
+    "q51_distinct_pct"  -> q51Sql,
+    "q52_rollup"        -> q52Sql,
+    "q53_timezone"      -> q53Sql,
+    "q54_running_sum"   -> q54Sql
   )
 }
