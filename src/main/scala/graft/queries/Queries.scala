@@ -1283,6 +1283,33 @@ object Queries {
       |FROM events WHERE user_id < 20
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  // Corpus vocabulary stats: top-3 terms per language by frequency
+  // (explode → count → ranked window; the TF half of TF-IDF curation)
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = t(s, dir, "documents")
+      .select($"lang", explode(split($"text", "\\s+")).as("term"))
+      .filter(length($"term") > 0)
+    val counts = terms.groupBy($"lang", $"term")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"term".asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk", $"term", $"cnt")
+      .orderBy($"lang", $"rk")
+  }
+  private val q55Sql =
+    """WITH tf AS (
+      | SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term
+      | FROM documents),
+      |c AS (SELECT lang, term, count(*) AS cnt FROM tf GROUP BY 1, 2),
+      |r AS (SELECT lang, term, cnt,
+      | row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+      | FROM c)
+      |SELECT lang, rk, term, cnt FROM r WHERE rk <= 3
+      |ORDER BY lang, rk""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1339,7 +1366,8 @@ object Queries {
     "q51_distinct_pct"  -> (q51 _),
     "q52_rollup"        -> (q52 _),
     "q53_timezone"      -> (q53 _),
-    "q54_running_sum"   -> (q54 _)
+    "q54_running_sum"   -> (q54 _),
+    "q55_term_topk"     -> (q55 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1390,6 +1418,7 @@ object Queries {
     "q51_distinct_pct"  -> q51Sql,
     "q52_rollup"        -> q52Sql,
     "q53_timezone"      -> q53Sql,
-    "q54_running_sum"   -> q54Sql
+    "q54_running_sum"   -> q54Sql,
+    "q55_term_topk"     -> q55Sql
   )
 }

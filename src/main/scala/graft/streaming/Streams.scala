@@ -71,6 +71,24 @@ object Streams {
       .select(col("w.start").as("window_start"), col(groupCol),
         col("cnt"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join: each right-side event
+    * joined to left-side events of the same key within a trailing time
+    * bound. Both sides carry watermarks so the join state is bounded —
+    * Spark evicts buffered rows once the watermark passes the interval
+    * (the unbounded-state trap of naive stream joins). Inputs must
+    * expose (keyCol, tsCol); output = purchase rows with their
+    * attributed click columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lookback: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"l.$tsCol BETWEEN r.$tsCol - INTERVAL $lookback AND r.$tsCol"))
+  }
+
   /** Custom sessionization state machine via flatMapGroupsWithState:
     * per key, events extend the open session while within `gapMinutes`;
     * a later event (or event-time timeout) closes it and emits one

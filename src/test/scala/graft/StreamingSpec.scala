@@ -105,6 +105,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("click", 1L, 5.0), ("view", 2L, 3.0)))
   }
 
+  test("intervalJoin attributes clicks to purchases within the " +
+    "lookback window only") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, String)]
+    val out = graft.streaming.Streams.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      "user_id", "ts", lookback = "1 hour")
+    val query = out.select(col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    clicks.addData((1L, ts(0), "c-old"), (1L, ts(90), "c-in"),
+      (2L, ts(95), "c-other-user"))
+    purchases.addData((1L, ts(120), "p1"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("attrib_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // c-in (30min before p1, same user) attributes; c-old (2h before)
+    // is outside the lookback; c-other-user has the wrong key
+    assert(rows == Set(("p1", "c-in")))
+  }
+
   test("sessionize closes a session when the gap is exceeded, matching " +
     "batch sessionStats counts") {
     implicit val sc = spark.sqlContext
