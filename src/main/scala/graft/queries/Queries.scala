@@ -1310,6 +1310,53 @@ object Queries {
       |SELECT lang, rk, term, cnt FROM r WHERE rk <= 3
       |ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  // Pivot: event counts per user cohort, one column per event type
+  // (explicit value list keeps the schema deterministic for the oracle)
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(($"user_id" % 10).as("cohort"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .orderBy($"cohort")
+  }
+  private def q56Sql: String = {
+    val cols = eventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n ")
+    s"""SELECT user_id % 10 AS cohort,
+       | $cols
+       |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q57
+  // Fuzzy matching: Levenshtein edit distance between topic slugs —
+  // the string-similarity cousin of the n-gram dedup family
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slugs = slugFixtures.toDF("name")
+      .select($"name", Text.slugify($"name").as("slug"))
+    slugs.as("a").crossJoin(slugs.as("b"))
+      .filter($"a.slug" < $"b.slug")
+      .select($"a.slug".as("slug_a"), $"b.slug".as("slug_b"),
+        levenshtein($"a.slug", $"b.slug").cast("long").as("dist"))
+      .filter($"dist" <= 5)
+      .orderBy($"slug_a", $"slug_b")
+  }
+  private def q57Sql: String = {
+    val values = slugFixtures.map(n => s"('$n')").mkString(", ")
+    s"""WITH s AS (SELECT replace(translate(lower(name),
+       |  '${Text.diacriticFrom}', '${Text.diacriticTo}'), ' ', '') AS slug
+       | FROM (VALUES $values) t(name))
+       |SELECT a.slug AS slug_a, b.slug AS slug_b,
+       | CAST(levenshtein(a.slug, b.slug) AS BIGINT) AS dist
+       |FROM s a JOIN s b ON a.slug < b.slug
+       |WHERE levenshtein(a.slug, b.slug) <= 5
+       |ORDER BY slug_a, slug_b""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1367,7 +1414,9 @@ object Queries {
     "q52_rollup"        -> (q52 _),
     "q53_timezone"      -> (q53 _),
     "q54_running_sum"   -> (q54 _),
-    "q55_term_topk"     -> (q55 _)
+    "q55_term_topk"     -> (q55 _),
+    "q56_pivot"         -> (q56 _),
+    "q57_edit_distance" -> (q57 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1419,6 +1468,8 @@ object Queries {
     "q52_rollup"        -> q52Sql,
     "q53_timezone"      -> q53Sql,
     "q54_running_sum"   -> q54Sql,
-    "q55_term_topk"     -> q55Sql
+    "q55_term_topk"     -> q55Sql,
+    "q56_pivot"         -> q56Sql,
+    "q57_edit_distance" -> q57Sql
   )
 }
