@@ -79,6 +79,36 @@ object Chunker extends Serializable {
     chunks.map(_.trim).filter(_.length > minLen).toSeq
   }
 
+  /** Token-limit second stage (chunk_splitter.py:52-62): any chunk whose
+    * whitespace-token count exceeds `maxTokens` is re-split into pieces
+    * of 0.75·maxTokens tokens with a `tokenOverlap`-token carry — the
+    * reference's guard against char-sized chunks that blow the
+    * embedding model's token budget (its HF token counts become a
+    * whitespace proxy offline, SURVEY §2.9 G3).
+    */
+  def enforceTokenLimit(chunks: Seq[String], maxTokens: Int = 2048,
+                        tokenOverlap: Int = 25): Seq[String] =
+    chunks.flatMap { c =>
+      val toks = c.split("\\s+").filter(_.nonEmpty)
+      if (toks.length <= maxTokens) Seq(c)
+      else {
+        val width = math.max(1, (maxTokens * 3) / 4)
+        val step = math.max(1, width - tokenOverlap)
+        (0 until toks.length by step)
+          .takeWhile(start => start == 0 || start + tokenOverlap < toks.length)
+          .map(start => toks.slice(start, start + width).mkString(" "))
+      }
+    }
+
+  /** Full-fidelity G3: char-recursive chunking then token-limit
+    * enforcement.
+    */
+  def chunkWithTokenLimit(text: String, size: Int = 400, overlap: Int = 50,
+                          minLen: Int = 10, maxTokens: Int = 2048,
+                          tokenOverlap: Int = 25): Seq[String] =
+    enforceTokenLimit(chunk(text, size, overlap, minLen),
+      maxTokens, tokenOverlap)
+
   /** DataFrame form via the native [[graft.expressions.ChunkText]]
     * Generator: (idCol, text) → (idCol, chunk_idx, chunk). Plans as a
     * `Generate` node (like explode) — no encoder round-trip.

@@ -78,6 +78,28 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("enforceTokenLimit re-splits over-budget chunks with token " +
+    "overlap; compliant chunks pass through untouched") {
+    val small = "a b c"
+    assert(Chunker.enforceTokenLimit(Seq(small), maxTokens = 10) ==
+      Seq(small))
+    val big = (1 to 100).map(i => s"t$i").mkString(" ")
+    val out = Chunker.enforceTokenLimit(Seq(big), maxTokens = 40,
+      tokenOverlap = 5)
+    assert(out.length > 1)
+    // every piece within 0.75·maxTokens; every token still present
+    assert(out.forall(_.split("\\s+").length <= 30))
+    val covered = out.flatMap(_.split("\\s+")).toSet
+    assert(covered == big.split(" ").toSet)
+    // consecutive pieces share the token overlap
+    out.sliding(2).foreach {
+      case Seq(a, b) =>
+        val tail = a.split("\\s+").takeRight(5).toSeq
+        assert(b.split("\\s+").take(5).toSeq == tail)
+      case _ => ()
+    }
+  }
+
   test("ChunkText Generator matches the typed flatMap formulation " +
     "and handles null/empty text") {
     val spark = SharedSpark.spark
