@@ -1357,6 +1357,52 @@ object Queries {
        |ORDER BY slug_a, slug_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q58
+  // Set operations: intersect (clicked AND purchased) and except
+  // (clicked but NEVER purchased) user sets
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val clickers = e.filter($"event_type" === "click").select($"user_id")
+    val buyers = e.filter($"event_type" === "purchase").select($"user_id")
+    val both = clickers.intersect(buyers)
+      .withColumn("relation", lit("click_and_purchase"))
+    val onlyClick = clickers.except(buyers)
+      .withColumn("relation", lit("click_no_purchase"))
+    both.unionByName(onlyClick).orderBy($"relation", $"user_id")
+  }
+  private val q58Sql =
+    """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, 'click_and_purchase' AS relation
+      |FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+      |UNION ALL
+      |SELECT user_id, 'click_no_purchase' AS relation
+      |FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+      |ORDER BY relation, user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // Ranking-window variants: quartile buckets (ntile) and percent_rank
+  // per event type, tie-broken by event_id for determinism
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".asc, $"event_id".asc)
+    t(s, dir, "events").filter($"user_id" < 10)
+      .select($"event_type", $"event_id",
+        ntile(4).over(w).cast("long").as("quartile"),
+        (floor(percent_rank().over(w) * 10000.0 + 0.5) / 10000.0)
+          .as("pct_rank"))
+      .orderBy($"event_type", $"event_id")
+  }
+  private val q59Sql =
+    """SELECT event_type, event_id,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, event_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1416,7 +1462,9 @@ object Queries {
     "q54_running_sum"   -> (q54 _),
     "q55_term_topk"     -> (q55 _),
     "q56_pivot"         -> (q56 _),
-    "q57_edit_distance" -> (q57 _)
+    "q57_edit_distance" -> (q57 _),
+    "q58_set_ops"       -> (q58 _),
+    "q59_ntile_pctrank" -> (q59 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1470,6 +1518,8 @@ object Queries {
     "q54_running_sum"   -> q54Sql,
     "q55_term_topk"     -> q55Sql,
     "q56_pivot"         -> q56Sql,
-    "q57_edit_distance" -> q57Sql
+    "q57_edit_distance" -> q57Sql,
+    "q58_set_ops"       -> q58Sql,
+    "q59_ntile_pctrank" -> q59Sql
   )
 }
