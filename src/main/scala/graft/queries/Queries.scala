@@ -1403,6 +1403,33 @@ object Queries {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       |ORDER BY event_type, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  // Unpivot (melt): wide per-type stats back to (metric, value) rows —
+  // the reshape inverse of q56's pivot
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = t(s, dir, "events").groupBy($"event_type").agg(
+      count(lit(1)).cast("double").as("cnt"),
+      (floor(sum($"value") * 100.0 + 0.5) / 100.0).as("sum_value"),
+      (floor(avg($"value") * 10000.0 + 0.5) / 10000.0).as("avg_value"))
+    wide.unpivot(Array($"event_type"),
+        Array($"cnt", $"sum_value", $"avg_value"), "metric", "value")
+      .orderBy($"event_type", $"metric")
+  }
+  private val q60Sql =
+    """WITH wide AS (
+      | SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt,
+      |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value,
+      |  floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
+      | FROM events GROUP BY event_type)
+      |SELECT event_type, metric, value FROM (
+      | SELECT event_type, 'cnt' AS metric, cnt AS value FROM wide
+      | UNION ALL
+      | SELECT event_type, 'sum_value', sum_value FROM wide
+      | UNION ALL
+      | SELECT event_type, 'avg_value', avg_value FROM wide)
+      |ORDER BY event_type, metric""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1464,7 +1491,8 @@ object Queries {
     "q56_pivot"         -> (q56 _),
     "q57_edit_distance" -> (q57 _),
     "q58_set_ops"       -> (q58 _),
-    "q59_ntile_pctrank" -> (q59 _)
+    "q59_ntile_pctrank" -> (q59 _),
+    "q60_unpivot"       -> (q60 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1520,6 +1548,7 @@ object Queries {
     "q56_pivot"         -> q56Sql,
     "q57_edit_distance" -> q57Sql,
     "q58_set_ops"       -> q58Sql,
-    "q59_ntile_pctrank" -> q59Sql
+    "q59_ntile_pctrank" -> q59Sql,
+    "q60_unpivot"       -> q60Sql
   )
 }
