@@ -74,6 +74,38 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.keySet == Set((1L, 2L)))
   }
 
+  test("minhash LSH banding recall ≥ 0.9 on pairs with jaccard ≥ 0.7") {
+    // controlled corpus: 40 base docs; every even doc gets a mutated
+    // twin whose similarity depends on how many words were replaced
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu",
+      "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    def doc(): Array[String] = Array.fill(60)(vocab(rnd.nextInt(vocab.size)))
+    val bases = (0 until 40).map(i => i.toLong -> doc())
+    val twins = bases.collect { case (i, words) if i % 2 == 0 =>
+      val w = words.clone()
+      val mutations = 1 + rnd.nextInt(8) // light mutation → high jaccard
+      (0 until mutations).foreach { _ =>
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+      }
+      (i + 100) -> w
+    }
+    val df = (bases ++ twins)
+      .map { case (i, w) => (i, w.mkString(" ")) }.toDF("id", "text")
+
+    val exact = Dedup.jaccardPairs(df, "text", "id").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val highSim = exact.filter(_._2 >= 0.7).keySet
+    assert(highSim.nonEmpty, "corpus must contain high-similarity pairs")
+
+    val candidates = Dedup.minhashCandidates(df, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (highSim intersect candidates).size.toDouble / highSim.size
+    assert(recall >= 0.9, s"LSH banding recall too low: $recall " +
+      s"(${highSim.size} high-sim pairs, ${candidates.size} candidates)")
+  }
+
   test("minhashJaccard estimates true jaccard within tolerance") {
     val df = Seq((docA, docANear)).toDF("a", "b")
       .select(Dedup.minhashSignature($"a", 64).as("sa"),
