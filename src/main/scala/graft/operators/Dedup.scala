@@ -160,6 +160,91 @@ object Dedup {
       .filter(col("jaccard") > minJaccard)
   }
 
+  /** Connected-component resolution over candidate near-dup pairs:
+    * turns a pair list (id_a, id_b) into (id, cluster) where `cluster`
+    * is the minimum id in the component — the canonical survivor key.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round every vertex takes the min of (own label, neighbors'
+    * labels, label-of-label); the jump step halves chain depth per
+    * round, so convergence is O(log diameter) rounds, not O(diameter)
+    * — near-dup graphs are mostly LSH-bucket cliques (diameter 1-2)
+    * with occasional chains, so this terminates in 2-4 rounds in
+    * practice. Each round is two shuffles keyed on id (edge join +
+    * label self-join); `localCheckpoint` truncates the iterative plan
+    * lineage so round N doesn't replay rounds 1..N-1 (the classic
+    * iterative-DataFrame trap). Mirrors the reference's
+    * survivor-by-unique-key upsert semantics (mongo_io_manager.py:
+    * 79-104) lifted to transitive near-dup groups at corpus scale.
+    *
+    * Input must carry columns `id_a`, `id_b` (the convention of every
+    * pair emitter in this object). Output: (id, cluster), one row per
+    * vertex that appears in at least one pair.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+    val rev = pairs.select(col("id_b").as("id"), col("id_a").as("nbr"))
+    // materialized once, reused every round
+    val edges = fwd.union(rev).localCheckpoint()
+    var labels = edges.groupBy(col("id"))
+      .agg(least(col("id"), min(col("nbr"))).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among neighbors (labels' keys = all vertices with an
+      // edge, so the inner join is total)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("label")), "nbr")
+        .groupBy(col("id")).agg(min(col("label")).as("nl"))
+      // pointer jump: label(label(id)). Labels are always vertex ids
+      // (min over ids), so the inner self-join is total too.
+      val jumped = labels
+        .join(labels.select(col("id").as("label"), col("label").as("jl")),
+          "label")
+        .select(col("id"), col("jl"))
+      val next = labels.join(nbrMin, "id").join(jumped, "id")
+        .select(col("id"),
+          least(col("label"), col("nl"), col("jl")).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** End-to-end near-duplicate removal — the missing last step of the
+    * candidate emitters above: MinHash+LSH candidates → exact-Jaccard
+    * verification (shingled once, joined by candidate id only) →
+    * [[resolveClusters]] → keep the min-id survivor per cluster.
+    * Returns the input rows minus non-survivor near-dups.
+    *
+    * Scale shape: the verify join shuffles shingle arrays only for ids
+    * that appear in a candidate pair (≪ corpus), and the cluster
+    * resolution only sees verified pairs — the full corpus is touched
+    * exactly once (signature scan) plus one anti-join at the end.
+    */
+  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
+                   minJaccard: Double = 0.8, numHashes: Int = 32,
+                   bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands)
+    val sh = df.select(col(idCol).as("vid"),
+      shingles(col(textCol)).as("vsh"))
+    val verified = cands
+      .join(sh.select(col("vid").as("id_a"), col("vsh").as("sh_a")), "id_a")
+      .join(sh.select(col("vid").as("id_b"), col("vsh").as("sh_b")), "id_b")
+      .filter(jaccardOfSets(col("sh_a"), col("sh_b")) >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val losers = resolveClusters(verified)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** SimHash-64: sign-aggregated bit votes of shingle hashes.
     * Near-dups have small hamming distance; at scale, split into 4
     * 16-bit bands and exact-match any band (hamming ≤ 3 guarantee).

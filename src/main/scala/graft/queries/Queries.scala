@@ -1430,6 +1430,56 @@ object Queries {
       | SELECT event_type, 'avg_value', avg_value FROM wide)
       |ORDER BY event_type, metric""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  // Dedup cluster resolution: exact-Jaccard pairs (q22's corpus) →
+  // connected components → (id, cluster = min id of component). The
+  // oracle mirrors the transitive closure with a recursive CTE —
+  // exponential on big graphs, exact on this bounded corpus; the Spark
+  // side is the O(log n)-round label propagation that scales.
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").filter($"doc_id" < 40)
+      .select($"doc_id", $"text")
+    val docs = base.unionByName(base.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", minJaccard = 0.03)
+      .select($"id_a", $"id_b")
+    Dedup.resolveClusters(pairs).orderBy($"id")
+  }
+  private val q61Sql =
+    """WITH RECURSIVE u AS (
+      | SELECT doc_id, text FROM documents WHERE doc_id < 40
+      | UNION ALL
+      | SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20),
+      |d AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+      | FROM u),
+      |sh AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sgl
+      | FROM d),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      | FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT id_a, id_b FROM inter
+      | JOIN cnt ca ON ca.doc_id = id_a
+      | JOIN cnt cb ON cb.doc_id = id_b
+      | WHERE i * 1.0 / (ca.n + cb.n - i) > 0.03),
+      |edges AS (
+      | SELECT id_a AS src, id_b AS dst FROM pairs
+      | UNION ALL
+      | SELECT id_b, id_a FROM pairs),
+      |walk AS (
+      | SELECT src AS id, src AS reach FROM edges
+      | UNION
+      | SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+      |SELECT id, min(reach) AS cluster FROM walk
+      |GROUP BY id ORDER BY id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1492,7 +1542,8 @@ object Queries {
     "q57_edit_distance" -> (q57 _),
     "q58_set_ops"       -> (q58 _),
     "q59_ntile_pctrank" -> (q59 _),
-    "q60_unpivot"       -> (q60 _)
+    "q60_unpivot"       -> (q60 _),
+    "q61_dedup_clusters"-> (q61 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1549,6 +1600,7 @@ object Queries {
     "q57_edit_distance" -> q57Sql,
     "q58_set_ops"       -> q58Sql,
     "q59_ntile_pctrank" -> q59Sql,
-    "q60_unpivot"       -> q60Sql
+    "q60_unpivot"       -> q60Sql,
+    "q61_dedup_clusters"-> q61Sql
   )
 }

@@ -132,4 +132,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._2 == 3L))
   }
+
+  test("resolveClusters labels every component by its min id") {
+    // three known components: a 5-clique, a triangle, an isolated edge
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val tri = Seq((10L, 11L), (11L, 12L))
+    val edge = Seq((20L, 21L))
+    val pairs = (clique ++ tri ++ edge).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((10L to 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 10)
+  }
+
+  test("resolveClusters converges on a long chain (pointer jumping)") {
+    // a 200-node path is the worst case for plain neighbor propagation
+    // (diameter 199); the label-of-label jump must close it within the
+    // default maxIter = 25 (≈ log2 bound + slack)
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("dropNearDups keeps the min-id survivor per near-dup cluster") {
+    // 1,2 near-dup; 4 an exact copy of 1 (→ one cluster {1,2,4});
+    // 3 unrelated; 5 too short to shingle (must survive untouched)
+    val df = Seq((1L, docA), (2L, docANear), (3L, docB), (4L, docA),
+      (5L, "tiny")).toDF("id", "text")
+    val kept = Dedup.dropNearDups(df, "text", "id", minJaccard = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // idempotent: re-running on the survivors removes nothing
+    val again = Dedup.dropNearDups(
+      df.filter($"id".isin(kept.toSeq: _*)), "text", "id", minJaccard = 0.5)
+    assert(again.count() == kept.size)
+  }
 }
