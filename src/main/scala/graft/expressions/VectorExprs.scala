@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native codegen'd vector kernels. Spark's higher-order functions
@@ -84,6 +84,102 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared primitive kernels callable from both `eval` and generated
+  * code (plain object → static forwarders, so codegen emits one
+  * non-virtual call per row; the loop itself is JIT-compiled once,
+  * unlike an interpreted HOF lambda per element).
+  */
+object VectorKernels {
+
+  /** Ids of the `n` centroids nearest to `vec` (squared L2), ascending
+    * by (distance, id) — the tie-break keeps results total-ordered and
+    * reproducible. Returns null when any element is null (consistent
+    * with the binary kernels above).
+    */
+  def nearestCells(vec: ArrayData, isFloat: Boolean,
+                   centroids: Array[Array[Double]], n: Int): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val nlist = centroids.length
+    val dists = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val cent = centroids(c)
+      val m = math.min(dim, cent.length)
+      var d = 0.0
+      i = 0
+      while (i < m) { val x = v(i) - cent(i); d += x * x; i += 1 }
+      dists(c) = d
+      c += 1
+    }
+    // selection of the top n (nprobe ≪ nlist, so n passes beat a sort)
+    val k = math.min(n, nlist)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nlist)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bd = Double.PositiveInfinity
+      c = 0
+      while (c < nlist) {
+        if (!used(c) && dists(c) < bd) { bd = dists(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Top-`nProbe` nearest centroid ids for a vector — the IVF coarse
+  * quantizer assignment. The centroid table rides along as a codegen
+  * reference object (`ctx.addReferenceObj`), NOT as inlined literal
+  * structs: at nlist=4096 a literal formulation is an expression-tree
+  * bomb (4096 struct nodes re-analyzed per plan), while a reference
+  * object is one opaque pointer and one JIT-compiled loop.
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+                        nProbe: Int) extends UnaryExpression {
+
+  override def prettyName: String = "graft_nearest_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> input, got ${other.sql}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCells(v.asInstanceOf[ArrayData], isFloat,
+      centroids, nProbe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      s"""
+         |${ev.value} = graft.expressions.VectorKernels.nearestCells(
+         |  $c, $isFloat, $cents, $nProbe);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Cosine similarity; NULL when either vector has zero norm (matching

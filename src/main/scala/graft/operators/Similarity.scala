@@ -121,58 +121,126 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF (inverted-file) approximate top-k: k-means centroids partition
-    * the corpus into `nlist` cells; each query probes its `nprobe`
-    * nearest cells and ranks only those candidates exactly. The classic
-    * ANN index structure (FAISS IVF-Flat shape) re-expressed
-    * relationally:
-    *  - centroids are fit on a bounded sample (driver holds nlist×dim
-    *    floats — tiny) and broadcast;
-    *  - corpus assignment is ONE scan (map-side, no shuffle);
+  /** A fitted IVF coarse quantizer: `nlist` k-means centroids. The
+    * whole model is nlist×dim doubles on the driver (nlist=4096 at
+    * 768-d ≈ 25 MB worst case, typically ≪ 1 MB) and rides into the
+    * plan as ONE codegen reference object — see
+    * [[graft.expressions.NearestCells]].
+    */
+  case class IvfModel(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+    /** Column of the `n` nearest cell ids for a vector column. */
+    def nearestCells(vec: Column, n: Int): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.NearestCells(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+          centroids, n))
+  }
+
+  /** Train an IVF coarse quantizer ONCE, then reuse it across searches
+    * — real engines amortize index build over every query; fitting per
+    * query was round-3's q48 bottleneck (the fit was ~90 % of its
+    * wall-time).
+    *
+    * The fit is deliberately driver-local Lloyd's over a BOUNDED sample
+    * (`limit(trainSample).collect()` — the one sanctioned collect in
+    * this engine: an index-build step whose input is capped at
+    * trainSample×dim doubles regardless of corpus size, so it is
+    * constant-cost at 100 TB). A coarse quantizer needs only
+    * ≳40·nlist sample points, not the corpus: exactness lives in the
+    * re-ranking step, and a distributed 10-iteration KMeans on the full
+    * corpus costs 10 scan+shuffle rounds for centroids that are no
+    * better as cell boundaries.
+    */
+  def fitIvf(corpus: DataFrame, vecCol: String, nlist: Int,
+             trainSample: Int = 16384, maxIter: Int = 10,
+             seed: Long = 42L): IvfModel = {
+    val sample = corpus.select(Vectors.toDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .limit(trainSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitIvf: no non-null training vectors")
+    val dim = sample.head.length
+    val k = math.min(nlist, sample.length)
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone()).toArray
+    var iter = 0
+    var moved = true
+    while (moved && iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { p =>
+        var best = 0; var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = p(i) - centroids(c)(i); d += x * x; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      moved = false
+      var c = 0
+      while (c < k) {
+        // empty cell keeps its previous centroid (standard Lloyd's)
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            val nv = sums(c)(i) / counts(c)
+            if (nv != centroids(c)(i)) moved = true
+            centroids(c)(i) = nv
+            i += 1
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    IvfModel(centroids)
+  }
+
+  /** IVF (inverted-file) approximate top-k search against a fitted
+    * [[IvfModel]]: each query probes its `nprobe` nearest cells and
+    * ranks only those candidates exactly. The classic ANN index
+    * structure (FAISS IVF-Flat shape) re-expressed relationally:
+    *  - corpus assignment is ONE scan (map-side native expression, no
+    *    shuffle, no per-row join);
     *  - the candidate join shuffles on cell id, fan-in ≈ corpus/nlist
     *    per cell × nprobe — the knob trading recall for compared pairs.
     * Versus [[lshTopK]]: IVF adapts cells to the data distribution
     * (better recall on clustered embeddings), LSH needs no training.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+  def ivfTopK(model: IvfModel, queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int, nprobe: Int = 4, trainSample: Int = 100000,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // 1. train centroids on a bounded sample (at 100 TB the sample cap
-    //    keeps the fit constant-cost; limit() is deterministic enough
-    //    for an index — exactness lives in the re-ranking step)
-    val train = corpus.select(array_to_vector(
-      Vectors.toDouble(col(vecCol))).as("features")).limit(trainSample)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    // 2. assignment is a pure map-side expression: per centroid LITERAL,
-    //    squared-L2 up to the query-constant term (−2·v·c + ‖c‖²) as a
-    //    (dist, cell) struct; array_min/array_sort give argmin / top
-    //    nprobe by lexicographic struct order. No per-row join, no
-    //    shuffle, no nlist× row blowup — the corpus is touched once.
-    def cellDists(vec: Column): Column =
-      array(model.clusterCenters.zipWithIndex.map { case (cArr, i) =>
-        val c = cArr.toArray
-        struct(
-          (Vectors.dot(vec, array(c.map(lit): _*)) * -2.0 +
-            lit(c.map(x => x * x).sum)).as("dist"),
-          lit(i).as("cell"))
-      }: _*)
+              nprobe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("cell",
-        array_min(cellDists(col("c_vec"))).getField("cell"))
+        element_at(model.nearestCells(col("c_vec"), 1), 1))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(transform(
-        slice(array_sort(cellDists(col("q_vec"))), 1, nprobe),
-        s => s.getField("cell"))))
-    // 3. exact re-rank within probed cells
+      .withColumn("cell",
+        explode(model.nearestCells(col("q_vec"), nprobe)))
+    // exact re-rank within probed cells
     val scored = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
     rankTopK(scored, k)
   }
+
+  /** Fit-and-search convenience overload (one-shot jobs; interactive
+    * and benchmarked paths should [[fitIvf]] once and reuse the model).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int, nprobe: Int = 4, trainSample: Int = 16384,
+              seed: Long = 42L): DataFrame =
+    ivfTopK(fitIvf(corpus, vecCol, nlist, trainSample, seed = seed),
+      queries, corpus, idCol, vecCol, k, nprobe)
 
   /** Embedding-cosine near-duplicate pairs: docs whose vectors land in
     * the same random-hyperplane bucket are compared exactly; pairs above

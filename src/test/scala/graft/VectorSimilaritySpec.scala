@@ -143,6 +143,44 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall too low: $recall")
   }
 
+  test("fitIvf once + ivfTopK(model) matches the fit-and-search " +
+    "overload and is deterministic") {
+    val rnd = new scala.util.Random(31)
+    val data = (0 until 120).map(i =>
+      (i.toLong, Array.fill(6)((rnd.nextGaussian()).toFloat)))
+      .toDF("id", "vec")
+    val queries = data.filter($"id" < 3)
+    val model = Similarity.fitIvf(data, "vec", nlist = 8)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(1 + 1))).toSet
+    val viaModel = run(
+      Similarity.ivfTopK(model, queries, data, "id", "vec", 5, nprobe = 3))
+    val oneShot = run(
+      Similarity.ivfTopK(queries, data, "id", "vec", 5, nlist = 8, nprobe = 3))
+    assert(viaModel == oneShot)
+    // same seed → identical centroids (index reproducibility)
+    val refit = Similarity.fitIvf(data, "vec", nlist = 8)
+    assert(model.centroids.flatten.toSeq == refit.centroids.flatten.toSeq)
+  }
+
+  test("IVF smoke at nlist=256: model stays compact, search returns " +
+    "full top-k") {
+    val rnd = new scala.util.Random(47)
+    val data = (0 until 400).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextGaussian()).toFloat)))
+      .toDF("id", "vec")
+    val model = Similarity.fitIvf(data, "vec", nlist = 256)
+    assert(model.nlist <= 256 && model.nlist > 100)
+    // high nprobe keeps recall sane when cells are tiny; the point here
+    // is the nlist=256 plan compiles to ONE reference object, not 256
+    // literal structs (plan-size bomb regression guard)
+    val out = Similarity.ivfTopK(model, data.filter($"id" < 2), data,
+      "id", "vec", 5, nprobe = 64)
+    assert(out.groupBy("q_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
+
   test("nearDupPairs: LSH-bucketed mode recovers the near-dup pairs " +
     "the exact mode finds on clustered vectors") {
     val rnd = new scala.util.Random(13)
