@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Keyed MERGE semantics — the engine's equivalent of the reference's
   * Mongo `update_one({key}, {"$set": rec}, upsert=True)` sink
@@ -54,22 +55,113 @@ object Upsert {
   /** Table-maintenance form: merge delta into the parquet table at
     * `path` and atomically swap it in (write to a sibling temp dir,
     * then rename). K2/K4 against the engine's storage layout.
+    *
+    * This flat form rewrites the WHOLE table per merge — acceptable for
+    * small state tables; for anything large use
+    * [[mergeIntoPartitionedTable]], which rewrites only the key-hash
+    * partitions the delta touches.
     */
-  def mergeIntoTable(spark: org.apache.spark.sql.SparkSession,
+  def mergeIntoTable(spark: SparkSession,
                      path: String, delta: DataFrame, keys: Seq[String],
                      patch: Boolean = false): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
     val merged =
       if (fs.exists(target)) merge(spark.read.parquet(path), delta, keys, patch)
       else delta
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val tmp = new Path(path + "__tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__old")
+    val bak = new Path(path + "__old")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(target)) fs.rename(target, bak)
     fs.rename(tmp, target)
     if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  /** Key-hash partition layout for merge-pruned tables: rows live in
+    * `graft_bucket=<pmod(xxhash64(keys), n)>` directories, so a merge
+    * whose delta touches k buckets rewrites k/n of the table instead of
+    * all of it. At 100 TB an hourly 20-row column patch must not be a
+    * full-table rewrite — this is the write-amplification half of the
+    * merge story (the join half is already shuffle-free under
+    * bucketing, see BucketingSpec).
+    */
+  val bucketCol = "graft_bucket"
+
+  /** The stable key→bucket expression shared by writer and merger. */
+  def bucketOf(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int")
+
+  private def layoutMarker(path: String) = new Path(path, "_graft_buckets")
+
+  /** (Re)write `df` as a key-hash-partitioned table. Records the bucket
+    * count in a `_graft_buckets` marker so later merges can't silently
+    * use a mismatched layout.
+    */
+  def writePartitionedTable(df: DataFrame, path: String, keys: Seq[String],
+                            numBuckets: Int): Unit = {
+    df.withColumn(bucketCol, bucketOf(keys, numBuckets))
+      .write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(path)
+    val fs = FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(layoutMarker(path), true)
+    out.write(numBuckets.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readLayout(fs: FileSystem, path: String): Option[Int] = {
+    val m = layoutMarker(path)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** MERGE `delta` into the key-hash-partitioned table at `path`,
+    * rewriting ONLY the bucket directories the delta touches:
+    *  1. the delta's distinct bucket ids are collected (≤ numBuckets
+    *     ints — bounded regardless of delta size);
+    *  2. the base read filters on the partition column, so the scan
+    *     prunes to touched directories (PartitionFilters, verified in
+    *     UpsertSpec);
+    *  3. the merged result is written partitioned to a temp dir and
+    *     each touched `graft_bucket=<b>` directory is swapped in;
+    *     untouched directories are never read, written, or moved.
+    */
+  def mergeIntoPartitionedTable(spark: SparkSession, path: String,
+                                delta: DataFrame, keys: Seq[String],
+                                numBuckets: Int,
+                                patch: Boolean = false): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) {
+      writePartitionedTable(delta, path, keys, numBuckets)
+      return
+    }
+    readLayout(fs, path).foreach { n =>
+      require(n == numBuckets,
+        s"table at $path is laid out with $n buckets, merge called with $numBuckets")
+    }
+    val touched = delta.select(bucketOf(keys, numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val base = spark.read.parquet(path)
+      .filter(col(bucketCol).isin(touched.map(Integer.valueOf): _*))
+      .drop(bucketCol)
+    val merged = merge(base, delta, keys, patch)
+      .withColumn(bucketCol, bucketOf(keys, numBuckets))
+    val tmp = path + "__tmp"
+    merged.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+    touched.foreach { b =>
+      val dst = new Path(path, s"$bucketCol=$b")
+      val src = new Path(tmp, s"$bucketCol=$b")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      // a touched bucket always has rows (it contains its delta rows)
+      fs.rename(src, dst)
+    }
+    fs.delete(new Path(tmp), true)
   }
 }

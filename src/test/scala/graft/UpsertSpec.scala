@@ -68,4 +68,72 @@ class UpsertSpec extends AnyFunSuite {
     val back = spark.read.parquet(path).orderBy("url").collect()
     assert(back.length == 3 && back(2).getString(1) == "t3x")
   }
+
+  test("mergeIntoPartitionedTable rewrites only the touched buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmerge").toString
+    val path = s"$dir/articles"
+    val buckets = 8
+    // enough keys that several buckets are populated
+    val wide = (1 to 200).map(i => (s"u$i", s"t$i", Some(i)))
+      .toDF("url", "title", "score")
+    Upsert.writePartitionedTable(wide, path, Seq("url"), buckets)
+
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    // 1-row patch → exactly one bucket directory may change
+    val delta = Seq(("u42", null.asInstanceOf[String], Some(9999)))
+      .toDF("url", "title", "score")
+    val touchedBucket = delta
+      .select(Upsert.bucketOf(Seq("url"), buckets)).head.getInt(0)
+    Upsert.mergeIntoPartitionedTable(spark, path, delta, Seq("url"),
+      buckets, patch = true)
+
+    val after = snapshot()
+    val untouchedBefore =
+      before.filterNot(_._1.contains(s"graft_bucket=$touchedBucket"))
+    val untouchedAfter =
+      after.filterNot(_._1.contains(s"graft_bucket=$touchedBucket"))
+    // untouched buckets: identical file paths, lengths, AND mtimes
+    assert(untouchedAfter == untouchedBefore)
+    assert(after.keySet != before.keySet ||
+      after != before) // the touched bucket did get rewritten
+
+    // table content is the patched merge
+    val back = spark.read.parquet(path)
+    assert(back.count() == 200)
+    val u42 = back.filter($"url" === "u42").head
+    assert(u42.getAs[Int]("score") == 9999)
+    assert(u42.getAs[String]("title") == "t42") // patch kept base title
+
+    // base scan prunes to touched partitions (not a full-table read)
+    val pruned = spark.read.parquet(path)
+      .filter(col(Upsert.bucketCol).isin(touchedBucket))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(Upsert.bucketCol))
+  }
+
+  test("mergeIntoPartitionedTable creates the table and rejects a " +
+    "mismatched bucket count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmerge2").toString
+    val path = s"$dir/t"
+    Upsert.mergeIntoPartitionedTable(spark, path, base, Seq("url"), 4)
+    assert(spark.read.parquet(path).count() == 3)
+    val delta = Seq(("u1", "x", Some(0))).toDF("url", "title", "score")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitionedTable(spark, path, delta, Seq("url"), 16)
+    }
+    // matching layout merges fine and stays pruned
+    Upsert.mergeIntoPartitionedTable(spark, path, delta, Seq("url"), 4)
+    assert(spark.read.parquet(path)
+      .filter($"url" === "u1").head.getString(1) == "x")
+  }
 }
