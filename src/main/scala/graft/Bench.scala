@@ -1,6 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,18 +26,38 @@ object Bench {
     // warm the scan/codegen/shuffle stack on the tiny sf so per-query
     // numbers measure steady-state execution, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // GRAFT_BENCH_SELFTEST=1 injects a deliberately broken query to
+    // prove failures surface as explicit markers, not fake timings
+    val selftest: Seq[(String, (SparkSession, String) => DataFrame)] =
+      if (sys.env.contains("GRAFT_BENCH_SELFTEST"))
+        Seq("zz_selftest_broken" ->
+          ((s: SparkSession, _: String) => s.read.parquet("/nonexistent")))
+      else Nil
     // run in name order so residual warmup always lands on q01 and
     // per-query numbers stay comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Either[String, Double])] =
+      (SparkEntry.queries.toSeq ++ selftest).sortBy(_._1).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          // a failing query must NOT report a success-looking wall-time:
+          // it becomes an explicit "err:" marker and an err_count bump
+          try {
+            fn(spark, sfDir).count()
+            name -> Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(160)
+              name -> Left(s"err: ${e.getClass.getSimpleName}: $msg")
+          }
+      }
+    val qs = results.map {
+      case (k, Right(sec)) => s"\"" + k + "\":" + sec
+      case (k, Left(err)) => s"\"" + k + "\":\"" + jsonEscape(err) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val errs = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","err_count":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
