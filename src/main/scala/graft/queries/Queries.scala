@@ -1486,6 +1486,74 @@ object Queries {
       |SELECT id, min(reach) AS cluster FROM walk
       |GROUP BY id ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  // TF-IDF completion (VERDICT r3 #5): q55's TF half + the IDF join.
+  // df comes from one more map-side-combinable groupBy over the tf
+  // rows; the corpus doc-count N is a 1-row aggregate broadcast into
+  // the scoring join (no driver collect). Ranking uses the ROUNDED
+  // score so a last-ulp ln() divergence between engines cannot flip
+  // the rank order; ties break on term.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val terms = docs
+      .select($"doc_id", explode(split($"text", "\\s+")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        floor($"tf" * log($"n_docs".cast("double") / $"df") * 10000.0 + 0.5)
+          / 10000.0)
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+  private val q62Sql =
+    """WITH t AS (
+      | SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      | FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |sc AS (
+      | SELECT tf.doc_id, tf.term,
+      |   floor(tf.tf * ln(n_docs * 1.0 / df.df) * 10000.0 + 0.5) / 10000.0
+      |     AS tfidf
+      | FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, tfidf,
+      | row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+      |   AS rk
+      | FROM sc)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  // Cube: both grouping-set variants now covered (q52 = rollup). Same
+  // broadcast-dim join, count + floored sum, grouping_id for the
+  // oracle's GROUPING() parity.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .cube($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        (floor(sum($"c_acctbal") * 100.0 + 0.5) / 100.0).as("bal"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"n_name", $"c_mktsegment")
+  }
+  private val q63Sql =
+    """SELECT n_name, c_mktsegment, count(*) AS cnt,
+      | floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS bal,
+      | CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE(n_name, c_mktsegment)
+      |ORDER BY gid, n_name, c_mktsegment""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1549,7 +1617,9 @@ object Queries {
     "q58_set_ops"       -> (q58 _),
     "q59_ntile_pctrank" -> (q59 _),
     "q60_unpivot"       -> (q60 _),
-    "q61_dedup_clusters"-> (q61 _)
+    "q61_dedup_clusters"-> (q61 _),
+    "q62_tfidf"         -> (q62 _),
+    "q63_cube"          -> (q63 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1607,6 +1677,8 @@ object Queries {
     "q58_set_ops"       -> q58Sql,
     "q59_ntile_pctrank" -> q59Sql,
     "q60_unpivot"       -> q60Sql,
-    "q61_dedup_clusters"-> q61Sql
+    "q61_dedup_clusters"-> q61Sql,
+    "q62_tfidf"         -> q62Sql,
+    "q63_cube"          -> q63Sql
   )
 }
