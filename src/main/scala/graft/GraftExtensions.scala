@@ -2,9 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expressions.{ChunkText, CosineSimilarity, DotProduct}
+import graft.functions.ColumnPlugins
 
 /** SparkSessionExtensions registration: exposes the engine's native
   * codegen'd vector kernels as SQL functions (`graft_cosine`,
@@ -40,6 +44,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ChunkText(c, intLit(s, "size"), intLit(o, "overlap"))
         case other => throw new IllegalArgumentException(
           s"graft_chunk expects 1 or 3 arguments, got ${other.length}")
+      }))
+    // model-call seam from SQL: graft_call('<plugin>', args...) — the
+    // name literal is resolved against ColumnPlugins at plan time, so
+    // plugins registered after session start are reachable, and a
+    // swapped-in real-model plugin transparently replaces the stand-in
+    ext.injectFunction((
+      new FunctionIdentifier("graft_call"),
+      new ExpressionInfo(ColumnPlugins.getClass.getName, "graft_call"),
+      (children: Seq[Expression]) => children match {
+        case Literal(name: UTF8String, StringType) +: rest =>
+          ColumnBridge.expression(
+            ColumnPlugins(name.toString)(rest.map(ColumnBridge.column): _*))
+        case other => throw new IllegalArgumentException(
+          "graft_call expects a STRING literal plugin name first, got " +
+            other.headOption.fold("no arguments")(_.toString))
       }))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{Text, Vectors}
+import graft.functions.{ColumnPlugins, Text, Vectors}
 import graft.operators._
 
 /** The engine's demonstrable query suite: one entry per operator family
@@ -812,7 +812,7 @@ object Queries {
   // independently from the raw words
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val raw = Summarize.extractiveSummaryRaw($"text", n = 4, width = 2)
+    val raw = ColumnPlugins("summarize")($"text")
     val bullets = Text.summaryBullets(Text.cleanSummary(raw))
     t(s, dir, "documents")
       .select($"doc_id", size(bullets).cast("long").as("n_bullets"),
@@ -1018,7 +1018,7 @@ object Queries {
       .filter($"doc_id" % 3 =!= 0)
     val patch = todo.select($"doc_id",
       array_join(Text.summaryBullets(Text.cleanSummary(
-        Summarize.extractiveSummaryRaw($"text"))), " | ").as("summary"))
+        ColumnPlugins("summarize")($"text"))), " | ").as("summary"))
     val after = Upsert.merge(articles, patch, Seq("doc_id"), patch = true)
     after.agg(
       count(lit(1)).as("total"),

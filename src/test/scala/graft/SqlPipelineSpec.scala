@@ -34,4 +34,39 @@ class SqlPipelineSpec extends AnyFunSuite {
     assert(out.length == 3)
     assert(out(0).getDouble(2) >= out(1).getDouble(2))
   }
+
+  test("default model-call plugin is invocable by name from pure SQL") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs")
+    val out = spark.sql(
+      """SELECT doc_id, graft_call('summarize', text) AS summary
+        |FROM docs ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getString(1).startsWith("Here are the main points:")))
+    // embed stand-in too: a 64-dim vector per row
+    val dims = spark.sql(
+      """SELECT size(graft_call('embed', text)) AS d
+        |FROM docs LIMIT 3""".stripMargin).collect()
+    assert(dims.forall(_.getInt(0) == 64))
+  }
+
+  test("a swapped-in plugin replaces the stand-in at existing call sites") {
+    import graft.functions.ColumnPlugins
+    import org.apache.spark.sql.functions._
+    // a "real model" arrives: register under a fresh name, call by name
+    ColumnPlugins.register("shout") { args => upper(args.head) }
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs")
+    val viaSql = spark.sql(
+      "SELECT graft_call('shout', text) AS s FROM docs LIMIT 1").head.getString(0)
+    val viaDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(ColumnPlugins("shout")(col("text")).as("s")).head.getString(0)
+    assert(viaSql == viaDf && viaSql == viaSql.toUpperCase)
+    // unknown names fail with the available-plugin list, not silently
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_call('nope', 'x')").collect())
+    assert(err.getMessage.contains("no ColumnPlugin 'nope'") ||
+      Option(err.getCause).exists(_.getMessage.contains("no ColumnPlugin 'nope'")))
+  }
 }
