@@ -26,6 +26,15 @@ object Bench {
     // warm the scan/codegen/shuffle stack on the tiny sf so per-query
     // numbers measure steady-state execution, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // the JVM's first case-mapping call (lower/upper) pays ~1.4 s of
+    // collation-machinery init, which otherwise lands on whichever
+    // query hits it first (measured: q16 1.38 s cold vs 0.15 s warm)
+    try {
+      import org.apache.spark.sql.functions.{lit, lower}
+      // collect, not count: count() would let column pruning drop the
+      // projection and skip the very init this is here to trigger
+      spark.range(1).select(lower(lit("Ấm Áp"))).collect()
+    } catch { case _: Throwable => () }
     // GRAFT_BENCH_SELFTEST=1 injects a deliberately broken query to
     // prove failures surface as explicit markers, not fake timings
     val selftest: Seq[(String, (SparkSession, String) => DataFrame)] =
