@@ -43,9 +43,11 @@ object Chunker extends Serializable {
     }
 
   /** Pure chunking function: greedy packing of separator segments into
-    * ≤ `size`-char chunks with an `overlap`-char carry-over between
-    * consecutive chunks; segments longer than `size` recurse on the
-    * next separator (character-split as last resort).
+    * ≤ `size`-char chunks with an up-to-`overlap`-char carry-over
+    * between consecutive chunks (clamped — possibly to zero — when the
+    * next segment is near `size`, so chunks stay within `size`);
+    * segments longer than `size` recurse on the next separator
+    * (character-split as last resort).
     */
   def chunk(text: String, size: Int = 400, overlap: Int = 50,
             minLen: Int = 10, seps: Seq[String] = DefaultSeps): Seq[String] = {
