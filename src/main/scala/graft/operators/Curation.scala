@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the reference's surface:
+  * the selection/packing steps a large-scale pretraining pipeline runs
+  * after dedup and quality scoring. All relational — the per-doc
+  * metrics come from map-side-combined explode→groupBy passes, the
+  * assignment functions are stateless scan-side expressions, and the
+  * grouped steps shuffle once on their natural key. (Repetition
+  * thresholds follow the shape of the Gopher/MassiveText quality
+  * rules: Rae et al. 2021, arXiv:2112.11446 §A.1.1.)
+  */
+object Curation {
+
+  private def bound(value: Column)(body: Column => Column): Column =
+    graft.functions.Vectors.bound(value)(body)
+
+  /** Non-empty whitespace tokens of `text`, as an array column. */
+  private def wordArr(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Per-document repetition metrics:
+    * `n_words`, `dup_word_frac` = 1 − distinct/total words, and
+    * `top_bigram_frac` = occurrences of the most frequent word bigram
+    * over total bigrams (0.0 for single-word docs). Two narrow
+    * explode→groupBy passes (word counts, bigram counts), both
+    * map-side combined, joined once on the doc key — no row ever
+    * carries the full text past the scan.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val id = col(idCol)
+    val words = docs.select(id, explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordStats = words.groupBy(id).agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("w")).as("n_distinct"))
+    val bigrams = docs.select(id, explode(bound(wordArr(col(textCol))) { w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1), i =>
+          concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }).as("b"))
+    val bigramStats = bigrams.groupBy(id, col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    wordStats.join(bigramStats, Seq(idCol), "left").select(
+      id, col("n_words"),
+      (floor((lit(1.0) - col("n_distinct") / col("n_words").cast("double"))
+        * 10000.0 + 0.5) / 10000.0).as("dup_word_frac"),
+      coalesce(
+        floor(col("top_c") / col("n_bg").cast("double") * 10000.0 + 0.5)
+          / 10000.0, lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Deterministic content-hash split assignment: the first hex digit
+    * of md5(text) buckets 16 ways — 12 train / 2 val / 2 test. Being
+    * content-derived (not `rand()`), the split is reproducible across
+    * runs, engines, and re-partitioning, and identical duplicate texts
+    * land in the same split (no train/test leakage between copies).
+    */
+  def hashSplit(text: Column): Column = {
+    val c = substring(md5(text), 1, 1)
+    when(c < "c", "train").when(c < "e", "val").otherwise("test")
+  }
+
+  /** Start-offset context packing: within each `groupCol` partition,
+    * rows ordered by `orderCol` accumulate `tokensCol`, and a row's
+    * `pack_id` is floor(tokens-before-it / budget) — every pack holds
+    * ~budget tokens, and a doc straddling a boundary belongs to the
+    * pack where it starts. One shuffle on the group key; the running
+    * sum is a single window pass. Exact integer arithmetic, so the
+    * assignment is engine-reproducible.
+    */
+  def packByBudget(docs: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("pack_id",
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget.toDouble)
+        .cast("long"))
+  }
+
+  /** Per-group quota cap: keep the first `quota` rows of each
+    * `groupCol` partition under `orderCols` (tie-broken deterministic
+    * by construction of the caller's ordering). The mixture-sampling /
+    * per-domain-cap primitive: one shuffle on the group key.
+    */
+  def quotaCap(docs: DataFrame, groupCol: String, quota: Column,
+      orderCols: Column*): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= quota)
+  }
+
+  /** PII patterns, ordered so earlier scrubs cannot create later
+    * matches: email, then IPv4, then phone-ish digit runs. Chosen for
+    * identical semantics in Java regex and RE2 (no lookaround, no
+    * backrefs) so the DuckDB oracle mirrors them verbatim.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ip"    -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+?\\d[\\d -]{7,}\\d"
+  )
+
+  /** Redact all PII pattern matches with `[EMAIL]`/`[IP]`/`[PHONE]`. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"[${kind.toUpperCase}]")
+    }
+
+  /** Match count for one PII kind (pre-scrub). */
+  def piiCount(text: Column, kind: String): Column =
+    regexp_count(text, lit(piiPatterns.toMap.apply(kind)))
+}

@@ -1554,6 +1554,146 @@ object Queries {
       |GROUP BY CUBE(n_name, c_mktsegment)
       |ORDER BY gid, n_name, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  // Gopher-style repetition gate (arXiv:2112.11446 §A.1.1 shape):
+  // duplicate-word fraction + top-bigram fraction per doc, keep flag
+  // from the ROUNDED metrics so engine ulps cannot flip the gate
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("keep",
+        $"dup_word_frac" <= 0.6 && $"top_bigram_frac" <= 0.05)
+      .orderBy($"doc_id")
+  }
+  private val q64Sql =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      | FROM documents),
+      |ws AS (SELECT doc_id, len(w) AS n_words,
+      | len(list_distinct(w)) AS n_distinct FROM d),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      | i -> w[i] || ' ' || w[i+1])) AS b FROM d),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+      | FROM bc GROUP BY 1),
+      |m AS (SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words,
+      | floor((1.0 - n_distinct * 1.0 / n_words) * 10000.0 + 0.5)
+      |   / 10000.0 AS dup_word_frac,
+      | coalesce(floor(top_c * 1.0 / n_bg * 10000.0 + 0.5) / 10000.0, 0.0)
+      |   AS top_bigram_frac
+      | FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id)
+      |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+      | (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.05) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  // Deterministic content-hash train/val/test split — reproducible
+  // across runs/engines/partitionings, duplicate texts co-assigned
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(Curation.hashSplit($"text").as("split"), $"doc_id", $"n_chars")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"split")
+  }
+  private val q65Sql =
+    """WITH s AS (SELECT
+      |  CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+      |       WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split, doc_id, n_chars
+      | FROM documents)
+      |SELECT split, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  // Context-window packing: per-lang running token sums bucket docs
+  // into ~2048-token packs (start-offset semantics; exact integer
+  // arithmetic, so assignment is engine-reproducible)
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang",
+      TextAnalysis.wsTokenCount($"text").cast("long").as("tokens"))
+    Curation.packByBudget(docs, "lang", "doc_id", "tokens", 2048L)
+      .groupBy($"lang", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("tokens_total"))
+      .orderBy($"lang", $"pack_id")
+  }
+  private val q66Sql =
+    """WITH d AS (SELECT doc_id, lang,
+      | len(regexp_extract_all(text, '\S+')) AS tokens FROM documents),
+      |p AS (SELECT lang, tokens,
+      | CAST(floor(coalesce(sum(tokens) OVER (PARTITION BY lang
+      |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |   0) / 2048.0) AS BIGINT) AS pack_id
+      | FROM d)
+      |SELECT lang, pack_id, count(*) AS n_docs,
+      | CAST(sum(tokens) AS BIGINT) AS tokens_total
+      |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  // Mixture quotas / per-domain caps: keep the top-`quota` docs per
+  // source by length (tie-broken by id — fully deterministic)
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quota = when($"source" === "src0", 40)
+      .when($"source" === "src1", 30)
+      .when($"source" === "src2", 20).otherwise(10)
+    Curation.quotaCap(t(s, dir, "documents"), "source", quota,
+        $"n_chars".desc, $"doc_id".asc)
+      .select($"source", $"rn", $"doc_id", $"n_chars")
+      .orderBy($"source", $"rn")
+  }
+  private val q67Sql =
+    """WITH r AS (SELECT source, doc_id, n_chars,
+      | row_number() OVER (PARTITION BY source
+      |   ORDER BY n_chars DESC, doc_id) AS rn
+      | FROM documents),
+      |q AS (SELECT *, CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 30
+      |  WHEN 'src2' THEN 20 ELSE 10 END AS quota FROM r)
+      |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+      |FROM q WHERE rn <= quota ORDER BY source, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  // PII scrub: count + redact emails/IPv4s/phone runs with patterns
+  // chosen for identical Java-regex/RE2 semantics (Curation.piiPatterns
+  // is the single source for both engines)
+  private val piiFixtures: Seq[String] = Seq(
+    "Contact support@example.com or sales-team@corp.io for details",
+    "Gateway 192.168.0.1 and backup 10.0.0.255 are reachable",
+    "Call +84 123 456 789 or 0123 456 789 to register",
+    "Mixed case: Admin@Test.org from 8.8.8.8 dials 555-123-4567 today",
+    "No personal data in this line at all")
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    piiFixtures.toDF("line").select($"line",
+      Curation.piiCount($"line", "email").cast("long").as("n_email"),
+      Curation.piiCount($"line", "ip").cast("long").as("n_ip"),
+      Curation.piiCount($"line", "phone").cast("long").as("n_phone"),
+      Curation.scrubPii($"line").as("redacted"))
+      .orderBy($"line")
+  }
+  private def q68Sql: String = {
+    val pats = Curation.piiPatterns.toMap
+    val values = piiFixtures.map(l => s"('$l')").mkString(", ")
+    val redacted = Curation.piiPatterns.foldLeft("line") {
+      case (e, (kind, pat)) =>
+        s"regexp_replace($e, '$pat', '[${kind.toUpperCase}]', 'g')"
+    }
+    s"""WITH f AS (SELECT * FROM (VALUES $values) t(line))
+       |SELECT line,
+       | CAST(len(regexp_extract_all(line, '${pats("email")}')) AS BIGINT)
+       |   AS n_email,
+       | CAST(len(regexp_extract_all(line, '${pats("ip")}')) AS BIGINT)
+       |   AS n_ip,
+       | CAST(len(regexp_extract_all(line, '${pats("phone")}')) AS BIGINT)
+       |   AS n_phone,
+       | $redacted AS redacted
+       |FROM f ORDER BY line""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1619,7 +1759,12 @@ object Queries {
     "q60_unpivot"       -> (q60 _),
     "q61_dedup_clusters"-> (q61 _),
     "q62_tfidf"         -> (q62 _),
-    "q63_cube"          -> (q63 _)
+    "q63_cube"          -> (q63 _),
+    "q64_repetition"    -> (q64 _),
+    "q65_hash_split"    -> (q65 _),
+    "q66_pack_budget"   -> (q66 _),
+    "q67_source_quota"  -> (q67 _),
+    "q68_pii_scrub"     -> (q68 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1679,6 +1824,11 @@ object Queries {
     "q60_unpivot"       -> q60Sql,
     "q61_dedup_clusters"-> q61Sql,
     "q62_tfidf"         -> q62Sql,
-    "q63_cube"          -> q63Sql
+    "q63_cube"          -> q63Sql,
+    "q64_repetition"    -> q64Sql,
+    "q65_hash_split"    -> q65Sql,
+    "q66_pack_budget"   -> q66Sql,
+    "q67_source_quota"  -> q67Sql,
+    "q68_pii_scrub"     -> q68Sql
   )
 }

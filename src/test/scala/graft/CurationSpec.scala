@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Properties of the curation operators beyond what the DuckDB-oracled
+  * queries (q64-q68) already pin value-for-value.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("repetitionMetrics: fractions in range, exact on a known doc") {
+    import spark.implicits._
+    val m = Curation.repetitionMetrics(
+      Seq((1L, "a b a b c"), (2L, "x"), (3L, "y y y y")).toDF("id", "text"),
+      "id", "text").collect().map(r => r.getLong(0) -> r).toMap
+    // "a b a b c": 5 words, 3 distinct -> dup 0.4; bigrams
+    // [a b, b a, a b, b c] -> top "a b" 2/4 = 0.5
+    assert(m(1L).getDouble(2) == 0.4 && m(1L).getDouble(3) == 0.5)
+    // single word: no bigrams -> 0.0, not null
+    assert(m(2L).getDouble(3) == 0.0)
+    // "y y y y": dup 0.75, all bigrams identical -> 1.0
+    assert(m(3L).getDouble(2) == 0.75 && m(3L).getDouble(3) == 1.0)
+  }
+
+  test("hashSplit: deterministic, complete, and ~12/2/2 proportioned") {
+    val splits = docs.select(Curation.hashSplit(col("text")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    val total = splits.values.sum
+    // 12/16 expected for train; allow wide slack on 500 docs
+    assert(splits("train") > total / 2)
+    // identical text -> identical split (the no-leakage property)
+    val again = docs.select(Curation.hashSplit(col("text")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == splits)
+  }
+
+  test("packByBudget: packs hold ~budget tokens and ids are contiguous") {
+    import spark.implicits._
+    val budget = 100L
+    val packed = Curation.packByBudget(
+      Seq.tabulate(50)(i => (i.toLong, "g", 30L)).toDF("id", "g", "tokens"),
+      "g", "id", "tokens", budget)
+    // every pack's pre-pack offset is < (pack_id+1)*budget by def;
+    // check pack sums: all full packs carry >= budget - max_token + 1
+    val sums = packed.groupBy("pack_id").agg(sum("tokens").as("t"))
+      .orderBy("pack_id").collect().map(_.getLong(1))
+    assert(sums.init.forall(t => t >= budget - 30 + 1 && t <= budget + 29))
+    // pack ids are a contiguous 0-based range
+    val ids = packed.select("pack_id").distinct()
+      .orderBy("pack_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.indices.map(_.toLong)))
+  }
+
+  test("quotaCap: per-group sizes bounded by the group's quota") {
+    val quota = when(col("source") === "src0", 7).otherwise(3)
+    val kept = Curation.quotaCap(docs, "source", quota,
+      col("n_chars").desc, col("doc_id").asc)
+    val sizes = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(n <= (if (src == "src0") 7 else 3), s"$src overflowed: $n")
+    }
+  }
+
+  test("scrubPii is idempotent and removes every counted match") {
+    import spark.implicits._
+    val lines = Seq(
+      "a@b.com then 1.2.3.4 then +1 222 333 4444 end").toDF("line")
+    val once = lines.select(Curation.scrubPii(col("line")).as("r"))
+    val twice = once.select(Curation.scrubPii(col("r")).as("r"))
+    assert(once.head.getString(0) == twice.head.getString(0))
+    val counts = once.select(
+      Curation.piiCount(col("r"), "email").as("e"),
+      Curation.piiCount(col("r"), "ip").as("i"),
+      Curation.piiCount(col("r"), "phone").as("p")).head
+    assert(counts.getInt(0) == 0 && counts.getInt(1) == 0 &&
+      counts.getInt(2) == 0)
+  }
+}
