@@ -1500,7 +1500,11 @@ object Queries {
       .select($"doc_id", explode(split($"text", "\\s+")).as("term"))
       .filter(length($"term") > 0)
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // count($"tf"), not count(lit(1)): counting the tf column keeps the
+    // df branch's subtree byte-identical to the tf branch (pruning
+    // would otherwise drop the count and defeat ReuseExchange), so the
+    // expensive explode+partial-agg shuffle is computed once
+    val df = tf.groupBy($"term").agg(count($"tf").as("df"))
     val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(n))
