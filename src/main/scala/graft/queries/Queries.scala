@@ -1698,6 +1698,52 @@ object Queries {
        |FROM f ORDER BY line""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q69
+  // T5 seeded shuffle: rank each source's docs in md5(seed:key) order —
+  // the reference's random.shuffle with process randomness replaced by
+  // a seed, so the "random" order is engine- and run-reproducible
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seeded.shuffle(t(s, dir, "documents"), "source", "doc_id", "s42")
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"doc_id")
+      .orderBy($"source", $"rank")
+  }
+  private val q69Sql =
+    """WITH r AS (SELECT source, doc_id,
+      | row_number() OVER (PARTITION BY source
+      |   ORDER BY md5('s42:' || doc_id), doc_id) AS rank
+      | FROM documents)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  // F14 seeded normal vector: Irwin-Hall draws from md5-derived 16-bit
+  // uniforms — dyadic-rational arithmetic end to end, so values are
+  // bit-identical cross-engine with NO rounding guard (the oracle
+  // hash-compares raw doubles)
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").filter($"doc_id" < 20)
+      .select($"doc_id",
+        posexplode(Seeded.normalVec($"doc_id", 8, "s42")).as(Seq("i", "z")))
+      .select($"doc_id", $"i".cast("long").as("i"), $"z")
+      .orderBy($"doc_id", $"i")
+  }
+  private def q70Sql: String = {
+    val parts = (0 until 8).map(k =>
+      s"('0x' || substr(h, ${1 + 4 * k}, 4))::BIGINT / 65536.0")
+      .mkString("(", " + ", ")")
+    s"""WITH e AS (
+       | SELECT doc_id, unnest(range(0, 8)) AS i FROM documents
+       | WHERE doc_id < 20),
+       |hs AS (SELECT doc_id, i,
+       | md5('s42:' || doc_id || ':' || i) AS h FROM e)
+       |SELECT doc_id, CAST(i AS BIGINT) AS i,
+       | ($parts - 4.0) / ${Seeded.IrwinHallNorm} AS z
+       |FROM hs ORDER BY doc_id, i""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1768,7 +1814,9 @@ object Queries {
     "q65_hash_split"    -> (q65 _),
     "q66_pack_budget"   -> (q66 _),
     "q67_source_quota"  -> (q67 _),
-    "q68_pii_scrub"     -> (q68 _)
+    "q68_pii_scrub"     -> (q68 _),
+    "q69_seeded_shuffle"-> (q69 _),
+    "q70_seeded_normal" -> (q70 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1833,6 +1881,8 @@ object Queries {
     "q65_hash_split"    -> q65Sql,
     "q66_pack_budget"   -> q66Sql,
     "q67_source_quota"  -> q67Sql,
-    "q68_pii_scrub"     -> q68Sql
+    "q68_pii_scrub"     -> q68Sql,
+    "q69_seeded_shuffle"-> q69Sql,
+    "q70_seeded_normal" -> q70Sql
   )
 }
