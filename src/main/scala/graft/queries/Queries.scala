@@ -1744,6 +1744,80 @@ object Queries {
        |FROM hs ORDER BY doc_id, i""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  // lag/lead deltas: order-value change vs previous/next order per
+  // customer — the offset-window surface next to q54's running frames.
+  // Same-operand subtraction is deterministic; rounding only guards
+  // the window-less engines' ulps on the shared operands
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders").filter($"o_custkey" < 50)
+      .select($"o_custkey", $"o_orderkey",
+        (floor(($"o_totalprice" - lag($"o_totalprice", 1).over(w))
+          * 100.0 + 0.5) / 100.0).as("delta_prev"),
+        (floor((lead($"o_totalprice", 1).over(w) - $"o_totalprice")
+          * 100.0 + 0.5) / 100.0).as("delta_next"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  private val q71Sql =
+    """SELECT o_custkey, o_orderkey,
+      | floor((o_totalprice - lag(o_totalprice, 1) OVER w) * 100.0 + 0.5)
+      |   / 100.0 AS delta_prev,
+      | floor((lead(o_totalprice, 1) OVER w - o_totalprice) * 100.0 + 0.5)
+      |   / 100.0 AS delta_next
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  // Ordered string aggregation: per (nation, segment) roster —
+  // array_sort before join makes the concatenation order-independent
+  // of shuffle arrival, which is also what makes it oracle-able
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").filter($"c_nationkey" < 5)
+      .groupBy($"c_nationkey".cast("long").as("c_nationkey"),
+        $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_list($"c_name"))).as("roster"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+  private val q72Sql =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+      | count(*) AS n,
+      | string_agg(c_name, ',' ORDER BY c_name) AS roster
+      |FROM customer WHERE c_nationkey < 5
+      |GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  // Second-moment statistics: stddev / covariance / correlation per
+  // group. Engines accumulate moments in different merge orders, so
+  // results differ below ~1e-10 relative — rounding granularity is
+  // chosen orders of magnitude above that
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (floor(stddev_samp($"l_extendedprice") * 100.0 + 0.5) / 100.0)
+          .as("sd_price"),
+        (floor(covar_pop($"l_quantity", $"l_extendedprice") * 100.0 + 0.5)
+          / 100.0).as("cov_qty_price"),
+        (floor(corr($"l_quantity", $"l_extendedprice") * 10000.0 + 0.5)
+          / 10000.0).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val q73Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      | floor(stddev_samp(l_extendedprice) * 100.0 + 0.5) / 100.0
+      |   AS sd_price,
+      | floor(covar_pop(l_quantity, l_extendedprice) * 100.0 + 0.5) / 100.0
+      |   AS cov_qty_price,
+      | floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      |   AS corr_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1816,7 +1890,10 @@ object Queries {
     "q67_source_quota"  -> (q67 _),
     "q68_pii_scrub"     -> (q68 _),
     "q69_seeded_shuffle"-> (q69 _),
-    "q70_seeded_normal" -> (q70 _)
+    "q70_seeded_normal" -> (q70 _),
+    "q71_lag_lead"      -> (q71 _),
+    "q72_string_agg"    -> (q72 _),
+    "q73_stats_moments" -> (q73 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1883,6 +1960,9 @@ object Queries {
     "q67_source_quota"  -> q67Sql,
     "q68_pii_scrub"     -> q68Sql,
     "q69_seeded_shuffle"-> q69Sql,
-    "q70_seeded_normal" -> q70Sql
+    "q70_seeded_normal" -> q70Sql,
+    "q71_lag_lead"      -> q71Sql,
+    "q72_string_agg"    -> q72Sql,
+    "q73_stats_moments" -> q73Sql
   )
 }
