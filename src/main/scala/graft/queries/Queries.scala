@@ -494,7 +494,7 @@ object Queries {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val dup = docs.filter($"doc_id" < 100)
-      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
     Dedup.exact(docs.unionByName(dup), "text", "doc_id")
       .select($"fp", $"keeper", $"copies")
       .orderBy($"keeper")
@@ -503,7 +503,7 @@ object Queries {
     """WITH u AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL
-      | SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100)
+      | SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 100)
       |SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
       | min(doc_id) AS keeper, count(*) AS copies
       |FROM u GROUP BY 1 ORDER BY keeper""".stripMargin
@@ -516,7 +516,7 @@ object Queries {
       .select($"doc_id", $"text")
     // inject exact copies (id+1000) so near-dup pairs exist at any sf
     val docs = base.unionByName(base.filter($"doc_id" < 20)
-      .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
     // inverted-index all-pairs join (no cross join): only docs that
     // actually share a shingle ever meet
     Dedup.jaccardPairs(docs, "text", "doc_id", minJaccard = 0.03)
@@ -527,7 +527,7 @@ object Queries {
     """WITH u AS (
       | SELECT doc_id, text FROM documents WHERE doc_id < 40
       | UNION ALL
-      | SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20),
+      | SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20),
       |d AS (
       | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
       | FROM u),
@@ -599,7 +599,7 @@ object Queries {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val dup = docs.filter($"doc_id" < 50)
-      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
     Dedup.minhashCandidates(docs.unionByName(dup), "text", "doc_id")
       .orderBy($"id_a", $"id_b")
   }
@@ -610,7 +610,7 @@ object Queries {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val dup = docs.filter($"doc_id" < 50)
-      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
     Dedup.simhashCandidates(docs.unionByName(dup), "text", "doc_id")
       .orderBy($"id_a", $"id_b")
   }
@@ -1103,7 +1103,7 @@ object Queries {
       .select($"vec_id", $"embedding")
     // inject exact copies (id+1000) so near-dup pairs exist at any sf
     val emb = base.unionByName(base.filter($"vec_id" < 50)
-      .select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+      .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
     Similarity.nearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.8, dim = 64, bits = 0)
       .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
@@ -1114,7 +1114,7 @@ object Queries {
       | SELECT vec_id, embedding::DOUBLE[] AS v
       |  FROM embeddings WHERE vec_id < 200
       | UNION ALL
-      | SELECT vec_id + 1000, embedding::DOUBLE[]
+      | SELECT vec_id + 10000000, embedding::DOUBLE[]
       |  FROM embeddings WHERE vec_id < 50),
       |p AS (
       | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1447,7 +1447,7 @@ object Queries {
     val base = t(s, dir, "documents").filter($"doc_id" < 40)
       .select($"doc_id", $"text")
     val docs = base.unionByName(base.filter($"doc_id" < 20)
-      .select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
     val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", minJaccard = 0.03)
       .select($"id_a", $"id_b")
     Dedup.resolveClusters(pairs).orderBy($"id")
@@ -1456,7 +1456,7 @@ object Queries {
     """WITH RECURSIVE u AS (
       | SELECT doc_id, text FROM documents WHERE doc_id < 40
       | UNION ALL
-      | SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20),
+      | SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20),
       |d AS (
       | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
       | FROM u),
