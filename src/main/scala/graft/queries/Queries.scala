@@ -1818,6 +1818,81 @@ object Queries {
       |   AS corr_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  // End-to-end curation pipeline, the composition capstone: exact-dedup
+  // survivors → repetition gate → quality gate → content-hash split →
+  // per-(split, lang) doc/token totals. Every stage is an operator the
+  // suite already oracles in isolation (q21/q64/q18/q65/q17); this pins
+  // that they compose without semantic drift. All gates compare ROUNDED
+  // values so engine ulps cannot flip membership.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val survivors = Dedup.exact(docs, "text", "doc_id")
+      .select($"keeper".as("doc_id"))
+    val repOk = Curation.repetitionMetrics(docs, "doc_id", "text")
+      .filter($"dup_word_frac" <= 0.6 && $"top_bigram_frac" <= 0.05)
+      .select($"doc_id")
+    docs.join(survivors, "doc_id").join(repOk, "doc_id")
+      .withColumn("q",
+        floor(TextAnalysis.qualityScore($"text") * 10000.0 + 0.5) / 10000.0)
+      .filter($"q" >= 0.45)
+      .select(Curation.hashSplit($"text").as("split"), $"lang",
+        TextAnalysis.wsTokenCount($"text").cast("long").as("tokens"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("tokens_total"))
+      .orderBy($"split", $"lang")
+  }
+  private def q74Sql: String = {
+    val stopRe = s"\\b(${TextAnalysis.stopwords.mkString("|")})\\b"
+    s"""WITH surv AS (
+       | SELECT min(doc_id) AS doc_id
+       | FROM (SELECT doc_id,
+       |   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents) GROUP BY fp),
+       |d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+       | FROM documents),
+       |ws AS (SELECT doc_id, len(w) AS n_words,
+       | len(list_distinct(w)) AS n_distinct FROM d),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       | i -> w[i] || ' ' || w[i+1])) AS b FROM d),
+       |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+       | FROM bc GROUP BY 1),
+       |rep AS (
+       | SELECT ws.doc_id FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+       | WHERE floor((1.0 - n_distinct * 1.0 / n_words) * 10000.0 + 0.5)
+       |     / 10000.0 <= 0.6
+       |   AND coalesce(floor(top_c * 1.0 / n_bg * 10000.0 + 0.5)
+       |     / 10000.0, 0.0) <= 0.05),
+       |qual AS (
+       | SELECT doc_id, floor((CASE WHEN toks > 0 THEN
+       |   least(1.0, toks / 100.0) * 0.4
+       |   + least(1.0, stop * 5.0 / toks) * 0.3
+       |   + (dist / toks) * 0.3 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0
+       |   AS q
+       | FROM (SELECT doc_id,
+       |   CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
+       |   CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+       |     AS stop,
+       |   CAST(len(list_distinct(regexp_extract_all(text, '\\S+')))
+       |     AS DOUBLE) AS dist
+       |  FROM documents)),
+       |kept AS (
+       | SELECT
+       |  CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+       |       WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  lang, len(regexp_extract_all(text, '\\S+')) AS tokens
+       | FROM documents
+       | JOIN surv USING (doc_id) JOIN rep USING (doc_id)
+       | JOIN qual USING (doc_id)
+       | WHERE q >= 0.45)
+       |SELECT split, lang, count(*) AS n_docs,
+       | CAST(sum(tokens) AS BIGINT) AS tokens_total
+       |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1893,7 +1968,8 @@ object Queries {
     "q70_seeded_normal" -> (q70 _),
     "q71_lag_lead"      -> (q71 _),
     "q72_string_agg"    -> (q72 _),
-    "q73_stats_moments" -> (q73 _)
+    "q73_stats_moments" -> (q73 _),
+    "q74_curation_pipe" -> (q74 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1963,6 +2039,7 @@ object Queries {
     "q70_seeded_normal" -> q70Sql,
     "q71_lag_lead"      -> q71Sql,
     "q72_string_agg"    -> q72Sql,
-    "q73_stats_moments" -> q73Sql
+    "q73_stats_moments" -> q73Sql,
+    "q74_curation_pipe" -> q74Sql
   )
 }
