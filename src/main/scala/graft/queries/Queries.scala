@@ -1499,12 +1499,15 @@ object Queries {
     val terms = docs
       .select($"doc_id", explode(split($"text", "\\s+")).as("term"))
       .filter(length($"term") > 0)
+    // tf feeds both the scoring join and the df aggregate; without
+    // materialization Catalyst prunes the two subtrees differently
+    // (the df branch becomes a keys-only aggregate), which defeats
+    // exchange reuse and re-runs the explode. Checkpointing computes
+    // the explode+count once — what a real engine does with a shared
+    // intermediate at 100 TB.
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    // count($"tf"), not count(lit(1)): counting the tf column keeps the
-    // df branch's subtree byte-identical to the tf branch (pruning
-    // would otherwise drop the count and defeat ReuseExchange), so the
-    // expensive explode+partial-agg shuffle is computed once
-    val df = tf.groupBy($"term").agg(count($"tf").as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(n))

@@ -47,4 +47,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"expected pruned ReadSchema in:\n$p")
   }
+
+  test("minhash signatures aggregate relationally — no interpreted " +
+      "per-row seed loop") {
+    val p = graft.operators.Dedup
+      .minhashSignatures(spark.read.parquet(s"$sf/documents.parquet"),
+        "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // the 32 seeded minima must be HashAggregate min()s (codegen,
+    // map-side combined), not a per-row transform over the signature
+    assert(p.contains("partial_min") || p.contains("min("),
+      s"expected min aggregates in:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"))
+  }
+
+  test("q62 tf-idf computes the term explode exactly once") {
+    val df = Queries.all("q62_tfidf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // tf is checkpointed: both consumers scan the materialized rows,
+    // so the final plan carries NO Generate (the explode ran once,
+    // eagerly) — without the checkpoint it would carry two
+    assert(!p.contains("Generate"), s"expected no Generate in:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected checkpoint scan in:\n$p")
+  }
+
+  test("curation pipeline (q74) composes with no cartesian products") {
+    val p = plan("q74_curation_pipe")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("repetition metrics (q64) shuffle only narrow count rows") {
+    val p = plan("q64_repetition")
+    assert(!p.contains("CartesianProduct"))
+    // the bigram explode must feed a partial aggregate (map-side
+    // combine) before any exchange — text never crosses the shuffle
+    assert(p.contains("HashAggregate"), s"expected HashAggregate in:\n$p")
+  }
 }
