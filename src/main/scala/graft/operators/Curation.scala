@@ -116,4 +116,38 @@ object Curation {
   /** Match count for one PII kind (pre-scrub). */
   def piiCount(text: Column, kind: String): Column =
     regexp_count(text, lit(piiPatterns.toMap.apply(kind)))
+
+  /** Gate thresholds for [[curate]]; defaults match the oracled q74
+    * pipeline.
+    */
+  final case class CurationConfig(
+      maxDupWordFrac: Double = 0.6,
+      maxTopBigramFrac: Double = 0.05,
+      minQuality: Double = 0.45)
+
+  /** The end-to-end curation pipeline as one operator: exact-dedup
+    * survivors → repetition gate → quality gate → content-hash split +
+    * token count, returning the kept rows of `docs` with `q`, `split`
+    * and `tokens` columns added. Every stage gates on ROUNDED metrics
+    * (engine ulps cannot flip membership) and shuffles only narrow
+    * per-doc rows; the full-text column crosses no shuffle. q74
+    * oracles the composition value-for-value against DuckDB.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val survivors = Dedup.exact(docs, textCol, idCol)
+      .select(col("keeper").as(idCol))
+    val repOk = repetitionMetrics(docs, idCol, textCol)
+      .filter(col("dup_word_frac") <= cfg.maxDupWordFrac &&
+        col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+      .select(col(idCol))
+    docs.join(survivors, Seq(idCol)).join(repOk, Seq(idCol))
+      .withColumn("q",
+        floor(TextAnalysis.qualityScore(col(textCol)) * 10000.0 + 0.5)
+          / 10000.0)
+      .filter(col("q") >= cfg.minQuality)
+      .withColumn("split", hashSplit(col(textCol)))
+      .withColumn("tokens",
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+  }
 }

@@ -289,8 +289,9 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-        explode(transform(shingles(col(textCol)), s => xxhash64(s))).as("h"))
+    val hashed = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
     hashed.groupBy(col("id"))

@@ -1830,18 +1830,7 @@ object Queries {
   // values so engine ulps cannot flip membership.
   private def q74(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
-    val survivors = Dedup.exact(docs, "text", "doc_id")
-      .select($"keeper".as("doc_id"))
-    val repOk = Curation.repetitionMetrics(docs, "doc_id", "text")
-      .filter($"dup_word_frac" <= 0.6 && $"top_bigram_frac" <= 0.05)
-      .select($"doc_id")
-    docs.join(survivors, "doc_id").join(repOk, "doc_id")
-      .withColumn("q",
-        floor(TextAnalysis.qualityScore($"text") * 10000.0 + 0.5) / 10000.0)
-      .filter($"q" >= 0.45)
-      .select(Curation.hashSplit($"text").as("split"), $"lang",
-        TextAnalysis.wsTokenCount($"text").cast("long").as("tokens"))
+    Curation.curate(t(s, dir, "documents"), "doc_id", "text")
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("tokens_total"))
       .orderBy($"split", $"lang")
