@@ -164,4 +164,29 @@ object Upsert {
     }
     fs.delete(new Path(tmp), true)
   }
+
+  /** Build an SCD-type-2 history from a change log: each change row
+    * becomes a versioned dimension row with `valid_from` = its change
+    * time, `valid_to` = the key's next change time (null while
+    * current), and `is_current`. The history view the reference's
+    * overwrite-in-place Mongo upserts cannot answer ("what was the
+    * state at t?") — one shuffle on the key, one window pass.
+    * `tieBreak` orders same-timestamp changes deterministically.
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+      tieBreak: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol) +: tieBreak: _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Point-in-time lookup against an [[scd2]] history: the version of
+    * each key whose [valid_from, valid_to) range covers `asOf`.
+    */
+  def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
+    history.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
 }

@@ -1885,6 +1885,30 @@ object Queries {
        |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+  // SCD2 history build from the event change log: versioned rows with
+  // [valid_from, valid_to) ranges and a current flag — the
+  // point-in-time view the reference's overwrite-in-place upserts
+  // cannot answer
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Upsert.scd2(
+        t(s, dir, "events").filter($"user_id" < 5)
+          .select($"user_id", $"event_id", $"event_type".as("state"), $"ts"),
+        "user_id", "ts", $"event_id")
+      .select($"user_id", $"event_id", $"state",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+  private val q75Sql =
+    """SELECT user_id, event_id, event_type AS state,
+      | ts::TIMESTAMP AS valid_from,
+      | lead(ts::TIMESTAMP, 1) OVER w AS valid_to,
+      | (lead(ts::TIMESTAMP, 1) OVER w IS NULL) AS is_current
+      |FROM events WHERE user_id < 5
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1961,7 +1985,8 @@ object Queries {
     "q71_lag_lead"      -> (q71 _),
     "q72_string_agg"    -> (q72 _),
     "q73_stats_moments" -> (q73 _),
-    "q74_curation_pipe" -> (q74 _)
+    "q74_curation_pipe" -> (q74 _),
+    "q75_scd2_history"  -> (q75 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2032,6 +2057,7 @@ object Queries {
     "q71_lag_lead"      -> q71Sql,
     "q72_string_agg"    -> q72Sql,
     "q73_stats_moments" -> q73Sql,
-    "q74_curation_pipe" -> q74Sql
+    "q74_curation_pipe" -> q74Sql,
+    "q75_scd2_history"  -> q75Sql
   )
 }

@@ -136,4 +136,30 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(path)
       .filter($"url" === "u1").head.getString(1) == "x")
   }
+
+  test("scd2 history: one current row per key, contiguous ranges, " +
+    "point-in-time lookup") {
+    val changes = Seq(
+      ("k1", 1L, "draft"), ("k1", 5L, "review"), ("k1", 9L, "published"),
+      ("k2", 3L, "draft")).toDF("key", "ts", "state")
+    val hist = Upsert.scd2(changes, "key", "ts")
+    // exactly one current version per key
+    val current = hist.filter($"is_current")
+    assert(current.count() == 2)
+    assert(current.filter($"key" === "k1").head.getAs[String]("state")
+      == "published")
+    // ranges are contiguous: every non-current valid_to equals the
+    // key's next valid_from (lead by construction, asserted end-to-end)
+    val rows = hist.filter($"key" === "k1")
+      .orderBy($"valid_from").collect()
+    assert(rows.map(_.getAs[Long]("valid_from")).sameElements(Array(1L, 5L, 9L)))
+    assert(rows.init.zip(rows.tail).forall { case (a, b) =>
+      a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from") })
+    // as-of: state at t=6 is the version that started at 5
+    val asOf = Upsert.scd2AsOf(hist, lit(6L))
+    assert(asOf.filter($"key" === "k1").head.getAs[String]("state")
+      == "review")
+    assert(asOf.filter($"key" === "k2").head.getAs[String]("state")
+      == "draft")
+  }
 }
