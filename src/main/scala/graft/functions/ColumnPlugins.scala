@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Column
 
-import graft.operators.{Similarity, Summarize}
+import graft.operators.{Curation, Similarity, Summarize, TextAnalysis}
 
 /** A named, swappable Column transformation — the engine's model-call
   * seam. The reference runs real model stages (LLM summarize,
@@ -79,5 +79,16 @@ object ColumnPlugins {
   }
   register("embed") { args =>
     Similarity.hashEmbedding(arity1("embed", args))
+  }
+  // curation scalar stages, so `spark.sql` pipelines can quality-gate,
+  // split, and scrub without leaving SQL
+  register("quality") { args =>
+    TextAnalysis.qualityScore(arity1("quality", args))
+  }
+  register("hash_split") { args =>
+    Curation.hashSplit(arity1("hash_split", args))
+  }
+  register("scrub_pii") { args =>
+    Curation.scrubPii(arity1("scrub_pii", args))
   }
 }

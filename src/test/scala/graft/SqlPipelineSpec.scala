@@ -50,6 +50,20 @@ class SqlPipelineSpec extends AnyFunSuite {
     assert(dims.forall(_.getInt(0) == 64))
   }
 
+  test("a curation gate + split pipeline runs in pure SQL") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs")
+    val out = spark.sql(
+      """SELECT graft_call('hash_split', text) AS split, count(*) AS n
+        |FROM docs WHERE graft_call('quality', text) >= 0.45
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(out.map(_.getString(0)).toSet.subsetOf(
+      Set("train", "val", "test")) && out.map(_.getLong(1)).sum > 0)
+    val scrubbed = spark.sql(
+      "SELECT graft_call('scrub_pii', 'mail a@b.io now') AS s").head
+    assert(scrubbed.getString(0) == "mail [EMAIL] now")
+  }
+
   test("a swapped-in plugin replaces the stand-in at existing call sites") {
     import graft.functions.ColumnPlugins
     import org.apache.spark.sql.functions._
