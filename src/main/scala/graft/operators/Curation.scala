@@ -64,7 +64,9 @@ object Curation {
     */
   def hashSplit(text: Column): Column = {
     val c = substring(md5(text), 1, 1)
-    when(c < "c", "train").when(c < "e", "val").otherwise("test")
+    // final branch tests isNotNull rather than otherwise(): a null
+    // text must stay null, not silently land in the test split
+    when(c < "c", "train").when(c < "e", "val").when(c.isNotNull, "test")
   }
 
   /** Start-offset context packing: within each `groupCol` partition,

@@ -70,6 +70,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("curation ops tolerate null and empty texts") {
+    import spark.implicits._
+    val weird = Seq((1L, null: String, "en"), (2L, "", "en"),
+      (3L, "   ", "en"), (4L, "one fine doc right here", "en"))
+      .toDF("doc_id", "text", "lang")
+    // metrics: null/empty/whitespace docs have no words -> no row (the
+    // explode drops them), real docs come through
+    val m = Curation.repetitionMetrics(weird, "doc_id", "text")
+    assert(m.select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L))
+    // scalar stages must not throw on null; null in -> null out
+    val r = weird.select(Curation.hashSplit(col("text")).as("s"),
+      Curation.scrubPii(col("text")).as("p")).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    // curate end-to-end on the degenerate frame: no crash, and only
+    // docs that clear every gate survive
+    val kept = Curation.curate(weird, "doc_id", "text")
+    assert(kept.count() <= 1)
+  }
+
   test("scrubPii is idempotent and removes every counted match") {
     import spark.implicits._
     val lines = Seq(

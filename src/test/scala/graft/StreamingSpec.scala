@@ -163,4 +163,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.getAs[Long]("session_cnt") == 2L &&
       u1.getAs[Long]("max_session_events") == 2L)
   }
+
+  test("curation stages run unchanged on a stream and match the batch " +
+    "twin") {
+    implicit val sc = spark.sqlContext
+    // stateless scan-side stages (quality gate, split, scrub, tokens)
+    // need no watermark and no state — the streaming plan is the batch
+    // plan per micro-batch, so the outputs must agree row-for-row
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog of the town"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "mail me at a@b.io and visit the site now"))
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      df.filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.2)
+        .select(col("doc_id"),
+          graft.operators.Curation.hashSplit(col("text")).as("split"),
+          graft.operators.Curation.scrubPii(col("text")).as("clean"),
+          graft.operators.TextAnalysis.wsTokenCount(col("text")).as("tokens"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows: _*)
+    val q = stage(stream.toDF().select(col("_1").as("doc_id"),
+        col("_2").as("text")))
+      .writeStream.format("memory").queryName("curated_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("curated_stream").orderBy("doc_id").collect()
+    val batch = stage(rows.toDF("doc_id", "text")).orderBy("doc_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.exists(_.getAs[String]("clean").contains("[EMAIL]")))
+  }
 }
