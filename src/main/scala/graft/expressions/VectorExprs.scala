@@ -93,6 +93,33 @@ case class DotProduct(left: Expression, right: Expression)
   */
 object VectorKernels {
 
+  /** Reconstruct an approximate vector from PQ codes: the
+    * concatenation of each subspace's selected codeword. Null codes →
+    * null vector.
+    */
+  def pqReconstruct(codes: ArrayData,
+                    codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    if (codes.numElements() != m) return null
+    var dim = 0
+    var mi = 0
+    while (mi < m) { dim += codebooks(mi)(0).length; mi += 1 }
+    val out = new Array[Double](dim)
+    var pos = 0
+    mi = 0
+    while (mi < m) {
+      if (codes.isNullAt(mi)) return null
+      val book = codebooks(mi)
+      val c = codes.getInt(mi)
+      if (c < 0 || c >= book.length) return null
+      val word = book(c)
+      System.arraycopy(word, 0, out, pos, word.length)
+      pos += word.length
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Ids of the `n` centroids nearest to `vec` (squared L2), ascending
     * by (distance, id) — the tie-break keeps results total-ordered and
     * reproducible. Returns null when any element is null (consistent
@@ -174,6 +201,42 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       s"""
          |${ev.value} = graft.expressions.VectorKernels.nearestCells(
          |  $c, $isFloat, $cents, $nProbe);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Decode PQ codes back to the approximate vector (concatenated
+  * codewords). The codebooks ride along as a referenced object, not
+  * inlined literals — m×k×subdim literal structs would be the same
+  * expression-tree bomb the IVF centroids avoid.
+  */
+case class PqReconstruct(child: Expression,
+                         codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_pq_reconstruct"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int> codes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqReconstruct(v.asInstanceOf[ArrayData], codebooks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      s"""
+         |${ev.value} = graft.expressions.VectorKernels.pqReconstruct(
+         |  $c, $books);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })

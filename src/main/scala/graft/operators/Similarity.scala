@@ -155,12 +155,27 @@ object Similarity {
   def fitIvf(corpus: DataFrame, vecCol: String, nlist: Int,
              trainSample: Int = 16384, maxIter: Int = 10,
              seed: Long = 42L): IvfModel = {
-    val sample = corpus.select(Vectors.toDouble(col(vecCol)).as("v"))
+    val sample = sampleVectors(corpus, vecCol, trainSample)
+    require(sample.nonEmpty, "fitIvf: no non-null training vectors")
+    IvfModel(lloyd(sample, nlist, maxIter, seed))
+  }
+
+  /** Bounded driver-local training sample (see [[fitIvf]] scaladoc for
+    * why a capped collect is the right index-build shape).
+    */
+  private def sampleVectors(corpus: DataFrame, vecCol: String,
+      trainSample: Int): Array[Array[Double]] =
+    corpus.select(Vectors.toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       .limit(trainSample)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "fitIvf: no non-null training vectors")
+
+  /** Driver-local Lloyd's k-means over a bounded sample — shared by the
+    * IVF coarse quantizer and the PQ per-subspace codebooks.
+    */
+  private def lloyd(sample: Array[Array[Double]], nlist: Int,
+      maxIter: Int, seed: Long): Array[Array[Double]] = {
     val dim = sample.head.length
     val k = math.min(nlist, sample.length)
     val rnd = new scala.util.Random(seed)
@@ -202,7 +217,7 @@ object Similarity {
       }
       iter += 1
     }
-    IvfModel(centroids)
+    centroids
   }
 
   /** IVF (inverted-file) approximate top-k search against a fitted
@@ -241,6 +256,87 @@ object Similarity {
               seed: Long = 42L): DataFrame =
     ivfTopK(fitIvf(corpus, vecCol, nlist, trainSample, seed = seed),
       queries, corpus, idCol, vecCol, k, nprobe)
+
+  /** Product-quantization codebooks: the vector space split into `m`
+    * subspaces, each with its own `k`-centroid codebook. A vector
+    * compresses to `m` small codes — m·log₂k bits instead of dim·32
+    * (e.g. 64-d float → 8 bytes at m=8, k=256: 32×) — which is what
+    * lets a 100 TB embedding corpus live in executor memory for
+    * scanning. Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", IEEE TPAMI 2011.
+    */
+  case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def subDim: Int = codebooks(0)(0).length
+    def dim: Int = m * subDim
+
+    /** Codes column (array<int>, length m) for a vector column: each
+      * subspace's nearest codeword via the codegen'd NearestCells
+      * kernel over a slice — one scan, no shuffle.
+      */
+    def encode(vec: Column): Column =
+      array((0 until m).map { mi =>
+        element_at(
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.expressions.NearestCells(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                slice(vec, mi * subDim + 1, subDim)),
+              codebooks(mi), 1)), 1)
+      }: _*)
+
+    /** Approximate vector back from codes (concatenated codewords),
+      * via the codegen'd PqReconstruct kernel — codebooks ride as a
+      * referenced object, not inlined literals.
+      */
+    def reconstruct(codes: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.PqReconstruct(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
+          codebooks))
+  }
+
+  /** Train PQ codebooks on a bounded sample (one capped collect, like
+    * [[fitIvf]]): per-subspace Lloyd's over the sample's subvectors.
+    */
+  def fitPq(corpus: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+            trainSample: Int = 16384, maxIter: Int = 10,
+            seed: Long = 42L): PqModel = {
+    val sample = sampleVectors(corpus, vecCol, trainSample)
+    require(sample.nonEmpty, "fitPq: no non-null training vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"fitPq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(
+        v, mi * subDim, (mi + 1) * subDim))
+      lloyd(sub, k, maxIter, seed + mi)
+    }.toArray
+    PqModel(books)
+  }
+
+  /** Compress a corpus to (id, codes) — the 32×-smaller scan target. */
+  def pqEncode(model: PqModel, corpus: DataFrame, idCol: String,
+               vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("c_id"),
+      model.encode(Vectors.toDouble(col(vecCol))).as("codes"))
+
+  /** Approximate top-k over a PQ-compressed corpus: scan the codes,
+    * reconstruct each candidate (two codegen'd kernels, no shuffle on
+    * the corpus side), cosine against the broadcast-bounded query
+    * batch, rank. Exactness knobs live in (m, k); callers wanting
+    * exact final order re-rank the survivors against the uncompressed
+    * vectors — which is k · queries rows, not the corpus.
+    */
+  def pqTopK(model: PqModel, queries: DataFrame, codes: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      Vectors.toDouble(col(vecCol)).as("q_vec"))
+    val scored = codes
+      .withColumn("c_vec", model.reconstruct(col("codes")))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
+    rankTopK(scored, k)
+  }
 
   /** Embedding-cosine near-duplicate pairs: docs whose vectors land in
     * the same random-hyperplane bucket are compared exactly; pairs above

@@ -1909,6 +1909,27 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  // Product-quantization ANN (rows-only: codebooks are engine-specific;
+  // reconstruction fidelity + recall vs brute force are asserted in
+  // VectorSimilaritySpec). The corpus is scanned as 8-int codes — the
+  // 100 TB memory story — with codebooks fit once per dir and cached
+  // like q48's IVF quantizer.
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val model = pqModels.getOrElseUpdate(dir,
+      Similarity.fitPq(emb, "embedding", m = 8, k = 16))
+    val codes = Similarity.pqEncode(model, emb, "vec_id", "embedding")
+    Similarity.pqTopK(model, emb.filter($"vec_id" < 10), codes,
+        "vec_id", "embedding", k = 5)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1986,7 +2007,8 @@ object Queries {
     "q72_string_agg"    -> (q72 _),
     "q73_stats_moments" -> (q73 _),
     "q74_curation_pipe" -> (q74 _),
-    "q75_scd2_history"  -> (q75 _)
+    "q75_scd2_history"  -> (q75 _),
+    "q76_pq_ann"        -> (q76 _)
   )
 
   val oracles: Map[String, String] = Map(

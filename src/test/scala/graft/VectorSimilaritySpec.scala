@@ -246,4 +246,42 @@ class VectorSimilaritySpec extends AnyFunSuite {
     val n = math.sqrt(rows(0).map(x => x * x).sum)
     assert(math.abs(n - 1.0) < 1e-9)
   }
+
+  test("PQ: codes compress 8x, reconstruction stays near the input, " +
+    "search recalls brute force on clustered data") {
+    val rnd = new scala.util.Random(61)
+    def cluster(cx: Double, cy: Double, n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong, Array(
+        (cx + rnd.nextGaussian() * 0.05).toFloat,
+        (cy + rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat)))
+    val data = (cluster(1, 0, 50, 0) ++ cluster(0, 1, 50, 100) ++
+      cluster(-1, 0, 50, 200)).toDF("id", "vec")
+    val model = Similarity.fitPq(data, "vec", m = 2, k = 16)
+    val codes = Similarity.pqEncode(model, data, "id", "vec")
+    // compression: 4 floats -> 2 int codes per vector
+    assert(codes.head.getSeq[Int](1).length == 2)
+    // reconstruction error well under the cluster spread
+    val err = codes.join(
+        data.select($"id".as("c_id"),
+          graft.functions.Vectors.toDouble($"vec").as("orig")), "c_id")
+      .select(avg(graft.functions.Vectors.cosine(
+        model.reconstruct($"codes"), $"orig"))).head.getDouble(0)
+    assert(err > 0.98, s"mean reconstruction cosine too low: $err")
+    // recall of approximate search vs brute force
+    val queries = data.filter($"id".isin(0L, 100L, 200L))
+    val exact = Similarity.bruteForceTopK(queries, data, "id", "vec", 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(model, queries, codes, "id", "vec", 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+    // refit with the same seed is bit-identical (index reproducibility)
+    val refit = Similarity.fitPq(data, "vec", m = 2, k = 16)
+    assert(model.codebooks.flatten.flatten.toSeq ==
+      refit.codebooks.flatten.flatten.toSeq)
+  }
 }
