@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Curation
@@ -68,6 +70,43 @@ class CurationSpec extends AnyFunSuite {
     sizes.foreach { case (src, n) =>
       assert(n <= (if (src == "src0") 7 else 3), s"$src overflowed: $n")
     }
+  }
+
+  test("packByBudget property: random token sequences always satisfy " +
+    "the start-offset invariant") {
+    import spark.implicits._
+    // property: a row with pack_id p has strictly less than p*budget +
+    // budget tokens before it, and at least p*budget (by definition of
+    // floor(cum_before/budget)) — over random token sizes
+    val gen = Gen.listOfN(60, Gen.choose(1L, 500L))
+    (0 until 10).foreach { trial =>
+      val tokens = gen(Gen.Parameters.default, Seed(7L + trial)).get
+      val df = tokens.zipWithIndex
+        .map { case (t, i) => (i.toLong, "g", t) }.toDF("id", "g", "tokens")
+      val packed = Curation.packByBudget(df, "g", "id", "tokens", 1000L)
+        .orderBy("id").collect()
+      var cum = 0L
+      packed.foreach { r =>
+        val p = r.getAs[Long]("pack_id")
+        assert(p == cum / 1000L, s"trial $trial row ${r.getLong(0)}")
+        cum += r.getAs[Long]("tokens")
+      }
+    }
+  }
+
+  test("hashSplit property: every non-null text gets exactly one " +
+    "split, stable under re-evaluation") {
+    import spark.implicits._
+    val texts = (0 until 50).flatMap(i =>
+      Gen.alphaNumStr.map(_.take(40))(Gen.Parameters.default, Seed(i.toLong)))
+    val df = texts.toDF("text")
+      .select(col("text"), Curation.hashSplit(col("text")).as("s"))
+    val rows = df.collect()
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(1))))
+    // same text -> same split on an independent evaluation
+    val again = texts.toDF("text")
+      .select(Curation.hashSplit(col("text"))).collect().map(_.getString(0))
+    assert(rows.map(_.getString(1)).sameElements(again))
   }
 
   test("curation ops tolerate null and empty texts") {
