@@ -42,10 +42,18 @@ object Bench {
         Seq("zz_selftest_broken" ->
           ((s: SparkSession, _: String) => s.read.parquet("/nonexistent")))
       else Nil
+    // SPARK_GRAFT_ONLY=q26,q48 restricts the run to queries whose name
+    // starts with any of the comma-separated prefixes (dev loop tool;
+    // the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     // run in name order so residual warmup always lands on q01 and
     // per-query numbers stay comparable across rounds
     val results: Seq[(String, Either[String, Double])] =
-      (SparkEntry.queries.toSeq ++ selftest).sortBy(_._1).map {
+      (SparkEntry.queries.toSeq ++ selftest).sortBy(_._1)
+        .filter(p => selected(p._1)).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           // a failing query must NOT report a success-looking wall-time:

@@ -160,6 +160,10 @@ object VectorKernels {
         if (!used(c) && dists(c) < bd) { bd = dists(c); best = c }
         c += 1
       }
+      // NaN input vectors make every distance NaN, so `< bd` never
+      // fires and `best` stays -1 — honor the null contract instead
+      // of indexing with -1
+      if (best < 0) return null
       used(best) = true
       out(j) = best
       j += 1

@@ -79,11 +79,17 @@ object Curation {
     */
   def packByBudget(docs: DataFrame, groupCol: String, orderCol: String,
       tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.withColumn("pack_id",
-      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget.toDouble)
-        .cast("long"))
+    // long DIV, not floor(x / double): IEEE division is only exact
+    // while running sums stay below ~2^53 — at extreme scale boundary
+    // assignment could drift, and "exact integer arithmetic" (the
+    // reproducibility contract above) must actually be integer
+    val cum = coalesce(sum(col(tokensCol)).over(w), lit(0L))
+    docs.withColumn("__graft_cum", cum)
+      .withColumn("pack_id", expr(s"__graft_cum div ${budget}L"))
+      .drop("__graft_cum")
   }
 
   /** Per-group quota cap: keep the first `quota` rows of each

@@ -38,6 +38,25 @@ object Dedup {
         .otherwise(array().cast("array<string>"))
     }
 
+  /** Hashes of word n-shingles, skipping the string materialization:
+    * `xxhash64(w1, w2, w3)` hashes the shingle's words directly, so no
+    * per-shingle `concat_ws` string is ever allocated and the distinct
+    * runs over longs, not strings. Signature builders (sim/minhash)
+    * only consume shingle HASHES, so this is semantics-preserving for
+    * them (equal shingles hash equal; distinct collisions are 2⁻⁶⁴).
+    * Exact-Jaccard paths ([[jaccardPairs]], [[jaccardOfSets]]) keep the
+    * string form — their postings/intersections are defined on the
+    * shingle values themselves.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    bound(filter(split(lower(text), "\\s+"), w => length(w) > 0)) { words =>
+      val count = size(words) - (n - 1)
+      when(count > 0,
+        array_distinct(transform(sequence(lit(1), count), i =>
+          xxhash64((0 until n).map(j => element_at(words, i + j)): _*))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+
   /** Exact dedup: keep one survivor row per normalized-text fingerprint
     * (min of `idCol` = deterministic survivor). Returns
     * (fingerprint, keeper id, copies).
@@ -90,8 +109,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 32): DataFrame = {
     val hashed = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol))).as("h"))
     val aggs = (0 until numHashes).map(seed =>
       min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
@@ -105,7 +124,11 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, textCol, idCol, numHashes)
+    // materialized once: the signature aggregate (explode + 32 min aggs)
+    // feeds both sides of the bucket self-join, and exchange reuse does
+    // not kick in across the differing aliases — without the checkpoint
+    // the whole signature computation runs twice (measured 2× at sf0.1)
+    val sig = minhashSignatures(df, textCol, idCol, numHashes).localCheckpoint(false)
     val buckets = sig
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
@@ -200,10 +223,10 @@ object Dedup {
     val fwd = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
     val rev = pairs.select(col("id_b").as("id"), col("id_a").as("nbr"))
     // materialized once, reused every round
-    val edges = fwd.union(rev).localCheckpoint()
+    val edges = fwd.union(rev).localCheckpoint(false)
     var labels = edges.groupBy(col("id"))
       .agg(least(col("id"), min(col("nbr"))).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -221,7 +244,7 @@ object Dedup {
       val next = labels.join(nbrMin, "id").join(jumped, "id")
         .select(col("id"),
           least(col("label"), col("nl"), col("jl")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       converged = next
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old"))
@@ -290,8 +313,8 @@ object Dedup {
   def simhashSignatures(df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
     val hashed = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol))).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
     hashed.groupBy(col("id"))
@@ -310,22 +333,35 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs agreeing on any 16-bit quarter of
     * the signature (catches all pairs with hamming ≤ 3).
+    *
+    * Shape: signatures are materialized ONCE (`localCheckpoint` — the
+    * explode + 64-bit-sum aggregate is the expensive subplan and feeds
+    * four consumers below), the banded self-join carries only
+    * (id, band, bits) — three longs, not the signature — and the
+    * `(id_a, id_b)` pairs are deduplicated BEFORE hamming, so the
+    * distinct combines map-side over two columns. Hamming is then
+    * recovered from the tiny (id, sig) relation, which is already
+    * hash-partitioned on id by its own aggregate.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, textCol, idCol)
-    val banded = sig.select(col("id"), col("sig"),
+    val sig = simhashSignatures(df, textCol, idCol).localCheckpoint(false)
+    val banded = sig.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
         .as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bits"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("bk.band"), col("bk.bits"))
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.sig"), col("b.sig")).as("dist"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= maxHamming)
   }
 }

@@ -115,9 +115,23 @@ object Upsert {
     else {
       val in = fs.open(m)
       try {
+        // loop the read — a single read() may return fewer bytes than
+        // available, and an empty marker returns -1
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+        var total = 0
+        var n = in.read(buf, total, buf.length - total)
+        while (n > 0 && total + n < buf.length) {
+          total += n
+          n = in.read(buf, total, buf.length - total)
+        }
+        if (n > 0) total += n
+        val s = new String(buf, 0, total, "UTF-8").trim
+        val parsed = s.toIntOption.filter(_ > 0)
+        if (parsed.isEmpty)
+          throw new IllegalStateException(
+            s"corrupt _graft_buckets marker at $path: " +
+              (if (s.isEmpty) "empty" else s"'$s' is not a positive int"))
+        parsed
       } finally in.close()
     }
   }
@@ -155,13 +169,41 @@ object Upsert {
       .withColumn(bucketCol, bucketOf(keys, numBuckets))
     val tmp = path + "__tmp"
     merged.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(tmp)
-    touched.foreach { b =>
-      val dst = new Path(path, s"$bucketCol=$b")
-      val src = new Path(tmp, s"$bucketCol=$b")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      // a touched bucket always has rows (it contains its delta rows)
-      fs.rename(src, dst)
+    // swap with per-bucket backups (same __old protocol as the flat
+    // merge): dst → backup, src in, then drop the backups. Backups live
+    // in a `__old` sibling of the TABLE dir (not inside it — partition
+    // discovery would parse a leftover `graft_bucket=5.__old` as a
+    // partition value). A crash mid-swap leaves either the old or the
+    // new bucket present — never neither — and a failure rolls
+    // already-swapped buckets back.
+    val bakRoot = new Path(path + "__old")
+    if (fs.exists(bakRoot)) fs.delete(bakRoot, true)
+    fs.mkdirs(bakRoot)
+    val swapped = scala.collection.mutable.ListBuffer.empty[Int]
+    try {
+      touched.foreach { b =>
+        val dst = new Path(path, s"$bucketCol=$b")
+        val bak = new Path(bakRoot, s"$bucketCol=$b")
+        val src = new Path(tmp, s"$bucketCol=$b")
+        if (fs.exists(dst)) fs.rename(dst, bak)
+        // a touched bucket always has rows (it contains its delta rows)
+        fs.rename(src, dst)
+        swapped += b
+      }
+    } catch {
+      case e: Throwable =>
+        swapped.foreach { b =>
+          val dst = new Path(path, s"$bucketCol=$b")
+          val bak = new Path(bakRoot, s"$bucketCol=$b")
+          if (fs.exists(bak)) {
+            if (fs.exists(dst)) fs.delete(dst, true)
+            fs.rename(bak, dst)
+          }
+        }
+        fs.delete(new Path(tmp), true)
+        throw e
     }
+    fs.delete(bakRoot, true)
     fs.delete(new Path(tmp), true)
   }
 

@@ -1606,7 +1606,8 @@ object Queries {
   }
   private val q65Sql =
     """WITH s AS (SELECT
-      |  CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+      |  CASE WHEN text IS NULL THEN NULL
+      |       WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
       |       WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
       |       ELSE 'test' END AS split, doc_id, n_chars
       | FROM documents)
@@ -1632,9 +1633,9 @@ object Queries {
     """WITH d AS (SELECT doc_id, lang,
       | len(regexp_extract_all(text, '\S+')) AS tokens FROM documents),
       |p AS (SELECT lang, tokens,
-      | CAST(floor(coalesce(sum(tokens) OVER (PARTITION BY lang
+      | CAST(coalesce(sum(tokens) OVER (PARTITION BY lang
       |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |   0) / 2048.0) AS BIGINT) AS pack_id
+      |   0) // 2048 AS BIGINT) AS pack_id
       | FROM d)
       |SELECT lang, pack_id, count(*) AS n_docs,
       | CAST(sum(tokens) AS BIGINT) AS tokens_total

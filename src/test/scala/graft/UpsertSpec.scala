@@ -137,6 +137,21 @@ class UpsertSpec extends AnyFunSuite {
       .filter($"url" === "u1").head.getString(1) == "x")
   }
 
+  test("mergeIntoPartitionedTable: corrupt layout marker is a clear " +
+    "error, not a StringIndexOutOfBounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmerge3").toString
+    val path = s"$dir/t"
+    Upsert.mergeIntoPartitionedTable(spark, path, base, Seq("url"), 4)
+    // truncate the marker to zero bytes
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_graft_buckets"), Array.empty[Byte])
+    val delta = Seq(("u1", "x", Some(0))).toDF("url", "title", "score")
+    val e = intercept[IllegalStateException] {
+      Upsert.mergeIntoPartitionedTable(spark, path, delta, Seq("url"), 4)
+    }
+    assert(e.getMessage.contains("_graft_buckets"))
+  }
+
   test("scd2 history: one current row per key, contiguous ranges, " +
     "point-in-time lookup") {
     val changes = Seq(

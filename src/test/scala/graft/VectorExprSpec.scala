@@ -61,6 +61,19 @@ class VectorExprSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 11.0)
   }
 
+  test("nearestCells: NaN vector → null, not a crash") {
+    // NaN makes every centroid distance NaN, so no candidate is ever
+    // "nearest" — the kernel must honor the null contract instead of
+    // indexing with best = -1
+    val model = graft.operators.Similarity.IvfModel(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val df = Seq(Array(Double.NaN, 1.0), Array(0.1, 0.1)).toDF("v")
+      .select(model.nearestCells($"v", 1).as("cells"))
+    val out = df.collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getSeq[Int](0) == Seq(0))
+  }
+
   test("graft_chunk generator is callable from SQL") {
     val out = spark.sql(
       "SELECT chunk_idx, chunk FROM (SELECT 'one two. three four. five " +
