@@ -338,6 +338,82 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ composed index (FAISS IVFPQ shape, minus residual
+    * encoding — codes quantize the raw vector; a documented
+    * simplification that costs a little recall at equal (m, k) and is
+    * recovered by the exact re-rank stage): the coarse quantizer
+    * prunes the scan to `nprobe` of `nlist` cells, and within probed
+    * cells candidates are scored against PQ-reconstructed vectors, so
+    * the full-precision corpus is only touched for the ≤ k·rerank
+    * survivors. This fixes [[pqTopK]]'s 100 TB soft spot: that scan
+    * reads EVERY code row per query batch; this one reads
+    * ~nprobe/nlist of them.
+    */
+  case class IvfPqModel(ivf: IvfModel, pq: PqModel)
+
+  /** Train coarse quantizer + PQ codebooks off ONE bounded sample
+    * (single capped collect — same index-build contract as [[fitIvf]]).
+    */
+  def fitIvfPq(corpus: DataFrame, vecCol: String, nlist: Int = 16,
+               m: Int = 8, k: Int = 16, trainSample: Int = 16384,
+               maxIter: Int = 10, seed: Long = 42L): IvfPqModel = {
+    val sample = sampleVectors(corpus, vecCol, trainSample)
+    require(sample.nonEmpty, "fitIvfPq: no non-null training vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"fitIvfPq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(
+        v, mi * subDim, (mi + 1) * subDim))
+      lloyd(sub, k, maxIter, seed + mi)
+    }.toArray
+    IvfPqModel(IvfModel(lloyd(sample, nlist, maxIter, seed)), PqModel(books))
+  }
+
+  /** One-scan index build: (c_id, cell, codes). Cell assignment and
+    * codes are both map-side native kernels — no shuffle; at 100 TB
+    * this is the once-per-corpus pass that everything else amortizes.
+    */
+  def ivfPqEncode(model: IvfPqModel, corpus: DataFrame, idCol: String,
+                  vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("c_id"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+      .select(col("c_id"),
+        element_at(model.ivf.nearestCells(col("v"), 1), 1).as("cell"),
+        model.pq.encode(col("v")).as("codes"))
+
+  /** Two-stage IVF-PQ search: probe `nprobe` cells, score candidates
+    * by PQ-reconstructed cosine, keep k·`rerankFactor` survivors per
+    * query, then re-rank ONLY the survivors exactly against the
+    * uncompressed vectors. Scale shape:
+    *  - the bounded query batch broadcasts, so the codes scan is
+    *    pruned to probed cells by a broadcast hash join — the index
+    *    never shuffles;
+    *  - survivors (≤ queries·k·rerankFactor rows) broadcast into one
+    *    full-precision corpus scan — no corpus shuffle there either;
+    *  - the only shuffles are the two per-query top-k windows, whose
+    *    input is candidates, not corpus.
+    */
+  def ivfPqTopK(model: IvfPqModel, queries: DataFrame, index: DataFrame,
+                corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      Vectors.toDouble(col(vecCol)).as("q_vec"))
+    val probes = q.withColumn("cell",
+      explode(model.ivf.nearestCells(col("q_vec"), nprobe)))
+    val cand = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        Vectors.cosine(col("q_vec"), model.pq.reconstruct(col("codes"))))
+    val surv = rankTopK(cand, k * rerankFactor)
+      .select(col("q_id"), col("c_id"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val exact = c.join(broadcast(surv), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
+    rankTopK(exact, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: docs whose vectors land in
     * the same random-hyperplane bucket are compared exactly; pairs above
     * `threshold` survive. The bucketed self-join is the 100 TB shape

@@ -1931,6 +1931,27 @@ object Queries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- q77
+  // IVF-PQ composed ANN (rows-only; recall ≥ plain PQ asserted in
+  // VectorSimilaritySpec): coarse cells prune the codes scan to
+  // nprobe/nlist of the index, PQ scores the pruned candidates, and
+  // survivors re-rank exactly against the uncompressed vectors —
+  // pqTopK's full-codes-scan fixed. Models cached per dir like q48/q76.
+  private val ivfPqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfPqModel]
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val model = ivfPqModels.getOrElseUpdate(dir,
+      Similarity.fitIvfPq(emb, "embedding", nlist = 16, m = 8, k = 16))
+    val index = Similarity.ivfPqEncode(model, emb, "vec_id", "embedding")
+    Similarity.ivfPqTopK(model, emb.filter($"vec_id" < 10), index, emb,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2009,7 +2030,8 @@ object Queries {
     "q73_stats_moments" -> (q73 _),
     "q74_curation_pipe" -> (q74 _),
     "q75_scd2_history"  -> (q75 _),
-    "q76_pq_ann"        -> (q76 _)
+    "q76_pq_ann"        -> (q76 _),
+    "q77_ivfpq_ann"     -> (q77 _)
   )
 
   val oracles: Map[String, String] = Map(

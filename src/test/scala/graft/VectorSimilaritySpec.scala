@@ -284,4 +284,50 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(model.codebooks.flatten.flatten.toSeq ==
       refit.codebooks.flatten.flatten.toSeq)
   }
+
+  test("IVF-PQ composed search: recall ≥ plain PQ at equal k, exact " +
+    "re-rank orders survivors by true cosine") {
+    val rnd = new scala.util.Random(67)
+    def cluster(cx: Double, cy: Double, n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong, Array(
+        (cx + rnd.nextGaussian() * 0.05).toFloat,
+        (cy + rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat,
+        (rnd.nextGaussian() * 0.05).toFloat)))
+    val data = (cluster(1, 0, 50, 0) ++ cluster(0, 1, 50, 100) ++
+      cluster(-1, 0, 50, 200)).toDF("id", "vec")
+    val queries = data.filter($"id".isin(0L, 100L, 200L))
+    val exact = Similarity.bruteForceTopK(queries, data, "id", "vec", 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val pq = Similarity.fitPq(data, "vec", m = 2, k = 16)
+    val pqCodes = Similarity.pqEncode(pq, data, "id", "vec")
+    val pqHits = Similarity.pqTopK(pq, queries, pqCodes, "id", "vec", 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (exact intersect pqHits).size.toDouble / exact.size
+
+    val model = Similarity.fitIvfPq(data, "vec", nlist = 6, m = 2, k = 16)
+    val index = Similarity.ivfPqEncode(model, data, "id", "vec")
+    val composed = Similarity.ivfPqTopK(model, queries, index, data,
+      "id", "vec", k = 5, nprobe = 3)
+    val hits = composed.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect hits).size.toDouble / exact.size
+    assert(recall >= pqRecall,
+      s"IVF-PQ recall $recall below plain PQ $pqRecall")
+    assert(recall >= 0.8, s"IVF-PQ recall too low: $recall")
+
+    // the re-rank stage scores survivors with TRUE vectors: every
+    // reported sim must equal the brute-force cosine for that pair
+    val bf = Similarity.bruteForceTopK(queries, data, "id", "vec", 150)
+      .select("q_id", "c_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    composed.select("q_id", "c_id", "sim").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(2) - bf(key)) < 1e-12,
+        s"survivor $key not exactly re-ranked")
+    }
+  }
 }
