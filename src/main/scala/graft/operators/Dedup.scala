@@ -268,8 +268,20 @@ object Dedup {
     */
   def dropNearDups(df: DataFrame, textCol: String, idCol: String,
                    minJaccard: Double = 0.8, numHashes: Int = 32,
-                   bands: Int = 8): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands)
+                   bands: Int = 8): DataFrame =
+    dropNearDupsWith(df, textCol, idCol,
+      minhashCandidates(df, textCol, idCol, numHashes, bands), minJaccard)
+
+  /** The composition tail of [[dropNearDups]] with caller-supplied
+    * candidate pairs (id_a, id_b): exact-Jaccard verify →
+    * [[resolveClusters]] → anti-join the non-survivor ids away.
+    * Callers choose the candidate generator by recall/cost: LSH
+    * banding at scale ([[dropNearDups]]), or exact [[jaccardPairs]]
+    * candidates when zero-miss behavior must hold (the oracle-checked
+    * q79 path).
+    */
+  def dropNearDupsWith(df: DataFrame, textCol: String, idCol: String,
+                       cands: DataFrame, minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol).as("vid"),
       shingles(col(textCol)).as("vsh"))
     val verified = cands

@@ -54,4 +54,31 @@ object Seeded {
   /** F14 stand-in: a `dim`-element seeded normal vector per id. */
   def normalVec(id: Column, dim: Int, seed: String): Column =
     transform(sequence(lit(0), lit(dim - 1)), i => normalDraw(id, i, seed))
+
+  /** The reference's TTS voice pools (tts_utils.py:47-53). */
+  val maleVoices: Seq[String] = Seq("alloy", "echo", "fable", "onyx")
+  val femaleVoices: Seq[String] = Seq("shimmer", "coral", "nova", "sage")
+
+  /** F15 deterministic voice pick (tts_utils.py:47-53): the reference
+    * draws `random.choice` from four voices per gender — a fresh draw
+    * per call, irreproducible. Here the draw is md5-keyed, so the same
+    * (gender, key) always yields the same voice: 16 bits of
+    * md5(seed ‖ key) mod 4 index the pool. Non-'male' genders take the
+    * female pool, mirroring the reference's else branch; a null key
+    * yields a null voice.
+    */
+  def voicePick(gender: Column, key: Column, seed: String = "s42"): Column = {
+    val idx = pmod(
+      conv(substring(md5(concat(lit(seed), lit(":"),
+        key.cast("string"))), 1, 4), 16, 10).cast("long"), lit(4L))
+    def pick(vs: Seq[String]) =
+      element_at(array(vs.map(lit): _*), (idx + 1).cast("int"))
+    // explicit null-key branch: element_at with a null ordinal trips an
+    // optimizer-internal NPE (ConvertToLocalRelation projects the null
+    // through a writer that assumes the literal array's non-nullable
+    // element type), and the guard also documents the contract
+    when(idx.isNull, lit(null).cast("string"))
+      .when(gender === "male", pick(maleVoices))
+      .otherwise(pick(femaleVoices))
+  }
 }

@@ -1952,6 +1952,91 @@ object Queries {
       .orderBy($"q_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- q78
+  // F15 deterministic voice pick: md5-keyed choice from the per-gender
+  // voice pool (reference: random.choice per call — seeded here so the
+  // oracle can mirror the draw exactly)
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(2)) === 0, "male").otherwise("female")
+          .as("gender"))
+      .withColumn("voice", Seeded.voicePick($"gender", $"doc_id"))
+      .orderBy($"doc_id")
+  }
+  private val q78Sql =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'male' ELSE 'female' END AS gender
+      | FROM documents WHERE doc_id < 200),
+      |v AS (SELECT doc_id, gender,
+      |  ('0x' || substr(md5('s42:' || doc_id), 1, 4))::BIGINT % 4 AS idx
+      | FROM d)
+      |SELECT doc_id, gender,
+      | CASE WHEN gender = 'male'
+      |   THEN list_extract(['alloy','echo','fable','onyx'],
+      |     CAST(idx + 1 AS INT))
+      |   ELSE list_extract(['shimmer','coral','nova','sage'],
+      |     CAST(idx + 1 AS INT))
+      | END AS voice
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  // Dedup capstone: candidates → exact-Jaccard verify → connected-
+  // component clusters → anti-join survivors, end to end. Exact
+  // jaccardPairs candidates (zero LSH misses) so the survivor set is
+  // DuckDB-oracle-able via the recursive-CTE closure; the LSH-candidate
+  // production path (dropNearDups) shares this exact composition tail.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").filter($"doc_id" < 40)
+      .select($"doc_id", $"text", $"n_chars")
+    val docs = base.unionByName(base.filter($"doc_id" < 20)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"n_chars"))
+    val cands = Dedup.jaccardPairs(docs, "text", "doc_id", minJaccard = 0.5)
+      .select($"id_a", $"id_b")
+    Dedup.dropNearDupsWith(docs, "text", "doc_id", cands, minJaccard = 0.8)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  private val q79Sql =
+    """WITH RECURSIVE u AS (
+      | SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 40
+      | UNION ALL
+      | SELECT doc_id + 10000000, text, n_chars
+      | FROM documents WHERE doc_id < 20),
+      |d AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+      | FROM u),
+      |sh AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sgl
+      | FROM d),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      | FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT id_a, id_b FROM inter
+      | JOIN cnt ca ON ca.doc_id = id_a
+      | JOIN cnt cb ON cb.doc_id = id_b
+      | WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+      |edges AS (
+      | SELECT id_a AS src, id_b AS dst FROM pairs
+      | UNION ALL
+      | SELECT id_b, id_a FROM pairs),
+      |walk AS (
+      | SELECT src AS id, src AS reach FROM edges
+      | UNION
+      | SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |losers AS (
+      | SELECT id FROM walk GROUP BY id HAVING id <> min(reach))
+      |SELECT doc_id, n_chars FROM u
+      |WHERE doc_id NOT IN (SELECT id FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2031,7 +2116,9 @@ object Queries {
     "q74_curation_pipe" -> (q74 _),
     "q75_scd2_history"  -> (q75 _),
     "q76_pq_ann"        -> (q76 _),
-    "q77_ivfpq_ann"     -> (q77 _)
+    "q77_ivfpq_ann"     -> (q77 _),
+    "q78_voice_pick"    -> (q78 _),
+    "q79_dropneardups"  -> (q79 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2103,6 +2190,8 @@ object Queries {
     "q72_string_agg"    -> q72Sql,
     "q73_stats_moments" -> q73Sql,
     "q74_curation_pipe" -> q74Sql,
-    "q75_scd2_history"  -> q75Sql
+    "q75_scd2_history"  -> q75Sql,
+    "q78_voice_pick"    -> q78Sql,
+    "q79_dropneardups"  -> q79Sql
   )
 }

@@ -46,4 +46,28 @@ class SeededSpec extends AnyFunSuite {
       .select(Seeded.normalDraw(col("id"), lit(0), "s1").as("z"))
     assert(z.exceptAll(z2).count() == 0)
   }
+
+  test("voicePick: deterministic, pool-respecting, covers all voices") {
+    import spark.implicits._
+    val df = spark.range(400).select(col("id"),
+      when(pmod(col("id"), lit(2)) === 0, "male").otherwise("female")
+        .as("gender"))
+      .withColumn("voice", Seeded.voicePick(col("gender"), col("id")))
+    val byGender = df.groupBy("gender")
+      .agg(collect_set($"voice").as("voices")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    // each gender uses exactly its own 4-voice pool (200 draws cover it)
+    assert(byGender("male") == Seeded.maleVoices.toSet)
+    assert(byGender("female") == Seeded.femaleVoices.toSet)
+    // re-evaluation is identical (keyed draw, not process randomness)
+    val again = spark.range(400).select(col("id"),
+      when(pmod(col("id"), lit(2)) === 0, "male").otherwise("female")
+        .as("gender"))
+      .withColumn("voice", Seeded.voicePick(col("gender"), col("id")))
+    assert(df.exceptAll(again).count() == 0)
+    // null key → null voice
+    val nullOut = Seq(("male", null: java.lang.Long)).toDF("gender", "key")
+      .select(Seeded.voicePick($"gender", $"key")).head
+    assert(nullOut.isNullAt(0))
+  }
 }
