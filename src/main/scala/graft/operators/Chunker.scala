@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * the next chunk past `size`, matching the reference splitter's merge
   * behavior — and no emitted chunk ≤ `minLen` chars.
   *
-  * Runs as a typed `flatMap` over the Dataset — per-row pure Scala,
-  * embarrassingly parallel, no shuffle. (A custom Catalyst `Generator`
-  * would regain codegen; flatMap keeps the logic testable in isolation
-  * and is never the bottleneck next to the downstream embed stage.)
+  * The DataFrame path ([[chunkDF]]) plans as the native
+  * [[graft.expressions.ChunkText]] Generator — a `Generate` node like
+  * explode, no encoder round-trip; the kernel itself is per-row pure
+  * Scala, embarrassingly parallel, no shuffle. [[chunkDFTyped]] keeps
+  * the typed-flatMap twin purely as the equivalence cross-check the
+  * Generator is tested against (ChunkerSpec).
   */
 object Chunker extends Serializable {
 

@@ -54,6 +54,35 @@ class SinkSpec extends AnyFunSuite {
     assert(merged(2).getString(0) == "p3")
   }
 
+  test("K8: SinkPlugin registry resolves by name; FileTreeSink uploads " +
+    "blobs partition-wise and returns receipts") {
+    import graft.sources.{FileTreeSink, Sinks}
+    val dir = s"${tmp()}/blobsink"
+    Sinks.register(FileTreeSink(base = dir, name = "spec-blob"))
+    val blobs = Seq(
+      ("a1", "hello".getBytes("UTF-8")),
+      ("a2", Array[Byte](0, 1, 2, 3))
+    ).toDF("audio_id", "audio")
+    val receipts = Sinks("spec-blob").upload(blobs, "audio_id", "audio")
+      .orderBy("key").collect()
+    assert(receipts.map(_.getString(0)).toSeq == Seq("a1", "a2"))
+    // the blobs actually landed, byte-identical
+    val a1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/a1.bin"))
+    assert(new String(a1, "UTF-8") == "hello")
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/a2.bin")).toSeq == Seq[Byte](0, 1, 2, 3))
+    // receipts point at the landed files
+    assert(receipts.forall(r => r.getString(1).endsWith(s"${r.getString(0)}.bin")))
+    // re-upload is idempotent (task-retry safety)
+    Sinks("spec-blob").upload(blobs, "audio_id", "audio").collect()
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/a1.bin")), "UTF-8") == "hello")
+    // unknown names fail with the available set, like Sources
+    val e = intercept[NoSuchElementException](Sinks("nope"))
+    assert(e.getMessage.contains("spec-blob"))
+  }
+
   test("K7: warehouse sink writes lang-partitioned parquet that prunes") {
     val dir = s"${tmp()}/warehouse/documents"
     Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("doc_id", "lang")

@@ -202,6 +202,29 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"near-dup LSH recall too low: $recall")
   }
 
+  test("nearDupPairs: bucketed path (bits > 0) recalls ≥ 0.95 of the " +
+    "exact pairs on the sf0.01 embeddings fixture (q47's corpus)") {
+    // q47 oracles the exact bits=0 path; this pins the production
+    // bucketed path's recall against it on the same fixture
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val docs = emb.filter($"vec_id" < 200).unionByName(
+      emb.filter($"vec_id" < 50)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
+    val dim = emb.head.getSeq[Float](1).length
+    def pairs(bits: Int) = graft.operators.Similarity
+      .nearDupPairs(docs, "vec_id", "embedding", threshold = 0.8,
+        dim = dim, bits = bits)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0)
+    assert(exact.size >= 50) // the 50 planted copies at sim 1.0, at least
+    val bucketed = pairs(8)
+    val recall = (exact intersect bucketed).size.toDouble / exact.size
+    assert(recall >= 0.95, s"bucketed near-dup recall too low: $recall " +
+      s"(${exact.size} exact pairs)")
+  }
+
   test("vecMean matches manual element-wise mean") {
     val df = Seq(
       ("a", Array(1f, 2f)), ("a", Array(3f, 4f)), ("b", Array(5f, 6f))
