@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins. AQE's runtime skew-join splitting
@@ -26,5 +27,32 @@ object Skew {
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Exact top-k per group for LOW-cardinality groups, two-phase. A
+    * single `row_number` window over a 5-value group column sends every
+    * row of a group to ONE task — at 100 TB that is 5 tasks each
+    * sorting a fifth of the table. Phase 1 takes a local top-k within
+    * (group, salt-of-`saltCol`) — the shuffle spreads over
+    * groups×`salt` keys and each task sorts 1/salt of a group; phase 2
+    * ranks only the surviving ≤ groups·salt·k candidate rows. Exact
+    * for any k (a group's true top-k rows are each top-k within their
+    * own salt slice); the salt is a deterministic hash of `saltCol`,
+    * so reruns produce identical slices. Output: input columns + `rn`
+    * (long, 1-based rank within the group by `orderCols`).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, saltCol: Column,
+                   k: Int, orderCols: Seq[Column],
+                   salt: Int = 64): DataFrame = {
+    val localW = Window
+      .partitionBy(col(groupCol),
+        pmod(xxhash64(saltCol), lit(salt)).cast("int"))
+      .orderBy(orderCols: _*)
+    val globalW = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("__lrn", row_number().over(localW))
+      .filter(col("__lrn") <= k)
+      .drop("__lrn")
+      .withColumn("rn", row_number().over(globalW).cast("long"))
+      .filter(col("rn") <= k)
   }
 }

@@ -113,15 +113,16 @@ object Queries {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- q05
-  // T1/P13: ranked top-k per group window
+  // T1/P13: ranked top-k per group — two-phase salted window
+  // (Skew.topKPerGroup): c_mktsegment has 5 values, so a plain window
+  // would sort each segment on one task; the salted local top-k phase
+  // spreads the sort over 5×64 keys. Exact — oracle unchanged.
   private def q05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"c_mktsegment")
-      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-    t(s, dir, "orders")
+    val joined = t(s, dir, "orders")
       .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter($"rn" <= 3)
+    Skew.topKPerGroup(joined, "c_mktsegment", $"o_orderkey", k = 3,
+        Seq($"o_totalprice".desc, $"o_orderkey".asc))
       .select($"c_mktsegment", $"rn", $"o_orderkey", $"o_totalprice")
       .orderBy($"c_mktsegment", $"rn")
   }
@@ -1505,8 +1506,10 @@ object Queries {
     // exchange reuse and re-runs the explode. Checkpointing computes
     // the explode+count once — what a real engine does with a shared
     // intermediate at 100 TB.
+    // lazy: the eager variant schedules an extra materialization job
+    // (~0.3-1.5 s measured); the first consumer action fills it instead
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
     val scored = tf.join(df, "term")

@@ -27,4 +27,26 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(plain.count(_._1 == "hotkey") == 1800)
   }
+
+  test("topKPerGroup equals the single-window top-k, ties and all") {
+    val rnd = new scala.util.Random(7)
+    // 3 groups, duplicate scores to exercise the id tie-break
+    val df = (0 until 3000).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextInt(50).toDouble)).toDF("g", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val plain = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 7)
+      .select("g", "rn", "id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val twoPhase = Skew.topKPerGroup(df, "g", $"id", k = 7,
+        Seq($"score".desc, $"id".asc), salt = 16)
+      .select("g", "rn", "id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoPhase == plain)
+    // k larger than some salt slices still exact
+    val big = Skew.topKPerGroup(df, "g", $"id", k = 40,
+        Seq($"score".desc, $"id".asc), salt = 64)
+    assert(big.count() == 120)
+  }
 }
