@@ -140,6 +140,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup candidates: band a DELTA's signatures
+    * against a persisted signature index — the daily-ingest shape at
+    * 100 TB, where the corpus signature table (id, sig) is append-only
+    * and each batch of new docs must be checked against it WITHOUT
+    * recomputing (or even re-shuffling) the corpus. With
+    * `broadcastDelta` (the default — a daily delta is bounded), the
+    * index side is ONE scan probed by a broadcast hash join; the only
+    * shuffled relation is the delta itself. Emits candidate pairs
+    * where at least one side is a delta doc: delta×index pairs plus
+    * delta×delta pairs, `(id_a < id_b)`, distinct. Contract: delta ids
+    * are disjoint from index ids (they haven't been appended yet).
+    * After verification, append the delta signatures to the index
+    * (e.g. [[Upsert.mergeIntoPartitionedTable]] keyed on id) and the
+    * next batch sees them as index rows.
+    */
+  def incrementalCandidates(indexSigs: DataFrame, deltaSigs: DataFrame,
+                            numHashes: Int = 32, bands: Int = 8,
+                            broadcastDelta: Boolean = true): DataFrame = {
+    val rows = numHashes / bands
+    def toBuckets(sig: DataFrame) = sig
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+    // the delta feeds three consumers below — materialize once
+    val dSig = deltaSigs.localCheckpoint(false)
+    val db = toBuckets(dSig)
+    val dbSide = if (broadcastDelta) broadcast(db) else db
+    val di = toBuckets(indexSigs).as("a").join(dbSide.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val dd = db.as("a").join(db.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    di.union(dd).distinct()
+  }
+
   /** Estimated Jaccard from two MinHash signatures (fraction of equal
     * components).
     */

@@ -2040,6 +2040,23 @@ object Queries {
       |WHERE doc_id NOT IN (SELECT id FROM losers)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  // Incremental dedup: a delta's signatures banded against a persisted
+  // corpus signature index — broadcast delta, ONE index scan, no
+  // corpus recompute (rows-only; equivalence with the full-batch
+  // candidate set is spec-pinned in DedupSpec)
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val index = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+    Dedup.incrementalCandidates(
+        Dedup.minhashSignatures(index, "text", "doc_id"),
+        Dedup.minhashSignatures(delta, "text", "doc_id"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2121,7 +2138,8 @@ object Queries {
     "q76_pq_ann"        -> (q76 _),
     "q77_ivfpq_ann"     -> (q77 _),
     "q78_voice_pick"    -> (q78 _),
-    "q79_dropneardups"  -> (q79 _)
+    "q79_dropneardups"  -> (q79 _),
+    "q80_incr_dedup"    -> (q80 _)
   )
 
   val oracles: Map[String, String] = Map(

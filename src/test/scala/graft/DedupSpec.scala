@@ -133,6 +133,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("incrementalCandidates == full-batch candidates restricted to " +
+    "delta-touching pairs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // delta: every 5th doc re-keyed (disjoint ids) — exact copies of
+    // index docs plus whatever real near-dups the corpus has
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val indexSigs = Dedup.minhashSignatures(index, "text", "doc_id")
+    val deltaSigs = Dedup.minhashSignatures(delta, "text", "doc_id")
+    val incr = Dedup.incrementalCandidates(indexSigs, deltaSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(index.unionByName(delta),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaTouching = full.filter { case (a, b) =>
+      a >= 10000000L || b >= 10000000L }
+    assert(incr == deltaTouching,
+      s"incremental ${incr.size} pairs vs expected ${deltaTouching.size}")
+    // and the incremental path never emits index-only pairs
+    assert(incr.forall { case (a, b) => a >= 10000000L || b >= 10000000L })
+    assert(incr.nonEmpty) // the planted exact copies must collide
+  }
+
   test("resolveClusters labels every component by its min id") {
     // three known components: a 5-clique, a triangle, an isolated edge
     val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
