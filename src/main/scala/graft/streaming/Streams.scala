@@ -58,6 +58,49 @@ object Streams {
     input.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming incremental dedup — the ingest-dedup loop as a
+    * micro-batch sink: each batch of (id, text) docs computes its own
+    * minhash signatures, emits near-dup candidates against the
+    * persisted corpus signature index
+    * ([[graft.operators.Dedup.incrementalCandidates]] — broadcast
+    * delta, ONE index scan, zero index shuffle), appends the
+    * candidates, then appends its signatures to the index so later
+    * batches see them. The corpus is signed exactly once across the
+    * stream's lifetime. Replayed batches re-append the same candidate
+    * pairs (and duplicate signature rows); downstream consumers
+    * dedupe on (id_a, id_b) — the same run-key idempotency story as
+    * [[dedupedStream]], applied at the output instead of the input.
+    */
+  def streamingDedup(input: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, candidatesPath: String,
+                     checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import graft.operators.Dedup
+    val sink: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      // lazy checkpoint: the signatures feed two write actions below
+      val deltaSigs = Dedup.minhashSignatures(batch.toDF(), textCol, idCol)
+        .localCheckpoint(false)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val index =
+        if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+          spark.read.parquet(indexPath)
+        else deltaSigs.limit(0) // first batch: delta-delta pairs only
+      Dedup.incrementalCandidates(index, deltaSigs)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(candidatesPath)
+      deltaSigs.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(indexPath)
+    }
+    input.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(sink)
+      .start()
+  }
+
   /** Watermarked tumbling window aggregate — the streaming twin of
     * `Events.tumbling` (same output schema, append-mode safe: a window
     * is emitted once the watermark passes its end).

@@ -61,6 +61,38 @@ class StreamingSpec extends AnyFunSuite {
         (2L, "beta text", null)))
   }
 
+  test("streamingDedup: cross-batch near-dup pairs surface via the " +
+    "persisted signature index") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val textA = "the quick brown fox jumps over the lazy dog again and " +
+      "again until everyone is thoroughly bored of the sentence"
+    val textB = "completely unrelated content about spark structured " +
+      "streaming micro batch execution and checkpoint recovery semantics"
+    val stream = MemoryStream[(Long, String)]
+    // batch 1: A and an unrelated doc
+    stream.addData((1L, textA), (2L, textB))
+    val q1 = Streams.streamingDedup(
+      stream.toDF().select(col("_1").as("id"), col("_2").as("text")),
+      "id", "text", s"$dir/index", s"$dir/cands", s"$dir/cp1")
+    q1.awaitTermination()
+    // batch 2 (fresh query, same index): an exact copy of A
+    val stream2 = MemoryStream[(Long, String)]
+    stream2.addData((10L, textA))
+    val q2 = Streams.streamingDedup(
+      stream2.toDF().select(col("_1").as("id"), col("_2").as("text")),
+      "id", "text", s"$dir/index", s"$dir/cands", s"$dir/cp2")
+    q2.awaitTermination()
+    val cands = spark.read.parquet(s"$dir/cands").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cross-batch pair (1, 10) must surface — batch 2 never saw
+    // doc 1's text, only its signature in the index
+    assert(cands.contains((1L, 10L)), s"got $cands")
+    assert(!cands.exists(p => p._1 == 2L || p._2 == 2L))
+    // index now holds all three signatures
+    assert(spark.read.parquet(s"$dir/index").count() == 3)
+  }
+
   test("dedupedStream admits each run key once across micro-batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(String, Timestamp)]
