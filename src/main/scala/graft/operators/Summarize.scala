@@ -21,8 +21,12 @@ object Summarize {
     * engine-reproducible.
     */
   def sentenceSlices(text: Column, n: Int, width: Int): Column =
-    array((0 until n).map(i =>
-      concat_ws(" ", slice(words(text), i * width + 1, width))): _*)
+    // bind the split once: it is referenced n times below, and Catalyst
+    // re-evaluates un-bound subtrees per use site
+    graft.functions.Vectors.bound(words(text)) { w =>
+      array((0 until n).map(i =>
+        concat_ws(" ", slice(w, i * width + 1, width))): _*)
+    }
 
   /** M1 stand-in raw model output: boilerplate intro line + one bullet
     * ("• ") per extracted sentence — the exact shape clean_summary
@@ -38,16 +42,19 @@ object Summarize {
     * "statements" — one row per statement, like the reference's
     * LLM-extracted statement list (validation_utils.py:92-117).
     */
-  def statements(text: Column, width: Int = 6): Column = {
-    val w = words(text)
-    val n = ceil(size(w) / lit(width.toDouble)).cast("int")
-    // guard n=0: Spark's sequence(0, -1) yields a DESCENDING [0, -1],
-    // not an empty array — an empty text would emit phantom statements
-    when(n > 0,
-      transform(sequence(lit(0), n - 1), i =>
-        concat_ws(" ", slice(w, i * width + 1, lit(width)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def statements(text: Column, width: Int = 6): Column =
+    // bind the split once — `w` is referenced by the count AND inside
+    // the transform lambda, where an un-bound subtree re-splits the
+    // text per statement (O(words²) per doc)
+    graft.functions.Vectors.bound(words(text)) { w =>
+      val n = ceil(size(w) / lit(width.toDouble)).cast("int")
+      // guard n=0: Spark's sequence(0, -1) yields a DESCENDING [0, -1],
+      // not an empty array — an empty text would emit phantom statements
+      when(n > 0,
+        transform(sequence(lit(0), n - 1), i =>
+          concat_ws(" ", slice(w, i * width + 1, lit(width)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Rule-based statement status (deterministic classifier stand-in):
     * confirmed ≻ refuted ≻ unverified, first match wins.
