@@ -125,6 +125,29 @@ object Curation {
   def piiCount(text: Column, kind: String): Column =
     regexp_count(text, lit(piiPatterns.toMap.apply(kind)))
 
+  /** Deterministic stratified sampling — the mixture-weighting
+    * primitive: keep each row with a per-stratum probability, decided
+    * by md5(seed ‖ key) rather than process randomness, so the sample
+    * is reproducible across runs, engines, partitionings, and cluster
+    * sizes (the property that makes a 100 TB training mixture
+    * auditable — the same (seed, key) always lands the same way).
+    * Scan-side, no shuffle, no sampling state. `fractions` maps
+    * stratum → keep fraction; strata absent from the map are dropped.
+    * The draw compares the first 4 md5 bytes (as a 32-bit uniform)
+    * against fraction·2³²; fractions are quantized to 1/2³² — exact
+    * for any practical mixture weight.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], seed: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      val cut = math.round(f * 4294967296.0) // fraction·2^32
+      when(col(strataCol) === stratum, u < cut).otherwise(acc)
+    }
+    docs.filter(keep)
+  }
+
   /** Gate thresholds for [[curate]]; defaults match the oracled q74
     * pipeline.
     */

@@ -2057,6 +2057,38 @@ object Queries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---------------------------------------------------------------- q81
+  // Deterministic stratified mixture sampling: per-lang keep fractions
+  // decided by md5(seed ‖ doc_id) — reproducible across engines, so
+  // the oracle mirrors the draw bit-for-bit (zh absent from the map →
+  // dropped entirely)
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125,
+      "es" -> 1.0)
+    Curation.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        fractions, seed = "mix7")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"lang")
+  }
+  private val q81Sql = {
+    val cuts = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "es" -> 1.0)
+      .map { case (l, f) =>
+        s"WHEN lang = '$l' THEN u < ${math.round(f * 4294967296.0)}" }
+      .mkString(" ")
+    s"""WITH d AS (SELECT lang, doc_id, n_chars,
+       | ('0x' || substr(md5('mix7:' || doc_id), 1, 8))::BIGINT AS u
+       | FROM documents),
+       |k AS (SELECT lang, doc_id, n_chars FROM d
+       | WHERE CASE $cuts ELSE FALSE END)
+       |SELECT lang, count(*) AS n_docs,
+       | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       | min(doc_id) AS first_doc
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2139,7 +2171,8 @@ object Queries {
     "q77_ivfpq_ann"     -> (q77 _),
     "q78_voice_pick"    -> (q78 _),
     "q79_dropneardups"  -> (q79 _),
-    "q80_incr_dedup"    -> (q80 _)
+    "q80_incr_dedup"    -> (q80 _),
+    "q81_strat_sample"  -> (q81 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2213,6 +2246,7 @@ object Queries {
     "q74_curation_pipe" -> q74Sql,
     "q75_scd2_history"  -> q75Sql,
     "q78_voice_pick"    -> q78Sql,
-    "q79_dropneardups"  -> q79Sql
+    "q79_dropneardups"  -> q79Sql,
+    "q81_strat_sample"  -> q81Sql
   )
 }

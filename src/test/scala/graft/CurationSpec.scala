@@ -15,6 +15,33 @@ class CurationSpec extends AnyFunSuite {
   private def docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("stratifiedSample: deterministic, subset-stable, fraction-" +
+    "accurate, absent strata dropped") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val fr = Map("a" -> 0.5)
+    val s1 = Curation.stratifiedSample(df, "g", "id", fr, "s1")
+      .collect().map(_.getLong(0)).toSet
+    // deterministic: same seed → identical sample
+    val s2 = Curation.stratifiedSample(df, "g", "id", fr, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // absent stratum dropped entirely
+    assert(s1.forall(_ % 2 == 0))
+    // keep rate near the fraction (2000 draws, ±5 pp)
+    assert(math.abs(s1.size / 2000.0 - 0.5) < 0.05, s"rate ${s1.size}")
+    // per-key decisions are independent of the rest of the frame:
+    // sampling a subset keeps exactly the intersection
+    val sub = Curation.stratifiedSample(df.filter($"id" < 1000), "g", "id",
+      fr, "s1").collect().map(_.getLong(0)).toSet
+    assert(sub == s1.filter(_ < 1000))
+    // different seed → different sample
+    val s3 = Curation.stratifiedSample(df, "g", "id", fr, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+  }
+
   test("repetitionMetrics: fractions in range, exact on a known doc") {
     import spark.implicits._
     val m = Curation.repetitionMetrics(
