@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators (K6): the engine-side equivalent of the
@@ -18,4 +18,52 @@ object Layout {
             sortCols: String*): DataFrame =
     df.repartition(n, col(keyCol))
       .sortWithinPartitions((keyCol +: sortCols).map(col): _*)
+
+  /** Z-order (Morton) clustering over TWO numeric columns — [[byKey]]
+    * clusters one key; a query mix filtering on either of two columns
+    * needs both clustered at once. Each column is linearly binned into
+    * 2^`bits` buckets between its min and max (computed as a 1-row
+    * aggregate broadcast into the scan — no driver round-trip), the
+    * bin indices are bit-interleaved into a Morton code, and rows are
+    * range-partitioned + sorted by it. Every output file then covers a
+    * small rectangle of (A, B) space, so parquet min/max row-group /
+    * file skipping works for predicates on A, on B, or both — the
+    * standard lakehouse multi-dimensional clustering (cf. the
+    * z-ordering literature: Morton 1966; Delta/Iceberg OPTIMIZE
+    * ZORDER). LayoutSpec asserts the per-file span contraction that
+    * skipping relies on.
+    */
+  def zorder(df: DataFrame, colA: String, colB: String, n: Int,
+             bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val stats = df.agg(
+      min(col(colA)).cast("double").as("__amin"),
+      max(col(colA)).cast("double").as("__amax"),
+      min(col(colB)).cast("double").as("__bmin"),
+      max(col(colB)).cast("double").as("__bmax"))
+    val maxBin = (1 << bits) - 1
+    def bin(c: Column, lo: Column, hi: Column): Column =
+      when(hi > lo,
+        least(lit(maxBin),
+          floor((c.cast("double") - lo) / (hi - lo) * (maxBin + 1))
+            .cast("int")))
+        .otherwise(0)
+    def interleave(za: Column, zb: Column): Column =
+      graft.functions.Vectors.bound(za) { a =>
+        graft.functions.Vectors.bound(zb) { b =>
+          (0 until bits).map { i =>
+            shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i)
+              .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+          }.reduce((x, y) => x.bitwiseOR(y))
+        }
+      }
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", interleave(
+        bin(col(colA), col("__amin"), col("__amax")),
+        bin(col(colB), col("__bmin"), col("__bmax"))))
+      .drop("__amin", "__amax", "__bmin", "__bmax")
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

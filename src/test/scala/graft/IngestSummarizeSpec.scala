@@ -108,4 +108,28 @@ class IngestSummarizeSpec extends AnyFunSuite {
       .groupBy($"k").agg(countDistinct($"pid").as("n")).collect()
     assert(parts.forall(_.getAs[Long]("n") == 1L))
   }
+
+  test("Layout.zorder: rows preserved; every partition covers a small " +
+    "rectangle of BOTH dimensions (the min/max-skipping property)") {
+    // a 64×64 grid, shuffled arrival order
+    val rnd = new scala.util.Random(3)
+    val grid = rnd.shuffle((0 until 64).flatMap(x =>
+      (0 until 64).map(y => (x.toLong, y.toLong)))).toDF("x", "y")
+    val laid = Layout.zorder(grid, "x", "y", n = 16, bits = 6)
+    // lossless
+    assert(laid.count() == 4096)
+    assert(laid.exceptAll(grid).count() == 0)
+    // per-partition spans: z-order keeps each of the 16 partitions
+    // inside a small (x, y) rectangle — a single-column sort would
+    // leave the OTHER column's span at ~full range
+    val spans = laid.withColumn("pid", spark_partition_id())
+      .groupBy($"pid").agg(
+        (max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .collect()
+    assert(spans.length > 4) // actually spread over multiple partitions
+    val avgX = spans.map(_.getAs[Long]("xs")).sum.toDouble / spans.length
+    val avgY = spans.map(_.getAs[Long]("ys")).sum.toDouble / spans.length
+    assert(avgX < 32, s"avg x-span $avgX not contracted (range 63)")
+    assert(avgY < 32, s"avg y-span $avgY not contracted (range 63)")
+  }
 }
