@@ -120,6 +120,29 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** `vec + sign·centroids[cell]`: the residual (sign = −1) and the
+    * reconstruction offset (sign = +1) of residual-encoded IVF-PQ.
+    * Null vector elements or an out-of-range cell → null (consistent
+    * with the other kernels). Centroid dimensions beyond the vector's
+    * are ignored; vector dimensions beyond the centroid's pass
+    * through unshifted.
+    */
+  def cellOffset(cell: Int, vec: ArrayData, isFloat: Boolean,
+                 centroids: Array[Array[Double]], sign: Double): ArrayData = {
+    if (cell < 0 || cell >= centroids.length) return null
+    val cent = centroids(cell)
+    val dim = vec.numElements()
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      out(i) = v + (if (i < cent.length) sign * cent(i) else 0.0)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Ids of the `n` centroids nearest to `vec` (squared L2), ascending
     * by (distance, id) — the tie-break keeps results total-ordered and
     * reproducible. Returns null when any element is null (consistent
@@ -211,6 +234,51 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `vec + sign·centroids[cell]` — residual-encoded IVF-PQ's encode
+  * (sign = −1: subtract the cell centroid before PQ-coding) and
+  * search (sign = +1: add it back onto the reconstructed residual)
+  * halves. `left` = cell id (int), `right` = vector; centroids ride
+  * as a codegen reference object like [[NearestCells]].
+  */
+case class CellOffset(left: Expression, right: Expression,
+                      centroids: Array[Array[Double]], sign: Int)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_cell_offset"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (int cell, array<float|double> vec), " +
+          s"got ${l.sql} / ${r.sql}")
+    }
+
+  private def isFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(c: Any, v: Any): Any =
+    VectorKernels.cellOffset(c.asInstanceOf[Int], v.asInstanceOf[ArrayData],
+      isFloat, centroids, sign.toDouble)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, v) => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      s"""
+         |${ev.value} = graft.expressions.VectorKernels.cellOffset(
+         |  $c, $v, $isFloat, $cents, ${sign.toDouble});
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Decode PQ codes back to the approximate vector (concatenated

@@ -338,21 +338,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF-PQ composed index (FAISS IVFPQ shape, minus residual
-    * encoding — codes quantize the raw vector; a documented
-    * simplification that costs a little recall at equal (m, k) and is
-    * recovered by the exact re-rank stage): the coarse quantizer
-    * prunes the scan to `nprobe` of `nlist` cells, and within probed
-    * cells candidates are scored against PQ-reconstructed vectors, so
-    * the full-precision corpus is only touched for the ≤ k·rerank
-    * survivors. This fixes [[pqTopK]]'s 100 TB soft spot: that scan
-    * reads EVERY code row per query batch; this one reads
-    * ~nprobe/nlist of them.
+  /** IVF-PQ composed index (FAISS IVFPQ shape, residual-encoded: PQ
+    * codes quantize `vec − centroid[cell]`, whose spread is much
+    * tighter than the raw vectors', so the same (m, k) budget buys a
+    * finer quantization — Jégou et al. 2011 §IV-B): the coarse
+    * quantizer prunes the scan to `nprobe` of `nlist` cells, and
+    * within probed cells candidates are scored against
+    * `centroid[cell] + reconstructed residual`, so the full-precision
+    * corpus is only touched for the ≤ k·rerank survivors. This fixes
+    * [[pqTopK]]'s 100 TB soft spot: that scan reads EVERY code row
+    * per query batch; this one reads ~nprobe/nlist of them.
     */
-  case class IvfPqModel(ivf: IvfModel, pq: PqModel)
+  case class IvfPqModel(ivf: IvfModel, pq: PqModel) {
+    private def offset(cell: Column, vec: Column, sign: Int): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.CellOffset(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(cell),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+          ivf.centroids, sign))
+    /** `vec − centroid[cell]` — what the PQ codes quantize. */
+    def residual(cell: Column, vec: Column): Column = offset(cell, vec, -1)
+    /** Approximate original vector back from (cell, codes). */
+    def reconstructAt(cell: Column, codes: Column): Column =
+      offset(cell, pq.reconstruct(codes), 1)
+  }
 
   /** Train coarse quantizer + PQ codebooks off ONE bounded sample
     * (single capped collect — same index-build contract as [[fitIvf]]).
+    * The PQ codebooks train on the sample's RESIDUALS against their
+    * nearest centroid — the distribution the codes will actually see.
     */
   def fitIvfPq(corpus: DataFrame, vecCol: String, nlist: Int = 16,
                m: Int = 8, k: Int = 16, trainSample: Int = 16384,
@@ -361,26 +375,43 @@ object Similarity {
     require(sample.nonEmpty, "fitIvfPq: no non-null training vectors")
     val dim = sample.head.length
     require(dim % m == 0, s"fitIvfPq: dim $dim not divisible by m=$m")
+    val cents = lloyd(sample, nlist, maxIter, seed)
+    val residuals = sample.map { p =>
+      var best = 0; var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        val ce = cents(c)
+        val n = math.min(dim, ce.length)
+        while (i < n) { val x = p(i) - ce(i); d += x * x; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      val ce = cents(best)
+      Array.tabulate(dim)(i => p(i) - (if (i < ce.length) ce(i) else 0.0))
+    }
     val subDim = dim / m
     val books = (0 until m).map { mi =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(
+      val sub = residuals.map(v => java.util.Arrays.copyOfRange(
         v, mi * subDim, (mi + 1) * subDim))
       lloyd(sub, k, maxIter, seed + mi)
     }.toArray
-    IvfPqModel(IvfModel(lloyd(sample, nlist, maxIter, seed)), PqModel(books))
+    IvfPqModel(IvfModel(cents), PqModel(books))
   }
 
-  /** One-scan index build: (c_id, cell, codes). Cell assignment and
-    * codes are both map-side native kernels — no shuffle; at 100 TB
+  /** One-scan index build: (c_id, cell, codes) with codes quantizing
+    * the residual against the cell centroid. Cell assignment, residual
+    * and codes are all map-side native kernels — no shuffle; at 100 TB
     * this is the once-per-corpus pass that everything else amortizes.
     */
   def ivfPqEncode(model: IvfPqModel, corpus: DataFrame, idCol: String,
                   vecCol: String): DataFrame =
     corpus.select(col(idCol).as("c_id"),
         Vectors.toDouble(col(vecCol)).as("v"))
-      .select(col("c_id"),
-        element_at(model.ivf.nearestCells(col("v"), 1), 1).as("cell"),
-        model.pq.encode(col("v")).as("codes"))
+      .select(col("c_id"), col("v"),
+        element_at(model.ivf.nearestCells(col("v"), 1), 1).as("cell"))
+      .select(col("c_id"), col("cell"),
+        model.pq.encode(model.residual(col("cell"), col("v"))).as("codes"))
 
   /** Two-stage IVF-PQ search: probe `nprobe` cells, score candidates
     * by PQ-reconstructed cosine, keep k·`rerankFactor` survivors per
@@ -404,7 +435,8 @@ object Similarity {
     val cand = index.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim",
-        Vectors.cosine(col("q_vec"), model.pq.reconstruct(col("codes"))))
+        Vectors.cosine(col("q_vec"),
+          model.reconstructAt(col("cell"), col("codes"))))
     val surv = rankTopK(cand, k * rerankFactor)
       .select(col("q_id"), col("c_id"))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))

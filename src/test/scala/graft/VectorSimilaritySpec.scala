@@ -333,6 +333,21 @@ class VectorSimilaritySpec extends AnyFunSuite {
 
     val model = Similarity.fitIvfPq(data, "vec", nlist = 6, m = 2, k = 16)
     val index = Similarity.ivfPqEncode(model, data, "id", "vec")
+    // residual encoding: (cell, codes) reconstructs the original at
+    // least as faithfully as plain PQ's raw-vector codes
+    val ivfPqRecon = index.join(
+        data.select($"id".as("c_id"),
+          graft.functions.Vectors.toDouble($"vec").as("orig")), "c_id")
+      .select(avg(graft.functions.Vectors.cosine(
+        model.reconstructAt($"cell", $"codes"), $"orig"))).head.getDouble(0)
+    val pqRecon = pqCodes.join(
+        data.select($"id".as("c_id"),
+          graft.functions.Vectors.toDouble($"vec").as("orig")), "c_id")
+      .select(avg(graft.functions.Vectors.cosine(
+        pq.reconstruct($"codes"), $"orig"))).head.getDouble(0)
+    assert(ivfPqRecon >= pqRecon - 1e-9,
+      s"residual reconstruction $ivfPqRecon worse than plain PQ $pqRecon")
+    assert(ivfPqRecon > 0.98, s"mean reconstruction cosine $ivfPqRecon")
     val composed = Similarity.ivfPqTopK(model, queries, index, data,
       "id", "vec", k = 5, nprobe = 3)
     val hits = composed.select("q_id", "c_id").collect()
