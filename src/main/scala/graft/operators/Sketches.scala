@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch distinct counting (Apache DataSketches HLL, built
+  * into Spark 4 as `hll_sketch_agg`/`hll_union_agg`): the incremental
+  * pattern for COUNT(DISTINCT) at 100 TB. Raw rows are scanned ONCE
+  * per ingest slice to build a tiny sketch per (group, slice); any
+  * later rollup — different group combination, different time window
+  * — merges sketch BYTES instead of rescanning rows. Merging is
+  * associative and deterministic, so slice sketches compose to exactly
+  * the sketch a whole-corpus scan would build (spec-pinned).
+  *
+  * vs exact `countDistinct`: exact needs a shuffle of every distinct
+  * value per query; sketches pay ~(2^lgK)·groups bytes once, then
+  * every query is a metadata-sized merge. Estimate error ~1.04/√2^lgK
+  * (≈1.6% at lgK=12).
+  */
+object Sketches {
+
+  /** One HLL sketch per group: the build pass. `lgK` trades sketch
+    * size (2^lgK bytes-ish) for accuracy. Output: groupCols + `sketch`
+    * (binary).
+    */
+  def sketchTable(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Roll sketches up to a coarser grouping and estimate the distinct
+    * count — reads sketch bytes only, never the raw rows.
+    */
+  def mergeEstimate(sketches: DataFrame, byCols: Seq[String],
+                    lgK: Int = 12): DataFrame =
+    sketches.groupBy(byCols.map(col): _*)
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(false))).as("distinct_est"))
+
+  /** Global estimate over every sketch row (no grouping). */
+  def estimateAll(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_sketch_estimate(
+      hll_union_agg(col("sketch"), lit(false))).as("distinct_est"))
+}

@@ -2089,6 +2089,23 @@ object Queries {
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+  // Mergeable HLL sketch distinct counting (rows-only: DataSketches
+  // register layout is engine-specific; slice-merge ≡ whole-scan and
+  // 5%-of-exact tracking are spec-pinned in SketchesSpec): build per
+  // (event_type, day) sketches once, roll up per event_type from
+  // sketch bytes — the no-rescan distinct-count pattern
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", $"user_id", to_date($"ts").as("day"))
+    val daily = Sketches.sketchTable(ev,
+      Seq("event_type", "day"), "user_id")
+    Sketches.mergeEstimate(daily, Seq("event_type"))
+      .select($"event_type", $"distinct_est")
+      .orderBy($"event_type")
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2172,7 +2189,8 @@ object Queries {
     "q78_voice_pick"    -> (q78 _),
     "q79_dropneardups"  -> (q79 _),
     "q80_incr_dedup"    -> (q80 _),
-    "q81_strat_sample"  -> (q81 _)
+    "q81_strat_sample"  -> (q81 _),
+    "q82_hll_sketch"    -> (q82 _)
   )
 
   val oracles: Map[String, String] = Map(
