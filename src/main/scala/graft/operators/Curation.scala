@@ -148,6 +148,35 @@ object Curation {
     docs.filter(keep)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, per group
+    * (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 2006): each row
+    * draws a seeded md5 uniform u ∈ (0,1) and scores u^(1/w); the `n`
+    * largest scores per group are a weighted sample without
+    * replacement. Deterministic for the same (seed, key) — the
+    * auditable counterpart of `rand()`-based sampling, same rationale
+    * as [[stratifiedSample]]. The score is ROUNDED to 12 decimals
+    * before ranking (ties broken by key) so a last-ulp `pow`
+    * divergence between engines cannot flip the rank order — the q62
+    * convention. Rows with non-positive or null weights are dropped.
+    * Output: input columns + `rank` (long, 1-based by descending
+    * score).
+    */
+  def weightedSample(docs: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, n: Int, seed: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(keyCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (h + 0.5) / 4294967296.0 // (0,1), never exactly 0 or 1
+    val score = floor(pow(u, lit(1.0) / col(weightCol).cast("double"))
+      * 1e12 + 0.5) / 1e12
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__es").desc, col(keyCol).asc)
+    docs.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .drop("__es")
+  }
+
   /** Gate thresholds for [[curate]]; defaults match the oracled q74
     * pipeline.
     */

@@ -2106,6 +2106,33 @@ object Queries {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- q83
+  // Deterministic weighted sampling (Efraimidis–Spirakis): 5 docs per
+  // lang, weight = n_chars, seeded md5 uniforms — both engines rank
+  // the same rounded u^(1/w) scores
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.weightedSample(t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars"),
+        "lang", "doc_id", "n_chars", n = 5, seed = "ws9")
+      .select($"lang", $"rank", $"doc_id", $"n_chars")
+      .orderBy($"lang", $"rank")
+  }
+  private val q83Sql =
+    """WITH d AS (SELECT doc_id, lang, n_chars,
+      | (('0x' || substr(md5('ws9:' || doc_id), 1, 8))::BIGINT + 0.5)
+      |   / 4294967296.0 AS u
+      | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |sc AS (SELECT doc_id, lang, n_chars,
+      | floor(pow(u, 1.0 / n_chars) * 1e12 + 0.5) / 1e12 AS es
+      | FROM d),
+      |r AS (SELECT lang, doc_id, n_chars,
+      | row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id)
+      |   AS rank
+      | FROM sc)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+      |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2190,7 +2217,8 @@ object Queries {
     "q79_dropneardups"  -> (q79 _),
     "q80_incr_dedup"    -> (q80 _),
     "q81_strat_sample"  -> (q81 _),
-    "q82_hll_sketch"    -> (q82 _)
+    "q82_hll_sketch"    -> (q82 _),
+    "q83_weighted_sample" -> (q83 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2265,6 +2293,7 @@ object Queries {
     "q75_scd2_history"  -> q75Sql,
     "q78_voice_pick"    -> q78Sql,
     "q79_dropneardups"  -> q79Sql,
-    "q81_strat_sample"  -> q81Sql
+    "q81_strat_sample"  -> q81Sql,
+    "q83_weighted_sample" -> q83Sql
   )
 }

@@ -42,6 +42,31 @@ class CurationSpec extends AnyFunSuite {
     assert(s3 != s1)
   }
 
+  test("weightedSample: deterministic, exactly n per group, heavy " +
+    "weights win more often, zero/null weights dropped") {
+    import spark.implicits._
+    // two strata of weights: ids 0-99 weight 100, ids 100-199 weight 1
+    val df = ((0 until 100).map(i => (i.toLong, "g", 100.0)) ++
+      (100 until 200).map(i => (i.toLong, "g", 1.0)) ++
+      Seq((900L, "g", 0.0), (901L, "g", null.asInstanceOf[Double])))
+      .toDF("id", "g", "w")
+    val s1 = Curation.weightedSample(df, "g", "id", "w", n = 20, "s")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1.length == 20)
+    assert(!s1.contains(900L) && !s1.contains(901L))
+    // deterministic
+    val s2 = Curation.weightedSample(df, "g", "id", "w", n = 20, "s")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+    // the 100× heavier stratum should dominate the sample
+    val heavy = s1.count(_ < 100)
+    assert(heavy >= 15, s"only $heavy/20 from the heavy stratum")
+    // ranks are 1..n within the group
+    val ranks = Curation.weightedSample(df, "g", "id", "w", n = 20, "s")
+      .select("rank").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks == (1L to 20L))
+  }
+
   test("repetitionMetrics: fractions in range, exact on a known doc") {
     import spark.implicits._
     val m = Curation.repetitionMetrics(
