@@ -86,6 +86,42 @@ object Events {
         col("__match.ts").as("asof_ts") :+ col("__match.id").as("asof_id"): _*)
   }
 
+  /** Banded inequality join: all (left, right) pairs with
+    * `|left.v − right.v| ≤ eps`. A naive inequality join plans as a
+    * broadcast-nested-loop / cartesian — the classic scale killer.
+    * Bucketing fixes the shape: both sides key on `floor(v / eps)`,
+    * the right side replicates into its bucket and both neighbors
+    * (any pair within eps spans at most adjacent buckets), and an
+    * equi-join + exact filter recovers precisely the band. One
+    * shuffle keyed on the bucket; fan-in per key = rows within an
+    * eps-wide slice of the value distribution — the same
+    * bucket-the-continuum trick as the LSH/IVF candidate joins,
+    * applied to a scalar. Columns are prefixed `l_` / `r_`.
+    *
+    * Bucket width is 2·eps, not eps: an in-band pair's true quotients
+    * then differ by ≤ 0.5, so even a floor() that rounds a
+    * boundary-straddling quotient the "wrong" way by an ulp cannot
+    * push the computed buckets more than one apart — candidate
+    * completeness survives FP rounding. The final filter is exact
+    * arithmetic on the original values either way.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, leftValCol: String,
+               rightValCol: String, eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val width = 2 * eps
+    val l = left.select(
+      left.columns.map(c => col(c).as(s"l_$c")) :+
+        floor(col(leftValCol) / width).cast("long").as("__b"): _*)
+    val r0 = right.select(
+      right.columns.map(c => col(c).as(s"r_$c")): _*)
+    val r = r0.withColumn("__b",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        floor(col(s"r_$rightValCol") / width).cast("long") + d): _*)))
+    l.join(r, Seq("__b"))
+      .filter(abs(col(s"l_$leftValCol") - col(s"r_$rightValCol")) <= eps)
+      .drop("__b")
+  }
+
   /** ST6 threshold gate: run the job only when at least `n` eligible
     * rows exist (related_articles_sensor.py:57-59's ≥50 gate). The one
     * deliberate driver-side action in the engine — a scheduling

@@ -2133,6 +2133,33 @@ object Queries {
       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
       |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  // Banded inequality join via bucketing: |price_a − price_b| ≤ 0.15
+  // across two brands — the equi-join + neighbor-replication shape
+  // that replaces the BNLJ a naive inequality join plans as. The
+  // oracle runs the plain inequality join (exact on this bounded
+  // corpus); the Spark side must produce the identical pair set.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = t(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_retailprice")
+    val a = part.filter($"p_brand" === "Brand#11")
+      .select($"p_partkey", $"p_retailprice")
+    val b = part.filter($"p_brand" === "Brand#12")
+      .select($"p_partkey", $"p_retailprice")
+    Events.bandJoin(a, b, "p_retailprice", "p_retailprice", eps = 0.15)
+      .select($"l_p_partkey".as("a_key"), $"r_p_partkey".as("b_key"),
+        $"l_p_retailprice".as("a_price"), $"r_p_retailprice".as("b_price"))
+      .orderBy($"a_key", $"b_key")
+  }
+  private val q84Sql =
+    """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      | a.p_retailprice AS a_price, b.p_retailprice AS b_price
+      |FROM part a JOIN part b
+      | ON abs(a.p_retailprice - b.p_retailprice) <= 0.15
+      |WHERE a.p_brand = 'Brand#11' AND b.p_brand = 'Brand#12'
+      |ORDER BY a_key, b_key""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2218,7 +2245,8 @@ object Queries {
     "q80_incr_dedup"    -> (q80 _),
     "q81_strat_sample"  -> (q81 _),
     "q82_hll_sketch"    -> (q82 _),
-    "q83_weighted_sample" -> (q83 _)
+    "q83_weighted_sample" -> (q83 _),
+    "q84_band_join"     -> (q84 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2294,6 +2322,7 @@ object Queries {
     "q78_voice_pick"    -> q78Sql,
     "q79_dropneardups"  -> q79Sql,
     "q81_strat_sample"  -> q81Sql,
-    "q83_weighted_sample" -> q83Sql
+    "q83_weighted_sample" -> q83Sql,
+    "q84_band_join"     -> q84Sql
   )
 }

@@ -68,6 +68,33 @@ class EventsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_id"))) // left join: null
   }
 
+  test("bandJoin: equals the cross-join filter, including boundary " +
+    "pairs, and plans with no nested-loop join") {
+    val rnd = new scala.util.Random(17)
+    val a = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 100))
+      .toDF("id", "v")
+    val b = (1000 until 1300).map(i => (i.toLong, rnd.nextDouble() * 100))
+      .toDF("id", "v")
+    // include exact-boundary values on both sides
+    val a2 = a.union(Seq((900L, 50.0)).toDF("id", "v"))
+    val b2 = b.union(Seq((1900L, 50.25), (1901L, 49.75)).toDF("id", "v"))
+    val eps = 0.25
+    val banded = graft.operators.Events.bandJoin(a2, b2, "v", "v", eps)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = a2.as("x").crossJoin(b2.as("y"))
+      .filter(abs(col("x.v") - col("y.v")) <= eps)
+      .select(col("x.id"), col("y.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact)
+    assert(banded.contains((900L, 1900L)) && banded.contains((900L, 1901L)))
+    // the whole point: no BroadcastNestedLoopJoin / Cartesian in the plan
+    val plan = graft.operators.Events.bandJoin(a2, b2, "v", "v", eps)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("staleRows keeps rows older than max(ts) - N days") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00")),
