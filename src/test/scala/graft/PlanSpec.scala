@@ -84,4 +84,20 @@ class PlanSpec extends AnyFunSuite {
     // combine) before any exchange — text never crosses the shuffle
     assert(p.contains("HashAggregate"), s"expected HashAggregate in:\n$p")
   }
+
+  test("q77 ivf-pq search broadcasts the query side — the codes scan " +
+    "is probed, never shuffled or cross-joined") {
+    val p = plan("q77_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q80 incremental dedup broadcasts the delta buckets against " +
+    "one index scan") {
+    val p = plan("q80_incr_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
