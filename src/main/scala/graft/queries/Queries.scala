@@ -2160,6 +2160,39 @@ object Queries {
       |WHERE a.p_brand = 'Brand#11' AND b.p_brand = 'Brand#12'
       |ORDER BY a_key, b_key""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  // Native session_window grouping — the built-in operator twin of
+  // q15's manual islands formulation. Spark's session is half-open
+  // [start, last + gap): an event at EXACTLY gap after its predecessor
+  // starts a new session, so the oracle's island break uses >=, where
+  // q15's manual variant uses > (both semantics are valid; each oracle
+  // mirrors its engine's definition exactly).
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+  private val q85Sql =
+    """WITH o AS (
+      | SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+      |  CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+      |        OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+      |             >= INTERVAL 30 MINUTE
+      |       THEN 1 ELSE 0 END AS ns
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+      |), se AS (
+      | SELECT user_id, ts,
+      |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS UNBOUNDED PRECEDING) AS sess_id
+      | FROM o)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM se GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2246,7 +2279,8 @@ object Queries {
     "q81_strat_sample"  -> (q81 _),
     "q82_hll_sketch"    -> (q82 _),
     "q83_weighted_sample" -> (q83 _),
-    "q84_band_join"     -> (q84 _)
+    "q84_band_join"     -> (q84 _),
+    "q85_session_window"-> (q85 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2323,6 +2357,7 @@ object Queries {
     "q79_dropneardups"  -> q79Sql,
     "q81_strat_sample"  -> q81Sql,
     "q83_weighted_sample" -> q83Sql,
-    "q84_band_join"     -> q84Sql
+    "q84_band_join"     -> q84Sql,
+    "q85_session_window"-> q85Sql
   )
 }
