@@ -207,6 +207,35 @@ object Upsert {
     fs.delete(new Path(tmp), true)
   }
 
+  /** Snapshot diff (CDC extraction): compare two versions of a keyed
+    * table and emit one row per difference with `op` ∈
+    * {'insert', 'delete', 'update'} — the change feed the reference's
+    * overwrite-in-place sink discards, and the inverse of [[merge]]:
+    * `merge(oldDf, diff-as-delta)` reconstructs `newDf`. One
+    * full-outer shuffle join on the key (co-located and shuffle-free
+    * under bucketing, like the MERGE); `update` compares all shared
+    * non-key columns null-safely. Output: key columns + `op` + the
+    * NEW row's non-key columns (null for deletes).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val oldCols = oldDf.columns.filterNot(keys.contains)
+    val newCols = newDf.columns.filterNot(keys.contains)
+    val shared = oldCols.intersect(newCols)
+    val o = oldDf.withColumn(present + "_o", lit(true))
+    val n = newDf.withColumn(present + "_n", lit(true))
+    val joined = o.as("o").join(n.as("n"), keys, "full_outer")
+    val changed = shared.map(c =>
+      !(col(s"o.$c") <=> col(s"n.$c"))).foldLeft(lit(false))(_ || _)
+    val op = when(col(s"o.$present" + "_o").isNull, "insert")
+      .when(col(s"n.$present" + "_n").isNull, "delete")
+      .when(changed, "update")
+    joined.withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++
+        newCols.map(c => col(s"n.$c").as(c)): _*)
+  }
+
   /** Build an SCD-type-2 history from a change log: each change row
     * becomes a versioned dimension row with `valid_from` = its change
     * time, `valid_to` = the key's next change time (null while

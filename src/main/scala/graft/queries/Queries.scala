@@ -2193,6 +2193,39 @@ object Queries {
       |FROM se GROUP BY user_id, sess_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  // Snapshot diff / CDC extraction: two deterministic versions of the
+  // documents table → one row per insert/delete/update
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    val old = docs.filter($"doc_id" < 300)
+    val nw = docs.filter($"doc_id" < 320 && pmod($"doc_id", lit(7)) =!= 0)
+      .withColumn("n_chars",
+        when(pmod($"doc_id", lit(5)) === 0, $"n_chars" + 10)
+          .otherwise($"n_chars"))
+    Upsert.snapshotDiff(old, nw, Seq("doc_id")).orderBy($"doc_id")
+  }
+  private val q86Sql =
+    """WITH o AS (
+      | SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300),
+      |n AS (
+      | SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END
+      |    AS n_chars
+      | FROM documents WHERE doc_id < 320 AND doc_id % 7 <> 0),
+      |j AS (
+      | SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'insert'
+      |       WHEN n.doc_id IS NULL THEN 'delete'
+      |       WHEN o.lang IS DISTINCT FROM n.lang
+      |         OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'update'
+      |  END AS op,
+      |  n.lang AS lang, n.n_chars AS n_chars
+      | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, op, lang, n_chars FROM j
+      |WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2280,7 +2313,8 @@ object Queries {
     "q82_hll_sketch"    -> (q82 _),
     "q83_weighted_sample" -> (q83 _),
     "q84_band_join"     -> (q84 _),
-    "q85_session_window"-> (q85 _)
+    "q85_session_window"-> (q85 _),
+    "q86_snapshot_diff" -> (q86 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2358,6 +2392,7 @@ object Queries {
     "q81_strat_sample"  -> q81Sql,
     "q83_weighted_sample" -> q83Sql,
     "q84_band_join"     -> q84Sql,
-    "q85_session_window"-> q85Sql
+    "q85_session_window"-> q85Sql,
+    "q86_snapshot_diff" -> q86Sql
   )
 }

@@ -152,6 +152,27 @@ class UpsertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_graft_buckets"))
   }
 
+  test("snapshotDiff classifies insert/delete/update and inverts " +
+    "through merge + delete-anti-join") {
+    val old = Seq(("k1", "a", 1), ("k2", "b", 2), ("k3", "c", 3),
+      ("k4", null: String, 4)).toDF("key", "v", "n")
+    val nw = Seq(("k1", "a", 1),          // unchanged → absent from diff
+      ("k2", "B", 2),                      // update (value change)
+      ("k4", "d", 4),                      // update (null → value)
+      ("k5", "e", 5)).toDF("key", "v", "n") // insert; k3 deleted
+    val diff = Upsert.snapshotDiff(old, nw, Seq("key"))
+    val ops = diff.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ops == Map("k2" -> "update", "k3" -> "delete",
+      "k4" -> "update", "k5" -> "insert"))
+    // inversion: old − deletes, merged with upserts, == new
+    val deletes = diff.filter($"op" === "delete").select("key")
+    val upserts = diff.filter($"op" =!= "delete").drop("op")
+    val rebuilt = Upsert.merge(
+      old.join(deletes, Seq("key"), "left_anti"), upserts, Seq("key"))
+    assert(rebuilt.exceptAll(nw).isEmpty && nw.exceptAll(rebuilt).isEmpty)
+  }
+
   test("scd2 history: one current row per key, contiguous ranges, " +
     "point-in-time lookup") {
     val changes = Seq(
