@@ -177,6 +177,36 @@ object Curation {
       .drop("__es")
   }
 
+  /** Benchmark decontamination: drop corpus docs sharing at least
+    * `minHits` distinct word n-gram shingles with ANY doc of the eval
+    * set — the standard guard against test-set leakage into training
+    * data (the GPT-3/PaLM n-gram-overlap protocol, arXiv:2005.14165
+    * §C). Scale shape: the eval set is small by definition, so its
+    * distinct shingle hashes BROADCAST; the corpus is scanned once,
+    * its shingle explode semi-joins the broadcast set, and the hit
+    * count per doc is a map-side-combined aggregate — no corpus
+    * shuffle of anything wider than (id, count). Shingles are hashed
+    * ([[Dedup.shingleHashes]]); equal shingles hash equal, so distinct
+    * hit counts match distinct string-shingle counts (2⁻⁶⁴
+    * collisions).
+    */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+      eval: DataFrame, evalTextCol: String, n: Int = 13,
+      minHits: Long = 1L): DataFrame = {
+    val es = eval
+      .select(explode(Dedup.shingleHashes(col(evalTextCol), n)).as("h"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol).as("__id"),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+      .join(broadcast(es), "h")
+      .groupBy(col("__id")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col("__id"))
+    corpus.join(contaminated, corpus(idCol) === contaminated("__id"),
+      "left_anti")
+  }
+
   /** Gate thresholds for [[curate]]; defaults match the oracled q74
     * pipeline.
     */

@@ -2226,6 +2226,48 @@ object Queries {
       |SELECT doc_id, op, lang, n_chars FROM j
       |WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  // Benchmark decontamination: corpus docs sharing ≥ 5 word 3-shingles
+  // with the "eval set" (docs 100-119, a subset of the corpus — so
+  // those 20 self-contaminate by construction) are dropped; survivors
+  // oracled value-for-value
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter($"doc_id" < 300)
+      .select($"doc_id", $"text", $"n_chars")
+    val eval = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+      .select($"text")
+    Curation.decontaminate(corpus, "text", "doc_id", eval, "text",
+        n = 3, minHits = 5L)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  private val q87Sql =
+    """WITH c AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w,
+      |        n_chars
+      | FROM documents WHERE doc_id < 300),
+      |cs AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sgl
+      | FROM c),
+      |e AS (
+      | SELECT regexp_extract_all(lower(text), '\S+') AS w
+      | FROM documents WHERE doc_id >= 100 AND doc_id < 120),
+      |es AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sgl
+      | FROM e),
+      |bad AS (
+      | SELECT doc_id FROM cs JOIN es USING (sgl)
+      | GROUP BY doc_id HAVING count(*) >= 5)
+      |SELECT doc_id, n_chars FROM c
+      |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2314,7 +2356,8 @@ object Queries {
     "q83_weighted_sample" -> (q83 _),
     "q84_band_join"     -> (q84 _),
     "q85_session_window"-> (q85 _),
-    "q86_snapshot_diff" -> (q86 _)
+    "q86_snapshot_diff" -> (q86 _),
+    "q87_decontaminate" -> (q87 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2393,6 +2436,7 @@ object Queries {
     "q83_weighted_sample" -> q83Sql,
     "q84_band_join"     -> q84Sql,
     "q85_session_window"-> q85Sql,
-    "q86_snapshot_diff" -> q86Sql
+    "q86_snapshot_diff" -> q86Sql,
+    "q87_decontaminate" -> q87Sql
   )
 }

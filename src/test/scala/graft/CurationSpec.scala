@@ -67,6 +67,23 @@ class CurationSpec extends AnyFunSuite {
     assert(ranks == (1L to 20L))
   }
 
+  test("decontaminate: exact-copy and heavy-overlap docs dropped, " +
+    "clean docs and sub-threshold overlaps survive") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, evalDoc),                                   // exact copy → dropped
+      (2L, "alpha beta gamma delta epsilon zeta prime"), // 4 shared 3-grams < 5 → survives
+      (3L, "totally unrelated words about nothing at all here"),
+      (4L, s"prefix words then $evalDoc and a suffix") // contains eval → dropped
+    ).toDF("id", "text")
+    val eval = Seq(Tuple1(evalDoc)).toDF("text")
+    val out = Curation.decontaminate(corpus, "text", "id", eval, "text",
+        n = 3, minHits = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L), s"got $out")
+  }
+
   test("repetitionMetrics: fractions in range, exact on a known doc") {
     import spark.implicits._
     val m = Curation.repetitionMetrics(
