@@ -2268,6 +2268,43 @@ object Queries {
       |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  // Per-group exact median + deterministic mode: median rounded above
+  // interpolation ulps; mode formulated manually (count + rank, ties
+  // on the value) because the engines' built-in mode tie-breaks differ
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", $"value", pmod($"user_id", lit(10)).as("ub"))
+    val med = ev.groupBy($"event_type")
+      .agg((floor(median($"value") * 1000000.0 + 0.5) / 1000000.0)
+        .as("med_value"))
+    val counts = ev.groupBy($"event_type", $"ub")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"c".desc, $"ub".asc)
+    val mode = counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"event_type", $"ub".as("modal_bucket"))
+    med.join(mode, "event_type").orderBy($"event_type")
+  }
+  private val q88Sql =
+    """WITH ev AS (
+      | SELECT event_type, value, user_id % 10 AS ub FROM events),
+      |med AS (
+      | SELECT event_type,
+      |  floor(median(value) * 1000000.0 + 0.5) / 1000000.0 AS med_value
+      | FROM ev GROUP BY event_type),
+      |c AS (SELECT event_type, ub, count(*) AS c FROM ev GROUP BY 1, 2),
+      |m AS (
+      | SELECT event_type, ub AS modal_bucket,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY c DESC, ub)
+      |    AS rk
+      | FROM c)
+      |SELECT med.event_type AS event_type, med_value, modal_bucket
+      |FROM med JOIN m ON med.event_type = m.event_type AND rk = 1
+      |ORDER BY med.event_type""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2357,7 +2394,8 @@ object Queries {
     "q84_band_join"     -> (q84 _),
     "q85_session_window"-> (q85 _),
     "q86_snapshot_diff" -> (q86 _),
-    "q87_decontaminate" -> (q87 _)
+    "q87_decontaminate" -> (q87 _),
+    "q88_median_mode"   -> (q88 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2437,6 +2475,7 @@ object Queries {
     "q84_band_join"     -> q84Sql,
     "q85_session_window"-> q85Sql,
     "q86_snapshot_diff" -> q86Sql,
-    "q87_decontaminate" -> q87Sql
+    "q87_decontaminate" -> q87Sql,
+    "q88_median_mode"   -> q88Sql
   )
 }
