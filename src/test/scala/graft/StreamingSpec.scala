@@ -93,6 +93,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/index").count() == 3)
   }
 
+  test("streamingDedup replay: re-delivered batch re-appends the same " +
+    "pairs — distinct-on-read recovers the exact candidate set") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sdedup2").toString
+    val text = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    def deliver(cp: String): Unit = {
+      val st = MemoryStream[(Long, String)]
+      st.addData((1L, text), (2L, text))
+      Streams.streamingDedup(
+        st.toDF().select(col("_1").as("id"), col("_2").as("text")),
+        "id", "text", s"$dir/index", s"$dir/cands", s"$dir/$cp")
+        .awaitTermination()
+    }
+    deliver("cp1")
+    val once = spark.read.parquet(s"$dir/cands")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once == Set((1L, 2L)))
+    // redelivery (fresh checkpoint = at-least-once replay)
+    deliver("cp2")
+    val raw = spark.read.parquet(s"$dir/cands").collect()
+    val distinct = raw.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // appended twice, but the SET is unchanged — the documented
+    // dedupe-on-(id_a,id_b) downstream contract holds
+    assert(raw.length > once.size)
+    assert(distinct == once)
+  }
+
   test("dedupedStream admits each run key once across micro-batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(String, Timestamp)]
