@@ -122,6 +122,34 @@ object Events {
       .drop("__b")
   }
 
+  /** ST7 rate limiting, re-expressed for batch: the reference throttles
+    * side-effect calls with retry/wait loops (tenacity `wait_fixed`,
+    * upload_audio_utils.py:12-16) — imperative, wall-clock-coupled,
+    * untestable. The batch equivalent assigns each request its
+    * ADMISSION time under a min-gap-per-key policy:
+    * `admit_i = max(ts_i, admit_{i-1} + gap)` over each key's requests
+    * in (ts, tieBreak) order. That recurrence looks sequential but
+    * unfolds to `admit_i = gap·i + max_{j≤i}(ts_j − gap·j)` — a
+    * running max over a monotone transform, i.e. two window passes,
+    * one shuffle on the key. All arithmetic is exact long
+    * microseconds (no FP), so the schedule is engine-reproducible.
+    * Output: input + `admit_ts` (timestamp) + `wait_us` (long ≥ 0).
+    */
+  def rateLimit(df: DataFrame, keyCol: String, tsCol: String,
+                gapMicros: Long, tieBreak: Column*): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tieBreak: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("admit_ts", timestamp_micros(
+        max(col("__us") - col("__rn") * gapMicros).over(cum) +
+          col("__rn") * gapMicros))
+      .withColumn("wait_us", unix_micros(col("admit_ts")) - col("__us"))
+      .drop("__rn", "__us")
+  }
+
   /** ST6 threshold gate: run the job only when at least `n` eligible
     * rows exist (related_articles_sensor.py:57-59's ≥50 gate). The one
     * deliberate driver-side action in the engine — a scheduling

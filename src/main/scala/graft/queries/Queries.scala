@@ -2305,6 +2305,36 @@ object Queries {
       |FROM med JOIN m ON med.event_type = m.event_type AND rk = 1
       |ORDER BY med.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  // ST7 rate limiting as a batch admission schedule: min 1s between
+  // requests per user — admit_i = max(ts_i, admit_{i-1} + 1s), as a
+  // running max over ts − i·gap (exact long micros end to end)
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Events.rateLimit(
+        t(s, dir, "events").filter($"user_id" < 10)
+          .select($"user_id", $"event_id", $"ts"),
+        "user_id", "ts", gapMicros = 1000000L, $"event_id")
+      .select($"user_id", $"event_id", $"admit_ts", $"wait_us")
+      .orderBy($"user_id", $"admit_ts", $"event_id")
+  }
+  private val q89Sql =
+    """WITH o AS (
+      | SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+      |  epoch_us(ts::TIMESTAMP) AS us,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts::TIMESTAMP, event_id) AS rn
+      | FROM events WHERE user_id < 10),
+      |a AS (
+      | SELECT user_id, event_id, us,
+      |  max(us - rn * 1000000) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |    + rn * 1000000 AS admit_us
+      | FROM o)
+      |SELECT user_id, event_id, make_timestamp(admit_us) AS admit_ts,
+      | CAST(admit_us - us AS BIGINT) AS wait_us
+      |FROM a ORDER BY user_id, admit_ts, event_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2395,7 +2425,8 @@ object Queries {
     "q85_session_window"-> (q85 _),
     "q86_snapshot_diff" -> (q86 _),
     "q87_decontaminate" -> (q87 _),
-    "q88_median_mode"   -> (q88 _)
+    "q88_median_mode"   -> (q88 _),
+    "q89_rate_limit"    -> (q89 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2476,6 +2507,7 @@ object Queries {
     "q85_session_window"-> q85Sql,
     "q86_snapshot_diff" -> q86Sql,
     "q87_decontaminate" -> q87Sql,
-    "q88_median_mode"   -> q88Sql
+    "q88_median_mode"   -> q88Sql,
+    "q89_rate_limit"    -> q89Sql
   )
 }

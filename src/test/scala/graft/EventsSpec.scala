@@ -95,6 +95,50 @@ class EventsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan.take(400))
   }
 
+  test("rateLimit: window formulation equals the sequential fold, " +
+    "gaps enforced, never admits early") {
+    val base = 1700000000000000L // epoch micros
+    // bursts, exact-gap arrivals, and quiet stretches per key
+    val reqs = Seq(
+      ("a", 1L, 0L), ("a", 2L, 100000L), ("a", 3L, 200000L), // burst
+      ("a", 4L, 5000000L),                                   // idle gap
+      ("b", 5L, 0L), ("b", 6L, 1000000L),                    // exactly 1s
+      ("b", 7L, 1500000L))
+      .map { case (k, id, off) => (k, id, new java.sql.Timestamp(
+        (base + off) / 1000L)) }
+      .toDF("k", "id", "ts")
+    val gap = 1000000L
+    val out = graft.operators.Events
+      .rateLimit(reqs, "k", "ts", gap, col("id"))
+      .select(col("k"), col("id"), unix_micros(col("admit_ts")).as("a"),
+        unix_micros(col("ts")).as("t"), col("wait_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // reference: per-key sequential fold of the recurrence
+    val expected = out.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var prev = Long.MinValue
+      rows.toSeq.sortBy(r => (r._4, r._2)).map { r =>
+        val admit = math.max(r._4, if (prev == Long.MinValue) r._4
+          else prev + gap)
+        prev = admit
+        (r._1, r._2) -> admit
+      }
+    }.toMap
+    out.foreach { r =>
+      assert(r._3 == expected((r._1, r._2)),
+        s"${r._1}/${r._2}: admit ${r._3} != fold ${expected((r._1, r._2))}")
+      assert(r._3 >= r._4 && r._5 == r._3 - r._4)
+    }
+    // enforced spacing within each key
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val admits = rows.map(_._3).toSeq.sorted
+      admits.zip(admits.drop(1)).foreach { case (x, y) =>
+        assert(y - x >= gap)
+      }
+    }
+  }
+
   test("staleRows keeps rows older than max(ts) - N days") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00")),
