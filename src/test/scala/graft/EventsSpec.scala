@@ -139,6 +139,61 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("rateLimit property: random arrival patterns always equal the " +
+    "sequential fold") {
+    val gen = org.scalacheck.Gen.listOfN(40,
+      org.scalacheck.Gen.choose(0L, 20000000L))
+    (0 until 5).foreach { trial =>
+      val offs = gen(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(31L + trial)).get
+      val base = 1700000000000000L
+      val reqs = offs.zipWithIndex.map { case (off, i) =>
+        (s"k${i % 3}", i.toLong,
+          new java.sql.Timestamp((base + off) / 1000L))
+      }.toDF("k", "id", "ts")
+      val gap = 777000L
+      val out = graft.operators.Events.rateLimit(reqs, "k", "ts", gap,
+          col("id"))
+        .select(col("k"), col("id"), unix_micros(col("admit_ts")),
+          unix_micros(col("ts")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        var prev = Long.MinValue
+        rows.toSeq.sortBy(r => (r._4, r._2)).foreach { r =>
+          val admit = if (prev == Long.MinValue) r._4
+            else math.max(r._4, prev + gap)
+          assert(r._3 == admit, s"trial $trial ${r._1}/${r._2}")
+          prev = admit
+        }
+      }
+    }
+  }
+
+  test("bandJoin property: random data always equals the cross-join " +
+    "filter") {
+    val gen = org.scalacheck.Gen.listOfN(120,
+      org.scalacheck.Gen.choose(0.0, 50.0))
+    (0 until 5).foreach { trial =>
+      val vs = gen(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(101L + trial)).get
+      val (av, bv) = vs.splitAt(60)
+      val a = av.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val b = bv.zipWithIndex.map { case (v, i) => (1000L + i, v) }
+        .toDF("id", "v")
+      val eps = 0.3 + trial * 0.2
+      val banded = graft.operators.Events.bandJoin(a, b, "v", "v", eps)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = a.as("x").crossJoin(b.as("y"))
+        .filter(abs(col("x.v") - col("y.v")) <= eps)
+        .select(col("x.id"), col("y.id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == exact, s"trial $trial eps $eps")
+    }
+  }
+
   test("staleRows keeps rows older than max(ts) - N days") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00")),
