@@ -41,6 +41,30 @@ object Skew {
     * so reruns produce identical slices. Output: input columns + `rn`
     * (long, 1-based rank within the group by `orderCols`).
     */
+  /** Exact top-k per group via the bounded typed Aggregator
+    * ([[graft.expressions.TopKAgg]]): each map task ships at most k
+    * (score, id) pairs per group into the shuffle and nothing is ever
+    * fully sorted — strictly less data movement than both the plain
+    * window (whole group sorted on one task) and [[topKPerGroup]]'s
+    * two-phase salted windows (whose local phase still sorts all
+    * rows). The right shape when k is small and the group column's
+    * cardinality is low. Ranks (score desc, id asc). Output:
+    * (groupCol, rn, idCol, scoreCol); callers needing more payload
+    * join back on the id.
+    */
+  def topKAgg(df: DataFrame, groupCol: String, idCol: String,
+              scoreCol: String, k: Int): DataFrame = {
+    val agg = udaf(new graft.expressions.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    df.groupBy(col(groupCol))
+      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long"))
+        .as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rn"),
+        col("__t._2").as(idCol), col("__t._1").as(scoreCol))
+  }
+
   def topKPerGroup(df: DataFrame, groupCol: String, saltCol: Column,
                    k: Int, orderCols: Seq[Column],
                    salt: Int = 64): DataFrame = {

@@ -113,16 +113,18 @@ object Queries {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- q05
-  // T1/P13: ranked top-k per group — two-phase salted window
-  // (Skew.topKPerGroup): c_mktsegment has 5 values, so a plain window
-  // would sort each segment on one task; the salted local top-k phase
-  // spreads the sort over 5×64 keys. Exact — oracle unchanged.
+  // T1/P13: ranked top-k per group — bounded top-k Aggregator
+  // (Skew.topKAgg): c_mktsegment has 5 values, so a plain window
+  // would sort each segment on one task; the Aggregator ships ≤ k
+  // rows per group per map task and sorts nothing globally.
+  // Exact — oracle unchanged.
   private def q05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val joined = t(s, dir, "orders")
       .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
-    Skew.topKPerGroup(joined, "c_mktsegment", $"o_orderkey", k = 3,
-        Seq($"o_totalprice".desc, $"o_orderkey".asc))
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+    Skew.topKAgg(joined, "c_mktsegment", "o_orderkey", "o_totalprice",
+        k = 3)
       .select($"c_mktsegment", $"rn", $"o_orderkey", $"o_totalprice")
       .orderBy($"c_mktsegment", $"rn")
   }

@@ -49,4 +49,35 @@ class SkewSpec extends AnyFunSuite {
         Seq($"score".desc, $"id".asc), salt = 64)
     assert(big.count() == 120)
   }
+
+  test("topKAgg equals the single-window top-k across partitionings, " +
+    "ties and all") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 3000).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextInt(40).toDouble))
+      .toDF("g", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val plain = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 7)
+      .select("g", "rn", "id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the aggregator's survivor set and order must be independent of
+    // partitioning/encounter order
+    Seq(df, df.repartition(17), df.repartition(1),
+        df.orderBy($"score".asc)).foreach { d =>
+      val got = Skew.topKAgg(d, "g", "id", "score", k = 7)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == plain)
+    }
+    // k larger than a group: every row comes back, ranked
+    val small = (0 until 5).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "id", "score")
+    val all = Skew.topKAgg(small, "g", "id", "score", k = 50)
+      .orderBy("rn").collect()
+    assert(all.length == 5 && all.head.getLong(2) == 4L) // best = highest
+  }
 }
