@@ -2337,6 +2337,28 @@ object Queries {
       | CAST(admit_us - us AS BIGINT) AS wait_us
       |FROM a ORDER BY user_id, admit_ts, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  // Table profiling: per-column nulls / exact distincts / min-max in
+  // one scan, unpivoted to (column, stat) rows
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Profile.table(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy($"col_name")
+  }
+  private val q90Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val,
+         | CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2428,7 +2450,8 @@ object Queries {
     "q86_snapshot_diff" -> (q86 _),
     "q87_decontaminate" -> (q87 _),
     "q88_median_mode"   -> (q88 _),
-    "q89_rate_limit"    -> (q89 _)
+    "q89_rate_limit"    -> (q89 _),
+    "q90_profile"       -> (q90 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2510,6 +2533,7 @@ object Queries {
     "q86_snapshot_diff" -> q86Sql,
     "q87_decontaminate" -> q87Sql,
     "q88_median_mode"   -> q88Sql,
-    "q89_rate_limit"    -> q89Sql
+    "q89_rate_limit"    -> q89Sql,
+    "q90_profile"       -> q90Sql
   )
 }
