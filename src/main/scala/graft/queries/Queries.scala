@@ -2359,6 +2359,29 @@ object Queries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------- q91
+  // Salted skew join end-to-end: result must equal the plain join —
+  // the oracle runs the unsalted SQL, so any salting artifact
+  // (dropped/duplicated rows) breaks the hash match
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .select($"o_custkey".as("custkey"), $"o_totalprice")
+    val cust = t(s, dir, "customer")
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    Skew.saltedJoin(orders, cust, "custkey", salt = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        floor(sum($"o_totalprice") + 0.5).cast("long")
+          .as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+  private val q91Sql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      | CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2451,7 +2474,8 @@ object Queries {
     "q87_decontaminate" -> (q87 _),
     "q88_median_mode"   -> (q88 _),
     "q89_rate_limit"    -> (q89 _),
-    "q90_profile"       -> (q90 _)
+    "q90_profile"       -> (q90 _),
+    "q91_salted_join"   -> (q91 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2534,6 +2558,7 @@ object Queries {
     "q87_decontaminate" -> q87Sql,
     "q88_median_mode"   -> q88Sql,
     "q89_rate_limit"    -> q89Sql,
-    "q90_profile"       -> q90Sql
+    "q90_profile"       -> q90Sql,
+    "q91_salted_join"   -> q91Sql
   )
 }
