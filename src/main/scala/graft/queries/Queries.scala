@@ -2382,6 +2382,28 @@ object Queries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  // Explicit GROUPING SETS (the third of the rollup/cube family,
+  // q52/q63): per-type, per-day and grand-total aggregates in one
+  // pass; null ordering pinned NULLS LAST on both engines
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", to_date($"ts").as("day"), $"value")
+    ev.groupingSets(
+        Seq(Seq($"event_type"), Seq($"day"), Seq.empty[Column]),
+        $"event_type", $"day")
+      .agg(count(lit(1)).as("n"),
+        floor(sum($"value") + 0.5).cast("long").as("sum_value"))
+      .orderBy($"event_type".asc_nulls_last, $"day".asc_nulls_last)
+  }
+  private val q92Sql =
+    """SELECT event_type, ts::DATE AS day, count(*) AS n,
+      | CAST(floor(sum(value) + 0.5) AS BIGINT) AS sum_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (ts::DATE), ())
+      |ORDER BY event_type NULLS LAST, day NULLS LAST""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2475,7 +2497,8 @@ object Queries {
     "q88_median_mode"   -> (q88 _),
     "q89_rate_limit"    -> (q89 _),
     "q90_profile"       -> (q90 _),
-    "q91_salted_join"   -> (q91 _)
+    "q91_salted_join"   -> (q91 _),
+    "q92_grouping_sets" -> (q92 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2559,6 +2582,7 @@ object Queries {
     "q88_median_mode"   -> q88Sql,
     "q89_rate_limit"    -> q89Sql,
     "q90_profile"       -> q90Sql,
-    "q91_salted_join"   -> q91Sql
+    "q91_salted_join"   -> q91Sql,
+    "q92_grouping_sets" -> q92Sql
   )
 }
