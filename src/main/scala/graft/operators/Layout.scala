@@ -42,12 +42,17 @@ object Layout {
       min(col(colB)).cast("double").as("__bmin"),
       max(col(colB)).cast("double").as("__bmax"))
     val maxBin = (1 << bits) - 1
+    // bins are LONG: at bits=16 the interleaved b-bit for i=15 lands
+    // on position 31 — the sign bit of an int — which would corrupt
+    // the sort order. Nulls bin explicitly to 0 (least() would
+    // otherwise skip the null and silently place them at maxBin).
     def bin(c: Column, lo: Column, hi: Column): Column =
-      when(hi > lo,
-        least(lit(maxBin),
-          floor((c.cast("double") - lo) / (hi - lo) * (maxBin + 1))
-            .cast("int")))
-        .otherwise(0)
+      when(c.isNull, lit(0L))
+        .when(hi > lo,
+          least(lit(maxBin.toLong),
+            floor((c.cast("double") - lo) / (hi - lo) * (maxBin + 1))
+              .cast("long")))
+        .otherwise(0L)
     def interleave(za: Column, zb: Column): Column =
       graft.functions.Vectors.bound(za) { a =>
         graft.functions.Vectors.bound(zb) { b =>

@@ -31,8 +31,7 @@ object Sketches {
   /** Roll sketches up to a coarser grouping and estimate the distinct
     * count — reads sketch bytes only, never the raw rows.
     */
-  def mergeEstimate(sketches: DataFrame, byCols: Seq[String],
-                    lgK: Int = 12): DataFrame =
+  def mergeEstimate(sketches: DataFrame, byCols: Seq[String]): DataFrame =
     sketches.groupBy(byCols.map(col): _*)
       .agg(hll_sketch_estimate(
         hll_union_agg(col("sketch"), lit(false))).as("distinct_est"))

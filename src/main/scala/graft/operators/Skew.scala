@@ -29,18 +29,6 @@ object Skew {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Exact top-k per group for LOW-cardinality groups, two-phase. A
-    * single `row_number` window over a 5-value group column sends every
-    * row of a group to ONE task — at 100 TB that is 5 tasks each
-    * sorting a fifth of the table. Phase 1 takes a local top-k within
-    * (group, salt-of-`saltCol`) — the shuffle spreads over
-    * groups×`salt` keys and each task sorts 1/salt of a group; phase 2
-    * ranks only the surviving ≤ groups·salt·k candidate rows. Exact
-    * for any k (a group's true top-k rows are each top-k within their
-    * own salt slice); the salt is a deterministic hash of `saltCol`,
-    * so reruns produce identical slices. Output: input columns + `rn`
-    * (long, 1-based rank within the group by `orderCols`).
-    */
   /** Exact top-k per group via the bounded typed Aggregator
     * ([[graft.expressions.TopKAgg]]): each map task ships at most k
     * (score, id) pairs per group into the shuffle and nothing is ever
@@ -57,7 +45,12 @@ object Skew {
     val agg = udaf(new graft.expressions.TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(Double, Long)]())
-    df.groupBy(col(groupCol))
+    // the tuple encoder's fields are primitive: a null score/id row
+    // would kill the query, where the window formulation just sorts
+    // nulls last — drop them explicitly (they cannot be top-k anyway)
+    df.filter(col(scoreCol).isNotNull &&
+        col(idCol).cast("long").isNotNull)
+      .groupBy(col(groupCol))
       .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long"))
         .as("__top"))
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
@@ -65,6 +58,18 @@ object Skew {
         col("__t._2").as(idCol), col("__t._1").as(scoreCol))
   }
 
+  /** Exact top-k per group for LOW-cardinality groups, two-phase. A
+    * single `row_number` window over a 5-value group column sends every
+    * row of a group to ONE task — at 100 TB that is 5 tasks each
+    * sorting a fifth of the table. Phase 1 takes a local top-k within
+    * (group, salt-of-`saltCol`) — the shuffle spreads over
+    * groups×`salt` keys and each task sorts 1/salt of a group; phase 2
+    * ranks only the surviving ≤ groups·salt·k candidate rows. Exact
+    * for any k (a group's true top-k rows are each top-k within their
+    * own salt slice); the salt is a deterministic hash of `saltCol`,
+    * so reruns produce identical slices. Output: input columns + `rn`
+    * (long, 1-based rank within the group by `orderCols`).
+    */
   def topKPerGroup(df: DataFrame, groupCol: String, saltCol: Column,
                    k: Int, orderCols: Seq[Column],
                    salt: Int = 64): DataFrame = {

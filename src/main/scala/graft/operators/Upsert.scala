@@ -73,8 +73,8 @@ object Upsert {
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new Path(path + "__old")
     if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(target)) fs.rename(target, bak)
-    fs.rename(tmp, target)
+    if (fs.exists(target)) mustRename(fs, target, bak)
+    mustRename(fs, tmp, target)
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
@@ -93,6 +93,14 @@ object Upsert {
     pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int")
 
   private def layoutMarker(path: String) = new Path(path, "_graft_buckets")
+
+  /** Hadoop rename reports most failures by RETURNING FALSE, not
+    * throwing — an unchecked false in a swap protocol can delete the
+    * only surviving copy. Every rename below goes through this.
+    */
+  private def mustRename(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** (Re)write `df` as a key-hash-partitioned table. Records the bucket
     * count in a `_graft_buckets` marker so later merges can't silently
@@ -185,9 +193,9 @@ object Upsert {
         val dst = new Path(path, s"$bucketCol=$b")
         val bak = new Path(bakRoot, s"$bucketCol=$b")
         val src = new Path(tmp, s"$bucketCol=$b")
-        if (fs.exists(dst)) fs.rename(dst, bak)
+        if (fs.exists(dst)) mustRename(fs, dst, bak)
         // a touched bucket always has rows (it contains its delta rows)
-        fs.rename(src, dst)
+        mustRename(fs, src, dst)
         swapped += b
       }
     } catch {
@@ -197,7 +205,7 @@ object Upsert {
           val bak = new Path(bakRoot, s"$bucketCol=$b")
           if (fs.exists(bak)) {
             if (fs.exists(dst)) fs.delete(dst, true)
-            fs.rename(bak, dst)
+            mustRename(fs, bak, dst)
           }
         }
         fs.delete(new Path(tmp), true)

@@ -25,10 +25,14 @@ trait SinkPlugin {
   def upload(df: DataFrame, keyCol: String, blobCol: String): DataFrame
 }
 
-/** Offline default: each blob lands at `base/<key>.bin`, and the
-  * receipt id is that path. Writes are idempotent per key (same path,
-  * full overwrite), so task retries are safe — the same property a
-  * live uploader must provide via content-addressed or keyed ids.
+/** Offline default: each blob lands at `base/<url-encoded key>.bin`,
+  * and the receipt id is that path. The key is percent-encoded before
+  * composing the path — a raw key like `../x` or `a/b` would escape
+  * or nest below the base directory — and the encoding is injective,
+  * so per-key idempotence survives sanitization. Writes are
+  * idempotent per key (same path, full overwrite), so task retries
+  * are safe — the same property a live uploader must provide via
+  * content-addressed or keyed ids.
   */
 final case class FileTreeSink(base: String, name: String = "filetree")
     extends SinkPlugin {
@@ -44,7 +48,8 @@ final case class FileTreeSink(base: String, name: String = "filetree")
         val dir = new java.io.File(baseDir)
         dir.mkdirs()
         it.map { case (k, b) =>
-          val f = new java.io.File(dir, s"$k.bin")
+          val safe = java.net.URLEncoder.encode(k, "UTF-8")
+          val f = new java.io.File(dir, s"$safe.bin")
           val os = new java.io.FileOutputStream(f)
           try os.write(b) finally os.close()
           (k, f.getAbsolutePath)

@@ -82,8 +82,11 @@ object Streams {
       // lazy checkpoint: the signatures feed two write actions below
       val deltaSigs = Dedup.minhashSignatures(batch.toDF(), textCol, idCol)
         .localCheckpoint(false)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      // resolve against the PATH's filesystem, not fs.defaultFS — an
+      // index on another scheme (s3a vs file) would otherwise throw
+      // "Wrong FS" or silently answer exists() against the wrong store
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val index =
         if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
           spark.read.parquet(indexPath)

@@ -81,6 +81,14 @@ class SinkSpec extends AnyFunSuite {
     // unknown names fail with the available set, like Sources
     val e = intercept[NoSuchElementException](Sinks("nope"))
     assert(e.getMessage.contains("spec-blob"))
+    // hostile keys cannot escape the base dir (percent-encoded)
+    val hostile = Seq(("../escape", Array[Byte](7)))
+      .toDF("audio_id", "audio")
+    val rec = Sinks("spec-blob").upload(hostile, "audio_id", "audio")
+      .head.getString(1)
+    assert(new java.io.File(rec).getCanonicalPath
+      .startsWith(new java.io.File(dir).getCanonicalPath), rec)
+    assert(!new java.io.File(s"$dir/../escape.bin").exists())
   }
 
   test("K7: warehouse sink writes lang-partitioned parquet that prunes") {

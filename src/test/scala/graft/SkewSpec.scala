@@ -79,5 +79,11 @@ class SkewSpec extends AnyFunSuite {
     val all = Skew.topKAgg(small, "g", "id", "score", k = 50)
       .orderBy("rn").collect()
     assert(all.length == 5 && all.head.getLong(2) == 4L) // best = highest
+    // null scores are dropped, not a query-killing encoder error
+    val withNulls = Seq(("g", 1L, Some(3.0)), ("g", 2L, None),
+      ("g", 3L, Some(1.0))).toDF("g", "id", "score")
+    val survivors = Skew.topKAgg(withNulls, "g", "id", "score", k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(survivors == Set(1L, 3L))
   }
 }
