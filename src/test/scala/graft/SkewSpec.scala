@@ -86,4 +86,26 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).toSet
     assert(survivors == Set(1L, 3L))
   }
+
+  test("topKAgg property: random scores with heavy ties always equal " +
+    "the window formulation") {
+    (0 until 4).foreach { trial =>
+      val rnd = new scala.util.Random(41 + trial)
+      // small score domain forces many k-boundary ties
+      val df = (0 until 800).map(i =>
+        (s"g${i % 4}", i.toLong, rnd.nextInt(6).toDouble))
+        .toDF("g", "id", "score")
+      val k = 1 + trial * 3
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"score".desc, $"id".asc)
+      val plain = df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= k).select("g", "rn", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = Skew.topKAgg(df.repartition(7 + trial), "g", "id",
+          "score", k)
+        .select("g", "rn", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == plain, s"trial $trial k=$k")
+    }
+  }
 }
