@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash family for signature construction.
+    *
+    * [[Xx64]] (default) is the production fast path: 64-bit xxhash64,
+    * codegen'd, multi-arg (no shingle string materialization).
+    * [[Md5]] is the engine-neutral oracle mode: 32-bit values from the
+    * first 8 hex chars of md5 — a hash DuckDB (and any SQL engine with
+    * md5) can replay bit-for-bit, the same trick the sampling operators
+    * use (see Curation.stratifiedSample). Md5 mode also keys LSH bands
+    * on the RAW minima CSV string instead of hashing it (zero false
+    * positives, trivially mirrored in SQL); its simhash signature is 32
+    * bits wide instead of 64. Use Md5 only for cross-engine
+    * verification — xxhash64 is ~10× cheaper per hash.
+    */
+  sealed trait SigHash
+  case object Xx64 extends SigHash
+  case object Md5 extends SigHash
+
+  /** Engine-neutral 32-bit hash: first 8 hex chars of md5(s) as a long
+    * in [0, 2³²). DuckDB mirror: `('0x' || substr(md5(s), 1, 8))::BIGINT`.
+    */
+  def md5u32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Let-binding for column expressions — see
     * [[graft.functions.Vectors.bound]] (shared definition); re-exported
     * here because every dedup kernel needs it.
@@ -87,13 +110,21 @@ object Dedup {
 
   /** LSH band keys: signature sliced into `bands` bands, each hashed.
     * Docs sharing any (band index, band hash) are near-dup candidates.
+    * In [[Md5]] mode the band key is the RAW minima CSV string — no
+    * false positives, and any SQL engine reproduces the join key by
+    * string equality.
     */
-  def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
+  def lshBandKeys(signature: Column, bands: Int, rows: Int,
+                  hash: SigHash = Xx64): Column =
     bound(signature) { sg =>
-      array((0 until bands).map(b =>
+      array((0 until bands).map { b =>
+        val key = array_join(slice(sg, b * rows + 1, rows), ",")
         struct(lit(b).as("band"),
-          xxhash64(array_join(slice(sg, b * rows + 1, rows), ","))
-            .as("band_hash"))): _*)
+          (hash match {
+            case Xx64 => xxhash64(key)
+            case Md5  => key
+          }).as("band_hash"))
+      }: _*)
     }
 
   /** Per-doc MinHash signatures as a relation: shingles exploded once
@@ -107,12 +138,27 @@ object Dedup {
     * [[simhashSignatures]].
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 32): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol))).as("h"))
-    val aggs = (0 until numHashes).map(seed =>
-      min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
+                        numHashes: Int = 32,
+                        hash: SigHash = Xx64): DataFrame = {
+    val hashed = hash match {
+      case Xx64 =>
+        df.select(col(idCol).as("id"),
+          explode(shingleHashes(col(textCol))).as("h"))
+      case Md5 =>
+        // oracle mode hashes the shingle STRING once (md5u32), then each
+        // permutation re-mixes the ≤10-char decimal rendering — exactly
+        // what the DuckDB mirror computes
+        df.select(col(idCol).as("id"),
+            explode(shingles(col(textCol))).as("sgl"))
+          .select(col("id"), md5u32(col("sgl")).as("h"))
+    }
+    val aggs = (0 until numHashes).map { seed =>
+      val mixed = hash match {
+        case Xx64 => xxhash64(col("h"), lit(seed))
+        case Md5  => md5u32(concat(lit(s"$seed:"), col("h").cast("string")))
+      }
+      min(mixed).as(s"m$seed")
+    }
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -122,15 +168,18 @@ object Dedup {
     * Returns (id_a, id_b) with id_a < id_b, distinct.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                        numHashes: Int = 32, bands: Int = 8,
+                        hash: SigHash = Xx64): DataFrame = {
     val rows = numHashes / bands
     // materialized once: the signature aggregate (explode + 32 min aggs)
     // feeds both sides of the bucket self-join, and exchange reuse does
     // not kick in across the differing aliases — without the checkpoint
     // the whole signature computation runs twice (measured 2× at sf0.1)
-    val sig = minhashSignatures(df, textCol, idCol, numHashes).localCheckpoint(false)
+    val sig = minhashSignatures(df, textCol, idCol, numHashes, hash)
+      .localCheckpoint(false)
     val buckets = sig
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rows, hash)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -157,10 +206,12 @@ object Dedup {
     */
   def incrementalCandidates(indexSigs: DataFrame, deltaSigs: DataFrame,
                             numHashes: Int = 32, bands: Int = 8,
-                            broadcastDelta: Boolean = true): DataFrame = {
+                            broadcastDelta: Boolean = true,
+                            hash: SigHash = Xx64): DataFrame = {
     val rows = numHashes / bands
     def toBuckets(sig: DataFrame) = sig
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rows, hash)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
     // the delta feeds three consumers below — materialize once
     val dSig = deltaSigs.localCheckpoint(false)
@@ -362,19 +413,34 @@ object Dedup {
     * Output: (id, sig). Docs with zero shingles are dropped (no
     * similarity signal — same rationale as [[minhashCandidates]]).
     */
-  def simhashSignatures(df: DataFrame, textCol: String,
-                        idCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol))).as("h"))
-    val bitSums = (0 until 64).map(j =>
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        hash: SigHash = Xx64): DataFrame = {
+    val width = simhashWidth(hash)
+    val hashed = hash match {
+      case Xx64 =>
+        df.select(col(idCol).as("id"),
+          explode(shingleHashes(col(textCol))).as("h"))
+      case Md5 =>
+        df.select(col(idCol).as("id"),
+            explode(shingles(col(textCol))).as("sgl"))
+          .select(col("id"), md5u32(col("sgl")).as("h"))
+    }
+    val bitSums = (0 until width).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
     hashed.groupBy(col("id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
       .select(col("id"),
-        (0 until 64).map(j =>
+        (0 until width).map(j =>
           when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j))
             .otherwise(lit(0L))).reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Signature width per hash family: 64 bits for xxhash64, 32 for the
+    * md5-derived oracle hash (8 hex chars).
+    */
+  def simhashWidth(hash: SigHash): Int = hash match {
+    case Xx64 => 64
+    case Md5  => 32
   }
 
   /** Hamming distance between two 64-bit signatures (as long — bit_count
@@ -396,12 +462,17 @@ object Dedup {
     * hash-partitioned on id by its own aggregate.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, textCol, idCol).localCheckpoint(false)
+                        maxHamming: Int = 3,
+                        hash: SigHash = Xx64): DataFrame = {
+    val bandBits = simhashWidth(hash) / 4
+    val mask = (1L << bandBits) - 1L
+    val sig = simhashSignatures(df, textCol, idCol, hash)
+      .localCheckpoint(false)
     val banded = sig.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
+            .as("bits"))): _*))
         .as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bits"))
     val pairs = banded.as("a").join(banded.as("b"),

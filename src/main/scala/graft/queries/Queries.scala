@@ -597,25 +597,110 @@ object Queries {
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q25
-  // MinHash+LSH near-dup candidates (rows-only: engine-specific hashes)
+  // MinHash+LSH near-dup candidates, oracle mode: engine-neutral
+  // md5-derived 32-bit hashes (Dedup.Md5) so DuckDB replays the exact
+  // signature minima and band keys bit-for-bit — the production path
+  // keeps xxhash64 (spec-pinned in DedupSpec; oracle ≡ fast-path
+  // candidate semantics modulo hash family)
   private def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val dup = docs.filter($"doc_id" < 50)
       .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
-    Dedup.minhashCandidates(docs.unionByName(dup), "text", "doc_id")
+    Dedup.minhashCandidates(docs.unionByName(dup), "text", "doc_id",
+        hash = Dedup.Md5)
       .orderBy($"id_a", $"id_b")
   }
+  /** Shared DuckDB CTE prefix: word 3-shingles and their md5-derived
+    * 32-bit hashes, mirroring Dedup.shingles + Dedup.md5u32 over `src`
+    * (a CTE providing (doc_id, text)).
+    */
+  private def shingleHashCtes: String =
+    """w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS words
+      | FROM src),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sgl
+      | FROM w, unnest(range(1, len(words) - 1)) t(i)
+      | WHERE len(words) >= 3),
+      |h AS (SELECT doc_id,
+      |  ('0x' || substr(md5(sgl), 1, 8))::BIGINT AS h FROM sh)""".stripMargin
+  /** DuckDB minhash signature minima + raw band keys (the Md5-mode
+    * twin of Dedup.minhashSignatures + lshBandKeys).
+    */
+  private def minhashBandCtes(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val mins = (0 until numHashes).map(i =>
+      s"min(('0x' || substr(md5('$i:' || h::VARCHAR), 1, 8))::BIGINT) AS m$i")
+      .mkString(",\n  ")
+    val bandSel = (0 until bands).map { b =>
+      val key = (b * rows until (b + 1) * rows).map(i => s"m$i::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bk FROM m"
+    }.mkString("\n UNION ALL ")
+    s"""m AS (SELECT doc_id,
+       |  $mins
+       | FROM h GROUP BY doc_id),
+       |b AS ($bandSel)""".stripMargin
+  }
+  private val q25Sql =
+    s"""WITH src AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 10000000 AS doc_id, text FROM documents
+       | WHERE doc_id < 50),
+       |$shingleHashCtes,
+       |${minhashBandCtes(32, 8)}
+       |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |FROM b a JOIN b b2
+       | ON a.band = b2.band AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q26
-  // SimHash near-dup candidates (rows-only)
+  // SimHash near-dup candidates, oracle mode: 32-bit md5-hash
+  // signature (4 bands × 8 bits keeps the hamming ≤ 3 guarantee);
+  // DuckDB recomputes the majority-vote bits and hamming distances
+  // exactly. Production path stays 64-bit xxhash64.
   private def q26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val dup = docs.filter($"doc_id" < 50)
       .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
-    Dedup.simhashCandidates(docs.unionByName(dup), "text", "doc_id")
+    Dedup.simhashCandidates(docs.unionByName(dup), "text", "doc_id",
+        hash = Dedup.Md5)
       .orderBy($"id_a", $"id_b")
+  }
+  private val q26Sql = {
+    val bitSums = (0 until 32).map(j => s"sum((h >> $j) & 1) AS b$j")
+      .mkString(",\n  ")
+    val sigExpr = (0 until 32).map(j =>
+      s"(CASE WHEN b$j * 2 > n THEN (1::BIGINT << $j) ELSE 0 END)")
+      .mkString(" |\n   ")
+    s"""WITH src AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 10000000 AS doc_id, text FROM documents
+       | WHERE doc_id < 50),
+       |$shingleHashCtes,
+       |s AS (SELECT doc_id, count(*) AS n,
+       |  $bitSums
+       | FROM h GROUP BY doc_id),
+       |g AS (SELECT doc_id,
+       |  $sigExpr AS sig
+       | FROM s),
+       |bd AS (SELECT doc_id, band, (sig >> (band * 8)) & 255 AS bits
+       | FROM g, unnest(range(0, 4)) t(band)),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       | FROM bd a JOIN bd b2
+       | ON a.band = b2.band AND a.bits = b2.bits AND a.doc_id < b2.doc_id)
+       |SELECT p.id_a, p.id_b,
+       | bit_count(xor(ga.sig, gb.sig))::BIGINT AS dist
+       |FROM p
+       |JOIN g ga ON p.id_a = ga.doc_id
+       |JOIN g gb ON p.id_b = gb.doc_id
+       |WHERE bit_count(xor(ga.sig, gb.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- q27
@@ -2045,8 +2130,10 @@ object Queries {
   // ---------------------------------------------------------------- q80
   // Incremental dedup: a delta's signatures banded against a persisted
   // corpus signature index — broadcast delta, ONE index scan, no
-  // corpus recompute (rows-only; equivalence with the full-batch
-  // candidate set is spec-pinned in DedupSpec)
+  // corpus recompute. Oracle mode (Dedup.Md5): DuckDB rebuilds both
+  // signature sets and keeps only pairs touching the delta (delta ids
+  // are all ≥ 10⁷). Fast-path ≡ full-batch equivalence stays
+  // spec-pinned in DedupSpec.
   private def q80(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
@@ -2054,10 +2141,24 @@ object Queries {
     val delta = docs.filter($"doc_id" % 5 === 0)
       .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
     Dedup.incrementalCandidates(
-        Dedup.minhashSignatures(index, "text", "doc_id"),
-        Dedup.minhashSignatures(delta, "text", "doc_id"))
+        Dedup.minhashSignatures(index, "text", "doc_id", hash = Dedup.Md5),
+        Dedup.minhashSignatures(delta, "text", "doc_id", hash = Dedup.Md5),
+        hash = Dedup.Md5)
       .orderBy($"id_a", $"id_b")
   }
+  private val q80Sql =
+    s"""WITH src AS (
+       | SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+       | UNION ALL
+       | SELECT doc_id + 10000000 AS doc_id, text FROM documents
+       | WHERE doc_id % 5 = 0),
+       |$shingleHashCtes,
+       |${minhashBandCtes(32, 8)}
+       |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |FROM b a JOIN b b2
+       | ON a.band = b2.band AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+       |WHERE a.doc_id >= 10000000 OR b2.doc_id >= 10000000
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q81
   // Deterministic stratified mixture sampling: per-lang keep fractions
@@ -2526,6 +2627,8 @@ object Queries {
     "q22_ngram_jaccard" -> q22Sql,
     "q23_vec_mean"      -> q23Sql,
     "q24_cosine_topk"   -> q24Sql,
+    "q25_minhash_lsh"   -> q25Sql,
+    "q26_simhash"       -> q26Sql,
     "q30_asof_join"     -> q30Sql,
     "q31_html_unescape" -> q31Sql,
     "q32_clean_text"    -> q32Sql,
@@ -2573,6 +2676,7 @@ object Queries {
     "q75_scd2_history"  -> q75Sql,
     "q78_voice_pick"    -> q78Sql,
     "q79_dropneardups"  -> q79Sql,
+    "q80_incr_dedup"    -> q80Sql,
     "q81_strat_sample"  -> q81Sql,
     "q83_weighted_sample" -> q83Sql,
     "q84_band_join"     -> q84Sql,
