@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -135,6 +135,9 @@ object Similarity {
         graft.expressions.NearestCells(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
           centroids, n))
+    /** Persist the fitted quantizer — see [[Similarity.loadIvf]]. */
+    def save(spark: SparkSession, path: String): Unit =
+      writeModel(spark, path, ivfModelRows(this))
   }
 
   /** Train an IVF coarse quantizer ONCE, then reuse it across searches
@@ -293,6 +296,10 @@ object Similarity {
         graft.expressions.PqReconstruct(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
           codebooks))
+
+    /** Persist the fitted codebooks — see [[Similarity.loadPq]]. */
+    def save(spark: SparkSession, path: String): Unit =
+      writeModel(spark, path, pqModelRows(this))
   }
 
   /** Train PQ codebooks on a bounded sample (one capped collect, like
@@ -361,7 +368,84 @@ object Similarity {
     /** Approximate original vector back from (cell, codes). */
     def reconstructAt(cell: Column, codes: Column): Column =
       offset(cell, pq.reconstruct(codes), 1)
+
+    /** Persist quantizer + codebooks together — see
+      * [[Similarity.loadIvfPq]].
+      */
+    def save(spark: SparkSession, path: String): Unit =
+      writeModel(spark, path, ivfModelRows(ivf) ++ pqModelRows(pq))
   }
+
+  // --- ANN model persistence ---------------------------------------
+  // A fitted model is driver-bounded (≤ nlist·dim + m·k·subDim
+  // doubles) but must outlive the JVM: a real engine fits an index
+  // once and amortizes it across JOBS, not one session — the
+  // reference keeps its vector collection alive across runs
+  // (qdrant_io_manager.py:31-43 creates-or-reuses). The layout is a
+  // tiny parquet relation (part, sub, idx, vec): engine-portable,
+  // bit-exact (parquet doubles round-trip), readable from any
+  // Hadoop-compatible FS, and joinable if anyone ever wants to
+  // inspect centroids relationally.
+
+  private def ivfModelRows(m: IvfModel): Seq[(String, Int, Int, Seq[Double])] =
+    m.centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      ("ivf", -1, i, c.toSeq)
+    }
+
+  private def pqModelRows(m: PqModel): Seq[(String, Int, Int, Seq[Double])] =
+    for {
+      (book, mi) <- m.codebooks.zipWithIndex.toSeq
+      (cw, ki) <- book.zipWithIndex
+    } yield ("pq", mi, ki, cw.toSeq)
+
+  private def writeModel(spark: SparkSession, path: String,
+      rows: Seq[(String, Int, Int, Seq[Double])]): Unit = {
+    import spark.implicits._
+    rows.toDF("part", "sub", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF coarse quantizer (the collect is bounded by
+    * model size — same contract as the training-sample collect).
+    */
+  def loadIvf(spark: SparkSession, path: String): IvfModel = {
+    val rows = spark.read.parquet(path)
+      .filter(col("part") === "ivf").select("idx", "vec").collect()
+    require(rows.nonEmpty, s"loadIvf: no ivf rows at $path")
+    IvfModel(rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Load persisted PQ codebooks. */
+  def loadPq(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .filter(col("part") === "pq").select("sub", "idx", "vec").collect()
+    require(rows.nonEmpty, s"loadPq: no pq rows at $path")
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }.toArray
+    PqModel(books)
+  }
+
+  /** Load a persisted composed IVF-PQ model. */
+  def loadIvfPq(spark: SparkSession, path: String): IvfPqModel =
+    IvfPqModel(loadIvf(spark, path), loadPq(spark, path))
+
+  /** Incremental ANN index maintenance: encode ONLY the delta against
+    * the frozen model and union with the persisted index — the ANN
+    * twin of [[Dedup.incrementalCandidates]]'s daily-delta shape (the
+    * reference's embedding sensor loop, embedding_sensors.py:31-58,
+    * embeds only new docs into the standing collection). Append ≡
+    * full re-encode on the same model because [[ivfPqEncode]] is
+    * row-local — cell assignment and residual codes are per-row
+    * kernels with no cross-row state (spec-pinned in
+    * VectorSimilaritySpec). Contract: delta ids are disjoint from
+    * index ids; re-ingested ids should go through a keyed merge
+    * ([[Upsert.mergeIntoPartitionedTable]]) instead of union.
+    */
+  def ivfPqAppend(model: IvfPqModel, index: DataFrame, delta: DataFrame,
+                  idCol: String, vecCol: String): DataFrame =
+    index.unionByName(ivfPqEncode(model, delta, idCol, vecCol))
 
   /** Train coarse quantizer + PQ codebooks off ONE bounded sample
     * (single capped collect — same index-build contract as [[fitIvf]]).

@@ -368,4 +368,70 @@ class VectorSimilaritySpec extends AnyFunSuite {
         s"survivor $key not exactly re-ranked")
     }
   }
+
+  test("IVF-PQ model save/load round-trips bit-identically: same " +
+    "centroids, codebooks, encodes, and search results") {
+    val rnd = new scala.util.Random(91)
+    val data = (0 until 120).map(i => (i.toLong,
+      Array.fill(4)((rnd.nextGaussian()).toFloat))).toDF("id", "vec")
+    val model = Similarity.fitIvfPq(data, "vec", nlist = 5, m = 2, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annmodel")
+      .toString
+    model.save(spark, s"$dir/ivfpq")
+    val loaded = Similarity.loadIvfPq(spark, s"$dir/ivfpq")
+    // exact double equality — parquet round-trips IEEE doubles
+    assert(loaded.ivf.centroids.flatten.toSeq ==
+      model.ivf.centroids.flatten.toSeq)
+    assert(loaded.pq.codebooks.flatten.flatten.toSeq ==
+      model.pq.codebooks.flatten.flatten.toSeq)
+    val origIdx = Similarity.ivfPqEncode(model, data, "id", "vec")
+      .orderBy("c_id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    val loadIdx = Similarity.ivfPqEncode(loaded, data, "id", "vec")
+      .orderBy("c_id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(origIdx.toSeq == loadIdx.toSeq)
+    val queries = data.filter($"id" < 3)
+    val idx = Similarity.ivfPqEncode(model, data, "id", "vec")
+    def run(m: Similarity.IvfPqModel) =
+      Similarity.ivfPqTopK(m, queries, idx, data, "id", "vec", k = 5,
+        nprobe = 3).select("q_id", "rank", "c_id", "sim")
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(run(model) == run(loaded))
+    // standalone IVF and PQ models round-trip too
+    val ivf = Similarity.fitIvf(data, "vec", nlist = 5)
+    ivf.save(spark, s"$dir/ivf")
+    assert(Similarity.loadIvf(spark, s"$dir/ivf").centroids.flatten.toSeq
+      == ivf.centroids.flatten.toSeq)
+    val pq = Similarity.fitPq(data, "vec", m = 2, k = 8)
+    pq.save(spark, s"$dir/pq")
+    assert(Similarity.loadPq(spark, s"$dir/pq")
+      .codebooks.flatten.flatten.toSeq ==
+      pq.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("ivfPqAppend ≡ full re-encode on the same model (delta rows " +
+    "encode identically; index rows untouched)") {
+    val rnd = new scala.util.Random(17)
+    val all = (0 until 150).map(i => (i.toLong,
+      Array.fill(4)((rnd.nextGaussian()).toFloat))).toDF("id", "vec")
+    val base = all.filter($"id" < 100)
+    val delta = all.filter($"id" >= 100)
+    val model = Similarity.fitIvfPq(base, "vec", nlist = 5, m = 2, k = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("c_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    val appended = Similarity.ivfPqAppend(model,
+      Similarity.ivfPqEncode(model, base, "id", "vec"),
+      delta, "id", "vec")
+    val full = Similarity.ivfPqEncode(model, all, "id", "vec")
+    assert(rows(appended) == rows(full))
+    // search over the appended index sees delta neighbors
+    val q = all.filter($"id" === 100L)
+    val hits = Similarity.ivfPqTopK(model, q, appended, all, "id", "vec",
+      k = 5, nprobe = 5).select("c_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty)
+  }
 }
