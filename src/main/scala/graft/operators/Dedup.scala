@@ -41,6 +41,22 @@ object Dedup {
   def md5u32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Md5-mode permutation family: universal affine hashes
+    * `(a·h + b) mod MixP` over the md5-derived base hash — ONE md5 per
+    * shingle instead of one per (shingle × seed), which measured 3-4×
+    * faster at sf0.1. Exact in ANSI long arithmetic (a, b < 2²⁹ and
+    * h < 2³² keep the product < 2⁶¹) and in any SQL BIGINT; the oracle
+    * SQL embeds the same constants (generated from this method, so the
+    * two engines can never drift).
+    */
+  val MixP = 4294967291L // largest prime < 2³²
+  def mixConsts(numHashes: Int): IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed5eedL)
+    (0 until numHashes).map { _ =>
+      (1L + rnd.nextInt((1 << 29) - 1).toLong, rnd.nextInt(1 << 29).toLong)
+    }
+  }
+
   /** Let-binding for column expressions — see
     * [[graft.functions.Vectors.bound]] (shared definition); re-exported
     * here because every dedup kernel needs it.
@@ -152,10 +168,13 @@ object Dedup {
             explode(shingles(col(textCol))).as("sgl"))
           .select(col("id"), md5u32(col("sgl")).as("h"))
     }
+    val consts = mixConsts(numHashes)
     val aggs = (0 until numHashes).map { seed =>
       val mixed = hash match {
         case Xx64 => xxhash64(col("h"), lit(seed))
-        case Md5  => md5u32(concat(lit(s"$seed:"), col("h").cast("string")))
+        case Md5  =>
+          val (a, b) = consts(seed)
+          (col("h") * a + b) % MixP
       }
       min(mixed).as(s"m$seed")
     }
@@ -175,8 +194,8 @@ object Dedup {
     // feeds both sides of the bucket self-join, and exchange reuse does
     // not kick in across the differing aliases — without the checkpoint
     // the whole signature computation runs twice (measured 2× at sf0.1)
-    val sig = minhashSignatures(df, textCol, idCol, numHashes, hash)
-      .localCheckpoint(false)
+    val sig = Materialize(
+      minhashSignatures(df, textCol, idCol, numHashes, hash))
     val buckets = sig
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rows, hash)).as("bk"))
@@ -214,7 +233,7 @@ object Dedup {
         explode(lshBandKeys(col("sig"), bands, rows, hash)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
     // the delta feeds three consumers below — materialize once
-    val dSig = deltaSigs.localCheckpoint(false)
+    val dSig = Materialize(deltaSigs)
     val db = toBuckets(dSig)
     val dbSide = if (broadcastDelta) broadcast(db) else db
     val di = toBuckets(indexSigs).as("a").join(dbSide.as("b"),
@@ -300,7 +319,7 @@ object Dedup {
     * — near-dup graphs are mostly LSH-bucket cliques (diameter 1-2)
     * with occasional chains, so this terminates in 2-4 rounds in
     * practice. Each round is two shuffles keyed on id (edge join +
-    * label self-join); `localCheckpoint` truncates the iterative plan
+    * label self-join); [[Materialize]] truncates the iterative plan
     * lineage so round N doesn't replay rounds 1..N-1 (the classic
     * iterative-DataFrame trap). Mirrors the reference's
     * survivor-by-unique-key upsert semantics (mongo_io_manager.py:
@@ -314,10 +333,9 @@ object Dedup {
     val fwd = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
     val rev = pairs.select(col("id_b").as("id"), col("id_a").as("nbr"))
     // materialized once, reused every round
-    val edges = fwd.union(rev).localCheckpoint(false)
-    var labels = edges.groupBy(col("id"))
-      .agg(least(col("id"), min(col("nbr"))).as("label"))
-      .localCheckpoint(false)
+    val edges = Materialize(fwd.union(rev))
+    var labels = Materialize(edges.groupBy(col("id"))
+      .agg(least(col("id"), min(col("nbr"))).as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -332,10 +350,9 @@ object Dedup {
         .join(labels.select(col("id").as("label"), col("label").as("jl")),
           "label")
         .select(col("id"), col("jl"))
-      val next = labels.join(nbrMin, "id").join(jumped, "id")
+      val next = Materialize(labels.join(nbrMin, "id").join(jumped, "id")
         .select(col("id"),
-          least(col("label"), col("nl"), col("jl")).as("label"))
-        .localCheckpoint(false)
+          least(col("label"), col("nl"), col("jl")).as("label")))
       converged = next
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old"))
@@ -452,7 +469,7 @@ object Dedup {
   /** SimHash near-dup candidates: docs agreeing on any 16-bit quarter of
     * the signature (catches all pairs with hamming ≤ 3).
     *
-    * Shape: signatures are materialized ONCE (`localCheckpoint` — the
+    * Shape: signatures are materialized ONCE ([[Materialize]] — the
     * explode + 64-bit-sum aggregate is the expensive subplan and feeds
     * four consumers below), the banded self-join carries only
     * (id, band, bits) — three longs, not the signature — and the
@@ -466,8 +483,7 @@ object Dedup {
                         hash: SigHash = Xx64): DataFrame = {
     val bandBits = simhashWidth(hash) / 4
     val mask = (1L << bandBits) - 1L
-    val sig = simhashSignatures(df, textCol, idCol, hash)
-      .localCheckpoint(false)
+    val sig = Materialize(simhashSignatures(df, textCol, idCol, hash))
     val banded = sig.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

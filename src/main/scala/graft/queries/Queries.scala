@@ -631,9 +631,12 @@ object Queries {
     */
   private def minhashBandCtes(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
-    val mins = (0 until numHashes).map(i =>
-      s"min(('0x' || substr(md5('$i:' || h::VARCHAR), 1, 8))::BIGINT) AS m$i")
-      .mkString(",\n  ")
+    // constants shared with the Spark side via Dedup.mixConsts — the
+    // two engines compute the same (a·h + b) mod P minima by
+    // construction
+    val mins = Dedup.mixConsts(numHashes).zipWithIndex.map {
+      case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.MixP}) AS m$i"
+    }.mkString(",\n  ")
     val bandSel = (0 until bands).map { b =>
       val key = (b * rows until (b + 1) * rows).map(i => s"m$i::VARCHAR")
         .mkString(" || ',' || ")
@@ -1593,10 +1596,10 @@ object Queries {
     // exchange reuse and re-runs the explode. Checkpointing computes
     // the explode+count once — what a real engine does with a shared
     // intermediate at 100 TB.
-    // lazy: the eager variant schedules an extra materialization job
-    // (~0.3-1.5 s measured); the first consumer action fills it instead
-    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    // Materialize: lazy localCheckpoint locally; DISK_ONLY persist or
+    // reliable checkpoint under spark.graft.materialize=resilient
+    val tf = Materialize(
+      terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct($"doc_id").as("n_docs"))
     val scored = tf.join(df, "term")
@@ -2505,6 +2508,49 @@ object Queries {
       |GROUP BY GROUPING SETS ((event_type), (ts::DATE), ())
       |ORDER BY event_type NULLS LAST, day NULLS LAST""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  // ST1-ST3 lifecycle under the oracle contract: the documents table
+  // streams through Streams.incrementalUpsert (Trigger.AvailableNow,
+  // maxFilesPerTrigger=1 over an 8-file spill so the backlog REALLY
+  // drains as multiple micro-batches), each batch MERGE-patching the
+  // seeded state table — 'en' docs get status/summary set, others keep
+  // their seed state. Final table state is batch-count-invariant
+  // (doc_id keys are unique and the stage is row-local), so DuckDB
+  // folds the whole lifecycle as one batch expression.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q93").toString
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+    val table = s"$tmp/state"
+    docs.select($"doc_id", $"lang", $"text",
+        lit("new").as("status"),
+        lit(null).cast("string").as("summary"))
+      .write.parquet(table)
+    val inDir = s"$tmp/in"
+    docs.repartition(8).write.parquet(inDir)
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val stage = (b: DataFrame) =>
+      b.filter(col("lang") === "en")
+        .select(col("doc_id"),
+          lit("summarized").as("status"),
+          concat(lit("sum:"), substring(col("text"), 1, 30)).as("summary"))
+    val q = graft.streaming.Streams.incrementalUpsert(
+      stream, stage, table, Seq("doc_id"), s"$tmp/cp")
+    q.awaitTermination()
+    s.read.parquet(table)
+      .select($"doc_id", $"lang", $"status", $"summary")
+      .orderBy($"doc_id")
+  }
+  private val q93Sql =
+    """SELECT doc_id, lang,
+      | CASE WHEN lang = 'en' THEN 'summarized' ELSE 'new' END AS status,
+      | CASE WHEN lang = 'en' THEN 'sum:' || substr(text, 1, 30) END
+      |   AS summary
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2599,7 +2645,8 @@ object Queries {
     "q89_rate_limit"    -> (q89 _),
     "q90_profile"       -> (q90 _),
     "q91_salted_join"   -> (q91 _),
-    "q92_grouping_sets" -> (q92 _)
+    "q92_grouping_sets" -> (q92 _),
+    "q93_stream_lifecycle" -> (q93 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2687,6 +2734,7 @@ object Queries {
     "q89_rate_limit"    -> q89Sql,
     "q90_profile"       -> q90Sql,
     "q91_salted_join"   -> q91Sql,
-    "q92_grouping_sets" -> q92Sql
+    "q92_grouping_sets" -> q92Sql,
+    "q93_stream_lifecycle" -> q93Sql
   )
 }

@@ -79,9 +79,9 @@ object Streams {
     import graft.operators.Dedup
     val sink: (Dataset[Row], Long) => Unit = (batch, _) => {
       val spark = batch.sparkSession
-      // lazy checkpoint: the signatures feed two write actions below
-      val deltaSigs = Dedup.minhashSignatures(batch.toDF(), textCol, idCol)
-        .localCheckpoint(false)
+      // lazy materialization: the signatures feed two write actions below
+      val deltaSigs = graft.operators.Materialize(
+        Dedup.minhashSignatures(batch.toDF(), textCol, idCol))
       // resolve against the PATH's filesystem, not fs.defaultFS — an
       // index on another scheme (s3a vs file) would otherwise throw
       // "Wrong FS" or silently answer exists() against the wrong store

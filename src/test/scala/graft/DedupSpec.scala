@@ -184,6 +184,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("resilient materialize mode (persist/checkpoint) ≡ local mode " +
+    "for candidates and cluster resolution") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dup = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val df = docs.unionByName(dup)
+    def run() = {
+      val cands = Dedup.minhashCandidates(df, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val clusters = Dedup.resolveClusters(
+          Dedup.minhashCandidates(df, "text", "doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (cands, clusters)
+    }
+    val local = run()
+    spark.conf.set(graft.operators.Materialize.ModeKey, "resilient")
+    try {
+      val persisted = run() // no checkpoint dir → DISK_ONLY persist
+      assert(persisted == local)
+      val cpDir = java.nio.file.Files
+        .createTempDirectory("graft-cp").toString
+      spark.sparkContext.setCheckpointDir(cpDir)
+      try {
+        val checkpointed = run() // reliable checkpoint path
+        assert(checkpointed == local)
+      } finally spark.sparkContext.setCheckpointDir(null)
+    } finally spark.conf.unset(graft.operators.Materialize.ModeKey)
+  }
+
   test("dropNearDups keeps the min-id survivor per near-dup cluster") {
     // 1,2 near-dup; 4 an exact copy of 1 (→ one cluster {1,2,4});
     // 3 unrelated; 5 too short to shingle (must survive untouched)
