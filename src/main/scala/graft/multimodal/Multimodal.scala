@@ -67,6 +67,96 @@ object Multimodal extends Serializable {
     }
   }
 
+  case class WavMeta(media_id: Long, sample_rate: Int, channels: Int,
+                     bits_per_sample: Int, data_bytes: Long,
+                     duration_ms: Long, decode_ok: Boolean)
+
+  private val BadWav = WavMeta(0L, -1, -1, -1, -1L, -1L, decode_ok = false)
+
+  /** Minimal RIFF/WAVE writer: canonical PCM header (RIFF size, WAVE,
+    * `fmt ` 16-byte block, `data` chunk) + deterministic payload. WAV
+    * is the reference's actual blob type (tts_utils.py:31-35 writes
+    * synthesized speech as wav) — these are REAL wav bytes any audio
+    * tool would accept, generated without audio libraries.
+    */
+  def syntheticWav(id: Long, sampleRate: Int, channels: Int,
+                   bitsPerSample: Int, nFrames: Int): MediaBlob = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var x = id
+    (0 until dataLen).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.put((x >>> 56).toByte)
+    }
+    MediaBlob(id, "audio", bb.array())
+  }
+
+  /** REAL RIFF/WAVE header parse — the codec behind the decode seam.
+    * Walks the chunk list (a legal wav may carry LIST/fact chunks
+    * before `data`, and chunks pad to even offsets) instead of
+    * assuming the canonical 44-byte layout; any malformation —
+    * truncation, wrong magic, missing fmt/data, zero byte rate —
+    * routes to `decode_ok = false` rather than failing the task.
+    * `duration_ms` floors `data_bytes·1000 / byte_rate` in long
+    * arithmetic.
+    */
+  def parseWav(id: Long, bytes: Array[Byte]): WavMeta = {
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+      return BadWav.copy(media_id = id)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, byteRate, bits
+    var dataLen = -1L
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val cid = ascii(off)
+      val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
+      val body = off + 8
+      cid match {
+        case "fmt " if size >= 16 && body + 16 <= bytes.length =>
+          fmt = Some((buf.getShort(body + 2).toInt, buf.getInt(body + 4),
+            buf.getInt(body + 8), buf.getShort(body + 14).toInt))
+        case "data" if body + size <= bytes.length =>
+          dataLen = size
+        case _ => // unknown/short chunk: skip
+      }
+      // a declared size past EOF (or ≥2³¹, negative as Int) ends the
+      // walk — stepping by it verbatim could loop or go backwards
+      val step = size.toInt
+      if (step < 0 || body + step > bytes.length) off = bytes.length
+      else off = body + step + (step & 1) // chunks pad to even
+    }
+    fmt match {
+      case Some((ch, rate, byteRate, bits))
+          if dataLen >= 0 && byteRate > 0 =>
+        WavMeta(id, rate, ch, bits, dataLen,
+          dataLen * 1000L / byteRate, decode_ok = true)
+      case _ => BadWav.copy(media_id = id)
+    }
+  }
+
+  /** Partition-wise wav decode over binary content — same plan shape as
+    * [[decodeStub]] (one decoder per partition, blobs never shuffle)
+    * but with the real codec.
+    */
+  def decodeWav(blobs: Dataset[MediaBlob]): Dataset[WavMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseWav(b.media_id, b.content)))
+  }
+
   /** Frame-sampling plan over (id, duration_ms): one row per sampled
     * frame at `everyMs` cadence, capped at `maxFrames` — metadata-only,
     * fully relational (explode of a bounded sequence).

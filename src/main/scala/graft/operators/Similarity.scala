@@ -333,6 +333,15 @@ object Similarity {
     * batch, rank. Exactness knobs live in (m, k); callers wanting
     * exact final order re-rank the survivors against the uncompressed
     * vectors — which is k · queries rows, not the corpus.
+    *
+    * ==Superseded at scale — prefer [[ivfPqTopK]]==
+    * This search reads EVERY code row per query batch; the composed
+    * IVF-PQ index prunes that scan to ~nprobe/nlist of the corpus,
+    * residual-encodes for finer quantization at the same (m, k)
+    * budget, and re-ranks survivors exactly. Keep `pqTopK` only as
+    * the flat-PQ baseline for recall comparisons (its role in the
+    * q76-vs-q77 pair); new call sites should compose
+    * [[fitIvfPq]] → [[ivfPqEncode]] → [[ivfPqTopK]].
     */
   def pqTopK(model: PqModel, queries: DataFrame, codes: DataFrame,
              idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -707,12 +707,88 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q27
-  // G3: recursive text chunker (rows-only; invariants property-tested)
+  // G3: recursive text chunker, BYTE-IDENTICAL oracle: the separator
+  // recursion is depth-bounded (6 separator levels + hard cut), so the
+  // oracle unrolls it as 7 nested list transforms; only the greedy
+  // packer (sequential carry fold) needs a recursive CTE, advancing
+  // one segment per doc per iteration. Exact parity holds because the
+  // corpus is BMP-only ASCII (Scala UTF-16 .length ≡ DuckDB len) —
+  // spec invariants in ChunkerSpec still cover the general case.
   private def q27(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Chunker.chunkDF(t(s, dir, "documents"), "doc_id", "text",
         size = 100, overlap = 20)
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        $"chunk")
       .orderBy($"doc_id", $"chunk_idx")
+  }
+  private val q27Sql = {
+    val size = 100; val overlap = 20; val minLen = 10
+    // separator priority order — mirrors Chunker.DefaultSeps
+    val seps = Seq("'. '", "'! '", "'? '", "E'\\n\\n'", "E'\\n'", "' '")
+    // Scala String.trim strips every char ≤ U+0020 from both ends
+    val trimset = "E'" + (1 to 32).map(c => f"\\x$c%02X").mkString + "'"
+    // split keeping the separator attached to the left piece, dropping
+    // a trailing empty piece — Chunker.segment
+    def attach(p: String, sep: String): String = {
+      val parts = s"string_split($p, $sep)"
+      s"(list_transform($parts[1:len($parts)-1], z -> z || $sep) || " +
+        s"(CASE WHEN $parts[-1] = '' THEN []::VARCHAR[] " +
+        s"ELSE [$parts[-1]] END))"
+    }
+    // level k: pieces > size split by the first separator from seps(k:)
+    // they contain (single-piece splits pass through — Chunker.explode)
+    def level(inner: String, k: Int): String = {
+      val branches = seps.drop(k).map { s =>
+        val att = attach("p", s)
+        s"WHEN contains(p, $s) THEN " +
+          s"(CASE WHEN len($att) <= 1 THEN [p] ELSE $att END)"
+      }.mkString(" ")
+      s"flatten(list_transform($inner, p -> " +
+        s"CASE WHEN len(p) <= $size THEN [p] " +
+        s"ELSE (CASE $branches ELSE [p] END) END))"
+    }
+    // final level: hard character cut (Chunker's grouped(size))
+    def hardcut(inner: String): String = {
+      val cut = s"list_transform(range(0, (len(p) + ${size - 1}) " +
+        s"// $size), j -> substr(p, (j * $size)::INT + 1, $size))"
+      s"flatten(list_transform($inner, p -> " +
+        s"CASE WHEN len(p) <= $size THEN [p] ELSE $cut END))"
+    }
+    val segExpr = hardcut(
+      seps.indices.foldLeft("[text]")((e, k) => level(e, k)))
+    s"""WITH RECURSIVE
+       |segs AS (
+       | SELECT doc_id, $segExpr AS segs
+       | FROM documents WHERE text IS NOT NULL AND text <> ''),
+       |fold AS (
+       | SELECT doc_id, 1 AS i, '' AS cur, []::VARCHAR[] AS out, segs
+       | FROM segs
+       | UNION ALL
+       | SELECT doc_id, i + 1,
+       |  CASE WHEN cur <> '' AND len(cur) + len(segs[i]) > $size
+       |   THEN (CASE WHEN least($overlap, $size - len(segs[i])) > 0
+       |     THEN right(cur, least($overlap, $size - len(segs[i])))
+       |     ELSE '' END) || segs[i]
+       |   ELSE cur || segs[i] END,
+       |  CASE WHEN cur <> '' AND len(cur) + len(segs[i]) > $size
+       |   THEN list_append(out, cur) ELSE out END,
+       |  segs
+       | FROM fold WHERE i <= len(segs)),
+       |done AS (
+       | SELECT doc_id,
+       |  CASE WHEN cur <> '' THEN list_append(out, cur) ELSE out END
+       |    AS chunks
+       | FROM fold WHERE i = len(segs) + 1),
+       |kept AS (
+       | SELECT doc_id,
+       |  list_filter(list_transform(chunks, c -> trim(c, $trimset)),
+       |   c -> len(c) > $minLen) AS chunks
+       | FROM done)
+       |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_idx, u.x AS chunk
+       |FROM kept,
+       | unnest(list_transform(chunks, (x, i) -> {'i': i, 'x': x})) t(u)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   // ---------------------------------------------------------------- q28
@@ -2008,7 +2084,10 @@ object Queries {
   // reconstruction fidelity + recall vs brute force are asserted in
   // VectorSimilaritySpec). The corpus is scanned as 8-int codes — the
   // 100 TB memory story — with codebooks fit once per dir and cached
-  // like q48's IVF quantizer.
+  // like q48's IVF quantizer. Deliberately kept on the FLAT pqTopK
+  // baseline so the q76/q77 pair measures what IVF pruning +
+  // residual encoding buy; production call sites use ivfPqTopK (see
+  // the "superseded at scale" note on Similarity.pqTopK).
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
   private def q76(s: SparkSession, dir: String): DataFrame = {
@@ -2196,21 +2275,36 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q82
-  // Mergeable HLL sketch distinct counting (rows-only: DataSketches
-  // register layout is engine-specific; slice-merge ≡ whole-scan and
-  // 5%-of-exact tracking are spec-pinned in SketchesSpec): build per
-  // (event_type, day) sketches once, roll up per event_type from
-  // sketch bytes — the no-rescan distinct-count pattern
+  // Mergeable HLL sketch distinct counting: build per (event_type, day)
+  // sketches once, roll up per event_type from sketch bytes — the
+  // no-rescan distinct-count pattern. Oracle contract: the estimate
+  // itself is engine-specific (DataSketches register layout), so the
+  // query emits (n_exact, within_bound) where within_bound checks the
+  // estimate against HLL's published 3σ relative error
+  // (3·1.04/√2^lgK ≈ 4.9% at lgK=12); DuckDB mirrors the exact counts
+  // and asserts the bound holds — the booleans hash-match while the
+  // estimates differ. Slice-merge ≡ whole-scan stays spec-pinned in
+  // SketchesSpec.
   private def q82(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
       .select($"event_type", $"user_id", to_date($"ts").as("day"))
     val daily = Sketches.sketchTable(ev,
       Seq("event_type", "day"), "user_id")
-    Sketches.mergeEstimate(daily, Seq("event_type"))
-      .select($"event_type", $"distinct_est")
+    val est = Sketches.mergeEstimate(daily, Seq("event_type"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    est.join(exact, "event_type")
+      .select($"event_type", $"n_exact",
+        (abs($"distinct_est" - $"n_exact") <=
+          lit(3.0 * 1.04 / math.sqrt(4096.0)) * $"n_exact")
+          .as("within_bound"))
       .orderBy($"event_type")
   }
+  private val q82Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      | true AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q83
   // Deterministic weighted sampling (Efraimidis–Spirakis): 5 docs per
@@ -2551,6 +2645,49 @@ object Queries {
       |   AS summary
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  // Real-codec multimodal decode: REAL RIFF/WAVE bytes (canonical PCM
+  // header + payload, the reference's actual blob type) synthesized
+  // from doc_id parameters, parsed back by the chunk-walking wav codec
+  // behind the decode seam; every 17th blob is truncated mid-header
+  // and must route to decode_ok=false. The oracle recomputes the
+  // expected header fields from the same id-derived parameters.
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 300)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rate = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+        val w = m.syntheticWav(id, rate, 1 + (id % 2).toInt, 16,
+          ((id % 100).toInt + 1) * 50)
+        if (id % 17 == 0) w.copy(content = w.content.take(20)) else w
+      }
+    m.decodeWav(blobs).toDF()
+      .select($"media_id", $"sample_rate", $"channels",
+        $"bits_per_sample", $"data_bytes", $"duration_ms", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private val q94Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |   WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+      |  1 + doc_id % 2 AS ch,
+      |  (doc_id % 100 + 1) * 50 AS frames,
+      |  doc_id % 17 = 0 AS bad
+      | FROM documents WHERE doc_id < 300)
+      |SELECT doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE rate END AS INT) AS sample_rate,
+      | CAST(CASE WHEN bad THEN -1 ELSE ch END AS INT) AS channels,
+      | CAST(CASE WHEN bad THEN -1 ELSE 16 END AS INT) AS bits_per_sample,
+      | CAST(CASE WHEN bad THEN -1 ELSE frames * ch * 2 END AS BIGINT)
+      |   AS data_bytes,
+      | CAST(CASE WHEN bad THEN -1 ELSE (frames * 1000) // rate END
+      |   AS BIGINT) AS duration_ms,
+      | NOT bad AS decode_ok
+      |FROM p ORDER BY media_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2646,7 +2783,8 @@ object Queries {
     "q90_profile"       -> (q90 _),
     "q91_salted_join"   -> (q91 _),
     "q92_grouping_sets" -> (q92 _),
-    "q93_stream_lifecycle" -> (q93 _)
+    "q93_stream_lifecycle" -> (q93 _),
+    "q94_wav_decode"    -> (q94 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2676,6 +2814,7 @@ object Queries {
     "q24_cosine_topk"   -> q24Sql,
     "q25_minhash_lsh"   -> q25Sql,
     "q26_simhash"       -> q26Sql,
+    "q27_chunker"       -> q27Sql,
     "q30_asof_join"     -> q30Sql,
     "q31_html_unescape" -> q31Sql,
     "q32_clean_text"    -> q32Sql,
@@ -2725,6 +2864,7 @@ object Queries {
     "q79_dropneardups"  -> q79Sql,
     "q80_incr_dedup"    -> q80Sql,
     "q81_strat_sample"  -> q81Sql,
+    "q82_hll_sketch"    -> q82Sql,
     "q83_weighted_sample" -> q83Sql,
     "q84_band_join"     -> q84Sql,
     "q85_session_window"-> q85Sql,
@@ -2735,6 +2875,7 @@ object Queries {
     "q90_profile"       -> q90Sql,
     "q91_salted_join"   -> q91Sql,
     "q92_grouping_sets" -> q92Sql,
-    "q93_stream_lifecycle" -> q93Sql
+    "q93_stream_lifecycle" -> q93Sql,
+    "q94_wav_decode"    -> q94Sql
   )
 }

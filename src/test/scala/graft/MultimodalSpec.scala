@@ -48,6 +48,60 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((1L, 1L, 0L), (2L, 3L, 4000L), (3L, 5L, 8000L)))
   }
 
+  test("wav codec: synthesized RIFF bytes parse back to their exact " +
+    "parameters; duration floors data/byte_rate") {
+    val w = Multimodal.syntheticWav(5L, 22050, 2, 16, 1103)
+    // canonical header really is RIFF/WAVE
+    assert(new String(w.content, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(w.content, 8, 4, "US-ASCII") == "WAVE")
+    val m = Multimodal.parseWav(5L, w.content)
+    assert(m == Multimodal.WavMeta(5L, 22050, 2, 16, 1103L * 4,
+      1103L * 4 * 1000 / (22050 * 4), decode_ok = true))
+    assert(m.duration_ms == 50L) // 1103 frames at 22050 Hz → 50.02 ms
+  }
+
+  test("wav codec: chunk walk tolerates LIST chunk before fmt, odd-" +
+    "size padding, and routes malformations to decode_ok=false") {
+    val base = Multimodal.syntheticWav(9L, 8000, 1, 16, 100).content
+    // splice a 5-byte LIST chunk (odd → 1 pad byte) after "WAVE"
+    val extra = java.nio.ByteBuffer
+      .allocate(base.length + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 12)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(5)
+    extra.put(Array[Byte](1, 2, 3, 4, 5, 0))
+    extra.put(base, 12, base.length - 12)
+    // RIFF size field now stale — parser must not care
+    val spliced = Multimodal.parseWav(9L, extra.array())
+    assert(spliced.decode_ok && spliced.sample_rate == 8000 &&
+      spliced.data_bytes == 200L)
+    // malformations
+    assert(!Multimodal.parseWav(1L, base.take(20)).decode_ok)  // truncated
+    assert(!Multimodal.parseWav(1L, Array[Byte]()).decode_ok)  // empty
+    val badMagic = base.clone(); badMagic(0) = 'X'.toByte
+    assert(!Multimodal.parseWav(1L, badMagic).decode_ok)
+    // declared data size past EOF
+    val shortData = base.dropRight(10)
+    assert(!Multimodal.parseWav(1L, shortData).decode_ok)
+    // corrupt giant chunk size must terminate, not loop
+    val hugeSize = base.clone()
+    java.nio.ByteBuffer.wrap(hugeSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, -8)
+    assert(!Multimodal.parseWav(1L, hugeSize).decode_ok)
+  }
+
+  test("decodeWav runs partition-wise over a Dataset of blobs") {
+    val blobs = Seq(
+      Multimodal.syntheticWav(1L, 16000, 1, 16, 800),
+      Multimodal.syntheticWav(2L, 44100, 2, 16, 4410),
+      MediaBlob(3L, "audio", Array[Byte](82, 73, 70, 70)) // bare "RIFF"
+    ).toDS().repartition(2)
+    val out = Multimodal.decodeWav(blobs).collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.WavMeta(1L, 16000, 1, 16, 1600L, 50L, true))
+    assert(out(1) == Multimodal.WavMeta(2L, 44100, 2, 16, 17640L, 100L, true))
+    assert(!out(2).decode_ok)
+  }
+
   test("frameFeatures emits deterministic bounded vectors per frame") {
     val frames = Seq((1L, 0L), (1L, 1L), (1L, 0L)).toDF("id", "frame_no")
     val out = Multimodal.frameFeatures(frames, "id", "frame_no", dim = 8)

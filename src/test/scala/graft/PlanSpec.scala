@@ -100,4 +100,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q84 band join buckets the inequality — equi-join, not BNLJ") {
+    val p = plan("q84_band_join")
+    // a naive |a−b| ≤ eps predicate plans as BroadcastNestedLoopJoin;
+    // the bucket + neighbor-replication rewrite must keep it a hash join
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q87 decontamination broadcasts the eval shingles into one " +
+    "corpus scan") {
+    val p = plan("q87_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q90 profile reads the table exactly once (one-scan per-column " +
+    "stats)") {
+    val p = plan("q90_profile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, found $scans in:\n$p")
+  }
+
+  test("q91 salted join broadcasts the replicated dim — skew " +
+    "mitigation must not reintroduce a shuffle or BNLJ") {
+    val p = plan("q91_salted_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
