@@ -602,14 +602,26 @@ object Similarity {
     * Output: (key, idx, mean_val).
     */
   def hashEmbedMeanByKey(df: DataFrame, keyCol: String, idCol: String,
-                         textCol: String, dim: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), col(keyCol).as("key"),
-        explode(filter(split(lower(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as("tk"))
-      .select(col("id"), col("key"),
+                         textCol: String, dim: Int,
+                         hash: Dedup.SigHash = Dedup.Xx64): DataFrame = {
+    val tokRaw = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("tk"))
+    val tok = hash match {
+      case Dedup.Xx64 => tokRaw.select(col("id"), col("key"),
         pmod(xxhash64(col("tk")), lit(dim)).cast("int").as("idx"),
         when(pmod(xxhash64(col("tk"), lit(1)), lit(2)) === 0, 1.0)
           .otherwise(-1.0).as("s"))
+      case Dedup.Md5 =>
+        // oracle mode (see Dedup.SigHash): ONE md5 per token; bucket
+        // from the low bits, sign from bit 16 — both replayable in SQL
+        tokRaw.select(col("id"), col("key"),
+            Dedup.md5u32(col("tk")).as("h"))
+          .select(col("id"), col("key"),
+            (col("h") % dim).cast("int").as("idx"),
+            when(shiftright(col("h"), 16) % 2 === 0, 1.0)
+              .otherwise(-1.0).as("s"))
+    }
     val sparse = tok.groupBy(col("id"), col("key"), col("idx"))
       .agg(sum(col("s")).as("v"))
     val norms = sparse.groupBy(col("id"))

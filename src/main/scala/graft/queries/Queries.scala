@@ -792,20 +792,56 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q28
-  // M3 stand-in: hash-embedding + per-language mean pool (rows-only)
+  // M3 stand-in: hash-embedding + per-language mean pool, oracle mode
+  // (Dedup.Md5): DuckDB replays the md5-derived bucket/sign hashing,
+  // the per-doc L2 normalization, and the key×dim densified mean.
+  // Scalar (lang, idx, mean_val) rows — an array-typed result column
+  // would break the driver's pandas sort-by-value hashing. Production
+  // path keeps xxhash64 (equivalence spec'd in VectorSimilaritySpec).
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // scalar (lang, idx, mean_val) rows — an array-typed result column
-    // would break the driver's pandas sort-by-value hashing
     Similarity.hashEmbedMeanByKey(t(s, dir, "documents"),
-        "lang", "doc_id", "text", 16)
+        "lang", "doc_id", "text", 16, hash = Dedup.Md5)
       .select($"key".as("lang"), $"idx".cast("long").as("idx"),
-        round($"mean_val", 5).as("mean_val"))
+        (floor($"mean_val" * 100000.0 + 0.5) / 100000.0).as("mean_val"))
       .orderBy($"lang", $"idx")
   }
+  private val q28Sql =
+    """WITH tok AS (
+      | SELECT doc_id AS id, lang AS key,
+      |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0)) AS tk
+      | FROM documents),
+      |h AS (SELECT id, key,
+      |  ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM tok),
+      |sp AS (SELECT id, key, h % 16 AS idx,
+      |  CASE WHEN (h >> 16) % 2 = 0 THEN 1.0::DOUBLE
+      |   ELSE -1.0::DOUBLE END AS s
+      | FROM h),
+      |sparse AS (SELECT id, key, idx, sum(s) AS v
+      | FROM sp GROUP BY id, key, idx),
+      |norms AS (SELECT id, sqrt(sum(v * v)) AS norm FROM sparse
+      | GROUP BY id HAVING sqrt(sum(v * v)) > 0),
+      |unit AS (SELECT sparse.id, sparse.key, sparse.idx, sparse.v, norm
+      | FROM sparse JOIN norms USING (id)),
+      |nd AS (SELECT key, count(DISTINCT id) AS n_docs
+      | FROM unit GROUP BY key),
+      |sums AS (SELECT key, idx, sum(v / norm) AS sv
+      | FROM unit GROUP BY key, idx),
+      |grid AS (SELECT key, n_docs, unnest(range(0, 16)) AS idx FROM nd)
+      |SELECT key AS lang, CAST(idx AS BIGINT) AS idx,
+      | floor((COALESCE(sv, 0.0::DOUBLE) / n_docs) * 100000.0 + 0.5)
+      |   / 100000.0 AS mean_val
+      |FROM grid LEFT JOIN sums USING (key, idx)
+      |ORDER BY lang, idx""".stripMargin
 
   // ---------------------------------------------------------------- q29
-  // LSH-bucketed approximate ANN (rows-only; recall spec'd in tests)
+  // LSH-bucketed approximate ANN, now oracle-checked: the seeded
+  // hyperplane constants ride into BOTH plans as literals (Spark via
+  // lshBucket's array literals, DuckDB via generated left-assoc dot
+  // chains that reproduce the sequential-fold summation order
+  // bit-for-bit), so bucket sign bits, multiprobe neighbors, and the
+  // ranked cosines all match exactly. Recall stays spec'd in tests.
   private def q29(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
@@ -814,6 +850,47 @@ object Queries {
       .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
         round($"sim", 6).as("sim"))
       .orderBy($"q_id", $"rank")
+  }
+  private val q29Sql = {
+    val planes = Similarity.hyperplanes(64, 8, 42L)
+    // explicit a[1]·p1 + a[2]·p2 + … chain: SQL + is left-associative,
+    // matching the native DotProduct's sequential double fold exactly —
+    // sign bits near zero cannot flip between engines
+    def dotChain(vec: String, p: Array[Double]): String =
+      p.zipWithIndex.map { case (c, i) =>
+        s"$vec[${i + 1}]::DOUBLE * (${java.lang.Double.toString(c)})"
+      }.mkString(" + ")
+    def bucket(vec: String): String =
+      "(" + planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${dotChain(vec, p)} >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" | ") + ")"
+    val toD = (v: String) => s"list_transform($v, x -> CAST(x AS DOUBLE))"
+    s"""WITH c AS (
+       | SELECT vec_id AS c_id, embedding AS c_vec,
+       |  ${bucket("embedding")} AS bucket
+       | FROM embeddings),
+       |qb AS (
+       | SELECT vec_id AS q_id, embedding AS q_vec,
+       |  ${bucket("embedding")} AS b0
+       | FROM embeddings WHERE vec_id < 10),
+       |q AS (
+       | SELECT q_id, q_vec,
+       |  unnest([b0] || [xor(b0, 1 << j) for j in range(0, 8)]) AS bucket
+       | FROM qb),
+       |sc AS (
+       | SELECT q_id, c_id,
+       |  list_dot_product(${toD("q_vec")}, ${toD("c_vec")})
+       |   / (sqrt(list_dot_product(${toD("q_vec")}, ${toD("q_vec")}))
+       |    * sqrt(list_dot_product(${toD("c_vec")}, ${toD("c_vec")})))
+       |   AS sim
+       | FROM q JOIN c USING (bucket) WHERE q_id <> c_id),
+       |r AS (SELECT q_id, c_id, sim,
+       | row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+       |   AS rank
+       | FROM sc)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+       | round(sim, 6) AS sim
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q30
@@ -2605,12 +2682,15 @@ object Queries {
   // ---------------------------------------------------------------- q93
   // ST1-ST3 lifecycle under the oracle contract: the documents table
   // streams through Streams.incrementalUpsert (Trigger.AvailableNow,
-  // maxFilesPerTrigger=1 over an 8-file spill so the backlog REALLY
+  // maxFilesPerTrigger=1 over a 4-file spill so the backlog REALLY
   // drains as multiple micro-batches), each batch MERGE-patching the
   // seeded state table — 'en' docs get status/summary set, others keep
   // their seed state. Final table state is batch-count-invariant
   // (doc_id keys are unique and the stage is row-local), so DuckDB
-  // folds the whole lifecycle as one batch expression.
+  // folds the whole lifecycle as one batch expression. Cost is the
+  // sequential per-batch table merges by design (the lifecycle IS the
+  // operator here); 4 batches keeps that honest without dominating
+  // the bench.
   private def q93(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q93").toString
@@ -2621,7 +2701,7 @@ object Queries {
         lit(null).cast("string").as("summary"))
       .write.parquet(table)
     val inDir = s"$tmp/in"
-    docs.repartition(8).write.parquet(inDir)
+    docs.repartition(4).write.parquet(inDir)
     val stream = s.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -2815,6 +2895,8 @@ object Queries {
     "q25_minhash_lsh"   -> q25Sql,
     "q26_simhash"       -> q26Sql,
     "q27_chunker"       -> q27Sql,
+    "q28_hash_embed"    -> q28Sql,
+    "q29_lsh_ann"       -> q29Sql,
     "q30_asof_join"     -> q30Sql,
     "q31_html_unescape" -> q31Sql,
     "q32_clean_text"    -> q32Sql,
