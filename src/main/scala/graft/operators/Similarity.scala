@@ -517,6 +517,11 @@ object Similarity {
     *    full-precision corpus scan — no corpus shuffle there either;
     *  - the only shuffles are the two per-query top-k windows, whose
     *    input is candidates, not corpus.
+    * `rerankFactor <= 0` skips the PQ survivor cut and re-ranks EVERY
+    * probed candidate exactly — with `nprobe = nlist` that makes the
+    * whole search provably ≡ brute force (the oracle mode q77 uses;
+    * quantization then affects no output bit, so the oracle checks the
+    * index plumbing while PQ fidelity stays spec-pinned).
     */
   def ivfPqTopK(model: IvfPqModel, queries: DataFrame, index: DataFrame,
                 corpus: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -525,13 +530,16 @@ object Similarity {
       Vectors.toDouble(col(vecCol)).as("q_vec"))
     val probes = q.withColumn("cell",
       explode(model.ivf.nearestCells(col("q_vec"), nprobe)))
-    val cand = index.join(broadcast(probes), Seq("cell"))
+    val cand0 = index.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim",
-        Vectors.cosine(col("q_vec"),
-          model.reconstructAt(col("cell"), col("codes"))))
-    val surv = rankTopK(cand, k * rerankFactor)
-      .select(col("q_id"), col("c_id"))
+    val surv =
+      if (rerankFactor <= 0) cand0.select(col("q_id"), col("c_id"))
+      else {
+        val cand = cand0.withColumn("sim",
+          Vectors.cosine(col("q_vec"),
+            model.reconstructAt(col("cell"), col("codes"))))
+        rankTopK(cand, k * rerankFactor).select(col("q_id"), col("c_id"))
+      }
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     val exact = c.join(broadcast(surv), Seq("c_id"))
       .join(broadcast(q), Seq("q_id"))

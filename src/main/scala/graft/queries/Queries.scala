@@ -580,21 +580,28 @@ object Queries {
         round($"sim", 6).as("sim"))
       .orderBy($"q_id", $"rank")
   }
-  private val q24Sql =
-    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-      |  FROM embeddings WHERE vec_id < 10),
-      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      |sc AS (
-      | SELECT q_id, c_id,
-      |  list_dot_product(qv, cv)
-      |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-      |    AS sim
-      | FROM q, c WHERE q_id <> c_id),
-      |r AS (SELECT q_id, c_id, sim,
-      | row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
-      | FROM sc)
-      |SELECT q_id, rank, c_id, round(sim, 6) AS sim
-      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  /** DuckDB brute-force cosine top-k over `embeddings` for queries
+    * matching `pred` — the shared oracle for every exact-equivalent
+    * retrieval path (q24 brute force, q48 exhaustive IVF, q77
+    * exhaustive IVF-PQ): same tie-break (sim DESC, c_id) as
+    * Similarity.rankTopK.
+    */
+  private def bruteTopKSql(pred: String, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE $pred),
+       |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |sc AS (
+       | SELECT q_id, c_id,
+       |  list_dot_product(qv, cv)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+       |    AS sim
+       | FROM q, c WHERE q_id <> c_id),
+       |r AS (SELECT q_id, c_id, sim,
+       | row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+       | FROM sc)
+       |SELECT q_id, rank, c_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  private val q24Sql = bruteTopKSql("vec_id < 10", 5)
 
   // ---------------------------------------------------------------- q25
   // MinHash+LSH near-dup candidates, oracle mode: engine-neutral
@@ -1370,11 +1377,17 @@ object Queries {
       |FROM p WHERE sim > 0.8 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q48
-  // IVF approximate ANN (rows-only: k-means cell boundaries are
-  // engine-specific; recall vs brute force is asserted in
-  // VectorSimilaritySpec). The quantizer is fit ONCE per (dir, nlist)
-  // and cached — the index-build/search split every real ANN engine
-  // has; the query measures search.
+  // IVF ANN, oracle mode: exhaustive probing (nprobe = nlist) makes the
+  // search provably ≡ brute force — every corpus vector sits in exactly
+  // ONE cell, probing all cells reconstructs the full candidate set
+  // exactly once, and the exact re-rank + (sim DESC, c_id) tie-break
+  // match bruteTopKSql bit-for-bit. That puts the k-means path's
+  // machinery (assignment completeness, candidate-join exactness,
+  // ranking) under the cross-engine oracle; the production recall mode
+  // (nprobe < nlist) is spec-pinned in VectorSimilaritySpec. The
+  // quantizer is fit ONCE per (dir, nlist) and cached — the
+  // index-build/search split every real ANN engine has; the query
+  // measures search.
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Similarity.IvfModel]
   private def q48(s: SparkSession, dir: String): DataFrame = {
@@ -1382,12 +1395,14 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val model = ivfModels.getOrElseUpdate((dir, 16),
       Similarity.fitIvf(emb, "embedding", nlist = 16))
-    Similarity.ivfTopK(model, emb.filter($"vec_id" < 10), emb,
-        "vec_id", "embedding", k = 5, nprobe = 4)
+    Similarity.ivfTopK(model,
+        emb.filter($"vec_id" >= 10 && $"vec_id" < 20), emb,
+        "vec_id", "embedding", k = 5, nprobe = 16)
       .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
         round($"sim", 6).as("sim"))
       .orderBy($"q_id", $"rank")
   }
+  private val q48Sql = bruteTopKSql("vec_id >= 10 AND vec_id < 20", 5)
 
   // ---------------------------------------------------------------- q49
   // Semi-structured JSON column: field extraction + aggregation over
@@ -2181,11 +2196,15 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q77
-  // IVF-PQ composed ANN (rows-only; recall ≥ plain PQ asserted in
-  // VectorSimilaritySpec): coarse cells prune the codes scan to
-  // nprobe/nlist of the index, PQ scores the pruned candidates, and
-  // survivors re-rank exactly against the uncompressed vectors —
-  // pqTopK's full-codes-scan fixed. Models cached per dir like q48/q76.
+  // IVF-PQ composed ANN, oracle mode: exhaustive probing (nprobe =
+  // nlist) + no PQ survivor cut (rerankFactor = 0) make the two-stage
+  // search provably ≡ brute force — the index join must yield every
+  // corpus vector exactly once and the exact re-rank + tie-break then
+  // match bruteTopKSql bit-for-bit, putting the encode/join/re-rank
+  // plumbing under the cross-engine oracle. The production shape
+  // (nprobe < nlist, PQ-scored survivor cut; recall ≥ plain PQ) is
+  // spec-pinned in VectorSimilaritySpec. Models cached per dir like
+  // q48/q76.
   private val ivfPqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfPqModel]
   private def q77(s: SparkSession, dir: String): DataFrame = {
@@ -2194,12 +2213,14 @@ object Queries {
     val model = ivfPqModels.getOrElseUpdate(dir,
       Similarity.fitIvfPq(emb, "embedding", nlist = 16, m = 8, k = 16))
     val index = Similarity.ivfPqEncode(model, emb, "vec_id", "embedding")
-    Similarity.ivfPqTopK(model, emb.filter($"vec_id" < 10), index, emb,
-        "vec_id", "embedding", k = 5, nprobe = 4)
+    Similarity.ivfPqTopK(model,
+        emb.filter($"vec_id" >= 20 && $"vec_id" < 30), index, emb,
+        "vec_id", "embedding", k = 5, nprobe = 16, rerankFactor = 0)
       .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
         round($"sim", 6).as("sim"))
       .orderBy($"q_id", $"rank")
   }
+  private val q77Sql = bruteTopKSql("vec_id >= 20 AND vec_id < 30", 5)
 
   // ---------------------------------------------------------------- q78
   // F15 deterministic voice pick: md5-keyed choice from the per-gender
@@ -2915,6 +2936,7 @@ object Queries {
     "q45_frame_plan"    -> q45Sql,
     "q46_blob_decode"   -> q46Sql,
     "q47_vec_neardup"   -> q47Sql,
+    "q48_ivf_ann"       -> q48Sql,
     "q49_json_props"    -> q49Sql,
     "q50_feed_parse"    -> q50Sql,
     "q51_distinct_pct"  -> q51Sql,
@@ -2942,6 +2964,7 @@ object Queries {
     "q73_stats_moments" -> q73Sql,
     "q74_curation_pipe" -> q74Sql,
     "q75_scd2_history"  -> q75Sql,
+    "q77_ivfpq_ann"     -> q77Sql,
     "q78_voice_pick"    -> q78Sql,
     "q79_dropneardups"  -> q79Sql,
     "q80_incr_dedup"    -> q80Sql,
