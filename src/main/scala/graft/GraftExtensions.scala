@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{ChunkText, CosineSimilarity, DotProduct}
+import graft.expressions.{ChunkText, CosineSimilarity, DotProduct, NfcNormalize}
 import graft.functions.ColumnPlugins
 
 /** SparkSessionExtensions registration: exposes the engine's native
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     // table-generating: LATERAL VIEW graft_chunk(text[, size, overlap])
     def intLit(e: Expression, name: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)

@@ -41,6 +41,15 @@ object Text {
   def slugify(c: Column): Column =
     regexp_replace(translate(lower(c), diacriticFrom, diacriticTo), "\\s+", "")
 
+  /** Unicode NFC canonical composition (native codegen'd kernel —
+    * [[graft.expressions.NfcNormalize]]): canonicalize composed vs
+    * decomposed forms before any hash/shingle/token operator.
+    */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
   /** alias_from_topic: first letter of each word, lowercased.
     * "Thể thao" → "tt".
     */

@@ -240,4 +240,39 @@ object Curation {
       .withColumn("tokens",
         TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
   }
+
+  /** Temperature-balanced mixture sampling: per-source weights
+    * wₛ ∝ nₛ^α (α < 1 up-weights small sources — the multilingual
+    * mixing rule of Conneau & Lample, "Cross-lingual Language Model
+    * Pretraining", NeurIPS 2019 §3.1), a doc budget allocated by wₛ,
+    * and a deterministic md5-keyed draw ([[stratifiedSample]]'s
+    * mechanism) admitting each source's share. Two scans, no wide
+    * shuffle: source counts are a hash aggregate whose result (one row
+    * per source) broadcasts back onto the corpus; the draw is
+    * scan-side. Per-source admission uses floor(budget·wₛ), capped at
+    * nₛ. Output: input columns + `w` (quantized to 9 decimals) +
+    * `target` (long) — filtered to admitted rows.
+    */
+  def temperatureMixture(docs: DataFrame, sourceCol: String,
+      keyCol: String, budget: Long, alpha: Double,
+      seed: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(pow(col("n_s"), lit(alpha))).as("z"))
+    val plan = counts.crossJoin(broadcast(tot))
+      // quantize the weight BEFORE the target floor so an engine-ulp
+      // divergence in pow cannot flip a budget row count
+      .withColumn("w",
+        floor(pow(col("n_s"), lit(alpha)) / col("z") * 1e9 + 0.5) / 1e9)
+      .withColumn("target",
+        least(col("n_s"), floor(lit(budget) * col("w"))).cast("long"))
+    val u = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(plan), Seq(sourceCol))
+      .withColumn("__u", u)
+      // admit at rate target/n_s on the 32-bit uniform — same cut
+      // arithmetic as stratifiedSample, exact in integer space
+      .filter(col("__u") * col("n_s") < col("target") * lit(4294967296L))
+      .drop("__u", "n_s", "z")
+  }
 }

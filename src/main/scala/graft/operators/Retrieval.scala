@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a text corpus — the lexical half of a
+  * retrieval stack (the reference's vector path covers the semantic
+  * half; qdrant_io_manager.py:33). Okapi BM25 with the Lucene-shaped
+  * non-negative idf, ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson &
+  * Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond",
+  * FnTIR 2009).
+  *
+  * Scale shape (the inverted-index probe, relationally):
+  *  - tokenize + explode is ONE corpus scan; the query-term filter is
+  *    applied AT the explode (an `isin` over a literal list, pushed
+  *    into the generate), so only postings for query terms survive —
+  *    the analog of seeking |q| posting lists, not scanning the vocab;
+  *  - tf is a map-side-combined hash aggregate on (doc, term); df
+  *    aggregates the tf table (tiny: ≤ |q| rows out), and rides back
+  *    in via a broadcast join keyed on term;
+  *  - corpus stats (N, avgdl) are a single scalar aggregate broadcast
+  *    by a cross join — no driver collect;
+  *  - the final top-k is a global TakeOrdered (orderBy + limit), not a
+  *    full sort.
+  * Scores are quantized to 6 decimals (floor(x·10⁶ + 0.5)/10⁶ on both
+  * engines) BEFORE ranking so float-sum-order noise can never flip a
+  * rank across engines; ties break by doc id.
+  */
+object Retrieval {
+
+  /** Whitespace tokenization shared with TextAnalysis/Dedup: lowercase,
+    * split on runs of whitespace, drop empties.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Top-`k` documents for `queryTerms` by BM25. Output:
+    * (rank, doc_id, score) — score quantized to 6 decimals.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfTbl), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("raw"))
+      .withColumn("score", floor(col("raw") * 1e6 + 0.5) / 1e6)
+    val top = scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+}

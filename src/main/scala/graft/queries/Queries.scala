@@ -2789,6 +2789,149 @@ object Queries {
       | NOT bad AS decode_ok
       |FROM p ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  // BM25 ranked retrieval (Retrieval.bm25TopK): the lexical half of a
+  // retrieval stack, as an inverted-index probe — postings for the
+  // query terms only (isin pushed into the explode), map-side-combined
+  // tf/df aggregates, broadcast stats, global TakeOrdered top-k.
+  // Query terms span the df spectrum ('dup' is rare → high idf;
+  // 'spark'/'window' are near-ubiquitous → idf ≈ 0) so the scoring
+  // actually discriminates. Scores quantized to 6 decimals on both
+  // engines BEFORE ranking.
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "window", "dup"), k = 15)
+  private val q95Sql =
+    """WITH tk AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS toks
+      | FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      | WHERE term IN ('spark', 'window', 'dup') GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1.0)
+      |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 1e6 + 0.5) / 1e6 AS score
+      | FROM f JOIN dfs USING (term) CROSS JOIN st GROUP BY doc_id),
+      |r AS (SELECT doc_id, score,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |SELECT rank, doc_id, score FROM r WHERE rank <= 15
+      |ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  // Temperature-balanced mixture sampling (Curation.temperatureMixture):
+  // per-language weights n^α with α=0.5 up-weight the small languages
+  // against the `en` head — the multilingual data-mixing rule — then a
+  // budget is allocated by weight and admitted by the md5-keyed draw
+  // (q81's mechanism). The admission cut is exact integer arithmetic
+  // (u·nₛ < target·2³²), so both engines admit identical doc sets.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.temperatureMixture(t(s, dir, "documents"), "lang", "doc_id",
+        budget = 200L, alpha = 0.5, seed = "mix96")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("kept"), min($"doc_id").as("first_doc"),
+        max($"target").as("target"), max($"w").as("w"))
+      .orderBy($"lang")
+  }
+  private val q96Sql =
+    """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+      |z AS (SELECT sum(pow(n_s, 0.5)) AS z FROM c),
+      |pl AS (SELECT lang, n_s,
+      |  floor(pow(n_s, 0.5) / z * 1e9 + 0.5) / 1e9 AS w
+      | FROM c CROSS JOIN z),
+      |p2 AS (SELECT lang, n_s, w,
+      |  CAST(least(CAST(n_s AS DOUBLE), floor(200 * w)) AS BIGINT)
+      |    AS target
+      | FROM pl),
+      |k AS (SELECT d.lang, d.doc_id, p.w, p.target, p.n_s,
+      |  ('0x' || substr(md5('mix96:' || d.doc_id), 1, 8))::BIGINT AS u
+      | FROM documents d JOIN p2 p USING (lang))
+      |SELECT lang, count(*) AS kept, min(doc_id) AS first_doc,
+      | max(target) AS target, max(w) AS w
+      |FROM k WHERE u * n_s < target * 4294967296
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  // Unicode NFC canonical composition (native codegen'd NfcNormalize,
+  // SQL-registered as graft_nfc): decomposed "e"+U+0301 sequences
+  // compose to "é" so downstream hash/shingle/token operators see ONE
+  // canonical form. The decomposed input is built deterministically
+  // from row data; char counts drop by exactly the composed pairs.
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = concat($"source", lit("-cafe"), lit("\u0301-"), $"lang")
+    t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id", length(dec).cast("long").as("raw_len"),
+        Text.nfc(dec).as("nfc_str"),
+        length(Text.nfc(dec)).cast("long").as("nfc_len"))
+      .orderBy($"doc_id")
+  }
+  private val q97Sql =
+    """WITH d AS (SELECT doc_id,
+      |  source || '-cafe' || chr(769) || '-' || lang AS dec
+      | FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, length(dec) AS raw_len,
+      | nfc_normalize(dec) AS nfc_str,
+      | length(nfc_normalize(dec)) AS nfc_len
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  // Mergeable quantile sketch (Spark's Greenwald–Khanna
+  // percentile_approx): per-group price quantiles from ONE pass of
+  // map-side-combined partial sketches — the constant-memory shape
+  // that replaces a full sort at 100 TB. At the oracle SF the accuracy
+  // parameter (10⁷) exceeds n, making the sketch EXACT (rank error
+  // ≤ n/accuracy < 1), so DuckDB's quantile_disc hash-matches
+  // element-for-element; production keeps the default accuracy and the
+  // published ε·n rank bound.
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice",
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+        lit(10000000)).as("qs"))
+      .select($"l_returnflag", posexplode($"qs").as(Seq("pos", "q")))
+      .select($"l_returnflag", ($"pos" + 1).cast("long").as("pos"), $"q")
+      .orderBy($"l_returnflag", $"pos")
+  }
+  private val q98Sql =
+    """WITH g AS (SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, CAST(i AS BIGINT) AS pos, qs[CAST(i AS INT)] AS q
+      |FROM g, unnest(range(1, 5)) t(i)
+      |ORDER BY l_returnflag, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  // Bloom-pruned semi join (BloomJoin.bloomSemiJoin): customers with a
+  // high-value order, pruned at the customer SCAN by a bloom over the
+  // filtered orders' keys before the exact semi join removes false
+  // positives — the manual runtime-filter shape. The oracle IS the
+  // plain semi join: the bloom stage must be semantically invisible.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "orders").filter($"o_totalprice" > 450000.0)
+    BloomJoin.bloomSemiJoin(t(s, dir, "customer"), "c_custkey",
+        big, "o_custkey")
+      .select($"c_custkey", $"c_name", $"c_nationkey".cast("long")
+        .as("c_nationkey"), $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+  private val q99Sql =
+    """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      | c_acctbal
+      |FROM customer
+      |WHERE c_custkey IN
+      | (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2885,7 +3028,12 @@ object Queries {
     "q91_salted_join"   -> (q91 _),
     "q92_grouping_sets" -> (q92 _),
     "q93_stream_lifecycle" -> (q93 _),
-    "q94_wav_decode"    -> (q94 _)
+    "q94_wav_decode"    -> (q94 _),
+    "q95_bm25"          -> (q95 _),
+    "q96_temp_mixture"  -> (q96 _),
+    "q97_nfc_normalize" -> (q97 _),
+    "q98_quantile_sketch" -> (q98 _),
+    "q99_bloom_semijoin" -> (q99 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2981,6 +3129,11 @@ object Queries {
     "q91_salted_join"   -> q91Sql,
     "q92_grouping_sets" -> q92Sql,
     "q93_stream_lifecycle" -> q93Sql,
-    "q94_wav_decode"    -> q94Sql
+    "q94_wav_decode"    -> q94Sql,
+    "q95_bm25"          -> q95Sql,
+    "q96_temp_mixture"  -> q96Sql,
+    "q97_nfc_normalize" -> q97Sql,
+    "q98_quantile_sketch" -> q98Sql,
+    "q99_bloom_semijoin" -> q99Sql
   )
 }

@@ -131,4 +131,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q95 bm25 ends in TakeOrdered (global top-k, no full sort); " +
+    "df and corpus stats ride broadcasts, never a cartesian") {
+    val p = plan("q95_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TOP in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row stats join may plan as a BNLJ-on-singleton; the term
+    // df join must be a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+  }
+
+  test("q96 mixture broadcasts the per-stratum plan onto the corpus " +
+    "scan — no wide shuffle of the documents table") {
+    val p = plan("q96_temp_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q99 bloom semi join: might_contain prunes the probe SCAN " +
+    "before a broadcast semi join — no sort-merge anywhere") {
+    val p = plan("q99_bloom_semijoin")
+    assert(p.contains("might_contain"), "bloom filter not in the plan")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "exact verify must be a broadcast left-semi join")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

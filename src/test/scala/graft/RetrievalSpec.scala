@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomJoin, Curation, Retrieval}
+
+/** BM25 retrieval, temperature mixture, and bloom-pruned semi join. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("bm25TopK matches a hand-computed score on a tiny corpus") {
+    val docs = Seq(
+      (1L, "cat dog cat"),        // tf(cat)=2, dl=3
+      (2L, "dog dog dog dog"),    // no query term beyond dog
+      (3L, "cat fish"),           // tf(cat)=1, dl=2
+      (4L, "fish fish fish")      // no cat
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // N=4, df(cat)=2 → idf = ln(1 + 2.5/2.5) = ln 2; avgdl = 3
+    val idf = math.log(2.0)
+    def bm25(tf: Double, dl: Double): Double = {
+      val raw = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 1L, bm25(2, 3))))
+    assert(out(1) == ((2L, 3L, bm25(1, 2))))
+  }
+
+  test("bm25TopK rank ties break by doc id on identical docs") {
+    val docs = Seq((10L, "a b"), (2L, "a b"), (7L, "a b"), (5L, "zz"))
+      .toDF("doc_id", "text")
+    val ids = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(ids == Seq(2L, 7L, 10L))
+  }
+
+  test("temperatureMixture: α=1 is proportional, α→0 flattens, " +
+    "targets honor the budget and caps") {
+    val docs = (0 until 900).map { i =>
+      val src = if (i < 600) "big" else if (i < 870) "mid" else "tiny"
+      (src, i.toLong)
+    }.toDF("src", "id")
+    def targets(alpha: Double, budget: Long): Map[String, Long] =
+      Curation.temperatureMixture(docs, "src", "id", budget, alpha, "t")
+        .groupBy("src").agg(max("target").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prop = targets(1.0, 300)
+    // α=1: weights ∝ counts — 600/900, 270/900, 30/900 of 300; the
+    // floor allocation under-fills tiny by one (floor(300·0.0333…)=9)
+    assert(prop == Map("big" -> 200L, "mid" -> 90L, "tiny" -> 9L))
+    val flat = targets(0.001, 300)
+    // α≈0: all weights ≈ 1/3 → equal 100-doc targets, except tiny,
+    // which hits its nₛ = 30 cap
+    assert(flat("big") == 100L && flat("mid") == 100L &&
+      flat("tiny") == 30L)
+    // budget larger than a stratum: target capped at n_s
+    val capped = targets(0.5, 5000)
+    assert(capped("tiny") <= 30L)
+  }
+
+  test("temperatureMixture admits a deterministic subset near the target") {
+    val docs = (0 until 1000).map(i => ("s", i.toLong)).toDF("src", "id")
+    val kept = Curation.temperatureMixture(docs, "src", "id", 250L, 0.5, "k")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val again = Curation.temperatureMixture(docs, "src", "id", 250L, 0.5, "k")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == again)                 // seeded — same draw every run
+    // one source → w quantizes to 1.0 → target = min(1000, 250) = 250;
+    // admission is a 32-bit uniform cut: kept ≈ target within ~4σ
+    assert(math.abs(kept.size - 250) < 60)
+  }
+
+  test("bloomSemiJoin equals the plain left-semi join") {
+    val probe = (0L until 3000L).map(i => (i, s"p$i")).toDF("k", "pv")
+    val build = (0L until 3000L by 17L).map(i => (i, "x")).toDF("bk", "x")
+    val plain = probe.join(build, probe("k") === build("bk"), "left_semi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val bloomed = BloomJoin.bloomSemiJoin(probe, "k", build, "bk")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(bloomed == plain)
+    assert(plain.size == (3000 + 16) / 17)
+  }
+
+  test("bloom pre-filter actually prunes non-matching probe rows") {
+    val probe = (0L until 5000L).toDF("k")
+    val build = Seq(1L, 2L, 3L).toDF("bk")
+    val bloom = BloomJoin.buildBloom(build, "bk", expectedItems = 1000L)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val passed = probe.filter(ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bloom)),
+          ColumnBridge.expression(xxhash64($"k"))))).count()
+    // all 3 members pass; false positives stay ≈ fpp · 4997 ≪ 5000
+    assert(passed >= 3 && passed < 500)
+  }
+}
