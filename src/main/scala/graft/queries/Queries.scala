@@ -2932,6 +2932,67 @@ object Queries {
       | (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  // Watermarked streaming tumbling windows under the oracle — the
+  // streaming twin of q13, driven end to end: events arrive as 4 real
+  // micro-batches (maxFilesPerTrigger=1) through Streams.tumbling in
+  // APPEND mode (a window emits only once the watermark passes its
+  // end) into a parquet sink. A far-future sentinel row then arrives
+  // in a checkpoint-RESUMED second run, pushing the watermark past
+  // every real window so the finalization batch flushes them all,
+  // exactly once. The final sink must equal the batch group-by — the
+  // oracle IS q13's SQL. Restart-across-checkpoint is the ST1/ST3
+  // recovery contract exercised under the hash compare.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q100").toString
+    val ev = t(s, dir, "events").select($"ts", $"event_type", $"value")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    def run(): Unit = {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val agg = graft.streaming.Streams.tumbling(stream, "ts",
+        "event_type", "value")
+      val q = agg.writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batches must advance in EVENT TIME (arrival ≈ event order, the
+    // real stream shape): 4 time slices, each written then processed
+    // by a checkpoint-resumed run — so arrival order is enforced by
+    // the checkpoint, not file mtimes. Slices span ≫ the 2h watermark
+    // delay, so windows straddling a slice boundary are still open
+    // when the next slice arrives: nothing is ever late-dropped, and
+    // every window is emitted exactly once.
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val cuts = Seq(Long.MinValue) ++
+      (1 to 3).map(i => lo + (hi - lo) * i / 4) :+ Long.MaxValue
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      ev.filter(unix_millis($"ts") >= a && unix_millis($"ts") < b)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      run()
+    }
+    // sentinel: far past every real timestamp — advances the watermark
+    // over every real window so the finalization batch flushes them;
+    // its own (never-closed) window cannot emit, and is filtered
+    // regardless
+    s.range(1).select(
+        lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")).as("ts"),
+        lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+      .write.mode("append").parquet(inDir)
+    run()
+    s.read.parquet(outDir)
+      .filter($"event_type" =!= "__sentinel")
+      .select($"window_start", $"event_type", $"cnt",
+        round($"sum_value", 2).as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+  private val q100Sql = q13Sql  // streaming final state ≡ batch windows
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3033,7 +3094,8 @@ object Queries {
     "q96_temp_mixture"  -> (q96 _),
     "q97_nfc_normalize" -> (q97 _),
     "q98_quantile_sketch" -> (q98 _),
-    "q99_bloom_semijoin" -> (q99 _)
+    "q99_bloom_semijoin" -> (q99 _),
+    "q100_stream_tumbling" -> (q100 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3134,6 +3196,7 @@ object Queries {
     "q96_temp_mixture"  -> q96Sql,
     "q97_nfc_normalize" -> q97Sql,
     "q98_quantile_sketch" -> q98Sql,
-    "q99_bloom_semijoin" -> q99Sql
+    "q99_bloom_semijoin" -> q99Sql,
+    "q100_stream_tumbling" -> q100Sql
   )
 }
