@@ -1598,7 +1598,13 @@ object Queries {
 
   // ---------------------------------------------------------------- q57
   // Fuzzy matching: Levenshtein edit distance between topic slugs —
-  // the string-similarity cousin of the n-gram dedup family
+  // the string-similarity cousin of the n-gram dedup family. The
+  // crossJoin is sound ONLY because the input is a 14-row fixture
+  // list; the table-scale path is candidate pruning first — bucket by
+  // length band (edit distance ≥ length gap, so |len(a)−len(b)| > k
+  // pairs can never match; the q84 bandJoin shape) or by shared
+  // n-gram (the q22 inverted-index shape) — then levenshtein on the
+  // pruned pairs. Do not lift this as-is onto a real table.
   private def q57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val slugs = slugFixtures.toDF("name")

@@ -37,6 +37,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ids == Seq(2L, 7L, 10L))
   }
 
+  test("bm25TopK matches a naive in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    // 2 query terms: one double-add per doc, so the naive fold is
+    // bit-identical to the aggregate (addition is commutative; with
+    // 3+ terms only the 1e-6 quantization would guarantee parity)
+    val qterms = Seq("a", "d")
+    val (k1, b) = (1.2, 0.75)
+    for (_ <- 0 until 3) {
+      val docs = (0 until 40).map(i => (i.toLong,
+        Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+          "doc_id", "text", qterms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val toks = docs.map { case (id, t) =>
+        (id, t.split("\\s+").filter(_.nonEmpty).toSeq) }
+      val n = toks.size
+      val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+      val dfm = qterms.map(t => t -> toks.count(_._2.contains(t))).toMap
+      val scores = toks.flatMap { case (id, tk) =>
+        val s = qterms.map { t =>
+          val tf = tk.count(_ == t).toDouble
+          if (tf == 0) 0.0 else {
+            val idf = math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+            idf * tf * (k1 + 1.0) /
+              (tf + k1 * ((1.0 - b) + b * tk.size / avgdl))
+          }
+        }.sum
+        if (s > 0) Some(id -> (math.floor(s * 1e6 + 0.5) / 1e6)) else None
+      }
+      val expected = scores.sortBy { case (id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+      assert(got.toSeq == expected)
+    }
+  }
+
   test("temperatureMixture: α=1 is proportional, α→0 flattens, " +
     "targets honor the budget and caps") {
     val docs = (0 until 900).map { i =>

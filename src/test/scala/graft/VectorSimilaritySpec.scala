@@ -143,6 +143,33 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall too low: $recall")
   }
 
+  test("exhaustive oracle modes ≡ brute force EXACTLY on random data: " +
+    "ivfTopK(nprobe=nlist) and ivfPqTopK(nprobe=nlist, rerankFactor=0)") {
+    // the q48/q77 oracle-mode guarantee, pinned off-fixture: full
+    // probing must reconstruct the complete candidate set exactly once
+    // (cell partition completeness), so ranks, ids AND sims match
+    // brute force bit-for-bit on arbitrary data
+    val rnd = new scala.util.Random(97)
+    val data = (0 until 150).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val queries = data.filter($"id" < 7)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    val exact = key(Similarity.bruteForceTopK(queries, data, "id", "vec", 5))
+    val model = Similarity.fitIvf(data, "vec", nlist = 7)
+    val ivf = key(Similarity.ivfTopK(model, queries, data, "id", "vec",
+      5, nprobe = 7))
+    assert(ivf == exact)
+    val ipq = Similarity.fitIvfPq(data, "vec", nlist = 7, m = 4, k = 8)
+    val index = Similarity.ivfPqEncode(ipq, data, "id", "vec")
+    val ivfpq = key(Similarity.ivfPqTopK(ipq, queries, index, data,
+      "id", "vec", 5, nprobe = 7, rerankFactor = 0))
+    assert(ivfpq == exact)
+  }
+
   test("fitIvf once + ivfTopK(model) matches the fit-and-search " +
     "overload and is deterministic") {
     val rnd = new scala.util.Random(31)
