@@ -71,4 +71,43 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Small-file compaction — the operational half of K6/K7: streaming
+    * and incremental sinks (q80's index appends, Streams' per-batch
+    * files) accrete many small files, and at 100 TB the scan cost is
+    * dominated by per-file open/footer overhead long before bytes.
+    * Rewrites a parquet table dir into ≈`targetBytes`-sized files
+    * (computed from the CURRENT on-disk size — metadata only, no data
+    * read), atomically: write to `<dir>.__compact`, swap via rename,
+    * drop the old dir only after the swap (the `Upsert.__old` backup
+    * protocol). Content is preserved row-for-row; only the file
+    * layout changes. Returns (filesBefore, filesAfter). Rename-swap
+    * is atomic on local/HDFS paths; object stores without atomic
+    * rename should route through their table format's OPTIMIZE
+    * instead.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val d = new java.io.File(dir)
+    def parquetFiles(f: java.io.File): Array[java.io.File] =
+      f.listFiles().filter(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(d)
+    val totalBytes = before.map(_.length()).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new java.io.File(dir + ".__compact")
+    val old = new java.io.File(dir + ".__old")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    if (!d.renameTo(old)) sys.error(s"compact: cannot stage $dir")
+    if (!tmp.renameTo(d)) {        // roll back, table untouched
+      old.renameTo(d)
+      sys.error(s"compact: cannot swap in ${tmp.getPath}")
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
+    (before.length, parquetFiles(d).length)
+  }
 }

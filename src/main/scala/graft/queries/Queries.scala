@@ -3026,6 +3026,56 @@ object Queries {
       |FROM events WHERE event_id % 5 = 0
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  // Semi-structured ingestion on Spark 4's native VARIANT type — the
+  // §1.3 "declared core + dynamic accretion" story without a fixed
+  // schema: nested JSON (built deterministically from row data; every
+  // 7th event DROPS its "m" object, simulating producer schema drift)
+  // is parsed ONCE into variant's binary form, then typed paths are
+  // extracted with variant_get / try_variant_get — drifted rows
+  // surface as NULLs, not failures, and aggregate correctly. Variant
+  // beats per-path get_json_object at scale: one parse per row
+  // instead of one re-parse per extracted path (q49 is the
+  // string-JSON twin). The oracle replays the same JSON construction
+  // + extraction relationally in DuckDB.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val k = get_json_object($"props", "$.k").cast("long")
+    val j = concat(lit("{\"id\":"), $"event_id",
+      when(pmod($"event_id", lit(7)) =!= 0,
+        concat(lit(",\"m\":{\"k\":"), k,
+          lit(",\"type\":\""), $"event_type", lit("\"}")))
+        .otherwise(lit("")),
+      lit(",\"tags\":[\"t"), pmod($"user_id", lit(3)), lit("\",\"x\"]}"))
+    val v = parse_json(j)
+    ev.select($"event_type",
+        try_variant_get(v, "$.m.k", "long").as("mk"),
+        variant_get(v, "$.tags[0]", "string").as("tag0"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"mk").as("sum_k"),
+        count(when($"tag0" === "t0", 1)).as("n_tag0"),
+        count(when($"mk".isNull, 1)).as("n_drifted"))
+      .orderBy($"event_type")
+  }
+  private val q101Sql =
+    """WITH e AS (SELECT event_type, event_id, user_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+      |j AS (SELECT event_type,
+      |  '{"id":' || event_id ||
+      |  CASE WHEN event_id % 7 <> 0
+      |    THEN ',"m":{"k":' || k || ',"type":"' || event_type || '"}'
+      |    ELSE '' END ||
+      |  ',"tags":["t' || (user_id % 3) || '","x"]}' AS js FROM e)
+      |SELECT event_type, count(*) AS cnt,
+      | CAST(sum(CAST(json_extract(js, '$.m.k') AS BIGINT)) AS BIGINT)
+      |   AS sum_k,
+      | CAST(count(CASE WHEN json_extract_string(js, '$.tags[0]') = 't0'
+      |   THEN 1 END) AS BIGINT) AS n_tag0,
+      | CAST(count(CASE WHEN json_extract(js, '$.m.k') IS NULL
+      |   THEN 1 END) AS BIGINT) AS n_drifted
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3128,7 +3178,8 @@ object Queries {
     "q97_nfc_normalize" -> (q97 _),
     "q98_quantile_sketch" -> (q98 _),
     "q99_bloom_semijoin" -> (q99 _),
-    "q100_stream_tumbling" -> (q100 _)
+    "q100_stream_tumbling" -> (q100 _),
+    "q101_variant_json" -> (q101 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3230,6 +3281,7 @@ object Queries {
     "q97_nfc_normalize" -> q97Sql,
     "q98_quantile_sketch" -> q98Sql,
     "q99_bloom_semijoin" -> q99Sql,
-    "q100_stream_tumbling" -> q100Sql
+    "q100_stream_tumbling" -> q100Sql,
+    "q101_variant_json" -> q101Sql
   )
 }

@@ -132,4 +132,27 @@ class IngestSummarizeSpec extends AnyFunSuite {
     assert(avgX < 32, s"avg x-span $avgX not contracted (range 63)")
     assert(avgY < 32, s"avg y-span $avgY not contracted (range 63)")
   }
+
+  test("Layout.compact merges an accreted small-file table, " +
+    "row-identical, atomically swapped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+    val dir = tmp.resolve("tbl").toString
+    // simulate 12 incremental appends — 12 tiny files
+    (0 until 12).foreach { i =>
+      (i * 100 until (i + 1) * 100).map(j => (j.toLong, s"row$j"))
+        .toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val beforeRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val (nBefore, nAfter) = Layout.compact(spark, dir, targetBytes = 1L << 20)
+    assert(nBefore >= 12 && nAfter < nBefore,
+      s"expected fewer files, got $nBefore -> $nAfter")
+    val afterRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows == beforeRows)
+    // no stray staging dirs left behind
+    assert(!new java.io.File(dir + ".__compact").exists())
+    assert(!new java.io.File(dir + ".__old").exists())
+  }
 }
