@@ -40,4 +40,36 @@ object Sketches {
   def estimateAll(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(
       hll_union_agg(col("sketch"), lit(false))).as("distinct_est"))
+
+  /** Count-min sketch per group — HLL's frequency twin: point
+    * FREQUENCY estimates (heavy hitters, per-term counts) from one
+    * scan, mergeable across ingest slices by summing counters. The
+    * published guarantee (Cormode & Muthukrishnan, J.Alg 2005):
+    * exact ≤ est ≤ exact + ε·N with probability ≥ confidence, N =
+    * total items. Build is Spark's native `count_min_sketch`
+    * aggregate (map-side-combined); a FIXED seed makes the counter
+    * layout — and therefore merges — deterministic across slices and
+    * engines' runs. Output: groupCols + `cms` (binary).
+    */
+  def cmsTable(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               eps: Double = 0.0005, confidence: Double = 0.99,
+               seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, " +
+        s"$seed)").as("cms"))
+
+  /** Merge slice sketches on the driver and answer point queries —
+    * the rollup never rescans rows; the collect is sketch BYTES
+    * (depth×width counters, fixed by (eps, confidence), independent
+    * of data size — the sanctioned driver artifact, same shape as the
+    * IVF training sample).
+    */
+  def cmsEstimate(sketches: DataFrame, items: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val parts = sketches.select(col("cms")).collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    val merged = parts.reduce { (a, b) => a.mergeInPlace(b); a }
+    items.map(t => t -> merged.estimateCount(t)).toMap
+  }
 }

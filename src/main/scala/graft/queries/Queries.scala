@@ -3076,6 +3076,41 @@ object Queries {
       |   THEN 1 END) AS BIGINT) AS n_drifted
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  // Count-min heavy hitters (Sketches.cmsTable/cmsEstimate) — q82's
+  // frequency twin under the same bound-oracle contract: per-language
+  // slice sketches built in ONE token scan, merged counter-wise, point
+  // frequency estimates for the exact top-10 terms checked against the
+  // published CMS guarantee exact ≤ est ≤ exact + ε·N. The booleans
+  // hash-match across engines while the estimates stay
+  // engine-internal; slice-merge ≡ whole-scan is spec-pinned in
+  // SketchesSpec. The two driver round-trips are bounded artifacts:
+  // sketch bytes (fixed by ε/confidence) and the 10-term top-k.
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eps = 0.0005
+    val toks = t(s, dir, "documents")
+      .select($"lang", explode(Retrieval.tokens($"text")).as("term"))
+    val slices = Sketches.cmsTable(toks, Seq("lang"), "term", eps = eps)
+    val exact = toks.groupBy($"term").agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy($"n_exact".desc, $"term").limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nTokens = exact.agg(sum($"n_exact")).head().getLong(0)
+    val slack = math.ceil(eps * nTokens).toLong
+    val est = Sketches.cmsEstimate(slices, top.map(_._1).toSeq)
+    top.toSeq.map { case (t, ex) =>
+      (t, ex, est(t) >= ex && est(t) <= ex + slack)
+    }.toDF("term", "n_exact", "within_bound")
+      .orderBy($"n_exact".desc, $"term")
+  }
+  private val q102Sql =
+    """WITH tk AS (SELECT unnest(list_filter(
+      |  string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      | FROM documents),
+      |c AS (SELECT term, count(*) AS n_exact FROM tk GROUP BY 1)
+      |SELECT term, n_exact, TRUE AS within_bound FROM c
+      |ORDER BY n_exact DESC, term LIMIT 10""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3179,7 +3214,8 @@ object Queries {
     "q98_quantile_sketch" -> (q98 _),
     "q99_bloom_semijoin" -> (q99 _),
     "q100_stream_tumbling" -> (q100 _),
-    "q101_variant_json" -> (q101 _)
+    "q101_variant_json" -> (q101 _),
+    "q102_cms_heavyhitters" -> (q102 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3282,6 +3318,7 @@ object Queries {
     "q98_quantile_sketch" -> q98Sql,
     "q99_bloom_semijoin" -> q99Sql,
     "q100_stream_tumbling" -> q100Sql,
-    "q101_variant_json" -> q101Sql
+    "q101_variant_json" -> q101Sql,
+    "q102_cms_heavyhitters" -> q102Sql
   )
 }

@@ -51,4 +51,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= math.max(2L, (exact * 0.05).toLong),
       s"global est $est vs exact $exact")
   }
+
+  test("CMS: slice-merge ≡ whole-scan estimates; every estimate " +
+    "within the published [exact, exact + ε·N] band") {
+    val df = events.select($"event_type",
+      concat(lit("u"), $"user_id" % 97).as("item"))
+    val eps = 0.001
+    val sliced = Sketches.cmsTable(df, Seq("event_type"), "item", eps = eps)
+    val whole = Sketches.cmsTable(df.withColumn("g", lit(1)),
+      Seq("g"), "item", eps = eps)
+    val items = (0 until 97).map(i => s"u$i")
+    val fromSlices = Sketches.cmsEstimate(sliced, items)
+    val fromWhole = Sketches.cmsEstimate(whole, items)
+    assert(fromSlices == fromWhole,
+      "slice-merged counters must equal the whole-scan sketch")
+    val exact = df.groupBy($"item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val slack = math.ceil(eps * n).toLong
+    items.foreach { it =>
+      val (e, ex) = (fromSlices(it), exact.getOrElse(it, 0L))
+      assert(e >= ex && e <= ex + slack, s"$it: est $e vs exact $ex")
+    }
+    // an item never added estimates within ε·N of zero (may collide)
+    assert(fromSlices.getOrElse("u96", 0L) >= 0L)
+  }
 }
