@@ -3111,6 +3111,41 @@ object Queries {
       |SELECT term, n_exact, TRUE AS within_bound FROM c
       |ORDER BY n_exact DESC, term LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  // Incremental materialized-aggregate maintenance (IncrementalAgg):
+  // a per-language rollup built from three append deltas — with batch
+  // "b1" deliberately REPLAYED between b1 and b2 — must equal the
+  // one-shot group-by over the union of the deltas. Each refresh
+  // aggregates only its delta and re-aggregates against the
+  // key-cardinality rollup (the corpus is never rescanned); the
+  // replay is a no-op because the applied-batch list commits
+  // atomically WITH the data in the same rename swap. Exactly-once
+  // additive IVM, under the cross-engine hash compare.
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q103").toString
+    val path = s"$tmp/rollup"
+    val docs = t(s, dir, "documents")
+    def slice(a: Long, b: Long) =
+      docs.filter($"doc_id" >= a && $"doc_id" < b)
+        .select($"lang", $"n_chars")
+    def refresh(d: DataFrame, id: String) =
+      IncrementalAgg.refreshAdditive(s, path, d, Seq("lang"),
+        Seq("n_chars"), id)
+    refresh(slice(0, 300), "b0")
+    refresh(slice(300, 400), "b1")
+    refresh(slice(300, 400), "b1")   // at-least-once replay: must no-op
+    refresh(slice(400, 500), "b2")
+    s.read.parquet(path)
+      .select($"lang", $"n_rows", $"sum_n_chars")
+      .orderBy($"lang")
+  }
+  private val q103Sql =
+    """SELECT lang, count(*) AS n_rows,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+      |FROM documents WHERE doc_id < 500
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3215,7 +3250,8 @@ object Queries {
     "q99_bloom_semijoin" -> (q99 _),
     "q100_stream_tumbling" -> (q100 _),
     "q101_variant_json" -> (q101 _),
-    "q102_cms_heavyhitters" -> (q102 _)
+    "q102_cms_heavyhitters" -> (q102 _),
+    "q103_incr_rollup"  -> (q103 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3319,6 +3355,7 @@ object Queries {
     "q99_bloom_semijoin" -> q99Sql,
     "q100_stream_tumbling" -> q100Sql,
     "q101_variant_json" -> q101Sql,
-    "q102_cms_heavyhitters" -> q102Sql
+    "q102_cms_heavyhitters" -> q102Sql,
+    "q103_incr_rollup"  -> q103Sql
   )
 }

@@ -110,6 +110,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(kept.size - 250) < 60)
   }
 
+  test("temperatureMixture admission set equals a from-scratch " +
+    "Java-md5 replay of the draw") {
+    val docs = (0 until 800).map { i =>
+      (if (i % 3 == 0) "en" else "de", i.toLong) }.toDF("src", "id")
+    val kept = Curation.temperatureMixture(docs, "src", "id",
+        budget = 200L, alpha = 0.5, seed = "rx")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // independent reimplementation: same md5 draw, weights, targets
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(key: String): Long = {
+      val h = md.digest(s"rx:$key".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        h.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val rows = (0 until 800).map(i =>
+      (if (i % 3 == 0) "en" else "de", i.toLong))
+    val ns = rows.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val z = ns.values.map(n => math.pow(n.toDouble, 0.5)).sum
+    val naive = rows.filter { case (s, id) =>
+      val w = math.floor(math.pow(ns(s).toDouble, 0.5) / z * 1e9 + 0.5) / 1e9
+      val target = math.min(ns(s).toDouble,
+        math.floor(200L * w)).toLong
+      u32(id.toString) * ns(s) < target * 4294967296L
+    }.map(_._2).toSet
+    assert(kept == naive)
+  }
+
   test("bloomSemiJoin equals the plain left-semi join") {
     val probe = (0L until 3000L).map(i => (i, s"p$i")).toDF("k", "pv")
     val build = (0L until 3000L by 17L).map(i => (i, "x")).toDF("bk", "x")
