@@ -104,6 +104,34 @@ object Streams {
       .start()
   }
 
+  /** Streaming sketch-table maintenance — the streaming twin of
+    * `Sketches.sketchTable` (q82's build pass): each micro-batch
+    * builds its own per-group HLL sketches (one scan of the batch)
+    * and APPENDS them as new slice rows; readers roll the slices up
+    * with `Sketches.mergeEstimate`, which reads sketch BYTES only.
+    * Merging is associative and order-independent, so the streamed
+    * table answers exactly what a batch build over the union would —
+    * without the stream ever rescanning history (the q80/IVM shape,
+    * for distinct counts). Appends are per-batch files; compact with
+    * `Layout.compact` when slices accrete.
+    */
+  def incrementalSketch(input: DataFrame, groupCols: Seq[String],
+                        valueCol: String, tablePath: String,
+                        checkpoint: String, lgK: Int = 12,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit = (batch, _) =>
+      graft.operators.Sketches
+        .sketchTable(batch.toDF(), groupCols, valueCol, lgK)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(tablePath)
+    input.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(sink)
+      .start()
+  }
+
   /** Watermarked tumbling window aggregate — the streaming twin of
     * `Events.tumbling` (same output schema, append-mode safe: a window
     * is emitted once the watermark passes its end).

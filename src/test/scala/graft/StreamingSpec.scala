@@ -93,6 +93,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/index").count() == 3)
   }
 
+  test("incrementalSketch: streamed slice sketches roll up to the " +
+    "batch build's estimates — history never rescanned") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ssketch").toString
+    val rows = (0 until 600).map(i => (s"g${i % 3}", (i % 211).toLong))
+    val stream = MemoryStream[(String, Long)]
+    val q = Streams.incrementalSketch(
+      stream.toDF().select(col("_1").as("g"), col("_2").as("v")),
+      Seq("g"), "v", s"$dir/sketches", s"$dir/cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    rows.grouped(200).foreach { chunk =>
+      stream.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    // one sketch row per (group, micro-batch)
+    assert(spark.read.parquet(s"$dir/sketches").count() == 9)
+    val streamed = graft.operators.Sketches
+      .mergeEstimate(spark.read.parquet(s"$dir/sketches"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.operators.Sketches.mergeEstimate(
+      graft.operators.Sketches.sketchTable(
+        rows.toDF("g", "v"), Seq("g"), "v"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch,
+      s"streamed $streamed != batch $batch")
+  }
+
   test("streamingDedup replay: re-delivered batch re-appends the same " +
     "pairs — distinct-on-read recovers the exact candidate set") {
     implicit val sc = spark.sqlContext
