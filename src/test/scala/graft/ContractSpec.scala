@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Queries
+
+/** Driver-contract guards: the correctness gate silently skips any
+  * oracle whose key doesn't exactly match a query name, so a typo in
+  * either map downgrades a query to rows-only without failing
+  * anything. Pin the contract instead.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle key names an existing query") {
+    val orphans = Queries.oracles.keySet -- Queries.all.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("only the documented rows-only queries lack an oracle") {
+    val rowsOnly = Queries.all.keySet -- Queries.oracles.keySet
+    assert(rowsOnly == Set("q76_pq_ann"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("query names are well-formed and unique") {
+    val names = Queries.all.keySet
+    assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")),
+      names.filterNot(_.matches("q\\d+_[a-z0-9_]+")).toString)
+    val nums = names.map(_.takeWhile(_ != '_'))
+    assert(nums.size == names.size, "duplicate query numbers")
+  }
+
+  test("oracle SQL references only the driver's table views or is " +
+    "self-contained") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // smoke guard: every oracle must mention a known table, a VALUES
+    // fixture, or a read of a checked-in fixture file (q35/q50)
+    Queries.oracles.foreach { case (name, sql) =>
+      val lower = sql.toLowerCase
+      assert(tables.exists(lower.contains) || lower.contains("values") ||
+          lower.contains("'/root/repo/fixtures/"),
+        s"$name oracle references no known table")
+    }
+  }
+}
