@@ -76,9 +76,10 @@ object Layout {
     * and incremental sinks (q80's index appends, Streams' per-batch
     * files) accrete many small files, and at 100 TB the scan cost is
     * dominated by per-file open/footer overhead long before bytes.
-    * Rewrites a parquet table dir into ≈`targetBytes`-sized files
-    * (computed from the CURRENT on-disk size — metadata only, no data
-    * read), atomically: write to `<dir>.__compact`, swap via rename,
+    * Rewrites a FLAT (unpartitioned) parquet table dir into
+    * ≈`targetBytes`-sized files (sized from the CURRENT on-disk
+    * footprint — metadata only, no data read), atomically: write to
+    * `<dir>.__compact`, swap via rename,
     * drop the old dir only after the swap (the `Upsert.__old` backup
     * protocol). Content is preserved row-for-row; only the file
     * layout changes. Returns (filesBefore, filesAfter). Rename-swap
