@@ -244,6 +244,21 @@ object Upsert {
         newCols.map(c => col(s"n.$c").as(c)): _*)
   }
 
+  /** Apply a [[snapshotDiff]] change feed onto a base table — the
+    * CDC-apply inverse: delete ops anti-join their keys out, the rest
+    * MERGE in as upserts. `applyDiff(old, snapshotDiff(old, new), keys)
+    * ≡ new` (spec-pinned in UpsertSpec); at scale this replays a
+    * day's CDC feed in one anti-join + one merge, never rescanning
+    * unchanged rows' content.
+    */
+  def applyDiff(base: DataFrame, diff: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    val deletes = diff.filter(col("op") === "delete")
+      .select(keys.map(col): _*)
+    val upserts = diff.filter(col("op") =!= "delete").drop("op")
+    merge(base.join(deletes, keys, "left_anti"), upserts, keys)
+  }
+
   /** Build an SCD-type-2 history from a change log: each change row
     * becomes a versioned dimension row with `valid_from` = its change
     * time, `valid_to` = the key's next change time (null while

@@ -3146,6 +3146,32 @@ object Queries {
       |FROM documents WHERE doc_id < 500
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  // CDC apply (Upsert.applyDiff) — q86's inverse, end to end: the
+  // change feed q86 extracts (insert/update/delete ops) is applied
+  // back onto the old snapshot with one delete-anti-join + one MERGE,
+  // and must reproduce the new snapshot value-for-value — the oracle
+  // IS the new snapshot. At scale this replays a CDC feed touching
+  // only changed keys, never rescanning unchanged rows' content.
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    val old = docs.filter($"doc_id" < 300)
+    val nw = docs.filter($"doc_id" < 320 && pmod($"doc_id", lit(7)) =!= 0)
+      .withColumn("n_chars",
+        when(pmod($"doc_id", lit(5)) === 0, $"n_chars" + 10)
+          .otherwise($"n_chars"))
+    Upsert.applyDiff(old,
+        Upsert.snapshotDiff(old, nw, Seq("doc_id")), Seq("doc_id"))
+      .orderBy($"doc_id")
+  }
+  private val q104Sql =
+    """SELECT doc_id, lang,
+      | CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END
+      |   AS n_chars
+      |FROM documents WHERE doc_id < 320 AND doc_id % 7 <> 0
+      |ORDER BY doc_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3251,7 +3277,8 @@ object Queries {
     "q100_stream_tumbling" -> (q100 _),
     "q101_variant_json" -> (q101 _),
     "q102_cms_heavyhitters" -> (q102 _),
-    "q103_incr_rollup"  -> (q103 _)
+    "q103_incr_rollup"  -> (q103 _),
+    "q104_cdc_apply"    -> (q104 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3356,6 +3383,7 @@ object Queries {
     "q100_stream_tumbling" -> q100Sql,
     "q101_variant_json" -> q101Sql,
     "q102_cms_heavyhitters" -> q102Sql,
-    "q103_incr_rollup"  -> q103Sql
+    "q103_incr_rollup"  -> q103Sql,
+    "q104_cdc_apply"    -> q104Sql
   )
 }

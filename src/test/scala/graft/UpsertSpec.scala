@@ -165,11 +165,8 @@ class UpsertSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ops == Map("k2" -> "update", "k3" -> "delete",
       "k4" -> "update", "k5" -> "insert"))
-    // inversion: old − deletes, merged with upserts, == new
-    val deletes = diff.filter($"op" === "delete").select("key")
-    val upserts = diff.filter($"op" =!= "delete").drop("op")
-    val rebuilt = Upsert.merge(
-      old.join(deletes, Seq("key"), "left_anti"), upserts, Seq("key"))
+    // inversion: applyDiff(old, diff(old, new)) == new
+    val rebuilt = Upsert.applyDiff(old, diff, Seq("key"))
     assert(rebuilt.exceptAll(nw).isEmpty && nw.exceptAll(rebuilt).isEmpty)
   }
 
