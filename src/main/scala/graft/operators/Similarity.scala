@@ -456,6 +456,18 @@ object Similarity {
                   idCol: String, vecCol: String): DataFrame =
     index.unionByName(ivfPqEncode(model, delta, idCol, vecCol))
 
+  /** Index-lifecycle delete — the other half of [[ivfPqAppend]]:
+    * removed documents leave the index by ONE anti-join on id (the
+    * model/codebooks are untouched — deletion never triggers a refit,
+    * so daily churn costs O(index), not O(fit)). Search against the
+    * pruned index can never return a deleted id. Re-cluster with a
+    * fresh [[fitIvfPq]] only when drift degrades recall.
+    */
+  def ivfPqDelete(index: DataFrame, deletedIds: DataFrame,
+                  idCol: String): DataFrame =
+    index.join(deletedIds.select(col(idCol).as("c_id")),
+      Seq("c_id"), "left_anti")
+
   /** Train coarse quantizer + PQ codebooks off ONE bounded sample
     * (single capped collect — same index-build contract as [[fitIvf]]).
     * The PQ codebooks train on the sample's RESIDUALS against their

@@ -460,5 +460,14 @@ class VectorSimilaritySpec extends AnyFunSuite {
     val hits = Similarity.ivfPqTopK(model, q, appended, all, "id", "vec",
       k = 5, nprobe = 5).select("c_id").collect().map(_.getLong(0)).toSet
     assert(hits.nonEmpty)
+    // lifecycle delete: pruned ids can never come back from a search,
+    // and surviving rows are byte-identical (no refit, no re-encode)
+    val dead = all.filter($"id" % 10 === 0).select($"id")
+    val pruned = Similarity.ivfPqDelete(appended, dead, "id")
+    assert(rows(pruned) == rows(full).filterNot(_._1 % 10 == 0))
+    val hitsAfter = Similarity.ivfPqTopK(model, q, pruned, all, "id",
+        "vec", k = 20, nprobe = 5)
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    assert(hitsAfter.forall(_ % 10 != 0), s"deleted id returned: $hitsAfter")
   }
 }
