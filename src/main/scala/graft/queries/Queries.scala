@@ -3172,6 +3172,65 @@ object Queries {
       |FROM documents WHERE doc_id < 320 AND doc_id % 7 <> 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  // Round-7 refinery capstone: quality gate (q18's rounded scoring) →
+  // temperature-balanced admission over the SURVIVORS' per-language
+  // counts (q96's mixture, α=0.6 — weights adapt to what the gate
+  // kept, not the raw corpus) → per-language token rollup. One corpus
+  // scan feeds the gate; the mixture plan is a broadcast over
+  // survivor counts; the rollup is a map-side-combined aggregate —
+  // the whole refinery is gate-scan + tiny-broadcast + one shuffle.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gated = t(s, dir, "documents")
+      .withColumn("quality",
+        floor(TextAnalysis.qualityScore($"text") * 10000.0 + 0.5) / 10000.0)
+      .filter($"quality" >= 0.45)
+      .withColumn("tokens", TextAnalysis.wsTokenCount($"text").cast("long"))
+    Curation.temperatureMixture(gated, "lang", "doc_id",
+        budget = 150L, alpha = 0.6, seed = "r7")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("kept"), sum($"tokens").as("sum_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"lang")
+  }
+  private def q105Sql: String = {
+    val stopRe = s"\\b(${TextAnalysis.stopwords.mkString("|")})\\b"
+    s"""WITH m AS (
+       | SELECT doc_id, lang,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+       |    AS stop,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '\\S+')))
+       |    AS DOUBLE) AS dist
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, lang, CAST(toks AS BIGINT) AS tokens
+       | FROM m
+       | WHERE floor((CASE WHEN toks > 0 THEN
+       |   least(1.0, toks / 100.0) * 0.4
+       |   + least(1.0, stop * 5.0 / toks) * 0.3
+       |   + (dist / toks) * 0.3 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0
+       |   >= 0.45),
+       |c AS (SELECT lang, count(*) AS n_s FROM g GROUP BY 1),
+       |z AS (SELECT sum(pow(n_s, 0.6)) AS z FROM c),
+       |pl AS (SELECT lang, n_s,
+       |  floor(pow(n_s, 0.6) / z * 1e9 + 0.5) / 1e9 AS w
+       | FROM c CROSS JOIN z),
+       |p2 AS (SELECT lang, n_s,
+       |  CAST(least(CAST(n_s AS DOUBLE), floor(150 * w)) AS BIGINT)
+       |    AS target
+       | FROM pl),
+       |k AS (SELECT g.lang, g.doc_id, g.tokens, p.target, p.n_s,
+       |  ('0x' || substr(md5('r7:' || g.doc_id), 1, 8))::BIGINT AS u
+       | FROM g JOIN p2 p USING (lang))
+       |SELECT lang, count(*) AS kept,
+       | CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       | min(doc_id) AS first_doc
+       |FROM k WHERE u * n_s < target * 4294967296
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3278,7 +3337,8 @@ object Queries {
     "q101_variant_json" -> (q101 _),
     "q102_cms_heavyhitters" -> (q102 _),
     "q103_incr_rollup"  -> (q103 _),
-    "q104_cdc_apply"    -> (q104 _)
+    "q104_cdc_apply"    -> (q104 _),
+    "q105_refinery"     -> (q105 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3384,6 +3444,7 @@ object Queries {
     "q101_variant_json" -> q101Sql,
     "q102_cms_heavyhitters" -> q102Sql,
     "q103_incr_rollup"  -> q103Sql,
-    "q104_cdc_apply"    -> q104Sql
+    "q104_cdc_apply"    -> q104Sql,
+    "q105_refinery"     -> q105Sql
   )
 }
