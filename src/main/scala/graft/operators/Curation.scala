@@ -266,13 +266,27 @@ object Curation {
         floor(pow(col("n_s"), lit(alpha)) / col("z") * 1e9 + 0.5) / 1e9)
       .withColumn("target",
         least(col("n_s"), floor(lit(budget) * col("w"))).cast("long"))
+      // per-source admission cut, computed ONCE in this (rows = number
+      // of sources) broadcast plan in exact integer arithmetic:
+      // u·n_s < target·2³² ⟺ u < ceil(target·2³²/n_s)
+      //                       = (target·2³² + n_s − 1) div n_s.
+      // The per-row Long product form overflows silently for n_s or
+      // target > 2³¹ (the 100 TB regime); here the product lives in
+      // DECIMAL (≤ 2⁹⁵ ≪ 10³⁸, no precision loss at scale 0) and the
+      // integral `div` avoids decimal division's quotient rounding.
+      // The cut itself is ≤ 2³² (target ≤ n_s), so the scan-side
+      // compare is a plain Long test.
+      .withColumn("__cut", expr(
+        "(CAST(target AS DECIMAL(20,0)) * 4294967296" +
+          " + CAST(n_s AS DECIMAL(20,0)) - 1)" +
+          " div CAST(n_s AS DECIMAL(20,0))"))
     val u = conv(substring(md5(concat(lit(seed), lit(":"),
       col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
     docs.join(broadcast(plan), Seq(sourceCol))
       .withColumn("__u", u)
-      // admit at rate target/n_s on the 32-bit uniform — same cut
-      // arithmetic as stratifiedSample, exact in integer space
-      .filter(col("__u") * col("n_s") < col("target") * lit(4294967296L))
-      .drop("__u", "n_s", "z")
+      // admit at rate target/n_s on the 32-bit uniform — exact integer
+      // semantics as stratifiedSample, no per-row multiplication
+      .filter(col("__u") < col("__cut"))
+      .drop("__u", "__cut", "n_s", "z")
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 
 /** Incremental materialized-aggregate maintenance (additive IVM): a
   * standing rollup of per-key counts and sums is refreshed from
@@ -26,9 +26,16 @@ object IncrementalAgg {
 
   private val BatchesFile = "_graft_batches"
 
-  /** Batch ids already folded into the rollup at `path`. */
+  /** Batch ids already folded into the rollup at `path`. On entry, a
+    * crash between the previous refresh's swap renames (rollup dir
+    * missing, `__old` backup present) is repaired by restoring the
+    * backup — otherwise this would answer "no batches applied" and the
+    * next refresh would silently drop the entire prior rollup and its
+    * batch provenance ([[Staging.restoreIfCrashed]]).
+    */
   def appliedBatches(spark: SparkSession, path: String): Seq[String] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Staging.fsOf(spark, path)
+    Staging.restoreIfCrashed(fs, path)
     val f = new Path(path, BatchesFile)
     if (!fs.exists(f)) Nil
     else {
@@ -47,12 +54,13 @@ object IncrementalAgg {
                       keys: Seq[String], sumCols: Seq[String],
                       batchId: String): Boolean = {
     require(!batchId.contains("\n"), "batchId must be single-line")
-    val applied = appliedBatches(spark, path)
+    val fs = Staging.fsOf(spark, path)
+    val applied = appliedBatches(spark, path) // restores a crashed swap
+
     if (applied.contains(batchId)) return false
     val aggs = count(lit(1)).as("n_rows") +:
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))
     val dAgg = delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
     val merged =
       if (!fs.exists(target)) dAgg

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** Physical-layout operators (K6): the engine-side equivalent of the
   * reference's Qdrant payload keyword indexes on topic_id/url
@@ -76,39 +77,100 @@ object Layout {
     * and incremental sinks (q80's index appends, Streams' per-batch
     * files) accrete many small files, and at 100 TB the scan cost is
     * dominated by per-file open/footer overhead long before bytes.
-    * Rewrites a FLAT (unpartitioned) parquet table dir into
-    * ≈`targetBytes`-sized files (sized from the CURRENT on-disk
-    * footprint — metadata only, no data read), atomically: write to
-    * `<dir>.__compact`, swap via rename,
-    * drop the old dir only after the swap (the `Upsert.__old` backup
-    * protocol). Content is preserved row-for-row; only the file
-    * layout changes. Returns (filesBefore, filesAfter). Rename-swap
-    * is atomic on local/HDFS paths; object stores without atomic
-    * rename should route through their table format's OPTIMIZE
-    * instead.
+    * Rewrites a parquet table dir into ≈`targetBytes`-sized files
+    * (sized from the CURRENT on-disk footprint — metadata only, no
+    * data read), atomically per rewritten dir: write to a staging
+    * sibling, swap via rename, drop the backup only after the swap
+    * (the [[Staging]] protocol). Content is preserved row-for-row;
+    * only the file layout changes.
+    *
+    * Runs through the Hadoop FileSystem API resolved FROM the path, so
+    * it works on local, HDFS, and any Hadoop-compatible FS (object
+    * stores without atomic rename should route through their table
+    * format's OPTIMIZE instead).
+    *
+    * Key-hash-partitioned tables ([[Upsert.writePartitionedTable]]'s
+    * `graft_bucket=<b>` layout — exactly the tables whose per-bucket
+    * merges and streaming appends accrete small files fastest) are
+    * compacted PER BUCKET DIRECTORY: each bucket swaps independently
+    * (staged under `<dir>__tmp`/`<dir>__old` siblings of the TABLE
+    * root, never inside it, where partition discovery would parse a
+    * leftover `graft_bucket=5.__old` as a partition value), the
+    * `_graft_buckets` layout marker is untouched, and buckets already
+    * at ≤ `minFiles` files are skipped — so steady-state compaction
+    * cost tracks the churned fraction of the table, not its size.
+    *
+    * Returns (filesBefore, filesAfter) over the rewritten dirs.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val d = new java.io.File(dir)
-    def parquetFiles(f: java.io.File): Array[java.io.File] =
-      f.listFiles().filter(_.getName.endsWith(".parquet"))
-    val before = parquetFiles(d)
-    val totalBytes = before.map(_.length()).sum
+              targetBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 2): (Int, Int) = {
+    val fs = Staging.fsOf(spark, dir)
+    val root = new Path(dir)
+    // crash recovery before anything else: a missing live dir (flat
+    // case) or missing bucket dir (partitioned case) with a surviving
+    // backup is restored, never treated as absent
+    Staging.restoreIfCrashed(fs, dir)
+    val bakRoot0 = new Path(dir + "__old")
+    if (fs.exists(root) && fs.exists(bakRoot0)) {
+      fs.listStatus(bakRoot0)
+        .filter(_.getPath.getName.startsWith(Upsert.bucketCol + "="))
+        .foreach { s =>
+          val live = new Path(root, s.getPath.getName)
+          if (!fs.exists(live)) Staging.mustRename(fs, s.getPath, live)
+        }
+    }
+    Staging.vacuum(spark, dir)
+    val bucketDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(Upsert.bucketCol + "="))
+      .map(_.getPath).sortBy(_.getName)
+    if (bucketDirs.isEmpty) compactDir(spark, fs, root, root, targetBytes)
+    else {
+      val tmpRoot = new Path(dir + "__tmp")
+      val bakRoot = new Path(dir + "__old")
+      fs.mkdirs(tmpRoot); fs.mkdirs(bakRoot)
+      try {
+        bucketDirs.map { b =>
+          val n = fs.listStatus(b)
+            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (n <= minFiles) (n, n)
+          else compactDir(spark, fs, b, new Path(tmpRoot, b.getName),
+            targetBytes, new Path(bakRoot, b.getName))
+        }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      } finally {
+        fs.delete(tmpRoot, true); fs.delete(bakRoot, true); ()
+      }
+    }
+  }
+
+  /** Compact ONE flat parquet dir via tmp→swap→backup. `stage` is
+    * where the compacted copy is written, `bak` where the old dir is
+    * parked during the swap (defaults = `.__compact` / `__old`
+    * siblings of the dir itself — overridden for bucket dirs, whose
+    * staging must live OUTSIDE the partitioned table root).
+    */
+  private def compactDir(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, stageAt: Path,
+      targetBytes: Long, bakAt: Path = null): (Int, Int) = {
+    def parquetFiles(p: Path) = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(dir)
+    val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new java.io.File(dir + ".__compact")
-    val old = new java.io.File(dir + ".__old")
-    spark.read.parquet(dir).repartition(n)
-      .write.mode("overwrite").parquet(tmp.getPath)
-    if (!d.renameTo(old)) sys.error(s"compact: cannot stage $dir")
-    if (!tmp.renameTo(d)) {        // roll back, table untouched
-      old.renameTo(d)
-      sys.error(s"compact: cannot swap in ${tmp.getPath}")
+    val tmp = if (stageAt == dir) new Path(dir.toString + ".__compact")
+              else stageAt
+    val bak = Option(bakAt).getOrElse(new Path(dir.toString + "__old"))
+    spark.read.parquet(dir.toString).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    Staging.mustRename(fs, dir, bak)
+    try Staging.mustRename(fs, tmp, dir)
+    catch { case e: Throwable =>       // roll back, table untouched
+      Staging.mustRename(fs, bak, dir)
+      throw e
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(old)
-    (before.length, parquetFiles(d).length)
+    fs.delete(bak, true)
+    (before.length, parquetFiles(dir).length)
   }
 }

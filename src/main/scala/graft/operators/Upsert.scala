@@ -64,7 +64,10 @@ object Upsert {
   def mergeIntoTable(spark: SparkSession,
                      path: String, delta: DataFrame, keys: Seq[String],
                      patch: Boolean = false): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Staging.fsOf(spark, path)
+    // a crash between the swap renames must read as "restore the
+    // backup", not "no table here — rebuild from the delta alone"
+    Staging.restoreIfCrashed(fs, path)
     val target = new Path(path)
     val merged =
       if (fs.exists(target)) merge(spark.read.parquet(path), delta, keys, patch)
@@ -72,6 +75,7 @@ object Upsert {
     val tmp = new Path(path + "__tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new Path(path + "__old")
+    // only a backup STALER than live data (live exists) may be dropped
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(target)) mustRename(fs, target, bak)
     mustRename(fs, tmp, target)
@@ -94,13 +98,9 @@ object Upsert {
 
   private def layoutMarker(path: String) = new Path(path, "_graft_buckets")
 
-  /** Hadoop rename reports most failures by RETURNING FALSE, not
-    * throwing — an unchecked false in a swap protocol can delete the
-    * only surviving copy. Every rename below goes through this.
-    */
+  /** Checked rename — see [[Staging.mustRename]]. */
   private def mustRename(fs: FileSystem, src: Path, dst: Path): Unit =
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"rename failed: $src -> $dst")
+    Staging.mustRename(fs, src, dst)
 
   /** (Re)write `df` as a key-hash-partitioned table. Records the bucket
     * count in a `_graft_buckets` marker so later merges can't silently
@@ -110,8 +110,7 @@ object Upsert {
                             numBuckets: Int): Unit = {
     df.withColumn(bucketCol, bucketOf(keys, numBuckets))
       .write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(path)
-    val fs = FileSystem.get(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = Staging.fsOf(df.sparkSession, path)
     val out = fs.create(layoutMarker(path), true)
     out.write(numBuckets.toString.getBytes("UTF-8"))
     out.close()
@@ -159,7 +158,7 @@ object Upsert {
                                 delta: DataFrame, keys: Seq[String],
                                 numBuckets: Int,
                                 patch: Boolean = false): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = Staging.fsOf(spark, path)
     if (!fs.exists(new Path(path))) {
       writePartitionedTable(delta, path, keys, numBuckets)
       return

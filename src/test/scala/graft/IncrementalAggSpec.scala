@@ -58,4 +58,26 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!new java.io.File(path + "__old").exists())
     assert(rollup(path) == Set(("x", 2L, 10L)))
   }
+
+  test("crash between the swap renames: the backup is restored, not " +
+    "clobbered — prior rollup and provenance survive") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivm4")
+    val path = tmp.resolve("r").toString
+    val d1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val d2 = Seq(("a", 10L)).toDF("k", "v")
+    assert(IncrementalAgg.refreshAdditive(spark, path, d1,
+      Seq("k"), Seq("v"), "b1"))
+    // simulate the crash window: live renamed to __old, tmp (the
+    // half-applied b2) written, swap-in never happened
+    val live = new java.io.File(path)
+    assert(live.renameTo(new java.io.File(path + "__old")))
+    d2.groupBy($"k").agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+      .write.parquet(path + "__tmp")
+    // the retry must NOT see "no table" — it restores b1's rollup and
+    // re-applies b2 on top
+    assert(IncrementalAgg.refreshAdditive(spark, path, d2,
+      Seq("k"), Seq("v"), "b2"))
+    assert(rollup(path) == Set(("a", 2L, 11L), ("b", 1L, 2L)))
+    assert(IncrementalAgg.appliedBatches(spark, path) == Seq("b1", "b2"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.operators.{Ingest, Layout, Summarize}
+import graft.operators.{Ingest, Layout, Summarize, Upsert}
 
 /** Ingest entry point (S1/G1/G2), summarize/statement stand-ins
   * (M1/G5/A5), HTML extraction (S3) and physical layout (K6).
@@ -153,6 +153,66 @@ class IngestSummarizeSpec extends AnyFunSuite {
     assert(afterRows == beforeRows)
     // no stray staging dirs left behind
     assert(!new java.io.File(dir + ".__compact").exists())
-    assert(!new java.io.File(dir + ".__old").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
+  test("Layout.compact on a key-hash-partitioned table: per-bucket " +
+    "rewrite, marker preserved, quiet buckets untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-p")
+    val dir = tmp.resolve("ptbl").toString
+    // one file per bucket dir (coalesce(1)) so the quiet buckets sit
+    // at ≤ minFiles and the untouched-bytes assertion below is exact
+    val base = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1)
+    Upsert.writePartitionedTable(base, dir, Seq("id"), numBuckets = 4)
+    // accrete small files into ONE bucket (the streaming-append shape)
+    val busy = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+      .map(_.getName).sorted.head
+    (0 until 8).foreach { i =>
+      Seq((100000L + i, s"x$i")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(s"$dir/$busy")
+    }
+    def files(b: String) = new java.io.File(s"$dir/$b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val quiet = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+      .map(_.getName).sorted.filterNot(_ == busy)
+    val quietBefore = quiet.map(b => b -> files(b)).toMap
+    val beforeRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    val (nb, na) = Layout.compact(spark, dir, targetBytes = 1L << 20)
+    assert(na < nb, s"expected fewer files in the busy bucket: $nb -> $na")
+    val afterRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(afterRows == beforeRows)
+    assert(files(busy).size < 9)
+    // quiet buckets: same files, byte-for-byte untouched (not rewritten)
+    quiet.foreach(b => assert(files(b) == quietBefore(b), s"bucket $b"))
+    // layout marker survives; later merges still see the bucket count
+    assert(new java.io.File(dir, "_graft_buckets").exists())
+    // no staging debris inside or beside the table root
+    assert(!new java.io.File(dir + "__tmp").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.contains("__")))
+  }
+
+  test("Layout.compact restores a crashed swap before compacting") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-c")
+    val dir = tmp.resolve("tbl").toString
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // crash window: live dir parked at __old, never swapped back
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__old")))
+    val (nb, na) = Layout.compact(spark, dir, targetBytes = 1L << 20)
+    assert(nb == 3 && na == 1, s"$nb -> $na")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == rows)
   }
 }

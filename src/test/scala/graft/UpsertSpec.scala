@@ -69,6 +69,21 @@ class UpsertSpec extends AnyFunSuite {
     assert(back.length == 3 && back(2).getString(1) == "t3x")
   }
 
+  test("mergeIntoTable after a crashed swap restores the backup " +
+    "instead of rebuilding from the delta alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsertc").toString
+    val path = s"$dir/articles"
+    Upsert.mergeIntoTable(spark, path, base, Seq("url"))
+    // crash window: live renamed to __old, new data never swapped in
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__old")))
+    val delta = Seq(("u9", "t9", Some(9))).toDF("url", "title", "score")
+    Upsert.mergeIntoTable(spark, path, delta, Seq("url"))
+    val back = spark.read.parquet(path).collect()
+    assert(back.length == base.count() + 1,
+      s"prior rows lost: ${back.length}")
+    assert(!new java.io.File(path + "__old").exists())
+  }
+
   test("mergeIntoPartitionedTable rewrites only the touched buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pmerge").toString
     val path = s"$dir/articles"
