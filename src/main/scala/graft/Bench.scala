@@ -52,7 +52,8 @@ object Bench {
     // run in name order so residual warmup always lands on q01 and
     // per-query numbers stay comparable across rounds
     val results: Seq[(String, Either[String, Double])] =
-      (SparkEntry.queries.toSeq ++ selftest).sortBy(_._1)
+      (SparkEntry.queries.toSeq ++ SparkEntry.benchOnly.toSeq ++ selftest)
+        .sortBy(_._1)
         .filter(p => selected(p._1)).map {
         case (name, fn) =>
           val t0 = System.nanoTime()

@@ -14,4 +14,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** Timed by Bench but outside the Verify/oracle contract: production
+    * fast-path twins whose oracle twins run an engine-neutral hash
+    * (see Queries.benchOnly).
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.benchOnly
 }

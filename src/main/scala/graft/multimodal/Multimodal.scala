@@ -157,6 +157,110 @@ object Multimodal extends Serializable {
     blobs.mapPartitions(_.map(b => parseWav(b.media_id, b.content)))
   }
 
+  case class PngMeta(media_id: Long, width: Int, height: Int,
+                     bit_depth: Int, color_type: Int, idat_bytes: Long,
+                     decode_ok: Boolean)
+
+  private val BadPng = PngMeta(0L, -1, -1, -1, -1, -1L, decode_ok = false)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Minimal real PNG writer (S4's blobs are images —
+    * extract_utils.py:50-59): signature + IHDR + one zlib-deflated
+    * IDAT of filter-0 RGB scanlines + IEND, all chunk CRCs genuine
+    * (java.util.zip). Any PNG tool accepts the output; generated
+    * without image libraries, deterministic per id.
+    */
+  def syntheticPng(id: Long, width: Int, height: Int): MediaBlob = {
+    val crc = new java.util.zip.CRC32()
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length).put(ctype.getBytes("US-ASCII")).put(body)
+      crc.reset()
+      crc.update(bb.array(), 4, 4 + body.length)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    // filter-0 scanlines with a deterministic id-seeded pixel pattern
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var x = id * 6364136223846793005L + 1442695040888963407L
+    var p = 0
+    (0 until height).foreach { _ =>
+      raw(p) = 0; p += 1 // per-row filter byte
+      (0 until width * 3).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        raw(p) = (x >>> 56).toByte; p += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    val out = PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    MediaBlob(id, "image", out)
+  }
+
+  /** REAL PNG header parse — the image codec behind the decode seam,
+    * next to [[parseWav]]. Checks the 8-byte signature, requires the
+    * first chunk to be a 13-byte IHDR with an intact CRC32 (PNG
+    * mandates IHDR first), extracts (width, height, bit depth, color
+    * type), then walks the remaining chunk list summing IDAT payload
+    * bytes. Any malformation — truncation, wrong signature, corrupt
+    * IHDR CRC, absurd dimensions, declared chunk length past EOF —
+    * routes to `decode_ok = false` instead of failing the task.
+    */
+  def parsePng(id: Long, bytes: Array[Byte]): PngMeta = {
+    if (bytes.length < 8 + 25 ||
+        !java.util.Arrays.equals(
+          java.util.Arrays.copyOf(bytes, 8), PngSig))
+      return BadPng.copy(media_id = id)
+    val buf = java.nio.ByteBuffer.wrap(bytes) // PNG ints are big-endian
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (buf.getInt(8) != 13 || ascii(12) != "IHDR")
+      return BadPng.copy(media_id = id)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 12, 4 + 13)
+    if (crc.getValue.toInt != buf.getInt(29))
+      return BadPng.copy(media_id = id)
+    val (w, h) = (buf.getInt(16), buf.getInt(20))
+    val (depth, color) = (bytes(24).toInt & 0xff, bytes(25).toInt & 0xff)
+    if (w <= 0 || h <= 0) return BadPng.copy(media_id = id)
+    var idatBytes = 0L
+    var off = 33 // first chunk after IHDR
+    var sawEnd = false
+    while (!sawEnd && off + 8 <= bytes.length) {
+      val size = buf.getInt(off).toLong & 0xFFFFFFFFL
+      val cid = ascii(off + 4)
+      // declared length past EOF (the truncation case) aborts the walk
+      if (off + 12 + size > bytes.length) off = bytes.length
+      else {
+        if (cid == "IDAT") idatBytes += size
+        if (cid == "IEND") sawEnd = true
+        off += 12 + size.toInt
+      }
+    }
+    if (!sawEnd) return BadPng.copy(media_id = id) // truncated stream
+    PngMeta(id, w, h, depth, color, idatBytes, decode_ok = true)
+  }
+
+  /** Partition-wise PNG decode — same plan shape as [[decodeWav]]:
+    * one decoder per partition, blobs never shuffle.
+    */
+  def decodePng(blobs: Dataset[MediaBlob]): Dataset[PngMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parsePng(b.media_id, b.content)))
+  }
+
   /** Frame-sampling plan over (id, duration_ms): one row per sampled
     * frame at `everyMs` cadence, capped at `maxFrames` — metadata-only,
     * fully relational (explode of a bounded sequence).

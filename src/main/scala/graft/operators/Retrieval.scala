@@ -71,4 +71,63 @@ object Retrieval {
         .cast("long"))
       .select(col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Batch BM25: MANY queries per corpus pass — the fan-out shape of
+    * the reference's related-articles loop (get_relevant_articles.py:
+    * 64-88 runs one retrieval per article; running them one
+    * [[bm25TopK]] at a time would rescan the corpus per query).
+    * `queries` is a (queryIdCol, termsCol: array<string>) frame;
+    * output is (query_id, rank, doc_id, score) — top `k` per query.
+    *
+    * Scale shape, relative to the single-query form:
+    *  - the postings prune can no longer be an `isin` literal; instead
+    *    the DISTINCT term set of the whole batch (bounded: queries are
+    *    a driver-bounded batch, like the ANN query frames) broadcasts
+    *    into a semi join that drops non-query postings BEFORE the
+    *    tf shuffle — one corpus scan for the entire batch;
+    *  - tf/df are computed ONCE over the batch's term union and fan
+    *    out to queries by a broadcast join on term (a doc-term posting
+    *    reaches every query containing that term — |q|·|postings|
+    *    rows only for matched terms, never a cartesian);
+    *  - the per-query top-k is a window over candidates, partitioned
+    *    by query id — candidate-sized, not corpus-sized.
+    * Scores quantized exactly as [[bm25TopK]] (same contract with the
+    * cross-engine oracle, q106).
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String, termsCol: String,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("term"))
+      .distinct()
+    val batchTerms = qt.select(col("term")).distinct()
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(batchTerms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfTbl), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("raw"))
+      .withColumn("score", floor(col("raw") * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 }

@@ -3231,6 +3231,92 @@ object Queries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q106
+  // Batch BM25 (Retrieval.bm25TopKBatch): three concurrent queries in
+  // ONE corpus pass — the per-article fan-out of the reference's
+  // related-articles loop. The batch's distinct term union prunes the
+  // postings via a broadcast semi join BEFORE the tf shuffle; tf/df
+  // are computed once and fan out to queries by a broadcast join on
+  // term; per-query top-k is a candidate-sized window. Terms span the
+  // df spectrum and OVERLAP across queries (q1/q3 share 'dup', q2/q3
+  // share 'window') so the fan-out path is actually exercised.
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, Seq("spark", "dup")),
+      (2L, Seq("window", "shuffle")),
+      (3L, Seq("dup", "window", "spark"))).toDF("query_id", "terms")
+    Retrieval.bm25TopKBatch(t(s, dir, "documents"), "doc_id", "text",
+        queries, "query_id", "terms", k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q106Sql =
+    """WITH qt AS (SELECT DISTINCT query_id, term FROM (VALUES
+      |  (1, 'spark'), (1, 'dup'),
+      |  (2, 'window'), (2, 'shuffle'),
+      |  (3, 'dup'), (3, 'window'), (3, 'spark')) AS v(query_id, term)),
+      |tk AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS toks
+      | FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      | WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+      |sc AS (SELECT query_id, doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1.0)
+      |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 1e6 + 0.5) / 1e6 AS score
+      | FROM f JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN st
+      | GROUP BY query_id, doc_id),
+      |r AS (SELECT query_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      | CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+  // Real image codec behind the multimodal decode seam (S4's blobs are
+  // images): genuine PNG bytes (signature/IHDR/deflated IDAT/IEND, CRCs
+  // intact — MultimodalSpec proves JDK ImageIO decodes them) parsed
+  // partition-wise; every 9th blob is truncated mid-IDAT and must
+  // route to decode_ok=false with sentinel metadata, not a task
+  // failure. The oracle replays the deterministic (id → dims, id →
+  // truncated) construction; idat_bytes is deflate-sized and so stays
+  // spec-land (MultimodalSpec), not oracle-land.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 250)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticPng(id, 8 + (id % 13).toInt, 8 + (id % 7).toInt)
+        if (id % 9 == 0)
+          b.copy(content = java.util.Arrays.copyOf(b.content, 40))
+        else b
+      }
+    m.decodePng(blobs).toDF()
+      .select($"media_id", $"width", $"height", $"bit_depth",
+        $"color_type", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private val q109Sql =
+    """SELECT doc_id AS media_id,
+      | CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 8 + doc_id % 13 END
+      |   AS INT) AS width,
+      | CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 8 + doc_id % 7 END
+      |   AS INT) AS height,
+      | CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 8 END AS INT)
+      |   AS bit_depth,
+      | CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 2 END AS INT)
+      |   AS color_type,
+      | doc_id % 9 <> 0 AS decode_ok
+      |FROM documents WHERE doc_id < 250 ORDER BY media_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3338,7 +3424,49 @@ object Queries {
     "q102_cms_heavyhitters" -> (q102 _),
     "q103_incr_rollup"  -> (q103 _),
     "q104_cdc_apply"    -> (q104 _),
-    "q105_refinery"     -> (q105 _)
+    "q105_refinery"     -> (q105 _),
+    "q106_bm25_batch"   -> (q106 _),
+    "q109_png_decode"   -> (q109 _)
+  )
+
+  /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
+    * hash path. q25/q26/q80 run `Dedup.Md5` because that is what the
+    * DuckDB oracle can replay — which left the Xx64 fast path (the one
+    * a 100 TB job actually runs) unmeasured: a throughput regression
+    * there would be invisible to the driver bench. These twins are
+    * timed by Bench but are NOT part of the Verify/oracle contract
+    * (Xx64 ≡ Md5 candidate semantics modulo hash family is spec-pinned
+    * in DedupSpec). Names sort directly after their oracle twins so
+    * the bench JSON reads pairwise.
+    */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25x_minhash_xx64" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val dup = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+      Dedup.minhashCandidates(docs.unionByName(dup), "text", "doc_id")
+        .orderBy($"id_a", $"id_b")
+    }),
+    "q26x_simhash_xx64" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val dup = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+      Dedup.simhashCandidates(docs.unionByName(dup), "text", "doc_id")
+        .orderBy($"id_a", $"id_b")
+    }),
+    "q80x_incr_dedup_xx64" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val index = docs.filter($"doc_id" % 5 =!= 0)
+      val delta = docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+      Dedup.incrementalCandidates(
+          Dedup.minhashSignatures(index, "text", "doc_id"),
+          Dedup.minhashSignatures(delta, "text", "doc_id"))
+        .orderBy($"id_a", $"id_b")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -3445,6 +3573,8 @@ object Queries {
     "q102_cms_heavyhitters" -> q102Sql,
     "q103_incr_rollup"  -> q103Sql,
     "q104_cdc_apply"    -> q104Sql,
-    "q105_refinery"     -> q105Sql
+    "q105_refinery"     -> q105Sql,
+    "q106_bm25_batch"   -> q106Sql,
+    "q109_png_decode"   -> q109Sql
   )
 }

@@ -102,6 +102,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(2).decode_ok)
   }
 
+  test("png codec: synthesized bytes are REAL PNGs — the JDK's own " +
+    "ImageIO decodes them with matching dimensions") {
+    val b = Multimodal.syntheticPng(7L, 21, 13)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b.content))
+    assert(img != null, "ImageIO rejected the synthesized PNG")
+    assert(img.getWidth == 21 && img.getHeight == 13)
+    val meta = Multimodal.parsePng(7L, b.content)
+    assert(meta == Multimodal.PngMeta(7L, 21, 13, 8, 2,
+      meta.idat_bytes, true))
+    assert(meta.idat_bytes > 0)
+  }
+
+  test("png codec: truncation, corrupt IHDR CRC, and wrong signature " +
+    "all route to decode_ok=false, never a throw") {
+    val good = Multimodal.syntheticPng(9L, 16, 16).content
+    val truncated = java.util.Arrays.copyOf(good, 40)
+    val badCrc = good.clone(); badCrc(29) = (badCrc(29) ^ 0x5a).toByte
+    val badSig = good.clone(); badSig(0) = 0x00
+    Seq(truncated, badCrc, badSig, Array.emptyByteArray).foreach { bytes =>
+      val m = Multimodal.parsePng(9L, bytes)
+      assert(!m.decode_ok && m.width == -1, s"len=${bytes.length}")
+    }
+    // deterministic per id, like the other synthetic blobs
+    assert(java.util.Arrays.equals(good,
+      Multimodal.syntheticPng(9L, 16, 16).content))
+  }
+
+  test("decodePng runs partition-wise over a Dataset of blobs") {
+    val blobs = Seq(
+      Multimodal.syntheticPng(1L, 10, 4),
+      Multimodal.syntheticPng(2L, 3, 30),
+      MediaBlob(3L, "image", Array[Byte](0x50, 0x4e, 0x47)) // not a png
+    ).toDS().repartition(2)
+    val out = Multimodal.decodePng(blobs).collect().sortBy(_.media_id)
+    assert(out(0).width == 10 && out(0).height == 4 && out(0).decode_ok)
+    assert(out(1).width == 3 && out(1).height == 30 && out(1).decode_ok)
+    assert(!out(2).decode_ok)
+  }
+
   test("frameFeatures emits deterministic bounded vectors per frame") {
     val frames = Seq((1L, 0L), (1L, 1L), (1L, 0L)).toDF("id", "frame_no")
     val out = Multimodal.frameFeatures(frames, "id", "frame_no", dim = 8)

@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
   }
 
+  test("q106 batch bm25: postings pruned by a broadcast semi join on " +
+    "the batch term set; query fan-out is a broadcast hash join, " +
+    "never a cartesian") {
+    val p = plan("q106_bm25_batch")
+    assert(p.contains("LeftSemi"), s"expected semi-join prune in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
+
   test("q96 mixture broadcasts the per-stratum plan onto the corpus " +
     "scan — no wide shuffle of the documents table") {
     val p = plan("q96_temp_mixture")

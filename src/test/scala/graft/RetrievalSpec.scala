@@ -74,6 +74,45 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopKBatch equals one bm25TopK per query — same ranks, " +
+    "same quantized scores") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val docs = (0 until 60).map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val queryDefs = Seq(1L -> Seq("a", "d"), 2L -> Seq("b", "f"),
+      3L -> Seq("d", "g"))
+    val batch = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        queryDefs.toDF("query_id", "terms"), "query_id", "terms", k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = queryDefs.flatMap { case (qid, terms) =>
+      Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 8)
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(batch == single)
+  }
+
+  test("bm25TopKBatch: a term shared across queries scores each " +
+    "query independently (df is per-term, not per-query)") {
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "z z")).toDF("doc_id", "text")
+    val qs = Seq(10L -> Seq("x"), 20L -> Seq("x", "z"))
+      .toDF("query_id", "terms")
+    val out = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        qs, "query_id", "terms", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // query 10 ranks only the x-docs; query 20 sees all three
+    assert(out.count(_._1 == 10L) == 2)
+    assert(out.count(_._1 == 20L) == 3)
+    // identical x-only score for docs 1 and 2 in BOTH queries → the
+    // shared doc ranks by id tie-break under query 10
+    assert(out.filter(_._1 == 10L).map(t => (t._2, t._3)).toSeq
+      .sorted == Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("temperatureMixture: α=1 is proportional, α→0 flattens, " +
     "targets honor the budget and caps") {
     val docs = (0 until 900).map { i =>
