@@ -12,8 +12,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → driver rows-only check. */
-  def oracleSql: Map[String, String] = Queries.oracles
+    * the same parquet tables. Omitted keys → driver rows-only check.
+    * Includes oracles generated from fitted model parameters, so it
+    * must be read AFTER running `queries` (as Verify does). */
+  def oracleSql: Map[String, String] = Queries.oraclesWithFitted
 
   /** Timed by Bench but outside the Verify/oracle contract: production
     * fast-path twins whose oracle twins run an engine-neutral hash

@@ -2178,27 +2178,96 @@ object Queries {
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
   // ---------------------------------------------------------------- q76
-  // Product-quantization ANN (rows-only: codebooks are engine-specific;
-  // reconstruction fidelity + recall vs brute force are asserted in
-  // VectorSimilaritySpec). The corpus is scanned as 8-int codes — the
-  // 100 TB memory story — with codebooks fit once per dir and cached
-  // like q48's IVF quantizer. Deliberately kept on the FLAT pqTopK
-  // baseline so the q76/q77 pair measures what IVF pruning +
-  // residual encoding buy; production call sites use ivfPqTopK (see
-  // the "superseded at scale" note on Similarity.pqTopK).
+  // Product-quantization ANN on the FLAT pqTopK baseline (so the
+  // q76/q77 pair measures what IVF pruning + residual encoding buy;
+  // production call sites use ivfPqTopK — see the "superseded at
+  // scale" note on Similarity.pqTopK). Codebooks fit once per dir and
+  // cached like q48's IVF quantizer.
+  //
+  // ORACLE: the ADC ranking is fully deterministic GIVEN the fitted
+  // codebooks — encode is an argmin of sequential-fold squared-L2
+  // chains, reconstruction is codeword lookup, and the cosine against
+  // the raw query is the same fold q24 already oracles. So the oracle
+  // SQL is GENERATED from the very model the query ran (q29's
+  // hyperplane-literal trick, extended to fitted parameters):
+  // per-subspace distance chains in left-associative `+` (bit-equal to
+  // VectorKernels.nearestCells' loop), argmin via
+  // list_position(d, list_min(d)) (first strict minimum — the kernel's
+  // tie-break), codeword tables as list literals. Verify dumps
+  // oracleSql AFTER running the queries, so the fitted model is always
+  // in cache when the SQL is built (ContractSpec pins this wiring).
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+  @volatile private var lastPqDir: Option[String] = None
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val model = pqModels.getOrElseUpdate(dir,
       Similarity.fitPq(emb, "embedding", m = 8, k = 16))
+    lastPqDir = Some(dir)
     val codes = Similarity.pqEncode(model, emb, "vec_id", "embedding")
     Similarity.pqTopK(model, emb.filter($"vec_id" < 10), codes,
         "vec_id", "embedding", k = 5)
       .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
         round($"sim", 6).as("sim"))
       .orderBy($"q_id", $"rank")
+  }
+
+  /** q76's oracle, built from the codebooks fitted by the LAST q76 run
+    * (None until q76 has run in this JVM — Verify's dump order
+    * guarantees it has).
+    */
+  private[queries] def q76SqlNow: Option[String] =
+    lastPqDir.flatMap(pqModels.get).map(q76SqlFor)
+
+  private def q76SqlFor(model: Similarity.PqModel): String = {
+    def dd(x: Double) = java.lang.Double.toString(x)
+    val m = model.m
+    val sub = model.subDim
+    // per-subspace: 16 squared-L2 chains (left-assoc + : the kernel's
+    // fold order), then the first-minimum codeword's literal vector
+    val distCols = (0 until m).map { mi =>
+      val chains = model.codebooks(mi).map { cw =>
+        (0 until sub).map { i =>
+          val idx = mi * sub + i + 1 // 1-based SQL list index
+          s"(v[$idx]-(${dd(cw(i))}))*(v[$idx]-(${dd(cw(i))}))"
+        }.mkString("+")
+      }
+      s"[${chains.mkString(",\n   ")}] AS d$mi"
+    }.mkString(",\n  ")
+    val wordCols = (0 until m).map { mi =>
+      val book = model.codebooks(mi)
+        .map(cw => s"[${cw.map(dd).mkString(",")}]").mkString(",")
+      s"([$book])[list_position(d$mi, list_min(d$mi))] AS w$mi"
+    }.mkString(",\n  ")
+    val cv = (0 until m).map(mi => s"w$mi").mkString(" || ")
+    s"""WITH c AS (
+       | SELECT vec_id AS c_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |d AS (SELECT c_id, v,
+       |  $distCols
+       | FROM c),
+       |e AS (SELECT c_id,
+       |  $wordCols
+       | FROM d),
+       |rc AS (SELECT c_id, $cv AS cv FROM e),
+       |q AS (SELECT vec_id AS q_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       | FROM embeddings WHERE vec_id < 10),
+       |sc AS (
+       | SELECT q_id, c_id,
+       |  list_dot_product(qv, cv)
+       |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+       |   AS sim
+       | FROM q, rc WHERE q_id <> c_id),
+       |r AS (SELECT q_id, c_id, sim,
+       | row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+       |   AS rank
+       | FROM sc)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+       | round(sim, 6) AS sim
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q77
@@ -3577,4 +3646,12 @@ object Queries {
     "q106_bm25_batch"   -> q106Sql,
     "q109_png_decode"   -> q109Sql
   )
+
+  /** The full oracle map, INCLUDING oracles generated from fitted
+    * model parameters (q76's codebook-literal SQL — available once the
+    * query has run in this JVM, which Verify's run-then-dump order
+    * guarantees). The driver's correctness gate reads this.
+    */
+  def oraclesWithFitted: Map[String, String] =
+    oracles ++ q76SqlNow.map("q76_pq_ann" -> _)
 }

@@ -15,10 +15,21 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only the documented rows-only queries lack an oracle") {
+  test("only q76 (fitted-model oracle) is absent from the static map") {
     val rowsOnly = Queries.all.keySet -- Queries.oracles.keySet
     assert(rowsOnly == Set("q76_pq_ann"),
       s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("after running q76, the fitted-codebook oracle exists and EVERY " +
+    "query has an oracle (Verify dumps after running — same order)") {
+    Queries.all("q76_pq_ann")(SharedSpark.spark, "/root/testdata/sf0.001")
+      .count()
+    val withFitted = Queries.oraclesWithFitted
+    assert((Queries.all.keySet -- withFitted.keySet).isEmpty,
+      s"rows-only residue: ${Queries.all.keySet -- withFitted.keySet}")
+    val sql = withFitted("q76_pq_ann")
+    assert(sql.contains("list_position") && sql.contains("embeddings"))
   }
 
   test("query names are well-formed and unique") {
