@@ -3348,6 +3348,151 @@ object Queries {
       | CAST(rank AS BIGINT) AS rank, doc_id, score
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  // Stream-stream interval join (Streams.intervalJoin) under the
+  // oracle: clicks attributed to purchases of the same user within a
+  // trailing 6-hour window, replayed as deterministic event-time-
+  // ordered micro-batches (q100's pinned-mtime technique — the two
+  // time slices arrive as separate batches, so cross-slice matches
+  // exercise real buffered join state, not single-batch luck). Both
+  // sides carry 8-hour watermarks bounding the state; inner-join
+  // matches emit in the batch they form, so no sentinel run is
+  // needed. DuckDB folds the batch twin: a plain interval self-join.
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q107").toString
+    val ev = t(s, dir, "events").filter($"user_id" < 30 &&
+        ($"event_type" === "click" || $"event_type" === "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    def run(): Unit = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val joined = graft.streaming.Streams.intervalJoin(
+            stream.filter($"event_type" === "click"),
+            stream.filter($"event_type" === "purchase"),
+            "user_id", "ts", lookback = "6 hours", watermark = "8 hours")
+          .select(col("l.event_id").as("click_id"),
+            col("r.event_id").as("purchase_id"),
+            col("l.user_id").as("user_id"))
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val mtimeBase = 60L * 60 * 1000 * 24 * 365
+    val pinned = scala.collection.mutable.Set[String]()
+    def writeSlice(df: DataFrame, seq: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !pinned.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
+    }
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = lo + (hi - lo) / 2
+    writeSlice(ev.filter(unix_millis($"ts") < mid), 0)
+    writeSlice(ev.filter(unix_millis($"ts") >= mid), 1)
+    run()
+    s.read.parquet(outDir).orderBy($"purchase_id", $"click_id")
+      .select($"click_id", $"purchase_id", $"user_id")
+  }
+  private val q107Sql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      | c.user_id AS user_id
+      |FROM events c JOIN events p
+      | ON c.user_id = p.user_id
+      | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 6 HOUR
+      | AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.user_id < 30
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+  // Custom sessionization state machine (Streams.sessionize,
+  // flatMapGroupsWithState + event-time timeout) under the oracle:
+  // 30-minute-gap sessions per user, driven as event-time-ordered
+  // micro-batches; a far-future sentinel for a dummy user in a
+  // checkpoint-RESUMED second run advances the watermark past every
+  // real lastTs+gap so the timeout path closes the remaining open
+  // sessions (q100's finalization trick — sessions broken by a LATER
+  // event close inline during run 1, so both close paths are
+  // exercised). Timestamps are second-truncated on BOTH engines: the
+  // state machine folds millisecond longs, and second granularity
+  // keeps the µs-vs-ms floor identity trivially exact. DuckDB folds
+  // the batch twin: lag-gap breaks → running session ids → group.
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q108").toString
+    val ev = t(s, dir, "events").filter($"user_id" < 25)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"), $"event_id")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    def run(): Unit = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val sess = graft.streaming.Streams.sessionize(
+          stream.as[graft.streaming.Streams.SessionEvent], gapMinutes = 30)
+        val q = sess.toDF().writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val mtimeBase = 60L * 60 * 1000 * 24 * 365
+    val pinned = scala.collection.mutable.Set[String]()
+    def writeSlice(df: DataFrame, seq: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !pinned.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
+    }
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = lo + (hi - lo) / 2
+    writeSlice(ev.filter(unix_millis($"ts") < mid), 0)
+    writeSlice(ev.filter(unix_millis($"ts") >= mid), 1)
+    run()
+    writeSlice(s.range(1).select(lit(-1L).as("user_id"),
+      lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")).as("ts"),
+      lit(0L).as("event_id")), 2)
+    run()
+    s.read.parquet(outDir).filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+  private val q108Sql =
+    """WITH e AS (SELECT user_id,
+      |  date_trunc('second', ts::TIMESTAMP) AS ts, event_id
+      | FROM events WHERE user_id < 25),
+      |s AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |   THEN 1 ELSE 0 END AS brk
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT user_id, ts, brk,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sess
+      | FROM s)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      | count(*) AS n_events
+      |FROM g GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ---------------------------------------------------------------- q109
   // Real image codec behind the multimodal decode seam (S4's blobs are
   // images): genuine PNG bytes (signature/IHDR/deflated IDAT/IEND, CRCs
@@ -3495,6 +3640,8 @@ object Queries {
     "q104_cdc_apply"    -> (q104 _),
     "q105_refinery"     -> (q105 _),
     "q106_bm25_batch"   -> (q106 _),
+    "q107_stream_join"  -> (q107 _),
+    "q108_sessionize"   -> (q108 _),
     "q109_png_decode"   -> (q109 _)
   )
 
@@ -3644,6 +3791,8 @@ object Queries {
     "q104_cdc_apply"    -> q104Sql,
     "q105_refinery"     -> q105Sql,
     "q106_bm25_batch"   -> q106Sql,
+    "q107_stream_join"  -> q107Sql,
+    "q108_sessionize"   -> q108Sql,
     "q109_png_decode"   -> q109Sql
   )
 
