@@ -49,19 +49,27 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    // per-query shuffle read/write/spill deltas — the measured side of
+    // SCALE.md's shuffle-bytes claims (a plan can look right and still
+    // shuffle 10× what it should; this makes that visible per round)
+    val tally = ShuffleTally.install(spark.sparkContext)
     // run in name order so residual warmup always lands on q01 and
     // per-query numbers stay comparable across rounds
-    val results: Seq[(String, Either[String, Double])] =
+    val results: Seq[(String, Either[String, (Double, String)])] =
       (SparkEntry.queries.toSeq ++ SparkEntry.benchOnly.toSeq ++ selftest)
         .sortBy(_._1)
         .filter(p => selected(p._1)).map {
         case (name, fn) =>
+          val s0 = tally.snapshot(spark.sparkContext)
           val t0 = System.nanoTime()
           // a failing query must NOT report a success-looking wall-time:
           // it becomes an explicit "err:" marker and an err_count bump
           try {
             fn(spark, sfDir).count()
-            name -> Right((System.nanoTime() - t0) / 1e9)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val d = tally.snapshot(spark.sparkContext) - s0
+            name -> Right((sec,
+              s"""{"w":${d.write},"r":${d.read},"sp":${d.spilled}}"""))
           } catch {
             case e: Throwable =>
               val msg = Option(e.getMessage).getOrElse("").linesIterator
@@ -70,12 +78,15 @@ object Bench {
           }
       }
     val qs = results.map {
-      case (k, Right(sec)) => s"\"" + k + "\":" + sec
+      case (k, Right((sec, _))) => s"\"" + k + "\":" + sec
       case (k, Left(err)) => s"\"" + k + "\":\"" + jsonEscape(err) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val sh = results.collect {
+      case (k, Right((_, j))) => s"\"" + k + "\":" + j
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right((sec, _))) => sec }.sum
     val errs = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","err_count":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","err_count":$errs,"queries":$qs,"shuffle_bytes":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** MEASURED scale guards: SCALE.md argues the dedup plans shuffle
+  * signatures, never text — these tests pin that with task-metric
+  * byte counts (plan shape alone can look right and still move 10×
+  * the bytes).
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("shuffle tally counts bytes for a shuffling job and stays flat " +
+    "for a map-only one") {
+    val tally = ShuffleTally.install(spark.sparkContext)
+    try {
+      val s0 = tally.snapshot(spark.sparkContext)
+      spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
+        .repartition(4).groupBy("k").count().count()
+      val afterShuffle = tally.snapshot(spark.sparkContext) - s0
+      assert(afterShuffle.write > 0 && afterShuffle.read > 0)
+      val s1 = tally.snapshot(spark.sparkContext)
+      spark.range(100000).selectExpr("id + 1 AS v").count()
+      val mapOnly = tally.snapshot(spark.sparkContext) - s1
+      // count() ships one partial-count row per partition — a few
+      // hundred bytes, not a data shuffle
+      assert(mapOnly.write < 4096, s"map-only job wrote shuffle: $mapOnly")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
+  test("minhash candidate shuffle volume tracks SIGNATURE size, not " +
+    "text size: 4x the text moves <2x the bytes") {
+    val tally = ShuffleTally.install(spark.sparkContext)
+    try {
+      // distinct-vocab docs (no near-dup pairs) in a LOCAL relation —
+      // no repartition, so the only exchanges measured are the
+      // operator's own; rep scales each doc's text length only
+      def mkDocs(rep: Int) = (0 until 200).map { i =>
+        val rnd = new scala.util.Random(i)
+        val words = Seq.fill(30 * rep)("w" + rnd.nextInt(1000000))
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      def shuffled(rep: Int): Long = {
+        val s0 = tally.snapshot(spark.sparkContext)
+        Dedup.minhashCandidates(mkDocs(rep), "text", "doc_id").count()
+        (tally.snapshot(spark.sparkContext) - s0).write
+      }
+      val small = shuffled(1)
+      val large = shuffled(4)
+      assert(small > 0, "expected the signature aggregation to shuffle")
+      // map-side combine ships per-(partition, doc) signature partials:
+      // constant in text length; only the banding keys ride behind it
+      assert(large < small * 2,
+        s"shuffle bytes scaled with text size: $small -> $large")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+}
