@@ -88,4 +88,49 @@ object TextAnalysis {
   /** 64-bit rolling-style fingerprint (cheap integer form). */
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Built-in Vietnamese compound-word lexicon for [[viSegment]] —
+    * common 2-3-syllable lexical words (a small, public list; real
+    * deployments pass their full dictionary). G3's `ViTokenizer` step
+    * (chunk_splitter.py:14-24) counts tokens on exactly such segmented
+    * words, not raw syllables.
+    */
+  val viLexicon: Seq[String] = Seq(
+    "việt nam", "hà nội", "học sinh", "sinh viên", "giáo viên",
+    "giáo dục", "đại học", "trường học", "công ty", "công việc",
+    "công nghệ", "thông tin", "thời gian", "gia đình", "xã hội",
+    "kinh tế", "chính phủ", "văn hóa", "lịch sử", "khoa học",
+    "nghiên cứu", "phát triển", "xây dựng", "thị trường", "ngân hàng",
+    "tài chính", "sức khỏe", "bệnh viện", "bác sĩ", "âm nhạc",
+    "nghệ thuật", "thể thao", "bóng đá", "du lịch", "máy tính",
+    "điện thoại", "quốc gia", "quốc tế", "thế giới", "môi trường",
+    "nông nghiệp", "giao thông", "an toàn", "an ninh", "pháp luật",
+    "báo chí", "truyền hình", "tiếng việt", "ngôn ngữ", "thư viện",
+    "nhà nước", "nhà máy", "thành phố", "nông thôn", "kết quả",
+    "nguyên nhân", "vấn đề", "giải pháp", "ý kiến", "quyết định",
+    "kế hoạch", "dự án", "chương trình", "hoạt động", "tổ chức",
+    "thành viên", "chủ tịch", "thủ tướng", "hội nghị", "chiến tranh",
+    "hòa bình", "hạnh phúc", "tình yêu", "bạn bè", "trẻ em",
+    "phụ nữ", "thanh niên", "ngày mai", "hôm nay", "bây giờ",
+    "tương lai", "hiện tại",
+    "sách giáo khoa", "hợp tác xã", "vô tuyến điện")
+
+  /** Vietnamese word segmentation by greedy maximal matching (the
+    * vnTokenizer-baseline algorithm) against `lexicon` — native
+    * codegen'd expression, scan-side. Output: array of words,
+    * multi-syllable matches joined with '_' ("học_sinh").
+    */
+  def viSegment(text: Column,
+                lexicon: Seq[String] = viLexicon): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.ViSegment(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        lexicon.toArray))
+
+  /** Token count on SEGMENTED Vietnamese words — what the reference's
+    * chunker budgets against (raw syllable counts over-count by the
+    * compound fraction).
+    */
+  def viTokenCount(text: Column, lexicon: Seq[String] = viLexicon): Column =
+    size(viSegment(text, lexicon))
 }

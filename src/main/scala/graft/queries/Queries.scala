@@ -3531,6 +3531,71 @@ object Queries {
       | doc_id % 9 <> 0 AS decode_ok
       |FROM documents WHERE doc_id < 250 ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  // Vietnamese word segmentation (G3's ViTokenizer step, previously
+  // stood in by whitespace tokenization): greedy maximal matching
+  // against the built-in compound lexicon, as the native codegen'd
+  // ViSegment expression. Deterministic Vietnamese text is built from
+  // row data (a word-pool cycle both engines replay); the oracle
+  // re-implements the greedy longest-match walk as a recursive CTE
+  // over the syllable lists with the SAME lexicon as literal IN-lists
+  // — an independent second implementation, not a copy of the output.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pool = q110Pool
+    val poolArr = array(pool.map(lit): _*)
+    val words = (0 until 12).map(i => element_at(poolArr,
+      (pmod($"doc_id" * 3 + i * 5, lit(pool.length)) + 1).cast("int")))
+    val text = concat_ws(" ", words: _*)
+    t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id", TextAnalysis.viSegment(text).as("w"))
+      .select($"doc_id",
+        array_join($"w", " ").as("seg"),
+        size($"w").cast("long").as("n_words"),
+        size(filter($"w", x => x.contains("_"))).cast("long")
+          .as("n_compounds"))
+      .orderBy($"doc_id")
+  }
+  private val q110Pool = Seq("việt nam", "học sinh", "thời gian",
+    "máy tính", "rất", "tốt", "của", "và", "người", "đại học",
+    "sách giáo khoa", "phát triển", "không", "mới")
+  private def q110Sql: String = {
+    val lex = TextAnalysis.viLexicon.map(_.trim.toLowerCase)
+    def inList(n: Int) = lex.filter(_.split(' ').length == n)
+      .map(w => s"'$w'").mkString(", ")
+    val poolLit = q110Pool.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE sy AS (
+       | SELECT doc_id, flatten(list_transform(range(0, 12),
+       |   i -> string_split($poolLit[
+       |     CAST((doc_id * 3 + i * 5) % ${q110Pool.length} AS INT) + 1],
+       |     ' '))) AS sy
+       | FROM documents WHERE doc_id < 200),
+       |walk AS (
+       | SELECT doc_id, sy, 1 AS pos, '' AS seg FROM sy
+       | UNION ALL
+       | SELECT doc_id, sy, pos + step,
+       |  seg || CASE WHEN seg = '' THEN '' ELSE ' ' END ||
+       |   CASE step
+       |    WHEN 3 THEN sy[pos] || '_' || sy[pos+1] || '_' || sy[pos+2]
+       |    WHEN 2 THEN sy[pos] || '_' || sy[pos+1]
+       |    ELSE sy[pos] END
+       | FROM (
+       |  SELECT doc_id, sy, pos, seg,
+       |   CASE WHEN pos + 2 <= len(sy) AND lower(
+       |      sy[pos] || ' ' || sy[pos+1] || ' ' || sy[pos+2])
+       |      IN (${inList(3)}) THEN 3
+       |    WHEN pos + 1 <= len(sy) AND lower(sy[pos] || ' ' || sy[pos+1])
+       |      IN (${inList(2)}) THEN 2
+       |    ELSE 1 END AS step
+       |  FROM walk WHERE pos <= len(sy)) t)
+       |SELECT doc_id, seg,
+       | CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_words,
+       | CAST(len(list_filter(string_split(seg, ' '),
+       |   x -> contains(x, '_'))) AS BIGINT) AS n_compounds
+       |FROM walk WHERE pos > len(sy)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3642,7 +3707,8 @@ object Queries {
     "q106_bm25_batch"   -> (q106 _),
     "q107_stream_join"  -> (q107 _),
     "q108_sessionize"   -> (q108 _),
-    "q109_png_decode"   -> (q109 _)
+    "q109_png_decode"   -> (q109 _),
+    "q110_vi_segment"   -> (q110 _)
   )
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
@@ -3793,7 +3859,8 @@ object Queries {
     "q106_bm25_batch"   -> q106Sql,
     "q107_stream_join"  -> q107Sql,
     "q108_sessionize"   -> q108Sql,
-    "q109_png_decode"   -> q109Sql
+    "q109_png_decode"   -> q109Sql,
+    "q110_vi_segment"   -> q110Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

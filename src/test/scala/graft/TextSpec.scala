@@ -88,4 +88,39 @@ class TextSpec extends AnyFunSuite {
     val in = "Here are the 4 points:\n• first\n- second\n\n\nthird"
     assert(one(Text.cleanSummary($"x"), in) == "first\nsecond\nthird")
   }
+
+  test("viSegment: greedy maximal matching joins lexical compounds, " +
+    "longest match wins, unknown syllables pass through") {
+    import graft.operators.TextAnalysis
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("x").select(TextAnalysis.viSegment($"x").as("w"))
+        .head.getSeq[String](0)
+    // 2-syllable compounds join; singles pass through
+    assert(seg("học sinh giỏi") == Seq("học_sinh", "giỏi"))
+    assert(seg("em là sinh viên đại học") ==
+      Seq("em", "là", "sinh_viên", "đại_học"))
+    // longest match wins over a 2-syllable prefix: "sách giáo khoa"
+    // (3) outranks "giáo viên" never forming at position 2
+    assert(seg("sách giáo khoa mới") == Seq("sách_giáo_khoa", "mới"))
+    // case-insensitive matching, original case preserved in output
+    assert(seg("Việt Nam vô địch") == Seq("Việt_Nam", "vô", "địch"))
+    // greedy left-to-right: once a compound consumes a syllable the
+    // next match starts after it
+    assert(seg("công nghệ thông tin") == Seq("công_nghệ", "thông_tin"))
+    // whitespace runs collapse; empty → empty
+    assert(seg("  thời   gian  ") == Seq("thời_gian"))
+    assert(seg("") == Seq.empty)
+  }
+
+  test("viTokenCount budgets on words, not syllables — the chunker's " +
+    "G3 token proxy undercounts compounds without it") {
+    import graft.operators.TextAnalysis
+    val df = Seq("học sinh việt nam yêu khoa học").toDF("x")
+    val (vi, ws) = df.select(
+        TextAnalysis.viTokenCount($"x").as("vi"),
+        TextAnalysis.wsTokenCount($"x").as("ws"))
+      .as[(Int, Int)].head()
+    assert(ws == 7)
+    assert(vi == 4) // học_sinh, việt_nam, yêu, khoa_học
+  }
 }
