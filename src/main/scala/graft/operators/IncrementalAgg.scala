@@ -56,6 +56,7 @@ object IncrementalAgg {
     require(!batchId.contains("\n"), "batchId must be single-line")
     val fs = Staging.fsOf(spark, path)
     val applied = appliedBatches(spark, path) // restores a crashed swap
+    Staging.vacuum(spark, path)
 
     if (applied.contains(batchId)) return false
     val aggs = count(lit(1)).as("n_rows") +:

@@ -111,15 +111,7 @@ object Layout {
     // case) or missing bucket dir (partitioned case) with a surviving
     // backup is restored, never treated as absent
     Staging.restoreIfCrashed(fs, dir)
-    val bakRoot0 = new Path(dir + "__old")
-    if (fs.exists(root) && fs.exists(bakRoot0)) {
-      fs.listStatus(bakRoot0)
-        .filter(_.getPath.getName.startsWith(Upsert.bucketCol + "="))
-        .foreach { s =>
-          val live = new Path(root, s.getPath.getName)
-          if (!fs.exists(live)) Staging.mustRename(fs, s.getPath, live)
-        }
-    }
+    Staging.restoreBucketsIfCrashed(fs, dir, Upsert.bucketCol)
     Staging.vacuum(spark, dir)
     val bucketDirs = fs.listStatus(root)
       .filter(s => s.isDirectory &&

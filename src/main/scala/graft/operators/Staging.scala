@@ -58,6 +58,27 @@ object Staging {
     } else false
   }
 
+  /** Bucket-level crash recovery for partitioned tables: a hard crash
+    * mid-swap leaves `<path>__old/<prefix>=N` holding a bucket whose
+    * live dir is missing — restore each such bucket before reading the
+    * table (the per-bucket analogue of [[restoreIfCrashed]]). Backups
+    * whose live bucket EXISTS are stale (post-swap crash) and are left
+    * for [[vacuum]].
+    */
+  def restoreBucketsIfCrashed(fs: FileSystem, path: String,
+                              prefix: String): Unit = {
+    val root = new Path(path)
+    val bakRoot = new Path(path + "__old")
+    if (fs.exists(root) && fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot)
+        .filter(_.getPath.getName.startsWith(prefix + "="))
+        .foreach { s =>
+          val live = new Path(root, s.getPath.getName)
+          if (!fs.exists(live)) mustRename(fs, s.getPath, live)
+        }
+    }
+  }
+
   /** Remove stale staging debris (`<path>__tmp`, `<path>__old`,
     * `<path>.__compact`) older than `horizonMs`. A crash between a
     * successful swap and its cleanup leaves these forever; retention

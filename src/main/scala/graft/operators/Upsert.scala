@@ -66,8 +66,10 @@ object Upsert {
                      patch: Boolean = false): Unit = {
     val fs = Staging.fsOf(spark, path)
     // a crash between the swap renames must read as "restore the
-    // backup", not "no table here — rebuild from the delta alone"
+    // backup", not "no table here — rebuild from the delta alone";
+    // stale staging debris beyond the retention horizon is swept
     Staging.restoreIfCrashed(fs, path)
+    Staging.vacuum(spark, path)
     val target = new Path(path)
     val merged =
       if (fs.exists(target)) merge(spark.read.parquet(path), delta, keys, patch)
@@ -159,6 +161,10 @@ object Upsert {
                                 numBuckets: Int,
                                 patch: Boolean = false): Unit = {
     val fs = Staging.fsOf(spark, path)
+    // a hard crash mid-swap leaves a bucket only in the backup root —
+    // restore it before the layout/bucket reads below
+    Staging.restoreBucketsIfCrashed(fs, path, bucketCol)
+    Staging.vacuum(spark, path)
     if (!fs.exists(new Path(path))) {
       writePartitionedTable(delta, path, keys, numBuckets)
       return

@@ -3596,6 +3596,117 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q111
+  // Streaming refinery capstone: the ingest loop a 100 TB training-data
+  // pipeline actually runs, as ONE streaming job under the oracle —
+  // each micro-batch (doc_id-ordered slices, q100's pinned-mtime
+  // technique; the last slice is all exact duplicates of earlier docs)
+  // dedups against the PERSISTED fingerprint index (first occurrence
+  // wins, one index anti-join — the corpus is never re-fingerprinted),
+  // quality-gates the fresh docs, folds (lang, tokens) into the
+  // standing rollup via IncrementalAgg's exactly-once batch protocol,
+  // and appends its fingerprints so later batches see them. Composes
+  // q21 (exact dedup) + q80's incremental-index shape + q18 (quality)
+  // + q103 (exactly-once IVM) end to end. DuckDB folds the whole
+  // stream: global first-occurrence dedup → gate → group-by.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q111").toString
+    val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
+    val dups = base.filter($"doc_id" < 100)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"lang")
+    val inDir = s"$tmp/in"; val idx = s"$tmp/idx"
+    val roll = s"$tmp/roll"; val cp = s"$tmp/cp"
+    val mtimeBase = 60L * 60 * 1000 * 24 * 365
+    val pinned = scala.collection.mutable.Set[String]()
+    def writeSlice(df: DataFrame, seq: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !pinned.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
+    }
+    writeSlice(base.filter($"doc_id" < 250), 0)
+    writeSlice(base.filter($"doc_id" >= 250), 1)
+    writeSlice(dups, 2)
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               Long) => Unit = (batch, id) => {
+      val sp = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val fp = batch.toDF()
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      // first occurrence WITHIN the batch (min doc_id per fingerprint)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val firstHere = fp.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val fs = Staging.fsOf(sp, idx)
+      val known =
+        if (fs.exists(new org.apache.hadoop.fs.Path(idx)))
+          sp.read.parquet(idx)
+        else firstHere.select(col("fp")).limit(0)
+      // ...and not already in the persisted index (ONE anti-join; the
+      // prior corpus is never re-fingerprinted)
+      val fresh = graft.operators.Materialize(
+        firstHere.join(known, Seq("fp"), "left_anti"))
+      val gated = fresh
+        .withColumn("q",
+          floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
+            / 10000.0)
+        .filter(col("q") >= 0.45)
+        .select(col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("tokens"))
+      IncrementalAgg.refreshAdditive(sp, roll, gated,
+        Seq("lang"), Seq("tokens"), s"b$id")
+      fresh.select(col("fp")).write
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(idx)
+    }
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(roll)
+      .select($"lang", $"n_rows", $"sum_tokens")
+      .orderBy($"lang")
+  }
+  private def q111Sql: String = {
+    val stopRe = s"\\b(${TextAnalysis.stopwords.mkString("|")})\\b"
+    s"""WITH u AS (
+       | SELECT doc_id, text, lang FROM documents
+       | UNION ALL
+       | SELECT doc_id + 10000000, text, lang FROM documents
+       | WHERE doc_id < 100),
+       |f AS (SELECT doc_id, text, lang,
+       |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+       | FROM u),
+       |k AS (SELECT doc_id, text, lang FROM f
+       | QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+       |m AS (SELECT lang,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+       |    AS stop,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '\\S+')))
+       |    AS DOUBLE) AS dist
+       | FROM k),
+       |g AS (SELECT lang, CAST(toks AS BIGINT) AS tokens FROM m
+       | WHERE floor((CASE WHEN toks > 0 THEN
+       |   least(1.0, toks / 100.0) * 0.4
+       |   + least(1.0, stop * 5.0 / toks) * 0.3
+       |   + (dist / toks) * 0.3 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0
+       |   >= 0.45)
+       |SELECT lang, count(*) AS n_rows,
+       | CAST(sum(tokens) AS BIGINT) AS sum_tokens
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3708,7 +3819,8 @@ object Queries {
     "q107_stream_join"  -> (q107 _),
     "q108_sessionize"   -> (q108 _),
     "q109_png_decode"   -> (q109 _),
-    "q110_vi_segment"   -> (q110 _)
+    "q110_vi_segment"   -> (q110 _),
+    "q111_stream_refinery" -> (q111 _)
   )
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
@@ -3860,7 +3972,8 @@ object Queries {
     "q107_stream_join"  -> q107Sql,
     "q108_sessionize"   -> q108Sql,
     "q109_png_decode"   -> q109Sql,
-    "q110_vi_segment"   -> q110Sql
+    "q110_vi_segment"   -> q110Sql,
+    "q111_stream_refinery" -> q111Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -84,6 +84,29 @@ class UpsertSpec extends AnyFunSuite {
     assert(!new java.io.File(path + "__old").exists())
   }
 
+  test("mergeIntoPartitionedTable after a crashed bucket swap restores " +
+    "the bucket from the backup root") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcrash").toString
+    val path = s"$dir/t"
+    val rows = (0 until 200).map(i => (s"u$i", i)).toDF("url", "score")
+    Upsert.writePartitionedTable(rows, path, Seq("url"), numBuckets = 4)
+    // crash window: one bucket renamed to the backup root, never
+    // swapped back
+    val bucket = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+      .map(_.getName).sorted.head
+    val bakRoot = new java.io.File(path + "__old")
+    bakRoot.mkdirs()
+    assert(new java.io.File(s"$path/$bucket")
+      .renameTo(new java.io.File(bakRoot, bucket)))
+    val delta = Seq(("u3", 999)).toDF("url", "score")
+    Upsert.mergeIntoPartitionedTable(spark, path, delta, Seq("url"),
+      numBuckets = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 200, s"bucket lost: ${back.count()}")
+    assert(back.filter($"url" === "u3").head.getInt(1) == 999)
+  }
+
   test("mergeIntoPartitionedTable rewrites only the touched buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pmerge").toString
     val path = s"$dir/articles"
