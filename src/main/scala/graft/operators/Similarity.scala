@@ -585,6 +585,81 @@ object Similarity {
       .filter(col("sim") > threshold)
   }
 
+  /** Scalar (int8) quantization — the middle point of the compression
+    * ladder (flat float32 → SQ8 4× → PQ ~32×; FAISS's SQ8 shape):
+    * each vector stores per-vector (lo, scale) and one byte-range code
+    * per component, `code = floor((x−lo)/scale + 0.5)`. Unlike PQ
+    * there is NO trained codebook — encoding is a pure per-row
+    * expression, so the whole encode/search path is deterministic and
+    * directly cross-engine oracle-able (q113), and a 100 TB corpus
+    * re-encodes by one scan with no fit step to version. Reconstruction
+    * error is ≤ scale/2 per component (spec-pinned).
+    * Output: (c_id, lo, scale, codes array<int>).
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = Vectors.toDouble(col(vecCol))
+    df.select(col(idCol).as("c_id"), v.as("v"))
+      .select(col("c_id"), col("v"),
+        array_min(col("v")).as("lo"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("scale"))
+      .select(col("c_id"), col("lo"), col("scale"),
+        when(col("scale") > 0.0,
+          transform(col("v"),
+            x => floor((x - col("lo")) / col("scale") + 0.5).cast("int")))
+          .otherwise(transform(col("v"), _ => lit(0)))
+          .as("codes"))
+  }
+
+  /** Approximate vector back from SQ8 codes: `lo + code·scale`. */
+  def sq8Reconstruct(lo: Column, scale: Column, codes: Column): Column =
+    transform(codes, c => lo + c.cast("double") * scale)
+
+  /** Approximate top-k over an SQ8-compressed corpus: scan the codes,
+    * reconstruct, cosine against the broadcast-bounded query batch,
+    * rank — [[pqTopK]]'s shape at the 4× compression point, with no
+    * training step and deterministic output (the q113 oracle replays
+    * it value-for-value). Callers wanting exact final order re-rank
+    * the k survivors against the uncompressed vectors, as with PQ.
+    */
+  def sq8TopK(queries: DataFrame, codes: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      Vectors.toDouble(col(vecCol)).as("q_vec"))
+    val scored = codes
+      .withColumn("c_vec",
+        sq8Reconstruct(col("lo"), col("scale"), col("codes")))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
+    rankTopK(scored, k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): documents whose EMBEDDINGS are
+    * near-identical (cosine ≥ `threshold`) are redundant even when
+    * their text differs — paraphrases, templated rewrites, boilerplate
+    * variants that lexical MinHash cannot see. Candidate pairs come
+    * from [[nearDupPairs]] (LSH-bucketed at scale; `bits = 0` is the
+    * exact all-pairs oracle mode, the same contract as q47), connected
+    * components resolve via [[Dedup.resolveClusters]]' O(log n)
+    * pointer jumping, and each component keeps its min-id
+    * representative — the lexical [[Dedup.dropNearDupsWith]] tail,
+    * re-expressed over the embedding space. (The paper buckets by
+    * k-means cluster; [[IvfModel.nearestCells]] gives that variant by
+    * swapping the candidate generator — both are one bucket-keyed
+    * shuffle, never all-pairs.)
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, dim: Int, bits: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, vecCol, threshold, dim, bits, seed)
+      .select(col("id_a"), col("id_b"))
+    val losers = Dedup.resolveClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Deterministic feature-hash embedding stand-in for the reference's
     * sentence-transformer (M3, embedding_utils.py:26-92): tokens hashed
     * into `dim` signed buckets, L2-normalized. Pure HOF expressions —

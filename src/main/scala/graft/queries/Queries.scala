@@ -3707,6 +3707,98 @@ object Queries {
        |FROM g GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+  // SemDeDup semantic deduplication (Similarity.semanticDedup): docs
+  // whose EMBEDDINGS are near-identical are redundant even when the
+  // text differs — the embedding-space counterpart of q79's lexical
+  // capstone. Exact mode (bits = 0, q47's contract) so DuckDB can
+  // replay the candidate set; the oracle folds all-pairs cosine ≥ τ →
+  // recursive-CTE component closure → min-id survivors (q79's closure
+  // shape over vectors). The LSH-bucketed production mode shares this
+  // composition tail and stays recall-pinned in VectorSimilaritySpec.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "embeddings").filter($"vec_id" < 200)
+      .select($"vec_id", $"embedding", $"label")
+    val emb = base.unionByName(base.filter($"vec_id" < 50)
+      .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding", $"label"))
+    Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.8, dim = 64, bits = 0)
+      .select($"vec_id", $"label".cast("long").as("label"))
+      .orderBy($"vec_id")
+  }
+  private val q112Sql =
+    """WITH RECURSIVE e AS (
+      | SELECT vec_id, embedding::DOUBLE[] AS v, label
+      |  FROM embeddings WHERE vec_id < 200
+      | UNION ALL
+      | SELECT vec_id + 10000000, embedding::DOUBLE[], label
+      |  FROM embeddings WHERE vec_id < 50),
+      |p AS (
+      | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id
+      | WHERE list_dot_product(a.v, b.v)
+      |   / (sqrt(list_dot_product(a.v, a.v))
+      |    * sqrt(list_dot_product(b.v, b.v))) > 0.8),
+      |edges AS (
+      | SELECT id_a AS src, id_b AS dst FROM p
+      | UNION ALL
+      | SELECT id_b, id_a FROM p),
+      |walk AS (
+      | SELECT src AS id, src AS reach FROM edges
+      | UNION
+      | SELECT w.id, x.dst FROM walk w JOIN edges x ON w.reach = x.src),
+      |losers AS (
+      | SELECT id FROM walk GROUP BY id HAVING id <> min(reach))
+      |SELECT vec_id, CAST(label AS BIGINT) AS label FROM e
+      |WHERE vec_id NOT IN (SELECT id FROM losers)
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  // SQ8 scalar-quantized ANN (Similarity.sq8Encode/sq8TopK): the 4×
+  // compression point between flat float32 and PQ's ~32×. No trained
+  // codebook — encode is a pure per-row expression, so the WHOLE
+  // encode→reconstruct→rank path is deterministic and the oracle
+  // replays it value-for-value (no exhaustive-mode or fitted-literal
+  // tricks needed): per-vector (lo, scale), code = floor((x−lo)/scale
+  // + 0.5), reconstruct lo + code·scale, cosine vs the raw queries.
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val codes = Similarity.sq8Encode(emb, "vec_id", "embedding")
+    Similarity.sq8TopK(emb.filter($"vec_id" < 10), codes,
+        "vec_id", "embedding", k = 5)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+  private val q113Sql =
+    """WITH c AS (SELECT vec_id AS c_id,
+      |  embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT c_id, v, list_min(v) AS lo,
+      |  (list_max(v) - list_min(v)) / 255.0 AS sc
+      | FROM c),
+      |r AS (SELECT c_id,
+      |  CASE WHEN sc > 0
+      |   THEN list_transform(v, x -> lo + floor((x - lo) / sc + 0.5) * sc)
+      |   ELSE list_transform(v, x -> lo) END AS cv
+      | FROM s),
+      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      | FROM embeddings WHERE vec_id < 10),
+      |sc2 AS (
+      | SELECT q_id, c_id,
+      |  list_dot_product(qv, cv)
+      |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+      |   AS sim
+      | FROM q, r WHERE q_id <> c_id),
+      |rk AS (SELECT q_id, c_id, sim,
+      | row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+      |   AS rank
+      | FROM sc2)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+      | round(sim, 6) AS sim
+      |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3820,7 +3912,9 @@ object Queries {
     "q108_sessionize"   -> (q108 _),
     "q109_png_decode"   -> (q109 _),
     "q110_vi_segment"   -> (q110 _),
-    "q111_stream_refinery" -> (q111 _)
+    "q111_stream_refinery" -> (q111 _),
+    "q112_semantic_dedup" -> (q112 _),
+    "q113_sq8_ann"      -> (q113 _)
   )
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
@@ -3973,7 +4067,9 @@ object Queries {
     "q108_sessionize"   -> q108Sql,
     "q109_png_decode"   -> q109Sql,
     "q110_vi_segment"   -> q110Sql,
-    "q111_stream_refinery" -> q111Sql
+    "q111_stream_refinery" -> q111Sql,
+    "q112_semantic_dedup" -> q112Sql,
+    "q113_sq8_ann"      -> q113Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -470,4 +470,66 @@ class VectorSimilaritySpec extends AnyFunSuite {
       .select("c_id").collect().map(_.getLong(0)).toSet
     assert(hitsAfter.forall(_ % 10 != 0), s"deleted id returned: $hitsAfter")
   }
+
+  test("semanticDedup: every embedding-duplicate component keeps its " +
+    "min-id representative; bucketed mode agrees with exact on " +
+    "well-separated data") {
+    val rnd = new scala.util.Random(23)
+    // well-separated random vectors (non-copy cosines ~ 0) + exact
+    // copies of ids 0-19 at +1000 and +2000 (3-member components)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val all = (base ++
+      base.take(20).map { case (id, v) => (id + 1000L, v) } ++
+      base.take(20).map { case (id, v) => (id + 2000L, v) })
+      .toDF("id", "vec")
+    val exact = Similarity.semanticDedup(all, "id", "vec",
+        threshold = 0.8, dim = 32, bits = 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // each copy component collapses to its min id; singles survive
+    assert(exact == (0 until 100).map(_.toLong).toSet)
+    val bucketed = Similarity.semanticDedup(all, "id", "vec",
+        threshold = 0.8, dim = 32, bits = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // identical vectors always share the exact bucket, so the bucketed
+    // path finds every copy pair here
+    assert(bucketed == exact)
+  }
+
+  test("sq8 scalar quantization: codes in [0,255], reconstruction " +
+    "error <= scale/2 per component, top-k matches brute force on " +
+    "separated data") {
+    val rnd = new scala.util.Random(29)
+    val data = (0 until 300).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val codes = Similarity.sq8Encode(data, "id", "vec")
+    val rows = codes.select("c_id", "lo", "scale", "codes").collect()
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](3)
+      assert(cs.forall(c => c >= 0 && c <= 255), s"code out of range")
+    }
+    // reconstruction error bound: |x - (lo + code*scale)| <= scale/2
+    val err = codes
+      .join(data, codes("c_id") === data("id"))
+      .select(col("scale"),
+        zip_with(
+          Similarity.sq8Reconstruct(col("lo"), col("scale"), col("codes")),
+          org.apache.spark.sql.functions.transform(col("vec"),
+            x => x.cast("double")),
+          (a, b) => abs(a - b)).as("errs"))
+      .select(max(expr("array_max(errs) - scale / 2 - 1e-12")).as("worst"))
+      .head.getDouble(0)
+    assert(err <= 0.0, s"reconstruction error above scale/2 by $err")
+    // 8-bit quantization barely moves cosine ranks on separated data
+    val q = data.filter($"id" < 5)
+    val exact = Similarity.bruteForceTopK(q, data, "id", "vec", 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(q, codes, "id", "vec", 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall too low: $recall")
+  }
 }
