@@ -241,6 +241,39 @@ object Curation {
         TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
   }
 
+  /** Per-batch padding stats for fixed-size micro-batches — the
+    * inference/training collation cost model: a batch of `batchSize`
+    * sequences pads every sequence to the batch max, so batch cost is
+    * n·max(tokens) and the waste is n·max − sum. Sorting by length
+    * first (length-sorted batching, the standard dynamic-batching
+    * trick) makes batches length-homogeneous and collapses the waste;
+    * `sorted = false` measures arrival order as the baseline. Output:
+    * (batch_id, n_docs, max_tokens, sum_tokens, pad_tokens).
+    *
+    * The global row numbering is inherently sequential; at corpus
+    * scale, range-partition on the token count and batch within
+    * partitions — batch boundaries shift by at most one batch per
+    * partition edge while the padding economics are identical.
+    */
+  def paddedBatchStats(docs: DataFrame, idCol: String, tokensCol: String,
+                       batchSize: Int, sorted: Boolean = true): DataFrame = {
+    val w =
+      if (sorted)
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(tokensCol), col(idCol))
+      else
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    docs.select(col(idCol), col(tokensCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokensCol)).as("max_tokens"),
+        sum(col(tokensCol)).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** Temperature-balanced mixture sampling: per-source weights
     * wₛ ∝ nₛ^α (α < 1 up-weights small sources — the multilingual
     * mixing rule of Conneau & Lample, "Cross-lingual Language Model

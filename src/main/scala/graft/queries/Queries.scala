@@ -3799,6 +3799,54 @@ object Queries {
       | round(sim, 6) AS sim
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  // Length-sorted batch packing (Curation.paddedBatchStats): fixed-size
+  // inference/training batches pad to the batch max, so arrival-order
+  // batching wastes n·max − sum tokens per batch; length-sorting makes
+  // batches homogeneous and collapses the waste. The query totals both
+  // orderings over the same corpus — the sorted mode must dominate —
+  // and DuckDB replays the window arithmetic exactly.
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id",
+        TextAnalysis.wsTokenCount($"text").cast("long").as("tokens"))
+    def totals(sorted: Boolean, mode: String) =
+      Curation.paddedBatchStats(docs, "doc_id", "tokens",
+          batchSize = 32, sorted = sorted)
+        .agg(count(lit(1)).as("n_batches"),
+          sum($"pad_tokens").as("pad_tokens"),
+          sum($"n_docs" * $"max_tokens").as("padded_tokens"))
+        .select(lit(mode).as("mode"), $"n_batches", $"pad_tokens",
+          $"padded_tokens")
+    totals(sorted = true, "length_sorted")
+      .unionByName(totals(sorted = false, "arrival"))
+      .orderBy($"mode")
+  }
+  private val q114Sql =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens
+      | FROM documents),
+      |srt AS (SELECT tokens,
+      |  (row_number() OVER (ORDER BY tokens, doc_id) - 1) // 32 AS batch_id
+      | FROM d),
+      |arr AS (SELECT tokens,
+      |  (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id
+      | FROM d),
+      |sb AS (SELECT batch_id, count(*) AS n, max(tokens) AS mx,
+      |  sum(tokens) AS sm FROM srt GROUP BY 1),
+      |ab AS (SELECT batch_id, count(*) AS n, max(tokens) AS mx,
+      |  sum(tokens) AS sm FROM arr GROUP BY 1)
+      |SELECT 'arrival' AS mode, count(*) AS n_batches,
+      | CAST(sum(n * mx - sm) AS BIGINT) AS pad_tokens,
+      | CAST(sum(n * mx) AS BIGINT) AS padded_tokens
+      |FROM ab
+      |UNION ALL
+      |SELECT 'length_sorted', count(*),
+      | CAST(sum(n * mx - sm) AS BIGINT), CAST(sum(n * mx) AS BIGINT)
+      |FROM sb
+      |ORDER BY mode""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3914,7 +3962,8 @@ object Queries {
     "q110_vi_segment"   -> (q110 _),
     "q111_stream_refinery" -> (q111 _),
     "q112_semantic_dedup" -> (q112 _),
-    "q113_sq8_ann"      -> (q113 _)
+    "q113_sq8_ann"      -> (q113 _),
+    "q114_sorted_batching" -> (q114 _)
   )
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
@@ -4069,7 +4118,8 @@ object Queries {
     "q110_vi_segment"   -> q110Sql,
     "q111_stream_refinery" -> q111Sql,
     "q112_semantic_dedup" -> q112Sql,
-    "q113_sq8_ann"      -> q113Sql
+    "q113_sq8_ann"      -> q113Sql,
+    "q114_sorted_batching" -> q114Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

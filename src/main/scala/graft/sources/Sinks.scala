@@ -33,6 +33,11 @@ trait SinkPlugin {
   * idempotent per key (same path, full overwrite), so task retries
   * are safe — the same property a live uploader must provide via
   * content-addressed or keyed ids.
+  *
+  * Writes go through the Hadoop FileSystem resolved FROM `base`
+  * inside each task, so the tree lands on a SHARED filesystem
+  * (file:/hdfs:/s3a:) — executor-local `java.io.File` writes would
+  * scatter blobs across worker disks on a real cluster.
   */
 final case class FileTreeSink(base: String, name: String = "filetree")
     extends SinkPlugin {
@@ -43,16 +48,20 @@ final case class FileTreeSink(base: String, name: String = "filetree")
     val baseDir = base // avoid serializing `this` into the task closure
     rows.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .mapPartitions { it =>
-        // one "client" per partition: the directory handle is opened
+        // one "client" per partition: the filesystem handle is opened
         // once and reused for every blob in the partition
-        val dir = new java.io.File(baseDir)
-        dir.mkdirs()
+        val basePath = new org.apache.hadoop.fs.Path(baseDir)
+        val fs = basePath.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(basePath)
         it.map { case (k, b) =>
           val safe = java.net.URLEncoder.encode(k, "UTF-8")
-          val f = new java.io.File(dir, s"$safe.bin")
-          val os = new java.io.FileOutputStream(f)
+          val p = new org.apache.hadoop.fs.Path(basePath, s"$safe.bin")
+          val os = fs.create(p, true)
           try os.write(b) finally os.close()
-          (k, f.getAbsolutePath)
+          // receipt id = the path under the caller's base, scheme as
+          // given (a plain local base stays a plain path)
+          (k, p.toString)
         }
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .toDF("key", "blob_id")

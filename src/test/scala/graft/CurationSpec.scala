@@ -211,4 +211,27 @@ class CurationSpec extends AnyFunSuite {
     assert(counts.getInt(0) == 0 && counts.getInt(1) == 0 &&
       counts.getInt(2) == 0)
   }
+
+  test("paddedBatchStats: length-sorted batching never pads more than " +
+    "arrival order; batch sizes and pad arithmetic hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 321).map(i => (i.toLong, 1L + rnd.nextInt(500)))
+      .toDF("id", "tokens")
+    def stats(sorted: Boolean) =
+      Curation.paddedBatchStats(docs, "id", "tokens", 32, sorted)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    val srt = stats(sorted = true)
+    val arr = stats(sorted = false)
+    // 321 docs at B=32 -> 10 full batches + one single-doc batch
+    assert(srt.length == 11 && arr.length == 11)
+    assert(srt.map(_._1).sorted.toSeq == (Seq.fill(10)(32L) :+ 1L).sorted)
+    // pad arithmetic: n*max - sum, never negative
+    (srt ++ arr).foreach { case (n, mx, sm, pad) =>
+      assert(pad == n * mx - sm && pad >= 0)
+    }
+    assert(srt.map(_._4).sum <= arr.map(_._4).sum,
+      s"sorted ${srt.map(_._4).sum} > arrival ${arr.map(_._4).sum}")
+  }
 }
