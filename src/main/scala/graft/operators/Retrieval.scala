@@ -130,4 +130,68 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Token-Jaccard ranked retrieval — a second, independent lexical
+    * scorer over the same (query_id, terms) batch shape as
+    * [[bm25TopKBatch]]: score = |terms ∩ doc tokens| / |terms ∪ doc
+    * tokens| (set semantics, distinct tokens). Docs sharing no term
+    * never materialize (the intersection join drops them). Same scale
+    * shape as batch BM25: broadcast term prune before the shuffle,
+    * per-query candidate-sized top-k window. Scores quantized to 6
+    * decimals. Output: (query_id, rank, doc_id, score).
+    */
+  def tokenJaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, queryIdCol: String,
+                       termsCol: String, k: Int): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("term")).distinct()
+    val qSize = qt.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("q_n"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    val dSize = toks.select(col("doc_id"), size(col("toks")).as("d_n"))
+    val inter = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(broadcast(qSize), Seq("query_id"))
+      .join(dSize, Seq("doc_id"))
+      .withColumn("score", floor(col("inter")
+        / (col("q_n") + col("d_n") - col("inter")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009): each arm
+    * contributes 1/(rrfK + rank) per (query, doc); missing arms
+    * contribute nothing. Fusion is RANK-space, so arms with
+    * incomparable score scales (BM25 vs Jaccard vs cosine) combine
+    * without calibration — the hybrid-search shape of modern vector
+    * stores. Arms must expose (query_id, doc_id, rank). The fused
+    * score is quantized to 9 decimals BEFORE ranking (the two-arm sum
+    * is exactly commutative; quantization guards the general case).
+    * Output: (query_id, rank, doc_id, score).
+    */
+  def rrfFuse(arms: Seq[DataFrame], rrfK: Int = 60, k: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse: no arms")
+    val parts = arms.map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(rrfK.toDouble) + col("rank").cast("double")))
+          .as("part")))
+      .reduce(_.unionByName(_))
+    val scored = parts.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part")).as("raw"))
+      .withColumn("score", floor(col("raw") * 1e9 + 0.5) / 1e9)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 }

@@ -3847,6 +3847,80 @@ object Queries {
       |FROM sb
       |ORDER BY mode""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  // Hybrid retrieval by reciprocal-rank fusion (Retrieval.rrfFuse):
+  // the BM25 arm and an independent token-Jaccard arm rank the same
+  // query batch; fusion happens in RANK space (1/(60+rank) per arm),
+  // so incomparable score scales combine without calibration — the
+  // hybrid-search shape of modern vector stores, on the engine's own
+  // operators. DuckDB replays both arms and the fusion arithmetic.
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, Seq("spark", "dup")),
+      (2L, Seq("window", "shuffle")),
+      (3L, Seq("dup", "window", "spark"))).toDF("query_id", "terms")
+    val docs = t(s, dir, "documents")
+    val bm = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      queries, "query_id", "terms", k = 20)
+    val ja = Retrieval.tokenJaccardTopK(docs, "doc_id", "text",
+      queries, "query_id", "terms", k = 20)
+    Retrieval.rrfFuse(Seq(
+        bm.select($"query_id", $"doc_id", $"rank"),
+        ja.select($"query_id", $"doc_id", $"rank")), rrfK = 60, k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q115Sql =
+    """WITH qt AS (SELECT DISTINCT query_id, term FROM (VALUES
+      |  (1, 'spark'), (1, 'dup'),
+      |  (2, 'window'), (2, 'shuffle'),
+      |  (3, 'dup'), (3, 'window'), (3, 'spark')) AS v(query_id, term)),
+      |tk AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS toks
+      | FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      | WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+      |bm AS (SELECT query_id, doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1.0)
+      |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 1e6 + 0.5) / 1e6 AS score
+      | FROM f JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN st
+      | GROUP BY query_id, doc_id),
+      |bma AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY score DESC, doc_id) AS rank FROM bm) WHERE rank <= 20),
+      |ds AS (SELECT doc_id, len(list_distinct(toks)) AS d_n FROM tk),
+      |qs AS (SELECT query_id, count(*) AS q_n FROM qt GROUP BY 1),
+      |it AS (SELECT query_id, doc_id, count(*) AS inter
+      | FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk) p2
+      | JOIN qt USING (term) GROUP BY 1, 2),
+      |ja AS (SELECT query_id, doc_id,
+      |  floor(inter / (q_n + d_n - inter) * 1e6 + 0.5) / 1e6 AS score
+      | FROM it JOIN qs USING (query_id) JOIN ds USING (doc_id)),
+      |jaa AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY score DESC, doc_id) AS rank FROM ja) WHERE rank <= 20),
+      |u AS (SELECT query_id, doc_id, 1.0 / (60 + rank) AS part FROM bma
+      | UNION ALL
+      | SELECT query_id, doc_id, 1.0 / (60 + rank) FROM jaa),
+      |fs AS (SELECT query_id, doc_id,
+      |  floor(sum(part) * 1e9 + 0.5) / 1e9 AS score
+      | FROM u GROUP BY 1, 2),
+      |fr AS (SELECT query_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM fs)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      | CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3963,7 +4037,8 @@ object Queries {
     "q111_stream_refinery" -> (q111 _),
     "q112_semantic_dedup" -> (q112 _),
     "q113_sq8_ann"      -> (q113 _),
-    "q114_sorted_batching" -> (q114 _)
+    "q114_sorted_batching" -> (q114 _),
+    "q115_hybrid_rrf"   -> (q115 _)
   )
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
@@ -4119,7 +4194,8 @@ object Queries {
     "q111_stream_refinery" -> q111Sql,
     "q112_semantic_dedup" -> q112Sql,
     "q113_sq8_ann"      -> q113Sql,
-    "q114_sorted_batching" -> q114Sql
+    "q114_sorted_batching" -> q114Sql,
+    "q115_hybrid_rrf"   -> q115Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -113,6 +113,29 @@ class RetrievalSpec extends AnyFunSuite {
       .sorted == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("rrfFuse: a doc ranked by BOTH arms outranks docs ranked by " +
+    "one; missing arms contribute nothing; jaccard arm scores sets") {
+    val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val armB = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(armA, armB), rrfK = 60, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // doc 11: 1/62 + 1/61 beats doc 10's single 1/61
+    assert(fused(1L) == 11L, s"fused order: $fused")
+    assert(fused(2L) == 10L)
+    // jaccard arm: exact set overlap ratio, distinct-token semantics
+    val docs = Seq((1L, "a b b c"), (2L, "a x y z"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, Seq("a", "b"))).toDF("query_id", "terms")
+    val ja = Retrieval.tokenJaccardTopK(docs, "doc_id", "text",
+        qs, "query_id", "terms", k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: |{a,b}∩{a,b,c}|=2, |∪|=3 → 2/3; doc 2: 1/5; doc 3 absent
+    assert(ja(1L) == math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    assert(ja(2L) == 0.2 && !ja.contains(3L))
+  }
+
   test("temperatureMixture: α=1 is proportional, α→0 flattens, " +
     "targets honor the budget and caps") {
     val docs = (0 until 900).map { i =>
