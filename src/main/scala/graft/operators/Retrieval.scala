@@ -167,6 +167,68 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Build a persistable BM25 postings index in ONE corpus pass: the
+    * (term, doc_id, dl, tf) postings relation plus a one-row stats
+    * relation (n_docs, avgdl) — the lexical twin of the ANN index
+    * build ([[graft.operators.Similarity.ivfPqEncode]]) and the dedup
+    * signature index: a real engine tokenizes the corpus ONCE and
+    * amortizes the index across every query batch. Write both frames
+    * as parquet ([[Layout.byKey]] on `term` gives row-group skipping
+    * per term — the on-disk analogue of seeking a posting list);
+    * incremental maintenance is an append of the delta's postings plus
+    * an additive stats refresh, the q80/q103 shape.
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    (postings, stats)
+  }
+
+  /** Batch BM25 served FROM a prebuilt index — no corpus scan, no
+    * re-tokenization: the postings relation is probed on `term` by the
+    * broadcast query-term set (under a [[Layout.byKey]] term layout
+    * that prune reaches parquet row groups), df aggregates the
+    * surviving postings, and scoring/ranking are identical to
+    * [[bm25TopKBatch]] (q116 pins index-served ≡ from-scratch via the
+    * shared oracle arithmetic).
+    */
+  def bm25FromIndex(postings: DataFrame, stats: DataFrame,
+                    queries: DataFrame, queryIdCol: String,
+                    termsCol: String, k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        explode(col(termsCol)).as("term"))
+      .distinct()
+    val batchTerms = qt.select(col("term")).distinct()
+    val tf = postings.join(broadcast(batchTerms), Seq("term"), "left_semi")
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfTbl), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("raw"))
+      .withColumn("score", floor(col("raw") * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
     * individual rank learning methods", SIGIR 2009): each arm

@@ -3921,6 +3921,59 @@ object Queries {
       | CAST(rank AS BIGINT) AS rank, doc_id, score
       |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  // BM25 served from a PERSISTED postings index (Retrieval.
+  // buildBm25Index → parquet under a term-keyed layout → reload →
+  // bm25FromIndex): the corpus is tokenized ONCE at build time and
+  // every later query batch probes the index with zero corpus scans —
+  // the lexical twin of the persisted ANN/dedup indexes. The round
+  // trip through parquet is part of the query; the oracle computes the
+  // same ranking from scratch, so index build + persistence + serving
+  // must together be value-identical to direct evaluation.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q116").toString
+    val (post, stats) = Retrieval.buildBm25Index(
+      t(s, dir, "documents"), "doc_id", "text")
+    Layout.byKey(post, "term", 4, "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    val queries = Seq(
+      (1L, Seq("spark", "window")),
+      (2L, Seq("dup", "shuffle"))).toDF("query_id", "terms")
+    Retrieval.bm25FromIndex(
+        s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/stats"),
+        queries, "query_id", "terms", k = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q116Sql =
+    """WITH qt AS (SELECT DISTINCT query_id, term FROM (VALUES
+      |  (1, 'spark'), (1, 'window'),
+      |  (2, 'dup'), (2, 'shuffle')) AS v(query_id, term)),
+      |tk AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS toks
+      | FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      | WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+      |sc AS (SELECT query_id, doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1.0)
+      |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 1e6 + 0.5) / 1e6 AS score
+      | FROM f JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN st
+      | GROUP BY query_id, doc_id),
+      |r AS (SELECT query_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      | CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4038,7 +4091,8 @@ object Queries {
     "q112_semantic_dedup" -> (q112 _),
     "q113_sq8_ann"      -> (q113 _),
     "q114_sorted_batching" -> (q114 _),
-    "q115_hybrid_rrf"   -> (q115 _)
+    "q115_hybrid_rrf"   -> (q115 _),
+    "q116_bm25_index"   -> (q116 _)
   )
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
@@ -4195,7 +4249,8 @@ object Queries {
     "q112_semantic_dedup" -> q112Sql,
     "q113_sq8_ann"      -> q113Sql,
     "q114_sorted_batching" -> q114Sql,
-    "q115_hybrid_rrf"   -> q115Sql
+    "q115_hybrid_rrf"   -> q115Sql,
+    "q116_bm25_index"   -> q116Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

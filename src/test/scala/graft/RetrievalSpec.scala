@@ -113,6 +113,27 @@ class RetrievalSpec extends AnyFunSuite {
       .sorted == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("bm25FromIndex over a built index equals bm25TopKBatch from " +
+    "scratch — index amortization changes no output value") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val docs = (0 until 50).map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val qs = Seq(1L -> Seq("a", "d"), 2L -> Seq("b", "g"))
+      .toDF("query_id", "terms")
+    val direct = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        qs, "query_id", "terms", k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val (post, stats) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    val served = Retrieval.bm25FromIndex(post, stats,
+        qs, "query_id", "terms", k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(served == direct)
+  }
+
   test("rrfFuse: a doc ranked by BOTH arms outranks docs ranked by " +
     "one; missing arms contribute nothing; jaccard arm scores sets") {
     val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
