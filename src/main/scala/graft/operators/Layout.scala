@@ -122,16 +122,24 @@ object Layout {
       val tmpRoot = new Path(dir + "__tmp")
       val bakRoot = new Path(dir + "__old")
       fs.mkdirs(tmpRoot); fs.mkdirs(bakRoot)
+      var ok = false
       try {
-        bucketDirs.map { b =>
+        val r = bucketDirs.map { b =>
           val n = fs.listStatus(b)
             .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           if (n <= minFiles) (n, n)
           else compactDir(spark, fs, b, new Path(tmpRoot, b.getName),
             targetBytes, new Path(bakRoot, b.getName))
         }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+        ok = true
+        r
       } finally {
-        fs.delete(tmpRoot, true); fs.delete(bakRoot, true); ()
+        fs.delete(tmpRoot, true)
+        // on failure the backup root MUST survive: if a bucket's
+        // rollback rename also failed, its only copy lives there and
+        // the next compact/merge restores it (restoreBucketsIfCrashed)
+        if (ok) fs.delete(bakRoot, true)
+        ()
       }
     }
   }
