@@ -257,6 +257,7 @@ object Curation {
     */
   def paddedBatchStats(docs: DataFrame, idCol: String, tokensCol: String,
                        batchSize: Int, sorted: Boolean = true): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val w =
       if (sorted)
         org.apache.spark.sql.expressions.Window

@@ -197,7 +197,12 @@ object Retrieval {
     * that prune reaches parquet row groups), df aggregates the
     * surviving postings, and scoring/ranking are identical to
     * [[bm25TopKBatch]] (q116 pins index-served ≡ from-scratch via the
-    * shared oracle arithmetic).
+    * shared oracle arithmetic). The two deliberately do NOT share a
+    * body: the one-shot form prunes postings BEFORE its tf aggregate
+    * (only query-term postings are ever aggregated), while an index
+    * build aggregates the full vocabulary once precisely so later
+    * batches skip that work — collapsing them would force one-shot
+    * queries to pay the full-vocabulary aggregate.
     */
   def bm25FromIndex(postings: DataFrame, stats: DataFrame,
                     queries: DataFrame, queryIdCol: String,
