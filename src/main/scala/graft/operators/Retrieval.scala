@@ -191,6 +191,29 @@ object Retrieval {
     (postings, stats)
   }
 
+  /** Incremental index maintenance: fold a delta corpus into a
+    * standing BM25 index WITHOUT touching indexed postings — the
+    * delta's postings union in (contract: delta doc ids are disjoint
+    * from indexed ones, the [[graft.operators.Similarity.ivfPqAppend]]
+    * contract), and the stats row recombines additively:
+    * n' = n + n_d, avgdl' = (n·avgdl + n_d·avgdl_d)/(n + n_d). Work
+    * per refresh is O(delta), the q80/q103 incremental shape.
+    * Spec-pinned: serving from the appended index ranks identically
+    * to a full rebuild over the union.
+    */
+  def appendToBm25Index(postings: DataFrame, stats: DataFrame,
+                        delta: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val (dPost, dStats) = buildBm25Index(delta, idCol, textCol)
+    val merged = stats.select(col("n_docs").as("n_a"), col("avgdl").as("g_a"))
+      .crossJoin(dStats.select(col("n_docs").as("n_b"),
+        col("avgdl").as("g_b")))
+      .select((col("n_a") + col("n_b")).as("n_docs"),
+        ((col("n_a") * col("g_a") + col("n_b") * col("g_b"))
+          / (col("n_a") + col("n_b"))).as("avgdl"))
+    (postings.unionByName(dPost), merged)
+  }
+
   /** Batch BM25 served FROM a prebuilt index — no corpus scan, no
     * re-tokenization: the postings relation is probed on `term` by the
     * broadcast query-term set (under a [[Layout.byKey]] term layout

@@ -134,6 +134,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(served == direct)
   }
 
+  test("appendToBm25Index ≡ full rebuild over the union: delta-only " +
+    "maintenance changes no served ranking") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def corpus(ids: Range) = ids.map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val base = corpus(0 until 40)
+    val delta = corpus(40 until 60)
+    val qs = Seq(1L -> Seq("a", "e"), 2L -> Seq("c", "f"))
+      .toDF("query_id", "terms")
+    val (p0, s0) = Retrieval.buildBm25Index(base, "doc_id", "text")
+    val (pa, sa) = Retrieval.appendToBm25Index(p0, s0, delta,
+      "doc_id", "text")
+    val (pf, sf) = Retrieval.buildBm25Index(base.unionByName(delta),
+      "doc_id", "text")
+    def serve(p: org.apache.spark.sql.DataFrame,
+              s: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25FromIndex(p, s, qs, "query_id", "terms", k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(serve(pa, sa) == serve(pf, sf))
+  }
+
   test("rrfFuse: a doc ranked by BOTH arms outranks docs ranked by " +
     "one; missing arms contribute nothing; jaccard arm scores sets") {
     val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
