@@ -112,6 +112,15 @@ class TextSpec extends AnyFunSuite {
     assert(seg("") == Seq.empty)
   }
 
+  test("viSegment null contract: null text yields null (not a crash " +
+    "or empty array), matching the other scan-side expressions") {
+    import graft.operators.TextAnalysis
+    val out = Seq(Some("học sinh"), None).toDF("x")
+      .select(TextAnalysis.viSegment($"x").as("w")).collect()
+    assert(out(0).getSeq[String](0) == Seq("học_sinh"))
+    assert(out(1).isNullAt(0))
+  }
+
   test("viTokenCount budgets on words, not syllables — the chunker's " +
     "G3 token proxy undercounts compounds without it") {
     import graft.operators.TextAnalysis
