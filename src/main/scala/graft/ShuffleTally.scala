@@ -33,10 +33,13 @@ class ShuffleTally extends SparkListener {
   }
 
   /** Current totals, after draining the listener bus so in-flight
-    * task-end events are counted.
+    * task-end events are counted. If the bus doesn't drain within the
+    * bridge timeout (a busy bus under another listener), the snapshot
+    * falls back to the current counter values — a slightly-stale byte
+    * delta, never an aborted bench run.
     */
   def snapshot(sc: SparkContext): Snapshot = {
-    org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+    org.apache.spark.graftbridge.ListenerBridge.drain(sc): Unit
     Snapshot(write.get, read.get, spilled.get)
   }
 }

@@ -67,7 +67,10 @@ object ViSegment {
     val set = new java.util.HashSet[String]()
     var maxN = 1
     lexicon.foreach { w =>
-      val norm = w.trim.toLowerCase
+      // Locale.ROOT: default-locale lowercasing diverges for dotted-I
+      // under tr/az JVM locales, flipping matches vs the oracle's
+      // locale-independent lower()
+      val norm = w.trim.toLowerCase(java.util.Locale.ROOT)
       if (norm.nonEmpty) {
         set.add(norm)
         maxN = math.max(maxN, norm.split(' ').length)
@@ -86,7 +89,8 @@ object ViSegment {
       var matched = 1
       // longest match wins; ties cannot occur (one length matches first)
       while (n >= 2 && matched == 1) {
-        val cand = syl.slice(i, i + n).mkString(" ").toLowerCase
+        val cand = syl.slice(i, i + n).mkString(" ")
+          .toLowerCase(java.util.Locale.ROOT)
         if (dict.words.contains(cand)) matched = n
         n -= 1
       }

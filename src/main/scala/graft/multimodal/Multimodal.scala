@@ -201,10 +201,18 @@ object Multimodal extends Serializable {
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
+    // loop until finished(): pseudorandom pixels are incompressible, so
+    // stored-block overhead can exceed any fixed slack — a single
+    // deflate() call into a raw.length+64 buffer silently truncates
+    // IDAT for large dimensions (valid CRCs over partial data)
+    val bos = new java.io.ByteArrayOutputStream(raw.length + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      bos.write(buf, 0, n)
+    }
     deflater.end()
-    val idat = java.util.Arrays.copyOf(buf, n)
+    val idat = bos.toByteArray
     val out = PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
     MediaBlob(id, "image", out)

@@ -4095,6 +4095,17 @@ object Queries {
     "q116_bm25_index"   -> (q116 _)
   )
 
+  /** Queries that run real Structured Streaming micro-batches. Each
+    * pays ~3-5 s of fixed overhead (checkpoint init, per-micro-batch
+    * planning) that is a bench FLOOR, not dataflow cost — at real
+    * scale it amortizes over GB-sized batches. Bench subtotals these
+    * separately so round-over-round comparison of the non-streaming
+    * suite isn't masked by the floor.
+    */
+  val streamingQueries: Set[String] = Set(
+    "q93_stream_lifecycle", "q100_stream_tumbling", "q107_stream_join",
+    "q108_sessionize", "q111_stream_refinery")
+
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
     * hash path. q25/q26/q80 run `Dedup.Md5` because that is what the
     * DuckDB oracle can replay — which left the Xx64 fast path (the one

@@ -37,7 +37,13 @@ trait SinkPlugin {
   * Writes go through the Hadoop FileSystem resolved FROM `base`
   * inside each task, so the tree lands on a SHARED filesystem
   * (file:/hdfs:/s3a:) — executor-local `java.io.File` writes would
-  * scatter blobs across worker disks on a real cluster.
+  * scatter blobs across worker disks on a real cluster. The task-side
+  * FS resolution uses the SESSION's Hadoop configuration (captured in
+  * a `SerializableConfiguration` on the driver, the same pattern as
+  * Spark's own FS-writing paths): a bare `new Configuration()` would
+  * load only executor-classpath XML and drop `spark.hadoop.*`
+  * credentials, `fs.s3a.*` keys, and `fs.defaultFS` — the very
+  * settings a shared-filesystem write needs.
   */
 final case class FileTreeSink(base: String, name: String = "filetree")
     extends SinkPlugin {
@@ -46,13 +52,14 @@ final case class FileTreeSink(base: String, name: String = "filetree")
     val rows = df.select(col(keyCol).cast("string").as("key"),
       col(blobCol).cast("binary").as("blob"))
     val baseDir = base // avoid serializing `this` into the task closure
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     rows.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .mapPartitions { it =>
         // one "client" per partition: the filesystem handle is opened
         // once and reused for every blob in the partition
         val basePath = new org.apache.hadoop.fs.Path(baseDir)
-        val fs = basePath.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val fs = basePath.getFileSystem(hconf.value)
         fs.mkdirs(basePath)
         it.map { case (k, b) =>
           val safe = java.net.URLEncoder.encode(k, "UTF-8")

@@ -8,7 +8,13 @@ import org.apache.spark.SparkContext
   * `org.apache.spark.sql.graftbridge.ColumnBridge`.
   */
 object ListenerBridge {
-  /** Block until all queued listener events are delivered. */
-  def drain(sc: SparkContext, timeoutMillis: Long = 30000L): Unit =
-    sc.listenerBus.waitUntilEmpty(timeoutMillis)
+  /** Block until all queued listener events are delivered. Returns
+    * false when the bus did not drain within the timeout — the caller
+    * gets a slightly-stale (approximate) read of its counters rather
+    * than an exception aborting the whole harness run
+    * (`waitUntilEmpty` throws TimeoutException on a busy bus).
+    */
+  def drain(sc: SparkContext, timeoutMillis: Long = 30000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMillis); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

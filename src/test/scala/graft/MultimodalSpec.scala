@@ -115,6 +115,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.idat_bytes > 0)
   }
 
+  test("png codec: large incompressible frames survive the deflate " +
+    "loop intact — 500x500 RGB raw (>750KB) round-trips through ImageIO") {
+    // regression: a single deflate() into a raw.length+64 buffer
+    // silently truncated IDAT once stored-block overhead passed 64B
+    val b = Multimodal.syntheticPng(11L, 500, 500)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b.content))
+    assert(img != null, "ImageIO rejected the 500x500 PNG")
+    assert(img.getWidth == 500 && img.getHeight == 500)
+    val meta = Multimodal.parsePng(11L, b.content)
+    assert(meta.decode_ok && meta.idat_bytes > 500L * (1 + 500 * 3),
+      s"IDAT ${meta.idat_bytes}B is smaller than the raw scanlines — truncated")
+  }
+
   test("png codec: truncation, corrupt IHDR CRC, and wrong signature " +
     "all route to decode_ok=false, never a throw") {
     val good = Multimodal.syntheticPng(9L, 16, 16).content
