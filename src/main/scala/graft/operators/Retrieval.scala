@@ -214,11 +214,72 @@ object Retrieval {
     (postings.unionByName(dPost), merged)
   }
 
+  /** Delete documents from a standing BM25 index WITHOUT a rebuild —
+    * the lexical twin of the ANN index's refit-free delete
+    * ([[graft.operators.Similarity.ivfPqDelete]]), completing the
+    * lifecycle the reference's in-place article rewrites need
+    * (summarize_utils.py:84-88 `$set`-updates summary/content per URL;
+    * a changed doc must first leave the index). Postings drop by a
+    * broadcast anti join on doc id; the stats row decrements
+    * ADDITIVELY: n' = n − n_d, avgdl' = (n·avgdl − Σdl_d)/(n − n_d),
+    * with the deleted mass read from the index's own postings (one
+    * surviving dl per deleted doc). Work per delete is O(index scan) —
+    * never a re-tokenization of the corpus.
+    *
+    * Contract: ids not in the index are no-ops; a doc whose text
+    * tokenized to ZERO tokens has no postings rows and therefore
+    * cannot be seen by the decrement — such docs never enter the
+    * index's stats mass either ([[tokens]] drops empties, so dl=0),
+    * but n_docs counts them at build time, so delete ids must refer
+    * to docs with ≥1 token (every real document).
+    */
+  def deleteFromBm25Index(postings: DataFrame, stats: DataFrame,
+                          ids: DataFrame, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val kept = postings.join(broadcast(del), Seq("doc_id"), "left_anti")
+    val dMass = postings.join(broadcast(del), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_d"),
+        coalesce(sum(col("dl")), lit(0L)).as("mass_d"))
+    val merged = stats.select(col("n_docs").as("n_a"), col("avgdl").as("g_a"))
+      .crossJoin(dMass)
+      .select((col("n_a") - col("n_d")).as("n_docs"),
+        when(col("n_a") === col("n_d"), lit(0.0))
+          .otherwise((col("n_a") * col("g_a") - col("mass_d"))
+            / (col("n_a") - col("n_d"))).as("avgdl"))
+    (kept, merged)
+  }
+
+  /** In-place document update = delete + append — the reference's
+    * `$set` upsert shape (mongo_io_manager.py:79-104: re-write
+    * summary/content per URL). `updated` carries the NEW text for each
+    * id; its ids leave the index first (so re-appearing ids never
+    * double-count), then the fresh postings fold in via
+    * [[appendToBm25Index]]. O(index scan + delta), never a corpus
+    * re-tokenization. Spec-pinned: serve-after-update ≡ rebuild over
+    * the updated corpus.
+    */
+  def updateBm25Index(postings: DataFrame, stats: DataFrame,
+                      updated: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val (kept, dStats) =
+      deleteFromBm25Index(postings, stats, updated.select(idCol), idCol)
+    appendToBm25Index(kept, dStats, updated, idCol, textCol)
+  }
+
   /** Batch BM25 served FROM a prebuilt index — no corpus scan, no
-    * re-tokenization: the postings relation is probed on `term` by the
-    * broadcast query-term set (under a [[Layout.byKey]] term layout
-    * that prune reaches parquet row groups), df aggregates the
-    * surviving postings, and scoring/ranking are identical to
+    * re-tokenization: the batch's DISTINCT term set is collected on
+    * the driver (bounded by the same contract that lets [[bm25TopK]]
+    * use an `isin` literal: query batches are driver-sized) and pushed
+    * into the postings read as an `In(term, …)` LITERAL predicate.
+    * Unlike a broadcast semi join — which filters rows AFTER the scan,
+    * at execution — a pushed In predicate reaches the parquet reader's
+    * row-group min/max skipping, so under a [[Layout.byKey]] term
+    * layout the serve path genuinely seeks the |q| posting lists
+    * instead of reading the whole postings relation per batch
+    * (PlanSpec pins PushedFilters on q116's index scan). df aggregates
+    * the surviving postings, and scoring/ranking are identical to
     * [[bm25TopKBatch]] (q116 pins index-served ≡ from-scratch via the
     * shared oracle arithmetic). The two deliberately do NOT share a
     * body: the one-shot form prunes postings BEFORE its tf aggregate
@@ -234,8 +295,11 @@ object Retrieval {
     val qt = queries.select(col(queryIdCol).as("query_id"),
         explode(col(termsCol)).as("term"))
       .distinct()
+    // sanctioned bounded collect (the isin contract); sorted for a
+    // deterministic predicate ordering across runs
     val batchTerms = qt.select(col("term")).distinct()
-    val tf = postings.join(broadcast(batchTerms), Seq("term"), "left_semi")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val tf = postings.filter(col("term").isin(batchTerms: _*))
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(qt), Seq("term"))

@@ -3974,6 +3974,80 @@ object Queries {
       | CAST(rank AS BIGINT) AS rank, doc_id, score
       |FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  // Full BM25 index LIFECYCLE under the oracle: build → persist →
+  // delete (every-7th doc leaves, Retrieval.deleteFromBm25Index's
+  // anti-join + additive stats decrement) → in-place update of three
+  // surviving docs (Retrieval.updateBm25Index, the reference's $set
+  // rewrite shape, summarize_utils.py:84-88) → persist again → serve.
+  // The oracle computes the SAME ranking from scratch over the final
+  // corpus (documents minus deleted, with updated texts substituted),
+  // so delete/update maintenance must be value-identical to a rebuild
+  // — the lexical twin of the ANN index's append/delete lifecycle.
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    val docs = t(s, dir, "documents")
+    val (post, stats) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    Layout.byKey(post, "term", 4, "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    val deleted = docs.select($"doc_id").filter($"doc_id" % 7 === 3)
+    val (p1, s1) = Retrieval.deleteFromBm25Index(
+      s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/stats"),
+      deleted, "doc_id")
+    val updated = Seq(
+      (4L, "spark shuffle window dup spark"),
+      (8L, "window dup dup"),
+      (12L, "spark spark shuffle")).toDF("doc_id", "text")
+    val (p2, s2) = Retrieval.updateBm25Index(p1, s1, updated,
+      "doc_id", "text")
+    Layout.byKey(p2, "term", 4, "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/postings2")
+    s2.write.mode("overwrite").parquet(s"$tmp/stats2")
+    val queries = Seq(
+      (1L, Seq("spark", "window")),
+      (2L, Seq("dup", "shuffle"))).toDF("query_id", "terms")
+    Retrieval.bm25FromIndex(
+        s.read.parquet(s"$tmp/postings2"), s.read.parquet(s"$tmp/stats2"),
+        queries, "query_id", "terms", k = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q117Sql =
+    """WITH qt AS (SELECT DISTINCT query_id, term FROM (VALUES
+      |  (1, 'spark'), (1, 'window'),
+      |  (2, 'dup'), (2, 'shuffle')) AS v(query_id, term)),
+      |upd AS (SELECT * FROM (VALUES
+      |  (4, 'spark shuffle window dup spark'),
+      |  (8, 'window dup dup'),
+      |  (12, 'spark spark shuffle')) AS u(doc_id, text)),
+      |corpus AS (SELECT d.doc_id, coalesce(u.text, d.text) AS text
+      | FROM documents d LEFT JOIN upd u ON d.doc_id = u.doc_id
+      | WHERE d.doc_id % 7 <> 3),
+      |tk AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS toks
+      | FROM corpus),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      | WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+      |sc AS (SELECT query_id, doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1.0)
+      |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 1e6 + 0.5) / 1e6 AS score
+      | FROM f JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN st
+      | GROUP BY query_id, doc_id),
+      |r AS (SELECT query_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      | CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4092,7 +4166,8 @@ object Queries {
     "q113_sq8_ann"      -> (q113 _),
     "q114_sorted_batching" -> (q114 _),
     "q115_hybrid_rrf"   -> (q115 _),
-    "q116_bm25_index"   -> (q116 _)
+    "q116_bm25_index"   -> (q116 _),
+    "q117_bm25_lifecycle" -> (q117 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4261,7 +4336,8 @@ object Queries {
     "q113_sq8_ann"      -> q113Sql,
     "q114_sorted_batching" -> q114Sql,
     "q115_hybrid_rrf"   -> q115Sql,
-    "q116_bm25_index"   -> q116Sql
+    "q116_bm25_index"   -> q116Sql,
+    "q117_bm25_lifecycle" -> q117Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

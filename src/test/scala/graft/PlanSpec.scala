@@ -152,6 +152,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
   }
 
+  test("q116 index-served bm25 pushes the batch term set into the " +
+    "postings SCAN as an In literal — row-group skipping under the " +
+    "byKey layout, not a post-scan semi join") {
+    val p = plan("q116_bm25_index")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"expected In(term,...) pushed into the postings scan in:\n$p")
+    // the old shape filtered AFTER the scan with a broadcast semi join
+    // — at 100× that reads the entire postings relation per batch
+    assert(!p.contains("LeftSemi"), s"post-scan semi-join prune in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
+
   test("q96 mixture broadcasts the per-stratum plan onto the corpus " +
     "scan — no wide shuffle of the documents table") {
     val p = plan("q96_temp_mixture")

@@ -159,6 +159,71 @@ class RetrievalSpec extends AnyFunSuite {
     assert(serve(pa, sa) == serve(pf, sf))
   }
 
+  test("deleteFromBm25Index ≡ full rebuild without the deleted docs: " +
+    "anti-join postings + additive stats decrement change no ranking") {
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 60).map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val qs = Seq(1L -> Seq("a", "e"), 2L -> Seq("c", "f"))
+      .toDF("query_id", "terms")
+    val (p0, s0) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    // every 4th doc leaves, plus an id NOT in the index (must no-op)
+    val delIds = ((0 until 60 by 4).map(_.toLong) :+ 999L).toDF("doc_id")
+    val (pd, sd) = Retrieval.deleteFromBm25Index(p0, s0, delIds, "doc_id")
+    val (pf, sf) = Retrieval.buildBm25Index(
+      docs.filter(!$"doc_id".isin((0 until 60 by 4).map(_.toLong): _*)),
+      "doc_id", "text")
+    def serve(p: org.apache.spark.sql.DataFrame,
+              s: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25FromIndex(p, s, qs, "query_id", "terms", k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(serve(pd, sd) == serve(pf, sf))
+    // the deleted docs are really gone from the postings relation
+    assert(pd.filter($"doc_id" % 4 === 0).count() == 0)
+  }
+
+  test("deleteFromBm25Index of every doc leaves an empty, servable " +
+    "index (n_docs=0, no division blow-up)") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val (p0, s0) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    val (pd, sd) = Retrieval.deleteFromBm25Index(p0, s0,
+      Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    assert(pd.count() == 0)
+    val st = sd.collect()(0)
+    assert(st.getLong(0) == 0L && st.getDouble(1) == 0.0)
+  }
+
+  test("updateBm25Index (delete + append, the reference's $set shape) " +
+    "≡ full rebuild over the updated corpus") {
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def text() = Seq.fill(1 + rnd.nextInt(10))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 50).map(i => (i.toLong, text()))
+    val updated = (0 until 50 by 5).map(i => (i.toLong, text()))
+    val qs = Seq(1L -> Seq("a", "d"), 2L -> Seq("b", "f"))
+      .toDF("query_id", "terms")
+    val (p0, s0) = Retrieval.buildBm25Index(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val (pu, su) = Retrieval.updateBm25Index(p0, s0,
+      updated.toDF("doc_id", "text"), "doc_id", "text")
+    val newCorpus = (docs.toMap ++ updated.toMap).toSeq
+      .map { case (id, t) => (id, t) }
+    val (pf, sf) = Retrieval.buildBm25Index(
+      newCorpus.toDF("doc_id", "text"), "doc_id", "text")
+    def serve(p: org.apache.spark.sql.DataFrame,
+              s: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25FromIndex(p, s, qs, "query_id", "terms", k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(serve(pu, su) == serve(pf, sf))
+  }
+
   test("rrfFuse: a doc ranked by BOTH arms outranks docs ranked by " +
     "one; missing arms contribute nothing; jaccard arm scores sets") {
     val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
