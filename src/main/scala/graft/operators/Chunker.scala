@@ -104,6 +104,36 @@ object Chunker extends Serializable {
       }
     }
 
+  /** Token-limit enforcement BUDGETED IN BPE PIECES
+    * ([[TextAnalysis.bpePieces]], the frozen-vocab merge table)
+    * instead of whitespace tokens — the reference's actual budget is
+    * its HF tokenizer's piece count (chunk_splitter.py:52-62), and a
+    * whitespace proxy under-counts by the pieces-per-word ratio.
+    * Over-budget chunks re-split on whitespace-token windows whose
+    * width is scaled by the chunk's MEASURED pieces-per-token, then
+    * re-checked recursively (each level shrinks the window;
+    * indivisible single-token chunks pass through rather than loop).
+    */
+  def enforceBpeTokenLimit(chunks: Seq[String], maxTokens: Int = 2048,
+                           tokenOverlap: Int = 25): Seq[String] =
+    chunks.flatMap { c =>
+      val pieces = TextAnalysis.bpePieces(c)
+      val toks = c.split("\\s+").filter(_.nonEmpty)
+      if (pieces <= maxTokens) Seq(c)
+      else {
+        val width = math.max(1,
+          ((maxTokens * 3L / 4) * toks.length / pieces).toInt)
+        if (toks.length <= 1 || width >= toks.length) Seq(c)
+        else {
+          val step = math.max(1, width - tokenOverlap)
+          val parts = (0 until toks.length by step)
+            .takeWhile(s => s == 0 || s + tokenOverlap < toks.length)
+            .map(s => toks.slice(s, s + width).mkString(" "))
+          enforceBpeTokenLimit(parts, maxTokens, tokenOverlap)
+        }
+      }
+    }
+
   /** Full-fidelity G3: char-recursive chunking then token-limit
     * enforcement.
     */

@@ -654,10 +654,46 @@ object Similarity {
                     seed: Long = 42L): DataFrame = {
     val pairs = nearDupPairs(df, idCol, vecCol, threshold, dim, bits, seed)
       .select(col("id_a"), col("id_b"))
+    keepRepresentatives(df, idCol, pairs)
+  }
+
+  /** Shared SemDeDup tail: pairs → pointer-jumped components → keep
+    * each component's min-id representative.
+    */
+  private def keepRepresentatives(df: DataFrame, idCol: String,
+                                  pairs: DataFrame): DataFrame = {
     val losers = Dedup.resolveClusters(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id"))
     df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
+  /** [[semanticDedup]] with the PAPER's candidate generator: bucket by
+    * k-means cluster (Abbas et al. §2 cluster the corpus and compare
+    * within clusters) — here the cells of a fitted [[IvfModel]], so
+    * the ANN index's quantizer doubles as the dedup partitioner.
+    * Candidates are exact-cosine-verified within each probed cell;
+    * `nprobe > 1` multiprobes boundary vectors into neighboring cells
+    * (a pair straddling a cell boundary is found if EITHER side probes
+    * the other's cell; the pair set is deduplicated before closure).
+    * Same scale shape as the LSH variant: one bucket-keyed shuffle,
+    * fan-in ≈ corpus/nlist per cell, never all-pairs; the
+    * closure/survivor tail is shared code.
+    */
+  def semanticDedupIvf(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, model: IvfModel,
+                       nprobe: Int = 1): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      Vectors.toDouble(col(vecCol)).as("vec"))
+    val sides = base.withColumn("bucket",
+      explode(model.nearestCells(col("vec"), nprobe)))
+    val pairs = sides.as("a").join(sides.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Vectors.cosine(col("a.vec"), col("b.vec")).as("sim"))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    keepRepresentatives(df, idCol, pairs)
   }
 
   /** Deterministic feature-hash embedding stand-in for the reference's

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data text analysis over the `documents` table: token
@@ -16,9 +16,87 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy: alphanumeric runs split into ≤4-char pieces
     * (a deterministic stand-in for a real tokenizer's piece count).
+    * [[bpePieceCount]] is the honest version: a real merge-table BPE
+    * over a frozen toy vocab.
     */
   def bpeTokenCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z0-9]{1,4}"))
+
+  /** Frozen toy BPE merge table (GPT-2-style byte-pair encoding,
+    * Sennrich, Haddow & Birch, "Neural Machine Translation of Rare
+    * Words with Subword Units", ACL 2016) — 60 merges over [a-z],
+    * committed in the repo so counts are reproducible with zero
+    * egress (a tiny stand-in for the reference's HF tokenizer vocab,
+    * chunk_splitter.py:52-62). WELL-FORMED by construction: each
+    * rule's operands are single letters or outputs of EARLIER rules,
+    * which makes rank-ascending sequential application equivalent to
+    * the classic min-rank merge loop (a merge can never create an
+    * occurrence of an earlier pair: its output symbol is strictly
+    * longer than either operand, so no earlier rule mentions it).
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "o" -> "n", "e" -> "r",
+    "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r", "e" -> "s",
+    "t" -> "i", "t" -> "e", "o" -> "u", "a" -> "r", "s" -> "t",
+    "a" -> "l", "i" -> "t", "i" -> "s", "l" -> "e", "s" -> "e",
+    "th" -> "e", "an" -> "d", "in" -> "g", "ti" -> "on", "a" -> "tion",
+    "e" -> "d", "c" -> "o", "d" -> "e", "r" -> "o", "r" -> "a",
+    "l" -> "i", "l" -> "a", "m" -> "a", "s" -> "i", "d" -> "i",
+    "u" -> "n", "u" -> "r", "l" -> "o", "h" -> "a", "h" -> "e",
+    "h" -> "i", "c" -> "e", "c" -> "a", "p" -> "o", "p" -> "a",
+    "p" -> "e", "m" -> "e", "m" -> "i", "n" -> "o", "n" -> "e",
+    "t" -> "o", "t" -> "a", "er" -> "s", "in" -> "e", "e" -> "st",
+    "o" -> "w", "s" -> "h", "w" -> "i", "d" -> "u", "u" -> "p")
+
+  /** Frozen-vocab BPE piece count as a SCAN-SIDE column expression —
+    * pure codegen'd string functions, no UDF, no shuffle. Letters are
+    * wrapped as `<x>` markers (non-letters collapse to spaces first,
+    * so a stray literal '<' can't forge a piece and merges never span
+    * words); each merge is then ONE literal `replace('<a><b>' →
+    * '<ab>')` in rank order — leftmost non-overlapping replacement is
+    * exactly the tokenizer's greedy left-to-right merge pass — and
+    * the piece count is the number of surviving '<' markers. The same
+    * chain runs verbatim on the JVM ([[bpePieces]]) and as generated
+    * DuckDB SQL (q119's oracle), so all three engines replay the
+    * ALGORITHM, not each other's outputs.
+    */
+  def bpePieceCount(text: Column): Column = {
+    val cleaned = regexp_replace(lower(text), "[^a-z]+", " ")
+    val wrapped = regexp_replace(cleaned, "([a-z])", "<$1>")
+    val merged = bpeMerges.foldLeft(wrapped) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    (length(merged) - length(
+      org.apache.spark.sql.functions.replace(merged, lit("<"), lit(""))))
+      .cast("int")
+  }
+
+  /** JVM twin of [[bpePieceCount]] (identical chain over
+    * `String.replace`) — the chunker's budget counter.
+    */
+  def bpePieces(text: String): Int = {
+    val cleaned = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z]+", " ")
+    val wrapped = cleaned.replaceAll("([a-z])", "<$1>")
+    val merged = bpeMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s.replace(s"<$a><$b>", s"<$a$b>")
+    }
+    merged.count(_ == '<')
+  }
+
+  /** DuckDB expression computing [[bpePieceCount]] over SQL column
+    * `input` — generated from the same frozen merge table the Spark
+    * and JVM paths fold over (algorithm replay, not a fitted
+    * literal).
+    */
+  def bpePieceCountSql(input: String): String = {
+    val wrapped = "regexp_replace(regexp_replace(lower(" + input +
+      "), '[^a-z]+', ' ', 'g'), '([a-z])', '<\\1>', 'g')"
+    bpeMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s"replace($s, '<$a><$b>', '<$a$b>')"
+    }
+  }
 
   /** Distinct whitespace tokens. */
   def distinctTokenCount(text: Column): Column =
@@ -114,6 +192,36 @@ object TextAnalysis {
     "phụ nữ", "thanh niên", "ngày mai", "hôm nay", "bây giờ",
     "tương lai", "hiện tại",
     "sách giáo khoa", "hợp tác xã", "vô tuyến điện")
+
+  /** Load a segmentation lexicon from a table column — real Vietnamese
+    * deployments carry 30k+ compound entries (the vnTokenizer
+    * dictionaries), far beyond [[viLexicon]]'s built-in list. Entries
+    * are collected to the driver (BOUNDED: `maxEntries` caps the
+    * collect; the default 200k two-to-four-syllable entries is a few
+    * MB). The loaded lexicon then rides to executors as ONE codegen
+    * reference object per plan — broadcast-scale state, never a
+    * shuffle participant — so the cap IS the operator's memory
+    * contract. A source larger than the cap throws rather than
+    * silently truncating (a partial dictionary would silently change
+    * segmentations).
+    */
+  def viLexiconFrom(lexicon: DataFrame, entryCol: String,
+                    maxEntries: Int = 200000): Seq[String] = {
+    val rows = lexicon.select(col(entryCol).cast("string").as("entry"))
+      .na.drop().distinct().limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"viLexiconFrom: source exceeds the $maxEntries-entry cap; " +
+        "raise maxEntries explicitly (the lexicon is driver-collected " +
+        "and shipped to executors as one reference object)")
+    rows.map(_.getString(0)).toSeq
+  }
+
+  /** [[viLexiconFrom]] over a plain text file (one entry per line) —
+    * the usual on-disk form of the public vnTokenizer dictionaries.
+    */
+  def viLexiconFromFile(spark: SparkSession, path: String,
+                        maxEntries: Int = 200000): Seq[String] =
+    viLexiconFrom(spark.read.text(path), "value", maxEntries)
 
   /** Vietnamese word segmentation by greedy maximal matching (the
     * vnTokenizer-baseline algorithm) against `lexicon` — native

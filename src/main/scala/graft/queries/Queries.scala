@@ -4048,6 +4048,123 @@ object Queries {
       | CAST(rank AS BIGINT) AS rank, doc_id, score
       |FROM r WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  // Hybrid LEXICAL + VECTOR retrieval — the reference's actual
+  // related-articles shape (get_relevant_articles.py:64-88 ranks by
+  // vector similarity; the BM25 arm is the lexical complement): an
+  // index-served BM25 arm (Retrieval.bm25FromIndex over a persisted
+  // postings index) fuses with an SQ8 scalar-quantized ANN arm
+  // (Similarity.sq8TopK — deterministic encode→reconstruct→rank, the
+  // q113 contract) via reciprocal-rank fusion in RANK space. Query ids
+  // double as vec ids (the batch's docs ARE its query vectors), so
+  // both arms key on the same (query_id, doc_id) and DuckDB replays
+  // both arms AND the fusion arithmetic value-for-value.
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q118").toString
+    val docs = t(s, dir, "documents")
+    val (post, stats) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    Layout.byKey(post, "term", 4, "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    val queries = Seq(
+      (3L, Seq("spark", "window")),
+      (7L, Seq("dup", "shuffle"))).toDF("query_id", "terms")
+    val lex = Retrieval.bm25FromIndex(
+      s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/stats"),
+      queries, "query_id", "terms", k = 20)
+    val emb = t(s, dir, "embeddings")
+    val codes = Similarity.sq8Encode(emb, "vec_id", "embedding")
+    val vec = Similarity.sq8TopK(emb.filter($"vec_id".isin(3L, 7L)),
+        codes, "vec_id", "embedding", k = 20)
+      .select($"q_id".as("query_id"), $"c_id".as("doc_id"), $"rank")
+    Retrieval.rrfFuse(Seq(
+        lex.select($"query_id", $"doc_id", $"rank"), vec),
+        rrfK = 60, k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q118Sql =
+    """WITH qt AS (SELECT DISTINCT query_id, term FROM (VALUES
+      |  (3, 'spark'), (3, 'window'),
+      |  (7, 'dup'), (7, 'shuffle')) AS v(query_id, term)),
+      |tk AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS toks
+      | FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      | WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+      |bm AS (SELECT query_id, doc_id,
+      |  floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * tf * (1.2 + 1.0)
+      |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |    * 1e6 + 0.5) / 1e6 AS score
+      | FROM f JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN st
+      | GROUP BY query_id, doc_id),
+      |bma AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY score DESC, doc_id) AS rank FROM bm) WHERE rank <= 20),
+      |cv AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+      | FROM embeddings),
+      |sq AS (SELECT c_id, v, list_min(v) AS lo,
+      |  (list_max(v) - list_min(v)) / 255.0 AS sc FROM cv),
+      |rc AS (SELECT c_id,
+      |  CASE WHEN sc > 0
+      |   THEN list_transform(v, x -> lo + floor((x - lo) / sc + 0.5) * sc)
+      |   ELSE list_transform(v, x -> lo) END AS cvv
+      | FROM sq),
+      |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvec
+      | FROM embeddings WHERE vec_id IN (3, 7)),
+      |vs AS (SELECT q_id, c_id,
+      |  list_dot_product(qvec, cvv)
+      |   / (sqrt(list_dot_product(qvec, qvec))
+      |      * sqrt(list_dot_product(cvv, cvv))) AS sim
+      | FROM qv, rc WHERE q_id <> c_id),
+      |vra AS (SELECT q_id AS query_id, c_id AS doc_id, rank FROM (
+      |  SELECT q_id, c_id,
+      |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+      |     AS rank FROM vs) WHERE rank <= 20),
+      |u AS (SELECT query_id, doc_id, 1.0 / (60 + rank) AS part FROM bma
+      | UNION ALL
+      | SELECT query_id, doc_id, 1.0 / (60 + rank) FROM vra),
+      |fs AS (SELECT query_id, doc_id,
+      |  floor(sum(part) * 1e9 + 0.5) / 1e9 AS score
+      | FROM u GROUP BY 1, 2),
+      |fr AS (SELECT query_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM fs)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      | CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  // Frozen-vocab BPE token counting (TextAnalysis.bpePieceCount): a
+  // REAL merge-table byte-pair tokenizer over the committed 60-merge
+  // toy vocab, replacing the 4-char-run proxy for budget-accurate
+  // counts (the reference budgets chunks by its HF tokenizer's piece
+  // count, chunk_splitter.py:52-62). All scan-side codegen'd string
+  // functions; the oracle SQL is GENERATED from the same frozen merge
+  // table, so DuckDB replays the merge algorithm itself.
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.bpePieceCount($"text").cast("long").as("bpe_tokens"),
+        TextAnalysis.wsTokenCount($"text").cast("long").as("ws_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val q119Sql = {
+    val m = TextAnalysis.bpePieceCountSql("text")
+    s"""WITH b AS (SELECT doc_id, text, $m AS s FROM documents)
+       |SELECT doc_id,
+       | CAST(len(s) - len(replace(s, '<', '')) AS BIGINT) AS bpe_tokens,
+       | CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4167,7 +4284,9 @@ object Queries {
     "q114_sorted_batching" -> (q114 _),
     "q115_hybrid_rrf"   -> (q115 _),
     "q116_bm25_index"   -> (q116 _),
-    "q117_bm25_lifecycle" -> (q117 _)
+    "q117_bm25_lifecycle" -> (q117 _),
+    "q118_hybrid_lexvec" -> (q118 _),
+    "q119_bpe_tokens"   -> (q119 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4337,7 +4456,9 @@ object Queries {
     "q114_sorted_batching" -> q114Sql,
     "q115_hybrid_rrf"   -> q115Sql,
     "q116_bm25_index"   -> q116Sql,
-    "q117_bm25_lifecycle" -> q117Sql
+    "q117_bm25_lifecycle" -> q117Sql,
+    "q118_hybrid_lexvec" -> q118Sql,
+    "q119_bpe_tokens"   -> q119Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -100,6 +100,28 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("enforceBpeTokenLimit budgets in BPE pieces: over-budget " +
+    "chunks re-split until every piece fits; under-budget pass " +
+    "through untouched; indivisible tokens don't loop") {
+    import graft.operators.TextAnalysis
+    val big = ("the internal station " * 120).trim // pieces >> ws tokens
+    val small = "short text"
+    val out = Chunker.enforceBpeTokenLimit(Seq(big, small),
+      maxTokens = 100, tokenOverlap = 5)
+    assert(out.contains(small))
+    assert(out.length > 2, "over-budget chunk was not re-split")
+    out.foreach { c =>
+      assert(TextAnalysis.bpePieces(c) <= 100,
+        s"piece over budget: ${TextAnalysis.bpePieces(c)}")
+    }
+    // every word survives somewhere (overlap windows lose nothing)
+    val words = out.flatMap(_.split("\\s+")).toSet
+    assert(words == big.split("\\s+").toSet ++ small.split("\\s+").toSet)
+    // a single indivisible over-budget token passes through, no loop
+    val one = "x" * 4000
+    assert(Chunker.enforceBpeTokenLimit(Seq(one), 10) == Seq(one))
+  }
+
   test("ChunkText Generator matches the typed flatMap formulation " +
     "and handles null/empty text") {
     val spark = SharedSpark.spark

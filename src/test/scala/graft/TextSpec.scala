@@ -121,6 +121,57 @@ class TextSpec extends AnyFunSuite {
     assert(out(1).isNullAt(0))
   }
 
+  test("bpePieceCount: frozen-vocab merges produce known counts, and " +
+    "the Column path equals the JVM twin on varied inputs") {
+    import graft.operators.TextAnalysis
+    // "the" = th+e→the (1 piece); "and" = an+d→and (1 piece);
+    // punctuation and digits are boundaries, never pieces
+    assert(TextAnalysis.bpePieces("the and") == 2)
+    assert(TextAnalysis.bpePieces("The, AND! 42") == 2)
+    assert(TextAnalysis.bpePieces("") == 0)
+    assert(TextAnalysis.bpePieces("a") == 1)
+    // merges never span word boundaries: "t h" stays two pieces
+    assert(TextAnalysis.bpePieces("t h") == 2)
+    // a literal '<' in the input cannot forge a piece
+    assert(TextAnalysis.bpePieces("<<<>>>") == 0)
+    val samples = Seq("the station is internal", "spark window shuffle dup",
+      "Ingestion pipelines, 2026!", "", "xyzzy qwrt", "<a><b>")
+    val jvm = samples.map(TextAnalysis.bpePieces)
+    val col = samples.toDF("x")
+      .select(TextAnalysis.bpePieceCount($"x")).as[Int].collect().toSeq
+    assert(col == jvm)
+  }
+
+  test("viLexiconFrom loads a lexicon from a table/file with entries " +
+    "the built-in lacks, and the cap throws instead of truncating") {
+    import graft.operators.TextAnalysis
+    // "trí tuệ nhân tạo" (artificial intelligence) is not in the
+    // built-in list: unsegmented without the loaded lexicon
+    val builtIn = Seq("trí tuệ nhân tạo mới").toDF("x")
+      .select(TextAnalysis.viSegment($"x").as("w")).head.getSeq[String](0)
+    assert(builtIn == Seq("trí", "tuệ", "nhân", "tạo", "mới"))
+    val lexTbl = (TextAnalysis.viLexicon ++
+      Seq("trí tuệ nhân tạo", "  ", null)).toDF("entry")
+    val loaded = TextAnalysis.viLexiconFrom(lexTbl, "entry")
+    val seg = Seq("trí tuệ nhân tạo mới và học sinh").toDF("x")
+      .select(TextAnalysis.viSegment($"x", loaded).as("w"))
+      .head.getSeq[String](0)
+    assert(seg == Seq("trí_tuệ_nhân_tạo", "mới", "và", "học_sinh"))
+    // the file form reads one entry per line
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vilex")
+    val f = tmp.resolve("lex.txt")
+    java.nio.file.Files.write(f,
+      "trí tuệ nhân tạo\nhọc sinh\n".getBytes("UTF-8"))
+    val fromFile = TextAnalysis.viLexiconFromFile(spark, f.toString)
+    assert(fromFile.toSet == Set("trí tuệ nhân tạo", "học sinh"))
+    // over-cap sources throw — a silently partial dictionary would
+    // silently change segmentations
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.viLexiconFrom(lexTbl, "entry", maxEntries = 10)
+    }
+    assert(err.getMessage.contains("cap"))
+  }
+
   test("viTokenCount budgets on words, not syllables — the chunker's " +
     "G3 token proxy undercounts compounds without it") {
     import graft.operators.TextAnalysis

@@ -496,6 +496,38 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(bucketed == exact)
   }
 
+  test("semanticDedupIvf (the paper's k-means-bucketed variant) " +
+    "agrees with exact semanticDedup on well-separated data, and " +
+    "shares the closure/survivor tail") {
+    val rnd = new scala.util.Random(31)
+    // exact copies of ids 0-19 at +1000/+2000; everything else is
+    // well-separated gaussian noise (non-copy cosines ~ 0)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val all = (base ++
+      base.take(20).map { case (id, v) => (id + 1000L, v) } ++
+      base.take(20).map { case (id, v) => (id + 2000L, v) })
+      .toDF("id", "vec")
+    val exact = Similarity.semanticDedup(all, "id", "vec",
+        threshold = 0.8, dim = 32, bits = 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val model = Similarity.fitIvf(all, "vec", nlist = 8)
+    // identical vectors quantize to the identical nearest cell, so
+    // nprobe=1 (the paper's within-cluster comparison) finds every
+    // copy pair on this fixture
+    val bucketed = Similarity.semanticDedupIvf(all, "id", "vec",
+        threshold = 0.8, model, nprobe = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bucketed == exact)
+    assert(bucketed == (0 until 100).map(_.toLong).toSet)
+    // multiprobe may only ADD candidate pairs — on separated data the
+    // verified pair set (and thus the survivor set) is unchanged
+    val probed = Similarity.semanticDedupIvf(all, "id", "vec",
+        threshold = 0.8, model, nprobe = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(probed == exact)
+  }
+
   test("sq8 scalar quantization: codes in [0,255], reconstruction " +
     "error <= scale/2 per component, top-k matches brute force on " +
     "separated data") {
