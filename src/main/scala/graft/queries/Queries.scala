@@ -4165,6 +4165,85 @@ object Queries {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q120
+  // SemDeDup, k-means-bucketed (Similarity.semanticDedupIvf): the
+  // paper's actual candidate generator — compare only within a fitted
+  // IvfModel's cells (nprobe = 1; Abbas et al. §2). Unlike q112's
+  // exact mode, the BUCKETED algorithm itself is under the oracle
+  // here: the fitted centroids become FROZEN literals in generated
+  // SQL (the q76 fitted-model pattern), DuckDB re-derives each
+  // vector's cell with the same left-assoc squared-L2 chains +
+  // first-minimum argmin the NearestCells kernel runs, restricts
+  // candidate pairs to shared cells, exact-cosine-verifies, walks the
+  // closure, and keeps min-id survivors.
+  private val ivfDedupModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfModel]
+  @volatile private var lastIvfDedupDir: Option[String] = None
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "embeddings").filter($"vec_id" < 200)
+      .select($"vec_id", $"embedding", $"label")
+    val emb = base.unionByName(base.filter($"vec_id" < 50)
+      .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding", $"label"))
+    val model = ivfDedupModels.getOrElseUpdate(dir,
+      Similarity.fitIvf(emb, "embedding", nlist = 8))
+    lastIvfDedupDir = Some(dir)
+    Similarity.semanticDedupIvf(emb, "vec_id", "embedding",
+        threshold = 0.8, model, nprobe = 1)
+      .select($"vec_id", $"label".cast("long").as("label"))
+      .orderBy($"vec_id")
+  }
+
+  /** q120's oracle, generated from the centroids fitted by the LAST
+    * q120 run (None until q120 has run in this JVM — Verify's
+    * run-then-dump order guarantees it has, like q76).
+    */
+  private[queries] def q120SqlNow: Option[String] =
+    lastIvfDedupDir.flatMap(ivfDedupModels.get).map(q120SqlFor)
+
+  private def q120SqlFor(model: Similarity.IvfModel): String = {
+    def dd(x: Double) = java.lang.Double.toString(x)
+    // per-cell squared-L2 as a left-assoc `+` chain — bit-equal to
+    // VectorKernels.nearestCells' ascending-index fold; argmin by
+    // list_position(dc, list_min(dc)) = first strict minimum, the
+    // kernel's tie-break
+    val chains = model.centroids.map { cent =>
+      cent.zipWithIndex.map { case (x, i) =>
+        s"(v[${i + 1}]-(${dd(x)}))*(v[${i + 1}]-(${dd(x)}))"
+      }.mkString("+")
+    }
+    s"""WITH RECURSIVE e AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS v, label
+       |  FROM embeddings WHERE vec_id < 200
+       | UNION ALL
+       | SELECT vec_id + 10000000, embedding::DOUBLE[], label
+       |  FROM embeddings WHERE vec_id < 50),
+       |d AS (SELECT vec_id, v, label,
+       |  [${chains.mkString(",\n   ")}] AS dc
+       | FROM e),
+       |c AS (SELECT vec_id, v, label,
+       |  list_position(dc, list_min(dc)) AS cell FROM d),
+       |p AS (
+       | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       | FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       | WHERE list_dot_product(a.v, b.v)
+       |   / (sqrt(list_dot_product(a.v, a.v))
+       |    * sqrt(list_dot_product(b.v, b.v))) > 0.8),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM p
+       | UNION ALL
+       | SELECT id_b, id_a FROM p),
+       |walk AS (
+       | SELECT src AS id, src AS reach FROM edges
+       | UNION
+       | SELECT w.id, x.dst FROM walk w JOIN edges x ON w.reach = x.src),
+       |losers AS (
+       | SELECT id FROM walk GROUP BY id HAVING id <> min(reach))
+       |SELECT vec_id, CAST(label AS BIGINT) AS label FROM e
+       |WHERE vec_id NOT IN (SELECT id FROM losers)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4286,7 +4365,8 @@ object Queries {
     "q116_bm25_index"   -> (q116 _),
     "q117_bm25_lifecycle" -> (q117 _),
     "q118_hybrid_lexvec" -> (q118 _),
-    "q119_bpe_tokens"   -> (q119 _)
+    "q119_bpe_tokens"   -> (q119 _),
+    "q120_semdedup_ivf" -> (q120 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4467,5 +4547,6 @@ object Queries {
     * guarantees). The driver's correctness gate reads this.
     */
   def oraclesWithFitted: Map[String, String] =
-    oracles ++ q76SqlNow.map("q76_pq_ann" -> _)
+    oracles ++ q76SqlNow.map("q76_pq_ann" -> _) ++
+      q120SqlNow.map("q120_semdedup_ivf" -> _)
 }

@@ -15,21 +15,27 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only q76 (fitted-model oracle) is absent from the static map") {
+  test("only the fitted-model oracles (q76, q120) are absent from the " +
+    "static map") {
     val rowsOnly = Queries.all.keySet -- Queries.oracles.keySet
-    assert(rowsOnly == Set("q76_pq_ann"),
+    assert(rowsOnly == Set("q76_pq_ann", "q120_semdedup_ivf"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
-  test("after running q76, the fitted-codebook oracle exists and EVERY " +
-    "query has an oracle (Verify dumps after running — same order)") {
+  test("after running q76/q120, the fitted-model oracles exist and " +
+    "EVERY query has an oracle (Verify dumps after running — same " +
+    "order)") {
     Queries.all("q76_pq_ann")(SharedSpark.spark, "/root/testdata/sf0.001")
       .count()
+    Queries.all("q120_semdedup_ivf")(SharedSpark.spark,
+      "/root/testdata/sf0.001").count()
     val withFitted = Queries.oraclesWithFitted
     assert((Queries.all.keySet -- withFitted.keySet).isEmpty,
       s"rows-only residue: ${Queries.all.keySet -- withFitted.keySet}")
     val sql = withFitted("q76_pq_ann")
     assert(sql.contains("list_position") && sql.contains("embeddings"))
+    val sql120 = withFitted("q120_semdedup_ivf")
+    assert(sql120.contains("list_position") && sql120.contains("list_min"))
   }
 
   test("query names are well-formed and unique") {
