@@ -1,0 +1,292 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** True HNSW (Malkov & Yashunin, "Efficient and robust approximate
+  * nearest neighbor search using Hierarchical Navigable Small World
+  * graphs", IEEE TPAMI 2018) — closing the last ANN-family gap: the
+  * reference's actual index is Qdrant HNSW at `hnsw_ef=128`
+  * (qdrant_io_manager.py:33), which previous rounds substituted with
+  * recall-measured IVF/LSH/PQ. This is the real graph structure:
+  * exponentially-decaying layer assignment, greedy descent through
+  * upper layers, beam search (`ef`) at layer 0, bidirectional M-bounded
+  * links with closest-first pruning.
+  *
+  * Distributed shape (how HNSW actually scales out — graphs don't
+  * shard by key, so engines shard the CORPUS and scatter-gather):
+  *  - [[buildShards]] hash-partitions the corpus into `shards` and
+  *    builds one independent in-memory graph per shard inside
+  *    `mapPartitions` (the genuine per-partition-imperative case);
+  *    the result is a RELATION — one row per node carrying its vector
+  *    and per-layer adjacency — so the index persists as parquet,
+  *    co-located by shard.
+  *  - [[topK]] broadcasts the bounded query batch, reconstructs each
+  *    shard's adjacency once per (shard, query-batch) task, beam-
+  *    searches every query in that shard, and merges shard-local
+  *    top-k with one candidate-sized window — queries × shards rows,
+  *    never corpus-sized.
+  * Per-shard graph loading is O(shard rows) per batch; at scale that
+  * amortizes over large query batches exactly like the serve processes
+  * of sharded HNSW engines, which keep shard graphs resident. Build
+  * and search are DETERMINISTIC (level from xxhash-style id mixing,
+  * insertion in ascending id order, distance ties broken by id), so
+  * recall is reproducible round to round; like the other approximate
+  * ANN production modes the contract is measured recall
+  * (RecallCurveSpec) + determinism specs, not a value oracle.
+  */
+object Hnsw {
+
+  /** `m` = max links per node per upper layer (layer 0 allows 2m);
+    * `efConstruction` = build-time beam width; `seed` folds into the
+    * deterministic level assignment.
+    */
+  final case class Params(m: Int = 16, efConstruction: Int = 100,
+                          seed: Long = 42L) {
+    require(m >= 2 && efConstruction >= 1)
+    val mL: Double = 1.0 / math.log(m.toDouble)
+  }
+
+  /** Deterministic level: floor(−ln(U)·mL) with U derived from a
+    * 64-bit mix of (seed, id) — the paper's exponential decay without
+    * RNG state (same level for the same id on every build).
+    */
+  private[graft] def levelOf(id: Long, p: Params): Int = {
+    var x = id ^ (p.seed * 0x9E3779B97F4A7C15L)
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    // uniform in (0,1]; 1 − u54 would admit 0, whose ln is -inf
+    val u = ((x >>> 10).toDouble + 1.0) / 9007199254740993.0 // 2^53+1
+    math.min(32, (-math.log(u) * p.mL).toInt)
+  }
+
+  /** In-memory graph over one shard. Distance = 1 − cosine; ties break
+    * by ascending id everywhere so builds and searches replay exactly.
+    */
+  final class Graph(p: Params) {
+    private[operators] val vecs = mutable.LongMap.empty[Array[Double]]
+    // adjacency(level) : id → neighbor ids
+    private[operators] val adj =
+      mutable.ArrayBuffer.empty[mutable.LongMap[mutable.ArrayBuffer[Long]]]
+    private[operators] var entry: Long = -1L
+    private[operators] var topLevel: Int = -1
+
+    private def dist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 2.0
+      else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    private def neighbors(level: Int, id: Long): mutable.ArrayBuffer[Long] =
+      adj(level).getOrElseUpdate(id, mutable.ArrayBuffer.empty[Long])
+
+    /** Beam search one layer: the paper's SEARCH-LAYER with an ordered
+      * candidate set; returns (dist, id) ascending, ≤ ef entries.
+      */
+    private def searchLayer(q: Array[Double], entryPoints: Seq[Long],
+                            ef: Int, level: Int): mutable.ArrayBuffer[(Double, Long)] = {
+      implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2
+      val visited = mutable.LongMap.empty[Unit]
+      val cand = mutable.PriorityQueue.empty[(Double, Long)](ord.reverse) // min-heap
+      val best = mutable.PriorityQueue.empty[(Double, Long)]             // max-heap
+      entryPoints.foreach { ep =>
+        if (!visited.contains(ep)) {
+          visited(ep) = (); val d = dist(q, vecs(ep))
+          cand.enqueue((d, ep)); best.enqueue((d, ep))
+          while (best.size > ef) best.dequeue()
+        }
+      }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (best.nonEmpty && dc > best.head._1 && best.size >= ef) {
+          cand.clear() // all remaining candidates are farther still
+        } else {
+          neighbors(level, c).foreach { nb =>
+            if (!visited.contains(nb)) {
+              visited(nb) = ()
+              val d = dist(q, vecs(nb))
+              val better = best.size < ef || d < best.head._1 ||
+                (d == best.head._1 && nb < best.head._2)
+              if (better) {
+                cand.enqueue((d, nb)); best.enqueue((d, nb))
+                while (best.size > ef) best.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Long)]
+      while (best.nonEmpty) out.prepend(best.dequeue())
+      out
+    }
+
+    /** Insert; ids must arrive in ascending order for determinism
+      * (callers sort — see [[buildShards]]).
+      */
+    def insert(id: Long, vec: Array[Double]): Unit = {
+      val l = levelOf(id, p)
+      vecs(id) = vec
+      while (adj.size <= l) adj += mutable.LongMap
+        .empty[mutable.ArrayBuffer[Long]]
+      if (entry < 0) { entry = id; topLevel = l; return }
+      var eps: Seq[Long] = Seq(entry)
+      // greedy descent through layers above the node's level
+      var level = topLevel
+      while (level > l) {
+        eps = Seq(searchLayer(vec, eps, 1, level).head._2)
+        level -= 1
+      }
+      // connect on layers min(l, topLevel)..0
+      level = math.min(l, topLevel)
+      while (level >= 0) {
+        val cands = searchLayer(vec, eps, p.efConstruction, level)
+        val mMax = if (level == 0) 2 * p.m else p.m
+        val chosen = cands.take(p.m).map(_._2)
+        chosen.foreach { nb =>
+          neighbors(level, id) += nb
+          val back = neighbors(level, nb)
+          back += id
+          if (back.size > mMax) {
+            // prune to the mMax closest (ties by id) — the paper's
+            // simple neighbor selection
+            val kept = back.map(x => (dist(vecs(nb), vecs(x)), x))
+              .sorted.take(mMax).map(_._2)
+            back.clear(); back ++= kept
+          }
+        }
+        eps = cands.map(_._2).toSeq
+        level -= 1
+      }
+      if (l > topLevel) { topLevel = l; entry = id }
+    }
+
+    /** Top-k ids with cosine SIMILARITY (descending), self excluded by
+      * the caller if needed.
+      */
+    def search(q: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Nil
+      var eps: Seq[Long] = Seq(entry)
+      var level = topLevel
+      while (level > 0) {
+        eps = Seq(searchLayer(q, eps, 1, level).head._2)
+        level -= 1
+      }
+      searchLayer(q, eps, math.max(ef, k), 0)
+        .take(k).map { case (d, id) => (id, 1.0 - d) }.toSeq
+    }
+  }
+
+  private val indexSchema = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("c_id", LongType, nullable = false),
+    StructField("vec", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("links", ArrayType(ArrayType(LongType,
+      containsNull = false), containsNull = false), nullable = false)))
+
+  /** Build per-shard HNSW graphs: corpus → `shards` hash partitions →
+    * one graph per partition → (shard, c_id, vec, links) rows where
+    * `links(level)` is the node's adjacency at that level. ONE corpus
+    * shuffle (the repartition); the build itself is partition-local.
+    * Rows within a shard insert in ascending id so the graph replays
+    * identically on every build.
+    */
+  def buildShards(corpus: DataFrame, idCol: String, vecCol: String,
+                  shards: Int, params: Params = Params()): DataFrame = {
+    val p = params
+    val rows = corpus.select(
+        col(idCol).cast("long").as("c_id"),
+        graft.functions.Vectors.toDouble(col(vecCol)).as("vec"),
+        pmod(xxhash64(col(idCol)), lit(shards)).cast("int").as("shard"))
+      .repartition(shards, col("shard"))
+    val enc = org.apache.spark.sql.Encoders.row(indexSchema)
+    rows.sortWithinPartitions(col("shard"), col("c_id"))
+      .mapPartitions { it =>
+        val buf = it.toArray
+        buf.groupBy(_.getInt(2)).iterator.flatMap { case (shard, rs) =>
+          val g = new Graph(p)
+          rs.foreach { r =>
+            g.insert(r.getLong(0), r.getSeq[Double](1).toArray)
+          }
+          rs.iterator.map { r =>
+            val id = r.getLong(0)
+            // links end at the NODE's level (deterministic from the
+            // id), so links.size−1 recovers it at reconstruction and
+            // the serve-side entry pick lands on a true top-level node
+            val links = (0 to math.min(levelOf(id, p), g.topLevel))
+              .map { lv =>
+                g.adj(lv).get(id).map(_.toSeq).getOrElse(Seq.empty[Long])
+              }
+            Row(shard, id, r.getSeq[Double](1), links)
+          }
+        }
+      }(enc)
+  }
+
+  /** Scatter-gather serve: broadcast the bounded query batch, beam-
+    * search every shard's graph, merge with one per-query window over
+    * queries × shards × k candidate rows. `ef` is the layer-0 beam
+    * (the reference's `hnsw_ef=128` knob). Output:
+    * (q_id, rank, c_id, sim).
+    */
+  def topK(index: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int, ef: Int = 128,
+           params: Params = Params()): DataFrame = {
+    val p = params
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"),
+        graft.functions.Vectors.toDouble(col(vecCol)))
+      .as[(Long, Seq[Double])].collect() // bounded: the ANN query contract
+      .map { case (id, v) => (id, v.toArray) }
+    val qB = spark.sparkContext.broadcast(qRows)
+    val kk = k; val efS = ef
+    val hits = index.select(col("shard"), col("c_id"), col("vec"),
+        col("links"))
+      .repartition(col("shard"))
+      .as[(Int, Long, Seq[Double], Seq[Seq[Long]])]
+      .mapPartitions { it =>
+        val byShard = it.toArray.groupBy(_._1)
+        byShard.iterator.flatMap { case (_, rs) =>
+          // reconstruct the shard graph: vectors + saved adjacency
+          val g = new Graph(p)
+          var maxLevel = -1
+          rs.foreach { case (_, id, vec, links) =>
+            g.vecs(id) = vec.toArray
+            while (g.adj.size < links.size)
+              g.adj += mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+            links.zipWithIndex.foreach { case (ns, lv) =>
+              if (ns.nonEmpty || lv == 0)
+                g.adj(lv)(id) = mutable.ArrayBuffer(ns: _*)
+            }
+            // deterministic entry: the highest-level node, min id
+            val top = links.size - 1
+            if (top > maxLevel) { maxLevel = top; g.entry = id }
+            else if (top == maxLevel && id < g.entry) g.entry = id
+          }
+          g.topLevel = maxLevel
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            // k+1 so a query that is itself an indexed row still
+            // yields k true neighbors after self-exclusion
+            g.search(qv, kk + 1, efS).iterator
+              .filter(_._1 != qid)
+              .map { case (cid, sim) => (qid, cid, sim) }
+          }
+        }
+      }
+      .toDF("q_id", "c_id", "sim")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+  }
+}

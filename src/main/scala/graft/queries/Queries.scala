@@ -4407,6 +4407,21 @@ object Queries {
       Dedup.simhashCandidates(docs.unionByName(dup), "text", "doc_id")
         .orderBy($"id_a", $"id_b")
     }),
+    "q49x_hnsw_ann" -> ((s: SparkSession, dir: String) => {
+      // true HNSW (operators/Hnsw): sharded build + ef=128 serve over
+      // the embeddings table — timed so the reference's own index
+      // structure has a throughput number next to the IVF/PQ/SQ8
+      // substitutes; approximate by construction (recall pinned in
+      // HnswSpec/RecallCurveSpec at 1.00/ef=128 clustered), so it is
+      // bench-only like the other xx-twins. Name sorts next to q48
+      // (IVF), its oracle-mode sibling.
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val index = Hnsw.buildShards(emb, "vec_id", "embedding", shards = 8)
+      Hnsw.topK(index, emb.filter($"vec_id" < 50), "vec_id", "embedding",
+          k = 10, ef = 128)
+        .orderBy($"q_id", $"rank")
+    }),
     "q80x_incr_dedup_xx64" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
-import graft.operators.Similarity
+import graft.operators.{Hnsw, Similarity}
 
 /** Measured recall@10 curves for the ANN family — the evidence behind
   * SURVEY's "LSH/IVF/IVF-PQ substitute for the reference's HNSW
@@ -119,5 +119,29 @@ class RecallCurveSpec extends AnyFunSuite {
       "vec_id", "embedding", K, dim = 64, bits = 8))
     info(f"clustered lsh bits=8 multiprobe=true recall@10=$lshR%.3f")
     assert(lshR >= 0.5, s"clustered lsh recall $lshR")
+  }
+
+  test("true HNSW (round 9): the reference's own index structure, " +
+    "measured in BOTH regimes at its hnsw_ef=128 operating point") {
+    val cluIdx = Hnsw.buildShards(clustered, "vec_id", "embedding",
+      shards = 4).cache()
+    val clu = Seq(16, 64, 128).map { ef =>
+      val r = recallOf(cluTruth, Hnsw.topK(cluIdx, cluQ,
+        "vec_id", "embedding", K, ef = ef))
+      info(f"clustered hnsw shards=4 m=16 ef=$ef%3d recall@10=$r%.3f")
+      ef -> r
+    }.toMap
+    assert(clu(128) >= 0.95, s"clustered hnsw ef=128 recall ${clu(128)}")
+    assert(clu(128) >= clu(16), "ef must not reduce recall")
+    cluIdx.unpersist()
+    // uniform worst case: HNSW degrades like every ANN structure, but
+    // the ef=128 beam on 5000 rows still has to beat low-effort IVF
+    val uniIdx = Hnsw.buildShards(emb, "vec_id", "embedding",
+      shards = 4).cache()
+    val uni = recallOf(embTruth, Hnsw.topK(uniIdx, embQ,
+      "vec_id", "embedding", K, ef = 128))
+    info(f"uniform   hnsw shards=4 m=16 ef=128 recall@10=$uni%.3f")
+    assert(uni >= 0.5, s"uniform hnsw ef=128 recall $uni")
+    uniIdx.unpersist()
   }
 }
