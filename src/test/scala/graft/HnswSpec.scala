@@ -112,6 +112,134 @@ class HnswSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  private def indexRows(df: DataFrame) =
+    df.select($"shard", $"c_id", $"links", $"deleted")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[scala.collection.Seq[Long]](2).map(_.toList).toList,
+        r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("appendShards rebuilds only the touched shards and is " +
+    "row-identical to a full rebuild of the union corpus") {
+    val base = clustered.filter($"vec_id" < 1500)
+    val delta = clustered.filter($"vec_id" >= 1500 && $"vec_id" < 1600)
+    val incr = Hnsw.appendShards(
+      Hnsw.buildShards(base, "vec_id", "embedding", shards = 8),
+      delta, "vec_id", "embedding", shards = 8)
+    val full = Hnsw.buildShards(clustered.filter($"vec_id" < 1600),
+      "vec_id", "embedding", shards = 8)
+    assert(indexRows(incr) == indexRows(full))
+    // upsert: re-appending an existing id with a NEW vector replaces it
+    val moved = clustered.filter($"vec_id" === 3L)
+      .select($"vec_id", $"embedding")
+    val shifted = moved.withColumn("embedding",
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x + 100.0 as float))"))
+    val upserted = Hnsw.appendShards(
+      Hnsw.buildShards(base, "vec_id", "embedding", shards = 8),
+      shifted, "vec_id", "embedding", shards = 8)
+    val row3 = upserted.filter($"c_id" === 3L).select($"vec").collect()
+    assert(row3.length == 1)
+    assert(row3.head.getSeq[Double](0).head > 50.0) // the new vector
+  }
+
+  test("tombstone delete: deleted ids never surface, survivors still " +
+    "retrieve, and compaction equals a rebuild without the deleted") {
+    val corpus = clustered.filter($"vec_id" < 800)
+    val index = Hnsw.buildShards(corpus, "vec_id", "embedding",
+      shards = 4).cache()
+    val delIds = Seq(5L, 17L, 123L, 456L, 790L).toDF("vec_id")
+    val tomb = Hnsw.deleteFromShards(index, delIds, "vec_id").cache()
+    // unknown ids no-op
+    val noop = Hnsw.deleteFromShards(index,
+      Seq(99999999L).toDF("vec_id"), "vec_id")
+    assert(noop.filter($"deleted").count() == 0)
+    assert(tomb.filter($"deleted").count() == 5)
+    assert(tomb.count() == index.count()) // rows kept: routing intact
+    // serve: no deleted id in any result; full k still comes back
+    val res = Hnsw.topK(tomb, cluQ, "vec_id", "embedding", K, ef = 128)
+    val dels = Set(5L, 17L, 123L, 456L, 790L)
+    assert(res.filter($"c_id".isin(dels.toSeq: _*)).count() == 0)
+    val counts = res.groupBy($"q_id").count().select("count")
+      .as[Long].collect()
+    assert(counts.forall(_ == K))
+    // recall vs brute force over the SURVIVORS stays in the regime
+    val survivors = corpus.filter(!$"vec_id".isin(dels.toSeq: _*))
+    val truth = topSet(Similarity.bruteForceTopK(cluQ, survivors,
+      "vec_id", "embedding", K))
+    val r = recallOf(truth, res)
+    info(f"recall@10 after tombstone delete: $r%.3f")
+    assert(r >= 0.95, s"post-delete recall $r")
+    // compaction ≡ rebuild on survivors, and leaves zero tombstones
+    val compacted = Hnsw.compactShards(tomb, shards = 4)
+    val rebuilt = Hnsw.buildShards(survivors, "vec_id", "embedding",
+      shards = 4)
+    assert(indexRows(compacted) == indexRows(rebuilt))
+    index.unpersist(); tomb.unpersist()
+  }
+
+  test("prepare + topKResident serves identically to one-shot topK") {
+    val index = Hnsw.buildShards(clustered, "vec_id", "embedding",
+      shards = 4)
+    val prepared = Hnsw.prepare(index).cache()
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sorted
+    val oneShot = rows(Hnsw.topK(index, cluQ, "vec_id", "embedding",
+      K, ef = 128))
+    val resident = rows(Hnsw.topKResident(prepared, cluQ, "vec_id",
+      "embedding", K, ef = 128))
+    assert(oneShot == resident)
+    prepared.unpersist()
+  }
+
+  test("an HNSW arm slots into reciprocal-rank fusion and, at its " +
+    "recall-1.0 operating point, fuses identically to the exact arm") {
+    import graft.operators.Retrieval
+    def arm(df: DataFrame) = df.select($"q_id".as("query_id"),
+      $"c_id".as("doc_id"), $"rank".cast("long").as("rank"))
+    // a deterministic second arm (stand-in lexical ranking): rank by
+    // doc id distance from the query id
+    val lex = cluQ.select($"vec_id".as("query_id")).crossJoin(
+        clustered.limit(200).select($"vec_id".as("doc_id")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id")
+          .orderBy(org.apache.spark.sql.functions
+            .abs($"doc_id" - $"query_id"), $"doc_id")))
+      .filter($"rank" <= 10).withColumn("rank", $"rank".cast("long"))
+    val hnswArm = arm(Hnsw.topK(
+      Hnsw.buildShards(clustered, "vec_id", "embedding", shards = 4),
+      cluQ, "vec_id", "embedding", K, ef = 128))
+    val exactArm = arm(Similarity.bruteForceTopK(cluQ, clustered,
+      "vec_id", "embedding", K))
+    def fused(a: DataFrame) = Retrieval.rrfFuse(Seq(a, lex), k = 10)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(fused(hnswArm) == fused(exactArm))
+  }
+
+  test("the index persists to parquet partitioned by shard and serves " +
+    "identically after reload") {
+    val index = Hnsw.buildShards(clustered, "vec_id", "embedding",
+      shards = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("hnsw_idx").toString
+    index.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .select("shard", "c_id", "vec", "links", "deleted")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sorted
+    val direct = rows(Hnsw.topK(index, cluQ, "vec_id", "embedding",
+      K, ef = 128))
+    val served = rows(Hnsw.topK(reloaded, cluQ, "vec_id", "embedding",
+      K, ef = 128))
+    assert(direct == served)
+  }
+
   test("scatter-gather merge: a 1-shard index and a 4-shard index " +
     "retrieve the same high-sim neighbors for duplicate probes") {
     // exact duplicates planted across shard boundaries: the +10000000

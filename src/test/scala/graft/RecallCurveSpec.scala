@@ -123,10 +123,12 @@ class RecallCurveSpec extends AnyFunSuite {
 
   test("true HNSW (round 9): the reference's own index structure, " +
     "measured in BOTH regimes at its hnsw_ef=128 operating point") {
-    val cluIdx = Hnsw.buildShards(clustered, "vec_id", "embedding",
-      shards = 4).cache()
+    // prepare + cache once, serve every ef point residently — the
+    // cross-batch serve shape (one index exchange total, not per call)
+    val cluIdx = Hnsw.prepare(Hnsw.buildShards(clustered, "vec_id",
+      "embedding", shards = 4)).cache()
     val clu = Seq(16, 64, 128).map { ef =>
-      val r = recallOf(cluTruth, Hnsw.topK(cluIdx, cluQ,
+      val r = recallOf(cluTruth, Hnsw.topKResident(cluIdx, cluQ,
         "vec_id", "embedding", K, ef = ef))
       info(f"clustered hnsw shards=4 m=16 ef=$ef%3d recall@10=$r%.3f")
       ef -> r
@@ -136,9 +138,9 @@ class RecallCurveSpec extends AnyFunSuite {
     cluIdx.unpersist()
     // uniform worst case: HNSW degrades like every ANN structure, but
     // the ef=128 beam on 5000 rows still has to beat low-effort IVF
-    val uniIdx = Hnsw.buildShards(emb, "vec_id", "embedding",
-      shards = 4).cache()
-    val uni = recallOf(embTruth, Hnsw.topK(uniIdx, embQ,
+    val uniIdx = Hnsw.prepare(Hnsw.buildShards(emb, "vec_id",
+      "embedding", shards = 4)).cache()
+    val uni = recallOf(embTruth, Hnsw.topKResident(uniIdx, embQ,
       "vec_id", "embedding", K, ef = 128))
     info(f"uniform   hnsw shards=4 m=16 ef=128 recall@10=$uni%.3f")
     assert(uni >= 0.5, s"uniform hnsw ef=128 recall $uni")
