@@ -97,12 +97,25 @@ object Chunker extends Serializable {
       if (toks.length <= maxTokens) Seq(c)
       else {
         val width = math.max(1, (maxTokens * 3) / 4)
-        val step = math.max(1, width - tokenOverlap)
-        (0 until toks.length by step)
-          .takeWhile(start => start == 0 || start + tokenOverlap < toks.length)
-          .map(start => toks.slice(start, start + width).mkString(" "))
+        tokenWindows(toks, width, tokenOverlap)
       }
     }
+
+  /** Overlapping token windows with GUARANTEED coverage: admit a start
+    * only while the previous window hasn't reached the end. When
+    * step = width − overlap ≥ 1 this is exactly the classic
+    * `start + overlap < n` cut; when width ≤ overlap (piece-dense
+    * text can shrink [[enforceBpeTokenLimit]]'s scaled width below
+    * the overlap) the classic cut stopped early and silently dropped
+    * the tail tokens — this form never loses a token.
+    */
+  private def tokenWindows(toks: Array[String], width: Int,
+                           tokenOverlap: Int): Seq[String] = {
+    val step = math.max(1, width - tokenOverlap)
+    (0 until toks.length by step)
+      .takeWhile(s => s == 0 || s - step + width < toks.length)
+      .map(s => toks.slice(s, s + width).mkString(" "))
+  }
 
   /** Token-limit enforcement BUDGETED IN BPE PIECES
     * ([[TextAnalysis.bpePieces]], the frozen-vocab merge table)
@@ -124,13 +137,8 @@ object Chunker extends Serializable {
         val width = math.max(1,
           ((maxTokens * 3L / 4) * toks.length / pieces).toInt)
         if (toks.length <= 1 || width >= toks.length) Seq(c)
-        else {
-          val step = math.max(1, width - tokenOverlap)
-          val parts = (0 until toks.length by step)
-            .takeWhile(s => s == 0 || s + tokenOverlap < toks.length)
-            .map(s => toks.slice(s, s + width).mkString(" "))
-          enforceBpeTokenLimit(parts, maxTokens, tokenOverlap)
-        }
+        else enforceBpeTokenLimit(tokenWindows(toks, width, tokenOverlap),
+          maxTokens, tokenOverlap)
       }
     }
 

@@ -60,8 +60,10 @@ object Hnsw {
     x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
     x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
     x ^= x >>> 33
-    // uniform in (0,1]; 1 − u54 would admit 0, whose ln is -inf
-    val u = ((x >>> 10).toDouble + 1.0) / 9007199254740993.0 // 2^53+1
+    // 53 high bits + 1 → uniform in (0,1]: never 0 (ln would be -inf)
+    // and never > 1 (a 54-bit numerator would put half the mass above
+    // 1, truncating -ln(u) to 0 and halving the hierarchy density)
+    val u = ((x >>> 11).toDouble + 1.0) / 9007199254740993.0 // 2^53+1
     math.min(32, (-math.log(u) * p.mL).toInt)
   }
 
@@ -228,8 +230,12 @@ object Hnsw {
       }(enc)
   }
 
+  // hash the CASTED long: Spark's xxhash64 hashes int and long
+  // representations of the same value differently, so an int-typed
+  // delta against a long-typed build would shard-split ids
   private def shardOf(idCol: String, shards: Int) =
-    pmod(xxhash64(col(idCol)), lit(shards)).cast("int").as("shard")
+    pmod(xxhash64(col(idCol).cast("long")), lit(shards))
+      .cast("int").as("shard")
 
   /** Build per-shard HNSW graphs: corpus → `shards` hash partitions →
     * one graph per partition → (shard, c_id, vec, links, deleted)

@@ -294,7 +294,9 @@ object Retrieval {
                     b: Double = 0.75): DataFrame = {
     val qt = queries.select(col(queryIdCol).as("query_id"),
         explode(col(termsCol)).as("term"))
-      .distinct()
+      .filter(col("term").isNotNull) // a null term can never match a
+      .distinct()                    // posting; dropping it here also
+                                     // keeps the collect NPE-free
     // sanctioned bounded collect (the isin contract); sorted for a
     // deterministic predicate ordering across runs
     val batchTerms = qt.select(col("term")).distinct()

@@ -122,6 +122,25 @@ class ChunkerSpec extends AnyFunSuite {
     assert(Chunker.enforceBpeTokenLimit(Seq(one), 10) == Seq(one))
   }
 
+  test("enforceBpeTokenLimit on piece-dense text (scaled window width " +
+    "at or below the overlap) still loses no words") {
+    import graft.operators.TextAnalysis
+    // unique 12-char words outside the toy vocab: ~1 piece per char,
+    // so the pieces-per-token scaling shrinks the window width well
+    // below the 25-token overlap — the regime where the classic
+    // `start + overlap < n` window cut silently dropped the tail
+    val words = (0 until 120).map(i => f"zq${i}%04dvwxjkp")
+    val dense = words.mkString(" ")
+    val out = Chunker.enforceBpeTokenLimit(Seq(dense),
+      maxTokens = 100, tokenOverlap = 25)
+    out.foreach { c =>
+      assert(TextAnalysis.bpePieces(c) <= 100,
+        s"piece over budget: ${TextAnalysis.bpePieces(c)}")
+    }
+    assert(out.flatMap(_.split("\\s+")).toSet == words.toSet,
+      "tail words were dropped by the window cut")
+  }
+
   test("ChunkText Generator matches the typed flatMap formulation " +
     "and handles null/empty text") {
     val spark = SharedSpark.spark

@@ -132,6 +132,17 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(served == direct)
+    // a null element in a caller-supplied terms array is dropped, not
+    // an NPE in the driver-side term collect (the pushed-predicate
+    // path must keep the old semi join's null tolerance)
+    val qsNull = spark.sql(
+      "SELECT 1L AS query_id, array('a', CAST(NULL AS STRING), 'd') AS terms " +
+      "UNION ALL SELECT 2L, array('b', 'g')")
+    val servedNull = Retrieval.bm25FromIndex(post, stats,
+        qsNull, "query_id", "terms", k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(servedNull == direct)
   }
 
   test("appendToBm25Index ≡ full rebuild over the union: delta-only " +
