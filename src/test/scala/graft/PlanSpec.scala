@@ -165,6 +165,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
   }
 
+  test("q117 lifecycle-served bm25 keeps the In(term) scan prune " +
+    "after delete + update maintenance — the rewritten index serves " +
+    "through the same pushed-predicate path as a fresh one") {
+    val p = plan("q117_bm25_lifecycle")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"expected In(term,...) pushed into the postings scan in:\n$p")
+    assert(!p.contains("LeftSemi"), s"post-scan semi-join prune in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
+
+  test("q118 hybrid fusion: lexical arm scan is term-pruned, vector " +
+    "arm broadcasts its bounded query side — no cartesian, no " +
+    "sort-merge anywhere in the fused plan") {
+    val p = plan("q118_hybrid_lexvec")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"expected In(term,...) pushed into the postings scan in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+  }
+
+  test("q120 ivf-bucketed semantic dedup: candidate pairs come from " +
+    "a cell equi-join, never an all-pairs cartesian") {
+    val p = plan("q120_semdedup_ivf")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop candidate generation in:\n$p")
+  }
+
   test("q96 mixture broadcasts the per-stratum plan onto the corpus " +
     "scan — no wide shuffle of the documents table") {
     val p = plan("q96_temp_mixture")

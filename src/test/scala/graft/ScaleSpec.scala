@@ -56,4 +56,38 @@ class ScaleSpec extends AnyFunSuite {
         s"shuffle bytes scaled with text size: $small -> $large")
     } finally spark.sparkContext.removeSparkListener(tally)
   }
+
+  test("hnsw resident serve: after prepare+cache, a query batch moves " +
+    "candidate-sized shuffle bytes — the index is never re-exchanged") {
+    import graft.operators.Hnsw
+    val rnd = new scala.util.Random(23)
+    // a LOCAL relation (no source repartition) so the only exchanges
+    // measured are the operator's own
+    val corpus = (0 until 2000).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 20).map(i =>
+      (10000L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val tally = ShuffleTally.install(spark.sparkContext)
+    try {
+      val prepared = Hnsw.prepare(Hnsw.buildShards(corpus, "vec_id",
+        "embedding", shards = 4)).cache()
+      prepared.count() // materialize: build + co-location paid HERE
+      val s0 = tally.snapshot(spark.sparkContext)
+      Hnsw.topKResident(prepared, queries, "vec_id", "embedding",
+        k = 10, ef = 128).count()
+      val batch1 = (tally.snapshot(spark.sparkContext) - s0).write
+      val s1 = tally.snapshot(spark.sparkContext)
+      Hnsw.topKResident(prepared, queries, "vec_id", "embedding",
+        k = 10, ef = 128).count()
+      val batch2 = (tally.snapshot(spark.sparkContext) - s1).write
+      // corpus ≈ 2000 rows × (64 dims × 8 B + links) ≈ 1.3+ MB; a
+      // served batch shuffles only the queries × shards × k candidate
+      // rows into the merge window — two orders of magnitude smaller
+      val cap = 100 * 1024L
+      assert(batch1 < cap, s"batch 1 re-exchanged the index: $batch1 B")
+      assert(batch2 < cap, s"batch 2 re-exchanged the index: $batch2 B")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 }
