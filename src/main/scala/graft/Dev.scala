@@ -20,7 +20,8 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = SparkEntry.queries.getOrElse(name,
+        SparkEntry.benchOnly(name))(spark, sfDir)
       if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
       val t0 = System.nanoTime()
       val n = sys.env.get("GRAFT_DUMP") match {

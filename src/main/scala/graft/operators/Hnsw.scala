@@ -253,6 +253,102 @@ object Hnsw {
         shardOf(idCol, shards)),
       shards, params)
 
+  /** EQUALITY-FILTERED ANN, the reference's actual related-articles
+    * query shape (same `topic_id` must-match + own-id must_not,
+    * get_relevant_articles.py:64-88, served by Qdrant's filtered
+    * HNSW): shard BY TAG instead of by id hash, one graph per tag, so
+    * a query routes only to its tag's graph and the filter is exact
+    * BY CONSTRUCTION — no beam-time predicate, no post-filter recall
+    * loss, and at scale a filtered query touches one shard instead of
+    * all of them. Distinct tags are collected (bounded: the tag is a
+    * grouping key like topic, not an id) and densely numbered into
+    * shard ids; returns (index, tagMap (tag, shard)) — persist both.
+    * The same lifecycle applies ([[appendShards]] semantics hold per
+    * tag via rebuild-from-membership determinism).
+    */
+  def buildTagged(corpus: DataFrame, idCol: String, vecCol: String,
+                  tagCol: String, params: Params = Params())
+      : (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tags = corpus.select(col(tagCol).cast("long").as("tag"))
+      .distinct().as[Long].collect().sorted // bounded + deterministic
+    val tagMap = tags.zipWithIndex
+      .map { case (t, i) => (t, i) }.toSeq.toDF("tag", "shard")
+    val rows = corpus.join(broadcast(tagMap),
+        corpus(tagCol).cast("long") === tagMap("tag"))
+      .select(col(idCol).cast("long").as("c_id"),
+        graft.functions.Vectors.toDouble(col(vecCol)).as("vec"),
+        col("shard"))
+    (buildFrom(rows, math.max(1, tags.length), params), tagMap)
+  }
+
+  /** Serve [[buildTagged]]: each query carries its tag, routes ONLY to
+    * that tag's graph, and own-id exclusion falls out of the serve
+    * path — J5's must/must_not semantics with every returned neighbor
+    * tag-correct by construction. Queries whose tag has no graph
+    * return no rows (empty topics have no candidates).
+    */
+  def topKTagged(index: DataFrame, tagMap: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, tagCol: String, k: Int,
+                 ef: Int = 128, params: Params = Params()): DataFrame = {
+    val p = params
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qRows = queries.join(broadcast(tagMap),
+        queries(tagCol).cast("long") === tagMap("tag"))
+      .select(col(idCol).cast("long"),
+        graft.functions.Vectors.toDouble(col(vecCol)), col("shard"))
+      .as[(Long, Seq[Double], Int)].collect() // bounded: query contract
+      .map { case (id, v, sh) => (id, v.toArray, sh) }
+    val qB = spark.sparkContext.broadcast(qRows)
+    val kk = k; val efS = ef
+    val hits = prepare(index)
+      .select(col("shard"), col("c_id"), col("vec"), col("links"),
+        col("deleted"))
+      .as[(Int, Long, Seq[Double], Seq[Seq[Long]], Boolean)]
+      .mapPartitions { it =>
+        val byShard = it.toArray.groupBy(_._1)
+        byShard.iterator.flatMap { case (shard, rs) =>
+          val mine = qB.value.filter(_._3 == shard)
+          if (mine.isEmpty) Iterator.empty
+          else {
+            val g = new Graph(p)
+            val dead = mutable.LongMap.empty[Unit]
+            var maxLevel = -1
+            rs.foreach { case (_, id, vec, links, del) =>
+              g.vecs(id) = vec.toArray
+              if (del) dead(id) = ()
+              while (g.adj.size < links.size)
+                g.adj += mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+              links.zipWithIndex.foreach { case (ns, lv) =>
+                if (ns.nonEmpty || lv == 0)
+                  g.adj(lv)(id) = mutable.ArrayBuffer(ns: _*)
+              }
+              val top = links.size - 1
+              if (top > maxLevel) { maxLevel = top; g.entry = id }
+              else if (top == maxLevel && id < g.entry) g.entry = id
+            }
+            g.topLevel = maxLevel
+            val pull = kk + 1 + dead.size
+            mine.iterator.flatMap { case (qid, qv, _) =>
+              g.search(qv, pull, math.max(efS, pull)).iterator
+                .filter { case (cid, _) =>
+                  cid != qid && !dead.contains(cid) }
+                .take(kk)
+                .map { case (cid, sim) => (qid, cid, sim) }
+            }
+          }
+        }
+      }
+      .toDF("q_id", "c_id", "sim")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+  }
+
   /** Incremental append: rebuild ONLY the shards the delta hashes
     * into; every other shard's rows pass through untouched. Because
     * the build is deterministic in membership,

@@ -4422,6 +4422,19 @@ object Queries {
           k = 10, ef = 128)
         .orderBy($"q_id", $"rank")
     }),
+    "q50x_hnsw_tagged" -> ((s: SparkSession, dir: String) => {
+      // tag-partitioned HNSW: the reference's filtered related-articles
+      // query (same topic must + own-id must_not + top 6 + ef=128,
+      // get_relevant_articles.py:64-88) with the label standing in for
+      // topic_id — one graph per tag, queries route to one shard each
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val (index, tagMap) = Hnsw.buildTagged(emb, "vec_id", "embedding",
+        "label")
+      Hnsw.topKTagged(index, tagMap, emb.filter($"vec_id" < 50),
+          "vec_id", "embedding", "label", k = 6, ef = 128)
+        .orderBy($"q_id", $"rank")
+    }),
     "q80x_incr_dedup_xx64" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")

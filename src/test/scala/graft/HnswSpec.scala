@@ -263,6 +263,39 @@ class HnswSpec extends AnyFunSuite {
     assert(direct == served)
   }
 
+  test("tag-partitioned HNSW (the reference's filtered J5 shape): " +
+    "every neighbor is tag-correct by construction, self is excluded, " +
+    "recall matches per-tag brute force, unknown tags return nothing") {
+    // tag = the generating cluster (i % 20): the realistic case where
+    // the filter key correlates with embedding geometry
+    val tagged = clustered.withColumn("tag", $"vec_id" % 20)
+    val (index, tagMap) = Hnsw.buildTagged(tagged, "vec_id",
+      "embedding", "tag")
+    val q = tagged.filter($"vec_id" < 50)
+    val res = Hnsw.topKTagged(index, tagMap, q, "vec_id", "embedding",
+      "tag", k = 6, ef = 128).cache()
+    // must: same tag, exactly; must_not: own id
+    assert(res.filter($"c_id" % 20 =!= $"q_id" % 20).count() == 0)
+    assert(res.filter($"c_id" === $"q_id").count() == 0)
+    assert(res.groupBy($"q_id").count().filter($"count" =!= 6L)
+      .count() == 0)
+    // recall vs brute force restricted to the query's tag
+    val truth = (0 until 20).map { tag =>
+      topSet(Similarity.bruteForceTopK(
+        q.filter($"tag" === tag), tagged.filter($"tag" === tag),
+        "vec_id", "embedding", 6))
+    }.reduce(_ ++ _)
+    val r = recallOf(truth, res)
+    info(f"tag-partitioned hnsw recall@6: $r%.3f")
+    assert(r >= 0.95, s"tagged recall $r")
+    // a query whose tag has no graph serves no rows
+    val ghost = Seq((777L, Array.fill(64)(0.5f), 999L))
+      .toDF("vec_id", "embedding", "tag")
+    assert(Hnsw.topKTagged(index, tagMap, ghost, "vec_id",
+      "embedding", "tag", k = 6).count() == 0)
+    res.unpersist()
+  }
+
   test("scatter-gather merge: a 1-shard index and a 4-shard index " +
     "retrieve the same high-sim neighbors for duplicate probes") {
     // exact duplicates planted across shard boundaries: the +10000000
