@@ -292,7 +292,6 @@ object Hnsw {
   def topKTagged(index: DataFrame, tagMap: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, tagCol: String, k: Int,
                  ef: Int = 128, params: Params = Params()): DataFrame = {
-    val p = params
     val spark = index.sparkSession
     import spark.implicits._
     val qRows = queries.join(broadcast(tagMap),
@@ -301,18 +300,34 @@ object Hnsw {
         graft.functions.Vectors.toDouble(col(vecCol)), col("shard"))
       .as[(Long, Seq[Double], Int)].collect() // bounded: query contract
       .map { case (id, v, sh) => (id, v.toArray, sh) }
+    serve(prepare(index), qRows, k, ef, params, routed = true)
+  }
+
+  /** Shared scatter-gather serve core. `qRows` carries a routing shard
+    * per query; `routed = false` sends every query to every shard
+    * (hash-sharded indexes, where any shard may hold a neighbor),
+    * `routed = true` only to its own (tag-sharded, where the shard IS
+    * the filter).
+    */
+  private def serve(prepared: DataFrame,
+                    qRows: Array[(Long, Array[Double], Int)], k: Int,
+                    ef: Int, p: Params, routed: Boolean): DataFrame = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
     val qB = spark.sparkContext.broadcast(qRows)
-    val kk = k; val efS = ef
-    val hits = prepare(index)
+    val kk = k; val efS = ef; val routedS = routed
+    val hits = prepared
       .select(col("shard"), col("c_id"), col("vec"), col("links"),
         col("deleted"))
       .as[(Int, Long, Seq[Double], Seq[Seq[Long]], Boolean)]
       .mapPartitions { it =>
         val byShard = it.toArray.groupBy(_._1)
         byShard.iterator.flatMap { case (shard, rs) =>
-          val mine = qB.value.filter(_._3 == shard)
+          val mine =
+            if (routedS) qB.value.filter(_._3 == shard) else qB.value
           if (mine.isEmpty) Iterator.empty
           else {
+            // reconstruct the shard graph: vectors + saved adjacency
             val g = new Graph(p)
             val dead = mutable.LongMap.empty[Unit]
             var maxLevel = -1
@@ -325,11 +340,15 @@ object Hnsw {
                 if (ns.nonEmpty || lv == 0)
                   g.adj(lv)(id) = mutable.ArrayBuffer(ns: _*)
               }
+              // deterministic entry: the highest-level node, min id
               val top = links.size - 1
               if (top > maxLevel) { maxLevel = top; g.entry = id }
               else if (top == maxLevel && id < g.entry) g.entry = id
             }
             g.topLevel = maxLevel
+            // +1 so a query that is itself an indexed row still yields
+            // k true neighbors after self-exclusion; +dead.size so
+            // tombstones can't crowd live rows out of the pull
             val pull = kk + 1 + dead.size
             mine.iterator.flatMap { case (qid, qv, _) =>
               g.search(qv, pull, math.max(efS, pull)).iterator
@@ -454,58 +473,12 @@ object Hnsw {
   def topKResident(prepared: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int, ef: Int = 128,
                    params: Params = Params()): DataFrame = {
-    val p = params
     val spark = prepared.sparkSession
     import spark.implicits._
     val qRows = queries.select(col(idCol).cast("long"),
         graft.functions.Vectors.toDouble(col(vecCol)))
       .as[(Long, Seq[Double])].collect() // bounded: the ANN query contract
-      .map { case (id, v) => (id, v.toArray) }
-    val qB = spark.sparkContext.broadcast(qRows)
-    val kk = k; val efS = ef
-    val hits = prepared.select(col("shard"), col("c_id"), col("vec"),
-        col("links"), col("deleted"))
-      .as[(Int, Long, Seq[Double], Seq[Seq[Long]], Boolean)]
-      .mapPartitions { it =>
-        val byShard = it.toArray.groupBy(_._1)
-        byShard.iterator.flatMap { case (_, rs) =>
-          // reconstruct the shard graph: vectors + saved adjacency
-          val g = new Graph(p)
-          val dead = mutable.LongMap.empty[Unit]
-          var maxLevel = -1
-          rs.foreach { case (_, id, vec, links, del) =>
-            g.vecs(id) = vec.toArray
-            if (del) dead(id) = ()
-            while (g.adj.size < links.size)
-              g.adj += mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-            links.zipWithIndex.foreach { case (ns, lv) =>
-              if (ns.nonEmpty || lv == 0)
-                g.adj(lv)(id) = mutable.ArrayBuffer(ns: _*)
-            }
-            // deterministic entry: the highest-level node, min id
-            val top = links.size - 1
-            if (top > maxLevel) { maxLevel = top; g.entry = id }
-            else if (top == maxLevel && id < g.entry) g.entry = id
-          }
-          g.topLevel = maxLevel
-          // +1 so a query that is itself an indexed row still yields
-          // k true neighbors after self-exclusion; +dead.size so
-          // tombstones can't crowd live rows out of the pull
-          val pull = kk + 1 + dead.size
-          qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, pull, math.max(efS, pull)).iterator
-              .filter { case (cid, _) =>
-                cid != qid && !dead.contains(cid) }
-              .take(kk)
-              .map { case (cid, sim) => (qid, cid, sim) }
-          }
-        }
-      }
-      .toDF("q_id", "c_id", "sim")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id").asc)
-    hits.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .map { case (id, v) => (id, v.toArray, -1) }
+    serve(prepared, qRows, k, ef, params, routed = false)
   }
 }

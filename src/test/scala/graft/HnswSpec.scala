@@ -296,6 +296,55 @@ class HnswSpec extends AnyFunSuite {
     res.unpersist()
   }
 
+  test("streaming ingest: micro-batches appended in foreachBatch " +
+    "converge to exactly the batch-built index (q111's shape for the " +
+    "vector index)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.{DataFrame => DF, Row, Dataset}
+    val dir = java.nio.file.Files
+      .createTempDirectory("hnsw_stream").toString
+    // generation 0: the first 500 rows, persisted
+    Hnsw.buildShards(clustered.filter($"vec_id" < 500), "vec_id",
+        "embedding", shards = 4)
+      .write.parquet(s"$dir/idx_seed")
+    @volatile var cur = s"$dir/idx_seed"
+    val arrivals = clustered.filter($"vec_id" >= 500 && $"vec_id" < 900)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val b = batch.toDF("vec_id", "embedding")
+      val next = s"$dir/idx_$id"
+      // read the current generation, append the delta's shards only,
+      // write the next generation — the persisted-index ingest loop
+      Hnsw.appendShards(spark.read.parquet(cur), b, "vec_id",
+        "embedding", shards = 4).write.parquet(next)
+      cur = next
+    }
+    val q = stream.toDS().toDF("vec_id", "embedding").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch(sink)
+      .start()
+    stream.addData(arrivals.take(200).toSeq)
+    q.awaitTermination()
+    val q2 = stream.toDS().toDF("vec_id", "embedding").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch(sink)
+      .start()
+    stream.addData(arrivals.drop(200).toSeq)
+    q2.awaitTermination()
+    val streamed = indexRows(spark.read.parquet(cur))
+    val batchBuilt = indexRows(Hnsw.buildShards(
+      clustered.filter($"vec_id" < 900), "vec_id", "embedding",
+      shards = 4))
+    assert(streamed == batchBuilt,
+      "streamed generations diverged from the batch build")
+  }
+
   test("scatter-gather merge: a 1-shard index and a 4-shard index " +
     "retrieve the same high-sim neighbors for duplicate probes") {
     // exact duplicates planted across shard boundaries: the +10000000
