@@ -103,15 +103,19 @@ object Chunker extends Serializable {
 
   /** Overlapping token windows with GUARANTEED coverage: admit a start
     * only while the previous window hasn't reached the end. When
-    * step = width − overlap ≥ 1 this is exactly the classic
-    * `start + overlap < n` cut; when width ≤ overlap (piece-dense
-    * text can shrink [[enforceBpeTokenLimit]]'s scaled width below
-    * the overlap) the classic cut stopped early and silently dropped
-    * the tail tokens — this form never loses a token.
+    * width > overlap this is exactly the classic `start + overlap < n`
+    * cut with its usual step; when width ≤ overlap (piece-dense text
+    * can shrink [[enforceBpeTokenLimit]]'s scaled width below the
+    * overlap) the requested overlap is unachievable — the classic cut
+    * silently dropped the tail there, and a literal step of 1 would
+    * emit ~n windows (a width-factor output blowup). Clamp the step to
+    * width/2: coverage holds, duplication stays ≤ ~2×.
     */
   private def tokenWindows(toks: Array[String], width: Int,
                            tokenOverlap: Int): Seq[String] = {
-    val step = math.max(1, width - tokenOverlap)
+    val step =
+      if (width > tokenOverlap) width - tokenOverlap
+      else math.max(1, width / 2)
     (0 until toks.length by step)
       .takeWhile(s => s == 0 || s - step + width < toks.length)
       .map(s => toks.slice(s, s + width).mkString(" "))

@@ -263,20 +263,22 @@ object Hnsw {
     * all of them. Distinct tags are collected (bounded: the tag is a
     * grouping key like topic, not an id) and densely numbered into
     * shard ids; returns (index, tagMap (tag, shard)) — persist both.
-    * The same lifecycle applies ([[appendShards]] semantics hold per
-    * tag via rebuild-from-membership determinism).
+    * Tags compare as STRINGS (the reference's topic_id is one);
+    * null-tagged rows are unindexable by an equality filter and are
+    * excluded. The same lifecycle applies ([[appendShards]] semantics
+    * hold per tag via rebuild-from-membership determinism).
     */
   def buildTagged(corpus: DataFrame, idCol: String, vecCol: String,
                   tagCol: String, params: Params = Params())
       : (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val tags = corpus.select(col(tagCol).cast("long").as("tag"))
-      .distinct().as[Long].collect().sorted // bounded + deterministic
-    val tagMap = tags.zipWithIndex
-      .map { case (t, i) => (t, i) }.toSeq.toDF("tag", "shard")
+    val tags = corpus.select(col(tagCol).cast("string").as("tag"))
+      .filter(col("tag").isNotNull)
+      .distinct().as[String].collect().sorted // bounded + deterministic
+    val tagMap = tags.zipWithIndex.toSeq.toDF("tag", "shard")
     val rows = corpus.join(broadcast(tagMap),
-        corpus(tagCol).cast("long") === tagMap("tag"))
+        corpus(tagCol).cast("string") === tagMap("tag"))
       .select(col(idCol).cast("long").as("c_id"),
         graft.functions.Vectors.toDouble(col(vecCol)).as("vec"),
         col("shard"))
@@ -286,21 +288,47 @@ object Hnsw {
   /** Serve [[buildTagged]]: each query carries its tag, routes ONLY to
     * that tag's graph, and own-id exclusion falls out of the serve
     * path — J5's must/must_not semantics with every returned neighbor
-    * tag-correct by construction. Queries whose tag has no graph
-    * return no rows (empty topics have no candidates).
+    * tag-correct by construction. Queries whose tag has no graph (or a
+    * null tag) return no rows. One-shot: the index is FILTERED to the
+    * batch's shards before the co-location exchange, so a persisted
+    * `partitionBy("shard")` index is partition-pruned at the source
+    * and a one-topic batch reads one shard, not the corpus; serving
+    * many batches should [[prepare]] + cache once and call
+    * [[topKTaggedResident]].
     */
   def topKTagged(index: DataFrame, tagMap: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, tagCol: String, k: Int,
                  ef: Int = 128, params: Params = Params()): DataFrame = {
-    val spark = index.sparkSession
+    val qRows = taggedQueryRows(tagMap, queries, idCol, vecCol, tagCol)
+    val touched = qRows.map(_._3).distinct.toSeq
+    serve(prepare(index.filter(col("shard").isin(touched: _*))),
+      qRows, k, ef, params, routed = true)
+  }
+
+  /** [[topKTagged]] minus the index exchange: `prepared` MUST be
+    * [[prepare]]'s output (cached across batches — untouched shards
+    * are skipped before their graphs are materialized).
+    */
+  def topKTaggedResident(prepared: DataFrame, tagMap: DataFrame,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, tagCol: String, k: Int,
+                         ef: Int = 128,
+                         params: Params = Params()): DataFrame =
+    serve(prepared,
+      taggedQueryRows(tagMap, queries, idCol, vecCol, tagCol),
+      k, ef, params, routed = true)
+
+  private def taggedQueryRows(tagMap: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              tagCol: String): Array[(Long, Array[Double], Int)] = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val qRows = queries.join(broadcast(tagMap),
-        queries(tagCol).cast("long") === tagMap("tag"))
+    queries.join(broadcast(tagMap),
+        queries(tagCol).cast("string") === tagMap("tag"))
       .select(col(idCol).cast("long"),
         graft.functions.Vectors.toDouble(col(vecCol)), col("shard"))
       .as[(Long, Seq[Double], Int)].collect() // bounded: query contract
       .map { case (id, v, sh) => (id, v.toArray, sh) }
-    serve(prepare(index), qRows, k, ef, params, routed = true)
   }
 
   /** Shared scatter-gather serve core. `qRows` carries a routing shard
@@ -316,12 +344,16 @@ object Hnsw {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(qRows)
     val kk = k; val efS = ef; val routedS = routed
+    val routedShards = if (routed) qRows.map(_._3).toSet else Set.empty[Int]
     val hits = prepared
       .select(col("shard"), col("c_id"), col("vec"), col("links"),
         col("deleted"))
       .as[(Int, Long, Seq[Double], Seq[Seq[Long]], Boolean)]
       .mapPartitions { it =>
-        val byShard = it.toArray.groupBy(_._1)
+        // routed: drop untouched shards' rows BEFORE materializing —
+        // a cached prepared index may hold every shard in this task
+        val mine0 = if (routedS) it.filter(r => routedShards(r._1)) else it
+        val byShard = mine0.toArray.groupBy(_._1)
         byShard.iterator.flatMap { case (shard, rs) =>
           val mine =
             if (routedS) qB.value.filter(_._3 == shard) else qB.value

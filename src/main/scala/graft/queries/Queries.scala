@@ -4412,9 +4412,9 @@ object Queries {
       // the embeddings table — timed so the reference's own index
       // structure has a throughput number next to the IVF/PQ/SQ8
       // substitutes; approximate by construction (recall pinned in
-      // HnswSpec/RecallCurveSpec at 1.00/ef=128 clustered), so it is
-      // bench-only like the other xx-twins. Name sorts next to q48
-      // (IVF), its oracle-mode sibling.
+      // HnswSpec/RecallCurveSpec: 0.99 clustered / 1.00 uniform at
+      // ef=128), so it is bench-only like the other xx-twins. Name
+      // sorts next to q48 (IVF), its oracle-mode sibling.
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val index = Hnsw.buildShards(emb, "vec_id", "embedding", shards = 8)

@@ -266,11 +266,25 @@ class HnswSpec extends AnyFunSuite {
   test("tag-partitioned HNSW (the reference's filtered J5 shape): " +
     "every neighbor is tag-correct by construction, self is excluded, " +
     "recall matches per-tag brute force, unknown tags return nothing") {
-    // tag = the generating cluster (i % 20): the realistic case where
-    // the filter key correlates with embedding geometry
-    val tagged = clustered.withColumn("tag", $"vec_id" % 20)
-    val (index, tagMap) = Hnsw.buildTagged(tagged, "vec_id",
+    // tag = STRING topic derived from the generating cluster (i % 20):
+    // the realistic case where the filter key correlates with
+    // embedding geometry and is a string like the reference's
+    // topic_id; one null-tagged row must be excluded from the index
+    // (no equality filter can ever retrieve it)
+    val tagged = clustered.withColumn("tag",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("topic_"),
+        org.apache.spark.sql.functions.format_string("%02d",
+          $"vec_id" % 20)))
+    val withNull = tagged.unionByName(
+      clustered.filter($"vec_id" === 0L)
+        .select(($"vec_id" + 20000000L).as("vec_id"), $"embedding")
+        .withColumn("tag",
+          org.apache.spark.sql.functions.lit(null: String)))
+    val (index, tagMap) = Hnsw.buildTagged(withNull, "vec_id",
       "embedding", "tag")
+    assert(index.filter($"c_id" === 20000000L).count() == 0,
+      "null-tagged row must not be indexed")
     val q = tagged.filter($"vec_id" < 50)
     val res = Hnsw.topKTagged(index, tagMap, q, "vec_id", "embedding",
       "tag", k = 6, ef = 128).cache()
@@ -280,7 +294,8 @@ class HnswSpec extends AnyFunSuite {
     assert(res.groupBy($"q_id").count().filter($"count" =!= 6L)
       .count() == 0)
     // recall vs brute force restricted to the query's tag
-    val truth = (0 until 20).map { tag =>
+    val truth = (0 until 20).map { t =>
+      val tag = f"topic_$t%02d"
       topSet(Similarity.bruteForceTopK(
         q.filter($"tag" === tag), tagged.filter($"tag" === tag),
         "vec_id", "embedding", 6))
@@ -323,19 +338,21 @@ class HnswSpec extends AnyFunSuite {
         "embedding", shards = 4).write.parquet(next)
       cur = next
     }
+    // data lands BEFORE each start: AvailableNow snapshots the source
+    // offset as the stream begins, racing any post-start addData
+    stream.addData(arrivals.take(200).toSeq)
     val q = stream.toDS().toDF("vec_id", "embedding").writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$dir/cp")
       .foreachBatch(sink)
       .start()
-    stream.addData(arrivals.take(200).toSeq)
     q.awaitTermination()
+    stream.addData(arrivals.drop(200).toSeq)
     val q2 = stream.toDS().toDF("vec_id", "embedding").writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$dir/cp")
       .foreachBatch(sink)
       .start()
-    stream.addData(arrivals.drop(200).toSeq)
     q2.awaitTermination()
     val streamed = indexRows(spark.read.parquet(cur))
     val batchBuilt = indexRows(Hnsw.buildShards(
