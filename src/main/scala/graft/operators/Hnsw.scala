@@ -318,6 +318,52 @@ object Hnsw {
       taggedQueryRows(tagMap, queries, idCol, vecCol, tagCol),
       k, ef, params, routed = true)
 
+  /** Tagged append: rebuild ONLY the tags the delta carries. Existing
+    * tags keep their shard numbers; NEW tags extend the map with the
+    * next dense ids (in sorted order), so the returned tagMap
+    * supersedes the input one — persist both. A full rebuild may
+    * number shards differently (it sorts ALL tags), so the identity
+    * that holds — and the spec pins — is SERVE equivalence:
+    * `topKTagged` over the appended index answers every query exactly
+    * like one over `buildTagged` of the union corpus, because each
+    * tag's graph is a pure function of its membership regardless of
+    * which shard number carries it. Upsert-on-collision and
+    * tombstone compaction of touched tags match [[appendShards]];
+    * null-tagged delta rows are excluded like at build.
+    */
+  def appendTagged(index: DataFrame, tagMap: DataFrame, delta: DataFrame,
+                   idCol: String, vecCol: String, tagCol: String,
+                   params: Params = Params()): (DataFrame, DataFrame) = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val dTags = delta.select(col(tagCol).cast("string").as("tag"))
+      .filter(col("tag").isNotNull)
+      .distinct().as[String].collect().sorted // bounded: tag contract
+    if (dTags.isEmpty) return (index, tagMap)
+    val known = tagMap.select(col("tag"), col("shard"))
+      .as[(String, Int)].collect().toMap // bounded: the tag map
+    val nextShard = if (known.isEmpty) 0 else known.values.max + 1
+    val fresh = dTags.filterNot(known.contains).zipWithIndex
+      .map { case (t, i) => (t, nextShard + i) }
+    val newMap = tagMap.unionByName(fresh.toSeq.toDF("tag", "shard"))
+    val touched = dTags.map(t => known.getOrElse(t,
+      fresh.toMap.apply(t))).toSeq
+    val d = delta.join(broadcast(newMap),
+        delta(tagCol).cast("string") === newMap("tag"))
+      .select(col(idCol).cast("long").as("c_id"),
+        graft.functions.Vectors.toDouble(col(vecCol)).as("vec"),
+        col("shard"))
+    val keep = index.filter(!col("shard").isin(touched: _*))
+    val existing = index
+      .filter(col("shard").isin(touched: _*) && !col("deleted"))
+      .select(col("c_id"), col("vec"), col("shard"))
+      .join(d.select("c_id"), Seq("c_id"), "left_anti")
+    (keep.unionByName(
+      buildFrom(existing.unionByName(d), nextShard + fresh.length,
+        params)),
+      newMap)
+  }
+
   private def taggedQueryRows(tagMap: DataFrame, queries: DataFrame,
                               idCol: String, vecCol: String,
                               tagCol: String): Array[(Long, Array[Double], Int)] = {

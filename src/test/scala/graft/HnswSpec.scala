@@ -311,6 +311,45 @@ class HnswSpec extends AnyFunSuite {
     res.unpersist()
   }
 
+  test("appendTagged: existing tags rebuild in place, new tags extend " +
+    "the map, and serve answers exactly like a full union rebuild " +
+    "even when rebuild numbering differs") {
+    import org.apache.spark.sql.functions.{concat, format_string, lit}
+    val topics = clustered.withColumn("tag",
+      concat(lit("topic_"), format_string("%02d", $"vec_id" % 20)))
+    val base = topics.filter($"vec_id" < 1500)
+    // delta: more rows for existing topics PLUS a brand-new tag that
+    // sorts BEFORE every existing one — a full rebuild renumbers all
+    // shards, so only serve-equivalence (not row-identity) can hold
+    val delta = topics.filter($"vec_id" >= 1500)
+      .unionByName(clustered.filter($"vec_id" < 30)
+        .select(($"vec_id" + 30000000L).as("vec_id"), $"embedding")
+        .withColumn("tag", lit("aaa_new")))
+    val (i0, m0) = Hnsw.buildTagged(base, "vec_id", "embedding", "tag")
+    val (i1, m1) = Hnsw.appendTagged(i0, m0, delta, "vec_id",
+      "embedding", "tag")
+    val (iF, mF) = Hnsw.buildTagged(base.unionByName(delta), "vec_id",
+      "embedding", "tag")
+    assert(m1.filter($"tag" === "aaa_new").count() == 1)
+    // existing tags keep their shard numbers in the appended map
+    val before = m0.collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val after = m1.collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(before.forall { case (t, s) => after(t) == s })
+    // queries over old topics AND the new tag
+    val q = topics.filter($"vec_id" < 40).unionByName(
+      clustered.filter($"vec_id" === 1L)
+        .select(($"vec_id" + 30000000L).as("vec_id"), $"embedding")
+        .withColumn("tag", lit("aaa_new")))
+    def rows(idx: DataFrame, m: DataFrame) =
+      Hnsw.topKTagged(idx, m, q, "vec_id", "embedding", "tag", k = 6,
+          ef = 128)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(i1, m1) == rows(iF, mF))
+  }
+
   test("streaming ingest: micro-batches appended in foreachBatch " +
     "converge to exactly the batch-built index (q111's shape for the " +
     "vector index)") {
