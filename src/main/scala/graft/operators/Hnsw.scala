@@ -345,9 +345,9 @@ object Hnsw {
     val nextShard = if (known.isEmpty) 0 else known.values.max + 1
     val fresh = dTags.filterNot(known.contains).zipWithIndex
       .map { case (t, i) => (t, nextShard + i) }
+    val freshMap = fresh.toMap
     val newMap = tagMap.unionByName(fresh.toSeq.toDF("tag", "shard"))
-    val touched = dTags.map(t => known.getOrElse(t,
-      fresh.toMap.apply(t))).toSeq
+    val touched = dTags.map(t => known.getOrElse(t, freshMap(t))).toSeq
     val d = delta.join(broadcast(newMap),
         delta(tagCol).cast("string") === newMap("tag"))
       .select(col(idCol).cast("long").as("c_id"),

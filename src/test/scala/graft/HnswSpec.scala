@@ -311,6 +311,31 @@ class HnswSpec extends AnyFunSuite {
     res.unpersist()
   }
 
+  test("a persisted tagged index partition-prunes at the source: a " +
+    "one-topic batch plans an equality PartitionFilter on its shard, " +
+    "not a corpus scan") {
+    import org.apache.spark.sql.functions.{concat, format_string, lit}
+    val topics = clustered.withColumn("tag",
+      concat(lit("topic_"), format_string("%02d", $"vec_id" % 20)))
+    val (index, tagMap) = Hnsw.buildTagged(topics, "vec_id",
+      "embedding", "tag")
+    val dir = java.nio.file.Files
+      .createTempDirectory("hnsw_tagged_idx").toString
+    index.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .select("shard", "c_id", "vec", "links", "deleted")
+    val oneTopic = topics.filter($"vec_id" === 7L) // a single query
+    val served = Hnsw.topKTagged(reloaded, tagMap, oneTopic, "vec_id",
+      "embedding", "tag", k = 6, ef = 128)
+    val plan = served.queryExecution.executedPlan.toString
+    // vec_id 7 carries topic_07 → dense shard 7 (sorted numbering);
+    // the isin literal reaches the scan as a static partition filter
+    assert(plan.contains("PartitionFilters: [isnotnull(shard") &&
+      plan.contains("= 7)"),
+      s"one-topic serve did not prune to one shard partition:\n$plan")
+    assert(served.count() == 6)
+  }
+
   test("appendTagged: existing tags rebuild in place, new tags extend " +
     "the map, and serve answers exactly like a full union rebuild " +
     "even when rebuild numbering differs") {
