@@ -364,6 +364,28 @@ object Hnsw {
       newMap)
   }
 
+  /** Tagged compaction: rebuild every tombstone-carrying tag graph
+    * from its survivors WITHOUT renumbering — the tagMap stays valid
+    * as-is (deletion parity with the hash-sharded path, where
+    * [[deleteFromShards]] already applies unchanged to a tagged index
+    * because tombstoning is id-based and shard-scheme-agnostic). The
+    * shard count comes from the tagMap, not a caller guess. A tag
+    * whose rows are ALL deleted keeps its (now empty) shard number:
+    * its queries return no rows — exactly like after a fresh
+    * [[buildTagged]] that never saw the tag — and a later
+    * [[appendTagged]] refills the same shard. When every tag retains
+    * survivors, the result is row-identical to `buildTagged` of the
+    * surviving corpus (same tag set → same dense numbering; then
+    * per-shard membership determinism), which the spec pins.
+    */
+  def compactTagged(index: DataFrame, tagMap: DataFrame,
+                    params: Params = Params()): DataFrame = {
+    import index.sparkSession.implicits._
+    val n = tagMap.agg(max(col("shard"))).as[Option[Int]]
+      .head().map(_ + 1).getOrElse(1) // bounded: the tag map
+    compactShards(index, math.max(1, n), params)
+  }
+
   private def taggedQueryRows(tagMap: DataFrame, queries: DataFrame,
                               idCol: String, vecCol: String,
                               tagCol: String): Array[(Long, Array[Double], Int)] = {
@@ -485,6 +507,9 @@ object Hnsw {
     * if graph edges dangled. Serve filters tombstones from results
     * and widens its candidate pull per shard by the tombstone count;
     * [[compactShards]] bounds that widening. Unknown ids no-op.
+    * Applies to BOTH shard schemes: tombstoning is id-based, so a
+    * [[buildTagged]] index deletes through this same call (compact it
+    * with [[compactTagged]], which keeps the tagMap's numbering).
     */
   def deleteFromShards(index: DataFrame, ids: DataFrame,
                        idCol: String): DataFrame = {

@@ -375,6 +375,81 @@ class HnswSpec extends AnyFunSuite {
     assert(rows(i1, m1) == rows(iF, mF))
   }
 
+  test("tagged delete/compact: deleteFromShards tombstones a tagged " +
+    "index unchanged; compactTagged rebuilds dirty tags without " +
+    "renumbering and matches a fresh buildTagged of the survivors") {
+    import org.apache.spark.sql.functions.{concat, format_string, lit}
+    val topics = clustered.withColumn("tag",
+      concat(lit("topic_"), format_string("%02d", $"vec_id" % 20)))
+    val (i0, m0) = Hnsw.buildTagged(topics, "vec_id", "embedding", "tag")
+    // delete a slice of topic_03 (ids ≡ 3 mod 20, under 400) — the tag
+    // keeps survivors, so numbering is stable end to end
+    val dels = topics.filter($"vec_id" % 20 === 3 && $"vec_id" < 400)
+      .select("vec_id")
+    val delIds = dels.as[Long].collect().toSet
+    val i1 = Hnsw.deleteFromShards(i0, dels, "vec_id")
+    val q = topics.filter($"vec_id" < 80)
+    def served(idx: DataFrame, m: DataFrame) =
+      Hnsw.topKTagged(idx, m, q, "vec_id", "embedding", "tag", k = 6,
+          ef = 128)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val afterDelete = served(i1, m0)
+    assert(afterDelete.forall(t => !delIds.contains(t._3)),
+      "tombstoned ids surfaced from the tagged serve path")
+    assert(afterDelete.groupBy(_._1).forall(_._2.size == 6),
+      "survivor shortfall: each query should still find 6 live rows")
+    // serve-after-delete ≡ a fresh tagged build of the survivors (the
+    // same identity the hash-sharded spec pins, now through tag routing)
+    val survivors = topics.join(dels, Seq("vec_id"), "left_anti")
+    val (iS, mS) = Hnsw.buildTagged(survivors, "vec_id", "embedding",
+      "tag")
+    assert(afterDelete == served(iS, mS))
+    // compaction drops the tombstones, keeps the map, and is
+    // row-identical to the survivor rebuild (same tag set → same
+    // numbering → same deterministic per-shard graphs)
+    val i2 = Hnsw.compactTagged(i1, m0)
+    assert(i2.filter($"deleted").count() == 0)
+    val key = (df: DataFrame) => df
+      .select("shard", "c_id", "vec", "links", "deleted")
+      .collect().map(_.toString).sorted.toSeq
+    assert(key(i2) == key(iS))
+    assert(served(i2, m0) == afterDelete)
+  }
+
+  test("tagged delete of an ENTIRE tag: its queries serve no rows, " +
+    "the shard number survives compaction, and appendTagged refills " +
+    "the same shard") {
+    import org.apache.spark.sql.functions.{concat, format_string, lit}
+    val topics = clustered.withColumn("tag",
+      concat(lit("topic_"), format_string("%02d", $"vec_id" % 20)))
+    val (i0, m0) = Hnsw.buildTagged(topics, "vec_id", "embedding", "tag")
+    val victims = topics.filter($"tag" === "topic_05").select("vec_id")
+    val i1 = Hnsw.compactTagged(
+      Hnsw.deleteFromShards(i0, victims, "vec_id"), m0)
+    val q5 = topics.filter($"vec_id" < 100 && $"tag" === "topic_05")
+    assert(Hnsw.topKTagged(i1, m0, q5, "vec_id", "embedding", "tag",
+      k = 6).count() == 0, "an emptied tag must serve nothing")
+    // other tags are untouched rows — byte-stable through the cycle
+    val other = (df: DataFrame) => df.filter($"shard" =!= 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(other(i1) == other(i0))
+    // refill: append new members for the emptied tag; the map keeps
+    // shard 5 for topic_05 and serve finds the new rows
+    val refill = topics.filter($"tag" === "topic_05" && $"vec_id" < 200)
+    val (i2, m2) = Hnsw.appendTagged(i1, m0, refill, "vec_id",
+      "embedding", "tag")
+    assert(m2.filter($"tag" === "topic_05").select("shard")
+      .as[Int].head() == 5)
+    val back = Hnsw.topKTagged(i2, m2, q5, "vec_id", "embedding",
+      "tag", k = 3, ef = 128)
+    assert(back.groupBy($"q_id").count().filter($"count" =!= 3L)
+      .count() == 0)
+    assert(back.filter($"c_id" % 20 =!= 5).count() == 0)
+  }
+
   test("streaming ingest: micro-batches appended in foreachBatch " +
     "converge to exactly the batch-built index (q111's shape for the " +
     "vector index)") {
