@@ -269,6 +269,162 @@ object Multimodal extends Serializable {
     blobs.mapPartitions(_.map(b => parsePng(b.media_id, b.content)))
   }
 
+  case class Y4mMeta(media_id: Long, width: Int, height: Int,
+                     fps_num: Int, fps_den: Int, frames: Int,
+                     frame_bytes: Long, duration_ms: Long,
+                     decode_ok: Boolean)
+  case class VideoFrame(media_id: Long, frame_no: Int,
+                        frame_ts_ms: Long, frame: Array[Byte])
+
+  private val BadY4m =
+    Y4mMeta(0L, -1, -1, -1, -1, -1, -1L, -1L, decode_ok = false)
+
+  /** Bytes per frame for a Y4M colorspace tag: 4:2:0 subsamples chroma
+    * 2×2 (the overwhelmingly common case and the Y4M default), 4:2:2
+    * halves it horizontally only, 4:4:4 keeps full chroma, mono has
+    * none. Dimensions must be even for the subsampled layouts.
+    */
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Long = cs match {
+    case c if c.startsWith("420") => w.toLong * h * 3 / 2
+    case c if c.startsWith("422") => w.toLong * h * 2
+    case c if c.startsWith("444") => w.toLong * h * 3
+    case c if c.startsWith("mono") => w.toLong * h
+    case _ => -1L
+  }
+
+  /** Minimal real Y4M (YUV4MPEG2) writer — the VIDEO leg of the codec
+    * trio next to [[syntheticWav]] and [[syntheticPng]]. Y4M is the
+    * uncompressed interchange container ffmpeg/x264 use for test
+    * streams: one ASCII header line (`YUV4MPEG2 W.. H.. F..:.. Ip
+    * A1:1 C420jpeg`), then per frame a `FRAME` marker line followed by
+    * raw planar YUV bytes. Any video tool accepts the output;
+    * generated without media libraries, deterministic per id (the
+    * payload LCG folds the frame number so every frame differs).
+    */
+  def syntheticY4m(id: Long, width: Int, height: Int, fpsNum: Int,
+                   fpsDen: Int, nFrames: Int): MediaBlob = {
+    require(width % 2 == 0 && height % 2 == 0, "4:2:0 needs even dims")
+    val frameLen = y4mFrameBytes(width, height, "420jpeg").toInt
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (marker.length + frameLen))
+    bb.put(header)
+    (0 until nFrames).foreach { f =>
+      bb.put(marker)
+      var x = (id * 31L + f) * 6364136223846793005L + 1442695040888963407L
+      (0 until frameLen).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        bb.put((x >>> 56).toByte)
+      }
+    }
+    MediaBlob(id, "video", bb.array())
+  }
+
+  /** Parsed Y4M stream structure: header fields + the byte offset and
+    * length of every frame payload — shared by the metadata decode and
+    * the frame extractor so the two can never disagree on layout.
+    * Returns None on any malformation (wrong magic, missing/invalid
+    * W/H/F, unknown colorspace, a truncated frame, trailing garbage):
+    * like [[parseWav]]/[[parsePng]], corrupt blobs route to a failure
+    * value instead of failing the task.
+    */
+  private def y4mLayout(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, String, Seq[(Long, Int)])] = {
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 9) return None
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    val toks = header.split(' ')
+    if (toks.head != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var num = -1; var den = -1
+    var cs = "420jpeg" // the Y4M default when no C tag is present
+    toks.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = t.drop(1).toIntOption.getOrElse(-1)
+        case 'F' => t.drop(1).split(':') match {
+          case Array(a, b) =>
+            num = a.toIntOption.getOrElse(-1)
+            den = b.toIntOption.getOrElse(-1)
+          case _ =>
+        }
+        case 'C' => cs = t.drop(1)
+        case _ => // I (interlace), A (aspect), X (extension): metadata
+      }
+    }
+    if (w <= 0 || h <= 0 || num <= 0 || den <= 0) return None
+    val frameLen = y4mFrameBytes(w, h, cs)
+    if (frameLen <= 0 || frameLen > Int.MaxValue) return None
+    val frames = Seq.newBuilder[(Long, Int)]
+    var off = nl + 1L
+    while (off < bytes.length) {
+      // each frame: "FRAME" + optional parameters up to '\n' + payload
+      if (off + 5 > bytes.length ||
+          new String(bytes, off.toInt, 5, "US-ASCII") != "FRAME")
+        return None
+      var e = off + 5
+      while (e < bytes.length && bytes(e.toInt) != '\n'.toByte) e += 1
+      if (e >= bytes.length) return None // marker line never closed
+      val body = e + 1
+      if (body + frameLen > bytes.length) return None // truncated frame
+      frames += ((body, frameLen.toInt))
+      off = body + frameLen
+    }
+    Some((w, h, num, den, cs, frames.result()))
+  }
+
+  /** REAL Y4M header+stream parse behind the decode seam. Validates
+    * the whole stream (every frame fully present, clean EOF on a frame
+    * boundary); `duration_ms` floors `frames·1000·den / num` in long
+    * arithmetic, mirroring [[parseWav]]'s duration rule.
+    */
+  def parseY4m(id: Long, bytes: Array[Byte]): Y4mMeta =
+    y4mLayout(bytes) match {
+      case Some((w, h, num, den, cs, frames)) =>
+        Y4mMeta(id, w, h, num, den, frames.length,
+          y4mFrameBytes(w, h, cs),
+          frames.length * 1000L * den / num, decode_ok = true)
+      case None => BadY4m.copy(media_id = id)
+    }
+
+  /** Partition-wise Y4M decode — same plan shape as [[decodeWav]] /
+    * [[decodePng]]: one decoder per partition, blobs never shuffle.
+    */
+  def decodeY4m(blobs: Dataset[MediaBlob]): Dataset[Y4mMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseY4m(b.media_id, b.content)))
+  }
+
+  /** REAL frame sampling: extract every `every`-th frame's raw YUV
+    * payload from the container bytes — the byte-level counterpart of
+    * the relational [[frameSample]] plan. Runs partition-wise; each
+    * output row carries one frame, so downstream per-frame work
+    * (feature extraction, resize) parallelizes past the per-video
+    * grain without ever shuffling the source blobs. Corrupt streams
+    * yield no frames (the decode seam reports them). Frame timestamps
+    * come from the stream's own F tag.
+    */
+  def sampleFramesY4m(blobs: Dataset[MediaBlob],
+                      every: Int): Dataset[VideoFrame] = {
+    require(every >= 1)
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      y4mLayout(b.content) match {
+        case Some((_, _, num, den, _, frames)) =>
+          frames.iterator.zipWithIndex
+            .filter(_._2 % every == 0)
+            .map { case ((off, len), f) =>
+              VideoFrame(b.media_id, f, f * 1000L * den / num,
+                java.util.Arrays.copyOfRange(
+                  b.content, off.toInt, off.toInt + len))
+            }
+        case None => Iterator.empty
+      }
+    })
+  }
+
   /** Frame-sampling plan over (id, duration_ms): one row per sampled
     * frame at `everyMs` cadence, capped at `maxFrames` — metadata-only,
     * fully relational (explode of a bounded sequence).

@@ -4244,6 +4244,68 @@ object Queries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q121
+  // Real video codec behind the multimodal decode seam — the third leg
+  // of the codec trio (WAV q94, PNG q109): genuine Y4M (YUV4MPEG2)
+  // container bytes — ASCII header + FRAME-delimited raw 4:2:0 planar
+  // payloads, the uncompressed interchange format ffmpeg/x264 read —
+  // synthesized from doc_id parameters, decoded partition-wise, PLUS
+  // the byte-level frame sampler (every 2nd frame extracted from the
+  // container) whose per-video frame count lands in the result. Every
+  // 11th blob is truncated mid-frame and must route to decode_ok=false
+  // with zero sampled frames, not a task failure. The oracle recomputes
+  // header fields, duration, 4:2:0 stride, and ceil(frames/2) from the
+  // same id-derived parameters; frame BYTES are pinned in
+  // MultimodalSpec (byte-exact against the generator's LCG).
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 220)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rates = Array((25, 1), (30000, 1001), (24, 1))
+        val (num, den) = rates((id % 3).toInt)
+        val b = m.syntheticY4m(id, 16 + 2 * (id % 5).toInt,
+          12 + 2 * (id % 3).toInt, num, den, 1 + (id % 10).toInt)
+        if (id % 11 == 0) b.copy(content = b.content.dropRight(10))
+        else b
+      }
+    val meta = m.decodeY4m(blobs).toDF()
+    val sampled = m.sampleFramesY4m(blobs, every = 2)
+      .groupBy($"media_id").agg(count(lit(1)).as("sampled_frames"))
+    meta.join(sampled, Seq("media_id"), "left_outer")
+      .select($"media_id", $"width", $"height", $"fps_num", $"fps_den",
+        $"frames", $"frame_bytes", $"duration_ms", $"decode_ok",
+        coalesce($"sampled_frames", lit(0L)).as("sampled_frames"))
+      .orderBy($"media_id")
+  }
+  private val q121Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  16 + 2 * (doc_id % 5) AS w,
+      |  12 + 2 * (doc_id % 3) AS h,
+      |  CASE doc_id % 3 WHEN 0 THEN 25 WHEN 1 THEN 30000 ELSE 24 END
+      |    AS num,
+      |  CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1001 ELSE 1 END
+      |    AS den,
+      |  1 + doc_id % 10 AS fr,
+      |  doc_id % 11 = 0 AS bad
+      | FROM documents WHERE doc_id < 220)
+      |SELECT doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE w END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 ELSE h END AS INT) AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE num END AS INT) AS fps_num,
+      | CAST(CASE WHEN bad THEN -1 ELSE den END AS INT) AS fps_den,
+      | CAST(CASE WHEN bad THEN -1 ELSE fr END AS INT) AS frames,
+      | CAST(CASE WHEN bad THEN -1 ELSE w * h * 3 // 2 END AS BIGINT)
+      |   AS frame_bytes,
+      | CAST(CASE WHEN bad THEN -1 ELSE fr * 1000 * den // num END
+      |   AS BIGINT) AS duration_ms,
+      | NOT bad AS decode_ok,
+      | CAST(CASE WHEN bad THEN 0 ELSE (fr + 1) // 2 END AS BIGINT)
+      |   AS sampled_frames
+      |FROM p ORDER BY media_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4366,7 +4428,8 @@ object Queries {
     "q117_bm25_lifecycle" -> (q117 _),
     "q118_hybrid_lexvec" -> (q118 _),
     "q119_bpe_tokens"   -> (q119 _),
-    "q120_semdedup_ivf" -> (q120 _)
+    "q120_semdedup_ivf" -> (q120 _),
+    "q121_y4m_decode"   -> (q121 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4566,7 +4629,8 @@ object Queries {
     "q116_bm25_index"   -> q116Sql,
     "q117_bm25_lifecycle" -> q117Sql,
     "q118_hybrid_lexvec" -> q118Sql,
-    "q119_bpe_tokens"   -> q119Sql
+    "q119_bpe_tokens"   -> q119Sql,
+    "q121_y4m_decode"   -> q121Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

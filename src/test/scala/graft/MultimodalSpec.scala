@@ -156,6 +156,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(2).decode_ok)
   }
 
+  test("y4m codec: synthesized YUV4MPEG2 bytes parse back to their " +
+    "exact parameters; header tags and colorspaces are honored") {
+    val b = Multimodal.syntheticY4m(5L, 32, 24, 30000, 1001, 7)
+    // the header is genuine ASCII any y4m reader accepts
+    val header = new String(b.content.takeWhile(_ != '\n'.toByte),
+      "US-ASCII")
+    assert(header == "YUV4MPEG2 W32 H24 F30000:1001 Ip A1:1 C420jpeg")
+    val m = Multimodal.parseY4m(5L, b.content)
+    assert(m.decode_ok && m.width == 32 && m.height == 24 &&
+      m.fps_num == 30000 && m.fps_den == 1001 && m.frames == 7 &&
+      m.frame_bytes == 32L * 24 * 3 / 2 &&
+      m.duration_ms == 7L * 1000 * 1001 / 30000)
+    // deterministic per id; different frames carry different bytes
+    assert(java.util.Arrays.equals(b.content,
+      Multimodal.syntheticY4m(5L, 32, 24, 30000, 1001, 7).content))
+    // colorspace changes the frame stride; mono/422/444 all parse
+    Seq(("C422", 32L * 24 * 2), ("C444", 32L * 24 * 3),
+        ("Cmono", 32L * 24)).foreach { case (tag, stride) =>
+      val hdr = s"YUV4MPEG2 W32 H24 F25:1 $tag\n".getBytes("US-ASCII")
+      val one = hdr ++ "FRAME\n".getBytes("US-ASCII") ++
+        new Array[Byte](stride.toInt)
+      val mm = Multimodal.parseY4m(1L, one)
+      assert(mm.decode_ok && mm.frames == 1 && mm.frame_bytes == stride,
+        tag)
+    }
+  }
+
+  test("y4m codec: truncation mid-frame, a bad magic, a broken FRAME " +
+    "marker, and trailing garbage all route to decode_ok=false") {
+    val good = Multimodal.syntheticY4m(6L, 16, 16, 25, 1, 4).content
+    val cases = Seq(
+      good.dropRight(10),                     // truncated final frame
+      "JUV4MPEG2".getBytes ++ good.drop(9),   // wrong magic
+      good.take(20),                          // truncated header region
+      good ++ Array[Byte](1, 2, 3),           // garbage past last frame
+      "YUV4MPEG2 W16 H16\n".getBytes("US-ASCII")) // no F tag
+    cases.foreach { bytes =>
+      val m = Multimodal.parseY4m(6L, bytes)
+      assert(!m.decode_ok && m.frames == -1, s"len=${bytes.length}")
+    }
+    // corrupting one FRAME marker invalidates the stream
+    val hdrLen = good.indexOf('\n'.toByte) + 1
+    val broken = good.clone(); broken(hdrLen) = 'G'.toByte
+    assert(!Multimodal.parseY4m(6L, broken).decode_ok)
+  }
+
+  test("sampleFramesY4m extracts the exact raw frame payloads, " +
+    "partition-wise, with stream-derived timestamps") {
+    val blobs = Seq(
+      Multimodal.syntheticY4m(1L, 16, 16, 25, 1, 6),
+      Multimodal.syntheticY4m(2L, 32, 24, 30000, 1001, 3),
+      MediaBlob(3L, "video", "nope".getBytes) // corrupt: zero frames
+    ).toDS().repartition(2)
+    val out = Multimodal.sampleFramesY4m(blobs, every = 2).collect()
+      .sortBy(f => (f.media_id, f.frame_no))
+    // every 2nd frame: ids 1 → frames 0,2,4; id 2 → frames 0,2; id 3 → none
+    assert(out.map(f => (f.media_id, f.frame_no)).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 2)))
+    assert(out.forall(_.frame.length > 0))
+    assert(out.find(f => f.media_id == 1L && f.frame_no == 2)
+      .get.frame_ts_ms == 2L * 1000 * 1 / 25)
+    // byte-exact: re-deriving frame 2 of id 1 from the generator's LCG
+    val stride = 16 * 16 * 3 / 2
+    val expect = new Array[Byte](stride)
+    var x = (1L * 31L + 2) * 6364136223846793005L + 1442695040888963407L
+    (0 until stride).foreach { i =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      expect(i) = (x >>> 56).toByte
+    }
+    assert(java.util.Arrays.equals(
+      out.find(f => f.media_id == 1L && f.frame_no == 2).get.frame,
+      expect))
+    // full cadence (every=1) returns every frame
+    assert(Multimodal.sampleFramesY4m(blobs, 1).count() == 9)
+  }
+
   test("frameFeatures emits deterministic bounded vectors per frame") {
     val frames = Seq((1L, 0L), (1L, 1L), (1L, 0L)).toDF("id", "frame_no")
     val out = Multimodal.frameFeatures(frames, "id", "frame_no", dim = 8)
