@@ -503,4 +503,118 @@ object Dedup {
         hamming(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= maxHamming)
   }
+
+  /** Normalized token stream shared by the substring-dedup family:
+    * lowercased, whitespace-split, empties dropped — the same
+    * normalization as [[shingles]], bound once per row.
+    */
+  private def substrToks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Fingerprints of every token k-gram WITH its position: one array
+    * element per start index 0..len−k, computed scan-side (no shuffle,
+    * no per-gram string in Xx64 mode — the multi-arg xxhash64 trick
+    * from [[shingleHashes]], positions implicit in array order).
+    */
+  private def gramFps(text: Column, k: Int, hash: SigHash): Column =
+    bound(substrToks(text)) { toks =>
+      val count = size(toks) - (k - 1)
+      when(count > 0, transform(sequence(lit(1), count), i =>
+        hash match {
+          case Xx64 => xxhash64((0 until k).map(j =>
+            element_at(toks, i + j)): _*)
+          case Md5 => md5u32(concat_ws(" ", (0 until k).map(j =>
+            element_at(toks, i + j)): _*))
+        })).otherwise(array().cast("array<bigint>"))
+    }
+
+  /** EXACT SUBSTRING DEDUP — the span-level operator document-level
+    * dedup cannot express (Lee, Ippolito et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: duplicated
+    * PASSAGES — boilerplate, licenses, templates — recur across
+    * otherwise-distinct documents and measurably hurt LMs). Finds
+    * every token k-gram occurring more than once in the corpus, keeps
+    * its globally FIRST occurrence (min (doc, pos) — deterministic),
+    * marks every other occurrence's token range [pos, pos+k) as
+    * duplicated, and merges overlapping ranges per doc, so a repeated
+    * passage of any length ≥ k comes back as ONE maximal span per
+    * duplicate site. Returns (doc id, span_start, span_end) in
+    * 0-based token coordinates, end exclusive.
+    *
+    * Scale shape: grams fingerprint scan-side ([[gramFps]] — 8-byte
+    * hashes, positions implicit); the ONLY corpus-wide shuffle keys on
+    * the fingerprint (the first-occurrence window), never text; the
+    * interval merge is a per-doc window over just the duplicate-site
+    * rows (a corpus-fraction). At 100 TB this is the suffix-array
+    * pipeline's relational equivalent: O(tokens) fingerprint rows in,
+    * duplicate-site rows out.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, hash: SigHash = Xx64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(gramFps(col(textCol), k, hash))
+          .as(Seq("pos", "fp")))
+    // rn > 1 ⇔ a non-first occurrence of a fingerprint seen ≥ 2 times;
+    // (doc_id, pos) is unique per fp, so the order is total
+    val wFp = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+    val dupSites = occ
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("start"),
+        (col("pos") + k).cast("long").as("end"))
+    // gaps-and-islands interval merge: a site opens a new span iff it
+    // starts past every earlier site's max end (starts are unique per
+    // doc — one gram per position — so the ordering is total)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dupSites
+      .withColumn("new_grp",
+        when(col("start") > coalesce(max(col("end")).over(wPrev),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_grp")).over(wCum))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("start")).as("span_start"),
+        max(col("end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Rewrite each doc's normalized token stream with its duplicated
+    * spans removed (the Lee et al. "ExactSubstr" cut: every duplicate
+    * SITE loses its tokens; the globally-first occurrence survives in
+    * place). Returns (doc id, clean_text, kept_tokens,
+    * removed_tokens). Docs without spans pass through with their
+    * normalized text intact; span maps ride a broadcast-sized
+    * per-doc array join keyed on the doc id, so the corpus is
+    * touched in ONE pass and the blob-free span relation is the only
+    * joined side.
+    */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          spans: DataFrame): DataFrame = {
+    val spanArr = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+      .join(spanArr, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        bound(substrToks(col(textCol))) { toks =>
+          bound(coalesce(col("__spans"),
+            array().cast("array<struct<span_start:long,span_end:long>>"))
+          ) { sp =>
+            val kept = filter(toks, (_, i) =>
+              !exists(sp, s => i >= s.getField("span_start") &&
+                i < s.getField("span_end")))
+            struct(
+              concat_ws(" ", kept).as("clean_text"),
+              size(kept).cast("long").as("kept_tokens"),
+              (size(toks) - size(kept)).cast("long")
+                .as("removed_tokens"))
+          }
+        }.as("__out"))
+      .select(col("doc_id"), col("__out.clean_text"),
+        col("__out.kept_tokens"), col("__out.removed_tokens"))
+  }
 }

@@ -4306,6 +4306,92 @@ object Queries {
       |   AS sampled_frames
       |FROM p ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  // EXACT SUBSTRING DEDUP (Lee, Ippolito et al., ACL 2022): the
+  // span-level operator doc-level dedup can't express — repeated
+  // PASSAGES (boilerplate, licenses) recur across otherwise-distinct
+  // docs. A 12-token boilerplate tail is planted on every 3rd doc;
+  // duplicateSpans fingerprints every token 6-gram scan-side, keeps
+  // each gram's globally-first (doc, pos) site via one fingerprint-
+  // keyed window, merges overlapping duplicate sites per doc
+  // (gaps-and-islands), and stripDuplicateSpans rewrites the token
+  // stream without them. Md5 gram mode so DuckDB replays the
+  // fingerprints bit-for-bit; the oracle re-runs the whole pipeline —
+  // grams, first-occurrence ranking, interval merge, strip — in SQL.
+  // Natural repeats inside the synthetic text dedup identically on
+  // both engines.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter($"doc_id" < 400)
+      .select($"doc_id", when($"doc_id" % 3 === 0,
+          concat($"text", lit(" " + q122Boiler)))
+        .otherwise($"text").as("text"))
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 6,
+      hash = Dedup.Md5)
+    Dedup.stripDuplicateSpans(corpus, "doc_id", "text", spans)
+      .orderBy($"doc_id")
+  }
+  private val q122Boiler = "subscribe to our newsletter for the " +
+    "latest updates and exclusive offers today"
+  private val q122Sql = {
+    // md5u32 mirror (Dedup.scala:39): first 8 hex chars of md5 as BIGINT
+    val gram = (1 to 6).map(j => s"tk[p+$j]").mkString(" || ' ' || ")
+    s"""WITH corpus AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text || ' $q122Boiler'
+      |   ELSE text END AS text
+      | FROM documents WHERE doc_id < 400),
+      |toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |   '\\s+'), x -> len(x) > 0) AS tk
+      | FROM corpus),
+      |gp AS (
+      | SELECT doc_id, tk, unnest(range(len(tk) - 5)) AS p
+      | FROM toks WHERE len(tk) >= 6),
+      |grams AS (
+      | SELECT doc_id, p AS pos,
+      |  ('0x' || substr(md5($gram), 1, 8))::BIGINT AS fp
+      | FROM gp),
+      |sites AS (
+      | SELECT doc_id, pos,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      | FROM grams),
+      |dup AS (
+      | SELECT doc_id, pos AS s, pos + 6 AS e FROM sites WHERE rn > 1),
+      |flag AS (
+      | SELECT doc_id, s, e,
+      |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+      |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    -1) THEN 1 ELSE 0 END AS ng
+      | FROM dup),
+      |grp AS (
+      | SELECT doc_id, s, e,
+      |  sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+      | FROM flag),
+      |spans AS (
+      | SELECT doc_id, g, min(s) AS ss, max(e) AS se
+      | FROM grp GROUP BY doc_id, g),
+      |tp AS (
+      | SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+      | FROM toks),
+      |kept AS (
+      | SELECT k.doc_id, k.pos, k.tok FROM tp k
+      | WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |   WHERE sp.doc_id = k.doc_id
+      |    AND k.pos >= sp.ss AND k.pos < sp.se)),
+      |agg AS (
+      | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+      |  count(*) AS kept FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id,
+      | coalesce(a.clean_text, '') AS clean_text,
+      | CAST(coalesce(a.kept, 0) AS BIGINT) AS kept_tokens,
+      | CAST(len(t.tk) - coalesce(a.kept, 0) AS BIGINT)
+      |   AS removed_tokens
+      |FROM corpus c JOIN toks t USING (doc_id)
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4429,7 +4515,8 @@ object Queries {
     "q118_hybrid_lexvec" -> (q118 _),
     "q119_bpe_tokens"   -> (q119 _),
     "q120_semdedup_ivf" -> (q120 _),
-    "q121_y4m_decode"   -> (q121 _)
+    "q121_y4m_decode"   -> (q121 _),
+    "q122_substr_dedup" -> (q122 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4508,6 +4595,19 @@ object Queries {
           Dedup.minhashSignatures(index, "text", "doc_id"),
           Dedup.minhashSignatures(delta, "text", "doc_id"))
         .orderBy($"id_a", $"id_b")
+    }),
+    "q122x_substr_xx64" -> ((s: SparkSession, dir: String) => {
+      // q122's production path: multi-arg xxhash64 gram fingerprints
+      // over the FULL documents table (no 400-doc cap, no planted
+      // boilerplate — whatever naturally repeats, dedups), timed so
+      // the substring-dedup production hash has a throughput number
+      // next to its md5 oracle twin. Xx64 ≡ Md5 span agreement is
+      // spec-pinned in DedupSpec.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      Dedup.stripDuplicateSpans(docs, "doc_id", "text",
+          Dedup.duplicateSpans(docs, "doc_id", "text", k = 6))
+        .orderBy($"doc_id")
     })
   )
 
@@ -4630,7 +4730,8 @@ object Queries {
     "q117_bm25_lifecycle" -> q117Sql,
     "q118_hybrid_lexvec" -> q118Sql,
     "q119_bpe_tokens"   -> q119Sql,
-    "q121_y4m_decode"   -> q121Sql
+    "q121_y4m_decode"   -> q121Sql,
+    "q122_substr_dedup" -> q122Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

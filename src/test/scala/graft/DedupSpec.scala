@@ -215,6 +215,55 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.operators.Materialize.ModeKey)
   }
 
+  test("duplicateSpans finds repeated k-gram passages across docs, " +
+    "keeps the globally-first site, and merges overlaps into maximal " +
+    "spans") {
+    // doc 1: unique prefix + an 8-token boilerplate passage
+    // doc 2: a different prefix + the SAME passage (duplicate site)
+    // doc 3: passage repeated TWICE back-to-back (overlap merge within
+    //        one doc) after a unique head
+    // doc 4: wholly unique
+    val boiler = "all rights reserved contact us for more information"
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta $boiler trailing words here"),
+      (3L, s"unique head tokens $boiler $boiler"),
+      (4L, "nothing here repeats at all in any way whatsoever ever"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 holds the first occurrence (min (doc, pos)) → no spans;
+    // doc 2: boiler at tokens [2, 10); doc 3: both copies merge into
+    // [3, 19) — the second copy's grams AND the straddling grams chain
+    assert(spans.toSeq == Seq((2L, 2L, 10L), (3L, 3L, 19L)))
+    // strip: duplicate sites lose their tokens, first site survives
+    val clean = Dedup.stripDuplicateSpans(df, "doc_id", "text",
+        Dedup.duplicateSpans(df, "doc_id", "text", k = 4))
+      .orderBy("doc_id").collect()
+    assert(clean(0).getString(1) == s"alpha beta gamma delta $boiler")
+    assert(clean(1).getString(1) == "epsilon zeta trailing words here")
+    assert(clean(1).getLong(3) == 8L) // removed_tokens
+    assert(clean(2).getString(1) == "unique head tokens")
+    assert(clean(2).getLong(2) == 3L && clean(2).getLong(3) == 16L)
+    assert(clean(3).getString(1) ==
+      "nothing here repeats at all in any way whatsoever ever")
+    assert(clean(3).getLong(3) == 0L)
+    // md5 oracle mode finds the identical spans
+    val md5Spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 4,
+        hash = Dedup.Md5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(md5Spans.toSeq == spans.toSeq)
+    // idempotent: stripping the cleaned corpus removes nothing
+    val clean2 = Dedup.stripDuplicateSpans(
+      df.select($"doc_id", $"text"), "doc_id", "text",
+      Dedup.duplicateSpans(df, "doc_id", "text", k = 4))
+    val again = clean2.select($"doc_id", $"clean_text".as("text"))
+    assert(Dedup.duplicateSpans(again, "doc_id", "text", k = 4)
+      .count() == 0)
+  }
+
   test("dropNearDups keeps the min-id survivor per near-dup cluster") {
     // 1,2 near-dup; 4 an exact copy of 1 (→ one cluster {1,2,4});
     // 3 unrelated; 5 too short to shingle (must survive untouched)
