@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model perplexity filtering (Wenzek et
+  * al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data", LREC 2020): fit a smoothed n-gram LM on a clean
+  * reference corpus, score every candidate document by perplexity,
+  * and partition the corpus into head/middle/tail quality tiers at
+  * per-corpus perplexity percentiles — the quality gate the major web
+  * corpora (CCNet, RedPajama, FineWeb lineage) actually apply, and a
+  * different signal from the heuristic ratio gates
+  * ([[TextAnalysis.qualityScore]], [[Curation]]'s Gopher rules):
+  * those measure surface statistics, this measures how predictable
+  * the text is under a reference distribution.
+  *
+  * The model here is an add-one-smoothed BIGRAM LM (CCNet uses KenLM
+  * 5-gram; the order is a fidelity knob, not a shape change — a
+  * higher order is the same fit/join/score dataflow over longer gram
+  * keys). Everything is exact integer counts + ln/exp at score time,
+  * so a SQL engine replays it bit-for-bit modulo the documented
+  * 6-decimal quantization guard.
+  *
+  * Scale shape: the fit is two token-keyed aggregations over the
+  * reference corpus (counts shuffle, never text). The model is
+  * vocabulary-bounded, so scoring BROADCASTS it: each candidate doc's
+  * transition multiset joins the counts map-side, one doc-keyed
+  * aggregation folds the log-probs, and the tier cuts are two
+  * percentile values from a one-pass sketch ([[Sketches]]' GK shape —
+  * exact at oracle accuracy) broadcast back onto the scored relation.
+  * No global sort, no driver loop; at 100 TB the corpus is touched
+  * once to score and once to tier.
+  */
+object LangModel {
+
+  /** Fitted bigram model: unigram counts (tok, cnt), bigram counts
+    * (tok1, tok2, cnt), and the vocabulary size used by add-one
+    * smoothing. Both relations are vocabulary-bounded — persist them
+    * as parquet and reload to amortize the fit, like the BM25 and ANN
+    * indexes.
+    */
+  final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
+                            vocab: Long)
+
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Adjacent-pair structs from a bound token array: one element per
+    * transition (w_i, w_{i+1}), computed scan-side.
+    */
+  private def bigramsOf(tk: Column): Column =
+    graft.functions.Vectors.bound(tk) { t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i =>
+          struct(element_at(t, i).as("tok1"),
+            element_at(t, i + 1).as("tok2"))))
+        .otherwise(array().cast(
+          "array<struct<tok1:string,tok2:string>>"))
+    }
+
+  /** Fit the bigram LM on a reference corpus: two aggregations, both
+    * map-side combined; the vocab count is a bounded driver scalar
+    * (the model must broadcast anyway — a vocabulary too large to
+    * count is too large to serve).
+    */
+  def fitBigramLm(corpus: DataFrame, textCol: String): BigramLm = {
+    val tk = corpus.select(toks(col(textCol)).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val bi = tk.select(explode(bigramsOf(col("tk"))).as("bg"))
+      .select(col("bg.tok1"), col("bg.tok2"))
+      .groupBy(col("tok1"), col("tok2")).agg(count(lit(1)).as("cnt"))
+    BigramLm(uni, bi, uni.count())
+  }
+
+  private def quant(c: Column): Column =
+    floor(c * 1e6 + 0.5) / 1e6
+
+  /** Score each doc: mean negative log-likelihood of its transitions
+    * under add-one smoothing — p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V),
+    * unseen contexts fall back to 1/V — and perplexity exp(nll).
+    * Returns (doc id, tokens, n_trans, avg_nll, ppl); docs with < 2
+    * tokens carry null scores (nothing to judge — route them to the
+    * heuristic gates instead). Both score columns are 6-decimal
+    * quantized so engines replaying the same arithmetic in a
+    * different summation order agree exactly.
+    */
+  def perplexity(df: DataFrame, idCol: String, textCol: String,
+                 lm: BigramLm): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("tk"))
+    val trans = base
+      .select(col("doc_id"), explode(bigramsOf(col("tk"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.tok1"), col("bg.tok2"))
+      .agg(count(lit(1)).as("m"))
+    val scored = trans
+      .join(broadcast(lm.bigrams.withColumnRenamed("cnt", "c12")),
+        Seq("tok1", "tok2"), "left_outer")
+      .join(broadcast(lm.unigrams.select(col("tok").as("tok1"),
+        col("cnt").as("c1"))), Seq("tok1"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_trans"),
+        sum(col("m") *
+          log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + lit(lm.vocab.toDouble))))
+          .as("ll_sum"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("tokens"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("tokens"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        quant(-col("ll_sum") / col("n_trans")).as("avg_nll"),
+        quant(exp(-col("ll_sum") / col("n_trans"))).as("ppl"))
+  }
+
+  /** CCNet's head/middle/tail partition: tier cuts are the p33/p66
+    * perplexity percentiles from a one-pass sketch (exact when
+    * `accuracy` ≥ n — the q98 contract), broadcast onto the scored
+    * relation as a crossJoin of ONE row; no global sort. Unscorable
+    * docs (null ppl) tier as 'na'. Cuts are computed on the quantized
+    * ppl, so tie behavior is engine-independent.
+    */
+  def perplexityTiers(scored: DataFrame,
+                      accuracy: Int = 10000000): DataFrame = {
+    val cuts = scored.filter(col("ppl").isNotNull)
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("qs"))
+      .select(col("qs").getItem(0).as("cut1"),
+        col("qs").getItem(1).as("cut2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("ppl").isNull, lit("na"))
+          .when(col("ppl") <= col("cut1"), lit("head"))
+          .when(col("ppl") <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("cut1", "cut2")
+  }
+}

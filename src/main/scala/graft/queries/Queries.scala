@@ -4392,6 +4392,76 @@ object Queries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q123
+  // CCNet perplexity filtering (Wenzek et al., LREC 2020 — the quality
+  // gate the major web corpora actually apply): fit an add-one-
+  // smoothed bigram LM on the even-id half of the corpus (the "clean
+  // reference" role), score the odd-id half by mean transition NLL and
+  // perplexity, and partition it into head/middle/tail tiers at the
+  // p33/p66 perplexity percentiles (exact at oracle accuracy — the
+  // q98 sketch contract). Counts are exact integers; ln/exp happen
+  // once per transition/doc and both score columns carry the 6-decimal
+  // floor guard, so DuckDB replays fit + score + tier end to end.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val lm = LangModel.fitBigramLm(docs.filter($"doc_id" % 2 === 0),
+      "text")
+    val scored = LangModel.perplexity(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", lm)
+    LangModel.perplexityTiers(scored).orderBy($"doc_id")
+  }
+  private val q123Sql =
+    """WITH ref AS (
+      | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |   x -> len(x) > 0) AS tk
+      | FROM documents WHERE doc_id % 2 = 0),
+      |uni AS (
+      | SELECT tok, count(*) AS c1
+      | FROM (SELECT unnest(tk) AS tok FROM ref) GROUP BY 1),
+      |v AS (SELECT count(*) AS vocab FROM uni),
+      |bi AS (
+      | SELECT tok1, tok2, count(*) AS c12 FROM (
+      |  SELECT tk[p+1] AS tok1, tk[p+2] AS tok2 FROM (
+      |   SELECT tk, unnest(range(len(tk) - 1)) AS p
+      |   FROM ref WHERE len(tk) >= 2))
+      | GROUP BY 1, 2),
+      |cand AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |   '\s+'), x -> len(x) > 0) AS tk
+      | FROM documents WHERE doc_id % 2 = 1),
+      |ct AS (
+      | SELECT doc_id, tok1, tok2, count(*) AS m FROM (
+      |  SELECT doc_id, tk[p+1] AS tok1, tk[p+2] AS tok2 FROM (
+      |   SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS p
+      |   FROM cand WHERE len(tk) >= 2))
+      | GROUP BY 1, 2, 3),
+      |sc AS (
+      | SELECT doc_id, sum(m) AS n_trans,
+      |  sum(m * ln((coalesce(c12, 0) + 1.0)
+      |    / (coalesce(c1, 0) + vocab))) AS ll
+      | FROM ct
+      | LEFT JOIN bi USING (tok1, tok2)
+      | LEFT JOIN uni ON ct.tok1 = uni.tok
+      | CROSS JOIN v
+      | GROUP BY doc_id),
+      |scored AS (
+      | SELECT c.doc_id, CAST(len(c.tk) AS BIGINT) AS tokens,
+      |  CAST(coalesce(s.n_trans, 0) AS BIGINT) AS n_trans,
+      |  floor(-s.ll / s.n_trans * 1e6 + 0.5) / 1e6 AS avg_nll,
+      |  floor(exp(-s.ll / s.n_trans) * 1e6 + 0.5) / 1e6 AS ppl
+      | FROM cand c LEFT JOIN sc s USING (doc_id)),
+      |cuts AS (
+      | SELECT quantile_disc(ppl, [1.0/3, 2.0/3]) AS qs
+      | FROM scored WHERE ppl IS NOT NULL)
+      |SELECT doc_id, tokens, n_trans, avg_nll, ppl,
+      | CASE WHEN ppl IS NULL THEN 'na'
+      |  WHEN ppl <= qs[1] THEN 'head'
+      |  WHEN ppl <= qs[2] THEN 'middle'
+      |  ELSE 'tail' END AS tier
+      |FROM scored CROSS JOIN cuts
+      |ORDER BY doc_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4516,7 +4586,8 @@ object Queries {
     "q119_bpe_tokens"   -> (q119 _),
     "q120_semdedup_ivf" -> (q120 _),
     "q121_y4m_decode"   -> (q121 _),
-    "q122_substr_dedup" -> (q122 _)
+    "q122_substr_dedup" -> (q122 _),
+    "q123_ppl_filter"   -> (q123 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4731,7 +4802,8 @@ object Queries {
     "q118_hybrid_lexvec" -> q118Sql,
     "q119_bpe_tokens"   -> q119Sql,
     "q121_y4m_decode"   -> q121Sql,
-    "q122_substr_dedup" -> q122Sql
+    "q122_substr_dedup" -> q122Sql,
+    "q123_ppl_filter"   -> q123Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.LangModel
+
+/** CCNet-style bigram-LM perplexity: exact hand-computed scores,
+  * smoothing fallbacks, unscorable routing, and tier partitioning.
+  */
+class LangModelSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("fitBigramLm counts unigrams/bigrams and perplexity replays " +
+    "add-one smoothing exactly on a hand-computed case") {
+    val ref = Seq("a b a b").toDF("text")
+    val lm = LangModel.fitBigramLm(ref, "text")
+    assert(lm.vocab == 2)
+    val uni = lm.unigrams.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 2L, "b" -> 2L))
+    val bi = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    // candidate "a b": one transition, p(b|a) = (2+1)/(2+2) = 0.75
+    // → avg_nll = −ln(.75) ≈ 0.287682, ppl = 4/3 ≈ 1.333333
+    val out = LangModel.perplexity(Seq((1L, "a b")).toDF("id", "text"),
+      "id", "text", lm).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 1L)
+    assert(out.getDouble(3) == math.floor(-math.log(0.75) * 1e6 + 0.5) / 1e6)
+    assert(out.getDouble(4) == 1.333333)
+  }
+
+  test("unseen contexts fall back to 1/V; docs under two tokens are " +
+    "unscorable (null ppl, zero transitions)") {
+    val lm = LangModel.fitBigramLm(Seq("a b a b").toDF("text"), "text")
+    // "z q": unseen tok1 z → p = (0+1)/(0+2) = 0.5
+    val rows = LangModel.perplexity(
+      Seq((1L, "z q"), (2L, "solo"), (3L, "")).toDF("id", "text"),
+      "id", "text", lm).orderBy("doc_id").collect()
+    assert(rows(0).getDouble(4) == 2.0) // ppl of constant p=.5
+    assert(rows(1).getLong(2) == 0L && rows(1).isNullAt(4))
+    assert(rows(2).getLong(1) == 0L && rows(2).isNullAt(4))
+  }
+
+  test("in-distribution text scores lower perplexity than shuffled " +
+    "text, and tiers partition head ≤ middle ≤ tail with na routing") {
+    val pattern = "the cat sat on the mat and the dog sat on the rug"
+    val ref = (0 until 50).map(i => pattern).toDF("text")
+    val lm = LangModel.fitBigramLm(ref, "text")
+    val docs = Seq(
+      (1L, pattern),                                     // in-dist
+      (2L, "the cat sat on the rug and the dog sat"),    // near
+      (3L, "rug the on dog mat cat the sat and on the"), // shuffled
+      (4L, "x")).toDF("id", "text")                      // unscorable
+    val scored = LangModel.perplexity(docs, "id", "text", lm)
+    val byId = scored.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(4) < byId(2L).getDouble(4))
+    assert(byId(2L).getDouble(4) < byId(3L).getDouble(4))
+    val tiers = LangModel.perplexityTiers(scored).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(tiers == Map(1L -> "head", 2L -> "middle", 3L -> "tail",
+      4L -> "na"))
+  }
+}
