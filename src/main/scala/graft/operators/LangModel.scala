@@ -74,6 +74,41 @@ object LangModel {
     BigramLm(uni, bi, uni.count())
   }
 
+  /** Persist the fitted model (lifecycle parity with the BM25 and ANN
+    * indexes: fit once on the reference corpus, reload per scoring
+    * job). Layout: `dir/unigrams`, `dir/bigrams`, `dir/meta` (one
+    * vocab row).
+    */
+  def saveBigramLm(lm: BigramLm, dir: String): Unit = {
+    lm.unigrams.write.mode("overwrite").parquet(dir + "/unigrams")
+    lm.bigrams.write.mode("overwrite").parquet(dir + "/bigrams")
+    lm.unigrams.sparkSession.range(1)
+      .select(lit(lm.vocab).as("vocab"))
+      .write.mode("overwrite").parquet(dir + "/meta")
+  }
+
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): BigramLm =
+    BigramLm(spark.read.parquet(dir + "/unigrams"),
+      spark.read.parquet(dir + "/bigrams"),
+      spark.read.parquet(dir + "/meta").head().getLong(0))
+
+  /** Incremental reference-corpus growth: counts are ADDITIVE, so the
+    * delta fits alone and merges by summation — O(delta + model), no
+    * reference re-tokenization — and the result is count-identical to
+    * refitting on the union (spec-pinned). The vocab is recounted from
+    * the merged unigram relation (model-bounded).
+    */
+  def appendToBigramLm(lm: BigramLm, delta: DataFrame,
+                       textCol: String): BigramLm = {
+    val d = fitBigramLm(delta, textCol)
+    val uni = lm.unigrams.unionByName(d.unigrams)
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+    val bi = lm.bigrams.unionByName(d.bigrams)
+      .groupBy(col("tok1"), col("tok2")).agg(sum(col("cnt")).as("cnt"))
+    BigramLm(uni, bi, uni.count())
+  }
+
   private def quant(c: Column): Column =
     floor(c * 1e6 + 0.5) / 1e6
 

@@ -43,6 +43,32 @@ class LangModelSpec extends AnyFunSuite {
     assert(rows(2).getLong(1) == 0L && rows(2).isNullAt(4))
   }
 
+  test("model lifecycle: save/reload serves identically, and " +
+    "appendToBigramLm is count-identical to a refit on the union") {
+    val base = Seq("a b c a b", "c a b c").toDF("text")
+    val delta = Seq("b c d d", "a d").toDF("text")
+    val lm = LangModel.fitBigramLm(base, "text")
+    val dir = java.nio.file.Files.createTempDirectory("bigram_lm")
+      .toString
+    LangModel.saveBigramLm(lm, dir)
+    val re = LangModel.loadBigramLm(spark, dir)
+    assert(re.vocab == lm.vocab)
+    val docs = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("id", "text")
+    def serve(m: LangModel.BigramLm) =
+      LangModel.perplexity(docs, "id", "text", m).orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+    assert(serve(re) == serve(lm))
+    // incremental append ≡ union refit, count for count
+    val inc = LangModel.appendToBigramLm(lm, delta, "text")
+    val full = LangModel.fitBigramLm(base.unionByName(delta), "text")
+    assert(inc.vocab == full.vocab)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(key(inc.unigrams) == key(full.unigrams))
+    assert(key(inc.bigrams) == key(full.bigrams))
+    assert(serve(inc) == serve(full))
+  }
+
   test("in-distribution text scores lower perplexity than shuffled " +
     "text, and tiers partition head ≤ middle ≤ tail with na routing") {
     val pattern = "the cat sat on the mat and the dog sat on the rug"
