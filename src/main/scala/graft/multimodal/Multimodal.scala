@@ -172,7 +172,12 @@ object Multimodal extends Serializable {
     * (java.util.zip). Any PNG tool accepts the output; generated
     * without image libraries, deterministic per id.
     */
-  def syntheticPng(id: Long, width: Int, height: Int): MediaBlob = {
+  /** Encode raw RGB triplets (row-major, 3 bytes/pixel) as a real PNG:
+    * filter-0 scanlines, one zlib-deflated IDAT, genuine chunk CRCs.
+    * The writer behind [[syntheticPng]] and [[resizePng]].
+    */
+  def pngEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
     val crc = new java.util.zip.CRC32()
     def chunk(ctype: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(12 + body.length)
@@ -188,16 +193,13 @@ object Multimodal extends Serializable {
       .put(2.toByte)  // color type: truecolor RGB
       .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
       .array()
-    // filter-0 scanlines with a deterministic id-seeded pixel pattern
+    // filter-0 scanlines: per-row filter byte + the row's pixel bytes
     val raw = new Array[Byte](height * (1 + width * 3))
-    var x = id * 6364136223846793005L + 1442695040888963407L
     var p = 0
-    (0 until height).foreach { _ =>
-      raw(p) = 0; p += 1 // per-row filter byte
-      (0 until width * 3).foreach { _ =>
-        x = x * 6364136223846793005L + 1442695040888963407L
-        raw(p) = (x >>> 56).toByte; p += 1
-      }
+    (0 until height).foreach { r =>
+      raw(p) = 0; p += 1
+      System.arraycopy(rgb, r * width * 3, raw, p, width * 3)
+      p += width * 3
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
@@ -213,9 +215,19 @@ object Multimodal extends Serializable {
     }
     deflater.end()
     val idat = bos.toByteArray
-    val out = PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
-    MediaBlob(id, "image", out)
+  }
+
+  def syntheticPng(id: Long, width: Int, height: Int): MediaBlob = {
+    // deterministic id-seeded pixel pattern
+    val rgb = new Array[Byte](width * height * 3)
+    var x = id * 6364136223846793005L + 1442695040888963407L
+    (0 until rgb.length).foreach { i =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      rgb(i) = (x >>> 56).toByte
+    }
+    MediaBlob(id, "image", pngEncode(width, height, rgb))
   }
 
   /** REAL PNG header parse — the image codec behind the decode seam,
@@ -267,6 +279,131 @@ object Multimodal extends Serializable {
   def decodePng(blobs: Dataset[MediaBlob]): Dataset[PngMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(b => parsePng(b.media_id, b.content)))
+  }
+
+  /** FULL pixel decode of an 8-bit truecolor non-interlaced PNG:
+    * concatenate the IDAT payloads, inflate, and reverse the per-row
+    * filter (all five PNG filter types — None/Sub/Up/Average/Paeth —
+    * so PNGs from ANY conforming encoder decode, not just this file's
+    * filter-0 writer; the spec round-trips a JDK-ImageIO-encoded
+    * image to prove it). Returns (width, height, RGB triplets) or
+    * None for anything [[parsePng]] rejects plus unsupported shapes
+    * (palette/gray/alpha color types, 16-bit depth, Adam7 interlace,
+    * inflate errors, short pixel data).
+    */
+  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val meta = parsePng(0L, bytes)
+    if (!meta.decode_ok || meta.bit_depth != 8 || meta.color_type != 2)
+      return None
+    if (bytes(28) != 0) return None // interlace byte inside IHDR
+    val (w, h) = (meta.width, meta.height)
+    // gather IDAT payloads (parsePng already validated the walk)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var stop = false
+    while (!stop && off + 8 <= bytes.length) {
+      val size = buf.getInt(off)
+      val cid = new String(bytes, off + 4, 4, "US-ASCII")
+      if (cid == "IDAT") bos.write(bytes, off + 8, size)
+      if (cid == "IEND") stop = true
+      off += 12 + size
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(bos.toByteArray)
+    val rowBytes = w * 3
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    val ok = try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) got = -1 // truncated stream
+        if (got < 0) throw new java.util.zip.DataFormatException("short")
+        got += n
+      }
+      got == raw.length
+    } catch { case _: java.util.zip.DataFormatException => false }
+    finally inflater.end()
+    if (!ok) return None
+    // reverse the row filters in place (bpp = 3 for 8-bit RGB)
+    val px = new Array[Byte](h * rowBytes)
+    def u(b: Byte): Int = b & 0xff
+    (0 until h).foreach { r =>
+      val f = raw(r * (1 + rowBytes))
+      val src = r * (1 + rowBytes) + 1
+      val dst = r * rowBytes
+      (0 until rowBytes).foreach { i =>
+        val a = if (i >= 3) u(px(dst + i - 3)) else 0          // left
+        val b = if (r > 0) u(px(dst - rowBytes + i)) else 0    // up
+        val c = if (r > 0 && i >= 3) u(px(dst - rowBytes + i - 3))
+                else 0                                          // up-left
+        val x = u(raw(src + i))
+        val recon = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None // unknown filter type
+        }
+        px(dst + i) = (recon & 0xff).toByte
+      }
+    }
+    Some((w, h, px))
+  }
+
+  /** REAL nearest-neighbor resize on the container bytes — the
+    * byte-level counterpart of the [[resizeSpec]] metadata plan, like
+    * [[sampleFramesY4m]] is to [[frameSample]]: decode pixels, sample,
+    * re-encode through [[pngEncode]]. Never upscales (the resizeSpec
+    * rule): an image already within `maxEdge` returns its ORIGINAL
+    * bytes untouched. Target dims use exact integer arithmetic —
+    * `w' = max(1, w·maxEdge / max(w,h))` in longs — so any engine
+    * replays them without float-floor hazards; source pixel for
+    * (x, y) is (x·w / w', y·h / h'), the standard floor mapping.
+    * Returns None where [[decodePngPixels]] does.
+    */
+  def resizePng(bytes: Array[Byte], maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
+    require(maxEdge >= 1)
+    decodePngPixels(bytes).map { case (w, h, px) =>
+      val m = math.max(w, h)
+      if (m <= maxEdge) (w, h, bytes)
+      else {
+        val w2 = math.max(1L, w.toLong * maxEdge / m).toInt
+        val h2 = math.max(1L, h.toLong * maxEdge / m).toInt
+        val out = new Array[Byte](w2 * h2 * 3)
+        (0 until h2).foreach { y =>
+          val sy = (y.toLong * h / h2).toInt
+          (0 until w2).foreach { x =>
+            val sx = (x.toLong * w / w2).toInt
+            System.arraycopy(px, (sy * w + sx) * 3, out,
+              (y * w2 + x) * 3, 3)
+          }
+        }
+        (w2, h2, pngEncode(w2, h2, out))
+      }
+    }
+  }
+
+  /** Partition-wise blob resize: one decoder per partition, blobs
+    * never shuffle; undecodable blobs come back with EMPTY content so
+    * the downstream [[decodePng]] routes them to `decode_ok = false`
+    * (the failure stays a row property, never a task failure).
+    */
+  def resizePngBlobs(blobs: Dataset[MediaBlob],
+                     maxEdge: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      resizePng(b.content, maxEdge) match {
+        case Some((_, _, out)) => MediaBlob(b.media_id, b.media_type, out)
+        case None => MediaBlob(b.media_id, b.media_type,
+          Array.emptyByteArray)
+      }
+    })
   }
 
   case class Y4mMeta(media_id: Long, width: Int, height: Int,

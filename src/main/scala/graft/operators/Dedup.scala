@@ -505,11 +505,11 @@ object Dedup {
   }
 
   /** Normalized token stream shared by the substring-dedup family:
-    * lowercased, whitespace-split, empties dropped — the same
-    * normalization as [[shingles]], bound once per row.
+    * [[Retrieval.tokens]] (lowercase, whitespace-split, empties
+    * dropped, null-safe), bound once per row — one tokenizer
+    * definition across BM25 / substring dedup / the LM.
     */
-  private def substrToks(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+  private def substrToks(text: Column): Column = Retrieval.tokens(text)
 
   /** Fingerprints of every token k-gram WITH its position: one array
     * element per start index 0..len−k, computed scan-side (no shuffle,

@@ -43,8 +43,9 @@ object LangModel {
   final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
                             vocab: Long)
 
-  private def toks(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+  // one tokenizer definition across BM25 / substring dedup / the LM;
+  // null-safe (null text → empty array → tokens = 0, unscorable)
+  private def toks(text: Column): Column = Retrieval.tokens(text)
 
   /** Adjacent-pair structs from a bound token array: one element per
     * transition (w_i, w_{i+1}), computed scan-side.
@@ -59,18 +60,29 @@ object LangModel {
           "array<struct<tok1:string,tok2:string>>"))
     }
 
-  /** Fit the bigram LM on a reference corpus: two aggregations, both
-    * map-side combined; the vocab count is a bounded driver scalar
-    * (the model must broadcast anyway — a vocabulary too large to
-    * count is too large to serve).
+  /** Count relations only — no vocab count job. Shared by the public
+    * fit and the incremental append (which recounts the vocab on the
+    * MERGED unigrams, so a delta-side count would be paid and thrown
+    * away).
     */
-  def fitBigramLm(corpus: DataFrame, textCol: String): BigramLm = {
+  private def fitCounts(corpus: DataFrame,
+                        textCol: String): (DataFrame, DataFrame) = {
     val tk = corpus.select(toks(col(textCol)).as("tk"))
     val uni = tk.select(explode(col("tk")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val bi = tk.select(explode(bigramsOf(col("tk"))).as("bg"))
       .select(col("bg.tok1"), col("bg.tok2"))
       .groupBy(col("tok1"), col("tok2")).agg(count(lit(1)).as("cnt"))
+    (uni, bi)
+  }
+
+  /** Fit the bigram LM on a reference corpus: two aggregations, both
+    * map-side combined; the vocab count is a bounded driver scalar
+    * (the model must broadcast anyway — a vocabulary too large to
+    * count is too large to serve).
+    */
+  def fitBigramLm(corpus: DataFrame, textCol: String): BigramLm = {
+    val (uni, bi) = fitCounts(corpus, textCol)
     BigramLm(uni, bi, uni.count())
   }
 
@@ -101,10 +113,10 @@ object LangModel {
     */
   def appendToBigramLm(lm: BigramLm, delta: DataFrame,
                        textCol: String): BigramLm = {
-    val d = fitBigramLm(delta, textCol)
-    val uni = lm.unigrams.unionByName(d.unigrams)
+    val (dUni, dBi) = fitCounts(delta, textCol)
+    val uni = lm.unigrams.unionByName(dUni)
       .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
-    val bi = lm.bigrams.unionByName(d.bigrams)
+    val bi = lm.bigrams.unionByName(dBi)
       .groupBy(col("tok1"), col("tok2")).agg(sum(col("cnt")).as("cnt"))
     BigramLm(uni, bi, uni.count())
   }

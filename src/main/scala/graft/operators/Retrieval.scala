@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Whitespace tokenization shared with TextAnalysis/Dedup: lowercase,
-    * split on runs of whitespace, drop empties.
+  /** Whitespace tokenization shared with TextAnalysis/Dedup/LangModel:
+    * lowercase, split on runs of whitespace, drop empties. NULL text
+    * yields an EMPTY array, not null — so `size(...)` is 0 (never the
+    * SQL-legacy −1) and downstream token counts / document lengths
+    * stay sane for null-text rows.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    coalesce(filter(split(lower(text), "\\s+"), t => length(t) > 0),
+      array().cast("array<string>"))
 
   /** Top-`k` documents for `queryTerms` by BM25. Output:
     * (rank, doc_id, score) — score quantized to 6 decimals.

@@ -4260,16 +4260,21 @@ object Queries {
   private def q121(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
-    val blobs = t(s, dir, "documents").filter($"doc_id" < 220)
-      .select($"doc_id").as[Long]
-      .map { id =>
-        val rates = Array((25, 1), (30000, 1001), (24, 1))
-        val (num, den) = rates((id % 3).toInt)
-        val b = m.syntheticY4m(id, 16 + 2 * (id % 5).toInt,
-          12 + 2 * (id % 3).toInt, num, den, 1 + (id % 10).toInt)
-        if (id % 11 == 0) b.copy(content = b.content.dropRight(10))
-        else b
-      }
+    // Materialize: the synthesized containers feed BOTH the decode and
+    // the frame-sample branch of the join — without it every container
+    // is generated and layout-walked twice (exchange reuse does not
+    // dedup mapPartitions subtrees)
+    val blobs = Materialize(
+      t(s, dir, "documents").filter($"doc_id" < 220)
+        .select($"doc_id").as[Long]
+        .map { id =>
+          val rates = Array((25, 1), (30000, 1001), (24, 1))
+          val (num, den) = rates((id % 3).toInt)
+          val b = m.syntheticY4m(id, 16 + 2 * (id % 5).toInt,
+            12 + 2 * (id % 3).toInt, num, den, 1 + (id % 10).toInt)
+          if (id % 11 == 0) b.copy(content = b.content.dropRight(10))
+          else b
+        }.toDF()).as[m.MediaBlob]
     val meta = m.decodeY4m(blobs).toDF()
     val sampled = m.sampleFramesY4m(blobs, every = 2)
       .groupBy($"media_id").agg(count(lit(1)).as("sampled_frames"))
@@ -4385,7 +4390,7 @@ object Queries {
       |SELECT c.doc_id,
       | coalesce(a.clean_text, '') AS clean_text,
       | CAST(coalesce(a.kept, 0) AS BIGINT) AS kept_tokens,
-      | CAST(len(t.tk) - coalesce(a.kept, 0) AS BIGINT)
+      | CAST(coalesce(len(t.tk), 0) - coalesce(a.kept, 0) AS BIGINT)
       |   AS removed_tokens
       |FROM corpus c JOIN toks t USING (doc_id)
       |LEFT JOIN agg a USING (doc_id)
@@ -4446,7 +4451,7 @@ object Queries {
       | CROSS JOIN v
       | GROUP BY doc_id),
       |scored AS (
-      | SELECT c.doc_id, CAST(len(c.tk) AS BIGINT) AS tokens,
+      | SELECT c.doc_id, CAST(coalesce(len(c.tk), 0) AS BIGINT) AS tokens,
       |  CAST(coalesce(s.n_trans, 0) AS BIGINT) AS n_trans,
       |  floor(-s.ll / s.n_trans * 1e6 + 0.5) / 1e6 AS avg_nll,
       |  floor(exp(-s.ll / s.n_trans) * 1e6 + 0.5) / 1e6 AS ppl
@@ -4461,6 +4466,51 @@ object Queries {
       |  ELSE 'tail' END AS tier
       |FROM scored CROSS JOIN cuts
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  // REAL image resize under the oracle: q109's PNG construction with a
+  // byte-level resize stage inserted — encode (real PNG bytes) →
+  // resizePngBlobs (full pixel decode incl. all five PNG row filters,
+  // nearest-neighbor sample, re-encode) → decodePng of the RESIZED
+  // bytes. Target dims are exact integer arithmetic (w' = max(1,
+  // w·maxEdge / max(w,h)) in longs — no float-floor hazard), so the
+  // oracle recomputes them from the id-derived source dims;
+  // within-budget images pass through byte-identical (never upscale),
+  // and every 9th blob is truncated so the resize routes it to empty
+  // content → decode_ok=false, a row property, never a task failure.
+  // Pixel CORRECTNESS (JDK ImageIO round-trips, floor-mapping pixel
+  // equality, adaptive-filter decode) is spec-land (MultimodalSpec).
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 250)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticPng(id, 8 + (id % 13).toInt,
+          8 + (id % 7).toInt)
+        if (id % 9 == 0)
+          b.copy(content = java.util.Arrays.copyOf(b.content, 40))
+        else b
+      }
+    m.decodePng(m.resizePngBlobs(blobs, maxEdge = 12)).toDF()
+      .select($"media_id", $"width", $"height", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private val q124Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  8 + doc_id % 13 AS w,
+      |  8 + doc_id % 7 AS h,
+      |  greatest(8 + doc_id % 13, 8 + doc_id % 7) AS m,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 250)
+      |SELECT doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 WHEN m <= 12 THEN w
+      |  ELSE greatest(1, w * 12 // m) END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 WHEN m <= 12 THEN h
+      |  ELSE greatest(1, h * 12 // m) END AS INT) AS height,
+      | NOT bad AS decode_ok
+      |FROM p ORDER BY media_id""".stripMargin
 
   // ================================================================ //
 
@@ -4587,7 +4637,8 @@ object Queries {
     "q120_semdedup_ivf" -> (q120 _),
     "q121_y4m_decode"   -> (q121 _),
     "q122_substr_dedup" -> (q122 _),
-    "q123_ppl_filter"   -> (q123 _)
+    "q123_ppl_filter"   -> (q123 _),
+    "q124_png_resize"   -> (q124 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4803,7 +4854,8 @@ object Queries {
     "q119_bpe_tokens"   -> q119Sql,
     "q121_y4m_decode"   -> q121Sql,
     "q122_substr_dedup" -> q122Sql,
-    "q123_ppl_filter"   -> q123Sql
+    "q123_ppl_filter"   -> q123Sql,
+    "q124_png_resize"   -> q124Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

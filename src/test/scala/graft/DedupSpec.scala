@@ -264,6 +264,20 @@ class DedupSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("null-text rows tokenize to zero, not -1: no spans, zero strip " +
+    "counts, other docs unaffected") {
+    val df = Seq((1L, "x y z x y z x y z"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 3)
+    assert(spans.filter($"doc_id" === 2L).count() == 0)
+    val out = Dedup.stripDuplicateSpans(df, "doc_id", "text", spans)
+      .orderBy("doc_id").collect()
+    // doc 1's in-doc repeats still dedup; doc 2 strips to clean zeros
+    assert(out(0).getLong(3) > 0L)
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 0L &&
+      out(1).getLong(3) == 0L)
+  }
+
   test("dropNearDups keeps the min-id survivor per near-dup cluster") {
     // 1,2 near-dup; 4 an exact copy of 1 (→ one cluster {1,2,4});
     // 3 unrelated; 5 too short to shingle (must survive untouched)

@@ -36,11 +36,15 @@ class LangModelSpec extends AnyFunSuite {
     val lm = LangModel.fitBigramLm(Seq("a b a b").toDF("text"), "text")
     // "z q": unseen tok1 z → p = (0+1)/(0+2) = 0.5
     val rows = LangModel.perplexity(
-      Seq((1L, "z q"), (2L, "solo"), (3L, "")).toDF("id", "text"),
+      Seq((1L, "z q"), (2L, "solo"), (3L, ""),
+        (4L, null.asInstanceOf[String])).toDF("id", "text"),
       "id", "text", lm).orderBy("doc_id").collect()
     assert(rows(0).getDouble(4) == 2.0) // ppl of constant p=.5
     assert(rows(1).getLong(2) == 0L && rows(1).isNullAt(4))
     assert(rows(2).getLong(1) == 0L && rows(2).isNullAt(4))
+    // null text tokenizes to ZERO (not SQL-legacy −1) and is unscorable
+    assert(rows(3).getLong(1) == 0L && rows(3).getLong(2) == 0L &&
+      rows(3).isNullAt(4))
   }
 
   test("model lifecycle: save/reload serves identically, and " +

@@ -156,6 +156,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(2).decode_ok)
   }
 
+  test("png pixel decode reverses ALL filter types: a JDK-ImageIO-" +
+    "encoded image (adaptive Sub/Up/Avg/Paeth filtering) decodes to " +
+    "the exact pixels ImageIO itself reads back") {
+    // smooth gradient → the JDK encoder picks non-zero row filters
+    val (w, h) = (37, 23)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      img.setRGB(x, y, ((x * 7) % 256 << 16) | ((y * 11) % 256 << 8) |
+        ((x + y) % 256))
+    }}
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    val Some((dw, dh, px)) = Multimodal.decodePngPixels(bytes)
+    assert(dw == w && dh == h)
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val rgb = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((px(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (px(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (px(o + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y)")
+    }}
+  }
+
+  test("resizePng: nearest-neighbor downscale re-encodes a real PNG " +
+    "with exact integer target dims; within-budget images pass " +
+    "through byte-identical; corrupt blobs route to empty content") {
+    val blob = Multimodal.syntheticPng(11L, 20, 14)
+    val Some((w2, h2, out)) = Multimodal.resizePng(blob.content, 8)
+    assert(w2 == 8 && h2 == 5) // 20*8/20 = 8; 14*8/20 = 5 (integer)
+    // the resized bytes are a REAL png: the JDK decodes them and every
+    // pixel equals the source pixel at the floor mapping
+    val big = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob.content))
+    val small = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out))
+    assert(small.getWidth == 8 && small.getHeight == 5)
+    (0 until 5).foreach { y => (0 until 8).foreach { x =>
+      assert(small.getRGB(x, y) ==
+        big.getRGB(x * 20 / 8, y * 14 / 5), s"($x,$y)")
+    }}
+    // no upscale: already within budget → original bytes untouched
+    val same = Multimodal.resizePng(blob.content, 64)
+    assert(java.util.Arrays.equals(same.get._3, blob.content))
+    // dataset path: corrupt blob → empty content → decode_ok=false
+    val blobs = Seq(blob,
+      MediaBlob(2L, "image", Array[Byte](1, 2, 3))).toDS()
+    val resized = Multimodal.resizePngBlobs(blobs, 8)
+    val metas = Multimodal.decodePng(resized).collect()
+      .sortBy(_.media_id)
+    assert(!metas(0).decode_ok) // media_id 2, the corrupt blob
+    assert(metas(1).decode_ok && metas(1).width == 8 &&
+      metas(1).height == 5)
+  }
+
   test("y4m codec: synthesized YUV4MPEG2 bytes parse back to their " +
     "exact parameters; header tags and colorspaces are honored") {
     val b = Multimodal.syntheticY4m(5L, 32, 24, 30000, 1001, 7)
