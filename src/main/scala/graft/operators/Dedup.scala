@@ -587,10 +587,12 @@ object Dedup {
     * SITE loses its tokens; the globally-first occurrence survives in
     * place). Returns (doc id, clean_text, kept_tokens,
     * removed_tokens). Docs without spans pass through with their
-    * normalized text intact; span maps ride a broadcast-sized
-    * per-doc array join keyed on the doc id, so the corpus is
-    * touched in ONE pass and the blob-free span relation is the only
-    * joined side.
+    * normalized text intact. The corpus is touched in ONE pass: the
+    * per-doc span arrays join keyed on the doc id, so the only data
+    * that ever moves for the join is span COORDINATES (the relation
+    * is duplicate-site-bounded — a corpus fraction, co-partitioned by
+    * doc at scale; small enough at test SF that AQE broadcasts it),
+    * never text.
     */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           spans: DataFrame): DataFrame = {

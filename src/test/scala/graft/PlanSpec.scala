@@ -194,6 +194,32 @@ class PlanSpec extends AnyFunSuite {
       s"nested-loop candidate generation in:\n$p")
   }
 
+  test("q122 substring dedup: the only corpus-wide movement is the " +
+    "fingerprint-keyed window; no cartesian, no sort-merge join") {
+    val p = plan("q122_substr_dedup")
+    // three windows: fp first-occurrence rank + the two interval-merge
+    // passes (gaps-and-islands) — all on 8-byte keys, never text
+    assert("Window \\[".r.findAllIn(p).size >= 3,
+      s"expected the rank + merge windows in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q123 perplexity: the vocabulary-bounded model joins BROADCAST " +
+    "onto the candidate transitions, and the only nested-loop is the " +
+    "one-row tier-cuts cross join — no sort-merge, no global sort " +
+    "from tiering") {
+    val p = plan("q123_ppl_filter")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
+    // exactly one BNLJ: the broadcast of the single cuts row (CCNet's
+    // percentile-cut design — tiering must NOT plan a global sort)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"expected exactly the one-row cuts cross join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q96 mixture broadcasts the per-stratum plan onto the corpus " +
     "scan — no wide shuffle of the documents table") {
     val p = plan("q96_temp_mixture")
