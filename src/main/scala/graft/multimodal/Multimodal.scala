@@ -254,7 +254,10 @@ object Multimodal extends Serializable {
       return BadPng.copy(media_id = id)
     val (w, h) = (buf.getInt(16), buf.getInt(20))
     val (depth, color) = (bytes(24).toInt & 0xff, bytes(25).toInt & 0xff)
-    if (w <= 0 || h <= 0) return BadPng.copy(media_id = id)
+    // 2²⁴ per edge: far beyond any real image, small enough that no
+    // downstream size product can wrap an Int
+    if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24))
+      return BadPng.copy(media_id = id)
     var idatBytes = 0L
     var off = 33 // first chunk after IHDR
     var sawEnd = false
@@ -295,8 +298,18 @@ object Multimodal extends Serializable {
     val meta = parsePng(0L, bytes)
     if (!meta.decode_ok || meta.bit_depth != 8 || meta.color_type != 2)
       return None
-    if (bytes(28) != 0) return None // interlace byte inside IHDR
+    // IHDR method bytes: compression (26) and filter method (27) have
+    // exactly one legal value each — decoding anything else as
+    // method-0 would return WRONG pixels with decode_ok=true —
+    // and interlace (28) must be none (no Adam7)
+    if (bytes(26) != 0 || bytes(27) != 0 || bytes(28) != 0) return None
     val (w, h) = (meta.width, meta.height)
+    // bound the allocation BEFORE sizing arrays: a crafted IHDR can
+    // declare dimensions whose raw size wraps Int (negative-size
+    // crash) or demands a multi-GB buffer — both must stay a row
+    // property, never a task failure
+    val rawLen = h.toLong * (1L + w.toLong * 3)
+    if (rawLen > (1L << 28)) return None
     // gather IDAT payloads (parsePng already validated the walk)
     val buf = java.nio.ByteBuffer.wrap(bytes)
     val bos = new java.io.ByteArrayOutputStream()
@@ -315,13 +328,17 @@ object Multimodal extends Serializable {
     val raw = new Array[Byte](h * (1 + rowBytes))
     val ok = try {
       var got = 0
-      while (got < raw.length && !inflater.finished()) {
+      var stalled = false
+      while (!stalled && got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) got = -1 // truncated stream
-        if (got < 0) throw new java.util.zip.DataFormatException("short")
-        got += n
+        // n == 0 with output space remaining and not finished means NO
+        // progress is possible: truncated input (needsInput) or a
+        // preset-dictionary request (needsDictionary — forbidden by
+        // the PNG spec but craftable; looping on it would hang the
+        // task forever). Either way: a malformed blob, not an error.
+        if (n == 0) stalled = true else got += n
       }
-      got == raw.length
+      !stalled && got == raw.length
     } catch { case _: java.util.zip.DataFormatException => false }
     finally inflater.end()
     if (!ok) return None

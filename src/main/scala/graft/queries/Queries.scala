@@ -2881,7 +2881,7 @@ object Queries {
       |  list_filter(string_split_regex(lower(text), '\s+'),
       |    x -> len(x) > 0) AS toks
       | FROM documents),
-      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |d AS (SELECT doc_id, coalesce(len(toks), 0) AS dl, toks FROM tk),
       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
       |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
@@ -3328,7 +3328,7 @@ object Queries {
       |  list_filter(string_split_regex(lower(text), '\s+'),
       |    x -> len(x) > 0) AS toks
       | FROM documents),
-      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |d AS (SELECT doc_id, coalesce(len(toks), 0) AS dl, toks FROM tk),
       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
       |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
@@ -3879,7 +3879,7 @@ object Queries {
       |  list_filter(string_split_regex(lower(text), '\s+'),
       |    x -> len(x) > 0) AS toks
       | FROM documents),
-      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |d AS (SELECT doc_id, coalesce(len(toks), 0) AS dl, toks FROM tk),
       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
       |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
@@ -3954,7 +3954,7 @@ object Queries {
       |  list_filter(string_split_regex(lower(text), '\s+'),
       |    x -> len(x) > 0) AS toks
       | FROM documents),
-      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |d AS (SELECT doc_id, coalesce(len(toks), 0) AS dl, toks FROM tk),
       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
       |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
@@ -4028,7 +4028,7 @@ object Queries {
       |  list_filter(string_split_regex(lower(text), '\s+'),
       |    x -> len(x) > 0) AS toks
       | FROM corpus),
-      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |d AS (SELECT doc_id, coalesce(len(toks), 0) AS dl, toks FROM tk),
       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
       |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
@@ -4091,7 +4091,7 @@ object Queries {
       |  list_filter(string_split_regex(lower(text), '\s+'),
       |    x -> len(x) > 0) AS toks
       | FROM documents),
-      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+      |d AS (SELECT doc_id, coalesce(len(toks), 0) AS dl, toks FROM tk),
       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
       |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM p

@@ -212,6 +212,46 @@ class MultimodalSpec extends AnyFunSuite {
       metas(1).height == 5)
   }
 
+  test("crafted PNGs stay row properties, never task failures: absurd " +
+    "IHDR dims, a preset-dictionary zlib stream, and nonzero method " +
+    "bytes all route to None/decode_ok=false") {
+    val good = Multimodal.syntheticPng(3L, 16, 16).content
+    // re-CRC a mutated IHDR so only the targeted field is invalid
+    def patchIhdr(mut: Array[Byte] => Unit): Array[Byte] = {
+      val out = good.clone(); mut(out)
+      val crc = new java.util.zip.CRC32(); crc.update(out, 12, 17)
+      java.nio.ByteBuffer.wrap(out).putInt(29, crc.getValue.toInt)
+      out
+    }
+    // 2³⁰ per edge: h*(1+w*3) wraps Int — must not throw/allocate
+    val huge = patchIhdr { b =>
+      java.nio.ByteBuffer.wrap(b).putInt(16, 1 << 30).putInt(20, 1 << 30)
+    }
+    assert(!Multimodal.parsePng(3L, huge).decode_ok)
+    assert(Multimodal.decodePngPixels(huge).isEmpty)
+    // zlib FDICT bit set (CMF 0x78, FLG 0x20 keeps the %31 check):
+    // forbidden by the PNG spec; a naive inflate loop hangs forever
+    val dict = good.clone()
+    dict(41) = 0x78.toByte; dict(42) = 0x20.toByte // IDAT body start
+    val crc = new java.util.zip.CRC32()
+    val isz = java.nio.ByteBuffer.wrap(dict).getInt(33)
+    crc.update(dict, 37, 4 + isz)
+    java.nio.ByteBuffer.wrap(dict).putInt(41 + isz, crc.getValue.toInt)
+    assert(Multimodal.decodePngPixels(dict).isEmpty) // and terminates
+    // nonzero compression / filter-method bytes: decoding them as
+    // method 0 would yield wrong pixels with decode_ok=true
+    assert(Multimodal.decodePngPixels(
+      patchIhdr(b => b(26) = 1.toByte)).isEmpty)
+    assert(Multimodal.decodePngPixels(
+      patchIhdr(b => b(27) = 1.toByte)).isEmpty)
+    // the dataset path absorbs all of them as empty-content rows
+    val blobs = Seq(MediaBlob(1L, "image", huge),
+      MediaBlob(2L, "image", dict)).toDS()
+    val metas = Multimodal.decodePng(
+      Multimodal.resizePngBlobs(blobs, 8)).collect()
+    assert(metas.forall(!_.decode_ok))
+  }
+
   test("y4m codec: synthesized YUV4MPEG2 bytes parse back to their " +
     "exact parameters; header tags and colorspaces are honored") {
     val b = Multimodal.syntheticY4m(5L, 32, 24, 30000, 1001, 7)
