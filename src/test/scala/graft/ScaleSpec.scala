@@ -57,6 +57,34 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
+  test("substring-dedup shuffle volume tracks token COUNT, not token " +
+    "size: 4x the characters per token moves ~the same bytes") {
+    val tally = ShuffleTally.install(spark.sparkContext)
+    try {
+      // fixed 40 tokens per doc, distinct vocab (no duplicate sites);
+      // rep scales only each token's CHARACTER length — the shuffle
+      // carries (fp, doc, pos) rows whose width is hash-fixed, so the
+      // bytes moved must not follow the text size
+      def mkDocs(rep: Int) = (0 until 200).map { i =>
+        val rnd = new scala.util.Random(i)
+        val pad = "x" * (6 * rep)
+        val words = Seq.fill(40)(pad + rnd.nextInt(1000000))
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      def shuffled(rep: Int): Long = {
+        val s0 = tally.snapshot(spark.sparkContext)
+        Dedup.duplicateSpans(mkDocs(rep), "doc_id", "text", k = 6)
+          .count()
+        (tally.snapshot(spark.sparkContext) - s0).write
+      }
+      val small = shuffled(1)
+      val large = shuffled(4)
+      assert(small > 0, "expected the fingerprint window to shuffle")
+      assert(large < small * 3 / 2,
+        s"shuffle bytes scaled with token size: $small -> $large")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   test("hnsw resident serve: after prepare+cache, a query batch moves " +
     "candidate-sized shuffle bytes — the index is never re-exchanged") {
     import graft.operators.Hnsw
