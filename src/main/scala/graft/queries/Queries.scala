@@ -4512,6 +4512,140 @@ object Queries {
       | NOT bad AS decode_ok
       |FROM p ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  // Modern-pipeline capstone: the two big session additions COMPOSED —
+  // exact substring dedup feeding CCNet perplexity filtering, the
+  // Lee-et-al → Wenzek-et-al sequence real refineries run (strip
+  // repeated passages FIRST so boilerplate can't poison the LM fit or
+  // deflate candidate perplexity, then tier on the cleaned text and
+  // keep head+middle). One oracled query pins the composition: q122's
+  // planted-boilerplate corpus → stripDuplicateSpans → fit the bigram
+  // LM on the even-id CLEAN half → score/tier the odd-id clean half →
+  // survivors. The DuckDB oracle replays the entire chain (grams →
+  // spans → strip → fit → score → cuts → tier → filter) so stage
+  // composition can't drift the way separately-green stages could.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter($"doc_id" < 400)
+      .select($"doc_id", when($"doc_id" % 3 === 0,
+          concat($"text", lit(" " + q122Boiler)))
+        .otherwise($"text").as("text"))
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 6,
+      hash = Dedup.Md5)
+    // Materialize: clean feeds BOTH the LM fit and the scoring branch
+    val clean = Materialize(
+      Dedup.stripDuplicateSpans(corpus, "doc_id", "text", spans)
+        .select($"doc_id", $"clean_text".as("text")))
+    val lm = LangModel.fitBigramLm(clean.filter($"doc_id" % 2 === 0),
+      "text")
+    val scored = LangModel.perplexity(clean.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", lm)
+    LangModel.perplexityTiers(scored)
+      .filter($"tier" === "head" || $"tier" === "middle")
+      .select($"doc_id", $"tokens", $"ppl", $"tier")
+      .orderBy($"doc_id")
+  }
+  private val q125Sql = {
+    val gram = (1 to 6).map(j => s"tk[p+$j]").mkString(" || ' ' || ")
+    s"""WITH corpus AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text || ' $q122Boiler'
+      |   ELSE text END AS text
+      | FROM documents WHERE doc_id < 400),
+      |toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |   '\\s+'), x -> len(x) > 0) AS tk
+      | FROM corpus),
+      |gp AS (
+      | SELECT doc_id, tk, unnest(range(len(tk) - 5)) AS p
+      | FROM toks WHERE len(tk) >= 6),
+      |grams AS (
+      | SELECT doc_id, p AS pos,
+      |  ('0x' || substr(md5($gram), 1, 8))::BIGINT AS fp
+      | FROM gp),
+      |sites AS (
+      | SELECT doc_id, pos,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      | FROM grams),
+      |dup AS (
+      | SELECT doc_id, pos AS s, pos + 6 AS e FROM sites WHERE rn > 1),
+      |flag AS (
+      | SELECT doc_id, s, e,
+      |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+      |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    -1) THEN 1 ELSE 0 END AS ng
+      | FROM dup),
+      |grp AS (
+      | SELECT doc_id, s, e,
+      |  sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+      | FROM flag),
+      |spans AS (
+      | SELECT doc_id, g, min(s) AS ss, max(e) AS se
+      | FROM grp GROUP BY doc_id, g),
+      |tpos AS (
+      | SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+      | FROM toks),
+      |keptt AS (
+      | SELECT k.doc_id, k.pos, k.tok FROM tpos k
+      | WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |   WHERE sp.doc_id = k.doc_id
+      |    AND k.pos >= sp.ss AND k.pos < sp.se)),
+      |cagg AS (
+      | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      | FROM keptt GROUP BY doc_id),
+      |clean AS (
+      | SELECT c.doc_id, coalesce(a.clean_text, '') AS text
+      | FROM corpus c LEFT JOIN cagg a USING (doc_id)),
+      |ctk AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |   '\\s+'), x -> len(x) > 0) AS tk
+      | FROM clean),
+      |uni AS (
+      | SELECT tok, count(*) AS c1
+      | FROM (SELECT unnest(tk) AS tok FROM ctk WHERE doc_id % 2 = 0)
+      | GROUP BY 1),
+      |v AS (SELECT count(*) AS vocab FROM uni),
+      |bi AS (
+      | SELECT tok1, tok2, count(*) AS c12 FROM (
+      |  SELECT tk[p+1] AS tok1, tk[p+2] AS tok2 FROM (
+      |   SELECT tk, unnest(range(len(tk) - 1)) AS p
+      |   FROM ctk WHERE doc_id % 2 = 0 AND len(tk) >= 2))
+      | GROUP BY 1, 2),
+      |cand AS (SELECT doc_id, tk FROM ctk WHERE doc_id % 2 = 1),
+      |ct AS (
+      | SELECT doc_id, tok1, tok2, count(*) AS m FROM (
+      |  SELECT doc_id, tk[p+1] AS tok1, tk[p+2] AS tok2 FROM (
+      |   SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS p
+      |   FROM cand WHERE len(tk) >= 2))
+      | GROUP BY 1, 2, 3),
+      |sc AS (
+      | SELECT doc_id, sum(m) AS n_trans,
+      |  sum(m * ln((coalesce(c12, 0) + 1.0)
+      |    / (coalesce(c1, 0) + vocab))) AS ll
+      | FROM ct
+      | LEFT JOIN bi USING (tok1, tok2)
+      | LEFT JOIN uni ON ct.tok1 = uni.tok
+      | CROSS JOIN v
+      | GROUP BY doc_id),
+      |scored AS (
+      | SELECT c.doc_id, CAST(coalesce(len(c.tk), 0) AS BIGINT) AS tokens,
+      |  floor(exp(-s.ll / s.n_trans) * 1e6 + 0.5) / 1e6 AS ppl
+      | FROM cand c LEFT JOIN sc s USING (doc_id)),
+      |cuts AS (
+      | SELECT quantile_disc(ppl, [1.0/3, 2.0/3]) AS qs
+      | FROM scored WHERE ppl IS NOT NULL),
+      |tiers AS (
+      | SELECT doc_id, tokens, ppl,
+      |  CASE WHEN ppl IS NULL THEN 'na'
+      |   WHEN ppl <= qs[1] THEN 'head'
+      |   WHEN ppl <= qs[2] THEN 'middle'
+      |   ELSE 'tail' END AS tier
+      | FROM scored CROSS JOIN cuts)
+      |SELECT doc_id, tokens, ppl, tier FROM tiers
+      |WHERE tier IN ('head', 'middle')
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4638,7 +4772,8 @@ object Queries {
     "q121_y4m_decode"   -> (q121 _),
     "q122_substr_dedup" -> (q122 _),
     "q123_ppl_filter"   -> (q123 _),
-    "q124_png_resize"   -> (q124 _)
+    "q124_png_resize"   -> (q124 _),
+    "q125_refinery_v2"  -> (q125 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4855,7 +4990,8 @@ object Queries {
     "q121_y4m_decode"   -> q121Sql,
     "q122_substr_dedup" -> q122Sql,
     "q123_ppl_filter"   -> q123Sql,
-    "q124_png_resize"   -> q124Sql
+    "q124_png_resize"   -> q124Sql,
+    "q125_refinery_v2"  -> q125Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted
