@@ -160,6 +160,92 @@ object LangModel {
         quant(exp(-col("ll_sum") / col("n_trans"))).as("ppl"))
   }
 
+  /** Per-language model: CCNet's actual design — one LM and one set
+    * of percentile cuts PER LANGUAGE, because perplexity is not
+    * comparable across languages (a fluent Vietnamese doc scores
+    * absurdly against an English reference). Same relations as
+    * [[BigramLm]] with a leading `lang` key; vocab becomes a
+    * per-language relation (still model-bounded).
+    */
+  final case class PerLangLm(unigrams: DataFrame, bigrams: DataFrame,
+                             vocabs: DataFrame)
+
+  /** Fit one bigram LM per language in a SINGLE pair of aggregations —
+    * the language is just another grouping key, so adding 100
+    * languages adds zero extra passes.
+    */
+  def fitBigramLmPerLang(corpus: DataFrame, langCol: String,
+                         textCol: String): PerLangLm = {
+    val tk = corpus.select(col(langCol).cast("string").as("lang"),
+      toks(col(textCol)).as("tk"))
+    val uni = tk.select(col("lang"), explode(col("tk")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val bi = tk.select(col("lang"), explode(bigramsOf(col("tk"))).as("bg"))
+      .select(col("lang"), col("bg.tok1"), col("bg.tok2"))
+      .groupBy(col("lang"), col("tok1"), col("tok2"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocabs = uni.groupBy(col("lang")).agg(count(lit(1)).as("vocab"))
+    PerLangLm(uni, bi, vocabs)
+  }
+
+  /** Score each doc against ITS OWN language's model (docs whose
+    * language has no fitted model score against an empty vocabulary —
+    * smoothing still yields finite probabilities, but `vocab` null
+    * routes them to null scores instead: nothing to judge). Output
+    * adds `lang` ahead of the [[perplexity]] columns.
+    */
+  def perplexityPerLang(df: DataFrame, idCol: String, langCol: String,
+                        textCol: String, lm: PerLangLm): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(langCol).cast("string").as("lang"), toks(col(textCol)).as("tk"))
+    val trans = base
+      .select(col("doc_id"), col("lang"),
+        explode(bigramsOf(col("tk"))).as("bg"))
+      .groupBy(col("doc_id"), col("lang"), col("bg.tok1"), col("bg.tok2"))
+      .agg(count(lit(1)).as("m"))
+    val scored = trans
+      .join(broadcast(lm.bigrams.withColumnRenamed("cnt", "c12")),
+        Seq("lang", "tok1", "tok2"), "left_outer")
+      .join(broadcast(lm.unigrams.select(col("lang"),
+        col("tok").as("tok1"), col("cnt").as("c1"))),
+        Seq("lang", "tok1"), "left_outer")
+      .join(broadcast(lm.vocabs), Seq("lang"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_trans"),
+        sum(col("m") *
+          log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("vocab").cast("double"))))
+          .as("ll_sum"))
+    base.select(col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("tokens"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("tokens"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        quant(-col("ll_sum") / col("n_trans")).as("avg_nll"),
+        quant(exp(-col("ll_sum") / col("n_trans"))).as("ppl"))
+  }
+
+  /** Per-language head/middle/tail: cuts computed PER LANGUAGE (one
+    * grouped sketch aggregation, broadcast back on the lang key) —
+    * CCNet's rule that a doc competes only within its own language.
+    */
+  def perplexityTiersPerLang(scored: DataFrame,
+                             accuracy: Int = 10000000): DataFrame = {
+    val cuts = scored.filter(col("ppl").isNotNull)
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("qs"))
+      .select(col("lang"), col("qs").getItem(0).as("cut1"),
+        col("qs").getItem(1).as("cut2"))
+    scored.join(broadcast(cuts), Seq("lang"), "left_outer")
+      .withColumn("tier",
+        when(col("ppl").isNull, lit("na"))
+          .when(col("ppl") <= col("cut1"), lit("head"))
+          .when(col("ppl") <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("cut1", "cut2")
+  }
+
   /** CCNet's head/middle/tail partition: tier cuts are the p33/p66
     * perplexity percentiles from a one-pass sketch (exact when
     * `accuracy` ≥ n — the q98 contract), broadcast onto the scored

@@ -4646,6 +4646,81 @@ object Queries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q126
+  // Per-language CCNet filtering — the paper's ACTUAL design, which
+  // q123 simplifies away: one LM and one set of percentile cuts PER
+  // LANGUAGE, because perplexity is not comparable across languages.
+  // All languages fit in a single pair of aggregations (lang is just
+  // another grouping key), every doc scores against its own language's
+  // model, and the head/middle/tail cuts come from a GROUPED sketch
+  // (q98's exact-at-oracle-accuracy contract per group). A language
+  // present only in the candidate half has no model → null vocab →
+  // unscorable 'na', a row property. DuckDB replays fit, per-lang
+  // scoring, grouped cuts, and tier assignment end to end.
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val lm = LangModel.fitBigramLmPerLang(
+      docs.filter($"doc_id" % 2 === 0), "lang", "text")
+    val scored = LangModel.perplexityPerLang(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "lang", "text", lm)
+    LangModel.perplexityTiersPerLang(scored)
+      .select($"doc_id", $"lang", $"tokens", $"n_trans", $"avg_nll",
+        $"ppl", $"tier")
+      .orderBy($"doc_id")
+  }
+  private val q126Sql =
+    """WITH ref AS (
+      | SELECT lang, list_filter(string_split_regex(lower(text),
+      |   '\s+'), x -> len(x) > 0) AS tk
+      | FROM documents WHERE doc_id % 2 = 0),
+      |uni AS (
+      | SELECT lang, tok, count(*) AS c1
+      | FROM (SELECT lang, unnest(tk) AS tok FROM ref) GROUP BY 1, 2),
+      |v AS (SELECT lang, count(*) AS vocab FROM uni GROUP BY 1),
+      |bi AS (
+      | SELECT lang, tok1, tok2, count(*) AS c12 FROM (
+      |  SELECT lang, tk[p+1] AS tok1, tk[p+2] AS tok2 FROM (
+      |   SELECT lang, tk, unnest(range(len(tk) - 1)) AS p
+      |   FROM ref WHERE len(tk) >= 2))
+      | GROUP BY 1, 2, 3),
+      |cand AS (
+      | SELECT doc_id, lang, list_filter(string_split_regex(lower(text),
+      |   '\s+'), x -> len(x) > 0) AS tk
+      | FROM documents WHERE doc_id % 2 = 1),
+      |ct AS (
+      | SELECT doc_id, lang, tok1, tok2, count(*) AS m FROM (
+      |  SELECT doc_id, lang, tk[p+1] AS tok1, tk[p+2] AS tok2 FROM (
+      |   SELECT doc_id, lang, tk, unnest(range(len(tk) - 1)) AS p
+      |   FROM cand WHERE len(tk) >= 2))
+      | GROUP BY 1, 2, 3, 4),
+      |sc AS (
+      | SELECT doc_id, sum(m) AS n_trans,
+      |  sum(m * ln((coalesce(c12, 0) + 1.0)
+      |    / (coalesce(c1, 0) + vocab))) AS ll
+      | FROM ct
+      | LEFT JOIN bi USING (lang, tok1, tok2)
+      | LEFT JOIN uni ON ct.lang = uni.lang AND ct.tok1 = uni.tok
+      | LEFT JOIN v ON ct.lang = v.lang
+      | GROUP BY doc_id),
+      |scored AS (
+      | SELECT c.doc_id, c.lang,
+      |  CAST(coalesce(len(c.tk), 0) AS BIGINT) AS tokens,
+      |  CAST(coalesce(s.n_trans, 0) AS BIGINT) AS n_trans,
+      |  floor(-s.ll / s.n_trans * 1e6 + 0.5) / 1e6 AS avg_nll,
+      |  floor(exp(-s.ll / s.n_trans) * 1e6 + 0.5) / 1e6 AS ppl
+      | FROM cand c LEFT JOIN sc s USING (doc_id)),
+      |cuts AS (
+      | SELECT lang, quantile_disc(ppl, [1.0/3, 2.0/3]) AS qs
+      | FROM scored WHERE ppl IS NOT NULL GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.tokens, s.n_trans, s.avg_nll, s.ppl,
+      | CASE WHEN s.ppl IS NULL THEN 'na'
+      |  WHEN s.ppl <= qs[1] THEN 'head'
+      |  WHEN s.ppl <= qs[2] THEN 'middle'
+      |  ELSE 'tail' END AS tier
+      |FROM scored s LEFT JOIN cuts USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4773,7 +4848,8 @@ object Queries {
     "q122_substr_dedup" -> (q122 _),
     "q123_ppl_filter"   -> (q123 _),
     "q124_png_resize"   -> (q124 _),
-    "q125_refinery_v2"  -> (q125 _)
+    "q125_refinery_v2"  -> (q125 _),
+    "q126_ppl_per_lang" -> (q126 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -4991,7 +5067,8 @@ object Queries {
     "q122_substr_dedup" -> q122Sql,
     "q123_ppl_filter"   -> q123Sql,
     "q124_png_resize"   -> q124Sql,
-    "q125_refinery_v2"  -> q125Sql
+    "q125_refinery_v2"  -> q125Sql,
+    "q126_ppl_per_lang" -> q126Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -73,6 +73,39 @@ class LangModelSpec extends AnyFunSuite {
     assert(serve(inc) == serve(full))
   }
 
+  test("per-language models: each doc scores against its OWN " +
+    "language's LM, tiers partition within a language, and docs of an " +
+    "unfitted language route to 'na'") {
+    val enPat = "the cat sat on the mat and the dog sat on the rug"
+    val xxPat = "foo bar baz qux foo bar baz qux quux corge grault"
+    val ref = ((0 until 30).map(_ => ("en", enPat)) ++
+      (0 until 30).map(_ => ("xx", xxPat))).toDF("lang", "text")
+    val lm = LangModel.fitBigramLmPerLang(ref, "lang", "text")
+    // per-lang candidates at three distortion levels + one unknown lang
+    val docs = Seq(
+      (1L, "en", enPat),
+      (2L, "en", "the cat sat on the rug and the dog sat"),
+      (3L, "en", "rug the on dog mat cat the sat and on the"),
+      (4L, "xx", xxPat),
+      (5L, "xx", "foo bar baz corge quux qux foo"),
+      (6L, "xx", "grault foo corge bar quux baz qux foo bar"),
+      (7L, "zz", "unfitted language text here")).toDF("id", "lang", "text")
+    val scored = LangModel.perplexityPerLang(docs, "id", "lang",
+      "text", lm)
+    val byId = scored.collect().map(r => r.getLong(0) -> r).toMap
+    // in-distribution beats distorted WITHIN each language
+    assert(byId(1L).getDouble(5) < byId(3L).getDouble(5))
+    assert(byId(4L).getDouble(5) < byId(6L).getDouble(5))
+    assert(byId(7L).isNullAt(5), "unfitted language must be unscorable")
+    val tiers = LangModel.perplexityTiersPerLang(scored).collect()
+      .map(r => r.getLong(1) -> r.getString(6)).toMap
+    // each language partitions independently: both get a head even
+    // though en and xx perplexities live on different scales
+    assert(tiers(1L) == "head" && tiers(4L) == "head")
+    assert(tiers(3L) == "tail" && tiers(6L) == "tail")
+    assert(tiers(7L) == "na")
+  }
+
   test("in-distribution text scores lower perplexity than shuffled " +
     "text, and tiers partition head ≤ middle ≤ tail with na routing") {
     val pattern = "the cat sat on the mat and the dog sat on the rug"
