@@ -106,6 +106,56 @@ class LangModelSpec extends AnyFunSuite {
     assert(tiers(7L) == "na")
   }
 
+  test("streaming ingest: micro-batches of reference text appended in " +
+    "foreachBatch converge to exactly the batch-fit model (the q111 " +
+    "shape for the LM — a live reference corpus grows without ever " +
+    "re-tokenizing history)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.{Dataset, Row}
+    val dir = java.nio.file.Files
+      .createTempDirectory("lm_stream").toString
+    val texts = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(12)("w" + rnd.nextInt(30)).mkString(" "))
+    }
+    // generation 0: first 10 docs fit and persisted
+    LangModel.saveBigramLm(LangModel.fitBigramLm(
+      texts.take(10).toDF("id", "text"), "text"), s"$dir/lm_seed")
+    @volatile var cur = s"$dir/lm_seed"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val sink: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val next = s"$dir/lm_$id"
+      LangModel.saveBigramLm(
+        LangModel.appendToBigramLm(LangModel.loadBigramLm(spark, cur),
+          batch.toDF("id", "text"), "text"), next)
+      cur = next
+    }
+    stream.addData(texts.slice(10, 25))
+    val q = stream.toDS().toDF("id", "text").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch(sink)
+      .start()
+    q.awaitTermination()
+    stream.addData(texts.slice(25, 40))
+    val q2 = stream.toDS().toDF("id", "text").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch(sink)
+      .start()
+    q2.awaitTermination()
+    val streamed = LangModel.loadBigramLm(spark, cur)
+    val batchFit = LangModel.fitBigramLm(texts.toDF("id", "text"),
+      "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(streamed.vocab == batchFit.vocab)
+    assert(key(streamed.unigrams) == key(batchFit.unigrams))
+    assert(key(streamed.bigrams) == key(batchFit.bigrams))
+  }
+
   test("in-distribution text scores lower perplexity than shuffled " +
     "text, and tiers partition head ≤ middle ≤ tail with na routing") {
     val pattern = "the cat sat on the mat and the dog sat on the rug"
