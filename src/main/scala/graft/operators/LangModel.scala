@@ -68,8 +68,12 @@ object LangModel {
   private def fitCounts(corpus: DataFrame,
                         textCol: String): (DataFrame, DataFrame) = {
     val tk = corpus.select(toks(col(textCol)).as("tk"))
-    val uni = tk.select(explode(col("tk")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // Materialize: the unigram relation has two consumers (the vocab
+    // count and the scoring broadcast) and exchange reuse does not
+    // fire across them — without this the reference corpus would
+    // re-tokenize and re-aggregate once per consumer
+    val uni = Materialize(tk.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
     val bi = tk.select(explode(bigramsOf(col("tk"))).as("bg"))
       .select(col("bg.tok1"), col("bg.tok2"))
       .groupBy(col("tok1"), col("tok2")).agg(count(lit(1)).as("cnt"))
@@ -131,34 +135,26 @@ object LangModel {
     * tokens carry null scores (nothing to judge — route them to the
     * heuristic gates instead). Both score columns are 6-decimal
     * quantized so engines replaying the same arithmetic in a
-    * different summation order agree exactly.
+    * different summation order agree exactly. Delegates to the
+    * per-language core under a constant key (the observation that
+    * "lang is just another grouping key", run in reverse) — the
+    * smoothing and quantization arithmetic the oracles replay exists
+    * in exactly ONE place.
     */
+  private val SingleLang = "_"
+
+  private def asPerLang(lm: BigramLm): PerLangLm =
+    PerLangLm(
+      lm.unigrams.withColumn("lang", lit(SingleLang)),
+      lm.bigrams.withColumn("lang", lit(SingleLang)),
+      lm.unigrams.sparkSession.range(1)
+        .select(lit(SingleLang).as("lang"), lit(lm.vocab).as("vocab")))
+
   def perplexity(df: DataFrame, idCol: String, textCol: String,
-                 lm: BigramLm): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
-      toks(col(textCol)).as("tk"))
-    val trans = base
-      .select(col("doc_id"), explode(bigramsOf(col("tk"))).as("bg"))
-      .groupBy(col("doc_id"), col("bg.tok1"), col("bg.tok2"))
-      .agg(count(lit(1)).as("m"))
-    val scored = trans
-      .join(broadcast(lm.bigrams.withColumnRenamed("cnt", "c12")),
-        Seq("tok1", "tok2"), "left_outer")
-      .join(broadcast(lm.unigrams.select(col("tok").as("tok1"),
-        col("cnt").as("c1"))), Seq("tok1"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_trans"),
-        sum(col("m") *
-          log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("c1"), lit(0L)) + lit(lm.vocab.toDouble))))
-          .as("ll_sum"))
-    base.select(col("doc_id"), size(col("tk")).cast("long").as("tokens"))
-      .join(scored, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("tokens"),
-        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
-        quant(-col("ll_sum") / col("n_trans")).as("avg_nll"),
-        quant(exp(-col("ll_sum") / col("n_trans"))).as("ppl"))
-  }
+                 lm: BigramLm): DataFrame =
+    perplexityPerLang(df.withColumn("__lang", lit(SingleLang)),
+        idCol, "__lang", textCol, asPerLang(lm))
+      .drop("lang")
 
   /** Per-language model: CCNet's actual design — one LM and one set
     * of percentile cuts PER LANGUAGE, because perplexity is not
@@ -178,8 +174,11 @@ object LangModel {
                          textCol: String): PerLangLm = {
     val tk = corpus.select(col(langCol).cast("string").as("lang"),
       toks(col(textCol)).as("tk"))
-    val uni = tk.select(col("lang"), explode(col("tk")).as("tok"))
-      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    // Materialize (see fitCounts): vocabs derives from uni AND the
+    // scoring path broadcasts uni — one aggregation, two consumers
+    val uni = Materialize(
+      tk.select(col("lang"), explode(col("tk")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt")))
     val bi = tk.select(col("lang"), explode(bigramsOf(col("tk"))).as("bg"))
       .select(col("lang"), col("bg.tok1"), col("bg.tok2"))
       .groupBy(col("lang"), col("tok1"), col("tok2"))
@@ -249,23 +248,16 @@ object LangModel {
   /** CCNet's head/middle/tail partition: tier cuts are the p33/p66
     * perplexity percentiles from a one-pass sketch (exact when
     * `accuracy` ≥ n — the q98 contract), broadcast onto the scored
-    * relation as a crossJoin of ONE row; no global sort. Unscorable
-    * docs (null ppl) tier as 'na'. Cuts are computed on the quantized
-    * ppl, so tie behavior is engine-independent.
+    * relation; no global sort. Unscorable docs (null ppl) tier as
+    * 'na'. Cuts are computed on the quantized ppl, so tie behavior is
+    * engine-independent. Delegates to the per-language core under a
+    * constant key — one copy of the cut/tier logic.
     */
   def perplexityTiers(scored: DataFrame,
                       accuracy: Int = 10000000): DataFrame = {
-    val cuts = scored.filter(col("ppl").isNotNull)
-      .agg(percentile_approx(col("ppl"),
-        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("qs"))
-      .select(col("qs").getItem(0).as("cut1"),
-        col("qs").getItem(1).as("cut2"))
-    scored.crossJoin(broadcast(cuts))
-      .withColumn("tier",
-        when(col("ppl").isNull, lit("na"))
-          .when(col("ppl") <= col("cut1"), lit("head"))
-          .when(col("ppl") <= col("cut2"), lit("middle"))
-          .otherwise(lit("tail")))
-      .drop("cut1", "cut2")
+    val cols = scored.columns
+    perplexityTiersPerLang(scored.withColumn("lang", lit(SingleLang)),
+        accuracy)
+      .select((cols :+ "tier").map(col): _*)
   }
 }

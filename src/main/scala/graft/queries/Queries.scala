@@ -4324,7 +4324,11 @@ object Queries {
   // fingerprints bit-for-bit; the oracle re-runs the whole pipeline —
   // grams, first-occurrence ranking, interval merge, strip — in SQL.
   // Natural repeats inside the synthetic text dedup identically on
-  // both engines.
+  // both engines. NOTE: q125Sql embeds this strip pipeline (and
+  // q123's scoring chain) VERBATIM as a deliberately self-contained
+  // composition oracle — a semantic change here must be mirrored
+  // there (the capstone's Spark side calls the same operators, so
+  // the q125 gate catches silent drift).
   private def q122(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = t(s, dir, "documents").filter($"doc_id" < 400)

@@ -206,17 +206,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q123 perplexity: the vocabulary-bounded model joins BROADCAST " +
-    "onto the candidate transitions, and the only nested-loop is the " +
-    "one-row tier-cuts cross join — no sort-merge, no global sort " +
-    "from tiering") {
+  test("q123 perplexity: the token-keyed model joins BROADCAST onto " +
+    "the candidate transitions; nested-loops are only the folded " +
+    "one-row constant-key joins (vocab, cuts); any sort-merge is the " +
+    "doc-keyed rollup — never a token-keyed or cartesian shape") {
     val p = plan("q123_ppl_filter")
     assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in:\n$p")
-    // exactly one BNLJ: the broadcast of the single cuts row (CCNet's
-    // percentile-cut design — tiering must NOT plan a global sort)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
-      s"expected exactly the one-row cuts cross join in:\n$p")
+    // single-model delegation runs the per-lang core under a constant
+    // key, so the one-row vocab and cuts joins fold their lang
+    // equality to literal `true` — every BNLJ must be exactly that
+    // shape (a broadcast of one row), nothing with a real condition
+    val bnljs = "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(p).toSeq
+    assert(bnljs.nonEmpty && bnljs.forall(l =>
+        l.contains("BuildRight") && l.trim.endsWith("true")),
+      s"non-one-row nested loop in:\n$p")
+    // the per-doc score rollup may sort-merge on doc_id (both sides
+    // corpus-sized and doc-keyed — the right shape at 100×; AQE
+    // broadcasts it at small scale), but NOTHING may sort-merge on
+    // token keys
+    val smjs = "SortMergeJoin[^\n]*".r.findAllIn(p).toSeq
+    assert(smjs.forall(_.contains("doc_id")),
+      s"token-keyed sort-merge join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q126 per-language perplexity: model joins stay hash joins " +
+    "(lang is a real key, nothing folds to a nested loop); grouped " +
+    "cuts broadcast; no cartesian") {
+    val p = plan("q126_ppl_per_lang")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected nested loop in:\n$p")
+    val smjs = "SortMergeJoin[^\n]*".r.findAllIn(p).toSeq
+    assert(smjs.forall(_.contains("doc_id")),
+      s"token-keyed sort-merge join in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

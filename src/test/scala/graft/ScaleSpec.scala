@@ -62,13 +62,14 @@ class ScaleSpec extends AnyFunSuite {
     val tally = ShuffleTally.install(spark.sparkContext)
     try {
       // fixed 40 tokens per doc, distinct vocab (no duplicate sites);
-      // rep scales only each token's CHARACTER length — the shuffle
-      // carries (fp, doc, pos) rows whose width is hash-fixed, so the
-      // bytes moved must not follow the text size
+      // rep scales only each token's CHARACTER length — fixed-width
+      // 12·rep chars per token, so rep=4 is a true 4x — while the
+      // shuffle carries (fp, doc, pos) rows whose width is hash-fixed,
+      // so the bytes moved must not follow the text size
       def mkDocs(rep: Int) = (0 until 200).map { i =>
         val rnd = new scala.util.Random(i)
-        val pad = "x" * (6 * rep)
-        val words = Seq.fill(40)(pad + rnd.nextInt(1000000))
+        val pad = "x" * (12 * rep - 6)
+        val words = Seq.fill(40)(pad + "%06d".format(rnd.nextInt(1000000)))
         (i.toLong, words.mkString(" "))
       }.toDF("doc_id", "text")
       def shuffled(rep: Int): Long = {
