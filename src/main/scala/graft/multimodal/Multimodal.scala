@@ -157,6 +157,99 @@ object Multimodal extends Serializable {
     blobs.mapPartitions(_.map(b => parseWav(b.media_id, b.content)))
   }
 
+  /** REAL wav bytes from caller-provided interleaved 16-bit PCM
+    * samples — the generator-parameterized twin of [[syntheticWav]]
+    * (which fills the payload from an id-seeded LCG), for callers
+    * that need arithmetically-derivable sample values.
+    */
+  def syntheticWavPcm(id: Long, sampleRate: Int, channels: Int,
+                      samples: Array[Short]): MediaBlob = {
+    require(samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    MediaBlob(id, "audio", bb.array())
+  }
+
+  case class WavStats(media_id: Long, channel: Int, n_samples: Long,
+                      peak: Int, sum_abs: Long, sum_sq: Long,
+                      decode_ok: Boolean)
+
+  private val BadWavStats =
+    WavStats(0L, -1, -1L, -1, -1L, -1L, decode_ok = false)
+
+  /** Byte-level AUDIO feature extraction — the audio leg of the
+    * real per-modality transforms ([[resizePng]] for images,
+    * [[sampleFramesY4m]] for video): decode the 16-bit PCM samples
+    * out of the container and fold per-channel signal statistics —
+    * peak |amplitude|, sum of |s|, sum of s² (the loudness/energy
+    * ingredients; all EXACT integers, so any engine replays them).
+    * One row per channel. Reuses [[parseWav]]'s chunk walk for the
+    * data location; anything it rejects — or a non-16-bit stream, or
+    * a data length that splits a frame — routes to one
+    * `decode_ok=false` row, never a task failure.
+    */
+  def wavStats(id: Long, bytes: Array[Byte]): Seq[WavStats] = {
+    val meta = parseWav(id, bytes)
+    if (!meta.decode_ok || meta.bits_per_sample != 16)
+      return Seq(BadWavStats.copy(media_id = id))
+    val ch = meta.channels
+    if (ch < 1 || meta.data_bytes % (2L * ch) != 0 ||
+        meta.data_bytes > Int.MaxValue)
+      return Seq(BadWavStats.copy(media_id = id))
+    // re-walk to the data chunk body (parseWav validated the walk)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var dataOff = -1
+    while (dataOff < 0 && off + 8 <= bytes.length) {
+      val cid = new String(bytes, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
+      if (cid == "data") dataOff = off + 8
+      else {
+        val step = size.toInt
+        if (step < 0 || off + 8 + step > bytes.length) off = bytes.length
+        else off = off + 8 + step + (step & 1)
+      }
+    }
+    if (dataOff < 0) return Seq(BadWavStats.copy(media_id = id))
+    val frames = (meta.data_bytes / (2L * ch)).toInt
+    val peak = new Array[Int](ch)
+    val sAbs = new Array[Long](ch)
+    val sSq = new Array[Long](ch)
+    var i = 0
+    while (i < frames * ch) {
+      val s = buf.getShort(dataOff + i * 2).toInt
+      val c = i % ch
+      val a = math.abs(s)
+      if (a > peak(c)) peak(c) = a
+      sAbs(c) += a
+      sSq(c) += s.toLong * s
+      i += 1
+    }
+    (0 until ch).map(c =>
+      WavStats(id, c, frames.toLong, peak(c), sAbs(c), sSq(c),
+        decode_ok = true))
+  }
+
+  /** Partition-wise per-channel stats over a Dataset of blobs — one
+    * decoder per partition, blobs never shuffle, one output row per
+    * (blob, channel).
+    */
+  def decodeWavStats(blobs: Dataset[MediaBlob]): Dataset[WavStats] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap(b => wavStats(b.media_id, b.content)))
+  }
+
   case class PngMeta(media_id: Long, width: Int, height: Int,
                      bit_depth: Int, color_type: Int, idat_bytes: Long,
                      decode_ok: Boolean)

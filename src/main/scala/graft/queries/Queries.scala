@@ -4725,6 +4725,72 @@ object Queries {
       |FROM scored s LEFT JOIN cuts USING (lang)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  // Byte-level AUDIO feature extraction — completes the per-modality
+  // real transforms (q124 image resize, q121 video frame-sample):
+  // genuine RIFF/WAVE containers whose 16-bit PCM samples follow a
+  // closed-form id-derived pattern, decoded back out of the BYTES by
+  // wavStats into per-channel peak / sum|s| / sum s² — all exact
+  // integers, so the oracle recomputes them from the same closed form
+  // (no float hazards anywhere). Every 13th blob is truncated
+  // mid-header → one decode_ok=false row, a row property.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 50 + (id % 100).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(blobs).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private val q127Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 100 AS fr,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, fr, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, i, unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, c AS channel,
+      |  ((doc_id*7 + i*13 + c*17) % 65536) - 32768 AS s
+      | FROM sc),
+      |agg AS (
+      | SELECT doc_id, channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(s*s) AS BIGINT) AS sum_sq
+      | FROM sv GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4853,7 +4919,8 @@ object Queries {
     "q123_ppl_filter"   -> (q123 _),
     "q124_png_resize"   -> (q124 _),
     "q125_refinery_v2"  -> (q125 _),
-    "q126_ppl_per_lang" -> (q126 _)
+    "q126_ppl_per_lang" -> (q126 _),
+    "q127_wav_stats"    -> (q127 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5072,7 +5139,8 @@ object Queries {
     "q123_ppl_filter"   -> q123Sql,
     "q124_png_resize"   -> q124Sql,
     "q125_refinery_v2"  -> q125Sql,
-    "q126_ppl_per_lang" -> q126Sql
+    "q126_ppl_per_lang" -> q126Sql,
+    "q127_wav_stats"    -> q127Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

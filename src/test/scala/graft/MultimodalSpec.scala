@@ -102,6 +102,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(2).decode_ok)
   }
 
+  test("wavStats decodes real PCM bytes to exact per-channel signal " +
+    "statistics; unsupported depths and truncation route to one bad " +
+    "row") {
+    // 2-channel interleaved, hand-computed: ch0 = [100, -200, 300],
+    // ch1 = [-32768, 0, 7]
+    val samples = Array[Short](100, -32768, -200, 0, 300, 7)
+    val b = Multimodal.syntheticWavPcm(9L, 16000, 2, samples)
+    val st = Multimodal.wavStats(9L, b.content).sortBy(_.channel)
+    assert(st.map(_.decode_ok) == Seq(true, true))
+    assert(st(0) == Multimodal.WavStats(9L, 0, 3L, 300, 600L,
+      100L * 100 + 200L * 200 + 300L * 300, decode_ok = true))
+    assert(st(1) == Multimodal.WavStats(9L, 1, 3L, 32768,
+      32775L, 32768L * 32768 + 49L, decode_ok = true))
+    // the LCG-payload wavs decode through the same path
+    val lcg = Multimodal.syntheticWav(3L, 8000, 1, 16, 100)
+    val ls = Multimodal.wavStats(3L, lcg.content)
+    assert(ls.length == 1 && ls.head.n_samples == 100L &&
+      ls.head.decode_ok)
+    // truncation and non-16-bit depth: one decode_ok=false row
+    assert(Multimodal.wavStats(3L, lcg.content.take(30)) ==
+      Seq(Multimodal.WavStats(3L, -1, -1L, -1, -1L, -1L,
+        decode_ok = false)))
+    val w8 = Multimodal.syntheticWav(4L, 8000, 1, 8, 10)
+    assert(!Multimodal.wavStats(4L, w8.content).head.decode_ok)
+  }
+
   test("png codec: synthesized bytes are REAL PNGs — the JDK's own " +
     "ImageIO decodes them with matching dimensions") {
     val b = Multimodal.syntheticPng(7L, 21, 13)
