@@ -73,16 +73,15 @@ object Multimodal extends Serializable {
 
   private val BadWav = WavMeta(0L, -1, -1, -1, -1L, -1L, decode_ok = false)
 
-  /** Minimal RIFF/WAVE writer: canonical PCM header (RIFF size, WAVE,
-    * `fmt ` 16-byte block, `data` chunk) + deterministic payload. WAV
-    * is the reference's actual blob type (tts_utils.py:31-35 writes
-    * synthesized speech as wav) — these are REAL wav bytes any audio
-    * tool would accept, generated without audio libraries.
+  /** Canonical 44-byte PCM header (RIFF size, WAVE, `fmt ` 16-byte
+    * block, `data` chunk) into a fresh buffer sized for `dataLen`
+    * payload bytes — the ONE copy of the header layout behind both
+    * synthetic writers.
     */
-  def syntheticWav(id: Long, sampleRate: Int, channels: Int,
-                   bitsPerSample: Int, nFrames: Int): MediaBlob = {
+  private def wavHeader(sampleRate: Int, channels: Int,
+                        bitsPerSample: Int,
+                        dataLen: Int): java.nio.ByteBuffer = {
     val blockAlign = channels * bitsPerSample / 8
-    val dataLen = nFrames * blockAlign
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -95,12 +94,65 @@ object Multimodal extends Serializable {
       .putShort(blockAlign.toShort)
       .putShort(bitsPerSample.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb
+  }
+
+  /** Minimal RIFF/WAVE writer: canonical PCM header + deterministic
+    * payload. WAV is the reference's actual blob type
+    * (tts_utils.py:31-35 writes synthesized speech as wav) — these
+    * are REAL wav bytes any audio tool would accept, generated
+    * without audio libraries.
+    */
+  def syntheticWav(id: Long, sampleRate: Int, channels: Int,
+                   bitsPerSample: Int, nFrames: Int): MediaBlob = {
+    val dataLen = nFrames * channels * bitsPerSample / 8
+    val bb = wavHeader(sampleRate, channels, bitsPerSample, dataLen)
     var x = id
     (0 until dataLen).foreach { _ =>
       x = x * 6364136223846793005L + 1442695040888963407L
       bb.put((x >>> 56).toByte)
     }
     MediaBlob(id, "audio", bb.array())
+  }
+
+  /** The ONE RIFF chunk walk shared by [[parseWav]] and [[wavStats]]
+    * (a coupled second copy would have to stay byte-identical or the
+    * stats path could step to offsets the parse never validated).
+    * Returns (fmt fields, data-chunk body offset, data length) —
+    * fmt = (channels, rate, byteRate, bits); dataOff/dataLen are −1
+    * when absent. Any malformation just ends the walk: a declared
+    * size past EOF, or one whose Int form is negative or whose step
+    * sum would WRAP Int (bounds compared in Long — a crafted
+    * size near 2³¹ once defeated an Int-arithmetic EOF guard and
+    * walked to a negative offset).
+    */
+  private def wavChunkWalk(bytes: Array[Byte])
+      : (Option[(Int, Int, Int, Int)], Int, Long) = {
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val cid = ascii(off)
+      val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
+      val body = off + 8
+      cid match {
+        case "fmt " if size >= 16 && body + 16 <= bytes.length =>
+          fmt = Some((buf.getShort(body + 2).toInt, buf.getInt(body + 4),
+            buf.getInt(body + 8), buf.getShort(body + 14).toInt))
+        case "data" if body + size <= bytes.length =>
+          dataOff = body; dataLen = size
+        case _ => // unknown/short chunk: skip
+      }
+      val step = size.toInt
+      if (step < 0 || body.toLong + step > bytes.length)
+        off = bytes.length
+      else off = body + step + (step & 1) // chunks pad to even
+    }
+    (fmt, dataOff, dataLen)
   }
 
   /** REAL RIFF/WAVE header parse — the codec behind the decode seam.
@@ -114,33 +166,10 @@ object Multimodal extends Serializable {
     */
   def parseWav(id: Long, bytes: Array[Byte]): WavMeta = {
     def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
       return BadWav.copy(media_id = id)
-    var off = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, byteRate, bits
-    var dataLen = -1L
-    while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
-      val cid = ascii(off)
-      val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
-      val body = off + 8
-      cid match {
-        case "fmt " if size >= 16 && body + 16 <= bytes.length =>
-          fmt = Some((buf.getShort(body + 2).toInt, buf.getInt(body + 4),
-            buf.getInt(body + 8), buf.getShort(body + 14).toInt))
-        case "data" if body + size <= bytes.length =>
-          dataLen = size
-        case _ => // unknown/short chunk: skip
-      }
-      // a declared size past EOF (or ≥2³¹, negative as Int) ends the
-      // walk — stepping by it verbatim could loop or go backwards
-      val step = size.toInt
-      if (step < 0 || body + step > bytes.length) off = bytes.length
-      else off = body + step + (step & 1) // chunks pad to even
-    }
-    fmt match {
-      case Some((ch, rate, byteRate, bits))
+    wavChunkWalk(bytes) match {
+      case (Some((ch, rate, byteRate, bits)), _, dataLen)
           if dataLen >= 0 && byteRate > 0 =>
         WavMeta(id, rate, ch, bits, dataLen,
           dataLen * 1000L / byteRate, decode_ok = true)
@@ -165,17 +194,8 @@ object Multimodal extends Serializable {
   def syntheticWavPcm(id: Long, sampleRate: Int, channels: Int,
                       samples: Array[Short]): MediaBlob = {
     require(samples.length % channels == 0)
-    val dataLen = samples.length * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val blockAlign = channels * 2
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
-      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
-      .putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val bb = wavHeader(sampleRate, channels, bitsPerSample = 16,
+      dataLen = samples.length * 2)
     samples.foreach(bb.putShort)
     MediaBlob(id, "audio", bb.array())
   }
@@ -206,22 +226,12 @@ object Multimodal extends Serializable {
     if (ch < 1 || meta.data_bytes % (2L * ch) != 0 ||
         meta.data_bytes > Int.MaxValue)
       return Seq(BadWavStats.copy(media_id = id))
-    // re-walk to the data chunk body (parseWav validated the walk)
+    // the SAME walk parseWav ran (shared helper) hands back the data
+    // chunk's body offset
+    val (_, dataOff, _) = wavChunkWalk(bytes)
+    if (dataOff < 0) return Seq(BadWavStats.copy(media_id = id))
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    var dataOff = -1
-    while (dataOff < 0 && off + 8 <= bytes.length) {
-      val cid = new String(bytes, off, 4, "US-ASCII")
-      val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
-      if (cid == "data") dataOff = off + 8
-      else {
-        val step = size.toInt
-        if (step < 0 || off + 8 + step > bytes.length) off = bytes.length
-        else off = off + 8 + step + (step & 1)
-      }
-    }
-    if (dataOff < 0) return Seq(BadWavStats.copy(media_id = id))
     val frames = (meta.data_bytes / (2L * ch)).toInt
     val peak = new Array[Int](ch)
     val sAbs = new Array[Long](ch)

@@ -126,6 +126,15 @@ class MultimodalSpec extends AnyFunSuite {
         decode_ok = false)))
     val w8 = Multimodal.syntheticWav(4L, 8000, 1, 8, 10)
     assert(!Multimodal.wavStats(4L, w8.content).head.decode_ok)
+    // crafted chunk size near 2³¹: the walk's Long-bounds guard must
+    // end the walk, not wrap Int into a negative offset and throw
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+    assert(!Multimodal.parseWav(5L, evil.array()).decode_ok)
+    assert(!Multimodal.wavStats(5L, evil.array()).head.decode_ok)
   }
 
   test("png codec: synthesized bytes are REAL PNGs — the JDK's own " +
