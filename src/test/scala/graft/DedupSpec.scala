@@ -264,6 +264,46 @@ class DedupSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("property: on random small-vocab corpora (dense natural " +
+    "duplication), substring-strip is idempotent, conserves tokens, " +
+    "and replays deterministically") {
+    (0 until 4).foreach { trial =>
+      val rnd = new scala.util.Random(100 + trial)
+      val vocab = (0 until 15).map(i => s"t$i")
+      val df = (0 until 25).map { i =>
+        val n = 5 + rnd.nextInt(25)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 4)
+      val clean = Dedup.stripDuplicateSpans(df, "doc_id", "text", spans)
+        .cache()
+      // conservation: kept + removed = the doc's token count
+      val bad = clean.join(
+          df.select($"doc_id",
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split($"text", " "))
+              .cast("long").as("total")),
+          Seq("doc_id"))
+        .filter($"kept_tokens" + $"removed_tokens" =!= $"total")
+      assert(bad.count() == 0, s"trial $trial: token loss")
+      // idempotent: the cleaned corpus has no duplicated k-gram left
+      val again = clean.select($"doc_id", $"clean_text".as("text"))
+      assert(Dedup.duplicateSpans(again, "doc_id", "text", k = 4)
+        .count() == 0, s"trial $trial: strip not idempotent")
+      // deterministic: both hash modes and a re-run agree on the spans
+      val key = (d: org.apache.spark.sql.DataFrame) =>
+        d.collect().map(_.toString).sorted.toSeq
+      assert(key(spans) ==
+        key(Dedup.duplicateSpans(df, "doc_id", "text", k = 4)),
+        s"trial $trial: nondeterministic spans")
+      assert(key(spans) == key(Dedup.duplicateSpans(df, "doc_id",
+        "text", k = 4, hash = Dedup.Md5)),
+        s"trial $trial: hash modes disagree")
+      clean.unpersist()
+    }
+  }
+
   test("null-text rows tokenize to zero, not -1: no spans, zero strip " +
     "counts, other docs unaffected") {
     val df = Seq((1L, "x y z x y z x y z"),
