@@ -108,12 +108,24 @@ object Bench {
     //      the slowest wall times (3-decimal) until the budget is hit.
     println(s"""{"detail":"shuffle_bytes","sf":"$sfDir","shuffle_bytes":$sh}""")
     println(s"""{"detail":"wall_times_full","sf":"$sfDir","queries":$qs}""")
+    // n_queries + the active restriction (if any) make a
+    // SPARK_GRAFT_ONLY dev run self-describing — a 5-query subset can
+    // never be mistaken for a full-suite result
+    val restricted = only.map(p =>
+      s""","only":"${jsonEscape(p.mkString(","))}"""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","unit":"sec","err_count":$errs,"sf":"$sfDir","streaming_floor_sec":$streamFloor,"nonstreaming_sec":${total - streamFloor},"queries":$qs,"shuffle_bytes":$sh,"value":$total}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","unit":"sec","err_count":$errs,"n_queries":${results.size}$restricted,"sf":"$sfDir","streaming_floor_sec":$streamFloor,"nonstreaming_sec":${total - streamFloor},"queries":$qs,"shuffle_bytes":$sh,"value":$total}"""
+    // resolve against an explicit root (or the CWD, made absolute so
+    // the destination is unambiguous) and WARN on failure — a silently
+    // missing bench_full.json previously read as "no run happened"
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      .toAbsolutePath
+    try java.nio.file.Files.write(fullPath,
       (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(
+        s"warn: bench_full.json write failed at $fullPath: $e") }
     val errEntries = results.collect {
       case (k, Left(err)) => s"\"" + k + "\":\"" + jsonEscape(err) + "\""
     }
@@ -123,10 +135,14 @@ object Bench {
     def compactLine(entries: Seq[String]): String =
       s"""{"metric":"total","unit":"sec","err_count":$errs,"n_queries":${results.size},"n_shown":${entries.size},"streaming_floor_sec":${f3(streamFloor)},"nonstreaming_sec":${f3(total - streamFloor)},"sf":"$sfDir","queries":${entries.mkString("{", ",", "}")},"value":${f3(total)}}"""
     val budget = 1400 // well under the 2000-char tail minus sbt's trailer
+    // STOP at the first entry that would bust the budget — "slowest
+    // until the budget is hit" stays literally true (a skip-and-
+    // continue fold would sneak shorter-but-faster names in past the
+    // first miss, misrepresenting the cut)
     val kept = (errEntries ++ slowFirst)
-      .foldLeft(Vector.empty[String]) { (acc, e) =>
-        if (compactLine(acc :+ e).length <= budget) acc :+ e else acc
-      }
+      .scanLeft(Vector.empty[String])(_ :+ _)
+      .takeWhile(acc => compactLine(acc).length <= budget)
+      .lastOption.getOrElse(Vector.empty)
     println(compactLine(kept))
     spark.stop()
   }

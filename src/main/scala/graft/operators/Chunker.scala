@@ -127,9 +127,13 @@ object Chunker extends Serializable {
     * its HF tokenizer's piece count (chunk_splitter.py:52-62), and a
     * whitespace proxy under-counts by the pieces-per-word ratio.
     * Over-budget chunks re-split on whitespace-token windows whose
-    * width is scaled by the chunk's MEASURED pieces-per-token, then
-    * re-checked recursively (each level shrinks the window;
-    * indivisible single-token chunks pass through rather than loop).
+    * width is scaled by the chunk's MEASURED pieces-per-token and
+    * CLAMPED below the chunk's own token count (marginally-over-budget
+    * text can scale the width all the way to `toks.length`, which
+    * would pass the chunk through unsplit), then re-checked
+    * recursively — each level strictly shrinks the window, so the
+    * recursion terminates, and ONLY indivisible single-token chunks
+    * pass through over budget.
     */
   def enforceBpeTokenLimit(chunks: Seq[String], maxTokens: Int = 2048,
                            tokenOverlap: Int = 25): Seq[String] =
@@ -137,11 +141,11 @@ object Chunker extends Serializable {
       val pieces = TextAnalysis.bpePieces(c)
       val toks = c.split("\\s+").filter(_.nonEmpty)
       if (pieces <= maxTokens) Seq(c)
+      else if (toks.length <= 1) Seq(c)
       else {
-        val width = math.max(1,
-          ((maxTokens * 3L / 4) * toks.length / pieces).toInt)
-        if (toks.length <= 1 || width >= toks.length) Seq(c)
-        else enforceBpeTokenLimit(tokenWindows(toks, width, tokenOverlap),
+        val width = math.max(1, math.min(toks.length - 1,
+          ((maxTokens * 3L / 4) * toks.length / pieces).toInt))
+        enforceBpeTokenLimit(tokenWindows(toks, width, tokenOverlap),
           maxTokens, tokenOverlap)
       }
     }

@@ -329,7 +329,13 @@ object Hnsw {
     * tag's graph is a pure function of its membership regardless of
     * which shard number carries it. Upsert-on-collision and
     * tombstone compaction of touched tags match [[appendShards]];
-    * null-tagged delta rows are excluded like at build.
+    * null-tagged delta rows are excluded like at build. Unlike the
+    * hash-sharded path — where an id always re-hashes into its own
+    * shard — a tagged delta can MOVE an id to a new tag, so the
+    * rebuild set widens to every shard currently holding a delta id:
+    * the old tag's graph rebuilds without the moved row (one bounded
+    * semi-join scan of the index per append), keeping serve ≡ rebuild
+    * exact instead of leaving a stale row the old tag could return.
     */
   def appendTagged(index: DataFrame, tagMap: DataFrame, delta: DataFrame,
                    idCol: String, vecCol: String, tagCol: String,
@@ -347,12 +353,22 @@ object Hnsw {
       .map { case (t, i) => (t, nextShard + i) }
     val freshMap = fresh.toMap
     val newMap = tagMap.unionByName(fresh.toSeq.toDF("tag", "shard"))
-    val touched = dTags.map(t => known.getOrElse(t, freshMap(t))).toSeq
+    val dTagShards = dTags.map(t => known.getOrElse(t, freshMap(t))).toSeq
     val d = delta.join(broadcast(newMap),
         delta(tagCol).cast("string") === newMap("tag"))
       .select(col(idCol).cast("long").as("c_id"),
         graft.functions.Vectors.toDouble(col(vecCol)).as("vec"),
         col("shard"))
+    // tag-move upsert: a delta id already LIVE under another tag must
+    // leave that tag's graph, so its current shard joins the rebuild
+    // set (the anti-join below then drops the old row). Bounded: ≤
+    // one shard id per tag.
+    val collShards = index
+      .filter(!col("deleted") && !col("shard").isin(dTagShards: _*))
+      .join(broadcast(d.select("c_id").distinct()), Seq("c_id"),
+        "left_semi")
+      .select("shard").distinct().as[Int].collect().toSeq
+    val touched = dTagShards ++ collShards
     val keep = index.filter(!col("shard").isin(touched: _*))
     val existing = index
       .filter(col("shard").isin(touched: _*) && !col("deleted"))

@@ -213,8 +213,16 @@ object Retrieval {
       .crossJoin(dStats.select(col("n_docs").as("n_b"),
         col("avgdl").as("g_b")))
       .select((col("n_a") + col("n_b")).as("n_docs"),
-        ((col("n_a") * col("g_a") + col("n_b") * col("g_b"))
-          / (col("n_a") + col("n_b"))).as("avgdl"))
+        // an empty arm's avg(dl) is NULL, and (n·g + 0·NULL)/(n+0)
+        // would NULL-poison avgdl for every later score (the delete
+        // arm guards its symmetric case); an empty delta — the
+        // update-with-nothing shape — must keep the standing stats
+        // verbatim, and appending onto an empty index must adopt the
+        // delta's
+        (when(col("n_b") === 0, col("g_a"))
+          .when(col("n_a") === 0, col("g_b"))
+          .otherwise((col("n_a") * col("g_a") + col("n_b") * col("g_b"))
+            / (col("n_a") + col("n_b")))).as("avgdl"))
     (postings.unionByName(dPost), merged)
   }
 
@@ -295,16 +303,27 @@ object Retrieval {
   def bm25FromIndex(postings: DataFrame, stats: DataFrame,
                     queries: DataFrame, queryIdCol: String,
                     termsCol: String, k: Int, k1: Double = 1.2,
-                    b: Double = 0.75): DataFrame = {
+                    b: Double = 0.75,
+                    maxBatchTerms: Int = 65536): DataFrame = {
     val qt = queries.select(col(queryIdCol).as("query_id"),
         explode(col(termsCol)).as("term"))
       .filter(col("term").isNotNull) // a null term can never match a
       .distinct()                    // posting; dropping it here also
                                      // keeps the collect NPE-free
     // sanctioned bounded collect (the isin contract); sorted for a
-    // deterministic predicate ordering across runs
+    // deterministic predicate ordering across runs. The bound is
+    // ENFORCED, not assumed ([[graft.operators.TextAnalysis
+    // .viLexiconFrom]]'s capped-collect contract): a batch past the
+    // cap fails loudly here instead of degrading the driver with an
+    // unbounded collect and a codegen-hostile mega-In predicate —
+    // limit(cap+1) keeps even the failing path's collect bounded
     val batchTerms = qt.select(col("term")).distinct()
+      .limit(maxBatchTerms + 1)
       .collect().map(_.getString(0)).sorted.toSeq
+    require(batchTerms.length <= maxBatchTerms,
+      s"bm25FromIndex: query batch exceeds the $maxBatchTerms distinct-" +
+        "term cap that bounds the driver-side In(term) pushdown; " +
+        "split the batch or raise maxBatchTerms explicitly")
     val tf = postings.filter(col("term").isin(batchTerms: _*))
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf

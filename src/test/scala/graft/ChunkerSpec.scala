@@ -141,6 +141,40 @@ class ChunkerSpec extends AnyFunSuite {
       "tail words were dropped by the window cut")
   }
 
+  test("enforceBpeTokenLimit property: EVERY emitted multi-token chunk " +
+    "is within budget (the width clamp leaves no over-budget " +
+    "pass-through), across random piece-dense fixtures and budgets") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(71)
+    // mix vocab words (few pieces) with numeric/punctuation junk
+    // (pieces ≈ chars) so measured pieces-per-token varies wildly —
+    // including marginally-over-budget chunks where the scaled width
+    // lands at or near the chunk's own token count
+    def word(): String = rnd.nextInt(3) match {
+      case 0 => Seq("the", "internal", "station", "report",
+        "of")(rnd.nextInt(5))
+      case 1 => (0 until 2 + rnd.nextInt(10))
+        .map(_ => rnd.nextInt(10)).mkString
+      case _ => f"zq${rnd.nextInt(9999)}%04dvw"
+    }
+    for (_ <- 0 until 20) {
+      val n = 2 + rnd.nextInt(200)
+      val text = (0 until n).map(_ => word()).mkString(" ")
+      val budget = 8 + rnd.nextInt(120)
+      val out = Chunker.enforceBpeTokenLimit(Seq(text),
+        maxTokens = budget, tokenOverlap = 1 + rnd.nextInt(30))
+      out.foreach { c =>
+        val toks = c.split("\\s+").filter(_.nonEmpty)
+        if (toks.length > 1)
+          assert(TextAnalysis.bpePieces(c) <= budget,
+            s"multi-token chunk over budget $budget: '${c.take(60)}…' " +
+              s"(${TextAnalysis.bpePieces(c)} pieces)")
+      }
+      assert(out.flatMap(_.split("\\s+")).toSet ==
+        text.split("\\s+").toSet, "words lost in re-split")
+    }
+  }
+
   test("ChunkText Generator matches the typed flatMap formulation " +
     "and handles null/empty text") {
     val spark = SharedSpark.spark

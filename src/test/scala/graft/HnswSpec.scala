@@ -375,6 +375,48 @@ class HnswSpec extends AnyFunSuite {
     assert(rows(i1, m1) == rows(iF, mF))
   }
 
+  test("appendTagged tag-move: a delta id already indexed under a " +
+    "DIFFERENT tag leaves its old shard — the old tag's queries can " +
+    "never serve the moved row, and serve ≡ buildTagged of the " +
+    "upserted corpus") {
+    import org.apache.spark.sql.functions.{concat, format_string, lit}
+    val topics = clustered.withColumn("tag",
+      concat(lit("topic_"), format_string("%02d", $"vec_id" % 20)))
+    val (i0, m0) = Hnsw.buildTagged(topics, "vec_id", "embedding", "tag")
+    // re-tag three topic_03 members as topic_07 (same ids, same
+    // vectors, NEW tag) — the upsert-on-collision shape that used to
+    // leave the old topic_03 rows alive in shard 3
+    val movedIds = Seq(3L, 23L, 43L)
+    val delta = topics.filter($"vec_id".isin(movedIds: _*))
+      .withColumn("tag", lit("topic_07"))
+    val (i1, m1) = Hnsw.appendTagged(i0, m0, delta, "vec_id",
+      "embedding", "tag")
+    // the moved ids exist exactly once, live, under topic_07's shard
+    val live = i1.filter($"c_id".isin(movedIds: _*) && !$"deleted")
+      .select("shard", "c_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(live == movedIds.map(id => (7, id)).toSet,
+      s"moved ids misplaced or duplicated: $live")
+    // serve equivalence against a rebuild of the UPSERTED corpus
+    val union = topics.filter(!$"vec_id".isin(movedIds: _*))
+      .unionByName(delta)
+    val (iF, mF) = Hnsw.buildTagged(union, "vec_id", "embedding", "tag")
+    val q = topics.filter($"vec_id" < 120)
+    def rows(idx: DataFrame, m: DataFrame) =
+      Hnsw.topKTagged(idx, m, q, "vec_id", "embedding", "tag", k = 6,
+          ef = 128)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val got = rows(i1, m1)
+    assert(got == rows(iF, mF))
+    // and explicitly: no topic_03 query surfaces a moved id
+    val old3 = got.filter(t => t._1 % 20 == 3 && t._1 != 3L)
+    assert(old3.nonEmpty && old3.forall(t => !movedIds.contains(t._3)),
+      "a tag-moved id was served from its OLD tag")
+  }
+
   test("tagged delete/compact: deleteFromShards tombstones a tagged " +
     "index unchanged; compactTagged rebuilds dirty tags without " +
     "renumbering and matches a fresh buildTagged of the survivors") {

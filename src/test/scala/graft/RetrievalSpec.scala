@@ -235,6 +235,70 @@ class RetrievalSpec extends AnyFunSuite {
     assert(serve(pu, su) == serve(pf, sf))
   }
 
+  test("updateBm25Index with an EMPTY batch is a no-op: stats stay " +
+    "bit-identical (no NULL-poisoned avgdl) and serving still scores") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "cat"))
+      .toDF("doc_id", "text")
+    val (p0, s0) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    val empty = docs.limit(0)
+    val (p1, s1) = Retrieval.updateBm25Index(p0, s0, empty,
+      "doc_id", "text")
+    val before = s0.collect()(0)
+    val after = s1.collect()(0)
+    assert(after.getLong(0) == before.getLong(0))
+    assert(!after.isNullAt(1), "empty update NULL-poisoned avgdl")
+    assert(after.getDouble(1) == before.getDouble(1))
+    assert(p1.count() == p0.count())
+    // and the same through the bare append arm
+    val (_, s2) = Retrieval.appendToBm25Index(p0, s0, empty,
+      "doc_id", "text")
+    assert(!s2.collect()(0).isNullAt(1))
+    // scores remain real numbers, identical to the untouched index
+    val qs = Seq(1L -> Seq("cat")).toDF("query_id", "terms")
+    def serve(p: org.apache.spark.sql.DataFrame,
+              s: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25FromIndex(p, s, qs, "query_id", "terms", k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    assert(serve(p1, s1) == serve(p0, s0) && serve(p1, s1).nonEmpty)
+  }
+
+  test("appendToBm25Index onto an EMPTY index adopts the delta's " +
+    "stats (the symmetric NULL arm)") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"))
+      .toDF("doc_id", "text")
+    val (pe, se) = Retrieval.buildBm25Index(docs.limit(0),
+      "doc_id", "text")
+    val (pa, sa) = Retrieval.appendToBm25Index(pe, se, docs,
+      "doc_id", "text")
+    val (pf, sf) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    val got = sa.collect()(0)
+    val want = sf.collect()(0)
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getDouble(1) == want.getDouble(1))
+    assert(pa.count() == pf.count())
+  }
+
+  test("bm25FromIndex fails LOUDLY past the distinct-term cap instead " +
+    "of degrading the driver; the bounded path is untouched") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val (p0, s0) = Retrieval.buildBm25Index(docs, "doc_id", "text")
+    val wide = Seq(1L -> (0 until 40).map(i => s"t$i"))
+      .toDF("query_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25FromIndex(p0, s0, wide, "query_id", "terms",
+        k = 5, maxBatchTerms = 16).collect()
+    }
+    assert(e.getMessage.contains("distinct-term cap"))
+    // the same batch under a sufficient cap serves normally
+    assert(Retrieval.bm25FromIndex(p0, s0, wide, "query_id", "terms",
+      k = 5, maxBatchTerms = 64).count() == 0) // no vocab overlap: 0 hits
+    val qs = Seq(1L -> Seq("b")).toDF("query_id", "terms")
+    assert(Retrieval.bm25FromIndex(p0, s0, qs, "query_id", "terms",
+      k = 5).count() == 2)
+  }
+
   test("rrfFuse: a doc ranked by BOTH arms outranks docs ranked by " +
     "one; missing arms contribute nothing; jaccard arm scores sets") {
     val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
