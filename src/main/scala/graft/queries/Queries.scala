@@ -18,16 +18,27 @@ import graft.operators._
   */
 object Queries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark reads as
-    // long under spark.sql.legacy.parquet.nanosAsLong (set in
-    // Verify/Bench); truncate to µs TimestampType, matching the
-    // `ts::TIMESTAMP` casts on the DuckDB oracle side.
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    // The driver has written events.ts in two parquet physical forms over
+    // time: INT64 TIMESTAMP(NANOS) (read as long under
+    // spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench) and plain
+    // timestamp[us] with no UTC adjustment (read as TIMESTAMP_NTZ).
+    // Normalize both to µs TimestampType so every downstream consumer —
+    // unix_micros, window(), typed java.sql.Timestamp encoders — sees one
+    // canonical type, matching the `ts::TIMESTAMP` casts on the DuckDB
+    // oracle side. NTZ→TZ here is a wall-clock reinterpretation in the
+    // session zone; Verify/Bench pin spark.sql.session.timeZone=UTC so it
+    // is exactly the identity the oracle applies.
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
     }
   }
 
