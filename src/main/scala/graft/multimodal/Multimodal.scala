@@ -715,4 +715,231 @@ object Multimodal extends Serializable {
       transform(sequence(lit(0), lit(dim - 1)), j =>
         (pmod(xxhash64(col(idCol), col(frameCol), j), lit(2000)) - 1000)
           .cast("double") / 1000.0))
+
+  // ------------------------------------------------------------ JPEG
+  // The fourth real codec next to WAV/PNG/Y4M: S4's <img src> blobs
+  // (extract_utils.py:50-59) are as often JPEG as PNG. Writer is a
+  // genuine DC-only baseline JFIF encoder (real DCT math degenerates
+  // to DC = 8·(v−128) for per-8×8-block-uniform pixels; unit quant
+  // table makes that exact; canonical Huffman from the Annex-K
+  // standard tables; FF byte stuffing) — any JPEG tool decodes the
+  // output, MultimodalSpec proves it through JDK ImageIO. Parser is a
+  // marker-stream walk mirroring parsePng's contract: header fields
+  // out, every malformation to decode_ok=false, never a task failure.
+
+  case class JpegMeta(media_id: Long, width: Int, height: Int,
+                      components: Int, precision: Int,
+                      entropy_bytes: Long, decode_ok: Boolean)
+
+  private val BadJpeg =
+    JpegMeta(0L, -1, -1, -1, -1, -1L, decode_ok = false)
+
+  // Annex K.3.3.1 luminance DC table: category 0-11, canonical codes.
+  private val JpegDcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = (0 to 11).map(_.toByte).toArray
+  // Annex K.3.3.2 luminance AC table (full standard table so the DHT
+  // segment is the one every decoder ships; the DC-only writer uses
+  // just its EOB code).
+  private val JpegAcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** Canonical JPEG Huffman assignment (spec C.2): codes in value
+    * order, incrementing, left-shifted at each length step.
+    */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Byte])
+      : Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    (1 to 16).foreach { len =>
+      (0 until bits(len - 1)).foreach { _ =>
+        out += (vals(k) & 0xff) -> (code, len)
+        code += 1; k += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Encode per-8×8-block gray values as a REAL baseline JFIF JPEG:
+    * SOI + JFIF APP0 + unit DQT + SOF0 (8-bit grayscale) + the two
+    * Annex-K Huffman tables + SOS + DC-only entropy data + EOI. With
+    * every block uniform and quant ≡ 1 the encoding is mathematically
+    * lossless: any conforming decoder returns the block values
+    * verbatim. `blockVals` is raster-ordered, ceil(w/8)·ceil(h/8)
+    * entries.
+    */
+  def jpegEncode(width: Int, height: Int,
+                 blockVals: Array[Int]): Array[Byte] = {
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    require(blockVals.length == bx * by,
+      s"need ${bx * by} block values, got ${blockVals.length}")
+    require(width > 0 && height > 0 && width < 65536 && height < 65536)
+    val out = new java.io.ByteArrayOutputStream(256 + blockVals.length * 2)
+    def u16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)                                   // SOI
+    marker(0xe0); u16(16)                          // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)                     // version 1.1
+    out.write(0); u16(1); u16(1)                   // aspect-ratio 1:1
+    out.write(0); out.write(0)                     // no thumbnail
+    marker(0xdb); u16(67); out.write(0)            // DQT id 0, 8-bit
+    (0 until 64).foreach(_ => out.write(1))        // unit quant: lossless DC
+    marker(0xc0); u16(11)                          // SOF0 baseline
+    out.write(8); u16(height); u16(width)
+    out.write(1)                                   // 1 component (gray)
+    out.write(1); out.write(0x11); out.write(0)    // id 1, 1×1, DQT 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write(cls << 4)
+      bits.foreach(out.write)
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, JpegDcBits, JpegDcVals)
+    dht(1, JpegAcBits, JpegAcVals)
+    marker(0xda); u16(8)                           // SOS
+    out.write(1); out.write(1); out.write(0x00)    // comp 1, DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0)      // Ss / Se / Ah,Al
+    // entropy-coded data: per block, Huffman(category(diff)) +
+    // magnitude bits + EOB; FF bytes stuffed with 00
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val (eobCode, eobLen) = canonicalCodes(JpegAcBits, JpegAcVals)(0x00)
+    var acc = 0L; var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >>> (nbits - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    var prevDc = 0
+    blockVals.foreach { v =>
+      val dc = 8 * ((v & 0xff) - 128)              // exact DCT of a flat block
+      var diff = dc - prevDc; prevDc = dc
+      var cat = 0
+      var mag = math.abs(diff)
+      while (mag != 0) { cat += 1; mag >>= 1 }
+      val (c, l) = dcCodes(cat)
+      put(c, l)
+      if (cat > 0) {
+        if (diff < 0) diff += (1 << cat) - 1       // spec F.1.2.1 negative form
+        put(diff, cat)
+      }
+      put(eobCode, eobLen)                         // all AC zero
+    }
+    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    marker(0xd9)                                   // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic id-seeded grayscale JPEG blob: per-block values
+    * from the same LCG family as [[syntheticPng]].
+    */
+  def syntheticJpeg(id: Long, width: Int, height: Int): MediaBlob = {
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val vals = new Array[Int](bx * by)
+    var x = id * 6364136223846793005L + 1442695040888963407L
+    (0 until vals.length).foreach { i =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      vals(i) = ((x >>> 56) & 0xff).toInt
+    }
+    MediaBlob(id, "image", jpegEncode(width, height, vals))
+  }
+
+  /** REAL JPEG header parse — [[parsePng]]'s contract for JFIF
+    * streams. Requires SOI first; walks the marker segments (length-
+    * checked against EOF); pulls (precision, height, width,
+    * components) from SOF0 — progressive (SOF2) and the other
+    * non-baseline frame types are structurally parsed but routed to
+    * decode_ok=false, like palette PNGs in decodePngPixels; after SOS
+    * counts entropy bytes (FF00 stuffing and RST markers stay inside
+    * the scan) until EOI. Truncation anywhere — a segment length past
+    * EOF, a scan that never reaches EOI — and component counts
+    * outside {1,3,4} route to decode_ok=false.
+    */
+  def parseJpeg(id: Long, bytes: Array[Byte]): JpegMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8)
+      return BadJpeg.copy(media_id = id)
+    var off = 2
+    var w = -1; var h = -1; var ncomp = -1; var prec = -1
+    var baseline = false
+    var sawSof = false
+    var inScanAt = -1
+    while (inScanAt < 0 && off + 4 <= bytes.length) {
+      if (u8(off) != 0xff) return BadJpeg.copy(media_id = id)
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        off += 2                                   // standalone marker
+      } else if (m == 0xd9) {
+        return BadJpeg.copy(media_id = id)         // EOI before any scan
+      } else {
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > bytes.length)
+          return BadJpeg.copy(media_id = id)       // truncated segment
+        val isSof = (m >= 0xc0 && m <= 0xcf) &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc     // not DHT/JPG/DAC
+        if (isSof && !sawSof) {
+          sawSof = true
+          baseline = m == 0xc0
+          if (len < 8) return BadJpeg.copy(media_id = id)
+          prec = u8(off + 4)
+          h = u16(off + 5); w = u16(off + 7)
+          ncomp = u8(off + 9)
+          if (len != 8 + 3 * ncomp)
+            return BadJpeg.copy(media_id = id)
+        }
+        if (m == 0xda) inScanAt = off + 2 + len    // SOS: entropy follows
+        else off += 2 + len
+      }
+    }
+    if (inScanAt < 0 || !sawSof) return BadJpeg.copy(media_id = id)
+    // entropy-coded scan: stuffed FF00 and RSTn stay inside; the next
+    // real marker must be EOI (DC-only single-scan streams)
+    var p = inScanAt
+    var entropy = 0L
+    var complete = false
+    while (!complete && p < bytes.length) {
+      if (u8(p) == 0xff && p + 1 < bytes.length) {
+        val m = u8(p + 1)
+        if (m == 0x00) { entropy += 2; p += 2 }            // stuffed FF
+        else if (m >= 0xd0 && m <= 0xd7) { entropy += 2; p += 2 } // RST
+        else if (m == 0xd9) complete = true                 // EOI
+        else return BadJpeg.copy(media_id = id)             // stray marker
+      } else { entropy += 1; p += 1 }
+    }
+    val ok = complete && baseline && w > 0 && h > 0 && prec == 8 &&
+      (ncomp == 1 || ncomp == 3 || ncomp == 4)
+    if (!ok && !(complete && sawSof))
+      return BadJpeg.copy(media_id = id)
+    JpegMeta(id, w, h, ncomp, prec, entropy, decode_ok = ok)
+  }
+
+  /** Partition-wise JPEG decode — same plan shape as [[decodePng]]. */
+  def decodeJpeg(blobs: Dataset[MediaBlob]): Dataset[JpegMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseJpeg(b.media_id, b.content)))
+  }
 }

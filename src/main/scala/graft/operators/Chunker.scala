@@ -136,9 +136,11 @@ object Chunker extends Serializable {
     * pass through over budget.
     */
   def enforceBpeTokenLimit(chunks: Seq[String], maxTokens: Int = 2048,
-                           tokenOverlap: Int = 25): Seq[String] =
+                           tokenOverlap: Int = 25,
+                           merges: Seq[(String, String)] =
+                             TextAnalysis.bpeMerges): Seq[String] =
     chunks.flatMap { c =>
-      val pieces = TextAnalysis.bpePieces(c)
+      val pieces = TextAnalysis.bpePieces(c, merges)
       val toks = c.split("\\s+").filter(_.nonEmpty)
       if (pieces <= maxTokens) Seq(c)
       else if (toks.length <= 1) Seq(c)
@@ -146,7 +148,7 @@ object Chunker extends Serializable {
         val width = math.max(1, math.min(toks.length - 1,
           ((maxTokens * 3L / 4) * toks.length / pieces).toInt))
         enforceBpeTokenLimit(tokenWindows(toks, width, tokenOverlap),
-          maxTokens, tokenOverlap)
+          maxTokens, tokenOverlap, merges)
       }
     }
 

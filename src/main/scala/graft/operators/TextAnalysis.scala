@@ -60,10 +60,11 @@ object TextAnalysis {
     * DuckDB SQL (q119's oracle), so all three engines replay the
     * ALGORITHM, not each other's outputs.
     */
-  def bpePieceCount(text: Column): Column = {
+  def bpePieceCount(text: Column,
+                    merges: Seq[(String, String)] = bpeMerges): Column = {
     val cleaned = regexp_replace(lower(text), "[^a-z]+", " ")
     val wrapped = regexp_replace(cleaned, "([a-z])", "<$1>")
-    val merged = bpeMerges.foldLeft(wrapped) { case (c, (a, b)) =>
+    val merged = merges.foldLeft(wrapped) { case (c, (a, b)) =>
       org.apache.spark.sql.functions.replace(
         c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
@@ -75,11 +76,12 @@ object TextAnalysis {
   /** JVM twin of [[bpePieceCount]] (identical chain over
     * `String.replace`) — the chunker's budget counter.
     */
-  def bpePieces(text: String): Int = {
+  def bpePieces(text: String,
+                merges: Seq[(String, String)] = bpeMerges): Int = {
     val cleaned = text.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^a-z]+", " ")
     val wrapped = cleaned.replaceAll("([a-z])", "<$1>")
-    val merged = bpeMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+    val merged = merges.foldLeft(wrapped) { case (s, (a, b)) =>
       s.replace(s"<$a><$b>", s"<$a$b>")
     }
     merged.count(_ == '<')
@@ -90,12 +92,95 @@ object TextAnalysis {
     * and JVM paths fold over (algorithm replay, not a fitted
     * literal).
     */
-  def bpePieceCountSql(input: String): String = {
+  def bpePieceCountSql(input: String,
+                       merges: Seq[(String, String)] = bpeMerges): String = {
     val wrapped = "regexp_replace(regexp_replace(lower(" + input +
       "), '[^a-z]+', ' ', 'g'), '([a-z])', '<\\1>', 'g')"
-    bpeMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+    merges.foldLeft(wrapped) { case (s, (a, b)) =>
       s"replace($s, '<$a><$b>', '<$a$b>')"
     }
+  }
+
+  /** Load a BPE merge table from a DataFrame — real deployments carry
+    * the reference tokenizer's learned merges (GPT-2's merges.txt is
+    * 50k rank-ordered pairs), far beyond [[bpeMerges]]'s built-in toy
+    * table. `rankCol` orders the rules (row order in a DataFrame is
+    * not a contract); the collect is BOUNDED like
+    * [[viLexiconFrom]]'s — `maxMerges` caps it, and an over-cap
+    * source throws rather than silently truncating (a partial merge
+    * table would silently change every piece count). The loaded table
+    * then rides to executors inside the codegen'd replace chain —
+    * broadcast-scale model state, never a shuffle participant.
+    *
+    * Each rule is validated against the property that makes the
+    * rank-ascending replace chain EQUAL to the classic min-rank merge
+    * loop: an operand must be a single character or the output of an
+    * earlier rule (then a merge can only create pairs involving its
+    * own, strictly-longer output symbol, which no earlier rule
+    * mentions — see [[bpeMerges]]). Merge tables learned by the
+    * standard BPE trainer (Sennrich et al. 2016) satisfy this by
+    * construction; a violating row throws with its rank.
+    */
+  def bpeMergesFrom(merges: DataFrame, leftCol: String, rightCol: String,
+                    rankCol: String,
+                    maxMerges: Int = 50000): Seq[(String, String)] = {
+    val rows = merges
+      .select(col(rankCol).cast("long").as("rank"),
+        col(leftCol).cast("string").as("a"),
+        col(rightCol).cast("string").as("b"))
+      .na.drop().orderBy(col("rank")).limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"bpeMergesFrom: source exceeds the $maxMerges-merge cap; " +
+        "raise maxMerges explicitly (the table is driver-collected " +
+        "and shipped to executors inside the codegen'd merge chain)")
+    val out = Seq.newBuilder[(String, String)]
+    val produced = scala.collection.mutable.Set[String]()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (a, b) = (r.getString(1), r.getString(2))
+      def okOperand(x: String): Boolean =
+        x.length == 1 || produced.contains(x)
+      require(a.nonEmpty && b.nonEmpty &&
+          !(a + b).exists(c => c == '<' || c == '>' || c.isWhitespace),
+        s"bpeMergesFrom: rank $i rule ('$a','$b') has an empty operand " +
+          "or a reserved character (<, >, whitespace)")
+      require(okOperand(a) && okOperand(b),
+        s"bpeMergesFrom: rank $i rule ('$a','$b') references a symbol " +
+          "no earlier rule produced — the table is not a valid " +
+          "incremental BPE merge list")
+      produced += a + b
+      out += a -> b
+    }
+    out.result()
+  }
+
+  /** [[bpeMergesFrom]] over the on-disk `merges.txt` form (one
+    * space-separated pair per line, rank = line order; `#`-prefixed
+    * header lines skipped — the GPT-2/RoBERTa file layout). Model
+    * config loads DRIVER-side through the Hadoop filesystem (the path
+    * may be on the cluster store); data never flows through this.
+    */
+  def bpeMergesFromFile(spark: SparkSession, path: String,
+                        maxMerges: Int = 50000): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .take(maxMerges + 1).toVector
+      finally in.close()
+    require(lines.length <= maxMerges,
+      s"bpeMergesFromFile: $path exceeds the $maxMerges-merge cap; " +
+        "raise maxMerges explicitly")
+    import spark.implicits._
+    bpeMergesFrom(
+      lines.zipWithIndex.map { case (l, i) =>
+        val parts = l.trim.split(" ")
+        require(parts.length == 2,
+          s"bpeMergesFromFile: line ${i + 1} is not 'left right': $l")
+        (i.toLong, parts(0), parts(1))
+      }.toDF("rank", "a", "b"),
+      "a", "b", "rank", maxMerges)
   }
 
   /** Distinct whitespace tokens. */

@@ -4802,6 +4802,60 @@ object Queries {
       |FROM p WHERE bad
       |ORDER BY media_id, channel""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  // JPEG — the fourth real codec (WAV q94/q127, PNG q109/q124, Y4M
+  // q121): genuine DC-only baseline JFIF bytes (real DCT degenerate
+  // form, Annex-K Huffman tables, FF stuffing — MultimodalSpec proves
+  // JDK ImageIO decodes them bit-exact) parsed partition-wise by the
+  // marker-walking header decoder, with the parsed dimensions feeding
+  // resizeSpec's aspect-preserving downscale plan. Every 9th blob is
+  // truncated mid-stream and must route to decode_ok=false with
+  // sentinel metadata and NULL resize targets, never a task failure.
+  // The oracle replays the deterministic (id → dims, id → truncated)
+  // construction and mirrors the resizeSpec column math; entropy_bytes
+  // is Huffman-sized and so stays spec-land, like q109's idat_bytes.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 250)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticJpeg(id,
+          24 + (id % 13).toInt * 8, 16 + (id % 7).toInt * 8)
+        if (id % 9 == 0)
+          b.copy(content = java.util.Arrays.copyOf(b.content, 30))
+        else b
+      }
+    val meta = m.decodeJpeg(blobs).toDF()
+    val (rw, rh) = m.resizeSpec(col("width"), col("height"), 64)
+    meta.select($"media_id", $"width", $"height", $"components",
+        $"decode_ok",
+        when($"decode_ok", rw).as("resize_w"),
+        when($"decode_ok", rh).as("resize_h"))
+      .orderBy($"media_id")
+  }
+  private val q128Sql =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  CAST(24 + (doc_id % 13) * 8 AS INT) AS w,
+      |  CAST(16 + (doc_id % 7) * 8 AS INT) AS h,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 250),
+      |sc AS (
+      | SELECT doc_id, w, h, bad,
+      |  LEAST(1.0, 64.0 / GREATEST(w, h)) AS scale
+      | FROM d)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN -1 ELSE w END AS width,
+      | CASE WHEN bad THEN -1 ELSE h END AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE 1 END AS INT) AS components,
+      | NOT bad AS decode_ok,
+      | CAST(CASE WHEN bad THEN NULL
+      |   ELSE FLOOR(w * scale) END AS INT) AS resize_w,
+      | CAST(CASE WHEN bad THEN NULL
+      |   ELSE FLOOR(h * scale) END AS INT) AS resize_h
+      |FROM sc ORDER BY media_id""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4931,7 +4985,8 @@ object Queries {
     "q124_png_resize"   -> (q124 _),
     "q125_refinery_v2"  -> (q125 _),
     "q126_ppl_per_lang" -> (q126 _),
-    "q127_wav_stats"    -> (q127 _)
+    "q127_wav_stats"    -> (q127 _),
+    "q128_jpeg_decode"  -> (q128 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5151,7 +5206,8 @@ object Queries {
     "q124_png_resize"   -> q124Sql,
     "q125_refinery_v2"  -> q125Sql,
     "q126_ppl_per_lang" -> q126Sql,
-    "q127_wav_stats"    -> q127Sql
+    "q127_wav_stats"    -> q127Sql,
+    "q128_jpeg_decode"  -> q128Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.Chunker
+import graft.operators.{Chunker, TextAnalysis}
 
 /** Property tests for the G3 chunker contract (SURVEY.md §2.12 #9):
   * every chunk ≤ size (unless a single unsplittable run exceeds it),
@@ -192,5 +192,70 @@ class ChunkerSpec extends AnyFunSuite {
     assert(gen == typed)
     assert(gen.nonEmpty)
     assert(!gen.exists(r => r._1 == 3L || r._1 == 4L)) // null/empty → 0 rows
+  }
+
+  test("bpeMergesFrom loads a rank-ordered merge table the built-in " +
+    "toy lacks, and the loaded table changes piece counts end-to-end") {
+    val s = SharedSpark.spark
+    import s.implicits._
+    // extend the toy table with merges it does NOT have: qu, ck, qu+i
+    val extra = TextAnalysis.bpeMerges ++
+      Seq("q" -> "u", "c" -> "k", "qu" -> "i")
+    val df = extra.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("rank", "a", "b")
+    val loaded = TextAnalysis.bpeMergesFrom(df, "a", "b", "rank")
+    assert(loaded == extra)
+    val text = "the quick quip"
+    val builtin = TextAnalysis.bpePieces(text)
+    val withExtra = TextAnalysis.bpePieces(text, loaded)
+    // qu/ck/qui merges shrink "quick"→[qui,ck] and "quip"→[qui,p]
+    assert(withExtra < builtin,
+      s"loaded merges should reduce pieces: $withExtra vs $builtin")
+    // column path agrees with the JVM twin under the loaded table
+    val got = s.createDataset(Seq(text)).toDF("t")
+      .select(TextAnalysis.bpePieceCount($"t", loaded)).head().getInt(0)
+    assert(got == withExtra)
+    // chunker budget takes the loaded table: a piece-dense string over
+    // budget under the toy table fits under the extended one
+    val dense = Seq.fill(30)("quick").mkString(" ")
+    assert(TextAnalysis.bpePieces(dense) >
+      TextAnalysis.bpePieces(dense, loaded))
+    val limit = TextAnalysis.bpePieces(dense, loaded)
+    assert(Chunker.enforceBpeTokenLimit(Seq(dense), limit,
+      5, loaded) == Seq(dense))          // fits: passes through unsplit
+    assert(Chunker.enforceBpeTokenLimit(Seq(dense), limit, 5)
+      .length > 1)                       // toy table: over budget, split
+  }
+
+  test("bpeMergesFrom rejects malformed tables: over-cap, reserved " +
+    "chars, and rules referencing never-produced symbols") {
+    val s = SharedSpark.spark
+    import s.implicits._
+    val good = Seq((0L, "a", "b"), (1L, "ab", "c")).toDF("rank", "a", "b")
+    assert(TextAnalysis.bpeMergesFrom(good, "a", "b", "rank") ==
+      Seq("a" -> "b", "ab" -> "c"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMergesFrom(good, "a", "b", "rank", maxMerges = 1)
+    }
+    intercept[IllegalArgumentException] {  // 'xy' never produced
+      TextAnalysis.bpeMergesFrom(
+        Seq((0L, "xy", "z")).toDF("rank", "a", "b"), "a", "b", "rank")
+    }
+    intercept[IllegalArgumentException] {  // reserved marker char
+      TextAnalysis.bpeMergesFrom(
+        Seq((0L, "<", "a")).toDF("rank", "a", "b"), "a", "b", "rank")
+    }
+  }
+
+  test("bpeMergesFromFile parses the merges.txt layout (header lines, " +
+    "rank = line order) through the Hadoop filesystem") {
+    val s = SharedSpark.spark
+    val f = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      "#version: 0.2\nt h\nth e\n\nq u\n")
+    try {
+      val m = TextAnalysis.bpeMergesFromFile(s, f.toString)
+      assert(m == Seq("t" -> "h", "th" -> "e", "q" -> "u"))
+    } finally java.nio.file.Files.delete(f)
   }
 }

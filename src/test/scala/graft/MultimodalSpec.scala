@@ -371,4 +371,91 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0) != out(1))
     assert(out.flatten.forall(v => v >= -1.0 && v < 1.0))
   }
+
+  test("jpeg codec: synthesized bytes are REAL baseline JFIF — the " +
+    "JDK's own ImageIO decodes them with matching dimensions AND " +
+    "bit-exact pixels (unit quant + flat blocks = lossless DC-only)") {
+    val w = 21; val h = 13
+    val b = Multimodal.syntheticJpeg(7L, w, h)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b.content))
+    assert(img != null, "ImageIO rejected the synthesized JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    // reconstruct the per-block values the generator used
+    val bx = (w + 7) / 8
+    val vals = {
+      val n = bx * ((h + 7) / 8)
+      val a = new Array[Int](n)
+      var x = 7L * 6364136223846793005L + 1442695040888963407L
+      (0 until n).foreach { i =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        a(i) = ((x >>> 56) & 0xff).toInt
+      }
+      a
+    }
+    val raster = img.getRaster
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val expected = vals((y / 8) * bx + (x / 8))
+        val got = raster.getSample(x, y, 0)
+        assert(got == expected,
+          s"pixel ($x,$y): expected $expected got $got")
+      }
+    }
+    val meta = Multimodal.parseJpeg(7L, b.content)
+    assert(meta == Multimodal.JpegMeta(7L, w, h, 1, 8,
+      meta.entropy_bytes, true))
+    assert(meta.entropy_bytes > 0)
+  }
+
+  test("jpeg codec: truncation, wrong signature, bad segment length, " +
+    "and non-baseline SOF all route to decode_ok=false, never a throw") {
+    val good = Multimodal.syntheticJpeg(3L, 40, 24).content
+    // truncated mid-entropy-data
+    val trunc = java.util.Arrays.copyOf(good, good.length - 6)
+    assert(!Multimodal.parseJpeg(3L, trunc).decode_ok)
+    // truncated mid-header (inside DHT)
+    assert(!Multimodal.parseJpeg(3L,
+      java.util.Arrays.copyOf(good, 40)).decode_ok)
+    // wrong signature (PNG bytes)
+    val png = Multimodal.syntheticPng(3L, 8, 8).content
+    assert(!Multimodal.parseJpeg(3L, png).decode_ok)
+    // empty / tiny
+    assert(!Multimodal.parseJpeg(3L, Array.emptyByteArray).decode_ok)
+    assert(!Multimodal.parseJpeg(3L, Array[Byte](0xff.toByte,
+      0xd8.toByte)).decode_ok)
+    // flip SOF0 -> SOF2 (progressive): structure still parses but the
+    // baseline gate must fail; find the FFC0 marker and rewrite it
+    val prog = good.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(!Multimodal.parseJpeg(3L, prog).decode_ok)
+    // corrupt a segment length field to run past EOF
+    val badLen = good.clone()
+    badLen(4) = 0x7f.toByte // APP0 declared length now huge
+    assert(!Multimodal.parseJpeg(3L, badLen).decode_ok)
+  }
+
+  test("decodeJpeg runs partition-wise over a Dataset of blobs; " +
+    "mixed good/corrupt stay row properties") {
+    val s = SharedSpark.spark
+    import s.implicits._
+    val blobs = s.createDataset((0L until 12L).map { id =>
+      val b = Multimodal.syntheticJpeg(id, 16 + (id % 5).toInt * 8, 16)
+      if (id % 4 == 3)
+        b.copy(content = java.util.Arrays.copyOf(b.content, 30))
+      else b
+    }).repartition(3)
+    val out = Multimodal.decodeJpeg(blobs).collect().sortBy(_.media_id)
+    assert(out.length == 12)
+    out.foreach { m =>
+      if (m.media_id % 4 == 3) assert(!m.decode_ok && m.width == -1)
+      else {
+        assert(m.decode_ok, s"id ${m.media_id} should decode")
+        assert(m.width == 16 + (m.media_id % 5).toInt * 8)
+        assert(m.height == 16 && m.components == 1 && m.precision == 8)
+      }
+    }
+  }
 }

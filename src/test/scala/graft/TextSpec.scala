@@ -136,7 +136,7 @@ class TextSpec extends AnyFunSuite {
     assert(TextAnalysis.bpePieces("<<<>>>") == 0)
     val samples = Seq("the station is internal", "spark window shuffle dup",
       "Ingestion pipelines, 2026!", "", "xyzzy qwrt", "<a><b>")
-    val jvm = samples.map(TextAnalysis.bpePieces)
+    val jvm = samples.map(t => TextAnalysis.bpePieces(t))
     val col = samples.toDF("x")
       .select(TextAnalysis.bpePieceCount($"x")).as[Int].collect().toSeq
     assert(col == jvm)
