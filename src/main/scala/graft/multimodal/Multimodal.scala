@@ -942,4 +942,100 @@ object Multimodal extends Serializable {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(b => parseJpeg(b.media_id, b.content)))
   }
+
+  /** FULL pixel decode of a DC-only grayscale baseline JPEG — the
+    * inverse of [[jpegEncode]], [[decodePngPixels]]'s role for this
+    * codec: walks the segments for the quant table, frame header and
+    * Huffman tables, then entropy-decodes the scan (canonical Huffman
+    * walk, magnitude-bit sign extension per spec F.2.2.1, FF00
+    * de-stuffing), dequantizes each block's DC and emits the flat
+    * block value `128 + round(DC·Q[0]/8)`. Returns
+    * (width, height, per-block values raster-ordered) or None for
+    * anything [[parseJpeg]] rejects plus shapes this decoder doesn't
+    * cover (multi-component, non-zero AC in the stream). A block with
+    * AC energy decodes its DC exactly but the flat-value model would
+    * lie, so EOB-less blocks route to None rather than a wrong image.
+    */
+  def decodeJpegBlocks(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val meta = parseJpeg(0L, bytes)
+    if (!meta.decode_ok || meta.components != 1) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    // second walk: collect DQT / DHT payloads + scan offset
+    var off = 2
+    var quant: Array[Int] = null
+    var dcLens: Map[String, Int] = null   // bit-string -> value
+    var scanAt = -1
+    while (scanAt < 0 && off + 4 <= bytes.length) {
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
+      else {
+        val len = u16(off + 2)
+        if (m == 0xdb && (u8(off + 4) & 0x0f) == 0 &&
+            (u8(off + 4) >> 4) == 0)
+          quant = Array.tabulate(64)(i => u8(off + 5 + i))
+        if (m == 0xc4 && (u8(off + 4) >> 4) == 0) { // DC table class
+          val bits = Array.tabulate(16)(i => u8(off + 5 + i))
+          val vals = Array.tabulate(bits.sum)(i => u8(off + 21 + i))
+          var code = 0; var k = 0
+          val mb = Map.newBuilder[String, Int]
+          (1 to 16).foreach { l =>
+            (0 until bits(l - 1)).foreach { _ =>
+              mb += (l + ":" + code) -> vals(k); code += 1; k += 1
+            }
+            code <<= 1
+          }
+          dcLens = mb.result()
+        }
+        if (m == 0xda) scanAt = off + 2 + len else off += 2 + len
+      }
+    }
+    if (quant == null || dcLens == null || scanAt < 0) return None
+    // bit reader over the de-stuffed entropy stream
+    val bx = (meta.width + 7) / 8
+    val by = (meta.height + 7) / 8
+    val out = new Array[Int](bx * by)
+    var p = scanAt; var acc = 0L; var nbits = 0
+    def fill(need: Int): Boolean = {
+      while (nbits < need && p < bytes.length) {
+        if (u8(p) == 0xff) {
+          if (p + 1 < bytes.length && u8(p + 1) == 0x00) {
+            acc = (acc << 8) | 0xff; nbits += 8; p += 2
+          } else return false                 // real marker: stream end
+        } else { acc = (acc << 8) | u8(p); nbits += 8; p += 1 }
+      }
+      nbits >= need
+    }
+    def take(n: Int): Int = {
+      val v = ((acc >>> (nbits - n)) & ((1L << n) - 1)).toInt
+      nbits -= n; v
+    }
+    var prevDc = 0
+    var b = 0
+    while (b < out.length) {
+      // DC: walk the canonical code one bit at a time (≤ 16)
+      var code = 0; var len = 0; var cat = -1
+      while (cat < 0 && len < 16) {
+        if (!fill(1)) return None
+        code = (code << 1) | take(1); len += 1
+        dcLens.get(len + ":" + code).foreach(v => cat = v)
+      }
+      if (cat < 0) return None
+      var diff = 0
+      if (cat > 0) {
+        if (!fill(cat)) return None
+        diff = take(cat)
+        if (diff < (1 << (cat - 1))) diff -= (1 << cat) - 1 // F.2.2.1
+      }
+      val dc = prevDc + diff; prevDc = dc
+      // AC: require immediate EOB (value 0x00 is 4 bits "1010" in the
+      // standard table; decode generically is overkill — DC-only
+      // streams from any encoder emit EOB first, others bail)
+      if (!fill(4)) return None
+      if (take(4) != 0xa) return None
+      out(b) = 128 + Math.round(dc * quant(0) / 8.0).toInt
+      b += 1
+    }
+    Some((meta.width, meta.height, out))
+  }
 }

@@ -184,6 +184,20 @@ object Hnsw {
       searchLayer(q, eps, math.max(ef, k), 0)
         .take(k).map { case (d, id) => (id, 1.0 - d) }.toSeq
     }
+
+    /** Exhaustive scan: EVERY vector scored with the same distance
+      * kernel and tie order ((dist, id) ascending) the beam search
+      * uses — provably ≡ brute force over the shard, independent of
+      * graph connectivity (beam search at any ef only reaches nodes
+      * connected to the entry; shrink-pruned reverse links make
+      * "huge ef" exhaustive-ish, not provable). The serve core's
+      * `ef <= 0` oracle mode — HNSW's twin of IVF-PQ's
+      * `rerankFactor <= 0` + `nprobe = nlist` (q77).
+      */
+    def searchAll(q: Array[Double]): Seq[(Long, Double)] =
+      vecs.toSeq.map { case (id, v) => (dist(q, v), id) }
+        .sorted
+        .map { case (d, id) => (id, 1.0 - d) }
   }
 
   private val indexSchema = StructType(Seq(
@@ -467,7 +481,11 @@ object Hnsw {
             // tombstones can't crowd live rows out of the pull
             val pull = kk + 1 + dead.size
             mine.iterator.flatMap { case (qid, qv, _) =>
-              g.search(qv, pull, math.max(efS, pull)).iterator
+              // ef <= 0: exhaustive oracle mode (see Graph.searchAll)
+              val ranked =
+                if (efS <= 0) g.searchAll(qv).iterator
+                else g.search(qv, pull, math.max(efS, pull)).iterator
+              ranked
                 .filter { case (cid, _) =>
                   cid != qid && !dead.contains(cid) }
                 .take(kk)

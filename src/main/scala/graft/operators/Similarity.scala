@@ -127,7 +127,8 @@ object Similarity {
     * plan as ONE codegen reference object — see
     * [[graft.expressions.NearestCells]].
     */
-  case class IvfModel(centroids: Array[Array[Double]]) {
+  case class IvfModel(centroids: Array[Array[Double]],
+                      fitDistQ: Option[(Double, Double)] = None) {
     def nlist: Int = centroids.length
     /** Column of the `n` nearest cell ids for a vector column. */
     def nearestCells(vec: Column, n: Int): Column =
@@ -135,6 +136,21 @@ object Similarity {
         graft.expressions.NearestCells(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
           centroids, n))
+    /** Euclidean distance from a vector to its NEAREST centroid — the
+      * quantizer's per-row approximation error, the quantity whose
+      * distribution shifts when appended data drifts away from the
+      * fit. Column math over the same [[graft.expressions.CellOffset]]
+      * residual kernel the PQ path quantizes.
+      */
+    def nearestCellDistance(vec: Column): Column = {
+      val cell = element_at(nearestCells(vec, 1), 1)
+      val resid = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.CellOffset(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(cell),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+          centroids, -1))
+      sqrt(aggregate(resid, lit(0.0), (acc, x) => acc + x * x))
+    }
     /** Persist the fitted quantizer — see [[Similarity.loadIvf]]. */
     def save(spark: SparkSession, path: String): Unit =
       writeModel(spark, path, ivfModelRows(this))
@@ -157,10 +173,32 @@ object Similarity {
     */
   def fitIvf(corpus: DataFrame, vecCol: String, nlist: Int,
              trainSample: Int = 16384, maxIter: Int = 10,
-             seed: Long = 42L): IvfModel = {
+             seed: Long = 42L,
+             staleQuantile: Double = 0.9): IvfModel = {
     val sample = sampleVectors(corpus, vecCol, trainSample)
     require(sample.nonEmpty, "fitIvf: no non-null training vectors")
-    IvfModel(lloyd(sample, nlist, maxIter, seed))
+    val centroids = lloyd(sample, nlist, maxIter, seed)
+    // record the fit sample's nearest-centroid distance quantile —
+    // the drift baseline [[centroidStaleness]] compares appends
+    // against. Driver-local exact quantile over the already-collected
+    // sample: zero extra scans.
+    val dists = sample.map { p =>
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < p.length) {
+          val x = p(i) - centroids(c)(i); d += x * x; i += 1
+        }
+        if (d < bd) bd = d
+        c += 1
+      }
+      math.sqrt(bd)
+    }
+    java.util.Arrays.sort(dists)
+    val qIdx = math.min(dists.length - 1,
+      math.ceil(staleQuantile * dists.length).toInt - 1).max(0)
+    IvfModel(centroids, Some((staleQuantile, dists(qIdx))))
   }
 
   /** Bounded driver-local training sample (see [[fitIvf]] scaladoc for
@@ -399,6 +437,8 @@ object Similarity {
   private def ivfModelRows(m: IvfModel): Seq[(String, Int, Int, Seq[Double])] =
     m.centroids.zipWithIndex.toSeq.map { case (c, i) =>
       ("ivf", -1, i, c.toSeq)
+    } ++ m.fitDistQ.toSeq.map { case (q, d) =>
+      ("ivfstat", -1, -1, Seq(q, d))
     }
 
   private def pqModelRows(m: PqModel): Seq[(String, Int, Int, Seq[Double])] =
@@ -421,7 +461,15 @@ object Similarity {
     val rows = spark.read.parquet(path)
       .filter(col("part") === "ivf").select("idx", "vec").collect()
     require(rows.nonEmpty, s"loadIvf: no ivf rows at $path")
-    IvfModel(rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+    // optional fit-distance stat row (models persisted before the
+    // staleness signal existed simply have none)
+    val stat = spark.read.parquet(path)
+      .filter(col("part") === "ivfstat").select("vec").collect()
+      .headOption.map { r =>
+        val v = r.getSeq[Double](0); (v(0), v(1))
+      }
+    IvfModel(rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray),
+      stat)
   }
 
   /** Load persisted PQ codebooks. */
@@ -456,6 +504,61 @@ object Similarity {
                   idCol: String, vecCol: String): DataFrame =
     index.unionByName(ivfPqEncode(model, delta, idCol, vecCol))
 
+  /** Centroid-staleness verdict for a batch of appended vectors: how
+    * far the delta sits from the frozen quantizer, relative to the
+    * data the quantizer was fit on.
+    *
+    * `deltaQ` is the delta's nearest-centroid distance at the SAME
+    * quantile the fit recorded ([[fitIvf]]/[[fitIvfPq]] store the fit
+    * sample's q-quantile distance in the model); `ratio = deltaQ /
+    * fitQ`. In-distribution appends land near 1.0 — the quantizer
+    * covers them as well as it covered its own training data. Drifted
+    * appends (a new embedding model, a new domain) push the quantile
+    * out and degrade recall silently: every vector still gets SOME
+    * cell, but cells stop being tight, probes stop being selective.
+    * `refitRecommended` trips at `ratio > ratioThreshold` (default
+    * 1.25 — cell radii grown by a quarter is where IVF probe recall
+    * visibly sags before reranking can hide it).
+    *
+    * Cost shape: one map-side scan of the DELTA (native residual
+    * kernel + percentile_approx partial agg) — never touches the
+    * standing index, so the signal is O(batch) at 100 TB.
+    */
+  case class StalenessReport(quantile: Double, fitQ: Double,
+                             deltaQ: Double, ratio: Double,
+                             refitRecommended: Boolean)
+
+  def centroidStaleness(ivf: IvfModel, delta: DataFrame, vecCol: String,
+                        ratioThreshold: Double = 1.25,
+                        accuracy: Int = 10000): StalenessReport = {
+    val (q, fitQ) = ivf.fitDistQ.getOrElse(throw new IllegalArgumentException(
+      "centroidStaleness: model carries no fit-distance baseline — " +
+        "refit with fitIvf/fitIvfPq (staleQuantile) or load a model " +
+        "persisted by this version"))
+    val deltaQ = delta
+      .select(Vectors.toDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .select(ivf.nearestCellDistance(col("v")).as("d"))
+      .agg(percentile_approx(col("d"), lit(q), lit(accuracy)))
+      .head().getDouble(0)
+    val ratio = if (fitQ > 0) deltaQ / fitQ
+                else if (deltaQ == 0) 1.0 else Double.PositiveInfinity
+    StalenessReport(q, fitQ, deltaQ, ratio, ratio > ratioThreshold)
+  }
+
+  /** [[ivfPqAppend]] + the drift check in one call: returns the
+    * appended index and the batch's [[StalenessReport]] — the shape an
+    * ingestion loop wants (append now, schedule a refit when the flag
+    * trips; the append itself is never blocked).
+    */
+  def ivfPqAppendWithStaleness(model: IvfPqModel, index: DataFrame,
+                               delta: DataFrame, idCol: String,
+                               vecCol: String,
+                               ratioThreshold: Double = 1.25)
+      : (DataFrame, StalenessReport) =
+    (ivfPqAppend(model, index, delta, idCol, vecCol),
+      centroidStaleness(model.ivf, delta, vecCol, ratioThreshold))
+
   /** Index-lifecycle delete — the other half of [[ivfPqAppend]]:
     * removed documents leave the index by ONE anti-join on id (the
     * model/codebooks are untouched — deletion never triggers a refit,
@@ -475,13 +578,15 @@ object Similarity {
     */
   def fitIvfPq(corpus: DataFrame, vecCol: String, nlist: Int = 16,
                m: Int = 8, k: Int = 16, trainSample: Int = 16384,
-               maxIter: Int = 10, seed: Long = 42L): IvfPqModel = {
+               maxIter: Int = 10, seed: Long = 42L,
+               staleQuantile: Double = 0.9): IvfPqModel = {
     val sample = sampleVectors(corpus, vecCol, trainSample)
     require(sample.nonEmpty, "fitIvfPq: no non-null training vectors")
     val dim = sample.head.length
     require(dim % m == 0, s"fitIvfPq: dim $dim not divisible by m=$m")
     val cents = lloyd(sample, nlist, maxIter, seed)
-    val residuals = sample.map { p =>
+    val bestDists = new Array[Double](sample.length)
+    val residuals = sample.zipWithIndex.map { case (p, pi) =>
       var best = 0; var bd = Double.PositiveInfinity
       var c = 0
       while (c < cents.length) {
@@ -492,6 +597,7 @@ object Similarity {
         if (d < bd) { bd = d; best = c }
         c += 1
       }
+      bestDists(pi) = math.sqrt(bd)
       val ce = cents(best)
       Array.tabulate(dim)(i => p(i) - (if (i < ce.length) ce(i) else 0.0))
     }
@@ -501,7 +607,11 @@ object Similarity {
         v, mi * subDim, (mi + 1) * subDim))
       lloyd(sub, k, maxIter, seed + mi)
     }.toArray
-    IvfPqModel(IvfModel(cents), PqModel(books))
+    java.util.Arrays.sort(bestDists)
+    val qIdx = math.min(bestDists.length - 1,
+      math.ceil(staleQuantile * bestDists.length).toInt - 1).max(0)
+    IvfPqModel(IvfModel(cents, Some((staleQuantile, bestDists(qIdx)))),
+      PqModel(books))
   }
 
   /** One-scan index build: (c_id, cell, codes) with codes quantizing

@@ -4856,6 +4856,48 @@ object Queries {
       |   ELSE FLOOR(h * scale) END AS INT) AS resize_h
       |FROM sc ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  // Tagged HNSW under the ORACLE contract (the q48/q77 pattern for
+  // fitted ANN structures): the full tagged lifecycle — tag-sharded
+  // graph build, broadcast tag routing, scatter-gather serve,
+  // own-id exclusion — runs at the exhaustive parameterization
+  // (ef <= 0 scores EVERY vector in the routed shard with the graph
+  // kernel's own distance; provable, unlike a "big ef" beam whose
+  // reach depends on graph connectivity), which makes the output ≡
+  // per-tag brute-force cosine top-k. DuckDB replays that brute force
+  // with an independent tag join. The approximate beam mode stays
+  // recall-spec-pinned in HnswSpec; q50x benches it.
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        concat(lit("t"), pmod($"vec_id", lit(4))).as("tag"))
+    val (idx, tagMap) = graft.operators.Hnsw.buildTagged(
+      emb, "vec_id", "embedding", "tag")
+    val queries = emb.filter($"vec_id" < 12)
+    graft.operators.Hnsw.topKTagged(idx, tagMap, queries,
+        "vec_id", "embedding", "tag", k = 5, ef = 0)
+      .select($"q_id", $"rank", $"c_id", round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+  private val q129Sql =
+    """WITH e AS (
+      | SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 4 AS tag
+      | FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv, tag FROM e WHERE vec_id < 12),
+      |c AS (SELECT vec_id AS c_id, v AS cv, tag FROM e),
+      |sc AS (
+      | SELECT q_id, c_id,
+      |  list_dot_product(qv, cv)
+      |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+      |    AS sim
+      | FROM q JOIN c ON q.tag = c.tag AND q.q_id <> c.c_id),
+      |r AS (SELECT q_id, c_id, sim,
+      | row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      | FROM sc)
+      |SELECT q_id, rank, c_id, round(sim, 6) AS sim
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4986,7 +5028,8 @@ object Queries {
     "q125_refinery_v2"  -> (q125 _),
     "q126_ppl_per_lang" -> (q126 _),
     "q127_wav_stats"    -> (q127 _),
-    "q128_jpeg_decode"  -> (q128 _)
+    "q128_jpeg_decode"  -> (q128 _),
+    "q129_hnsw_oracle"  -> (q129 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5207,7 +5250,8 @@ object Queries {
     "q125_refinery_v2"  -> q125Sql,
     "q126_ppl_per_lang" -> q126Sql,
     "q127_wav_stats"    -> q127Sql,
-    "q128_jpeg_decode"  -> q128Sql
+    "q128_jpeg_decode"  -> q128Sql,
+    "q129_hnsw_oracle"  -> q129Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

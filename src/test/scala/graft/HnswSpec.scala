@@ -265,7 +265,8 @@ class HnswSpec extends AnyFunSuite {
 
   test("tag-partitioned HNSW (the reference's filtered J5 shape): " +
     "every neighbor is tag-correct by construction, self is excluded, " +
-    "recall matches per-tag brute force, unknown tags return nothing") {
+    "recall matches per-tag brute force, unknown tags return nothing; " +
+    "ef<=0 exhaustive mode is EXACTLY per-tag brute force") {
     // tag = STRING topic derived from the generating cluster (i % 20):
     // the realistic case where the filter key correlates with
     // embedding geometry and is a string like the reference's
@@ -308,6 +309,23 @@ class HnswSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "tag")
     assert(Hnsw.topKTagged(index, tagMap, ghost, "vec_id",
       "embedding", "tag", k = 6).count() == 0)
+    // exhaustive oracle mode (ef <= 0): identical (q_id, rank, c_id)
+    // rows to brute force per tag — equality, not recall
+    val exact = Hnsw.topKTagged(index, tagMap, q, "vec_id", "embedding",
+      "tag", k = 6, ef = 0)
+      .select($"q_id", $"rank", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bruteRows = (0 until 20).flatMap { t =>
+      val tag = f"topic_$t%02d"
+      Similarity.bruteForceTopK(
+          q.filter($"tag" === tag), tagged.filter($"tag" === tag),
+          "vec_id", "embedding", 6)
+        .select($"q_id", $"rank", $"c_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }.toSet
+    assert(exact == bruteRows,
+      s"exhaustive mode diverged from brute force: " +
+        s"${(exact -- bruteRows).take(3)} vs ${(bruteRows -- exact).take(3)}")
     res.unpersist()
   }
 

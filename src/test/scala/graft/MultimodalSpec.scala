@@ -437,6 +437,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.parseJpeg(3L, badLen).decode_ok)
   }
 
+  test("jpeg pixel decode inverts the encoder without ImageIO: the " +
+    "entropy walk recovers every block value exactly; corrupt and " +
+    "unsupported streams return None") {
+    val w = 40; val h = 24
+    val bx = (w + 7) / 8
+    val vals = Array.tabulate(bx * ((h + 7) / 8))(i => (i * 37 + 5) % 256)
+    val enc = Multimodal.jpegEncode(w, h, vals)
+    val Some((dw, dh, got)) = Multimodal.decodeJpegBlocks(enc)
+    assert(dw == w && dh == h)
+    assert(got.toSeq == vals.toSeq)
+    // big DC swings exercise every category size
+    val extremes = Array(0, 255, 0, 255, 128, 1, 254, 2, 253, 127,
+      129, 64, 192, 32, 224)
+    val enc2 = Multimodal.jpegEncode(40, 24, extremes)
+    assert(Multimodal.decodeJpegBlocks(enc2).get._3.toSeq ==
+      extremes.toSeq)
+    // truncation / garbage → None, never a throw
+    assert(Multimodal.decodeJpegBlocks(
+      java.util.Arrays.copyOf(enc, enc.length - 8)).isEmpty)
+    assert(Multimodal.decodeJpegBlocks(
+      Multimodal.syntheticPng(1L, 8, 8).content).isEmpty)
+  }
+
   test("decodeJpeg runs partition-wise over a Dataset of blobs; " +
     "mixed good/corrupt stay row properties") {
     val s = SharedSpark.spark

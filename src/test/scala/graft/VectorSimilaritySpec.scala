@@ -564,4 +564,63 @@ class VectorSimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect sq8).size.toDouble / exact.size
     assert(recall >= 0.9, s"sq8 recall too low: $recall")
   }
+
+  test("centroidStaleness: in-distribution appends stay near ratio 1 " +
+    "and don't trip the refit flag; drifted appends trip it") {
+    val rnd = new scala.util.Random(17)
+    def draw(n: Int, base: Int, shift: Double) =
+      (0 until n).map { i =>
+        val c = Seq((0.0, 0.0), (3.0, 3.0), (-3.0, 2.0))(i % 3)
+        ((base + i).toLong, Array(
+          (c._1 + rnd.nextGaussian() * 0.4 + shift).toFloat,
+          (c._2 + rnd.nextGaussian() * 0.4 + shift).toFloat,
+          (rnd.nextGaussian() * 0.4).toFloat,
+          (rnd.nextGaussian() * 0.4).toFloat))
+      }
+    val base = draw(300, 0, 0.0).toDF("id", "vec")
+    val model = Similarity.fitIvfPq(base, "vec", nlist = 6, m = 2, k = 8)
+    assert(model.ivf.fitDistQ.nonEmpty)
+    val (q, fitQ) = model.ivf.fitDistQ.get
+    assert(q == 0.9 && fitQ > 0)
+
+    val inDist = draw(100, 1000, 0.0).toDF("id", "vec")
+    val rIn = Similarity.centroidStaleness(model.ivf, inDist, "vec")
+    assert(!rIn.refitRecommended,
+      s"in-distribution append tripped the flag: $rIn")
+    assert(rIn.ratio > 0.6 && rIn.ratio < 1.25, s"ratio off: $rIn")
+
+    val drifted = draw(100, 2000, 8.0).toDF("id", "vec")
+    val rDrift = Similarity.centroidStaleness(model.ivf, drifted, "vec")
+    assert(rDrift.refitRecommended, s"drifted append missed: $rDrift")
+    assert(rDrift.ratio > 2.0, s"drift ratio too small: $rDrift")
+
+    // the append wrapper returns the same index ivfPqAppend builds
+    // plus the report, and never blocks the append
+    val index = Similarity.ivfPqEncode(model, base, "id", "vec")
+    val (appended, rep) = Similarity.ivfPqAppendWithStaleness(
+      model, index, drifted, "id", "vec")
+    assert(rep.refitRecommended)
+    assert(appended.count() == 400)
+  }
+
+  test("fit-distance baseline persists through save/load; pre-" +
+    "staleness models load with none and centroidStaleness demands " +
+    "a refit") {
+    val rnd = new scala.util.Random(23)
+    val data = (0 until 150).map(i => (i.toLong,
+      Array.fill(4)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val model = Similarity.fitIvfPq(data, "vec", nlist = 5, m = 2, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale")
+      .toString
+    model.save(spark, s"$dir/m")
+    val loaded = Similarity.loadIvfPq(spark, s"$dir/m")
+    assert(loaded.ivf.fitDistQ == model.ivf.fitDistQ)
+    // a model persisted WITHOUT the stat row (older layout)
+    Similarity.IvfModel(model.ivf.centroids).save(spark, s"$dir/old")
+    val old = Similarity.loadIvf(spark, s"$dir/old")
+    assert(old.fitDistQ.isEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.centroidStaleness(old, data, "vec")
+    }
+  }
 }
