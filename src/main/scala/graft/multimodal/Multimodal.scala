@@ -921,19 +921,22 @@ object Multimodal extends Serializable {
     var p = inScanAt
     var entropy = 0L
     var complete = false
-    while (!complete && p < bytes.length) {
+    var ended = false
+    while (!ended && p < bytes.length) {
       if (u8(p) == 0xff && p + 1 < bytes.length) {
         val m = u8(p + 1)
         if (m == 0x00) { entropy += 2; p += 2 }            // stuffed FF
         else if (m >= 0xd0 && m <= 0xd7) { entropy += 2; p += 2 } // RST
-        else if (m == 0xd9) complete = true                 // EOI
-        else return BadJpeg.copy(media_id = id)             // stray marker
+        else if (m == 0xd9) { complete = true; ended = true } // EOI
+        else ended = true  // another header marker: a multi-scan
+                           // (progressive) stream — structurally fine,
+                           // but not a complete baseline single scan;
+                           // dims survive, decode_ok goes false below
       } else { entropy += 1; p += 1 }
     }
-    val ok = complete && baseline && w > 0 && h > 0 && prec == 8 &&
+    if (w <= 0 || h <= 0) return BadJpeg.copy(media_id = id)
+    val ok = complete && baseline && prec == 8 &&
       (ncomp == 1 || ncomp == 3 || ncomp == 4)
-    if (!ok && !(complete && sawSof))
-      return BadJpeg.copy(media_id = id)
     JpegMeta(id, w, h, ncomp, prec, entropy, decode_ok = ok)
   }
 

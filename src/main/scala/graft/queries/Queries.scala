@@ -4898,6 +4898,78 @@ object Queries {
       |SELECT q_id, rank, c_id, round(sim, 6) AS sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  // ANN centroid-staleness signal under the FITTED-oracle contract
+  // (q76's pattern): fit an IVF-PQ quantizer on 3/4 of the embeddings,
+  // then measure two append batches through centroidStaleness — the
+  // held-out quarter (in-distribution: ratio ≈ 1, no refit flag) and
+  // the same quarter shifted +2.0 per component (drifted: ratio far
+  // past the 1.25 threshold, flag trips). The oracle is generated from
+  // the fitted centroids AFTER the query runs: per-row nearest-
+  // centroid distance as nlist literal squared-L2 chains (the
+  // NearestCells kernel's fold order), the batch quantile via
+  // quantile_disc (exact ≡ percentile_approx at accuracy ≥ n), and
+  // the fit baseline as a literal from the model. Both engines replay
+  // the DECISION — distance, quantile, ratio, flag — end to end.
+  private val staleModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfPqModel]
+  @volatile private var lastStaleDir: Option[String] = None
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(pmod($"vec_id", lit(4)) =!= 0)
+    val model = staleModels.getOrElseUpdate(dir,
+      Similarity.fitIvfPq(base, "embedding", nlist = 8, m = 2, k = 16))
+    lastStaleDir = Some(dir)
+    // both batches in DOUBLE space so the +2.0 shift is the same
+    // arithmetic the oracle's list_transform applies
+    val held = emb.filter(pmod($"vec_id", lit(4)) === 0)
+      .select($"vec_id",
+        graft.functions.Vectors.toDouble($"embedding").as("embedding"))
+    val drifted = held.select($"vec_id",
+      transform($"embedding", x => x + lit(2.0)).as("embedding"))
+    val rIn = Similarity.centroidStaleness(model.ivf, held, "embedding")
+    val rDr = Similarity.centroidStaleness(model.ivf, drifted, "embedding")
+    Seq(("drifted", rDr), ("in_dist", rIn))
+      .map { case (b, r) => (b, r.fitQ, r.deltaQ, r.ratio,
+        r.refitRecommended) }
+      .toDF("batch", "fq", "dq", "rt", "refit_recommended")
+      .select($"batch", round($"fq", 6).as("fit_q"),
+        round($"dq", 6).as("delta_q"), round($"rt", 6).as("ratio"),
+        $"refit_recommended")
+      .orderBy($"batch")
+  }
+  private[queries] def q130SqlNow: Option[String] =
+    lastStaleDir.flatMap(staleModels.get).map(q130SqlFor)
+  private def q130SqlFor(model: Similarity.IvfPqModel): String = {
+    def dd(x: Double) = java.lang.Double.toString(x)
+    val (q, fitQ) = model.ivf.fitDistQ.getOrElse(
+      throw new IllegalStateException("q130 model lacks fitDistQ"))
+    val chains = model.ivf.centroids.map { c =>
+      c.zipWithIndex.map { case (cv, i) =>
+        s"(v[${i + 1}]-(${dd(cv)}))*(v[${i + 1}]-(${dd(cv)}))"
+      }.mkString("+")
+    }.mkString(",\n   ")
+    s"""WITH e AS (
+       | SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings WHERE vec_id % 4 = 0),
+       |b AS (
+       | SELECT 'in_dist' AS batch, v FROM e
+       | UNION ALL
+       | SELECT 'drifted', list_transform(v, x -> x + 2.0) FROM e),
+       |d AS (SELECT batch,
+       |  sqrt(list_min([$chains])) AS dist
+       | FROM b),
+       |qq AS (SELECT batch, quantile_disc(dist, ${dd(q)}) AS dq
+       | FROM d GROUP BY batch)
+       |SELECT batch, round(${dd(fitQ)}, 6) AS fit_q,
+       | round(dq, 6) AS delta_q,
+       | round(dq / (${dd(fitQ)}), 6) AS ratio,
+       | dq / (${dd(fitQ)}) > 1.25 AS refit_recommended
+       |FROM qq ORDER BY batch""".stripMargin
+  }
+
   // ================================================================ //
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5029,7 +5101,8 @@ object Queries {
     "q126_ppl_per_lang" -> (q126 _),
     "q127_wav_stats"    -> (q127 _),
     "q128_jpeg_decode"  -> (q128 _),
-    "q129_hnsw_oracle"  -> (q129 _)
+    "q129_hnsw_oracle"  -> (q129 _),
+    "q130_ann_staleness" -> (q130 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5261,5 +5334,6 @@ object Queries {
     */
   def oraclesWithFitted: Map[String, String] =
     oracles ++ q76SqlNow.map("q76_pq_ann" -> _) ++
-      q120SqlNow.map("q120_semdedup_ivf" -> _)
+      q120SqlNow.map("q120_semdedup_ivf" -> _) ++
+      q130SqlNow.map("q130_ann_staleness" -> _)
 }

@@ -15,10 +15,11 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only the fitted-model oracles (q76, q120) are absent from the " +
-    "static map") {
+  test("only the fitted-model oracles (q76, q120, q130) are absent " +
+    "from the static map") {
     val rowsOnly = Queries.all.keySet -- Queries.oracles.keySet
-    assert(rowsOnly == Set("q76_pq_ann", "q120_semdedup_ivf"),
+    assert(rowsOnly == Set("q76_pq_ann", "q120_semdedup_ivf",
+      "q130_ann_staleness"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -29,6 +30,8 @@ class ContractSpec extends AnyFunSuite {
       .count()
     Queries.all("q120_semdedup_ivf")(SharedSpark.spark,
       "/root/testdata/sf0.001").count()
+    Queries.all("q130_ann_staleness")(SharedSpark.spark,
+      "/root/testdata/sf0.001").count()
     val withFitted = Queries.oraclesWithFitted
     assert((Queries.all.keySet -- withFitted.keySet).isEmpty,
       s"rows-only residue: ${Queries.all.keySet -- withFitted.keySet}")
@@ -36,6 +39,8 @@ class ContractSpec extends AnyFunSuite {
     assert(sql.contains("list_position") && sql.contains("embeddings"))
     val sql120 = withFitted("q120_semdedup_ivf")
     assert(sql120.contains("list_position") && sql120.contains("list_min"))
+    val sql130 = withFitted("q130_ann_staleness")
+    assert(sql130.contains("quantile_disc") && sql130.contains("list_min"))
   }
 
   test("query names are well-formed and unique") {
