@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable
 
 /** Multimodal columns: image/audio/video as opaque `BinaryType` content
   * plus typed metadata, with the compute split the way a 100 TB media
@@ -964,35 +965,65 @@ object Multimodal extends Serializable {
     if (!meta.decode_ok || meta.components != 1) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-    // second walk: collect DQT / DHT payloads + scan offset
+    // second walk: collect DQT / DHT tables BY ID (a segment may pack
+    // several tables back to back — the common layout in foreign
+    // encoders), the SOF component's quant-table ref, and the SOS
+    // component's DC-table ref + scan offset
     var off = 2
-    var quant: Array[Int] = null
-    var dcLens: Map[String, Int] = null   // bit-string -> value
+    val quants = mutable.Map.empty[Int, Array[Int]]
+    val dcTables = mutable.Map.empty[Int, Map[String, Int]]
+    var sofTq = -1
+    var sosTd = -1
     var scanAt = -1
     while (scanAt < 0 && off + 4 <= bytes.length) {
       val m = u8(off + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
       else {
         val len = u16(off + 2)
-        if (m == 0xdb && (u8(off + 4) & 0x0f) == 0 &&
-            (u8(off + 4) >> 4) == 0)
-          quant = Array.tabulate(64)(i => u8(off + 5 + i))
-        if (m == 0xc4 && (u8(off + 4) >> 4) == 0) { // DC table class
-          val bits = Array.tabulate(16)(i => u8(off + 5 + i))
-          val vals = Array.tabulate(bits.sum)(i => u8(off + 21 + i))
-          var code = 0; var k = 0
-          val mb = Map.newBuilder[String, Int]
-          (1 to 16).foreach { l =>
-            (0 until bits(l - 1)).foreach { _ =>
-              mb += (l + ":" + code) -> vals(k); code += 1; k += 1
-            }
-            code <<= 1
+        val segEnd = off + 2 + len
+        if (m == 0xdb) {                       // DQT: 8-bit tables only
+          var p0 = off + 4
+          while (p0 + 65 <= segEnd) {
+            if ((u8(p0) >> 4) == 0)
+              quants(u8(p0) & 0x0f) =
+                Array.tabulate(64)(i => u8(p0 + 1 + i))
+            p0 += 65
           }
-          dcLens = mb.result()
         }
-        if (m == 0xda) scanAt = off + 2 + len else off += 2 + len
+        if (m == 0xc4) {                       // DHT: walk packed tables
+          var p0 = off + 4
+          while (p0 + 17 <= segEnd) {
+            val cls = u8(p0) >> 4
+            val id = u8(p0) & 0x0f
+            val bits = Array.tabulate(16)(i => u8(p0 + 1 + i))
+            val total = bits.sum
+            if (p0 + 17 + total > segEnd) { p0 = segEnd }
+            else {
+              if (cls == 0) {                  // DC class
+                val vals = Array.tabulate(total)(i => u8(p0 + 17 + i))
+                var code = 0; var k = 0
+                val mb = Map.newBuilder[String, Int]
+                (1 to 16).foreach { l =>
+                  (0 until bits(l - 1)).foreach { _ =>
+                    mb += (l + ":" + code) -> vals(k); code += 1; k += 1
+                  }
+                  code <<= 1
+                }
+                dcTables(id) = mb.result()
+              }
+              p0 += 17 + total
+            }
+          }
+        }
+        if (m == 0xc0) sofTq = u8(off + 12)    // first component's Tq
+        if (m == 0xda) {
+          sosTd = u8(off + 6) >> 4             // first component's Td
+          scanAt = segEnd
+        } else off += 2 + len
       }
     }
+    val quant = quants.get(sofTq).orNull
+    val dcLens = dcTables.get(sosTd).orNull
     if (quant == null || dcLens == null || scanAt < 0) return None
     // bit reader over the de-stuffed entropy stream
     val bx = (meta.width + 7) / 8

@@ -192,7 +192,12 @@ object Hnsw {
       * connected to the entry; shrink-pruned reverse links make
       * "huge ef" exhaustive-ish, not provable). The serve core's
       * `ef <= 0` oracle mode — HNSW's twin of IVF-PQ's
-      * `rerankFactor <= 0` + `nprobe = nlist` (q77).
+      * `rerankFactor <= 0` + `nprobe = nlist` (q77). Zero-norm
+      * vectors score the kernel's dist-2.0 sentinel (sim −1, ranked
+      * last) where Vectors.cosine yields NULL and SQL engines NaN —
+      * the F13 ingestion guard (`Vectors.isValid`) excludes them
+      * upstream, which is what keeps ≡-brute-force comparisons
+      * three-way consistent.
       */
     def searchAll(q: Array[Double]): Seq[(Long, Double)] =
       vecs.toSeq.map { case (id, v) => (dist(q, v), id) }

@@ -175,6 +175,9 @@ object Similarity {
              trainSample: Int = 16384, maxIter: Int = 10,
              seed: Long = 42L,
              staleQuantile: Double = 0.9): IvfModel = {
+    require(staleQuantile > 0.0 && staleQuantile <= 1.0,
+      s"fitIvf: staleQuantile $staleQuantile outside (0, 1] — it is " +
+        "persisted in the model and fed to percentile_approx at serve")
     val sample = sampleVectors(corpus, vecCol, trainSample)
     require(sample.nonEmpty, "fitIvf: no non-null training vectors")
     val centroids = lloyd(sample, nlist, maxIter, seed)
@@ -187,7 +190,8 @@ object Similarity {
       var c = 0
       while (c < centroids.length) {
         var d = 0.0; var i = 0
-        while (i < p.length) {
+        val n = math.min(p.length, centroids(c).length)
+        while (i < n) {
           val x = p(i) - centroids(c)(i); d += x * x; i += 1
         }
         if (d < bd) bd = d
@@ -458,17 +462,17 @@ object Similarity {
     * model size — same contract as the training-sample collect).
     */
   def loadIvf(spark: SparkSession, path: String): IvfModel = {
+    // one scan for centroids AND the optional fit-distance stat row
+    // (models persisted before the staleness signal have none)
     val rows = spark.read.parquet(path)
-      .filter(col("part") === "ivf").select("idx", "vec").collect()
-    require(rows.nonEmpty, s"loadIvf: no ivf rows at $path")
-    // optional fit-distance stat row (models persisted before the
-    // staleness signal existed simply have none)
-    val stat = spark.read.parquet(path)
-      .filter(col("part") === "ivfstat").select("vec").collect()
-      .headOption.map { r =>
-        val v = r.getSeq[Double](0); (v(0), v(1))
-      }
-    IvfModel(rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray),
+      .filter(col("part").isin("ivf", "ivfstat"))
+      .select("part", "idx", "vec").collect()
+    val (statRows, ivfRows) = rows.partition(_.getString(0) == "ivfstat")
+    require(ivfRows.nonEmpty, s"loadIvf: no ivf rows at $path")
+    val stat = statRows.headOption.map { r =>
+      val v = r.getSeq[Double](2); (v(0), v(1))
+    }
+    IvfModel(ivfRows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray),
       stat)
   }
 
@@ -535,12 +539,18 @@ object Similarity {
       "centroidStaleness: model carries no fit-distance baseline — " +
         "refit with fitIvf/fitIvfPq (staleQuantile) or load a model " +
         "persisted by this version"))
-    val deltaQ = delta
+    val row = delta
       .select(Vectors.toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       .select(ivf.nearestCellDistance(col("v")).as("d"))
       .agg(percentile_approx(col("d"), lit(q), lit(accuracy)))
-      .head().getDouble(0)
+      .head()
+    // empty (or all-null-vector) batch: nothing to measure, nothing to
+    // flag — an ingestion loop's no-op tick must not throw
+    if (row.isNullAt(0))
+      return StalenessReport(q, fitQ, Double.NaN, Double.NaN,
+        refitRecommended = false)
+    val deltaQ = row.getDouble(0)
     val ratio = if (fitQ > 0) deltaQ / fitQ
                 else if (deltaQ == 0) 1.0 else Double.PositiveInfinity
     StalenessReport(q, fitQ, deltaQ, ratio, ratio > ratioThreshold)
@@ -580,6 +590,9 @@ object Similarity {
                m: Int = 8, k: Int = 16, trainSample: Int = 16384,
                maxIter: Int = 10, seed: Long = 42L,
                staleQuantile: Double = 0.9): IvfPqModel = {
+    require(staleQuantile > 0.0 && staleQuantile <= 1.0,
+      s"fitIvfPq: staleQuantile $staleQuantile outside (0, 1] — it is " +
+        "persisted in the model and fed to percentile_approx at serve")
     val sample = sampleVectors(corpus, vecCol, trainSample)
     require(sample.nonEmpty, "fitIvfPq: no non-null training vectors")
     val dim = sample.head.length

@@ -128,11 +128,23 @@ object TextAnalysis {
       .select(col(rankCol).cast("long").as("rank"),
         col(leftCol).cast("string").as("a"),
         col(rightCol).cast("string").as("b"))
-      .na.drop().orderBy(col("rank")).limit(maxMerges + 1).collect()
+      .orderBy(col("rank")).limit(maxMerges + 1).collect()
     require(rows.length <= maxMerges,
       s"bpeMergesFrom: source exceeds the $maxMerges-merge cap; " +
         "raise maxMerges explicitly (the table is driver-collected " +
         "and shipped to executors inside the codegen'd merge chain)")
+    // a null rank/operand THROWS rather than dropping the row — a
+    // silently shortened merge table would silently change every
+    // piece count (the same contract as the over-cap require above);
+    // duplicate ranks make rule order nondeterministic, equally fatal
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"bpeMergesFrom: row $i has a NULL rank or operand — a " +
+          "partial merge table would silently change every piece count")
+    }
+    require(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "bpeMergesFrom: duplicate rank values — rule order would be " +
+        "nondeterministic")
     val out = Seq.newBuilder[(String, String)]
     val produced = scala.collection.mutable.Set[String]()
     rows.zipWithIndex.foreach { case (r, i) =>

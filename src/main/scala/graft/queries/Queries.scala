@@ -4928,8 +4928,12 @@ object Queries {
         graft.functions.Vectors.toDouble($"embedding").as("embedding"))
     val drifted = held.select($"vec_id",
       transform($"embedding", x => x + lit(2.0)).as("embedding"))
-    val rIn = Similarity.centroidStaleness(model.ivf, held, "embedding")
-    val rDr = Similarity.centroidStaleness(model.ivf, drifted, "embedding")
+    // accuracy 1e7 (q98's setting) keeps percentile_approx EXACT —
+    // rank error < 1 — for any delta the driver's scale factors reach
+    val rIn = Similarity.centroidStaleness(model.ivf, held, "embedding",
+      accuracy = 10000000)
+    val rDr = Similarity.centroidStaleness(model.ivf, drifted, "embedding",
+      accuracy = 10000000)
     Seq(("drifted", rDr), ("in_dist", rIn))
       .map { case (b, r) => (b, r.fitQ, r.deltaQ, r.ratio,
         r.refitRecommended) }

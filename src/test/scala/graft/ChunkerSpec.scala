@@ -245,6 +245,16 @@ class ChunkerSpec extends AnyFunSuite {
       TextAnalysis.bpeMergesFrom(
         Seq((0L, "<", "a")).toDF("rank", "a", "b"), "a", "b", "rank")
     }
+    intercept[IllegalArgumentException] {  // NULL operand: throw, not drop
+      TextAnalysis.bpeMergesFrom(
+        Seq((0L, "a", "b"), (1L, null, "c"))
+          .toDF("rank", "a", "b"), "a", "b", "rank")
+    }
+    intercept[IllegalArgumentException] {  // duplicate rank
+      TextAnalysis.bpeMergesFrom(
+        Seq((0L, "a", "b"), (0L, "b", "c"))
+          .toDF("rank", "a", "b"), "a", "b", "rank")
+    }
   }
 
   test("bpeMergesFromFile parses the merges.txt layout (header lines, " +

@@ -458,6 +458,24 @@ class MultimodalSpec extends AnyFunSuite {
       java.util.Arrays.copyOf(enc, enc.length - 8)).isEmpty)
     assert(Multimodal.decodeJpegBlocks(
       Multimodal.syntheticPng(1L, 8, 8).content).isEmpty)
+    // table-id selection: a decoy DC table id 1 AFTER the real id-0
+    // table must not shadow it (the scan references Td=0) — splice a
+    // second DHT segment whose codes are garbage for this stream
+    val sosAt = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda).get
+    val decoy = {
+      val bits = Array(0, 1) ++ Array.fill(14)(0)  // one 2-bit code
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0xff); b.write(0xc4)
+      val len = 2 + 1 + 16 + 1
+      b.write(len >> 8); b.write(len & 0xff)
+      b.write(0x01)                                 // class 0, id 1
+      bits.foreach(b.write); b.write(0x05)
+      b.toByteArray
+    }
+    val spliced = enc.take(sosAt) ++ decoy ++ enc.drop(sosAt)
+    assert(Multimodal.decodeJpegBlocks(spliced).get._3.toSeq ==
+      vals.toSeq, "decoy DC table id 1 must not shadow the id-0 table")
   }
 
   test("decodeJpeg runs partition-wise over a Dataset of blobs; " +

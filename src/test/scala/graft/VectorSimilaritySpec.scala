@@ -601,6 +601,15 @@ class VectorSimilaritySpec extends AnyFunSuite {
       model, index, drifted, "id", "vec")
     assert(rep.refitRecommended)
     assert(appended.count() == 400)
+    // an EMPTY batch (ingestion no-op tick) must report, not throw
+    val rEmpty = Similarity.centroidStaleness(model.ivf,
+      inDist.filter($"id" < 0), "vec")
+    assert(!rEmpty.refitRecommended && rEmpty.deltaQ.isNaN)
+    // out-of-range staleQuantile fails at FIT time, not serve time
+    intercept[IllegalArgumentException] {
+      Similarity.fitIvfPq(base, "vec", nlist = 4, m = 2, k = 4,
+        staleQuantile = 1.5)
+    }
   }
 
   test("fit-distance baseline persists through save/load; pre-" +
