@@ -313,7 +313,9 @@ object Hnsw {
     * `partitionBy("shard")` index is partition-pruned at the source
     * and a one-topic batch reads one shard, not the corpus; serving
     * many batches should [[prepare]] + cache once and call
-    * [[topKTaggedResident]].
+    * [[topKTaggedResident]]. `ef <= 0` selects the exhaustive oracle
+    * mode (see [[Graph.searchAll]]): provably ≡ per-tag brute-force
+    * cosine top-k — q129's correctness contract.
     */
   def topKTagged(index: DataFrame, tagMap: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, tagCol: String, k: Int,
