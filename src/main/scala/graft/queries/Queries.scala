@@ -4877,7 +4877,8 @@ object Queries {
     val queries = emb.filter($"vec_id" < 12)
     graft.operators.Hnsw.topKTagged(idx, tagMap, queries,
         "vec_id", "embedding", "tag", k = 5, ef = 0)
-      .select($"q_id", $"rank", $"c_id", round($"sim", 6).as("sim"))
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
       .orderBy($"q_id", $"rank")
   }
   private val q129Sql =
@@ -4897,6 +4898,28 @@ object Queries {
       | FROM sc)
       |SELECT q_id, rank, c_id, round(sim, 6) AS sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q131
+  // Hash-sharded HNSW under the oracle contract — q129's sibling for
+  // the UNTAGGED path: every query scatters to every shard
+  // (routed = false), each shard scores exhaustively at ef <= 0, and
+  // the global top-k window merges — provably ≡ GLOBAL brute-force
+  // cosine top-k, so q24's own oracle SQL shape applies verbatim.
+  // Build, shard co-location, scatter-gather and the merge window are
+  // all exercised; the approximate beam stays recall-pinned in
+  // HnswSpec and benched by q49x.
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val idx = graft.operators.Hnsw.buildShards(emb, "vec_id",
+      "embedding", shards = 4)
+    graft.operators.Hnsw.topK(idx, emb.filter($"vec_id" >= 10 &&
+        $"vec_id" < 22), "vec_id", "embedding", k = 4, ef = 0)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+  private val q131Sql = bruteTopKSql("vec_id >= 10 AND vec_id < 22", 4)
 
   // ---------------------------------------------------------------- q130
   // ANN centroid-staleness signal under the FITTED-oracle contract
@@ -5106,7 +5129,8 @@ object Queries {
     "q127_wav_stats"    -> (q127 _),
     "q128_jpeg_decode"  -> (q128 _),
     "q129_hnsw_oracle"  -> (q129 _),
-    "q130_ann_staleness" -> (q130 _)
+    "q130_ann_staleness" -> (q130 _),
+    "q131_hnsw_sharded_oracle" -> (q131 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5328,7 +5352,8 @@ object Queries {
     "q126_ppl_per_lang" -> q126Sql,
     "q127_wav_stats"    -> q127Sql,
     "q128_jpeg_decode"  -> q128Sql,
-    "q129_hnsw_oracle"  -> q129Sql
+    "q129_hnsw_oracle"  -> q129Sql,
+    "q131_hnsw_sharded_oracle" -> q131Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted
