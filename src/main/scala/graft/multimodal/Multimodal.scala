@@ -853,6 +853,104 @@ object Multimodal extends Serializable {
     out.toByteArray
   }
 
+  /** Color (YCbCr 4:4:4) DC-only baseline JFIF — the shape real
+    * `<img src>` blobs actually take. Three components, no chroma
+    * subsampling (1×1 sampling everywhere), every component
+    * referencing quant table 0 and Huffman tables 0 (legal per spec,
+    * and it keeps the writer to the tables [[jpegEncode]] already
+    * carries); each component holds its own DC predictor across the
+    * interleaved MCU stream. Per-block-uniform planes + unit quant =
+    * mathematically lossless in YCbCr space (RGB output then differs
+    * from the closed form only by the decoder's YCbCr→RGB rounding).
+    */
+  def jpegEncodeColor(width: Int, height: Int, yB: Array[Int],
+                      cbB: Array[Int], crB: Array[Int]): Array[Byte] = {
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    require(yB.length == bx * by && cbB.length == bx * by &&
+      crB.length == bx * by, s"need ${bx * by} blocks per component")
+    require(width > 0 && height > 0 && width < 65536 && height < 65536)
+    val out = new java.io.ByteArrayOutputStream(512 + yB.length * 6)
+    def u16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xe0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+    marker(0xdb); u16(67); out.write(0)
+    (0 until 64).foreach(_ => out.write(1))
+    marker(0xc0); u16(8 + 3 * 3)
+    out.write(8); u16(height); u16(width)
+    out.write(3)
+    (1 to 3).foreach { cid =>
+      out.write(cid); out.write(0x11); out.write(0) // 1×1, quant 0
+    }
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write(cls << 4)
+      bits.foreach(out.write)
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, JpegDcBits, JpegDcVals)
+    dht(1, JpegAcBits, JpegAcVals)
+    marker(0xda); u16(6 + 2 * 3)
+    out.write(3)
+    (1 to 3).foreach { cid => out.write(cid); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val (eobCode, eobLen) = canonicalCodes(JpegAcBits, JpegAcVals)(0x00)
+    var acc = 0L; var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >>> (nbits - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    val planes = Array(yB, cbB, crB)
+    val prevDc = new Array[Int](3)
+    var b = 0
+    while (b < yB.length) {                       // interleaved MCUs
+      var c = 0
+      while (c < 3) {
+        val dc = 8 * ((planes(c)(b) & 0xff) - 128)
+        var diff = dc - prevDc(c); prevDc(c) = dc
+        var cat = 0
+        var mag = math.abs(diff)
+        while (mag != 0) { cat += 1; mag >>= 1 }
+        val (cc, l) = dcCodes(cat)
+        put(cc, l)
+        if (cat > 0) {
+          if (diff < 0) diff += (1 << cat) - 1
+          put(diff, cat)
+        }
+        put(eobCode, eobLen)
+        c += 1
+      }
+      b += 1
+    }
+    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Deterministic id-seeded COLOR JPEG blob. */
+  def syntheticJpegColor(id: Long, width: Int, height: Int): MediaBlob = {
+    val n = ((width + 7) / 8) * ((height + 7) / 8)
+    val planes = Array.fill(3)(new Array[Int](n))
+    var x = id * 6364136223846793005L + 1442695040888963407L
+    (0 until 3).foreach { c =>
+      (0 until n).foreach { i =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        planes(c)(i) = ((x >>> 56) & 0xff).toInt
+      }
+    }
+    MediaBlob(id, "image",
+      jpegEncodeColor(width, height, planes(0), planes(1), planes(2)))
+  }
+
   /** Deterministic id-seeded grayscale JPEG blob: per-block values
     * from the same LCG family as [[syntheticPng]].
     */
@@ -960,9 +1058,25 @@ object Multimodal extends Serializable {
     * AC energy decodes its DC exactly but the flat-value model would
     * lie, so EOB-less blocks route to None rather than a wrong image.
     */
-  def decodeJpegBlocks(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  def decodeJpegBlocks(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeJpegMcus(bytes).collect {
+      case (w, h, planes) if planes.length == 1 => (w, h, planes(0))
+    }
+
+  /** Multi-component generalization of [[decodeJpegBlocks]]: decodes
+    * the interleaved MCU stream of a DC-only baseline JPEG with 1×1
+    * sampling everywhere (grayscale or YCbCr 4:4:4), each component
+    * entropy-decoded with the DC table its SOS entry references and
+    * dequantized with the quant table its SOF entry references, its
+    * own DC predictor carried across MCUs. Returns (width, height,
+    * one flat-block-value array per component) or None for anything
+    * [[parseJpeg]] rejects plus subsampled / AC-bearing / non-standard
+    * shapes.
+    */
+  def decodeJpegMcus(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Array[Int]])] = {
     val meta = parseJpeg(0L, bytes)
-    if (!meta.decode_ok || meta.components != 1) return None
+    if (!meta.decode_ok) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     // second walk: collect DQT / DHT tables BY ID (a segment may pack
@@ -972,8 +1086,9 @@ object Multimodal extends Serializable {
     var off = 2
     val quants = mutable.Map.empty[Int, Array[Int]]
     val dcTables = mutable.Map.empty[Int, Map[String, Int]]
-    var sofTq = -1
-    var sosTd = -1
+    var sofTq: Array[Int] = null       // per-component quant refs
+    var sofSampling: Array[Int] = null
+    var sosTd: Array[Int] = null       // per-component DC-table refs
     var scanAt = -1
     while (scanAt < 0 && off + 4 <= bytes.length) {
       val m = u8(off + 1)
@@ -1015,20 +1130,28 @@ object Multimodal extends Serializable {
             }
           }
         }
-        if (m == 0xc0) sofTq = u8(off + 12)    // first component's Tq
+        if (m == 0xc0) {
+          sofTq = Array.tabulate(meta.components)(i => u8(off + 12 + 3 * i))
+          sofSampling =
+            Array.tabulate(meta.components)(i => u8(off + 11 + 3 * i))
+        }
         if (m == 0xda) {
-          sosTd = u8(off + 6) >> 4             // first component's Td
+          sosTd =
+            Array.tabulate(meta.components)(i => u8(off + 6 + 2 * i) >> 4)
           scanAt = segEnd
         } else off += 2 + len
       }
     }
-    val quant = quants.get(sofTq).orNull
-    val dcLens = dcTables.get(sosTd).orNull
-    if (quant == null || dcLens == null || scanAt < 0) return None
+    if (sofTq == null || sosTd == null || scanAt < 0) return None
+    if (!sofSampling.forall(_ == 0x11)) return None  // 1×1 only
+    val compQuant = sofTq.map(id => quants.get(id).orNull)
+    val compDc = sosTd.map(id => dcTables.get(id).orNull)
+    if (compQuant.exists(_ == null) || compDc.exists(_ == null)) return None
     // bit reader over the de-stuffed entropy stream
     val bx = (meta.width + 7) / 8
     val by = (meta.height + 7) / 8
-    val out = new Array[Int](bx * by)
+    val nc = meta.components
+    val out = Array.fill(nc)(new Array[Int](bx * by))
     var p = scanAt; var acc = 0L; var nbits = 0
     def fill(need: Int): Boolean = {
       while (nbits < need && p < bytes.length) {
@@ -1044,30 +1167,34 @@ object Multimodal extends Serializable {
       val v = ((acc >>> (nbits - n)) & ((1L << n) - 1)).toInt
       nbits -= n; v
     }
-    var prevDc = 0
+    val prevDc = new Array[Int](nc)
     var b = 0
-    while (b < out.length) {
-      // DC: walk the canonical code one bit at a time (≤ 16)
-      var code = 0; var len = 0; var cat = -1
-      while (cat < 0 && len < 16) {
-        if (!fill(1)) return None
-        code = (code << 1) | take(1); len += 1
-        dcLens.get(len + ":" + code).foreach(v => cat = v)
+    while (b < bx * by) {                       // interleaved MCUs
+      var c = 0
+      while (c < nc) {
+        // DC: walk the canonical code one bit at a time (≤ 16)
+        var code = 0; var len = 0; var cat = -1
+        while (cat < 0 && len < 16) {
+          if (!fill(1)) return None
+          code = (code << 1) | take(1); len += 1
+          compDc(c).get(len + ":" + code).foreach(v => cat = v)
+        }
+        if (cat < 0) return None
+        var diff = 0
+        if (cat > 0) {
+          if (!fill(cat)) return None
+          diff = take(cat)
+          if (diff < (1 << (cat - 1))) diff -= (1 << cat) - 1 // F.2.2.1
+        }
+        val dc = prevDc(c) + diff; prevDc(c) = dc
+        // AC: require immediate EOB (value 0x00 is 4 bits "1010" in
+        // the standard table; DC-only streams emit it first — AC
+        // energy would make the flat-value model lie, so bail)
+        if (!fill(4)) return None
+        if (take(4) != 0xa) return None
+        out(c)(b) = 128 + Math.round(dc * compQuant(c)(0) / 8.0).toInt
+        c += 1
       }
-      if (cat < 0) return None
-      var diff = 0
-      if (cat > 0) {
-        if (!fill(cat)) return None
-        diff = take(cat)
-        if (diff < (1 << (cat - 1))) diff -= (1 << cat) - 1 // F.2.2.1
-      }
-      val dc = prevDc + diff; prevDc = dc
-      // AC: require immediate EOB (value 0x00 is 4 bits "1010" in the
-      // standard table; decode generically is overkill — DC-only
-      // streams from any encoder emit EOB first, others bail)
-      if (!fill(4)) return None
-      if (take(4) != 0xa) return None
-      out(b) = 128 + Math.round(dc * quant(0) / 8.0).toInt
       b += 1
     }
     Some((meta.width, meta.height, out))

@@ -478,6 +478,52 @@ class MultimodalSpec extends AnyFunSuite {
       vals.toSeq, "decoy DC table id 1 must not shadow the id-0 table")
   }
 
+  test("color jpeg (YCbCr 4:4:4 DC-only): parseJpeg reports 3 " +
+    "components, decodeJpegMcus recovers every plane exactly, and " +
+    "ImageIO round-trips RGB within conversion rounding") {
+    val w = 24; val h = 16
+    val bx = (w + 7) / 8
+    val n = bx * ((h + 7) / 8)
+    // keep chroma near neutral so the YCbCr->RGB clamp never engages
+    // (clamped channels lose the closed-form comparison)
+    val yB = Array.tabulate(n)(i => 60 + (i * 23) % 130)
+    val cbB = Array.tabulate(n)(i => 118 + (i * 7) % 20)
+    val crB = Array.tabulate(n)(i => 120 + (i * 11) % 16)
+    val enc = Multimodal.jpegEncodeColor(w, h, yB, cbB, crB)
+    val meta = Multimodal.parseJpeg(5L, enc)
+    assert(meta.decode_ok && meta.components == 3 &&
+      meta.width == w && meta.height == h)
+    // plane-exact recovery in YCbCr space (unit quant, flat blocks)
+    val Some((dw, dh, planes)) = Multimodal.decodeJpegMcus(enc)
+    assert(dw == w && dh == h && planes.length == 3)
+    assert(planes(0).toSeq == yB.toSeq)
+    assert(planes(1).toSeq == cbB.toSeq)
+    assert(planes(2).toSeq == crB.toSeq)
+    // ImageIO decodes it as a real color JPEG; RGB matches the JFIF
+    // conversion formula within the decoder's rounding (±2)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(img != null, "ImageIO rejected the color JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    (0 until h).foreach { yy =>
+      (0 until w).foreach { xx =>
+        val bi = (yy / 8) * bx + (xx / 8)
+        val (y, cb, cr) = (yB(bi), cbB(bi), crB(bi))
+        val er = y + 1.402 * (cr - 128)
+        val eg = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        val eb = y + 1.772 * (cb - 128)
+        val rgb = img.getRGB(xx, yy)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        assert(math.abs(r - er) <= 2 && math.abs(g - eg) <= 2 &&
+          math.abs(b - eb) <= 2,
+          f"pixel ($xx,$yy): got ($r,$g,$b) expected " +
+            f"(${er}%.1f,${eg}%.1f,${eb}%.1f)")
+      }
+    }
+    // grayscale delegate still refuses color streams
+    assert(Multimodal.decodeJpegBlocks(enc).isEmpty)
+  }
+
   test("decodeJpeg runs partition-wise over a Dataset of blobs; " +
     "mixed good/corrupt stay row properties") {
     val s = SharedSpark.spark
