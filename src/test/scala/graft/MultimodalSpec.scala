@@ -524,6 +524,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpegBlocks(enc).isEmpty)
   }
 
+  test("jpeg property: encode->decode round-trips exactly for random " +
+    "dims and block values, grayscale and color (100 seeded cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      w <- Gen.choose(1, 100)
+      h <- Gen.choose(1, 100)
+      nb = ((w + 7) / 8) * ((h + 7) / 8)
+      vals <- Gen.listOfN(nb, Gen.choose(0, 255))
+      cb <- Gen.listOfN(nb, Gen.choose(0, 255))
+      cr <- Gen.listOfN(nb, Gen.choose(0, 255))
+    } yield (w, h, vals.toArray, cb.toArray, cr.toArray)
+    (0 until 100).foreach { i =>
+      val (w, h, ys, cbs, crs) =
+        caseGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val g = Multimodal.decodeJpegBlocks(Multimodal.jpegEncode(w, h, ys))
+      assert(g.contains((w, h, g.get._3)) && g.get._3.toSeq == ys.toSeq,
+        s"gray case $i ($w x $h)")
+      val c = Multimodal.decodeJpegMcus(
+        Multimodal.jpegEncodeColor(w, h, ys, cbs, crs))
+      assert(c.isDefined && c.get._3(0).toSeq == ys.toSeq &&
+        c.get._3(1).toSeq == cbs.toSeq && c.get._3(2).toSeq == crs.toSeq,
+        s"color case $i ($w x $h)")
+    }
+  }
+
   test("decodeJpeg runs partition-wise over a Dataset of blobs; " +
     "mixed good/corrupt stay row properties") {
     val s = SharedSpark.spark
