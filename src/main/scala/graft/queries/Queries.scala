@@ -4899,6 +4899,85 @@ object Queries {
       |SELECT q_id, rank, c_id, round(sim, 6) AS sim
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  // Stream-stream LEFT OUTER interval join — ST-family's hardest
+  // append-mode semantics: a click with no purchase in its window
+  // emits exactly once, with a NULL purchase_id, only after the
+  // watermark proves no match can still arrive. Driven like q107
+  // (event-time-ordered slices via pinned mtimes), then a far-future
+  // sentinel pair in a checkpoint-RESUMED run advances the watermark
+  // past every real window so expired left state flushes its null
+  // rows (the no-data micro-batch q100's finalization leans on). The
+  // sentinel click itself can never flush — the watermark never
+  // passes its own far-future window — and is filtered by user_id.
+  // Oracle: the batch LEFT JOIN with the same interval condition.
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q132").toString
+    val ev = t(s, dir, "events").filter($"user_id" < 30 &&
+        ($"event_type" === "click" || $"event_type" === "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    def run(): Unit = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val joined = graft.streaming.Streams.intervalJoinOuter(
+            stream.filter($"event_type" === "click"),
+            stream.filter($"event_type" === "purchase"),
+            "user_id", "ts", lookback = "6 hours", watermark = "8 hours")
+          .select(col("l.event_id").as("click_id"),
+            col("r.event_id").as("purchase_id"),
+            col("l.user_id").as("user_id"))
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val mtimeBase = 60L * 60 * 1000 * 24 * 365
+    val pinned = scala.collection.mutable.Set[String]()
+    def writeSlice(df: DataFrame, seq: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !pinned.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
+    }
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = lo + (hi - lo) / 2
+    writeSlice(ev.filter(unix_millis($"ts") < mid), 0)
+    writeSlice(ev.filter(unix_millis($"ts") >= mid), 1)
+    run()
+    // sentinel pair: one per side so BOTH watermark nodes advance
+    // past every real window in the resumed run's finalization
+    writeSlice(s.range(2).select(lit(-1L).as("event_id"),
+      lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")).as("ts"),
+      lit(-1L).as("user_id"),
+      when($"id" === 0, "click").otherwise("purchase").as("event_type")),
+      2)
+    run()
+    s.read.parquet(outDir).filter($"user_id" >= 0)
+      .orderBy($"click_id", $"purchase_id")
+      .select($"click_id", $"purchase_id", $"user_id")
+  }
+  private val q132Sql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      | c.user_id AS user_id
+      |FROM events c LEFT JOIN events p
+      | ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase'
+      | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 6 HOUR
+      | AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+      |WHERE c.event_type = 'click' AND c.user_id < 30
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // ---------------------------------------------------------------- q131
   // Hash-sharded HNSW under the oracle contract — q129's sibling for
   // the UNTAGGED path: every query scatters to every shard
@@ -5130,7 +5209,8 @@ object Queries {
     "q128_jpeg_decode"  -> (q128 _),
     "q129_hnsw_oracle"  -> (q129 _),
     "q130_ann_staleness" -> (q130 _),
-    "q131_hnsw_sharded_oracle" -> (q131 _)
+    "q131_hnsw_sharded_oracle" -> (q131 _),
+    "q132_stream_outer_join" -> (q132 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5142,7 +5222,7 @@ object Queries {
     */
   val streamingQueries: Set[String] = Set(
     "q93_stream_lifecycle", "q100_stream_tumbling", "q107_stream_join",
-    "q108_sessionize", "q111_stream_refinery")
+    "q108_sessionize", "q111_stream_refinery", "q132_stream_outer_join")
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
     * hash path. q25/q26/q80 run `Dedup.Md5` because that is what the
@@ -5353,7 +5433,8 @@ object Queries {
     "q127_wav_stats"    -> q127Sql,
     "q128_jpeg_decode"  -> q128Sql,
     "q129_hnsw_oracle"  -> q129Sql,
-    "q131_hnsw_sharded_oracle" -> q131Sql
+    "q131_hnsw_sharded_oracle" -> q131Sql,
+    "q132_stream_outer_join" -> q132Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -163,6 +163,26 @@ object Streams {
         s"l.$tsCol BETWEEN r.$tsCol - INTERVAL $lookback AND r.$tsCol"))
   }
 
+  /** [[intervalJoin]]'s LEFT OUTER arm: an unmatched left row emits
+    * exactly once, with NULL right columns, when the watermark passes
+    * its join window (so left state can provably never match again —
+    * Spark's stream-stream outer contract). Both sides carry the
+    * watermark and the two-sided time-range constraint, which is what
+    * lets the engine expire state; the null emission itself rides the
+    * no-data micro-batch that fires when a later batch (or a sentinel
+    * row — q132's finalization trick) advances the watermark.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                        tsCol: String, lookback: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"l.$tsCol BETWEEN r.$tsCol - INTERVAL $lookback AND r.$tsCol"),
+      "left_outer")
+  }
+
   /** Custom sessionization state machine via flatMapGroupsWithState:
     * per key, events extend the open session while within `gapMinutes`;
     * a later event (or event-time timeout) closes it and emits one
