@@ -4978,6 +4978,64 @@ object Queries {
       |WHERE c.event_type = 'click' AND c.user_id < 30
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  // Watermarked streaming dedup (Streams.dedupedStream, ST3's
+  // admission gate) under the oracle: slice 1 REDELIVERS a third of
+  // slice 0's events byte-identically (the at-least-once source every
+  // real queue is), and dropDuplicatesWithinWatermark must admit each
+  // event_id exactly once across micro-batches. The oracle
+  // parameterization uses a horizon covering the fixture's full span
+  // — no state eviction, so the final table is provably the plain
+  // DISTINCT (the exhaustive-mode pattern: production runs a bounded
+  // horizon, spec-pinned; the oracle runs the parameterization whose
+  // semantics SQL can state exactly). Emission is immediate on first
+  // arrival (dedup state needs no window close), so no sentinel run.
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q133").toString
+    val ev = t(s, dir, "events").filter($"user_id" < 40)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    val mtimeBase = 60L * 60 * 1000 * 24 * 365
+    val pinned = scala.collection.mutable.Set[String]()
+    def writeSlice(df: DataFrame, seq: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !pinned.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
+    }
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = lo + (hi - lo) / 2
+    writeSlice(ev.filter(unix_millis($"ts") < mid), 0)
+    writeSlice(ev.filter(unix_millis($"ts") >= mid)
+      .unionByName(ev.filter(unix_millis($"ts") < mid &&
+        pmod($"event_id", lit(3)) === 0)), 1)     // redelivery
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.Streams.dedupedStream(
+          stream, "event_id", "ts", "60 days")
+        .select($"event_id", $"user_id", $"event_type")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(outDir).orderBy($"event_id")
+      .select($"event_id", $"user_id", $"event_type")
+  }
+  private val q133Sql =
+    """SELECT event_id, user_id, event_type
+      |FROM events WHERE user_id < 40
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q131
   // Hash-sharded HNSW under the oracle contract — q129's sibling for
   // the UNTAGGED path: every query scatters to every shard
@@ -5210,7 +5268,8 @@ object Queries {
     "q129_hnsw_oracle"  -> (q129 _),
     "q130_ann_staleness" -> (q130 _),
     "q131_hnsw_sharded_oracle" -> (q131 _),
-    "q132_stream_outer_join" -> (q132 _)
+    "q132_stream_outer_join" -> (q132 _),
+    "q133_stream_dedup" -> (q133 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5222,7 +5281,8 @@ object Queries {
     */
   val streamingQueries: Set[String] = Set(
     "q93_stream_lifecycle", "q100_stream_tumbling", "q107_stream_join",
-    "q108_sessionize", "q111_stream_refinery", "q132_stream_outer_join")
+    "q108_sessionize", "q111_stream_refinery", "q132_stream_outer_join",
+    "q133_stream_dedup")
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
     * hash path. q25/q26/q80 run `Dedup.Md5` because that is what the
@@ -5434,7 +5494,8 @@ object Queries {
     "q128_jpeg_decode"  -> q128Sql,
     "q129_hnsw_oracle"  -> q129Sql,
     "q131_hnsw_sharded_oracle" -> q131Sql,
-    "q132_stream_outer_join" -> q132Sql
+    "q132_stream_outer_join" -> q132Sql,
+    "q133_stream_dedup" -> q133Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted
