@@ -1096,13 +1096,18 @@ object Multimodal extends Serializable {
       else {
         val len = u16(off + 2)
         val segEnd = off + 2 + len
-        if (m == 0xdb) {                       // DQT: 8-bit tables only
+        if (m == 0xdb) {                       // DQT: walk packed tables
           var p0 = off + 4
-          while (p0 + 65 <= segEnd) {
-            if ((u8(p0) >> 4) == 0)
-              quants(u8(p0) & 0x0f) =
-                Array.tabulate(64)(i => u8(p0 + 1 + i))
-            p0 += 65
+          while (p0 + 1 <= segEnd) {
+            val pq = u8(p0) >> 4               // 0 = 8-bit, 1 = 16-bit
+            val size = 1 + (if (pq == 1) 128 else 64)
+            if (p0 + size > segEnd) { p0 = segEnd }
+            else {
+              if (pq == 0)                     // 16-bit entries are
+                quants(u8(p0) & 0x0f) =        // skipped, not misparsed
+                  Array.tabulate(64)(i => u8(p0 + 1 + i))
+              p0 += size
+            }
           }
         }
         if (m == 0xc4) {                       // DHT: walk packed tables
@@ -1130,12 +1135,16 @@ object Multimodal extends Serializable {
             }
           }
         }
-        if (m == 0xc0) {
+        if (m == 0xc0 && sofTq == null) {      // FIRST SOF only — the
+          // one parseJpeg validated; a decoy second frame header must
+          // not redirect table selection (the DHT-shadowing class)
           sofTq = Array.tabulate(meta.components)(i => u8(off + 12 + 3 * i))
           sofSampling =
             Array.tabulate(meta.components)(i => u8(off + 11 + 3 * i))
         }
         if (m == 0xda) {
+          if (u8(off + 4) != meta.components)
+            return None                        // Ns must cover all comps
           sosTd =
             Array.tabulate(meta.components)(i => u8(off + 6 + 2 * i) >> 4)
           scanAt = segEnd

@@ -190,8 +190,7 @@ object Similarity {
       var c = 0
       while (c < centroids.length) {
         var d = 0.0; var i = 0
-        val n = math.min(p.length, centroids(c).length)
-        while (i < n) {
+        while (i < p.length) {   // dims uniform (sampleVectors requires)
           val x = p(i) - centroids(c)(i); d += x * x; i += 1
         }
         if (d < bd) bd = d
@@ -209,12 +208,23 @@ object Similarity {
     * why a capped collect is the right index-build shape).
     */
   private def sampleVectors(corpus: DataFrame, vecCol: String,
-      trainSample: Int): Array[Array[Double]] =
-    corpus.select(Vectors.toDouble(col(vecCol)).as("v"))
+      trainSample: Int): Array[Array[Double]] = {
+    val sample = corpus.select(Vectors.toDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       .limit(trainSample)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    // ragged dims would silently train prefix-only centroids and skew
+    // the fit-distance baseline — surface the corpus defect at fit
+    // time instead (the F13 isValid guard is the ingestion-side twin)
+    sample.headOption.foreach { h =>
+      require(sample.forall(_.length == h.length),
+        s"training sample has mixed vector dimensions " +
+          s"(${sample.map(_.length).distinct.sorted.mkString(",")}) — " +
+          "filter with Vectors.isValid before fitting")
+    }
+    sample
+  }
 
   /** Driver-local Lloyd's k-means over a bounded sample — shared by the
     * IVF coarse quantizer and the PQ per-subspace codebooks.

@@ -3018,6 +3018,38 @@ object Queries {
       | (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Deterministic event-time-ordered micro-batch drive, shared by
+    * every streaming oracle query (q100/q107/q108/q111/q132/q133):
+    * parquet slice files with PINNED ascending mtimes —
+    * FileStreamSource replays oldest-mtime-first, so slice order IS
+    * event-time order regardless of wall clock. One implementation so
+    * the ordering/pinning logic can never drift between queries.
+    */
+  private final class SliceDrive(inDir: String) {
+    private val mtimeBase = 60L * 60 * 1000 * 24 * 365 // order is all that matters
+    private val pinned = scala.collection.mutable.Set[String]()
+    def writeSlice(df: DataFrame, seq: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !pinned.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
+    }
+  }
+
+  /** Pin spark.sql.shuffle.partitions around a tiny-state streaming
+    * run (the first run's checkpoint freezes state partitioning; 32
+    * state-store commits per micro-batch would be the cost of
+    * forgetting) and restore it after.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)
+      (body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---------------------------------------------------------------- q100
   // Watermarked streaming tumbling windows under the oracle — the
   // streaming twin of q13, driven end to end: events arrive as 4 real
@@ -3045,9 +3077,7 @@ object Queries {
       // instances × 6 runs would be pure commit overhead (measured
       // 14 s → ~5 s at sf0.1 with 4). Restored after each run so the
       // batch queries keep the session setting.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val agg = graft.streaming.Streams.tumbling(stream, "ts",
@@ -3058,7 +3088,7 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     }
     // batches must advance in EVENT TIME (arrival ≈ event order, the
     // real stream shape): time slices whose file mtimes are PINNED
@@ -3069,16 +3099,8 @@ object Queries {
     // straddling a slice boundary are still open when the next slice
     // arrives: nothing is ever late-dropped, and every window is
     // emitted exactly once.
-    val mtimeBase = 60L * 60 * 1000 * 24 * 365  // fixed, order is all that matters
-    val pinned = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, seq: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      new java.io.File(inDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          !pinned.contains(f.getName))
-        .foreach { f =>
-          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
-    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
     val mm = ev.agg(min($"ts"), max($"ts")).head()
     val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val mid = lo + (hi - lo) / 2
@@ -3377,9 +3399,7 @@ object Queries {
       .select($"event_id", $"ts", $"user_id", $"event_type")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
     def run(): Unit = {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val joined = graft.streaming.Streams.intervalJoin(
@@ -3395,18 +3415,10 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     }
-    val mtimeBase = 60L * 60 * 1000 * 24 * 365
-    val pinned = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, seq: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      new java.io.File(inDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          !pinned.contains(f.getName))
-        .foreach { f =>
-          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
-    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
     val mm = ev.agg(min($"ts"), max($"ts")).head()
     val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val mid = lo + (hi - lo) / 2
@@ -3447,9 +3459,7 @@ object Queries {
       .select($"user_id", date_trunc("second", $"ts").as("ts"), $"event_id")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
     def run(): Unit = {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val sess = graft.streaming.Streams.sessionize(
@@ -3460,18 +3470,10 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     }
-    val mtimeBase = 60L * 60 * 1000 * 24 * 365
-    val pinned = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, seq: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      new java.io.File(inDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          !pinned.contains(f.getName))
-        .foreach { f =>
-          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
-    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
     val mm = ev.agg(min($"ts"), max($"ts")).head()
     val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val mid = lo + (hi - lo) / 2
@@ -3628,16 +3630,8 @@ object Queries {
       .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"lang")
     val inDir = s"$tmp/in"; val idx = s"$tmp/idx"
     val roll = s"$tmp/roll"; val cp = s"$tmp/cp"
-    val mtimeBase = 60L * 60 * 1000 * 24 * 365
-    val pinned = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, seq: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      new java.io.File(inDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          !pinned.contains(f.getName))
-        .foreach { f =>
-          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
-    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
     writeSlice(base.filter($"doc_id" < 250), 0)
     writeSlice(base.filter($"doc_id" >= 250), 1)
     writeSlice(dups, 2)
@@ -3672,9 +3666,7 @@ object Queries {
       fresh.select(col("fp")).write
         .mode(org.apache.spark.sql.SaveMode.Append).parquet(idx)
     }
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val q = s.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
         .writeStream
@@ -3683,7 +3675,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.read.parquet(roll)
       .select($"lang", $"n_rows", $"sum_tokens")
       .orderBy($"lang")
@@ -4919,9 +4911,7 @@ object Queries {
       .select($"event_id", $"ts", $"user_id", $"event_type")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
     def run(): Unit = {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val joined = graft.streaming.Streams.intervalJoinOuter(
@@ -4937,18 +4927,10 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     }
-    val mtimeBase = 60L * 60 * 1000 * 24 * 365
-    val pinned = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, seq: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      new java.io.File(inDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          !pinned.contains(f.getName))
-        .foreach { f =>
-          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
-    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
     val mm = ev.agg(min($"ts"), max($"ts")).head()
     val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val mid = lo + (hi - lo) / 2
@@ -4996,16 +4978,8 @@ object Queries {
     val ev = t(s, dir, "events").filter($"user_id" < 40)
       .select($"event_id", $"ts", $"user_id", $"event_type")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
-    val mtimeBase = 60L * 60 * 1000 * 24 * 365
-    val pinned = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, seq: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      new java.io.File(inDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          !pinned.contains(f.getName))
-        .foreach { f =>
-          f.setLastModified(mtimeBase + 60000L * seq); pinned += f.getName }
-    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
     val mm = ev.agg(min($"ts"), max($"ts")).head()
     val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val mid = lo + (hi - lo) / 2
@@ -5013,9 +4987,7 @@ object Queries {
     writeSlice(ev.filter(unix_millis($"ts") >= mid)
       .unionByName(ev.filter(unix_millis($"ts") < mid &&
         pmod($"event_id", lit(3)) === 0)), 1)     // redelivery
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val q = graft.streaming.Streams.dedupedStream(
@@ -5027,7 +4999,7 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.read.parquet(outDir).orderBy($"event_id")
       .select($"event_id", $"user_id", $"event_type")
   }

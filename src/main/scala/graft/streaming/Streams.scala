@@ -155,13 +155,9 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, lookback: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
-    val l = left.withWatermark(tsCol, watermark).alias("l")
-    val r = right.withWatermark(tsCol, watermark).alias("r")
-    l.join(r,
-      expr(s"l.$keyCol = r.$keyCol AND " +
-        s"l.$tsCol BETWEEN r.$tsCol - INTERVAL $lookback AND r.$tsCol"))
-  }
+                   watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, keyCol, tsCol, lookback, watermark,
+      "inner")
 
   /** [[intervalJoin]]'s LEFT OUTER arm: an unmatched left row emits
     * exactly once, with NULL right columns, when the watermark passes
@@ -174,13 +170,22 @@ object Streams {
     */
   def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
                         tsCol: String, lookback: String = "1 hour",
-                        watermark: String = "2 hours"): DataFrame = {
+                        watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, keyCol, tsCol, lookback, watermark,
+      "left_outer")
+
+  // one body for both arms — the interval condition and watermark
+  // handling must never desynchronize between inner and outer
+  private def intervalJoinImpl(left: DataFrame, right: DataFrame,
+                               keyCol: String, tsCol: String,
+                               lookback: String, watermark: String,
+                               joinType: String): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       expr(s"l.$keyCol = r.$keyCol AND " +
         s"l.$tsCol BETWEEN r.$tsCol - INTERVAL $lookback AND r.$tsCol"),
-      "left_outer")
+      joinType)
   }
 
   /** Custom sessionization state machine via flatMapGroupsWithState:

@@ -476,6 +476,32 @@ class MultimodalSpec extends AnyFunSuite {
     val spliced = enc.take(sosAt) ++ decoy ++ enc.drop(sosAt)
     assert(Multimodal.decodeJpegBlocks(spliced).get._3.toSeq ==
       vals.toSeq, "decoy DC table id 1 must not shadow the id-0 table")
+    // a 16-bit (Pq=1) DQT entry packed BEFORE an 8-bit one must be
+    // skipped by its real 129-byte size, not misparsed as 65 bytes
+    val dqt16 = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0xff); b.write(0xdb)
+      val len = 2 + 129 + 65
+      b.write(len >> 8); b.write(len & 0xff)
+      b.write(0x11); (0 until 128).foreach(_ => b.write(0x02)) // Pq=1 id 1
+      b.write(0x02); (0 until 64).foreach(_ => b.write(0x03))  // Pq=0 id 2
+      b.toByteArray
+    }
+    val spliced2 = enc.take(sosAt) ++ dqt16 ++ enc.drop(sosAt)
+    assert(Multimodal.decodeJpegBlocks(spliced2).get._3.toSeq ==
+      vals.toSeq, "16-bit DQT entry must be size-skipped, not misparsed")
+    // a decoy SECOND SOF0 before SOS must not redirect table refs —
+    // parseJpeg validated the first; the decoder must use the same
+    val sof2 = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0xff); b.write(0xc0); b.write(0); b.write(11)
+      b.write(8); b.write(0); b.write(24); b.write(0); b.write(40)
+      b.write(1); b.write(1); b.write(0x22); b.write(3) // Tq=3, 2x2
+      b.toByteArray
+    }
+    val spliced3 = enc.take(sosAt) ++ sof2 ++ enc.drop(sosAt)
+    assert(Multimodal.decodeJpegBlocks(spliced3).get._3.toSeq ==
+      vals.toSeq, "decoy second SOF0 must not redirect quant/sampling")
   }
 
   test("color jpeg (YCbCr 4:4:4 DC-only): parseJpeg reports 3 " +
@@ -540,8 +566,9 @@ class MultimodalSpec extends AnyFunSuite {
       val (w, h, ys, cbs, crs) =
         caseGen.apply(Gen.Parameters.default, Seed(7L + i)).get
       val g = Multimodal.decodeJpegBlocks(Multimodal.jpegEncode(w, h, ys))
-      assert(g.contains((w, h, g.get._3)) && g.get._3.toSeq == ys.toSeq,
-        s"gray case $i ($w x $h)")
+      assert(g.isDefined, s"gray case $i ($w x $h): decode returned None")
+      assert(g.get._1 == w && g.get._2 == h &&
+        g.get._3.toSeq == ys.toSeq, s"gray case $i ($w x $h)")
       val c = Multimodal.decodeJpegMcus(
         Multimodal.jpegEncodeColor(w, h, ys, cbs, crs))
       assert(c.isDefined && c.get._3(0).toSeq == ys.toSeq &&

@@ -270,12 +270,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"jpeg decode plans $exchanges exchanges:\n$p")
   }
 
-  test("q130 staleness delta scan has no join and no wide shuffle — " +
-    "the measurement is one map-side pass + a partial aggregate") {
-    val p = plan("q130_ann_staleness")
-    // driver-side construction: the emitted frame is a LocalTableScan
-    // of the two report rows; the heavy lifting happened in the two
-    // centroidStaleness aggregations, each one scan + one partial agg
-    assert(p.contains("LocalTableScan") || !p.contains("Join"))
+  test("staleness measurement plan: one map-side pass + one aggregate " +
+    "exchange, no join — asserted on the measurement query itself") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val data = (0 until 64).map(i =>
+      (i.toLong, Array.fill(4)((i % 7).toFloat))).toDF("id", "vec")
+    val model = graft.operators.Similarity.fitIvfPq(
+      data, "vec", nlist = 4, m = 2, k = 4)
+    // the exact frame centroidStaleness aggregates, one level down
+    val measure = data
+      .select(graft.functions.Vectors.toDouble(col("vec")).as("v"))
+      .filter(col("v").isNotNull)
+      .select(model.ivf.nearestCellDistance(col("v")).as("d"))
+      .agg(percentile_approx(col("d"), lit(0.9), lit(10000)))
+    val p = measure.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "measurement must not join")
+    val exchanges = "(?i)exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"measurement should shuffle only the partial aggregates:\n$p")
+    // and q130's emitted frame is driver-local report rows
+    assert(plan("q130_ann_staleness").contains("LocalTableScan"))
   }
 }
