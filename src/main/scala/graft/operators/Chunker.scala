@@ -138,19 +138,24 @@ object Chunker extends Serializable {
   def enforceBpeTokenLimit(chunks: Seq[String], maxTokens: Int = 2048,
                            tokenOverlap: Int = 25,
                            merges: Seq[(String, String)] =
-                             TextAnalysis.bpeMerges): Seq[String] =
-    chunks.flatMap { c =>
-      val pieces = TextAnalysis.bpePieces(c, merges)
+                             TextAnalysis.bpeMerges): Seq[String] = {
+    // compile the merge table ONCE per call, not once per chunk — a
+    // loaded GPT-2-scale table is a 50k-entry hash map; the budget
+    // counter itself is the min-rank loop (table-size-independent)
+    val table = graft.expressions.BpePieceCount.compile(merges.toArray)
+    def go(cs: Seq[String]): Seq[String] = cs.flatMap { c =>
+      val pieces = graft.expressions.BpePieceCount.pieces(c, table)
       val toks = c.split("\\s+").filter(_.nonEmpty)
       if (pieces <= maxTokens) Seq(c)
       else if (toks.length <= 1) Seq(c)
       else {
         val width = math.max(1, math.min(toks.length - 1,
           ((maxTokens * 3L / 4) * toks.length / pieces).toInt))
-        enforceBpeTokenLimit(tokenWindows(toks, width, tokenOverlap),
-          maxTokens, tokenOverlap, merges)
+        go(tokenWindows(toks, width, tokenOverlap))
       }
     }
+    go(chunks)
+  }
 
   /** Full-fidelity G3: char-recursive chunking then token-limit
     * enforcement.

@@ -29,10 +29,12 @@ object TextAnalysis {
     * egress (a tiny stand-in for the reference's HF tokenizer vocab,
     * chunk_splitter.py:52-62). WELL-FORMED by construction: each
     * rule's operands are single letters or outputs of EARLIER rules,
-    * which makes rank-ascending sequential application equivalent to
-    * the classic min-rank merge loop (a merge can never create an
-    * occurrence of an earlier pair: its output symbol is strictly
-    * longer than either operand, so no earlier rule mentions it).
+    * and each rule's output symbol is NEW — together these make
+    * rank-ascending sequential application equivalent to the classic
+    * min-rank merge loop (a merge can only create pairs mentioning
+    * its own output symbol, which no rule of earlier rank
+    * references, so no merge ever re-enables an already-passed
+    * rule). BpeLoopSpec pins the equivalence.
     */
   val bpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "i" -> "n", "a" -> "n", "o" -> "n", "e" -> "r",
@@ -61,23 +63,63 @@ object TextAnalysis {
     * ALGORITHM, not each other's outputs.
     */
   def bpePieceCount(text: Column,
-                    merges: Seq[(String, String)] = bpeMerges): Column = {
-    val cleaned = regexp_replace(lower(text), "[^a-z]+", " ")
-    val wrapped = regexp_replace(cleaned, "([a-z])", "<$1>")
-    val merged = merges.foldLeft(wrapped) { case (c, (a, b)) =>
-      org.apache.spark.sql.functions.replace(
-        c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
-    }
-    (length(merged) - length(
-      org.apache.spark.sql.functions.replace(merged, lit("<"), lit(""))))
-      .cast("int")
-  }
+                    merges: Seq[(String, String)] = bpeMerges): Column =
+    if (merges.length <= chainMaxMerges) {
+      val cleaned = regexp_replace(lower(text), "[^a-z]+", " ")
+      val wrapped = regexp_replace(cleaned, "([a-z])", "<$1>")
+      val merged = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(
+          c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      }
+      (length(merged) - length(
+        org.apache.spark.sql.functions.replace(merged, lit("<"), lit(""))))
+        .cast("int")
+    } else bpePieceCountLoop(text, merges)
 
-  /** JVM twin of [[bpePieceCount]] (identical chain over
-    * `String.replace`) — the chunker's budget counter.
+  /** Largest merge table the nested-replace chain (Column and SQL
+    * forms) is generated for. The chain is one `replace()` node PER
+    * RULE — a 50k-rule GPT-2-class table would build a 50k-deep
+    * Catalyst expression tree (analyzer stack depth, codegen method
+    * size) and make every row pay 50k full-string passes. Above this
+    * bound [[bpePieceCount]] routes to [[bpePieceCountLoop]], whose
+    * cost is O(len·log len) per string regardless of table size.
+    */
+  val chainMaxMerges: Int = 128
+
+  /** [[bpePieceCount]] by the classic min-rank merge loop
+    * ([[graft.expressions.BpePieceCount]]) — ONE native codegen'd
+    * expression whose merge table rides as a single reference object,
+    * so expression depth and per-row cost are independent of table
+    * size. This is the execution path for loaded GPT-2-scale tables;
+    * for tables satisfying [[bpeMergesFrom]]'s validated properties it
+    * computes exactly the replace chain's result (BpeLoopSpec pins the
+    * equivalence, including property-tested random valid tables).
+    */
+  def bpePieceCountLoop(text: Column,
+                        merges: Seq[(String, String)] = bpeMerges): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.BpePieceCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        merges.toArray))
+
+  /** JVM piece counter — the chunker's budget counter. Runs the
+    * min-rank merge loop (table-size-independent; see
+    * [[bpePieceCountLoop]]); equal to the replace chain
+    * ([[bpePiecesChain]]) on every table [[bpeMergesFrom]] admits.
     */
   def bpePieces(text: String,
-                merges: Seq[(String, String)] = bpeMerges): Int = {
+                merges: Seq[(String, String)] = bpeMerges): Int =
+    graft.expressions.BpePieceCount.pieces(
+      text, graft.expressions.BpePieceCount.compile(merges.toArray))
+
+  /** JVM twin of the nested-replace CHAIN form of [[bpePieceCount]]
+    * (identical fold over `String.replace`) — kept as the oracle
+    * shape the DuckDB SQL mirrors and as BpeLoopSpec's equivalence
+    * baseline. O(nMerges) passes per string: use [[bpePieces]] for
+    * real work.
+    */
+  def bpePiecesChain(text: String,
+                     merges: Seq[(String, String)] = bpeMerges): Int = {
     val cleaned = text.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^a-z]+", " ")
     val wrapped = cleaned.replaceAll("([a-z])", "<$1>")
@@ -90,10 +132,19 @@ object TextAnalysis {
   /** DuckDB expression computing [[bpePieceCount]] over SQL column
     * `input` — generated from the same frozen merge table the Spark
     * and JVM paths fold over (algorithm replay, not a fitted
-    * literal).
+    * literal). Chain-mode only: each rule is one more nested
+    * `replace()`, so the form is capped at [[chainMaxMerges]] rules —
+    * a 50k-rule table would exceed SQL parser expression depth; the
+    * loop path has no SQL twin by design (oracled queries use toy
+    * tables).
     */
   def bpePieceCountSql(input: String,
                        merges: Seq[(String, String)] = bpeMerges): String = {
+    require(merges.length <= chainMaxMerges,
+      s"bpePieceCountSql: the nested-replace SQL form is only " +
+        s"generated for chain-mode tables (<= $chainMaxMerges rules); " +
+        "larger tables execute via the min-rank loop, which has no " +
+        "SQL twin")
     val wrapped = "regexp_replace(regexp_replace(lower(" + input +
       "), '[^a-z]+', ' ', 'g'), '([a-z])', '<\\1>', 'g')"
     merges.foldLeft(wrapped) { case (s, (a, b)) =>
@@ -109,17 +160,20 @@ object TextAnalysis {
     * [[viLexiconFrom]]'s — `maxMerges` caps it, and an over-cap
     * source throws rather than silently truncating (a partial merge
     * table would silently change every piece count). The loaded table
-    * then rides to executors inside the codegen'd replace chain —
-    * broadcast-scale model state, never a shuffle participant.
+    * then rides to executors as ONE codegen reference object (the
+    * min-rank loop path, [[bpePieceCountLoop]]) — broadcast-scale
+    * model state, never a shuffle participant.
     *
-    * Each rule is validated against the property that makes the
+    * Each rule is validated against the properties that make the
     * rank-ascending replace chain EQUAL to the classic min-rank merge
     * loop: an operand must be a single character or the output of an
-    * earlier rule (then a merge can only create pairs involving its
-    * own, strictly-longer output symbol, which no earlier rule
-    * mentions — see [[bpeMerges]]). Merge tables learned by the
-    * standard BPE trainer (Sennrich et al. 2016) satisfy this by
-    * construction; a violating row throws with its rank.
+    * earlier rule, AND each rule's output symbol must be NEW (then a
+    * merge can only create pairs involving its own output symbol,
+    * which no rule of earlier rank references — so no merge ever
+    * re-enables an already-passed rule; see [[bpeMerges]]). Merge
+    * tables learned by the standard BPE trainer (Sennrich et al.
+    * 2016) satisfy both by construction — every merge mints one new
+    * vocab symbol; a violating row throws with its rank.
     */
   def bpeMergesFrom(merges: DataFrame, leftCol: String, rightCol: String,
                     rankCol: String,
@@ -132,7 +186,7 @@ object TextAnalysis {
     require(rows.length <= maxMerges,
       s"bpeMergesFrom: source exceeds the $maxMerges-merge cap; " +
         "raise maxMerges explicitly (the table is driver-collected " +
-        "and shipped to executors inside the codegen'd merge chain)")
+        "and shipped to executors as one codegen reference object)")
     // a null rank/operand THROWS rather than dropping the row — a
     // silently shortened merge table would silently change every
     // piece count (the same contract as the over-cap require above);
@@ -159,6 +213,11 @@ object TextAnalysis {
         s"bpeMergesFrom: rank $i rule ('$a','$b') references a symbol " +
           "no earlier rule produced — the table is not a valid " +
           "incremental BPE merge list")
+      require(!produced.contains(a + b),
+        s"bpeMergesFrom: rank $i rule ('$a','$b') re-produces symbol " +
+          s"'${a + b}', already the output of an earlier rule — a " +
+          "standard BPE trainer mints one NEW symbol per merge, and " +
+          "duplicate outputs break chain/min-rank-loop equivalence")
       produced += a + b
       out += a -> b
     }
