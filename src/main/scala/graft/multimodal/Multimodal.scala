@@ -989,6 +989,9 @@ object Multimodal extends Serializable {
     var inScanAt = -1
     while (inScanAt < 0 && off + 4 <= bytes.length) {
       if (u8(off) != 0xff) return BadJpeg.copy(media_id = id)
+      // spec B.1.1.2: any number of 0xFF fill bytes may pad before a
+      // marker code — skip them instead of misreading the next pair
+      while (off + 4 <= bytes.length && u8(off + 1) == 0xff) off += 1
       val m = u8(off + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
         off += 2                                   // standalone marker
@@ -1026,6 +1029,7 @@ object Multimodal extends Serializable {
         val m = u8(p + 1)
         if (m == 0x00) { entropy += 2; p += 2 }            // stuffed FF
         else if (m >= 0xd0 && m <= 0xd7) { entropy += 2; p += 2 } // RST
+        else if (m == 0xff) p += 1                         // fill byte
         else if (m == 0xd9) { complete = true; ended = true } // EOI
         else ended = true  // another header marker: a multi-scan
                            // (progressive) stream — structurally fine,
@@ -1068,10 +1072,16 @@ object Multimodal extends Serializable {
     * sampling everywhere (grayscale or YCbCr 4:4:4), each component
     * entropy-decoded with the DC table its SOS entry references and
     * dequantized with the quant table its SOF entry references, its
-    * own DC predictor carried across MCUs. Returns (width, height,
-    * one flat-block-value array per component) or None for anything
-    * [[parseJpeg]] rejects plus subsampled / AC-bearing / non-standard
-    * shapes.
+    * own DC predictor carried across MCUs. The per-component AC table
+    * is parsed too and the end-of-block symbol is decoded through IT —
+    * not assumed to be the standard table's 4-bit `1010` code — so a
+    * foreign stream with a custom AC table either decodes correctly
+    * or routes to None (absent AC table, or a first AC symbol that
+    * isn't EOB). Returns (width, height, one flat-block-value array
+    * per component) or None for anything [[parseJpeg]] rejects plus
+    * subsampled / AC-bearing / non-standard shapes ([[decodeJpegPixels]]
+    * is the full AC-capable decoder; THIS entry point is the exact
+    * lossless inverse of [[jpegEncode]]/[[jpegEncodeColor]]).
     */
   def decodeJpegMcus(bytes: Array[Byte])
       : Option[(Int, Int, Array[Array[Int]])] = {
@@ -1082,15 +1092,18 @@ object Multimodal extends Serializable {
     // second walk: collect DQT / DHT tables BY ID (a segment may pack
     // several tables back to back — the common layout in foreign
     // encoders), the SOF component's quant-table ref, and the SOS
-    // component's DC-table ref + scan offset
+    // component's DC/AC-table refs + scan offset
     var off = 2
     val quants = mutable.Map.empty[Int, Array[Int]]
-    val dcTables = mutable.Map.empty[Int, Map[String, Int]]
+    val dcTables = mutable.Map.empty[Int, JpegHuff]
+    val acTables = mutable.Map.empty[Int, JpegHuff]
     var sofTq: Array[Int] = null       // per-component quant refs
     var sofSampling: Array[Int] = null
     var sosTd: Array[Int] = null       // per-component DC-table refs
+    var sosTa: Array[Int] = null       // per-component AC-table refs
     var scanAt = -1
     while (scanAt < 0 && off + 4 <= bytes.length) {
+      while (off + 4 <= bytes.length && u8(off + 1) == 0xff) off += 1 // fill bytes
       val m = u8(off + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
       else {
@@ -1119,18 +1132,9 @@ object Multimodal extends Serializable {
             val total = bits.sum
             if (p0 + 17 + total > segEnd) { p0 = segEnd }
             else {
-              if (cls == 0) {                  // DC class
-                val vals = Array.tabulate(total)(i => u8(p0 + 17 + i))
-                var code = 0; var k = 0
-                val mb = Map.newBuilder[String, Int]
-                (1 to 16).foreach { l =>
-                  (0 until bits(l - 1)).foreach { _ =>
-                    mb += (l + ":" + code) -> vals(k); code += 1; k += 1
-                  }
-                  code <<= 1
-                }
-                dcTables(id) = mb.result()
-              }
+              val vals = Array.tabulate(total)(i => u8(p0 + 17 + i))
+              if (cls == 0) dcTables(id) = buildJpegHuff(bits, vals)
+              else if (cls == 1) acTables(id) = buildJpegHuff(bits, vals)
               p0 += 17 + total
             }
           }
@@ -1147,6 +1151,8 @@ object Multimodal extends Serializable {
             return None                        // Ns must cover all comps
           sosTd =
             Array.tabulate(meta.components)(i => u8(off + 6 + 2 * i) >> 4)
+          sosTa =
+            Array.tabulate(meta.components)(i => u8(off + 6 + 2 * i) & 0x0f)
           scanAt = segEnd
         } else off += 2 + len
       }
@@ -1155,13 +1161,90 @@ object Multimodal extends Serializable {
     if (!sofSampling.forall(_ == 0x11)) return None  // 1×1 only
     val compQuant = sofTq.map(id => quants.get(id).orNull)
     val compDc = sosTd.map(id => dcTables.get(id).orNull)
-    if (compQuant.exists(_ == null) || compDc.exists(_ == null)) return None
-    // bit reader over the de-stuffed entropy stream
+    val compAc = sosTa.map(id => acTables.get(id).orNull)
+    if (compQuant.exists(_ == null) || compDc.exists(_ == null) ||
+      compAc.exists(_ == null)) return None
     val bx = (meta.width + 7) / 8
     val by = (meta.height + 7) / 8
     val nc = meta.components
     val out = Array.fill(nc)(new Array[Int](bx * by))
-    var p = scanAt; var acc = 0L; var nbits = 0
+    val br = new JpegBitReader(bytes, scanAt)
+    val prevDc = new Array[Int](nc)
+    var b = 0
+    while (b < bx * by) {                       // interleaved MCUs
+      var c = 0
+      while (c < nc) {
+        val cat = br.huffDecode(compDc(c))
+        if (cat < 0 || cat > 15) return None
+        var diff = 0
+        if (cat > 0) {
+          if (!br.fill(cat)) return None
+          diff = jpegExtend(br.take(cat), cat)
+        }
+        val dc = prevDc(c) + diff; prevDc(c) = dc
+        // AC: the first AC symbol must be EOB, decoded through the
+        // component's OWN table (a custom table may assign EOB any
+        // code) — AC energy would make the flat-value model lie
+        if (br.huffDecode(compAc(c)) != 0x00) return None
+        out(c)(b) = 128 + Math.round(dc * compQuant(c)(0) / 8.0).toInt
+        c += 1
+      }
+      b += 1
+    }
+    Some((meta.width, meta.height, out))
+  }
+
+  // ------------------------------------------------------------------
+  // Shared baseline-JPEG machinery (spec ITU-T T.81): zigzag order,
+  // canonical Huffman decode tables (F.2.2.3), the de-stuffing bit
+  // reader, DCT basis (StrictMath so results are bit-identical across
+  // JVMs — decode output feeds hash-compared query results).
+  // ------------------------------------------------------------------
+
+  /** Zigzag position k → natural (row-major v*8+u) index. */
+  private val JpegZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman decode table per spec F.2.2.3: min/max code and
+    * value pointer per code length.
+    */
+  private final class JpegHuff(val minCode: Array[Int],
+                               val maxCode: Array[Int],
+                               val valPtr: Array[Int],
+                               val vals: Array[Int]) extends Serializable
+
+  private def buildJpegHuff(bits: Array[Int], vals: Array[Int]): JpegHuff = {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      if (bits(l - 1) > 0) {
+        valPtr(l) = k
+        minCode(l) = code
+        maxCode(l) = code + bits(l - 1) - 1
+        code += bits(l - 1)
+        k += bits(l - 1)
+      }
+      code <<= 1
+      l += 1
+    }
+    new JpegHuff(minCode, maxCode, valPtr, vals)
+  }
+
+  /** Entropy-stream bit reader: FF00 de-stuffing, any real marker =
+    * stream end (restart markers are consumed explicitly via
+    * [[JpegBitReader.restart]], which byte-aligns first — spec F.2.1.3.1).
+    */
+  private final class JpegBitReader(bytes: Array[Byte], var p: Int) {
+    private var acc = 0L
+    private var nbits = 0
+    private def u8(i: Int): Int = bytes(i) & 0xff
     def fill(need: Int): Boolean = {
       while (nbits < need && p < bytes.length) {
         if (u8(p) == 0xff) {
@@ -1176,36 +1259,688 @@ object Multimodal extends Serializable {
       val v = ((acc >>> (nbits - n)) & ((1L << n) - 1)).toInt
       nbits -= n; v
     }
-    val prevDc = new Array[Int](nc)
-    var b = 0
-    while (b < bx * by) {                       // interleaved MCUs
-      var c = 0
-      while (c < nc) {
-        // DC: walk the canonical code one bit at a time (≤ 16)
-        var code = 0; var len = 0; var cat = -1
-        while (cat < 0 && len < 16) {
-          if (!fill(1)) return None
-          code = (code << 1) | take(1); len += 1
-          compDc(c).get(len + ":" + code).foreach(v => cat = v)
-        }
-        if (cat < 0) return None
-        var diff = 0
-        if (cat > 0) {
-          if (!fill(cat)) return None
-          diff = take(cat)
-          if (diff < (1 << (cat - 1))) diff -= (1 << cat) - 1 // F.2.2.1
-        }
-        val dc = prevDc(c) + diff; prevDc(c) = dc
-        // AC: require immediate EOB (value 0x00 is 4 bits "1010" in
-        // the standard table; DC-only streams emit it first — AC
-        // energy would make the flat-value model lie, so bail)
-        if (!fill(4)) return None
-        if (take(4) != 0xa) return None
-        out(c)(b) = 128 + Math.round(dc * compQuant(c)(0) / 8.0).toInt
-        c += 1
+    /** Decode one Huffman symbol bit by bit (codes are ≤ 16 bits);
+      * -1 on truncation or a code outside the table.
+      */
+    def huffDecode(t: JpegHuff): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        if (!fill(1)) return -1
+        code = (code << 1) | take(1)
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.vals(t.valPtr(l) + code - t.minCode(l))
+        l += 1
       }
-      b += 1
+      -1
     }
-    Some((meta.width, meta.height, out))
+    /** Byte-align, skip fill FFs, consume the expected RSTn marker. */
+    def restart(idx: Int): Boolean = {
+      acc = 0L; nbits = 0
+      while (p + 1 < bytes.length && u8(p) == 0xff && u8(p + 1) == 0xff)
+        p += 1
+      if (p + 1 < bytes.length && u8(p) == 0xff &&
+        u8(p + 1) == (0xd0 | (idx & 7))) { p += 2; true }
+      else false
+    }
+  }
+
+  /** Spec F.2.2.1 sign extension of an s-bit magnitude. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** DCT basis with normalization folded in:
+    * `JpegCosine(x*8+u) = Cu·cos((2x+1)uπ/16)`, Cu = 1/√2 for u=0.
+    * StrictMath: decode output feeds hash-compared query results, so
+    * the basis must be bit-identical on every executor JVM.
+    */
+  private val JpegCosine: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0) *
+          (if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** 8×8 inverse DCT (spec A.3.3) of natural-order dequantized
+    * coefficients into clamped [0,255] pixels (+128 level shift).
+    * `tmp` is caller-provided scratch (64 doubles) so the MCU loop
+    * allocates nothing per block.
+    */
+  private def idct8x8(coef: Array[Int], tmp: Array[Double],
+                      out: Array[Int]): Unit = {
+    var v = 0
+    while (v < 8) {                     // rows: sum over u per (v, x)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * JpegCosine(x * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {                     // cols: sum over v per (x, y)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var w = 0
+        while (w < 8) { s += tmp(w * 8 + x) * JpegCosine(y * 8 + w); w += 1 }
+        val px = Math.round(s / 4.0 + 128.0).toInt
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** 8×8 forward DCT (spec A.3.3) of level-shifted pixels into
+    * natural-order coefficients. `tmp` is caller scratch.
+    */
+  private def fdct8x8(px: Array[Int], tmp: Array[Double],
+                      out: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {                     // rows: sum over x per (y, u)
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += (px(y * 8 + x) - 128) * JpegCosine(x * 8 + u); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    var v = 0
+    while (v < 8) {                     // cols: sum over y per (u, v)
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y2 = 0
+        while (y2 < 8) { s += tmp(y2 * 8 + u) * JpegCosine(y2 * 8 + v); y2 += 1 }
+        out(v * 8 + u) = s / 4.0
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Annex K.1 luminance quantization table (natural row-major order). */
+  private val JpegQuantLum: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.2 chrominance quantization table (natural row-major order). */
+  private val JpegQuantChrom: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** FULL pixel decode of a baseline sequential JPEG — AC-capable:
+    * Huffman AC decode (run/size symbols, ZRL, EOB per spec F.2.2.2),
+    * dequantization, 8×8 inverse DCT, and chroma upsampling for
+    * subsampled streams (4:2:0 / 4:2:2 / any h,v ∈ 1..4 — box
+    * replication, the nearest-neighbor inverse of the encoder's
+    * downsample), restart-marker intervals honored (DRI + RSTn with
+    * predictor reset). Covers what real web JPEGs carry
+    * (reference extract_utils.py:50-59 harvests exactly these);
+    * progressive (SOF2) / arithmetic / 12-bit / multi-scan streams
+    * route to None via [[parseJpeg]]'s decode_ok, truncation and
+    * malformed entropy data route to None mid-decode — a row
+    * property, never a task failure.
+    *
+    * Returns (width, height, one FULL-RESOLUTION pixel plane per
+    * component — grayscale 1, YCbCr 3, CMYK-shaped 4); [[decodeJpegRgb]]
+    * layers the JFIF color transform on top. MultimodalSpec round-trips
+    * JDK ImageIO-encoded photos (AC-bearing, 4:2:0) through this
+    * decoder to within quantization tolerance.
+    */
+  def decodeJpegPixels(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Array[Int]])] = {
+    val meta = parseJpeg(0L, bytes)
+    if (!meta.decode_ok) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var off = 2
+    val quants = mutable.Map.empty[Int, Array[Int]]
+    val dcTables = mutable.Map.empty[Int, JpegHuff]
+    val acTables = mutable.Map.empty[Int, JpegHuff]
+    var sofIds: Array[Int] = null
+    var sofH: Array[Int] = null
+    var sofV: Array[Int] = null
+    var sofTq: Array[Int] = null
+    var sosTd: Array[Int] = null
+    var sosTa: Array[Int] = null
+    var dri = 0
+    var scanAt = -1
+    val nc = meta.components
+    while (scanAt < 0 && off + 4 <= bytes.length) {
+      while (off + 4 <= bytes.length && u8(off + 1) == 0xff) off += 1
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
+      else {
+        val len = u16(off + 2)
+        val segEnd = off + 2 + len
+        if (m == 0xdb) {
+          var p0 = off + 4
+          while (p0 + 1 <= segEnd) {
+            val pq = u8(p0) >> 4
+            val size = 1 + (if (pq == 1) 128 else 64)
+            if (p0 + size > segEnd) { p0 = segEnd }
+            else {
+              if (pq == 0)
+                quants(u8(p0) & 0x0f) =
+                  Array.tabulate(64)(i => u8(p0 + 1 + i))
+              else                             // 16-bit precision table
+                quants(u8(p0) & 0x0f) =
+                  Array.tabulate(64)(i => u16(p0 + 1 + 2 * i))
+              p0 += size
+            }
+          }
+        }
+        if (m == 0xc4) {
+          var p0 = off + 4
+          while (p0 + 17 <= segEnd) {
+            val cls = u8(p0) >> 4
+            val id = u8(p0) & 0x0f
+            val bits = Array.tabulate(16)(i => u8(p0 + 1 + i))
+            val total = bits.sum
+            if (p0 + 17 + total > segEnd) { p0 = segEnd }
+            else {
+              val vals = Array.tabulate(total)(i => u8(p0 + 17 + i))
+              if (cls == 0) dcTables(id) = buildJpegHuff(bits, vals)
+              else if (cls == 1) acTables(id) = buildJpegHuff(bits, vals)
+              p0 += 17 + total
+            }
+          }
+        }
+        if (m == 0xdd && len >= 4) dri = u16(off + 4)
+        if (m == 0xc0 && sofTq == null) {
+          sofIds = Array.tabulate(nc)(i => u8(off + 10 + 3 * i))
+          sofH = Array.tabulate(nc)(i => u8(off + 11 + 3 * i) >> 4)
+          sofV = Array.tabulate(nc)(i => u8(off + 11 + 3 * i) & 0x0f)
+          sofTq = Array.tabulate(nc)(i => u8(off + 12 + 3 * i))
+        }
+        if (m == 0xda) {
+          if (u8(off + 4) != nc) return None   // single interleaved scan
+          if (sofIds == null) return None
+          // scan components may list ids in any order: map to SOF index
+          sosTd = new Array[Int](nc)
+          sosTa = new Array[Int](nc)
+          var i = 0
+          while (i < nc) {
+            val cid = u8(off + 5 + 2 * i)
+            val ci = sofIds.indexOf(cid)
+            if (ci < 0) return None
+            sosTd(ci) = u8(off + 6 + 2 * i) >> 4
+            sosTa(ci) = u8(off + 6 + 2 * i) & 0x0f
+            i += 1
+          }
+          scanAt = segEnd
+        } else off += 2 + len
+      }
+    }
+    if (sofTq == null || sosTd == null || scanAt < 0) return None
+    if (sofH.exists(h => h < 1 || h > 4) || sofV.exists(v => v < 1 || v > 4))
+      return None
+    if (nc == 1) {                      // non-interleaved single-comp
+      sofH(0) = 1; sofV(0) = 1         // scan: sampling is irrelevant,
+    }                                   // the block grid is the image's
+    val compQuant = sofTq.map(id => quants.get(id).orNull)
+    val compDc = sosTd.map(id => dcTables.get(id).orNull)
+    val compAc = sosTa.map(id => acTables.get(id).orNull)
+    if (compQuant.exists(_ == null) || compDc.exists(_ == null) ||
+      compAc.exists(_ == null)) return None
+    val hMax = sofH.max
+    val vMax = sofV.max
+    val mcusX = (meta.width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (meta.height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = Array.tabulate(nc)(c => mcusX * sofH(c) * 8)
+    val planeH = Array.tabulate(nc)(c => mcusY * sofV(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * planeH(c)))
+    val br = new JpegBitReader(bytes, scanAt)
+    val prevDc = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var rstIdx = 0
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          if (!br.restart(rstIdx)) return None
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        var c = 0
+        while (c < nc) {
+          var bj = 0
+          while (bj < sofV(c)) {
+            var bi = 0
+            while (bi < sofH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val cat = br.huffDecode(compDc(c))
+              if (cat < 0 || cat > 15) return None
+              var diff = 0
+              if (cat > 0) {
+                if (!br.fill(cat)) return None
+                diff = jpegExtend(br.take(cat), cat)
+              }
+              val dc = prevDc(c) + diff
+              prevDc(c) = dc
+              coef(0) = dc * compQuant(c)(0)
+              var k = 1
+              var eob = false
+              while (!eob && k < 64) {          // spec F.2.2.2 AC decode
+                val rs = br.huffDecode(compAc(c))
+                if (rs < 0) return None
+                val run = rs >> 4
+                val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16        // ZRL: 16 zeros
+                  else eob = true               // EOB
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  if (!br.fill(size)) return None
+                  coef(JpegZigZag(k)) =
+                    jpegExtend(br.take(size), size) * compQuant(c)(k)
+                  k += 1
+                }
+              }
+              idct8x8(coef, tmp, blk)
+              val px0 = (mx * sofH(c) + bi) * 8
+              val py0 = (my * sofV(c) + bj) * 8
+              var yy = 0
+              while (yy < 8) {
+                val rowBase = (py0 + yy) * planeW(c) + px0
+                var xx = 0
+                while (xx < 8) { planes(c)(rowBase + xx) = blk(yy * 8 + xx); xx += 1 }
+                yy += 1
+              }
+              bi += 1
+            }
+            bj += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // crop to image dims + box-replication chroma upsample
+    val outPlanes = Array.tabulate(nc) { c =>
+      val o = new Array[Int](meta.width * meta.height)
+      val hs = sofH(c)
+      val vs = sofV(c)
+      var y = 0
+      while (y < meta.height) {
+        val sy = y * vs / vMax
+        val srcBase = sy * planeW(c)
+        val dstBase = y * meta.width
+        var x = 0
+        while (x < meta.width) {
+          o(dstBase + x) = planes(c)(srcBase + x * hs / hMax)
+          x += 1
+        }
+        y += 1
+      }
+      o
+    }
+    Some((meta.width, meta.height, outPlanes))
+  }
+
+  /** [[decodeJpegPixels]] + the JFIF color transform: grayscale
+    * replicates, YCbCr converts (CCIR 601 full-range, the JFIF
+    * convention), 4-component (Adobe CMYK-shaped) streams return None
+    * (pixels are decodable via [[decodeJpegPixels]], but there is no
+    * ICC-free RGB contract for them). Output layout matches
+    * [[decodePngPixels]]: 3 bytes/pixel RGB, row-major.
+    */
+  def decodeJpegRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeJpegPixels(bytes).flatMap { case (w, h, planes) =>
+      val n = w * h
+      def clamp(v: Int): Byte =
+        (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      planes.length match {
+        case 1 =>
+          val rgb = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            val g = planes(0)(i).toByte
+            rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+            i += 1
+          }
+          Some((w, h, rgb))
+        case 3 =>
+          val rgb = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            val y = planes(0)(i)
+            val cb = planes(1)(i) - 128
+            val cr = planes(2)(i) - 128
+            rgb(i * 3) = clamp(Math.round(y + 1.402 * cr).toInt)
+            rgb(i * 3 + 1) =
+              clamp(Math.round(y - 0.344136 * cb - 0.714136 * cr).toInt)
+            rgb(i * 3 + 2) = clamp(Math.round(y + 1.772 * cb).toInt)
+            i += 1
+          }
+          Some((w, h, rgb))
+        case _ => None
+      }
+    }
+
+  /** Encode arbitrary PIXELS as a real baseline JPEG — the AC-capable
+    * generalization of [[jpegEncode]]'s flat-block writer: per 8×8
+    * block (edge-replicated padding), forward DCT, Annex-K
+    * quantization, and full run/size AC Huffman coding (ZRL + EOB)
+    * with the Annex-K tables. One component (grayscale), quant table
+    * 0 = Annex K luminance. `gray` is row-major w·h values 0-255.
+    */
+  def jpegEncodeGrayPixels(width: Int, height: Int,
+                           gray: Array[Int]): Array[Byte] = {
+    require(gray.length == width * height,
+      s"need ${width * height} pixels, got ${gray.length}")
+    jpegEncodePlanes(width, height, Array(gray),
+      Array(JpegQuantLum), Array(0))
+  }
+
+  /** Color pixel encode: RGB → YCbCr (JFIF CCIR 601 full-range),
+    * 4:4:4 (no subsampling — [[decodeJpegPixels]] handles foreign
+    * subsampled input; our writer keeps every plane full-resolution),
+    * Y on the Annex-K luminance quant table (id 0), chroma on the
+    * chrominance table (id 1). `rgb` is [[decodePngPixels]]-layout:
+    * 3 bytes/pixel row-major.
+    */
+  def jpegEncodeRgbPixels(width: Int, height: Int,
+                          rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} bytes, got ${rgb.length}")
+    val n = width * height
+    val y = new Array[Int](n)
+    val cb = new Array[Int](n)
+    val cr = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(i * 3) & 0xff
+      val g = rgb(i * 3 + 1) & 0xff
+      val b = rgb(i * 3 + 2) & 0xff
+      def cl(v: Long): Int =
+        (if (v < 0) 0 else if (v > 255) 255 else v).toInt
+      y(i) = cl(Math.round(0.299 * r + 0.587 * g + 0.114 * b))
+      cb(i) = cl(Math.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+      cr(i) = cl(Math.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
+      i += 1
+    }
+    jpegEncodeYcbcrPixels(width, height, y, cb, cr)
+  }
+
+  /** YCbCr-plane pixel encode (4:4:4). Exposed separately so
+    * [[resizeJpeg]] can resample decoded planes without an RGB
+    * detour's extra rounding.
+    */
+  def jpegEncodeYcbcrPixels(width: Int, height: Int, y: Array[Int],
+                            cb: Array[Int], cr: Array[Int]): Array[Byte] = {
+    require(y.length == width * height && cb.length == y.length &&
+      cr.length == y.length, s"need ${width * height} pixels per plane")
+    jpegEncodePlanes(width, height, Array(y, cb, cr),
+      Array(JpegQuantLum, JpegQuantChrom), Array(0, 1, 1))
+  }
+
+  /** Shared pixel-plane baseline writer: headers (SOI/APP0/DQTs/SOF0/
+    * DHT/SOS), then interleaved 1×1-sampled MCUs — fdct → quantize →
+    * DC-diff + run/size AC Huffman per block. All components share the
+    * Annex-K luminance Huffman pair (legal: tables and components are
+    * independently numbered); quantization varies per component via
+    * `tqOf` into `quantTables`.
+    */
+  private def jpegEncodePlanes(width: Int, height: Int,
+                               planes: Array[Array[Int]],
+                               quantTables: Array[Array[Int]],
+                               tqOf: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 65536 && height < 65536)
+    val nc = planes.length
+    val out = new java.io.ByteArrayOutputStream(1024 + width * height)
+    def u16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xe0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+    quantTables.zipWithIndex.foreach { case (q, id) =>  // DQT in zigzag
+      marker(0xdb); u16(67); out.write(id)
+      var k = 0
+      while (k < 64) { out.write(q(JpegZigZag(k))); k += 1 }
+    }
+    marker(0xc0); u16(8 + 3 * nc)
+    out.write(8); u16(height); u16(width)
+    out.write(nc)
+    var ci = 0
+    while (ci < nc) {
+      out.write(ci + 1); out.write(0x11); out.write(tqOf(ci))
+      ci += 1
+    }
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write(cls << 4)
+      bits.foreach(out.write)
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, JpegDcBits, JpegDcVals)
+    dht(1, JpegAcBits, JpegAcVals)
+    marker(0xda); u16(6 + 2 * nc)
+    out.write(nc)
+    ci = 0
+    while (ci < nc) { out.write(ci + 1); out.write(0x00); ci += 1 }
+    out.write(0); out.write(63); out.write(0)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    var acc = 0L
+    var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >>> (nbits - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    def putMag(v: Int): Int = {          // category; writes code+bits
+      var cat = 0
+      var mag = Math.abs(v)
+      while (mag != 0) { cat += 1; mag >>= 1 }
+      cat
+    }
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val px = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val fcoef = new Array[Double](64)
+    val zq = new Array[Int](64)
+    val prevDc = new Array[Int](nc)
+    var byi = 0
+    while (byi < by) {
+      var bxi = 0
+      while (bxi < bx) {
+        var c = 0
+        while (c < nc) {
+          val plane = planes(c)
+          val q = quantTables(tqOf(c))
+          var yy = 0
+          while (yy < 8) {                 // edge-replicated 8×8 fetch
+            val sy = math.min(height - 1, byi * 8 + yy)
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(width - 1, bxi * 8 + xx)
+              px(yy * 8 + xx) = plane(sy * width + sx) & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          fdct8x8(px, tmp, fcoef)
+          var k = 0
+          while (k < 64) {                 // quantize into zigzag order
+            zq(k) = Math.round(fcoef(JpegZigZag(k)) / q(JpegZigZag(k))).toInt
+            k += 1
+          }
+          var diff = zq(0) - prevDc(c)
+          prevDc(c) = zq(0)
+          val dcCat = putMag(diff)
+          val (dcCode, dcLen) = dcCodes(dcCat)
+          put(dcCode, dcLen)
+          if (dcCat > 0) {
+            if (diff < 0) diff += (1 << dcCat) - 1
+            put(diff, dcCat)
+          }
+          var run = 0
+          k = 1
+          while (k < 64) {
+            val v = zq(k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (z, zl) = acCodes(0xf0)  // ZRL
+                put(z, zl); run -= 16
+              }
+              val cat = putMag(v)
+              val (ac, al) = acCodes((run << 4) | cat)
+              put(ac, al)
+              var bitsV = v
+              if (v < 0) bitsV += (1 << cat) - 1
+              put(bitsV, cat)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (e, el) = acCodes(0x00); put(e, el) }  // EOB
+          c += 1
+        }
+        bxi += 1
+      }
+      byi += 1
+    }
+    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Deterministic id-seeded PHOTO-LIKE color JPEG: smooth gradients
+    * plus a low-frequency sine so the encoded stream carries REAL AC
+    * coefficients (unlike [[syntheticJpegColor]]'s flat blocks) —
+    * the fixture for the AC decode path. StrictMath keeps the pixels
+    * bit-identical across executors.
+    */
+  def syntheticJpegPhoto(id: Long, width: Int, height: Int): MediaBlob =
+    MediaBlob(id, "image",
+      jpegEncodeRgbPixels(width, height, syntheticPhotoRgb(id, width, height)))
+
+  /** The raw pixels behind [[syntheticJpegPhoto]], exposed so fidelity
+    * checks can replay the generator and measure decode error against
+    * ground truth.
+    */
+  def syntheticPhotoRgb(id: Long, width: Int, height: Int): Array[Byte] = {
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        rgb(i) = (x * 255 / math.max(1, width - 1)).toByte
+        rgb(i + 1) = (y * 255 / math.max(1, height - 1)).toByte
+        rgb(i + 2) = (128 + 90 * StrictMath.sin(
+          (x + y) / 11.0 + (id % 17) / 3.0)).toInt.toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Byte-level JPEG resize — [[resizePng]]'s contract for this codec:
+    * full AC-capable pixel decode ([[decodeJpegPixels]]), never
+    * upscale (within-budget images return their ORIGINAL bytes
+    * untouched), exact integer target dims (`w' = max(1,
+    * w·maxEdge/max(w,h))` in longs), nearest-neighbor floor-mapping
+    * resample of each YCbCr/gray plane (no RGB detour — resampling
+    * commutes with the color transform under nearest-neighbor), then
+    * re-encode through the Annex-K pixel writer. Undecodable streams
+    * (progressive, truncated, CMYK-shaped) return None.
+    */
+  def resizeJpeg(bytes: Array[Byte], maxEdge: Int)
+      : Option[(Int, Int, Array[Byte])] = {
+    require(maxEdge >= 1)
+    decodeJpegPixels(bytes).flatMap { case (w, h, planes) =>
+      if (planes.length != 1 && planes.length != 3) None
+      else {
+        val m = math.max(w, h)
+        if (m <= maxEdge) Some((w, h, bytes))
+        else {
+          val w2 = math.max(1L, w.toLong * maxEdge / m).toInt
+          val h2 = math.max(1L, h.toLong * maxEdge / m).toInt
+          val sampled = planes.map { p =>
+            val o = new Array[Int](w2 * h2)
+            var y = 0
+            while (y < h2) {
+              val sy = (y.toLong * h / h2).toInt
+              var x = 0
+              while (x < w2) {
+                o(y * w2 + x) = p(sy * w + (x.toLong * w / w2).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            o
+          }
+          val enc =
+            if (sampled.length == 1) jpegEncodeGrayPixels(w2, h2, sampled(0))
+            else jpegEncodeYcbcrPixels(w2, h2, sampled(0), sampled(1),
+              sampled(2))
+          Some((w2, h2, enc))
+        }
+      }
+    }
+  }
+
+  /** Partition-wise JPEG blob resize — [[resizePngBlobs]]'s contract:
+    * one decoder per partition, blobs never shuffle; undecodable blobs
+    * come back with EMPTY content so the downstream [[decodeJpeg]]
+    * routes them to `decode_ok = false` (a row property, never a task
+    * failure).
+    */
+  def resizeJpegBlobs(blobs: Dataset[MediaBlob],
+                      maxEdge: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      resizeJpeg(b.content, maxEdge) match {
+        case Some((_, _, outBytes)) =>
+          MediaBlob(b.media_id, b.media_type, outBytes)
+        case None => MediaBlob(b.media_id, b.media_type,
+          Array.emptyByteArray)
+      }
+    })
   }
 }

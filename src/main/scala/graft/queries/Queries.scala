@@ -5008,6 +5008,109 @@ object Queries {
       |FROM events WHERE user_id < 40
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  // Byte-level JPEG resize under the oracle — q124's contract for the
+  // dominant web image format: AC-bearing photo-like JPEGs (real DCT
+  // coefficients from the Annex-K pixel encoder, not flat blocks) →
+  // resizeJpegBlobs (FULL AC Huffman decode + dequant + IDCT,
+  // nearest-neighbor plane resample, Annex-K re-encode) → decodeJpeg
+  // of the RESIZED bytes. Target dims are the same exact integer
+  // arithmetic as resizePng, so the oracle replays them from the
+  // id-derived source dims; within-budget images pass through
+  // byte-identical (never upscale); every 9th blob is truncated and
+  // must route to empty content → decode_ok=false. Pixel fidelity
+  // (ImageIO agreement, nearest-neighbor mapping) is spec-land
+  // (MultimodalSpec), like q124.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticJpegPhoto(id, 24 + (id % 11).toInt * 4,
+          16 + (id % 5).toInt * 4)
+        if (id % 9 == 0)
+          b.copy(content = java.util.Arrays.copyOf(b.content, 25))
+        else b
+      }
+    m.decodeJpeg(m.resizeJpegBlobs(blobs, maxEdge = 32)).toDF()
+      .select($"media_id", $"width", $"height", $"components",
+        $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private val q134Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  CAST(24 + (doc_id % 11) * 4 AS INT) AS w,
+      |  CAST(16 + (doc_id % 5) * 4 AS INT) AS h,
+      |  greatest(24 + (doc_id % 11) * 4, 16 + (doc_id % 5) * 4) AS m,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 150)
+      |SELECT doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 WHEN m <= 32 THEN w
+      |  ELSE greatest(1, w * 32 // m) END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 WHEN m <= 32 THEN h
+      |  ELSE greatest(1, h * 32 // m) END AS INT) AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE 3 END AS INT) AS components,
+      | NOT bad AS decode_ok
+      |FROM p ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  // AC decode fidelity under the oracle — the within-published-bound
+  // pattern (q82/q98's sketch contract applied to lossy codecs): each
+  // photo-like blob is FULLY pixel-decoded (AC Huffman + dequant +
+  // IDCT + color transform) and compared against the REPLAYED
+  // generator pixels inside the query; the oracle pins dims,
+  // components, decode_ok, and the `faithful` boolean (mean abs error
+  // within Annex-K quantization tolerance) — DuckDB cannot run an
+  // IDCT, but it can assert the error bound HOLDS row by row, which
+  // is exactly what a lossy codec promises. Truncated blobs must
+  // come back unfaithful+undecodable, never a task failure.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 24 + (id % 11).toInt * 4
+        val h = 16 + (id % 5).toInt * 4
+        val blob = m.syntheticJpegPhoto(id, w, h)
+        val bytes =
+          if (id % 9 == 0) java.util.Arrays.copyOf(blob.content, 25)
+          else blob.content
+        val meta = m.parseJpeg(id, bytes)
+        m.decodeJpegRgb(bytes) match {
+          case Some((dw, dh, rgb)) =>
+            val orig = m.syntheticPhotoRgb(id, w, h)
+            var errSum = 0L
+            var i = 0
+            while (i < rgb.length) {
+              errSum += math.abs((rgb(i) & 0xff) - (orig(i) & 0xff))
+              i += 1
+            }
+            val mae = errSum.toDouble / math.max(1, rgb.length)
+            (id, dw, dh, meta.components, true, mae <= 6.0)
+          case None =>
+            (id, -1, -1, meta.components, false, false)
+        }
+      }
+      .toDF("media_id", "width", "height", "components", "decode_ok",
+        "faithful")
+      .orderBy($"media_id")
+  }
+  private val q135Sql =
+    """SELECT doc_id AS media_id,
+      | CAST(CASE WHEN doc_id % 9 = 0 THEN -1
+      |   ELSE 24 + (doc_id % 11) * 4 END AS INT) AS width,
+      | CAST(CASE WHEN doc_id % 9 = 0 THEN -1
+      |   ELSE 16 + (doc_id % 5) * 4 END AS INT) AS height,
+      | CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 3 END AS INT)
+      |   AS components,
+      | doc_id % 9 <> 0 AS decode_ok,
+      | doc_id % 9 <> 0 AS faithful
+      |FROM documents WHERE doc_id < 150
+      |ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- q131
   // Hash-sharded HNSW under the oracle contract — q129's sibling for
   // the UNTAGGED path: every query scatters to every shard
@@ -5241,7 +5344,9 @@ object Queries {
     "q130_ann_staleness" -> (q130 _),
     "q131_hnsw_sharded_oracle" -> (q131 _),
     "q132_stream_outer_join" -> (q132 _),
-    "q133_stream_dedup" -> (q133 _)
+    "q133_stream_dedup" -> (q133 _),
+    "q134_jpeg_resize"  -> (q134 _),
+    "q135_jpeg_ac_fidelity" -> (q135 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5467,7 +5572,9 @@ object Queries {
     "q129_hnsw_oracle"  -> q129Sql,
     "q131_hnsw_sharded_oracle" -> q131Sql,
     "q132_stream_outer_join" -> q132Sql,
-    "q133_stream_dedup" -> q133Sql
+    "q133_stream_dedup" -> q133Sql,
+    "q134_jpeg_resize"  -> q134Sql,
+    "q135_jpeg_ac_fidelity" -> q135Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

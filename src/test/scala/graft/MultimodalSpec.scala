@@ -598,4 +598,268 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+  // ------------------------------------------------------------------
+  // AC-capable full pixel decode + pixel encoder + byte-level resize
+  // ------------------------------------------------------------------
+
+  private def photoRgb(w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h * 3)
+    var i = 0
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        out(i) = x * 255 / math.max(1, w - 1)
+        out(i + 1) = y * 255 / math.max(1, h - 1)
+        out(i + 2) = (128 + 90 * StrictMath.sin((x + y) / 11.0)).toInt
+        i += 3
+      }
+    }
+    out
+  }
+
+  private def photoImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = photoRgb(w, h)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, (px(i) << 16) | (px(i + 1) << 8) | px(i + 2))
+      }
+    }
+    img
+  }
+
+  private def rgbOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h * 3)
+    var i = 0
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val p = img.getRGB(x, y)
+        out(i) = (p >> 16) & 0xff
+        out(i + 1) = (p >> 8) & 0xff
+        out(i + 2) = p & 0xff
+        i += 3
+      }
+    }
+    out
+  }
+
+  private def bytesToInts(b: Array[Byte]): Array[Int] = b.map(_ & 0xff)
+
+  private def meanAbs(a: Array[Int], b: Array[Int]): Double = {
+    require(a.length == b.length, s"${a.length} vs ${b.length}")
+    var s = 0L; var i = 0
+    while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+    s.toDouble / math.max(1, a.length)
+  }
+
+  test("AC decode: a JDK-ImageIO-ENCODED color photo (AC-bearing, " +
+    "4:2:0 subsampled — the shape real web JPEGs take) decodes " +
+    "through decodeJpegPixels/decodeJpegRgb to within quantization " +
+    "tolerance of both the original and ImageIO's own decode") {
+    val w = 70; val h = 46
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(photoImage(w, h), "jpg", bos))
+    val enc = bos.toByteArray
+    // confirm the fixture really exercises subsampling + AC: SOF0's
+    // first component must carry 2x2 sampling (the JDK default)
+    val sofAt = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0).get
+    assert((enc(sofAt + 11) & 0xff) == 0x22,
+      "fixture is not 4:2:0 — JDK writer defaults changed?")
+    val meta = Multimodal.parseJpeg(9L, enc)
+    assert(meta.decode_ok && meta.width == w && meta.height == h &&
+      meta.components == 3)
+    val Some((dw, dh, rgb)) = Multimodal.decodeJpegRgb(enc)
+    assert(dw == w && dh == h)
+    val got = bytesToInts(rgb)
+    val orig = photoRgb(w, h)
+    val vsOrig = meanAbs(got, orig)
+    assert(vsOrig < 6.0, s"mean abs err vs original $vsOrig")
+    // vs ImageIO's own decode of the SAME stream: differences are only
+    // IDCT precision + chroma upsample filter (box vs triangle)
+    val ref = rgbOf(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc)))
+    val vsRef = meanAbs(got, ref)
+    assert(vsRef < 5.0, s"mean abs err vs ImageIO decode $vsRef")
+  }
+
+  test("AC decode: an ImageIO-encoded GRAYSCALE photo (single " +
+    "component, AC-bearing) decodes to near-exact agreement with " +
+    "ImageIO's own decode (IDCT precision only)") {
+    val w = 64; val h = 40
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = photoRgb(w, h)
+    // raster samples, not setRGB — setRGB/getRGB run a nonlinear
+    // sRGB↔gray colorspace transform; JPEG carries the raw samples
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        img.getRaster.setSample(x, y, 0, px((y * w + x) * 3))
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val enc = bos.toByteArray
+    val Some((dw, dh, planes)) = Multimodal.decodeJpegPixels(enc)
+    assert(dw == w && dh == h && planes.length == 1)
+    val rimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    val refGray = Array.tabulate(w * h)(i =>
+      rimg.getRaster.getSample(i % w, i / w, 0))
+    val err = meanAbs(planes(0), refGray)
+    assert(err < 2.0, s"mean abs err vs ImageIO gray decode $err")
+  }
+
+  test("pixel encoder is conforming: jpegEncodeRgbPixels output is " +
+    "decoded by the JDK's ImageIO with matching dims and pixels " +
+    "within quantization tolerance; parseJpeg sees baseline 3-comp") {
+    val w = 52; val h = 36
+    val orig = photoRgb(w, h)
+    val rgbBytes = orig.map(_.toByte)
+    val enc = Multimodal.jpegEncodeRgbPixels(w, h, rgbBytes)
+    val meta = Multimodal.parseJpeg(4L, enc)
+    assert(meta.decode_ok && meta.width == w && meta.height == h &&
+      meta.components == 3 && meta.precision == 8)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(img != null, "ImageIO rejected the AC-encoded JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val err = meanAbs(rgbOf(img), orig)
+    assert(err < 8.0, s"mean abs err vs original $err")
+    // self round-trip through OUR decoder too
+    val Some((_, _, self)) = Multimodal.decodeJpegRgb(enc)
+    val selfErr = meanAbs(bytesToInts(self), orig)
+    assert(selfErr < 8.0, s"self round-trip mean abs err $selfErr")
+  }
+
+  test("pixel encoder gray: encode → full decode round-trips within " +
+    "Annex-K quantization tolerance; flat image is EXACT") {
+    val w = 41; val h = 23
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (40 + x * 3 + (30 * StrictMath.sin(y / 5.0)).toInt).max(0).min(255)
+    }
+    val enc = Multimodal.jpegEncodeGrayPixels(w, h, gray)
+    val Some((dw, dh, planes)) = Multimodal.decodeJpegPixels(enc)
+    assert(dw == w && dh == h && planes.length == 1)
+    val err = meanAbs(planes(0), gray)
+    assert(err < 5.0, s"gray round-trip mean abs err $err")
+    // flat gray: DC-only stream, quantization error collapses to ~0
+    val flat = Array.fill(16 * 16)(77)
+    val Some((_, _, fp)) = Multimodal.decodeJpegPixels(
+      Multimodal.jpegEncodeGrayPixels(16, 16, flat))
+    assert(meanAbs(fp(0), flat) <= 1.0)
+  }
+
+  test("resizeJpeg: never-upscale pass-through is byte-identical, " +
+    "downscale hits exact integer target dims with pixels matching a " +
+    "nearest-neighbor resample of the decoded source, undecodable " +
+    "streams return None / empty blobs") {
+    val w = 60; val h = 40
+    val enc = Multimodal.jpegEncodeRgbPixels(w, h,
+      photoRgb(w, h).map(_.toByte))
+    // within budget → original bytes untouched
+    val Some((pw, ph, passthrough)) = Multimodal.resizeJpeg(enc, 60)
+    assert(pw == w && ph == h && (passthrough eq enc))
+    // downscale: m=60, maxEdge=24 → (24, 16)
+    val Some((rw, rh, resized)) = Multimodal.resizeJpeg(enc, 24)
+    assert(rw == 24 && rh == 16)
+    val rmeta = Multimodal.parseJpeg(1L, resized)
+    assert(rmeta.decode_ok && rmeta.width == 24 && rmeta.height == 16 &&
+      rmeta.components == 3)
+    // pixels ≈ nearest-neighbor of the DECODED source planes
+    val Some((_, _, srcPlanes)) = Multimodal.decodeJpegPixels(enc)
+    val Some((_, _, gotPlanes)) = Multimodal.decodeJpegPixels(resized)
+    val expected = srcPlanes.map { p =>
+      Array.tabulate(24 * 16) { i =>
+        val x = i % 24; val y = i / 24
+        p((y.toLong * h / 16).toInt * w + (x.toLong * w / 24).toInt)
+      }
+    }
+    val resErr = (0 until 3).map(c => meanAbs(gotPlanes(c), expected(c))).max
+    assert(resErr < 8.0, s"resize plane mean abs err $resErr")
+    // truncated → None; partition-wise operator routes to empty blob
+    assert(Multimodal.resizeJpeg(
+      java.util.Arrays.copyOf(enc, 40), 24).isEmpty)
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image", enc),
+      Multimodal.MediaBlob(2L, "image", java.util.Arrays.copyOf(enc, 40))
+    ).toDS().repartition(2)
+    val outB = Multimodal.resizeJpegBlobs(blobs, 24).collect()
+      .sortBy(_.media_id)
+    assert(outB(0).content.nonEmpty && outB(1).content.isEmpty)
+    // grayscale keeps its component count through resize
+    val gEnc = Multimodal.jpegEncodeGrayPixels(32, 20,
+      Array.tabulate(32 * 20)(i => i % 256))
+    val Some((gw2, gh2, gRes)) = Multimodal.resizeJpeg(gEnc, 16)
+    assert(gw2 == 16 && gh2 == 10)
+    assert(Multimodal.parseJpeg(1L, gRes).components == 1)
+  }
+
+  test("custom AC tables are honored, not assumed: a conforming " +
+    "DC-only stream whose AC table puts EOB on a 5-bit code decodes " +
+    "correctly (the hardcoded-1010 check rejected it), and a stream " +
+    "whose referenced AC table is ABSENT routes to None") {
+    // hand-built 8×8 gray DC-only JPEG, custom AC table:
+    // length-5 codes 00000→0x01, 00001→0x00(EOB)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v >>> 8); bos.write(v & 0xff) }
+    def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
+    marker(0xd8)
+    marker(0xdb); u16(67); bos.write(0)
+    (0 until 64).foreach(_ => bos.write(1))
+    marker(0xc0); u16(11); bos.write(8); u16(8); u16(8); bos.write(1)
+    bos.write(1); bos.write(0x11); bos.write(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); bos.write(cls << 4)
+      bits.foreach(bos.write); vals.foreach(bos.write)
+    }
+    dht(0, Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      (0 to 11).toArray)
+    dht(1, Array(0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0x01, 0x00))
+    marker(0xda); u16(8); bos.write(1); bos.write(1); bos.write(0x00)
+    bos.write(0); bos.write(63); bos.write(0)
+    // value 128 → DC diff 0 → "00" (cat 0), then 5-bit EOB "00001",
+    // padded with 1s: 0b00000011
+    bos.write(0x03)
+    marker(0xd9)
+    val crafted = bos.toByteArray
+    assert(Multimodal.parseJpeg(1L, crafted).decode_ok)
+    val got = Multimodal.decodeJpegBlocks(crafted)
+    assert(got.contains((8, 8, Array(128))) ||
+      (got.isDefined && got.get._3.toSeq == Seq(128)))
+    // splice the AC DHT OUT of a standard blob: the scan references
+    // Ta=0 which no longer exists → None, not a wrong decode
+    val enc = Multimodal.jpegEncode(8, 8, Array(200))
+    val at = (0 until enc.length - 4).find(j =>
+      (enc(j) & 0xff) == 0xff && (enc(j + 1) & 0xff) == 0xc4 &&
+        (enc(j + 4) & 0xff) == 0x10).get
+    val dhtLen = ((enc(at + 2) & 0xff) << 8) | (enc(at + 3) & 0xff)
+    val spliced = enc.take(at) ++ enc.drop(at + 2 + dhtLen)
+    assert(Multimodal.parseJpeg(1L, spliced).decode_ok)
+    assert(Multimodal.decodeJpegBlocks(spliced).isEmpty)
+    assert(Multimodal.decodeJpegPixels(spliced).isEmpty)
+  }
+
+  test("spec B.1.1.2 fill bytes: extra 0xFF padding before markers " +
+    "(including EOI) is skipped, not misread as a segment header") {
+    val enc = Multimodal.jpegEncode(16, 8, Array(10, 250))
+    // insert a fill byte before the DQT marker and two before EOI
+    val dqtAt = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xdb).get
+    val eoiAt = (0 until enc.length - 1).findLast(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xd9).get
+    val padded = enc.take(dqtAt) ++ Array(0xff.toByte) ++
+      enc.slice(dqtAt, eoiAt) ++ Array(0xff.toByte, 0xff.toByte) ++
+      enc.drop(eoiAt)
+    val meta = Multimodal.parseJpeg(7L, padded)
+    assert(meta.decode_ok && meta.width == 16 && meta.height == 8,
+      s"padded stream misparsed: $meta")
+    val got = Multimodal.decodeJpegBlocks(padded)
+    assert(got.isDefined && got.get._3.toSeq == Seq(10, 250))
+  }
+
 }
