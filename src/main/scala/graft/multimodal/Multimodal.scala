@@ -1943,4 +1943,81 @@ object Multimodal extends Serializable {
       }
     })
   }
+  // ------------------------------------------------------------------
+  // Mixed-modality dispatch: a 100 TB multimodal crawl column is
+  // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
+  // JPEG next to Y4M. Each decode operator above assumes a homogeneous
+  // column; dispatchDecode is the missing composition: sniff the magic
+  // bytes, route each blob to its codec's parser, surface one unified
+  // row. One partition-wise pass, blobs never shuffle, unknown or
+  // corrupted magic stays a row property (format='unknown',
+  // decode_ok=false) — never a task failure.
+  // ------------------------------------------------------------------
+
+  /** Unified dispatch row: `format` is the sniffed container; fields
+    * a codec doesn't carry hold -1 (channels doubles as JPEG's
+    * component count — both answer "how many interleaved planes").
+    */
+  case class DispatchedMeta(media_id: Long, format: String,
+                            decode_ok: Boolean, width: Int, height: Int,
+                            sample_rate: Int, channels: Int, frames: Int,
+                            duration_ms: Long)
+
+  /** Container sniff by magic bytes alone (never by extension or a
+    * type column — crawl metadata lies): RIFF/WAVE, the 8-byte PNG
+    * signature, JPEG SOI, the YUV4MPEG2 tag. Anything else — including
+    * a single flipped byte in a real header — is "unknown".
+    */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def ascii(off: Int, n: Int): String =
+      if (bytes.length >= off + n) new String(bytes, off, n, "US-ASCII")
+      else ""
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 12 && ascii(0, 4) == "RIFF" &&
+      ascii(8, 4) == "WAVE") "wav"
+    else if (bytes.length >= 8 && u(0) == 0x89 && ascii(1, 3) == "PNG" &&
+      u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a) "png"
+    else if (bytes.length >= 2 && u(0) == 0xff && u(1) == 0xd8) "jpeg"
+    else if (bytes.length >= 9 && ascii(0, 9) == "YUV4MPEG2") "y4m"
+    else "unknown"
+  }
+
+  /** Route one blob through its sniffed codec's parser. A recognized
+    * container with a broken body (truncated WAV data chunk, JPEG with
+    * no EOI) keeps its `format` and reports decode_ok=false — the
+    * sniff and the parse are separate facts and both are useful
+    * signals when triaging a crawl.
+    */
+  def dispatchOne(id: Long, bytes: Array[Byte]): DispatchedMeta =
+    sniffFormat(bytes) match {
+      case "wav" =>
+        val w = parseWav(id, bytes)
+        DispatchedMeta(id, "wav", w.decode_ok, -1, -1, w.sample_rate,
+          w.channels, -1, w.duration_ms)
+      case "png" =>
+        val p = parsePng(id, bytes)
+        DispatchedMeta(id, "png", p.decode_ok, p.width, p.height, -1,
+          -1, -1, -1L)
+      case "jpeg" =>
+        val j = parseJpeg(id, bytes)
+        DispatchedMeta(id, "jpeg", j.decode_ok, j.width, j.height, -1,
+          j.components, -1, -1L)
+      case "y4m" =>
+        val y = parseY4m(id, bytes)
+        DispatchedMeta(id, "y4m", y.decode_ok, y.width, y.height, -1,
+          -1, y.frames, y.duration_ms)
+      case _ =>
+        DispatchedMeta(id, "unknown", decode_ok = false, -1, -1, -1,
+          -1, -1, -1L)
+    }
+
+  /** Partition-wise heterogeneous decode — the same plan shape as the
+    * homogeneous operators ([[decodeWav]]/[[decodePng]]/...): one
+    * sniffer+parser pass per partition, blobs never shuffle.
+    */
+  def dispatchDecode(blobs: Dataset[MediaBlob]): Dataset[DispatchedMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => dispatchOne(b.media_id, b.content)))
+  }
+
 }

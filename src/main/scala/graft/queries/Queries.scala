@@ -5111,6 +5111,88 @@ object Queries {
       |FROM documents WHERE doc_id < 150
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  // Mixed-modality dispatch under the oracle: ONE heterogeneous blob
+  // column carrying all four real containers (WAV / PNG / JPEG / Y4M,
+  // family = id % 4, params derived from id / 4 so each family spans
+  // its parameter space), routed per row by MAGIC BYTES to the right
+  // parser in one partition-wise pass. Every 7th blob has its first
+  // byte zeroed — breaking all four magics — and must come back
+  // format='unknown', decode_ok=false with sentinel fields: a row
+  // property, never a task failure. The oracle replays the id-derived
+  // construction (each family's formula is its homogeneous query's —
+  // q94/q109/q128/q121) and the corrupted-magic routing.
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 280)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val j = id / 4
+        val b = (id % 4) match {
+          case 0 =>
+            val rate = Array(8000, 16000, 44100)((j % 3).toInt)
+            m.syntheticWav(id, rate, 1 + (j % 2).toInt, 16,
+              ((j % 50).toInt + 1) * 40)
+          case 1 =>
+            m.syntheticPng(id, 8 + (j % 13).toInt, 8 + (j % 7).toInt)
+          case 2 =>
+            m.syntheticJpegPhoto(id, 24 + (j % 11).toInt * 4,
+              16 + (j % 5).toInt * 4)
+          case _ =>
+            val rates = Array((25, 1), (30000, 1001), (24, 1))
+            val (num, den) = rates((j % 3).toInt)
+            m.syntheticY4m(id, 16 + 2 * (j % 5).toInt,
+              12 + 2 * (j % 3).toInt, num, den, 1 + (j % 10).toInt)
+        }
+        if (id % 7 == 0) { b.content(0) = 0; b } else b
+      }
+    m.dispatchDecode(blobs).toDF()
+      .select($"media_id", $"format", $"decode_ok", $"width", $"height",
+        $"sample_rate", $"channels", $"frames", $"duration_ms")
+      .orderBy($"media_id")
+  }
+  private val q136Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS j,
+      |  doc_id % 7 = 0 AS bad
+      | FROM documents WHERE doc_id < 280),
+      |d AS (
+      | SELECT doc_id, fam, bad,
+      |  CASE j % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+      |    AS rate,
+      |  1 + j % 2 AS ch,
+      |  (j % 50 + 1) * 40 AS wav_frames,
+      |  8 + j % 13 AS png_w, 8 + j % 7 AS png_h,
+      |  24 + (j % 11) * 4 AS jpg_w, 16 + (j % 5) * 4 AS jpg_h,
+      |  16 + 2 * (j % 5) AS y4m_w, 12 + 2 * (j % 3) AS y4m_h,
+      |  CASE j % 3 WHEN 0 THEN 25 WHEN 1 THEN 30000 ELSE 24 END AS num,
+      |  CASE j % 3 WHEN 0 THEN 1 WHEN 1 THEN 1001 ELSE 1 END AS den,
+      |  1 + j % 10 AS y4m_frames
+      | FROM p)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN 'unknown'
+      |   WHEN fam = 0 THEN 'wav' WHEN fam = 1 THEN 'png'
+      |   WHEN fam = 2 THEN 'jpeg' ELSE 'y4m' END AS format,
+      | NOT bad AS decode_ok,
+      | CAST(CASE WHEN bad OR fam = 0 THEN -1
+      |   WHEN fam = 1 THEN png_w WHEN fam = 2 THEN jpg_w
+      |   ELSE y4m_w END AS INT) AS width,
+      | CAST(CASE WHEN bad OR fam = 0 THEN -1
+      |   WHEN fam = 1 THEN png_h WHEN fam = 2 THEN jpg_h
+      |   ELSE y4m_h END AS INT) AS height,
+      | CAST(CASE WHEN NOT bad AND fam = 0 THEN rate ELSE -1 END
+      |   AS INT) AS sample_rate,
+      | CAST(CASE WHEN bad THEN -1 WHEN fam = 0 THEN ch
+      |   WHEN fam = 2 THEN 3 ELSE -1 END AS INT) AS channels,
+      | CAST(CASE WHEN NOT bad AND fam = 3 THEN y4m_frames ELSE -1 END
+      |   AS INT) AS frames,
+      | CAST(CASE WHEN bad THEN -1
+      |   WHEN fam = 0 THEN (wav_frames * 1000) // rate
+      |   WHEN fam = 3 THEN y4m_frames * 1000 * den // num
+      |   ELSE -1 END AS BIGINT) AS duration_ms
+      |FROM d ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- q131
   // Hash-sharded HNSW under the oracle contract — q129's sibling for
   // the UNTAGGED path: every query scatters to every shard
@@ -5346,7 +5428,8 @@ object Queries {
     "q132_stream_outer_join" -> (q132 _),
     "q133_stream_dedup" -> (q133 _),
     "q134_jpeg_resize"  -> (q134 _),
-    "q135_jpeg_ac_fidelity" -> (q135 _)
+    "q135_jpeg_ac_fidelity" -> (q135 _),
+    "q136_modality_dispatch" -> (q136 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5574,7 +5657,8 @@ object Queries {
     "q132_stream_outer_join" -> q132Sql,
     "q133_stream_dedup" -> q133Sql,
     "q134_jpeg_resize"  -> q134Sql,
-    "q135_jpeg_ac_fidelity" -> q135Sql
+    "q135_jpeg_ac_fidelity" -> q135Sql,
+    "q136_modality_dispatch" -> q136Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -862,4 +862,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.isDefined && got.get._3.toSeq == Seq(10, 250))
   }
 
+  test("modality dispatch sniffs magic bytes and routes each blob to " +
+    "its codec: mixed WAV/PNG/JPEG/Y4M column decodes in one pass; a " +
+    "CORRUPTED magic routes to format=unknown, while a recognized " +
+    "container with a broken body keeps its format with " +
+    "decode_ok=false") {
+    val wav = Multimodal.syntheticWav(1L, 16000, 2, 16, 400)
+    val png = Multimodal.syntheticPng(2L, 12, 9)
+    val jpg = Multimodal.syntheticJpegPhoto(3L, 32, 24)
+    val y4m = Multimodal.syntheticY4m(4L, 16, 12, 25, 1, 4)
+    // corrupted magic: one flipped byte in a REAL png header
+    val corrupt = {
+      val c = Multimodal.syntheticPng(5L, 12, 9)
+      c.content(0) = 0x7f.toByte; c
+    }
+    // good magic, broken body: WAV truncated mid-data
+    val truncWav = {
+      val w = Multimodal.syntheticWav(6L, 8000, 1, 16, 400)
+      w.copy(content = java.util.Arrays.copyOf(w.content, 30))
+    }
+    val garbage = Multimodal.MediaBlob(7L, "blob",
+      Array.tabulate[Byte](64)(i => (i * 31).toByte))
+    val empty = Multimodal.MediaBlob(8L, "blob", Array.emptyByteArray)
+    val blobs = Seq(wav, png, jpg, y4m, corrupt, truncWav, garbage,
+      empty).toDS().repartition(3)
+    val out = Multimodal.dispatchDecode(blobs).collect()
+      .sortBy(_.media_id)
+    assert(out.map(_.format).toSeq ==
+      Seq("wav", "png", "jpeg", "y4m", "unknown", "wav", "unknown",
+        "unknown"))
+    assert(out(0).decode_ok && out(0).sample_rate == 16000 &&
+      out(0).channels == 2 && out(0).width == -1)
+    assert(out(1).decode_ok && out(1).width == 12 && out(1).height == 9)
+    assert(out(2).decode_ok && out(2).width == 32 &&
+      out(2).height == 24 && out(2).channels == 3)
+    assert(out(3).decode_ok && out(3).frames == 4 &&
+      out(3).duration_ms == 160)
+    assert(!out(4).decode_ok && out(4).width == -1)      // flipped magic
+    assert(out(5).format == "wav" && !out(5).decode_ok)  // broken body
+    assert(!out(6).decode_ok && !out(7).decode_ok)
+  }
+
 }
