@@ -5111,6 +5111,80 @@ object Queries {
       |FROM documents WHERE doc_id < 150
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  // Stream-stream FULL OUTER interval join — completes q132's matrix:
+  // BOTH sides' unmatched rows must emit exactly once (a click with no
+  // purchase → NULL purchase_id; a purchase with no click in its
+  // trailing window → NULL click_id), each only after the watermark
+  // proves no match can still arrive. Same drive as q132:
+  // event-time-ordered slices, then a far-future sentinel PAIR in a
+  // checkpoint-resumed run advances both watermark nodes so expired
+  // state on both sides flushes its null rows. Output ids are
+  // null-coalesced to -1 so the ordering contract is engine-neutral
+  // (Spark sorts NULLs first, DuckDB last). Oracle: batch FULL JOIN of
+  // the pre-filtered sides with the same interval condition.
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q137").toString
+    val ev = t(s, dir, "events").filter($"user_id" < 30 &&
+        ($"event_type" === "click" || $"event_type" === "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    def run(): Unit = {
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val joined = graft.streaming.Streams.intervalJoinFullOuter(
+            stream.filter($"event_type" === "click"),
+            stream.filter($"event_type" === "purchase"),
+            "user_id", "ts", lookback = "6 hours", watermark = "8 hours")
+          .select(col("l.event_id").as("click_id"),
+            col("r.event_id").as("purchase_id"),
+            coalesce(col("l.user_id"), col("r.user_id")).as("user_id"))
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = lo + (hi - lo) / 2
+    writeSlice(ev.filter(unix_millis($"ts") < mid), 0)
+    writeSlice(ev.filter(unix_millis($"ts") >= mid), 1)
+    run()
+    writeSlice(s.range(2).select(lit(-1L).as("event_id"),
+      lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")).as("ts"),
+      lit(-1L).as("user_id"),
+      when($"id" === 0, "click").otherwise("purchase").as("event_type")),
+      2)
+    run()
+    s.read.parquet(outDir).filter($"user_id" >= 0)
+      .select(coalesce($"click_id", lit(-1L)).as("click_id"),
+        coalesce($"purchase_id", lit(-1L)).as("purchase_id"),
+        $"user_id")
+      .orderBy($"click_id", $"purchase_id", $"user_id")
+  }
+  private val q137Sql =
+    """WITH c AS (
+      | SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+      | WHERE event_type = 'click' AND user_id < 30),
+      |p AS (
+      | SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+      | WHERE event_type = 'purchase' AND user_id < 30)
+      |SELECT coalesce(c.event_id, -1) AS click_id,
+      | coalesce(p.event_id, -1) AS purchase_id,
+      | coalesce(c.user_id, p.user_id) AS user_id
+      |FROM c FULL JOIN p
+      | ON c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL 6 HOUR
+      | AND c.ts <= p.ts
+      |ORDER BY click_id, purchase_id, user_id""".stripMargin
+
   // ---------------------------------------------------------------- q136
   // Mixed-modality dispatch under the oracle: ONE heterogeneous blob
   // column carrying all four real containers (WAV / PNG / JPEG / Y4M,
@@ -5429,7 +5503,8 @@ object Queries {
     "q133_stream_dedup" -> (q133 _),
     "q134_jpeg_resize"  -> (q134 _),
     "q135_jpeg_ac_fidelity" -> (q135 _),
-    "q136_modality_dispatch" -> (q136 _)
+    "q136_modality_dispatch" -> (q136 _),
+    "q137_stream_full_outer" -> (q137 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -5442,7 +5517,7 @@ object Queries {
   val streamingQueries: Set[String] = Set(
     "q93_stream_lifecycle", "q100_stream_tumbling", "q107_stream_join",
     "q108_sessionize", "q111_stream_refinery", "q132_stream_outer_join",
-    "q133_stream_dedup")
+    "q133_stream_dedup", "q137_stream_full_outer")
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
     * hash path. q25/q26/q80 run `Dedup.Md5` because that is what the
@@ -5658,7 +5733,8 @@ object Queries {
     "q133_stream_dedup" -> q133Sql,
     "q134_jpeg_resize"  -> q134Sql,
     "q135_jpeg_ac_fidelity" -> q135Sql,
-    "q136_modality_dispatch" -> q136Sql
+    "q136_modality_dispatch" -> q136Sql,
+    "q137_stream_full_outer" -> q137Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

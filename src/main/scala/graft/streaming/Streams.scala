@@ -174,6 +174,34 @@ object Streams {
     intervalJoinImpl(left, right, keyCol, tsCol, lookback, watermark,
       "left_outer")
 
+  /** [[intervalJoin]]'s RIGHT OUTER arm — the mirror contract: an
+    * unmatched RIGHT row (a purchase with no click in its trailing
+    * window) emits exactly once, with NULL left columns, after the
+    * watermark passes the last instant a matching left row could
+    * still arrive.
+    */
+  def intervalJoinRightOuter(left: DataFrame, right: DataFrame,
+                             keyCol: String, tsCol: String,
+                             lookback: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, keyCol, tsCol, lookback, watermark,
+      "right_outer")
+
+  /** [[intervalJoin]]'s FULL OUTER arm: BOTH sides' unmatched rows
+    * emit exactly once with NULL opposite columns once their state
+    * provably cannot match (watermark past the join window) — the
+    * attribution-pipeline completeness contract: every click AND
+    * every purchase appears in the output exactly once per match or
+    * once unmatched. Same shared body: the interval condition and
+    * watermark handling cannot desynchronize across the four arms.
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+                            keyCol: String, tsCol: String,
+                            lookback: String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, keyCol, tsCol, lookback, watermark,
+      "full_outer")
+
   // one body for both arms — the interval condition and watermark
   // handling must never desynchronize between inner and outer
   private def intervalJoinImpl(left: DataFrame, right: DataFrame,

@@ -216,6 +216,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("p1", "c-in")))
   }
 
+  test("intervalJoinRightOuter emits an unmatched purchase exactly " +
+    "once with NULL click columns after the watermark passes its " +
+    "window; matched pairs emit like the inner arm") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, String)]
+    val out = graft.streaming.Streams.intervalJoinRightOuter(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      "user_id", "ts", lookback = "1 hour", watermark = "2 hours")
+    val query = out.select(col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName("rojoin_out")
+      .outputMode("append").start()
+    clicks.addData((1L, ts(90), "c-in"))
+    purchases.addData((1L, ts(120), "p-matched"),
+      (2L, ts(120), "p-orphan"))
+    query.processAllAvailable()
+    // advance both watermarks far past p-orphan's window so its
+    // right-side state provably cannot match and must flush
+    clicks.addData((9L, ts(3000), "c-late"))
+    purchases.addData((9L, ts(3000), "p-late"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rojoin_out").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows.contains(("p-matched", Some("c-in"))))
+    assert(rows.contains(("p-orphan", None)),
+      s"unmatched purchase did not flush: $rows")
+    assert(rows.count(_._1 == "p-orphan") == 1)
+  }
+
   test("sessionize closes a session when the gap is exceeded, matching " +
     "batch sessionStats counts") {
     implicit val sc = spark.sqlContext
