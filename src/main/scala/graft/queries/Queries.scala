@@ -5561,6 +5561,26 @@ object Queries {
           k = 10, ef = 128)
         .orderBy($"q_id", $"rank")
     }),
+    "q49y_hnsw_resident" -> ((s: SparkSession, dir: String) => {
+      // RESIDENT-serve twin of q49x: sharded HNSW engines amortize the
+      // graph build across query batches by keeping shards resident;
+      // here the prepared (shard-co-located) index is built + cached
+      // ONCE, materialized eagerly, then EIGHT 50-query batches serve
+      // through topKResident with zero index movement. q49x times
+      // build + one batch; this entry times build + 8 batches on the
+      // cached index, so (q49y - q49x)/7 ≈ marginal per-batch serve
+      // cost — the number SCALE.md's amortization claim rests on.
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val prepared = Hnsw.prepare(
+        Hnsw.buildShards(emb, "vec_id", "embedding", shards = 8)).cache()
+      prepared.count()                  // resident: built exactly once
+      (0 until 8).map { b =>
+        Hnsw.topKResident(prepared,
+          emb.filter($"vec_id" >= b * 50 && $"vec_id" < (b + 1) * 50),
+          "vec_id", "embedding", k = 10, ef = 128)
+      }.reduce(_ unionByName _).orderBy($"q_id", $"rank")
+    }),
     "q50x_hnsw_tagged" -> ((s: SparkSession, dir: String) => {
       // tag-partitioned HNSW: the reference's filtered related-articles
       // query (same topic must + own-id must_not + top 6 + ef=128,
