@@ -1,0 +1,691 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{ColumnPlugins, Text, Vectors}
+import graft.operators._
+
+/** The engine's demonstrable query suite: one entry per operator family
+  * from SURVEY.md §2 (+ the large-scale curation extensions), each with
+  * a DuckDB-runnable oracle where SQL can express the semantics.
+  *
+  * Column names and types are aligned pairwise between the Spark plan
+  * and the oracle SQL — the driver's compare hashes values under sorted
+  * column names. Nondeterministic orderings are always tie-broken by a
+  * unique key; floating aggregates are rounded identically on both
+  * sides (engine-difference ≈1e-15 ≪ rounding granularity).
+  */
+
+/** Text functions, ingest, summarize, chunking, tokenization.
+  *
+  * Definitions only — the registry, oracle map and shared loader
+  * live in [[Queries]]; the self-type gives every family access to
+  * the shared helpers and cross-family fixtures without changing
+  * any call site (mechanical split of the flat registry file; no
+  * behavior change).
+  */
+private[queries] trait QueriesText { this: Queries.type =>
+
+  // ---------------------------------------------------------------- q16
+  // F1/F2: slugify + alias over Vietnamese fixture names
+  lazy val slugFixtures: Seq[String] = Seq(
+    "Tuổi Trẻ", "Thể thao", "Giáo dục", "VnExpress", "Thanh Niên",
+    "Khoa học", "Sức khỏe", "Giải trí", "Kinh doanh", "Thời sự",
+    "Pháp luật", "Du lịch", "Công nghệ", "Thế giới")
+  private[queries] def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    slugFixtures.toDF("name")
+      .select($"name", Text.slugify($"name").as("slug"),
+        Text.aliasFromTopic($"name").as("alias"))
+      .orderBy($"name")
+  }
+  private[queries] def q16Sql: String = {
+    val values = slugFixtures.map(n => s"('$n')").mkString(", ")
+    s"""SELECT name,
+       | replace(translate(lower(name), '${Text.diacriticFrom}', '${Text.diacriticTo}'), ' ', '') AS slug,
+       | lower(array_to_string(list_transform(string_split(name, ' '),
+       |   w -> substr(w, 1, 1)), '')) AS alias
+       |FROM (VALUES $values) t(name) ORDER BY name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q17
+  // Token counting (whitespace + BPE-ish + distinct)
+  private[queries] def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      TextAnalysis.wsTokenCount($"text").cast("long").as("ws_tokens"),
+      TextAnalysis.bpeTokenCount($"text").cast("long").as("bpe_tokens"),
+      TextAnalysis.distinctTokenCount($"text").cast("long")
+        .as("distinct_tokens"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q17Sql =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      | len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS bpe_tokens,
+      | len(list_distinct(regexp_extract_all(text, '\S+'))) AS distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  // Document quality scoring
+  private[queries] def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // floor(x·10⁴+0.5)/10⁴ instead of round(x, 4): both engines compute
+    // it on the same IEEE double, so half-way ties break identically
+    // (round() ties differ: Spark BigDecimal HALF_UP vs DuckDB scaled
+    // double).
+    t(s, dir, "documents").select($"doc_id",
+      (floor(TextAnalysis.qualityScore($"text") * 10000.0 + 0.5) / 10000.0)
+        .as("quality"))
+      .orderBy($"doc_id")
+  }
+  private[queries] def q18Sql: String = {
+    val stopRe = s"\\b(${TextAnalysis.stopwords.mkString("|")})\\b"
+    s"""SELECT doc_id, floor((CASE WHEN toks > 0 THEN
+       |  least(1.0, toks / 100.0) * 0.4
+       |  + least(1.0, stop * 5.0 / toks) * 0.3
+       |  + (dist / toks) * 0.3 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS quality
+       |FROM (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE) AS stop,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) AS dist
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q19
+  // Language ID (stopword-profile argmax heuristic)
+  private[queries] def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      TextAnalysis.langId($"text").as("lang_pred"))
+      .orderBy($"doc_id")
+  }
+  private[queries] def q19Sql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS s_$lang"
+    }.mkString(",\n  ")
+    val names = TextAnalysis.langProfiles.map(_._1)
+    val best = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val cases = names.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, CASE WHEN best = 0 THEN 'und' $cases END AS lang_pred
+       |FROM (SELECT doc_id, $best AS best, s_de, s_en, s_es, s_fr FROM (
+       | SELECT doc_id,
+       |  $scores
+       | FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q20
+  // Content fingerprinting (md5 of normalized text)
+  private[queries] def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q20Sql =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  // G3: recursive text chunker, BYTE-IDENTICAL oracle: the separator
+  // recursion is depth-bounded (6 separator levels + hard cut), so the
+  // oracle unrolls it as 7 nested list transforms; only the greedy
+  // packer (sequential carry fold) needs a recursive CTE, advancing
+  // one segment per doc per iteration. Exact parity holds because the
+  // corpus is BMP-only ASCII (Scala UTF-16 .length ≡ DuckDB len) —
+  // spec invariants in ChunkerSpec still cover the general case.
+  private[queries] def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Chunker.chunkDF(t(s, dir, "documents"), "doc_id", "text",
+        size = 100, overlap = 20)
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        $"chunk")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  private[queries] lazy val q27Sql = {
+    val size = 100; val overlap = 20; val minLen = 10
+    // separator priority order — mirrors Chunker.DefaultSeps
+    val seps = Seq("'. '", "'! '", "'? '", "E'\\n\\n'", "E'\\n'", "' '")
+    // Scala String.trim strips every char ≤ U+0020 from both ends
+    val trimset = "E'" + (1 to 32).map(c => f"\\x$c%02X").mkString + "'"
+    // split keeping the separator attached to the left piece, dropping
+    // a trailing empty piece — Chunker.segment
+    def attach(p: String, sep: String): String = {
+      val parts = s"string_split($p, $sep)"
+      s"(list_transform($parts[1:len($parts)-1], z -> z || $sep) || " +
+        s"(CASE WHEN $parts[-1] = '' THEN []::VARCHAR[] " +
+        s"ELSE [$parts[-1]] END))"
+    }
+    // level k: pieces > size split by the first separator from seps(k:)
+    // they contain (single-piece splits pass through — Chunker.explode)
+    def level(inner: String, k: Int): String = {
+      val branches = seps.drop(k).map { s =>
+        val att = attach("p", s)
+        s"WHEN contains(p, $s) THEN " +
+          s"(CASE WHEN len($att) <= 1 THEN [p] ELSE $att END)"
+      }.mkString(" ")
+      s"flatten(list_transform($inner, p -> " +
+        s"CASE WHEN len(p) <= $size THEN [p] " +
+        s"ELSE (CASE $branches ELSE [p] END) END))"
+    }
+    // final level: hard character cut (Chunker's grouped(size))
+    def hardcut(inner: String): String = {
+      val cut = s"list_transform(range(0, (len(p) + ${size - 1}) " +
+        s"// $size), j -> substr(p, (j * $size)::INT + 1, $size))"
+      s"flatten(list_transform($inner, p -> " +
+        s"CASE WHEN len(p) <= $size THEN [p] ELSE $cut END))"
+    }
+    val segExpr = hardcut(
+      seps.indices.foldLeft("[text]")((e, k) => level(e, k)))
+    s"""WITH RECURSIVE
+       |segs AS (
+       | SELECT doc_id, $segExpr AS segs
+       | FROM documents WHERE text IS NOT NULL AND text <> ''),
+       |fold AS (
+       | SELECT doc_id, 1 AS i, '' AS cur, []::VARCHAR[] AS out, segs
+       | FROM segs
+       | UNION ALL
+       | SELECT doc_id, i + 1,
+       |  CASE WHEN cur <> '' AND len(cur) + len(segs[i]) > $size
+       |   THEN (CASE WHEN least($overlap, $size - len(segs[i])) > 0
+       |     THEN right(cur, least($overlap, $size - len(segs[i])))
+       |     ELSE '' END) || segs[i]
+       |   ELSE cur || segs[i] END,
+       |  CASE WHEN cur <> '' AND len(cur) + len(segs[i]) > $size
+       |   THEN list_append(out, cur) ELSE out END,
+       |  segs
+       | FROM fold WHERE i <= len(segs)),
+       |done AS (
+       | SELECT doc_id,
+       |  CASE WHEN cur <> '' THEN list_append(out, cur) ELSE out END
+       |    AS chunks
+       | FROM fold WHERE i = len(segs) + 1),
+       |kept AS (
+       | SELECT doc_id,
+       |  list_filter(list_transform(chunks, c -> trim(c, $trimset)),
+       |   c -> len(c) > $minLen) AS chunks
+       | FROM done)
+       |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_idx, u.x AS chunk
+       |FROM kept,
+       | unnest(list_transform(chunks, (x, i) -> {'i': i, 'x': x})) t(u)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q31
+  // F3: double HTML unescape fixtures
+  lazy val unescapeFixtures: Seq[String] = Seq(
+    "Tom &amp;amp; Jerry", "a &amp;lt;b&amp;gt; c", "x &amp; y",
+    "&quot;quoted&quot;", "&#39;s", "5&nbsp;6", "plain text",
+    "&amp;quot;deep&amp;quot;")
+  private[queries] def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unescapeFixtures.toDF("raw")
+      .select($"raw", Text.htmlUnescapeTwice($"raw").as("unescaped"))
+      .orderBy($"raw")
+  }
+  private[queries] def q31Sql: String = {
+    val values = unescapeFixtures.map(v => s"('$v')").mkString(", ")
+    def onePass(expr: String): String =
+      Text.htmlEntities.foldLeft(expr) { case (e, (ent, ch)) =>
+        val repl = if (ch == "'") "''" else ch
+        s"replace($e, '$ent', '$repl')"
+      }
+    val twoPass = onePass(onePass("raw"))
+    s"""SELECT raw, $twoPass AS unescaped
+       |FROM (VALUES $values) t(raw) ORDER BY raw""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q32
+  // F5: clean_text Vietnamese golden path (oracle: RE2 \p{L}\p{N} class
+  // mirrors Java's (?U)\w for NFC Vietnamese; order-preserving dedup via
+  // positional list_filter since DuckDB's list_distinct reorders)
+  lazy val cleanFixtures: Seq[String] = Seq(
+    "Đây là câu. Đây là câu. Ảnh: Hoài Thanh",
+    "Một câu!! Hai câu?? Một câu.",
+    "  nhiều   khoảng   trắng  . chấm..câu  ",
+    "no-op sentence. another one.")
+  private[queries] def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cleanFixtures.toDF("raw")
+      .select($"raw", Text.cleanText($"raw").as("cleaned"))
+      .orderBy($"raw")
+  }
+  private[queries] def q32Sql: String = {
+    val values = cleanFixtures.map(v => s"('$v')").mkString(", ")
+    s"""WITH c1 AS (SELECT raw,
+       |  regexp_replace(raw, 'Ảnh:\\s*[^.!?]*[.!?]?', '', 'g') AS x
+       |  FROM (VALUES $values) t(raw)),
+       |c2 AS (SELECT raw,
+       |  regexp_replace(x, '[^\\p{L}\\p{N}_\\s.!?]', '', 'g') AS x FROM c1),
+       |c3 AS (SELECT raw, regexp_replace(regexp_replace(x, '\\s+', ' ', 'g'),
+       |  '\\.{2,}', '.', 'g') AS x FROM c2),
+       |c4 AS (SELECT raw, list_filter(list_transform(
+       |  string_split_regex(x, '\\.\\s*'), y -> trim(y)),
+       |  y -> len(y) > 0) AS l FROM c3),
+       |c5 AS (SELECT raw,
+       |  list_filter(l, (y, i) -> list_position(l, y) = i) AS d FROM c4)
+       |SELECT raw, CASE WHEN len(d) > 0
+       |  THEN array_to_string(d, '. ') || '. ' ELSE '' END AS cleaned
+       |FROM c5 ORDER BY raw""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q33
+  // F4: lenient date parsing fixtures
+  lazy val dateFixtures: Seq[String] = Seq(
+    "Mon, 05 Aug 2024 10:30:00 +0700",
+    "Tue, 06 Aug 2024 08:00:00 -0500",
+    "2024-08-05T03:30:00Z",
+    "2024-08-05T03:30:00+02:00",
+    "2024-08-05 03:30:00",
+    "2024-08-05",
+    "not a date")
+  private[queries] def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dateFixtures.toDF("raw")
+      .select($"raw", Text.parseDateLenient($"raw").as("parsed"))
+      .orderBy($"raw")
+  }
+  private[queries] def q33Sql: String = {
+    val values = dateFixtures.map(v => s"('$v')").mkString(", ")
+    s"""SELECT raw, coalesce(
+       |  try_strptime(raw, '%a, %d %b %Y %H:%M:%S %z')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%dT%H:%M:%SZ')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%dT%H:%M:%S%z')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%d %H:%M:%S')::TIMESTAMP,
+       |  try_strptime(raw, '%Y-%m-%d')::TIMESTAMP) AS parsed
+       |FROM (VALUES $values) t(raw) ORDER BY raw""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q34
+  // F9: md5 → UUID deterministic point ids
+  private[queries] def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      Text.md5Uuid(concat(lit("doc://"), $"doc_id")).as("point_id"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q34Sql =
+    """SELECT doc_id,
+      | substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+      |  || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS point_id
+      |FROM (SELECT doc_id, md5('doc://' || doc_id) AS h FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  // S1/G1/G2/J2/F1/F2: ingest entry point — nested JSON config scan,
+  // double map explode, anti-join vs already-seen urls, entry explode
+  // with per-feed cap, slug/alias enrichment (rss_feeds.py:9-15 +
+  // raw_articles.py:44-95)
+  private[queries] lazy val feedConfigPath = "/root/repo/fixtures/rss_feeds.json"
+  private[queries] lazy val seenFeedUrls = Seq(
+    "https://feeds.example.com/vnexpress/thoi-su.rss",
+    "https://feeds.example.com/dantri/suc-khoe.rss")
+  private[queries] def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feeds = Ingest.feedConfig(s, feedConfigPath)
+    val fresh = feeds.join(seenFeedUrls.toDF("url"), Seq("url"), "left_anti")
+    Ingest.explodeEntries(fresh, perFeed = 3, cap = 2)
+      .select($"source", $"topic", Text.slugify($"topic").as("slug"),
+        Text.aliasFromTopic($"topic").as("alias"), $"link")
+      .orderBy($"source", $"topic", $"link")
+  }
+  private[queries] def q35Sql: String = {
+    val seen = seenFeedUrls.map(u => s"'$u'").mkString(", ")
+    s"""WITH raw AS (SELECT CAST(json AS MAP(VARCHAR, MAP(VARCHAR, VARCHAR))) AS m
+       |  FROM read_json_objects('$feedConfigPath', format='unstructured')),
+       |lvl1 AS (SELECT unnest(map_entries(m)) AS e FROM raw),
+       |lvl2 AS (SELECT e.key AS source, unnest(map_entries(e.value)) AS t FROM lvl1),
+       |feeds AS (SELECT source, t.key AS topic, t.value AS url FROM lvl2),
+       |fresh AS (SELECT * FROM feeds WHERE url NOT IN ($seen)),
+       |entries AS (SELECT source, topic, url, unnest([1, 2]) AS entry_no FROM fresh)
+       |SELECT source, topic,
+       | replace(translate(lower(topic), '${Text.diacriticFrom}', '${Text.diacriticTo}'), ' ', '') AS slug,
+       | lower(array_to_string(list_transform(string_split(topic, ' '),
+       |   w -> substr(w, 1, 1)), '')) AS alias,
+       | url || '?item=' || entry_no AS link
+       |FROM entries ORDER BY source, topic, link""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q36
+  // M1/F6/F7: summarize lifecycle — extractive bullet summary, cleaned
+  // and split back to bullets; oracle derives the expected bullets
+  // independently from the raw words
+  private[queries] def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = ColumnPlugins("summarize")($"text")
+    val bullets = Text.summaryBullets(Text.cleanSummary(raw))
+    t(s, dir, "documents")
+      .select($"doc_id", size(bullets).cast("long").as("n_bullets"),
+        array_join(bullets, " | ").as("bullets"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q36Sql =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      | FROM documents),
+      |b AS (SELECT doc_id, list_filter([
+      |  array_to_string(w[1:2], ' '), array_to_string(w[3:4], ' '),
+      |  array_to_string(w[5:6], ' '), array_to_string(w[7:8], ' ')],
+      |  x -> len(x) > 0) AS bl FROM d)
+      |SELECT doc_id, CAST(len(bl) AS BIGINT) AS n_bullets,
+      | array_to_string(bl, ' | ') AS bullets
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  // G5+A5: statement extraction explode + rule-based status + scorecard
+  private[queries] def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stmts = t(s, dir, "documents")
+      .select($"doc_id",
+        explode(Summarize.statements($"text", width = 6)).as("statement"))
+      .withColumn("status", Summarize.statementStatus($"statement"))
+    Summarize.scorecard(stmts, "doc_id", "status")
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q37Sql =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+      | FROM documents),
+      |ix AS (SELECT doc_id, w,
+      | unnest(range(0, CAST(ceil(len(w) / 6.0) AS INT))) AS i FROM d),
+      |st AS (SELECT doc_id,
+      | array_to_string(w[(i*6+1):(i*6+6)], ' ') AS statement FROM ix),
+      |cl AS (SELECT doc_id,
+      | CASE WHEN statement LIKE '%window%' OR statement LIKE '%stream%'
+      |      THEN 'confirmed'
+      |      WHEN statement LIKE '%dup%' THEN 'refuted'
+      |      ELSE 'unverified' END AS status FROM st),
+      |agg AS (SELECT doc_id,
+      | CAST(sum(CASE WHEN status = 'confirmed' THEN 1 ELSE 0 END) AS BIGINT) AS confirmed,
+      | CAST(sum(CASE WHEN status = 'refuted' THEN 1 ELSE 0 END) AS BIGINT) AS refuted,
+      | count(*) AS total FROM cl GROUP BY 1)
+      |SELECT doc_id, confirmed, refuted, total,
+      | CASE WHEN total = 0 THEN 0.0
+      |      WHEN total < 5 THEN 1.0
+      |      ELSE round(greatest(3.0, least(10.0,
+      |        (CAST(confirmed AS DOUBLE) / total
+      |         - CAST(refuted AS DOUBLE) * 0.5 / total) * 10.0)), 4)
+      | END AS score
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  // F12/K1: JSON serialization for the raw zone (s3_io_manager.py:37)
+  private[queries] def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey",
+        to_json(struct($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_orderpriority")).as("js"))
+      .orderBy($"o_orderkey")
+  }
+  private[queries] lazy val q40Sql =
+    """SELECT o_orderkey,
+      | CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+      |   o_custkey := o_custkey, o_orderstatus := o_orderstatus,
+      |   o_orderpriority := o_orderpriority)) AS VARCHAR) AS js
+      |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  // S3+S4: HTML main-text extraction + first image URL over fixtures
+  lazy val htmlFixtures: Seq[(Long, String)] = Seq(
+    (0L, "<html><head><style>p{color:red}</style></head><body><nav>menu" +
+      "</nav><p>First para.</p><script>var x=1;</script><p>Second para." +
+      "</p><img src=\"https://img.example.com/a.jpg\"/><footer>foot" +
+      "</footer></body></html>"),
+    (1L, "<div><p>Hello <b>world</b>.</p><iframe src=\"https://e.example" +
+      ".com\">junk</iframe><img src=\"https://img.example.com/b.png\"></div>"),
+    (2L, "<article>Text with no image, just <em>emphasis</em>.</article>"),
+    (3L, "plain text with no tags at all"))
+  private[queries] def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    htmlFixtures.toDF("id", "html")
+      .select($"id", Text.htmlMainText($"html").as("main_text"),
+        Text.firstImgSrc($"html").as("img"))
+      .orderBy($"id")
+  }
+  private[queries] def q42Sql: String = {
+    val values = htmlFixtures
+      .map { case (i, h) => s"($i, '$h')" }.mkString(", ")
+    val stripChrome = Text.chromeTags.foldLeft("html")((e, tag) =>
+      s"regexp_replace($e, '(?is)<$tag[^>]*>.*?</$tag>', ' ', 'g')")
+    s"""SELECT id,
+       | trim(regexp_replace(regexp_replace($stripChrome,
+       |   '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS main_text,
+       | regexp_extract(html, '<img[^>]*src="([^"]+)"', 1) AS img
+       |FROM (VALUES $values) t(id, html) ORDER BY id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q49
+  // Semi-structured JSON column: field extraction + aggregation over
+  // the events props payload (the raw-zone JSON read path, K1 inverse)
+  private[queries] def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+  private[queries] lazy val q49Sql =
+    """SELECT event_type, count(*) AS cnt,
+      | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // S2 offline: RSS/XML feed parse — item explode, title double-
+  // unescape (F3), lenient pubDate parse (F4), first-image extraction
+  // (S4) — the real ingest parse chain over a stored feed document
+  private[queries] lazy val feedXmlPath = "/root/repo/fixtures/feed_sample.xml"
+  private[queries] def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.read.option("wholetext", "true").text(feedXmlPath)
+    raw.select(explode(split($"value", "<item>")).as("x"))
+      .filter($"x".contains("</item>"))
+      .select(
+        regexp_extract($"x", "<link>([^<]*)</link>", 1).as("link"),
+        Text.htmlUnescapeTwice(
+          regexp_extract($"x", "(?s)<title>(.*?)</title>", 1)).as("title"),
+        Text.parseDateLenient(
+          regexp_extract($"x", "<pubDate>([^<]*)</pubDate>", 1))
+          .as("published"),
+        Text.firstImgSrc(
+          regexp_extract($"x", "(?s)<description>(.*?)</description>", 1))
+          .as("image"))
+      .orderBy($"link")
+  }
+  private[queries] def q50Sql: String = {
+    def onePass(expr: String): String =
+      Text.htmlEntities.foldLeft(expr) { case (e, (ent, ch)) =>
+        val repl = if (ch == "'") "''" else ch
+        s"replace($e, '$ent', '$repl')"
+      }
+    val title = onePass(onePass(
+      "regexp_extract(x, '(?s)<title>(.*?)</title>', 1)"))
+    s"""WITH items AS (
+       | SELECT unnest(string_split(content, '<item>')) AS x
+       | FROM read_text('$feedXmlPath'))
+       |SELECT regexp_extract(x, '<link>([^<]*)</link>', 1) AS link,
+       | $title AS title,
+       | coalesce(
+       |  try_strptime(regexp_extract(x, '<pubDate>([^<]*)</pubDate>', 1),
+       |    '%a, %d %b %Y %H:%M:%S %z')::TIMESTAMP,
+       |  try_strptime(regexp_extract(x, '<pubDate>([^<]*)</pubDate>', 1),
+       |    '%Y-%m-%dT%H:%M:%SZ')::TIMESTAMP) AS published,
+       | regexp_extract(
+       |   regexp_extract(x, '(?s)<description>(.*?)</description>', 1),
+       |   '<img[^>]*src="([^"]+)"', 1) AS image
+       |FROM items WHERE x LIKE '%</item>%' ORDER BY link""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q57
+  // Fuzzy matching: Levenshtein edit distance between topic slugs —
+  // the string-similarity cousin of the n-gram dedup family. The
+  // crossJoin is sound ONLY because the input is a 14-row fixture
+  // list; the table-scale path is candidate pruning first — bucket by
+  // length band (edit distance ≥ length gap, so |len(a)−len(b)| > k
+  // pairs can never match; the q84 bandJoin shape) or by shared
+  // n-gram (the q22 inverted-index shape) — then levenshtein on the
+  // pruned pairs. Do not lift this as-is onto a real table.
+  private[queries] def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slugs = slugFixtures.toDF("name")
+      .select($"name", Text.slugify($"name").as("slug"))
+    slugs.as("a").crossJoin(slugs.as("b"))
+      .filter($"a.slug" < $"b.slug")
+      .select($"a.slug".as("slug_a"), $"b.slug".as("slug_b"),
+        levenshtein($"a.slug", $"b.slug").cast("long").as("dist"))
+      .filter($"dist" <= 5)
+      .orderBy($"slug_a", $"slug_b")
+  }
+  private[queries] def q57Sql: String = {
+    val values = slugFixtures.map(n => s"('$n')").mkString(", ")
+    s"""WITH s AS (SELECT replace(translate(lower(name),
+       |  '${Text.diacriticFrom}', '${Text.diacriticTo}'), ' ', '') AS slug
+       | FROM (VALUES $values) t(name))
+       |SELECT a.slug AS slug_a, b.slug AS slug_b,
+       | CAST(levenshtein(a.slug, b.slug) AS BIGINT) AS dist
+       |FROM s a JOIN s b ON a.slug < b.slug
+       |WHERE levenshtein(a.slug, b.slug) <= 5
+       |ORDER BY slug_a, slug_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q90
+  // Table profiling: per-column nulls / exact distincts / min-max in
+  // one scan, unpivoted to (column, stat) rows
+  private[queries] def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Profile.table(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy($"col_name")
+  }
+  private[queries] lazy val q90Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val,
+         | CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---------------------------------------------------------------- q97
+  // Unicode NFC canonical composition (native codegen'd NfcNormalize,
+  // SQL-registered as graft_nfc): decomposed "e"+U+0301 sequences
+  // compose to "é" so downstream hash/shingle/token operators see ONE
+  // canonical form. The decomposed input is built deterministically
+  // from row data; char counts drop by exactly the composed pairs.
+  private[queries] def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = concat($"source", lit("-cafe"), lit("\u0301-"), $"lang")
+    t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id", length(dec).cast("long").as("raw_len"),
+        Text.nfc(dec).as("nfc_str"),
+        length(Text.nfc(dec)).cast("long").as("nfc_len"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q97Sql =
+    """WITH d AS (SELECT doc_id,
+      |  source || '-cafe' || chr(769) || '-' || lang AS dec
+      | FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, length(dec) AS raw_len,
+      | nfc_normalize(dec) AS nfc_str,
+      | length(nfc_normalize(dec)) AS nfc_len
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  // Vietnamese word segmentation (G3's ViTokenizer step, previously
+  // stood in by whitespace tokenization): greedy maximal matching
+  // against the built-in compound lexicon, as the native codegen'd
+  // ViSegment expression. Deterministic Vietnamese text is built from
+  // row data (a word-pool cycle both engines replay); the oracle
+  // re-implements the greedy longest-match walk as a recursive CTE
+  // over the syllable lists with the SAME lexicon as literal IN-lists
+  // — an independent second implementation, not a copy of the output.
+  private[queries] def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pool = q110Pool
+    val poolArr = array(pool.map(lit): _*)
+    val words = (0 until 12).map(i => element_at(poolArr,
+      (pmod($"doc_id" * 3 + i * 5, lit(pool.length)) + 1).cast("int")))
+    val text = concat_ws(" ", words: _*)
+    t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id", TextAnalysis.viSegment(text).as("w"))
+      .select($"doc_id",
+        array_join($"w", " ").as("seg"),
+        size($"w").cast("long").as("n_words"),
+        size(filter($"w", x => x.contains("_"))).cast("long")
+          .as("n_compounds"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q110Pool = Seq("việt nam", "học sinh", "thời gian",
+    "máy tính", "rất", "tốt", "của", "và", "người", "đại học",
+    "sách giáo khoa", "phát triển", "không", "mới")
+  private[queries] def q110Sql: String = {
+    val lex = TextAnalysis.viLexicon.map(_.trim.toLowerCase)
+    def inList(n: Int) = lex.filter(_.split(' ').length == n)
+      .map(w => s"'$w'").mkString(", ")
+    val poolLit = q110Pool.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE sy AS (
+       | SELECT doc_id, flatten(list_transform(range(0, 12),
+       |   i -> string_split($poolLit[
+       |     CAST((doc_id * 3 + i * 5) % ${q110Pool.length} AS INT) + 1],
+       |     ' '))) AS sy
+       | FROM documents WHERE doc_id < 200),
+       |walk AS (
+       | SELECT doc_id, sy, 1 AS pos, '' AS seg FROM sy
+       | UNION ALL
+       | SELECT doc_id, sy, pos + step,
+       |  seg || CASE WHEN seg = '' THEN '' ELSE ' ' END ||
+       |   CASE step
+       |    WHEN 3 THEN sy[pos] || '_' || sy[pos+1] || '_' || sy[pos+2]
+       |    WHEN 2 THEN sy[pos] || '_' || sy[pos+1]
+       |    ELSE sy[pos] END
+       | FROM (
+       |  SELECT doc_id, sy, pos, seg,
+       |   CASE WHEN pos + 2 <= len(sy) AND lower(
+       |      sy[pos] || ' ' || sy[pos+1] || ' ' || sy[pos+2])
+       |      IN (${inList(3)}) THEN 3
+       |    WHEN pos + 1 <= len(sy) AND lower(sy[pos] || ' ' || sy[pos+1])
+       |      IN (${inList(2)}) THEN 2
+       |    ELSE 1 END AS step
+       |  FROM walk WHERE pos <= len(sy)) t)
+       |SELECT doc_id, seg,
+       | CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_words,
+       | CAST(len(list_filter(string_split(seg, ' '),
+       |   x -> contains(x, '_'))) AS BIGINT) AS n_compounds
+       |FROM walk WHERE pos > len(sy)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q119
+  // Frozen-vocab BPE token counting (TextAnalysis.bpePieceCount): a
+  // REAL merge-table byte-pair tokenizer over the committed 60-merge
+  // toy vocab, replacing the 4-char-run proxy for budget-accurate
+  // counts (the reference budgets chunks by its HF tokenizer's piece
+  // count, chunk_splitter.py:52-62). All scan-side codegen'd string
+  // functions; the oracle SQL is GENERATED from the same frozen merge
+  // table, so DuckDB replays the merge algorithm itself.
+  private[queries] def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.bpePieceCount($"text").cast("long").as("bpe_tokens"),
+        TextAnalysis.wsTokenCount($"text").cast("long").as("ws_tokens"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q119Sql = {
+    val m = TextAnalysis.bpePieceCountSql("text")
+    s"""WITH b AS (SELECT doc_id, text, $m AS s FROM documents)
+       |SELECT doc_id,
+       | CAST(len(s) - len(replace(s, '<', '')) AS BIGINT) AS bpe_tokens,
+       | CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+}
