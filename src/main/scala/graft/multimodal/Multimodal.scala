@@ -1660,12 +1660,12 @@ object Multimodal extends Serializable {
     * with the Annex-K tables. One component (grayscale), quant table
     * 0 = Annex K luminance. `gray` is row-major w·h values 0-255.
     */
-  def jpegEncodeGrayPixels(width: Int, height: Int,
-                           gray: Array[Int]): Array[Byte] = {
+  def jpegEncodeGrayPixels(width: Int, height: Int, gray: Array[Int],
+                           restartInterval: Int = 0): Array[Byte] = {
     require(gray.length == width * height,
       s"need ${width * height} pixels, got ${gray.length}")
     jpegEncodePlanes(width, height, Array(gray),
-      Array(JpegQuantLum), Array(0))
+      Array(JpegQuantLum), Array(0), restartInterval)
   }
 
   /** Color pixel encode: RGB → YCbCr (JFIF CCIR 601 full-range),
@@ -1675,8 +1675,8 @@ object Multimodal extends Serializable {
     * chrominance table (id 1). `rgb` is [[decodePngPixels]]-layout:
     * 3 bytes/pixel row-major.
     */
-  def jpegEncodeRgbPixels(width: Int, height: Int,
-                          rgb: Array[Byte]): Array[Byte] = {
+  def jpegEncodeRgbPixels(width: Int, height: Int, rgb: Array[Byte],
+                          restartInterval: Int = 0): Array[Byte] = {
     require(rgb.length == width * height * 3,
       s"need ${width * height * 3} bytes, got ${rgb.length}")
     val n = width * height
@@ -1695,7 +1695,7 @@ object Multimodal extends Serializable {
       cr(i) = cl(Math.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
       i += 1
     }
-    jpegEncodeYcbcrPixels(width, height, y, cb, cr)
+    jpegEncodeYcbcrPixels(width, height, y, cb, cr, restartInterval)
   }
 
   /** YCbCr-plane pixel encode (4:4:4). Exposed separately so
@@ -1703,11 +1703,13 @@ object Multimodal extends Serializable {
     * detour's extra rounding.
     */
   def jpegEncodeYcbcrPixels(width: Int, height: Int, y: Array[Int],
-                            cb: Array[Int], cr: Array[Int]): Array[Byte] = {
+                            cb: Array[Int], cr: Array[Int],
+                            restartInterval: Int = 0): Array[Byte] = {
     require(y.length == width * height && cb.length == y.length &&
       cr.length == y.length, s"need ${width * height} pixels per plane")
     jpegEncodePlanes(width, height, Array(y, cb, cr),
-      Array(JpegQuantLum, JpegQuantChrom), Array(0, 1, 1))
+      Array(JpegQuantLum, JpegQuantChrom), Array(0, 1, 1),
+      restartInterval)
   }
 
   /** Shared pixel-plane baseline writer: headers (SOI/APP0/DQTs/SOF0/
@@ -1715,12 +1717,16 @@ object Multimodal extends Serializable {
     * DC-diff + run/size AC Huffman per block. All components share the
     * Annex-K luminance Huffman pair (legal: tables and components are
     * independently numbered); quantization varies per component via
-    * `tqOf` into `quantTables`.
+    * `tqOf` into `quantTables`. `restartInterval` > 0 writes a DRI
+    * segment and emits RSTn markers (byte-aligned, predictors reset)
+    * every that-many MCUs — spec F.2.1.3.1, the resync machinery real
+    * encoders use on large images; [[decodeJpegPixels]] consumes it.
     */
   private def jpegEncodePlanes(width: Int, height: Int,
                                planes: Array[Array[Int]],
                                quantTables: Array[Array[Int]],
-                               tqOf: Array[Int]): Array[Byte] = {
+                               tqOf: Array[Int],
+                               restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width < 65536 && height < 65536)
     val nc = planes.length
     val out = new java.io.ByteArrayOutputStream(1024 + width * height)
@@ -1752,6 +1758,7 @@ object Multimodal extends Serializable {
     }
     dht(0, JpegDcBits, JpegDcVals)
     dht(1, JpegAcBits, JpegAcVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     marker(0xda); u16(6 + 2 * nc)
     out.write(nc)
     ci = 0
@@ -1782,10 +1789,19 @@ object Multimodal extends Serializable {
     val fcoef = new Array[Double](64)
     val zq = new Array[Int](64)
     val prevDc = new Array[Int](nc)
+    var rstIdx = 0
     var byi = 0
     while (byi < by) {
       var bxi = 0
       while (bxi < bx) {
+        val mcuIdx = byi * bx + bxi
+        if (restartInterval > 0 && mcuIdx > 0 &&
+          mcuIdx % restartInterval == 0) {
+          if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+          marker(0xd0 | rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(prevDc, 0)
+        }
         var c = 0
         while (c < nc) {
           val plane = planes(c)

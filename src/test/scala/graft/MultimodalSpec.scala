@@ -903,4 +903,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(6).decode_ok && !out(7).decode_ok)
   }
 
+  test("restart intervals: a DRI-bearing stream (RSTn every 2 MCUs, " +
+    "byte-aligned, predictors reset) decodes to the same pixels as " +
+    "the non-DRI encoding of the same image, and ImageIO agrees") {
+    val w = 48; val h = 32
+    val rgb = photoRgb(w, h).map(_.toByte)
+    val plain = Multimodal.jpegEncodeRgbPixels(w, h, rgb)
+    val dri = Multimodal.jpegEncodeRgbPixels(w, h, rgb,
+      restartInterval = 2)
+    // the DRI stream really carries restart markers
+    val nRst = (0 until dri.length - 1).count(i =>
+      (dri(i) & 0xff) == 0xff && (dri(i + 1) & 0xff) >= 0xd0 &&
+        (dri(i + 1) & 0xff) <= 0xd7)
+    // 24 MCUs at interval 2 → 11 boundaries
+    assert(nRst >= 11, s"expected restart markers, found $nRst")
+    val Some((_, _, p0)) = Multimodal.decodeJpegPixels(plain)
+    val Some((dw, dh, p1)) = Multimodal.decodeJpegPixels(dri)
+    assert(dw == w && dh == h)
+    (0 until 3).foreach { c =>
+      assert(p0(c).toSeq == p1(c).toSeq,
+        s"plane $c differs between DRI and plain streams")
+    }
+    // independent decoder agrees the DRI stream is conforming
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(dri))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val err = meanAbs(rgbOf(img), photoRgb(w, h))
+    assert(err < 8.0, s"ImageIO decode of DRI stream err $err")
+  }
+
 }
