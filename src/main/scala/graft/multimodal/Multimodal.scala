@@ -1677,6 +1677,13 @@ object Multimodal extends Serializable {
     */
   def jpegEncodeRgbPixels(width: Int, height: Int, rgb: Array[Byte],
                           restartInterval: Int = 0): Array[Byte] = {
+    val (y, cb, cr) = rgbToYcbcr(width, height, rgb)
+    jpegEncodeYcbcrPixels(width, height, y, cb, cr, restartInterval)
+  }
+
+  /** JFIF CCIR 601 full-range RGB → YCbCr planes. */
+  private def rgbToYcbcr(width: Int, height: Int, rgb: Array[Byte])
+      : (Array[Int], Array[Int], Array[Int]) = {
     require(rgb.length == width * height * 3,
       s"need ${width * height * 3} bytes, got ${rgb.length}")
     val n = width * height
@@ -1695,7 +1702,56 @@ object Multimodal extends Serializable {
       cr(i) = cl(Math.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
       i += 1
     }
-    jpegEncodeYcbcrPixels(width, height, y, cb, cr, restartInterval)
+    (y, cb, cr)
+  }
+
+  /** 4:2:0 subsampled color encode — the layout real web encoders
+    * default to (half-resolution chroma = half the chroma data of
+    * 4:4:4, invisible on photographic content): Y at full resolution
+    * with 2×2 sampling, Cb/Cr box-mean-downsampled to
+    * ceil(w/2)×ceil(h/2) at 1×1. [[decodeJpegPixels]] reverses it
+    * with box-replication upsampling; spec pins the round-trip and
+    * ImageIO agreement, and that the stream is smaller than the
+    * 4:4:4 encoding of the same pixels.
+    */
+  def jpegEncodeRgb420(width: Int, height: Int, rgb: Array[Byte],
+                       restartInterval: Int = 0): Array[Byte] = {
+    val (y, cb, cr) = rgbToYcbcr(width, height, rgb)
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    def down(p: Array[Int]): Array[Int] = {
+      val o = new Array[Int](cw * ch)
+      var yy = 0
+      while (yy < ch) {
+        var xx = 0
+        while (xx < cw) {
+          var sum = 0
+          var cnt = 0
+          var dy = 0
+          while (dy < 2) {
+            val sy = yy * 2 + dy
+            var dx = 0
+            while (dx < 2) {
+              val sx = xx * 2 + dx
+              if (sx < width && sy < height) {
+                sum += p(sy * width + sx); cnt += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          o(yy * cw + xx) = (sum + cnt / 2) / cnt
+          xx += 1
+        }
+        yy += 1
+      }
+      o
+    }
+    jpegEncodePlanesSampled(width, height, Array(y, down(cb), down(cr)),
+      Array((width, height), (cw, ch), (cw, ch)),
+      Array((2, 2), (1, 1), (1, 1)),
+      Array(JpegQuantLum, JpegQuantChrom), Array(0, 1, 1),
+      restartInterval)
   }
 
   /** YCbCr-plane pixel encode (4:4:4). Exposed separately so
@@ -1721,12 +1777,35 @@ object Multimodal extends Serializable {
     * segment and emits RSTn markers (byte-aligned, predictors reset)
     * every that-many MCUs — spec F.2.1.3.1, the resync machinery real
     * encoders use on large images; [[decodeJpegPixels]] consumes it.
+    * All components 1×1 (4:4:4 / grayscale); the sampled writer
+    * below generalizes.
     */
   private def jpegEncodePlanes(width: Int, height: Int,
                                planes: Array[Array[Int]],
                                quantTables: Array[Array[Int]],
                                tqOf: Array[Int],
-                               restartInterval: Int = 0): Array[Byte] = {
+                               restartInterval: Int = 0): Array[Byte] =
+    jpegEncodePlanesSampled(width, height, planes,
+      Array.fill(planes.length)((width, height)),
+      Array.fill(planes.length)((1, 1)), quantTables, tqOf,
+      restartInterval)
+
+  /** Fully general interleaved baseline writer: per-component
+    * sampling factors (hc, vc) and plane dimensions — 4:2:0 passes
+    * Y at (2,2)/full-res and chroma at (1,1)/half-res, exactly the
+    * layout every real web encoder emits. MCUs are hMax·8 × vMax·8
+    * pixel tiles; each component contributes hc×vc blocks per MCU
+    * from its own (possibly downsampled) plane, edge-replicated at
+    * the borders.
+    */
+  private def jpegEncodePlanesSampled(width: Int, height: Int,
+                                      planes: Array[Array[Int]],
+                                      planeDims: Array[(Int, Int)],
+                                      sampling: Array[(Int, Int)],
+                                      quantTables: Array[Array[Int]],
+                                      tqOf: Array[Int],
+                                      restartInterval: Int = 0)
+      : Array[Byte] = {
     require(width > 0 && height > 0 && width < 65536 && height < 65536)
     val nc = planes.length
     val out = new java.io.ByteArrayOutputStream(1024 + width * height)
@@ -1747,7 +1826,9 @@ object Multimodal extends Serializable {
     out.write(nc)
     var ci = 0
     while (ci < nc) {
-      out.write(ci + 1); out.write(0x11); out.write(tqOf(ci))
+      out.write(ci + 1)
+      out.write((sampling(ci)._1 << 4) | sampling(ci)._2)
+      out.write(tqOf(ci))
       ci += 1
     }
     def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
@@ -1782,19 +1863,21 @@ object Multimodal extends Serializable {
       while (mag != 0) { cat += 1; mag >>= 1 }
       cat
     }
-    val bx = (width + 7) / 8
-    val by = (height + 7) / 8
+    val hMax = sampling.map(_._1).max
+    val vMax = sampling.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val px = new Array[Int](64)
     val tmp = new Array[Double](64)
     val fcoef = new Array[Double](64)
     val zq = new Array[Int](64)
     val prevDc = new Array[Int](nc)
     var rstIdx = 0
-    var byi = 0
-    while (byi < by) {
-      var bxi = 0
-      while (bxi < bx) {
-        val mcuIdx = byi * bx + bxi
+    var myi = 0
+    while (myi < mcusY) {
+      var mxi = 0
+      while (mxi < mcusX) {
+        val mcuIdx = myi * mcusX + mxi
         if (restartInterval > 0 && mcuIdx > 0 &&
           mcuIdx % restartInterval == 0) {
           if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
@@ -1805,14 +1888,22 @@ object Multimodal extends Serializable {
         var c = 0
         while (c < nc) {
           val plane = planes(c)
+          val (cw, ch) = planeDims(c)
+          val (hc, vc) = sampling(c)
           val q = quantTables(tqOf(c))
+          var bj = 0
+          while (bj < vc) {
+           var bi = 0
+           while (bi < hc) {
+          val px0 = (mxi * hc + bi) * 8
+          val py0 = (myi * vc + bj) * 8
           var yy = 0
           while (yy < 8) {                 // edge-replicated 8×8 fetch
-            val sy = math.min(height - 1, byi * 8 + yy)
+            val sy = math.min(ch - 1, py0 + yy)
             var xx = 0
             while (xx < 8) {
-              val sx = math.min(width - 1, bxi * 8 + xx)
-              px(yy * 8 + xx) = plane(sy * width + sx) & 0xff
+              val sx = math.min(cw - 1, px0 + xx)
+              px(yy * 8 + xx) = plane(sy * cw + sx) & 0xff
               xx += 1
             }
             yy += 1
@@ -1853,11 +1944,15 @@ object Multimodal extends Serializable {
             k += 1
           }
           if (run > 0) { val (e, el) = acCodes(0x00); put(e, el) }  // EOB
+           bi += 1
+           }
+           bj += 1
+          }
           c += 1
         }
-        bxi += 1
+        mxi += 1
       }
-      byi += 1
+      myi += 1
     }
     if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
     marker(0xd9)

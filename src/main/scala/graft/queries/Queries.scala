@@ -304,6 +304,25 @@ object Queries
       Dedup.stripDuplicateSpans(docs, "doc_id", "text",
           Dedup.duplicateSpans(docs, "doc_id", "text", k = 6))
         .orderBy($"doc_id")
+    }),
+    "q119x_bpe_loaded" -> ((s: SparkSession, dir: String) => {
+      // q119's loaded-scale twin: a 5,200-rule synthetic merge table
+      // (the GPT-2-class size bpeMergesFrom advertises) counted over
+      // the FULL documents table through the min-rank merge-loop
+      // expression — the path a real loaded vocabulary takes. The toy
+      // q119 times the ≤128-rule replace chain; this times the
+      // table-size-independent loop, so the "loaded tables scale"
+      // claim has a number. Loop ≡ chain is BpeLoopSpec-pinned.
+      import s.implicits._
+      val letters = ('a' to 'z').map(_.toString)
+      val len2 = for (x <- letters; y <- letters) yield (x, y)
+      val len3 = (for (xy <- len2.map(p => p._1 + p._2); z <- letters)
+        yield (xy, z)).take(5200 - len2.length)
+      t(s, dir, "documents").select($"doc_id",
+          graft.operators.TextAnalysis
+            .bpePieceCount($"text", len2 ++ len3)
+            .cast("long").as("bpe_tokens"))
+        .orderBy($"doc_id")
     })
   )
 

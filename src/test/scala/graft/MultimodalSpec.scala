@@ -932,4 +932,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(err < 8.0, s"ImageIO decode of DRI stream err $err")
   }
 
+  test("4:2:0 encoder: the subsampled stream declares 2x2 luma " +
+    "sampling, decodes through our decoder and ImageIO within " +
+    "tolerance, and is smaller than the 4:4:4 encoding") {
+    val w = 70; val h = 46
+    val rgb = photoRgb(w, h).map(_.toByte)
+    val enc444 = Multimodal.jpegEncodeRgbPixels(w, h, rgb)
+    val enc420 = Multimodal.jpegEncodeRgb420(w, h, rgb)
+    // SOF0 declares 0x22 sampling on component 1
+    val sofAt = (0 until enc420.length - 1).find(i =>
+      (enc420(i) & 0xff) == 0xff && (enc420(i + 1) & 0xff) == 0xc0).get
+    assert((enc420(sofAt + 11) & 0xff) == 0x22)
+    assert(enc420.length < enc444.length,
+      s"4:2:0 (${enc420.length}B) not smaller than 4:4:4 (${enc444.length}B)")
+    val Some((dw, dh, rgbOut)) = Multimodal.decodeJpegRgb(enc420)
+    assert(dw == w && dh == h)
+    val vsOrig = meanAbs(bytesToInts(rgbOut), photoRgb(w, h))
+    assert(vsOrig < 8.0, s"4:2:0 round-trip mean abs err $vsOrig")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc420))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val vsImio = meanAbs(rgbOf(img), bytesToInts(rgbOut))
+    assert(vsImio < 6.0, s"our decode vs ImageIO on 4:2:0 err $vsImio")
+    // odd dims: plane geometry edge (chroma ceil(w/2) x ceil(h/2))
+    val (ow, oh) = (33, 21)
+    val oRgb = photoRgb(ow, oh).map(_.toByte)
+    val oEnc = Multimodal.jpegEncodeRgb420(ow, oh, oRgb)
+    val Some((odw, odh, oOut)) = Multimodal.decodeJpegRgb(oEnc)
+    assert(odw == ow && odh == oh)
+    assert(meanAbs(bytesToInts(oOut), photoRgb(ow, oh)) < 8.0)
+    // 4:2:0 + restart intervals compose
+    val driEnc = Multimodal.jpegEncodeRgb420(w, h, rgb,
+      restartInterval = 3)
+    val Some((_, _, driOut)) = Multimodal.decodeJpegRgb(driEnc)
+    assert(meanAbs(bytesToInts(driOut), bytesToInts(rgbOut)) < 1.0)
+  }
+
 }
