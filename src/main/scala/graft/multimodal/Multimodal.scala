@@ -1717,6 +1717,16 @@ object Multimodal extends Serializable {
   def jpegEncodeRgb420(width: Int, height: Int, rgb: Array[Byte],
                        restartInterval: Int = 0): Array[Byte] = {
     val (y, cb, cr) = rgbToYcbcr(width, height, rgb)
+    jpegEncodeYcbcr420(width, height, y, cb, cr, restartInterval)
+  }
+
+  /** [[jpegEncodeRgb420]] over full-resolution YCbCr planes (chroma
+    * downsampled here) — lets [[resizeJpeg]] preserve a subsampled
+    * input's layout without an RGB detour.
+    */
+  def jpegEncodeYcbcr420(width: Int, height: Int, y: Array[Int],
+                         cb: Array[Int], cr: Array[Int],
+                         restartInterval: Int = 0): Array[Byte] = {
     val cw = (width + 1) / 2
     val ch = (height + 1) / 2
     def down(p: Array[Int]): Array[Int] = {
@@ -1747,6 +1757,8 @@ object Multimodal extends Serializable {
       }
       o
     }
+    require(y.length == width * height && cb.length == y.length &&
+      cr.length == y.length, s"need ${width * height} pixels per plane")
     jpegEncodePlanesSampled(width, height, Array(y, down(cb), down(cr)),
       Array((width, height), (cw, ch), (cw, ch)),
       Array((2, 2), (1, 1), (1, 1)),
@@ -1991,6 +2003,30 @@ object Multimodal extends Serializable {
     rgb
   }
 
+  /** First SOF0 component's sampling byte ((h<<4)|v), or -1 — how
+    * [[resizeJpeg]] learns whether its input was chroma-subsampled so
+    * the re-encode can preserve the layout class.
+    */
+  private def jpegLumaSampling(bytes: Array[Byte]): Int = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return -1
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      while (off + 4 <= bytes.length && u8(off + 1) == 0xff) off += 1
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
+      else {
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > bytes.length) return -1
+        if (m == 0xc0) return if (len >= 9) u8(off + 11) else -1
+        if (m == 0xda) return -1
+        off += 2 + len
+      }
+    }
+    -1
+  }
+
   /** Byte-level JPEG resize — [[resizePng]]'s contract for this codec:
     * full AC-capable pixel decode ([[decodeJpegPixels]]), never
     * upscale (within-budget images return their ORIGINAL bytes
@@ -1998,8 +2034,10 @@ object Multimodal extends Serializable {
     * w·maxEdge/max(w,h))` in longs), nearest-neighbor floor-mapping
     * resample of each YCbCr/gray plane (no RGB detour — resampling
     * commutes with the color transform under nearest-neighbor), then
-    * re-encode through the Annex-K pixel writer. Undecodable streams
-    * (progressive, truncated, CMYK-shaped) return None.
+    * re-encode through the Annex-K pixel writer, PRESERVING the
+    * input's layout class (grayscale stays 1-component; a 4:2:0
+    * input re-encodes 4:2:0; everything else 4:4:4). Undecodable
+    * streams (progressive, truncated, CMYK-shaped) return None.
     */
   def resizeJpeg(bytes: Array[Byte], maxEdge: Int)
       : Option[(Int, Int, Array[Byte])] = {
@@ -2028,6 +2066,11 @@ object Multimodal extends Serializable {
           }
           val enc =
             if (sampled.length == 1) jpegEncodeGrayPixels(w2, h2, sampled(0))
+            else if (jpegLumaSampling(bytes) == 0x22)
+              // a 4:2:0 input re-encodes 4:2:0 — a resize must not
+              // silently double the chroma data of a subsampled crawl
+              jpegEncodeYcbcr420(w2, h2, sampled(0), sampled(1),
+                sampled(2))
             else jpegEncodeYcbcrPixels(w2, h2, sampled(0), sampled(1),
               sampled(2))
           Some((w2, h2, enc))

@@ -968,4 +968,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meanAbs(bytesToInts(driOut), bytesToInts(rgbOut)) < 1.0)
   }
 
+  test("resizeJpeg preserves the input's layout class: a 4:2:0 input " +
+    "re-encodes 4:2:0 (an ImageIO-encoded web-shaped JPEG stays " +
+    "subsampled through resize), a 4:4:4 input stays 4:4:4") {
+    def lumaSampling(b: Array[Byte]): Int = {
+      val at = (0 until b.length - 1).find(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0).get
+      b(at + 11) & 0xff
+    }
+    // ImageIO writes 4:2:0 — resize output must still be 4:2:0
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(photoImage(64, 44), "jpg", bos)
+    val webIn = bos.toByteArray
+    assert(lumaSampling(webIn) == 0x22)
+    val Some((rw, rh, webOut)) = Multimodal.resizeJpeg(webIn, 32)
+    assert(rw == 32 && rh == 22)
+    assert(lumaSampling(webOut) == 0x22, "4:2:0 input became 4:4:4")
+    assert(Multimodal.parseJpeg(1L, webOut).decode_ok)
+    // our 4:4:4 writer stays 4:4:4
+    val in444 = Multimodal.jpegEncodeRgbPixels(64, 44,
+      photoRgb(64, 44).map(_.toByte))
+    val Some((_, _, out444)) = Multimodal.resizeJpeg(in444, 32)
+    assert(lumaSampling(out444) == 0x11)
+    // resized 4:2:0 pixels still faithful to a nearest-neighbor
+    // resample of the decoded input
+    val Some((_, _, srcP)) = Multimodal.decodeJpegPixels(webIn)
+    val Some((_, _, gotP)) = Multimodal.decodeJpegPixels(webOut)
+    val expY = Array.tabulate(32 * 22) { i =>
+      val x = i % 32; val y = i / 32
+      srcP(0)((y.toLong * 44 / 22).toInt * 64 + (x.toLong * 64 / 32).toInt)
+    }
+    assert(meanAbs(gotP(0), expY) < 8.0)
+  }
+
 }
