@@ -292,4 +292,24 @@ class PlanSpec extends AnyFunSuite {
     // and q130's emitted frame is driver-local report rows
     assert(plan("q130_ann_staleness").contains("LocalTableScan"))
   }
+  test("blob pipelines shuffle METADATA only: q134 resize and q136 " +
+    "dispatch have exactly one exchange — the final metadata sort — " +
+    "never a blob-column shuffle") {
+    for (q <- Seq("q134_jpeg_resize", "q136_modality_dispatch")) {
+      val p = plan(q)
+      val n = p.sliding("Exchange".length).count(_ == "Exchange")
+      assert(n == 1, s"$q: expected 1 exchange (ordering sort), got $n\n$p")
+      assert(p.contains("MapPartitions"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q119x loaded-scale BPE plans the constant-depth loop " +
+    "expression, never a replace chain") {
+    val p = Queries.benchOnly("q119x_bpe_loaded")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_bpe_piece_count"), p.take(2000))
+    assert(!p.contains("replace("), "loaded table built a chain")
+  }
+
 }
