@@ -1496,6 +1496,12 @@ object Multimodal extends Serializable {
             sosTa(ci) = u8(off + 6 + 2 * i) & 0x0f
             i += 1
           }
+          // baseline demands full spectral selection, no successive
+          // approximation (Ss=0, Se=63, Ah=Al=0) — a stream carrying
+          // progressive scan params under an SOF0 header is
+          // non-conforming and would decode to garbage, not pixels
+          if (u8(off + 5 + 2 * nc) != 0 || u8(off + 6 + 2 * nc) != 63 ||
+            u8(off + 7 + 2 * nc) != 0) return None
           scanAt = segEnd
         } else off += 2 + len
       }

@@ -1001,4 +1001,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meanAbs(gotP(0), expY) < 8.0)
   }
 
+  test("non-conforming SOS spectral params under an SOF0 header " +
+    "route to None, not a garbage decode") {
+    val enc = Multimodal.jpegEncodeGrayPixels(16, 16,
+      Array.tabulate(256)(_ % 256))
+    // locate SOS and corrupt Ss (spectral start) to 1
+    val sosAt = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda).get
+    val ns = enc(sosAt + 4) & 0xff
+    val bad = enc.clone()
+    bad(sosAt + 5 + 2 * ns) = 1
+    assert(Multimodal.decodeJpegPixels(bad).isEmpty)
+    assert(Multimodal.decodeJpegPixels(enc).isDefined)
+  }
+
 }
