@@ -1015,4 +1015,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpegPixels(enc).isDefined)
   }
 
+  test("jpeg decoder fuzz: 400 seeded corruptions (byte flips, " +
+    "truncations, splices) of valid gray/color/4:2:0/DRI streams " +
+    "never throw — None or a decoded image, always a row property") {
+    val rnd = new scala.util.Random(1406)
+    val seeds = Seq(
+      Multimodal.jpegEncodeGrayPixels(24, 16,
+        Array.tabulate(24 * 16)(_ % 256)),
+      Multimodal.jpegEncodeRgbPixels(30, 20,
+        photoRgb(30, 20).map(_.toByte)),
+      Multimodal.jpegEncodeRgb420(30, 20,
+        photoRgb(30, 20).map(_.toByte)),
+      Multimodal.jpegEncodeRgbPixels(30, 20,
+        photoRgb(30, 20).map(_.toByte), restartInterval = 2))
+    var decoded = 0
+    for (trial <- 0 until 400) {
+      val base = seeds(trial % seeds.length)
+      val mutated: Array[Byte] = (trial % 4) match {
+        case 0 =>                                  // single byte flip
+          val b = base.clone()
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        case 1 => java.util.Arrays.copyOf(base, rnd.nextInt(base.length))
+        case 2 =>                                  // random splice
+          val at = rnd.nextInt(base.length)
+          base.take(at) ++ Array.fill[Byte](rnd.nextInt(16))(
+            rnd.nextInt(256).toByte) ++ base.drop(at)
+        case _ =>                                  // multi flip
+          val b = base.clone()
+          (0 until 8).foreach(_ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+          b
+      }
+      // the contract: never a throw — None, a bad-meta row, or pixels
+      val px = Multimodal.decodeJpegPixels(mutated)
+      if (px.isDefined) decoded += 1
+      Multimodal.parseJpeg(trial.toLong, mutated)
+      Multimodal.decodeJpegMcus(mutated)
+      Multimodal.resizeJpeg(mutated, 12)
+      Multimodal.dispatchOne(trial.toLong, mutated)
+    }
+    // sanity: corruption actually bites (most streams must fail) but
+    // some entropy-only flips legitimately still decode
+    assert(decoded < 200, s"$decoded/400 corrupted streams decoded")
+  }
+
 }
