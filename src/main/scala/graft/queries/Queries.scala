@@ -191,7 +191,8 @@ object Queries
     "q134_jpeg_resize"  -> (q134 _),
     "q135_jpeg_ac_fidelity" -> (q135 _),
     "q136_modality_dispatch" -> (q136 _),
-    "q137_stream_full_outer" -> (q137 _)
+    "q137_stream_full_outer" -> (q137 _),
+    "q138_jpeg_foreign" -> (q138 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -460,7 +461,8 @@ object Queries
     "q134_jpeg_resize"  -> q134Sql,
     "q135_jpeg_ac_fidelity" -> q135Sql,
     "q136_modality_dispatch" -> q136Sql,
-    "q137_stream_full_outer" -> q137Sql
+    "q137_stream_full_outer" -> q137Sql,
+    "q138_jpeg_foreign" -> q138Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

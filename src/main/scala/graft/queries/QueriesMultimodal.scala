@@ -584,4 +584,82 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |   WHEN fam = 3 THEN y4m_frames * 1000 * den // num
       |   ELSE -1 END AS BIGINT) AS duration_ms
       |FROM d ORDER BY media_id""".stripMargin
+  // ---------------------------------------------------------------- q138
+  // FOREIGN-stream AC decode under the oracle: q135 proves the decoder
+  // on OUR encoder's output; this drives it on the JDK's — each row
+  // ImageIO-ENCODES the deterministic photo pixels executor-side (the
+  // JDK writer emits AC-bearing 4:2:0 baseline, the exact shape of
+  // real web JPEGs) and our decoder must recover pixels within
+  // quantization+subsampling tolerance of the replayed generator. The
+  // oracle pins dims, components, the 4:2:0 sampling byte, decode_ok,
+  // and the `faithful` bound — all invariant to the JDK encoder's
+  // exact byte choices, so the contract is stable even if the writer's
+  // rate control changes. Every 11th image gets its bytes truncated
+  // post-encode → undecodable row property.
+  private[queries] def q138(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    t(s, dir, "documents").filter($"doc_id" < 120)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 24 + (id % 7).toInt * 8
+        val h = 16 + (id % 5).toInt * 8
+        val orig = m.syntheticPhotoRgb(id, w, h)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            img.setRGB(x, y, ((orig(i) & 0xff) << 16) |
+              ((orig(i + 1) & 0xff) << 8) | (orig(i + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val full = bos.toByteArray
+        val bytes =
+          if (id % 11 == 0) java.util.Arrays.copyOf(full, 20) else full
+        val meta = m.parseJpeg(id, bytes)
+        val subsampled = {
+          val sof = (0 until bytes.length - 1).find(j =>
+            (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xc0)
+          sof.exists(at => at + 11 < bytes.length &&
+            (bytes(at + 11) & 0xff) == 0x22)
+        }
+        m.decodeJpegRgb(bytes) match {
+          case Some((dw, dh, rgb)) =>
+            var errSum = 0L
+            var i = 0
+            while (i < rgb.length) {
+              errSum += math.abs((rgb(i) & 0xff) - (orig(i) & 0xff))
+              i += 1
+            }
+            val mae = errSum.toDouble / math.max(1, rgb.length)
+            (id, dw, dh, meta.components, subsampled, true, mae <= 8.0)
+          case None =>
+            (id, -1, -1, meta.components, subsampled, false, false)
+        }
+      }
+      .toDF("media_id", "width", "height", "components", "subsampled",
+        "decode_ok", "faithful")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q138Sql =
+    """SELECT doc_id AS media_id,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+      |   ELSE 24 + (doc_id % 7) * 8 END AS INT) AS width,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+      |   ELSE 16 + (doc_id % 5) * 8 END AS INT) AS height,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1 ELSE 3 END AS INT)
+      |   AS components,
+      | doc_id % 11 <> 0 AS subsampled,
+      | doc_id % 11 <> 0 AS decode_ok,
+      | doc_id % 11 <> 0 AS faithful
+      |FROM documents WHERE doc_id < 120
+      |ORDER BY media_id""".stripMargin
+
 }
