@@ -683,6 +683,94 @@ object Multimodal extends Serializable {
     })
   }
 
+  /** One resized sampled video frame: raw planar YUV 4:2:0 payload at
+    * the target dims (width·height·3/2 bytes).
+    */
+  case class ResizedFrame(media_id: Long, frame_no: Int, width: Int,
+                          height: Int, frame: Array[Byte])
+
+  /** Byte-level VIDEO frame resize — [[resizeJpeg]]'s role for the
+    * Y4M leg: sample every `every`-th frame and nearest-neighbor-
+    * resample its planar 4:2:0 payload to `maxEdge` (never upscale;
+    * target dims are the exact integer rule with a FLOOR-TO-EVEN so
+    * the chroma planes stay half-resolution integers: `w' =
+    * max(2, even(w·maxEdge / max(w,h)))`). One partition-wise pass:
+    * sampling and resizing happen in the same iterator, so full-size
+    * frames never materialize beyond the one being processed and
+    * blobs never shuffle. 420-family streams with even dims only
+    * (what the writer and ffmpeg's default pipeline emit); other
+    * colorspaces and corrupt streams yield no rows (the decode seam
+    * reports them).
+    */
+  def resizeFramesY4m(blobs: Dataset[MediaBlob], every: Int,
+                      maxEdge: Int): Dataset[ResizedFrame] = {
+    require(every >= 1 && maxEdge >= 2)
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      y4mLayout(b.content) match {
+        case Some((w, h, _, _, cs, frames)) if cs.startsWith("420") &&
+            w % 2 == 0 && h % 2 == 0 =>
+          val m = math.max(w, h)
+          val (w2, h2) =
+            if (m <= maxEdge) (w, h)
+            else {
+              def even(v: Long): Int = math.max(2L, v - (v % 2)).toInt
+              (even(w.toLong * maxEdge / m), even(h.toLong * maxEdge / m))
+            }
+          frames.iterator.zipWithIndex
+            .filter(_._2 % every == 0)
+            .map { case ((off, _), f) =>
+              ResizedFrame(b.media_id, f, w2, h2,
+                resize420(b.content, off.toInt, w, h, w2, h2))
+            }
+        case _ => Iterator.empty
+      }
+    })
+  }
+
+  /** Nearest-neighbor resample of one planar 4:2:0 frame (Y then U
+    * then V, each plane floor-mapped independently — chroma planes
+    * are half-resolution on both axes, kept exactly half by the
+    * even-dims contract).
+    */
+  private def resize420(src: Array[Byte], off: Int, w: Int, h: Int,
+                        w2: Int, h2: Int): Array[Byte] = {
+    val out = new Array[Byte](w2 * h2 * 3 / 2)
+    if (w2 == w && h2 == h) {
+      System.arraycopy(src, off, out, 0, out.length)
+      return out
+    }
+    var p = 0
+    var y = 0
+    while (y < h2) {
+      val rowBase = off + (y.toLong * h / h2).toInt * w
+      var x = 0
+      while (x < w2) {
+        out(p) = src(rowBase + (x.toLong * w / w2).toInt)
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    val cw = w / 2; val ch = h / 2
+    val cw2 = w2 / 2; val ch2 = h2 / 2
+    var plane = 0
+    while (plane < 2) {
+      val base = off + w * h + plane * cw * ch
+      var cy = 0
+      while (cy < ch2) {
+        val rowBase = base + (cy.toLong * ch / ch2).toInt * cw
+        var cx = 0
+        while (cx < cw2) {
+          out(p) = src(rowBase + (cx.toLong * cw / cw2).toInt)
+          p += 1; cx += 1
+        }
+        cy += 1
+      }
+      plane += 1
+    }
+    out
+  }
+
   /** Frame-sampling plan over (id, duration_ms): one row per sampled
     * frame at `everyMs` cadence, capped at `maxFrames` — metadata-only,
     * fully relational (explode of a bounded sequence).

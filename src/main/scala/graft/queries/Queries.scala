@@ -192,7 +192,8 @@ object Queries
     "q135_jpeg_ac_fidelity" -> (q135 _),
     "q136_modality_dispatch" -> (q136 _),
     "q137_stream_full_outer" -> (q137 _),
-    "q138_jpeg_foreign" -> (q138 _)
+    "q138_jpeg_foreign" -> (q138 _),
+    "q139_y4m_frame_resize" -> (q139 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -462,7 +463,8 @@ object Queries
     "q135_jpeg_ac_fidelity" -> q135Sql,
     "q136_modality_dispatch" -> q136Sql,
     "q137_stream_full_outer" -> q137Sql,
-    "q138_jpeg_foreign" -> q138Sql
+    "q138_jpeg_foreign" -> q138Sql,
+    "q139_y4m_frame_resize" -> q139Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

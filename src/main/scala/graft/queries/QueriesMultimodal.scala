@@ -662,4 +662,58 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |FROM documents WHERE doc_id < 120
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  // Byte-level VIDEO frame resize under the oracle — the Y4M leg of
+  // the resize family (q124 PNG, q134 JPEG): q121's containers,
+  // sampled every 2nd frame and nearest-neighbor-resampled as planar
+  // 4:2:0 in ONE partition-wise pass (sampling and resizing share the
+  // iterator; full-size frames never accumulate). Target dims follow
+  // the exact integer rule with floor-to-even (chroma planes must
+  // stay half-resolution integers), so the oracle replays dims, the
+  // sampled frame numbers (generate_series), and the exact payload
+  // length w'·h'·3/2 per frame. Truncated containers (every 11th)
+  // yield NO rows — the decode seam owns reporting them — which the
+  // oracle mirrors by filtering.
+  private[queries] def q139(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rates = Array((25, 1), (30000, 1001), (24, 1))
+        val (num, den) = rates((id % 3).toInt)
+        val b = m.syntheticY4m(id, 16 + 2 * (id % 5).toInt,
+          12 + 2 * (id % 3).toInt, num, den, 1 + (id % 10).toInt)
+        if (id % 11 == 0) b.copy(content = b.content.dropRight(10))
+        else b
+      }
+    m.resizeFramesY4m(blobs, every = 2, maxEdge = 12).toDF()
+      .select($"media_id", $"frame_no", $"width", $"height",
+        length($"frame").cast("long").as("frame_len"))
+      .orderBy($"media_id", $"frame_no")
+  }
+  private[queries] lazy val q139Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  CAST(16 + 2 * (doc_id % 5) AS BIGINT) AS w,
+      |  CAST(12 + 2 * (doc_id % 3) AS BIGINT) AS h,
+      |  1 + doc_id % 10 AS fr,
+      |  doc_id % 11 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |d AS (
+      | SELECT doc_id, fr,
+      |  greatest(2, (w * 12 // greatest(w, h)) -
+      |    ((w * 12 // greatest(w, h)) % 2)) AS w2,
+      |  greatest(2, (h * 12 // greatest(w, h)) -
+      |    ((h * 12 // greatest(w, h)) % 2)) AS h2
+      | FROM p WHERE NOT bad),
+      |f AS (
+      | SELECT doc_id, w2, h2,
+      |  unnest(generate_series(0, CAST(fr - 1 AS BIGINT), 2)) AS fno
+      | FROM d)
+      |SELECT doc_id AS media_id, CAST(fno AS INT) AS frame_no,
+      | CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+      | CAST(w2 * h2 * 3 // 2 AS BIGINT) AS frame_len
+      |FROM f ORDER BY media_id, frame_no""".stripMargin
+
 }

@@ -1060,4 +1060,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded < 200, s"$decoded/400 corrupted streams decoded")
   }
 
+  test("resizeFramesY4m: sampled 4:2:0 frames resample per-plane with " +
+    "the floor mapping, even target dims, exact payload length; " +
+    "within-budget streams pass frames through byte-identical; " +
+    "corrupt and non-420 streams yield no rows") {
+    val blob = Multimodal.syntheticY4m(5L, 20, 14, 25, 1, 5)
+    val frames = Multimodal.sampleFramesY4m(
+      Seq(blob).toDS(), every = 2).collect().sortBy(_.frame_no)
+    val out = Multimodal.resizeFramesY4m(Seq(blob).toDS(),
+      every = 2, maxEdge = 10).collect().sortBy(_.frame_no)
+    assert(out.map(_.frame_no).toSeq == Seq(0, 2, 4))
+    // m=20, maxEdge=10 → w2=even(20*10/20)=10, h2=even(14*10/20)=even(7)=6
+    assert(out.forall(f => f.width == 10 && f.height == 6))
+    assert(out.forall(_.frame.length == 10 * 6 * 3 / 2))
+    // per-plane nearest-neighbor check against the sampled source
+    val src = frames(1).frame            // frame_no 2
+    val got = out(1).frame
+    var p = 0
+    for (y <- 0 until 6; x <- 0 until 10) {
+      val exp = src((y.toLong * 14 / 6).toInt * 20 + (x.toLong * 20 / 10).toInt)
+      assert(got(p) == exp, s"Y plane mismatch at ($x,$y)")
+      p += 1
+    }
+    for (plane <- 0 until 2; y <- 0 until 3; x <- 0 until 5) {
+      val base = 20 * 14 + plane * 10 * 7
+      val exp = src(base + (y.toLong * 7 / 3).toInt * 10 + (x.toLong * 10 / 5).toInt)
+      assert(got(p) == exp, s"chroma $plane mismatch at ($x,$y)")
+      p += 1
+    }
+    // within budget: frames byte-identical
+    val small = Multimodal.resizeFramesY4m(Seq(blob).toDS(),
+      every = 2, maxEdge = 20).collect().sortBy(_.frame_no)
+    assert(small(0).width == 20 && small(0).height == 14)
+    assert(small(0).frame.toSeq == frames(0).frame.toSeq)
+    // corrupt / unsupported: no rows, never a throw
+    val bad = blob.copy(content = blob.content.dropRight(3))
+    assert(Multimodal.resizeFramesY4m(Seq(bad).toDS(), 1, 10)
+      .collect().isEmpty)
+  }
+
 }
