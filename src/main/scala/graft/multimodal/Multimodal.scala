@@ -261,6 +261,110 @@ object Multimodal extends Serializable {
     blobs.mapPartitions(_.flatMap(b => wavStats(b.media_id, b.content)))
   }
 
+  /** Byte-level AUDIO transcode — the WAV leg of the resize family
+    * ([[resizePng]] / [[resizeJpeg]] / [[resizeFramesY4m]]): decode
+    * the 16-bit PCM frames, optionally fold the channels to mono and
+    * decimate to `targetRate`, and re-emit genuine WAV bytes. The
+    * speech-prep shape (16 kHz/8 kHz mono is what ASR/TTS training
+    * corpora standardize on; the reference's audio blobs are TTS
+    * WAVs, tts_utils.py:31-35).
+    *
+    * All arithmetic is EXACT INTEGER so any engine replays it:
+    *  - mono mixdown: per frame, `floorDiv(sum over channels, ch)`;
+    *  - decimation by integer factor `k = srcRate / targetRate`
+    *    (only when `targetRate` divides `srcRate`): output frame j is
+    *    the per-channel `floorDiv(sum of frames j·k .. j·k+k−1, k)` —
+    *    a box pre-average, not bare sample-dropping, so energy above
+    *    the target band folds instead of aliasing at full strength;
+    *    a trailing partial group is dropped (`outFrames = frames/k`).
+    *  - mixdown applies BEFORE decimation (the floors do not commute;
+    *    this order is the contract and the oracle's replay).
+    *
+    * Never-upsample / never-approximate: `srcRate <= targetRate`, or
+    * a `srcRate` that `targetRate` does not divide (fractional
+    * resampling would need an interpolation kernel — not exactly
+    * replayable), leaves the rate unchanged; if no transform applies
+    * at all the input bytes pass through BYTE-IDENTICAL (extra RIFF
+    * chunks preserved). Anything [[parseWav]] rejects, or a
+    * non-16-bit stream, or a data length that splits a frame, returns
+    * None (the blob variant routes that to empty content, the resize
+    * family's row-property contract).
+    */
+  def transcodeWav(bytes: Array[Byte], targetRate: Int,
+                   mono: Boolean): Option[Array[Byte]] = {
+    require(targetRate >= 1)
+    val meta = parseWav(0L, bytes)
+    if (!meta.decode_ok || meta.bits_per_sample != 16) return None
+    val ch = meta.channels
+    if (ch < 1 || meta.data_bytes % (2L * ch) != 0 ||
+        meta.data_bytes > Int.MaxValue) return None
+    val k = if (meta.sample_rate > targetRate &&
+      meta.sample_rate % targetRate == 0) meta.sample_rate / targetRate
+    else 1
+    val doMix = mono && ch > 1
+    if (k == 1 && !doMix) return Some(bytes)
+    val (_, dataOff, _) = wavChunkWalk(bytes)
+    if (dataOff < 0) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val frames = (meta.data_bytes / (2L * ch)).toInt
+    val outCh = if (doMix) 1 else ch
+    // mixdown first (exact: |sum| < 2^15·ch fits Int; floorDiv keeps
+    // the short range), then box-average each k-group per channel
+    val mixed = new Array[Int](frames * outCh)
+    var f = 0
+    while (f < frames) {
+      if (doMix) {
+        var s = 0
+        var c = 0
+        while (c < ch) { s += buf.getShort(dataOff + (f * ch + c) * 2); c += 1 }
+        mixed(f) = Math.floorDiv(s, ch)
+      } else {
+        var c = 0
+        while (c < ch) {
+          mixed(f * outCh + c) = buf.getShort(dataOff + (f * ch + c) * 2)
+          c += 1
+        }
+      }
+      f += 1
+    }
+    val outFrames = frames / k
+    val outRate = if (k == 1) meta.sample_rate else targetRate
+    val bb = wavHeader(outRate, outCh, bitsPerSample = 16,
+      dataLen = outFrames * outCh * 2)
+    var j = 0
+    while (j < outFrames) {
+      var c = 0
+      while (c < outCh) {
+        var s = 0
+        var g = 0
+        while (g < k) { s += mixed((j * k + g) * outCh + c); g += 1 }
+        bb.putShort(Math.floorDiv(s, k).toShort)
+        c += 1
+      }
+      j += 1
+    }
+    Some(bb.array())
+  }
+
+  /** Partition-wise WAV blob transcode — [[resizeJpegBlobs]]'s
+    * contract: one decoder per partition, blobs never shuffle;
+    * untranscodable blobs come back with EMPTY content so the
+    * downstream [[decodeWav]] / [[decodeWavStats]] routes them to
+    * `decode_ok = false` (a row property, never a task failure).
+    */
+  def transcodeWavBlobs(blobs: Dataset[MediaBlob], targetRate: Int,
+                        mono: Boolean): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      transcodeWav(b.content, targetRate, mono) match {
+        case Some(out) => MediaBlob(b.media_id, b.media_type, out)
+        case None => MediaBlob(b.media_id, b.media_type,
+          Array.emptyByteArray)
+      }
+    })
+  }
+
   case class PngMeta(media_id: Long, width: Int, height: Int,
                      bit_depth: Int, color_type: Int, idat_bytes: Long,
                      decode_ok: Boolean)
@@ -769,6 +873,54 @@ object Multimodal extends Serializable {
       plane += 1
     }
     out
+  }
+
+  /** Container-level VIDEO transcode: [[resizeFramesY4m]]'s sampling
+    * and per-plane resampling, re-emitted as a genuine Y4M STREAM
+    * (header + FRAME-marked payloads) rather than per-frame rows — the
+    * form a blob column keeps when the downstream consumer is another
+    * codec pass, not per-frame feature extraction. The output header
+    * carries the target dims, the input's F rate and C colorspace
+    * (other stream parameters normalize to the writer's canonical
+    * `Ip A1:1`; per-frame FRAME parameters are dropped). If no
+    * transform applies (`every == 1` and dims already within
+    * `maxEdge`) the input passes through BYTE-IDENTICAL. 420-family
+    * even-dims streams only; anything else — or anything
+    * [[parseY4m]] rejects — returns None (the blob variant routes
+    * that to empty content).
+    */
+  def transcodeY4m(bytes: Array[Byte], every: Int,
+                   maxEdge: Int): Option[Array[Byte]] = {
+    require(every >= 1 && maxEdge >= 2)
+    y4mLayout(bytes) match {
+      case Some((w, h, num, den, cs, frames)) if cs.startsWith("420") &&
+          w % 2 == 0 && h % 2 == 0 =>
+        val m = math.max(w, h)
+        val (w2, h2) =
+          if (m <= maxEdge) (w, h)
+          else {
+            def even(v: Long): Int = math.max(2L, v - (v % 2)).toInt
+            (even(w.toLong * maxEdge / m), even(h.toLong * maxEdge / m))
+          }
+        if (every == 1 && w2 == w && h2 == h) Some(bytes)
+        else {
+          val header =
+            s"YUV4MPEG2 W$w2 H$h2 F$num:$den Ip A1:1 C$cs\n"
+              .getBytes("US-ASCII")
+          val marker = "FRAME\n".getBytes("US-ASCII")
+          val kept = frames.zipWithIndex.filter(_._2 % every == 0)
+          val frameLen = w2 * h2 * 3 / 2
+          val bb = java.nio.ByteBuffer.allocate(
+            header.length + kept.size * (marker.length + frameLen))
+          bb.put(header)
+          kept.foreach { case ((off, _), _) =>
+            bb.put(marker)
+            bb.put(resize420(bytes, off.toInt, w, h, w2, h2))
+          }
+          Some(bb.array())
+        }
+      case _ => None
+    }
   }
 
   /** Frame-sampling plan over (id, duration_ms): one row per sampled
@@ -2266,6 +2418,37 @@ object Multimodal extends Serializable {
   def dispatchDecode(blobs: Dataset[MediaBlob]): Dataset[DispatchedMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(b => dispatchOne(b.media_id, b.content)))
+  }
+
+  /** Heterogeneous blob TRANSCODE — [[dispatchDecode]]'s composition
+    * with the per-modality transforms: sniff each blob's container and
+    * apply the right downscale in the SAME partition-wise pass —
+    * images ([[resizePng]]/[[resizeJpeg]]) to `maxEdge`, audio
+    * ([[transcodeWav]]) to `targetRate`(+`mono`), video
+    * ([[transcodeY4m]]) to every-`every`-th frame at `maxEdge`. This
+    * is the one-operator form of a multimodal curation stage over a
+    * 100 TB crawl column: blobs never shuffle, each emits exactly one
+    * output blob, and unknown containers or undecodable bodies come
+    * back with EMPTY content so a downstream [[dispatchDecode]]
+    * reports them as `decode_ok=false` row properties — never a task
+    * failure. Each codec's own never-upsample / never-approximate
+    * pass-through rules apply unchanged.
+    */
+  def dispatchTranscode(blobs: Dataset[MediaBlob], maxEdge: Int,
+                        targetRate: Int, mono: Boolean,
+                        every: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val out = sniffFormat(b.content) match {
+        case "wav"  => transcodeWav(b.content, targetRate, mono)
+        case "png"  => resizePng(b.content, maxEdge).map(_._3)
+        case "jpeg" => resizeJpeg(b.content, maxEdge).map(_._3)
+        case "y4m"  => transcodeY4m(b.content, every, maxEdge)
+        case _      => None
+      }
+      MediaBlob(b.media_id, b.media_type,
+        out.getOrElse(Array.emptyByteArray))
+    })
   }
 
 }

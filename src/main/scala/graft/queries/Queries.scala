@@ -193,7 +193,9 @@ object Queries
     "q136_modality_dispatch" -> (q136 _),
     "q137_stream_full_outer" -> (q137 _),
     "q138_jpeg_foreign" -> (q138 _),
-    "q139_y4m_frame_resize" -> (q139 _)
+    "q139_y4m_frame_resize" -> (q139 _),
+    "q140_wav_transcode" -> (q140 _),
+    "q141_multimodal_transcode" -> (q141 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -464,7 +466,9 @@ object Queries
     "q136_modality_dispatch" -> q136Sql,
     "q137_stream_full_outer" -> q137Sql,
     "q138_jpeg_foreign" -> q138Sql,
-    "q139_y4m_frame_resize" -> q139Sql
+    "q139_y4m_frame_resize" -> q139Sql,
+    "q140_wav_transcode" -> q140Sql,
+    "q141_multimodal_transcode" -> q141Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -716,4 +716,187 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | CAST(w2 * h2 * 3 // 2 AS BIGINT) AS frame_len
       |FROM f ORDER BY media_id, frame_no""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  // Byte-level AUDIO transcode under the oracle — the WAV leg of the
+  // resize family (q124 PNG, q134 JPEG, q139 Y4M): q127's closed-form
+  // PCM containers at mixed rates (8/16/24 kHz) and channel counts,
+  // transcoded to 8 kHz MONO (the speech-prep shape) and decoded BACK
+  // out of the emitted bytes by wavStats — so the oracle replays the
+  // whole encode → mixdown → box-decimate → re-encode → decode chain
+  // from the closed form in exact integer arithmetic: mixed(i) =
+  // floorDiv(Σ_c s, ch); out(j) = floorDiv(Σ_{g<k} mixed, k) with
+  // k = srcRate/8000 and the partial tail group dropped. Every 13th
+  // blob is truncated mid-header → empty content → one
+  // decode_ok=false row, a row property end to end.
+  private[queries] def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 40 + (id % 50).toInt
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, rate, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.transcodeWavBlobs(blobs, targetRate = 8000,
+        mono = true)).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q140Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 50 AS fr,
+      |  1 + doc_id % 3 AS k, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |fi AS (
+      | SELECT doc_id, ch, fr, k, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, k, i, unnest(range(ch)) AS c FROM fi),
+      |mx AS (
+      | SELECT doc_id, fr, k, i,
+      |  CAST(floor(sum(((doc_id*7 + i*13 + c*17) % 65536) - 32768)
+      |    / any_value(ch)) AS BIGINT) AS m
+      | FROM sc GROUP BY doc_id, fr, k, i),
+      |ov AS (
+      | SELECT doc_id, i // k AS j,
+      |  CAST(floor(sum(m) / any_value(k)) AS BIGINT) AS o
+      | FROM mx WHERE i < (fr // k) * k GROUP BY doc_id, i // k),
+      |agg AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(o)) AS INT) AS peak,
+      |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(o*o) AS BIGINT) AS sum_sq
+      | FROM ov GROUP BY doc_id)
+      |SELECT doc_id AS media_id, CAST(0 AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  // Heterogeneous blob TRANSCODE under the oracle — the capstone
+  // composing q136's magic-bytes dispatch with the whole per-modality
+  // transform family (q124/q134 image resize, q140 audio transcode,
+  // q139 video frame resize): ONE mixed blob column (q136's fixture),
+  // one partition-wise dispatchTranscode pass (images -> maxEdge 12,
+  // audio -> 8 kHz mono, video -> every 2nd frame at maxEdge 12),
+  // then dispatchDecode on the EMITTED bytes — so the oracle's
+  // closed-form replay of post-transcode dims / rates / frame counts
+  // is evidence the re-encoded containers are real, byte-parseable
+  // streams. Each codec's pass-through rules surface in the expected
+  // values (8 kHz stays 8 kHz; 44.1 kHz has no exact decimation to
+  // 8 kHz and keeps its rate while still folding to mono). Corrupted
+  // magic (every 7th) -> empty content -> one unknown/decode_ok=false
+  // row end to end.
+  private[queries] def q141(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 280)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val j = id / 4
+        val b = (id % 4) match {
+          case 0 =>
+            val rate = Array(8000, 16000, 44100)((j % 3).toInt)
+            m.syntheticWav(id, rate, 1 + (j % 2).toInt, 16,
+              ((j % 50).toInt + 1) * 40)
+          case 1 =>
+            m.syntheticPng(id, 8 + (j % 13).toInt, 8 + (j % 7).toInt)
+          case 2 =>
+            m.syntheticJpegPhoto(id, 24 + (j % 11).toInt * 4,
+              16 + (j % 5).toInt * 4)
+          case _ =>
+            val rates = Array((25, 1), (30000, 1001), (24, 1))
+            val (num, den) = rates((j % 3).toInt)
+            m.syntheticY4m(id, 16 + 2 * (j % 5).toInt,
+              12 + 2 * (j % 3).toInt, num, den, 1 + (j % 10).toInt)
+        }
+        if (id % 7 == 0) { b.content(0) = 0; b } else b
+      }
+    m.dispatchDecode(m.dispatchTranscode(blobs, maxEdge = 12,
+        targetRate = 8000, mono = true, every = 2)).toDF()
+      .select($"media_id", $"format", $"decode_ok", $"width", $"height",
+        $"sample_rate", $"channels", $"frames", $"duration_ms")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q141Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS j,
+      |  doc_id % 7 = 0 AS bad
+      | FROM documents WHERE doc_id < 280),
+      |d AS (
+      | SELECT doc_id, fam, bad,
+      |  CASE j % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+      |    AS rate,
+      |  (j % 50 + 1) * 40 AS wav_frames,
+      |  8 + j % 13 AS png_w, 8 + j % 7 AS png_h,
+      |  24 + (j % 11) * 4 AS jpg_w, 16 + (j % 5) * 4 AS jpg_h,
+      |  16 + 2 * (j % 5) AS y4m_w, 12 + 2 * (j % 3) AS y4m_h,
+      |  CASE j % 3 WHEN 0 THEN 25 WHEN 1 THEN 30000 ELSE 24 END AS num,
+      |  CASE j % 3 WHEN 0 THEN 1 WHEN 1 THEN 1001 ELSE 1 END AS den,
+      |  1 + j % 10 AS y4m_frames
+      | FROM p),
+      |tr AS (
+      | SELECT doc_id, fam, bad,
+      |  -- audio: exact decimation only when 8000 divides the rate
+      |  CASE WHEN rate = 16000 THEN 8000 ELSE rate END AS out_rate,
+      |  wav_frames // (CASE WHEN rate = 16000 THEN 2 ELSE 1 END)
+      |    AS out_wav_frames,
+      |  -- images: never-upscale exact integer dims
+      |  CASE WHEN greatest(png_w, png_h) <= 12 THEN png_w
+      |   ELSE greatest(1, png_w * 12 // greatest(png_w, png_h)) END
+      |    AS png_w2,
+      |  CASE WHEN greatest(png_w, png_h) <= 12 THEN png_h
+      |   ELSE greatest(1, png_h * 12 // greatest(png_w, png_h)) END
+      |    AS png_h2,
+      |  greatest(1, jpg_w * 12 // greatest(jpg_w, jpg_h)) AS jpg_w2,
+      |  greatest(1, jpg_h * 12 // greatest(jpg_w, jpg_h)) AS jpg_h2,
+      |  -- video: floor-to-even dims, every-2nd-frame count
+      |  greatest(2, (y4m_w * 12 // greatest(y4m_w, y4m_h)) -
+      |    ((y4m_w * 12 // greatest(y4m_w, y4m_h)) % 2)) AS y4m_w2,
+      |  greatest(2, (y4m_h * 12 // greatest(y4m_w, y4m_h)) -
+      |    ((y4m_h * 12 // greatest(y4m_w, y4m_h)) % 2)) AS y4m_h2,
+      |  (y4m_frames + 1) // 2 AS y4m_frames2, num, den
+      | FROM d)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN 'unknown'
+      |   WHEN fam = 0 THEN 'wav' WHEN fam = 1 THEN 'png'
+      |   WHEN fam = 2 THEN 'jpeg' ELSE 'y4m' END AS format,
+      | NOT bad AS decode_ok,
+      | CAST(CASE WHEN bad OR fam = 0 THEN -1
+      |   WHEN fam = 1 THEN png_w2 WHEN fam = 2 THEN jpg_w2
+      |   ELSE y4m_w2 END AS INT) AS width,
+      | CAST(CASE WHEN bad OR fam = 0 THEN -1
+      |   WHEN fam = 1 THEN png_h2 WHEN fam = 2 THEN jpg_h2
+      |   ELSE y4m_h2 END AS INT) AS height,
+      | CAST(CASE WHEN NOT bad AND fam = 0 THEN out_rate ELSE -1 END
+      |   AS INT) AS sample_rate,
+      | CAST(CASE WHEN bad THEN -1 WHEN fam = 0 THEN 1
+      |   WHEN fam = 2 THEN 3 ELSE -1 END AS INT) AS channels,
+      | CAST(CASE WHEN NOT bad AND fam = 3 THEN y4m_frames2 ELSE -1 END
+      |   AS INT) AS frames,
+      | CAST(CASE WHEN bad THEN -1
+      |   WHEN fam = 0 THEN (out_wav_frames * 1000) // out_rate
+      |   WHEN fam = 3 THEN y4m_frames2 * 1000 * den // num
+      |   ELSE -1 END AS BIGINT) AS duration_ms
+      |FROM tr ORDER BY media_id""".stripMargin
+
 }

@@ -137,6 +137,125 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.wavStats(5L, evil.array()).head.decode_ok)
   }
 
+  test("transcodeWav: mono mixdown then box-average decimation is " +
+    "exact floorDiv arithmetic; never-upsample and non-divisible " +
+    "rates pass through byte-identical; undecodable routes to None") {
+    // 2-channel @16 kHz, 5 frames; target 8 kHz mono (k = 2).
+    // mixed   = floorDiv(l+r, 2)        = [15, -4, 6, 4, 25]
+    // decim×2 = floorDiv(m0+m1, 2) ...  = [5, 5]   (frame 4 dropped)
+    val samples = Array[Short](10, 20, -3, -4, 5, 8, 7, 2, 100, -50)
+    val b = Multimodal.syntheticWavPcm(9L, 16000, 2, samples)
+    val Some(out) = Multimodal.transcodeWav(b.content, 8000, mono = true)
+    val meta = Multimodal.parseWav(9L, out)
+    assert(meta.sample_rate == 8000 && meta.channels == 1 &&
+      meta.data_bytes == 4L && meta.decode_ok)
+    val st = Multimodal.wavStats(9L, out)
+    assert(st == Seq(Multimodal.WavStats(9L, 0, 2L, 5, 10L, 50L,
+      decode_ok = true)))
+    // decimation without mixdown keeps the channels independent:
+    // ch0 [10,-3,5,7] -> floorDiv(7,2)=3, floorDiv(12,2)=6
+    val Some(st2raw) = Multimodal.transcodeWav(b.content, 8000, mono = false)
+    val st2 = Multimodal.wavStats(9L, st2raw).sortBy(_.channel)
+    assert(Multimodal.parseWav(9L, st2raw).channels == 2)
+    assert(st2(0).n_samples == 2L && st2(0).sum_abs == 9L) // |3|+|6|
+    // never upsample: 8 kHz source below a 16 kHz target is the SAME
+    // array (extra chunks would be preserved — it is the input)
+    val lo = Multimodal.syntheticWavPcm(1L, 8000, 1, Array[Short](1, 2))
+    assert(Multimodal.transcodeWav(lo.content, 16000, mono = true)
+      .get eq lo.content)
+    // non-divisible rate (44100 -> 16000): no exact decimation exists,
+    // rate is preserved; mono source => full pass-through
+    val cd = Multimodal.syntheticWavPcm(2L, 44100, 1, Array[Short](3, 4))
+    assert(Multimodal.transcodeWav(cd.content, 16000, mono = true)
+      .get eq cd.content)
+    // ... but a stereo non-divisible source still mixes, at its rate
+    val cd2 = Multimodal.syntheticWavPcm(3L, 44100, 2,
+      Array[Short](10, 21, -5, -6))
+    val Some(mixedOut) = Multimodal.transcodeWav(cd2.content, 16000,
+      mono = true)
+    val mm = Multimodal.parseWav(3L, mixedOut)
+    assert(mm.sample_rate == 44100 && mm.channels == 1)
+    assert(Multimodal.wavStats(3L, mixedOut).head.sum_abs ==
+      15L + 6L) // floorDiv(31,2)=15, floorDiv(-11,2)=-6
+    // undecodable: truncation and non-16-bit depth route to None
+    assert(Multimodal.transcodeWav(b.content.take(30), 8000,
+      mono = true).isEmpty)
+    val w8 = Multimodal.syntheticWav(4L, 8000, 1, 8, 10)
+    assert(Multimodal.transcodeWav(w8.content, 4000, mono = true).isEmpty)
+  }
+
+  test("transcodeY4m re-emits a genuine Y4M stream: sampled resized " +
+    "frames parse back with target dims; no-op passes through " +
+    "byte-identical; non-420 and corrupt streams route to None") {
+    val in = Multimodal.syntheticY4m(5L, 16, 12, 30000, 1001, 7)
+    val Some(out) = Multimodal.transcodeY4m(in.content, every = 2,
+      maxEdge = 12)
+    val meta = Multimodal.parseY4m(5L, out)
+    // max(16,12)=16 > 12 -> w2 = even(16*12/16)=12, h2 = even(12*12/16)=8
+    assert(meta.decode_ok && meta.width == 12 && meta.height == 8 &&
+      meta.frames == 4 && meta.fps_num == 30000 && meta.fps_den == 1001)
+    // the re-emitted frames are the resize420 planes of frames 0,2,4,6
+    val frames = Multimodal.sampleFramesY4m(
+      Seq(Multimodal.MediaBlob(5L, "video", out)).toDS(), 1).collect()
+    assert(frames.length == 4 &&
+      frames.forall(_.frame.length == 12 * 8 * 3 / 2))
+    val direct = Multimodal.resizeFramesY4m(
+      Seq(in).toDS(), every = 2, maxEdge = 12).collect()
+      .sortBy(_.frame_no)
+    assert(frames.sortBy(_.frame_no).map(_.frame.toSeq).toSeq ==
+      direct.map(_.frame.toSeq).toSeq)
+    // no transform applies -> the SAME bytes
+    assert(Multimodal.transcodeY4m(in.content, every = 1, maxEdge = 16)
+      .get eq in.content)
+    // truncated stream -> None
+    assert(Multimodal.transcodeY4m(in.content.dropRight(5), 2, 12).isEmpty)
+  }
+
+  test("dispatchTranscode routes each sniffed container to its " +
+    "modality's transform in one pass; unknown magic comes back empty") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val wav = Multimodal.syntheticWavPcm(0L, 16000, 2,
+      Array[Short](100, 200, 300, 400))
+    val png = Multimodal.syntheticPng(1L, 20, 10)
+    val jpg = Multimodal.syntheticJpegPhoto(2L, 32, 16)
+    val y4m = Multimodal.syntheticY4m(3L, 16, 12, 25, 1, 5)
+    val bad = Multimodal.MediaBlob(4L, "mystery", Array[Byte](9, 9, 9))
+    val out = Multimodal.dispatchDecode(Multimodal.dispatchTranscode(
+        Seq(wav, png, jpg, y4m, bad).toDS(),
+        maxEdge = 12, targetRate = 8000, mono = true, every = 2))
+      .collect().sortBy(_.media_id)
+    assert(out(0).format == "wav" && out(0).sample_rate == 8000 &&
+      out(0).channels == 1 && out(0).decode_ok)
+    assert(out(1).format == "png" && out(1).width == 12 &&
+      out(1).height == 6 && out(1).decode_ok)
+    assert(out(2).format == "jpeg" && out(2).width == 12 &&
+      out(2).height == 6 && out(2).channels == 3 && out(2).decode_ok)
+    assert(out(3).format == "y4m" && out(3).width == 12 &&
+      out(3).height == 8 && out(3).frames == 3 && out(3).decode_ok)
+    assert(out(4).format == "unknown" && !out(4).decode_ok)
+  }
+
+  test("transcodeWavBlobs: partition-wise, untranscodable blobs come " +
+    "back empty and route to decode_ok=false downstream") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.syntheticWavPcm(1L, 16000, 2,
+        Array[Short](100, 200, 300, 400)),
+      Multimodal.syntheticWavPcm(2L, 16000, 1, Array[Short](7, 9)),
+      Multimodal.MediaBlob(3L, "audio", Array[Byte](1, 2, 3))
+    ).toDS()
+    val out = Multimodal.decodeWav(
+      Multimodal.transcodeWavBlobs(blobs, 8000, mono = true))
+      .collect().sortBy(_.media_id)
+    assert(out(0).sample_rate == 8000 && out(0).channels == 1 &&
+      out(0).data_bytes == 2L && out(0).decode_ok)
+    assert(out(1).sample_rate == 8000 && out(1).channels == 1 &&
+      out(1).data_bytes == 2L && out(1).decode_ok)
+    assert(!out(2).decode_ok)
+  }
+
   test("png codec: synthesized bytes are REAL PNGs — the JDK's own " +
     "ImageIO decodes them with matching dimensions") {
     val b = Multimodal.syntheticPng(7L, 21, 13)
