@@ -195,7 +195,8 @@ object Queries
     "q138_jpeg_foreign" -> (q138 _),
     "q139_y4m_frame_resize" -> (q139 _),
     "q140_wav_transcode" -> (q140 _),
-    "q141_multimodal_transcode" -> (q141 _)
+    "q141_multimodal_transcode" -> (q141 _),
+    "q142_stream_right_outer" -> (q142 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -208,7 +209,8 @@ object Queries
   val streamingQueries: Set[String] = Set(
     "q93_stream_lifecycle", "q100_stream_tumbling", "q107_stream_join",
     "q108_sessionize", "q111_stream_refinery", "q132_stream_outer_join",
-    "q133_stream_dedup", "q137_stream_full_outer")
+    "q133_stream_dedup", "q137_stream_full_outer",
+    "q142_stream_right_outer")
 
   /** Bench-only twins of the dedup family on the PRODUCTION xxhash64
     * hash path. q25/q26/q80 run `Dedup.Md5` because that is what the
@@ -468,7 +470,8 @@ object Queries
     "q138_jpeg_foreign" -> q138Sql,
     "q139_y4m_frame_resize" -> q139Sql,
     "q140_wav_transcode" -> q140Sql,
-    "q141_multimodal_transcode" -> q141Sql
+    "q141_multimodal_transcode" -> q141Sql,
+    "q142_stream_right_outer" -> q142Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -567,4 +567,74 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
       | AND c.ts >= p.ts - INTERVAL 6 HOUR
       | AND c.ts <= p.ts
       |ORDER BY click_id, purchase_id, user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  // Stream-stream RIGHT OUTER interval join — the last arm of q132's
+  // matrix under the oracle (inner q107, left q132, full q137; right
+  // was spec-pinned only): a purchase with no click in its trailing
+  // window emits exactly once with NULL click_id, only after the LEFT
+  // watermark proves no matching click can still arrive. Same drive
+  // as q137 — event-time-ordered slices, far-future sentinel pair in
+  // a checkpoint-resumed run — and the shared intervalJoinImpl body
+  // guarantees the interval condition cannot drift from the other
+  // arms. Oracle: batch RIGHT JOIN with the same condition.
+  private[queries] def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q142").toString
+    val ev = t(s, dir, "events").filter($"user_id" < 30 &&
+        ($"event_type" === "click" || $"event_type" === "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    def run(): Unit = {
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val joined = graft.streaming.Streams.intervalJoinRightOuter(
+            stream.filter($"event_type" === "click"),
+            stream.filter($"event_type" === "purchase"),
+            "user_id", "ts", lookback = "6 hours", watermark = "8 hours")
+          .select(col("l.event_id").as("click_id"),
+            col("r.event_id").as("purchase_id"),
+            col("r.user_id").as("user_id"))
+        val q = joined.writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    val drive = new SliceDrive(inDir)
+    import drive.writeSlice
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = lo + (hi - lo) / 2
+    writeSlice(ev.filter(unix_millis($"ts") < mid), 0)
+    writeSlice(ev.filter(unix_millis($"ts") >= mid), 1)
+    run()
+    writeSlice(s.range(2).select(lit(-1L).as("event_id"),
+      lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")).as("ts"),
+      lit(-1L).as("user_id"),
+      when($"id" === 0, "click").otherwise("purchase").as("event_type")),
+      2)
+    run()
+    s.read.parquet(outDir).filter($"user_id" >= 0)
+      .select(coalesce($"click_id", lit(-1L)).as("click_id"),
+        $"purchase_id", $"user_id")
+      .orderBy($"click_id", $"purchase_id")
+  }
+  private[queries] lazy val q142Sql =
+    """WITH c AS (
+      | SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+      | WHERE event_type = 'click' AND user_id < 30),
+      |p AS (
+      | SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+      | WHERE event_type = 'purchase' AND user_id < 30)
+      |SELECT coalesce(c.event_id, -1) AS click_id,
+      | p.event_id AS purchase_id, p.user_id AS user_id
+      |FROM c RIGHT JOIN p
+      | ON c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL 6 HOUR
+      | AND c.ts <= p.ts
+      |ORDER BY click_id, purchase_id""".stripMargin
 }

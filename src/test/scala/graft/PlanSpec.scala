@@ -292,10 +292,12 @@ class PlanSpec extends AnyFunSuite {
     // and q130's emitted frame is driver-local report rows
     assert(plan("q130_ann_staleness").contains("LocalTableScan"))
   }
-  test("blob pipelines shuffle METADATA only: q134 resize and q136 " +
-    "dispatch have exactly one exchange — the final metadata sort — " +
-    "never a blob-column shuffle") {
-    for (q <- Seq("q134_jpeg_resize", "q136_modality_dispatch")) {
+  test("blob pipelines shuffle METADATA only: q134 resize, q136 " +
+    "dispatch, q140 audio transcode and q141 heterogeneous transcode " +
+    "have exactly one exchange — the final metadata sort — never a " +
+    "blob-column shuffle") {
+    for (q <- Seq("q134_jpeg_resize", "q136_modality_dispatch",
+        "q140_wav_transcode", "q141_multimodal_transcode")) {
       val p = plan(q)
       val n = p.sliding("Exchange".length).count(_ == "Exchange")
       assert(n == 1, s"$q: expected 1 exchange (ordering sort), got $n\n$p")
