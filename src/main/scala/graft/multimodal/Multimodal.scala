@@ -261,6 +261,76 @@ object Multimodal extends Serializable {
     blobs.mapPartitions(_.flatMap(b => wavStats(b.media_id, b.content)))
   }
 
+  /** One fixed-length analysis window of a PCM stream: exact-integer
+    * per-window signal statistics over all channels interleaved
+    * (window boundaries are frame-aligned; `start_ms` floors
+    * `window_no · winFrames · 1000 / rate` in long arithmetic).
+    */
+  case class WavWindow(media_id: Long, window_no: Int, start_ms: Long,
+                       n_frames: Int, peak: Int, sum_abs: Long,
+                       sum_sq: Long, decode_ok: Boolean)
+
+  private val BadWavWindow =
+    WavWindow(0L, -1, -1L, -1, -1, -1L, -1L, decode_ok = false)
+
+  /** WINDOWED audio feature extraction — the audio counterpart of the
+    * per-frame video features ([[frameFeatures]]): split the 16-bit
+    * PCM stream into fixed `winFrames`-frame windows and fold each
+    * window's peak / Σ|s| / Σs² across all channels — the
+    * energy-contour shape a VAD or silence-trimming curation stage
+    * consumes, one row per window. All EXACT integers (any engine
+    * replays them); the trailing partial window IS emitted with its
+    * real `n_frames` (energy contours must cover the tail — a
+    * truncated last window is signal, not noise). Anything
+    * [[parseWav]] rejects, non-16-bit, or a frame-splitting data
+    * length → one `decode_ok=false` row. Partition-wise in the blob
+    * variant: one decoder per partition, blobs never shuffle, windows
+    * parallelize downstream work past the per-blob grain.
+    */
+  def wavWindows(id: Long, bytes: Array[Byte],
+                 winFrames: Int): Seq[WavWindow] = {
+    require(winFrames >= 1)
+    val meta = parseWav(id, bytes)
+    if (!meta.decode_ok || meta.bits_per_sample != 16)
+      return Seq(BadWavWindow.copy(media_id = id))
+    val ch = meta.channels
+    if (ch < 1 || meta.data_bytes % (2L * ch) != 0 ||
+        meta.data_bytes > Int.MaxValue || meta.sample_rate <= 0)
+      return Seq(BadWavWindow.copy(media_id = id))
+    val (_, dataOff, _) = wavChunkWalk(bytes)
+    if (dataOff < 0) return Seq(BadWavWindow.copy(media_id = id))
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val frames = (meta.data_bytes / (2L * ch)).toInt
+    val nWin = (frames + winFrames - 1) / winFrames
+    (0 until nWin).map { w =>
+      val f0 = w * winFrames
+      val f1 = math.min(frames, f0 + winFrames)
+      var peak = 0; var sAbs = 0L; var sSq = 0L
+      var i = f0 * ch
+      while (i < f1 * ch) {
+        val s = buf.getShort(dataOff + i * 2).toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sAbs += a
+        sSq += s.toLong * s
+        i += 1
+      }
+      WavWindow(id, w, f0.toLong * 1000L / meta.sample_rate, f1 - f0,
+        peak, sAbs, sSq, decode_ok = true)
+    }
+  }
+
+  /** Partition-wise windowed features over a Dataset of blobs — one
+    * decoder per partition, one output row per (blob, window).
+    */
+  def wavWindowsBlobs(blobs: Dataset[MediaBlob],
+                      winFrames: Int): Dataset[WavWindow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap(b =>
+      wavWindows(b.media_id, b.content, winFrames)))
+  }
+
   /** Byte-level AUDIO transcode — the WAV leg of the resize family
     * ([[resizePng]] / [[resizeJpeg]] / [[resizeFramesY4m]]): decode
     * the 16-bit PCM frames, optionally fold the channels to mono and

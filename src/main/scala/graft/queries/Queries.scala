@@ -196,7 +196,8 @@ object Queries
     "q139_y4m_frame_resize" -> (q139 _),
     "q140_wav_transcode" -> (q140 _),
     "q141_multimodal_transcode" -> (q141 _),
-    "q142_stream_right_outer" -> (q142 _)
+    "q142_stream_right_outer" -> (q142 _),
+    "q143_wav_windows" -> (q143 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -471,7 +472,8 @@ object Queries
     "q139_y4m_frame_resize" -> q139Sql,
     "q140_wav_transcode" -> q140Sql,
     "q141_multimodal_transcode" -> q141Sql,
-    "q142_stream_right_outer" -> q142Sql
+    "q142_stream_right_outer" -> q142Sql,
+    "q143_wav_windows" -> q143Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

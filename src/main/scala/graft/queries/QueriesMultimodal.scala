@@ -899,4 +899,74 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |   ELSE -1 END AS BIGINT) AS duration_ms
       |FROM tr ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  // WINDOWED audio features under the oracle — the audio counterpart
+  // of q45's per-frame video features, at the byte level: q127's
+  // closed-form PCM containers split into fixed 32-frame analysis
+  // windows, each folding peak / Σ|s| / Σs² across all channels (the
+  // energy contour a VAD / silence-trim curation stage consumes).
+  // The trailing PARTIAL window is emitted with its real n_frames —
+  // the oracle replays windows as i // 32 groups over the closed
+  // form, so a dropped or padded tail would hash-mismatch. Every
+  // 13th blob truncated → one decode_ok=false row.
+  private[queries] def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 50 + (id % 100).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.wavWindowsBlobs(blobs, winFrames = 32).toDF()
+      .select($"media_id", $"window_no", $"start_ms", $"n_frames",
+        $"peak", $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"window_no")
+  }
+  private[queries] lazy val q143Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 100 AS fr,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, fr, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, i, i // 32 AS w,
+      |  unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, ch, w,
+      |  ((doc_id*7 + i*13 + c*17) % 65536) - 32768 AS s
+      | FROM sc),
+      |agg AS (
+      | SELECT doc_id, w,
+      |  CAST(count(*) // any_value(ch) AS INT) AS n_frames,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(s*s) AS BIGINT) AS sum_sq
+      | FROM sv GROUP BY doc_id, w)
+      |SELECT doc_id AS media_id, CAST(w AS INT) AS window_no,
+      | CAST(w * 32 * 1000 // 16000 AS BIGINT) AS start_ms,
+      | n_frames, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, window_no""".stripMargin
+
 }

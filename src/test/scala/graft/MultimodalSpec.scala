@@ -137,6 +137,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.wavStats(5L, evil.array()).head.decode_ok)
   }
 
+  test("wavWindows: fixed-frame analysis windows fold exact stats " +
+    "across channels; the partial tail window keeps its real " +
+    "n_frames; undecodable routes to one bad row") {
+    // 2 channels, 5 frames, window = 2 frames -> windows of 2, 2, 1
+    // frames; window 0 samples = [100, -32768, -200, 0]
+    val samples =
+      Array[Short](100, -32768, -200, 0, 300, 7, -5, 9, 11, -13)
+    val b = Multimodal.syntheticWavPcm(9L, 16000, 2, samples)
+    val w = Multimodal.wavWindows(9L, b.content, winFrames = 2)
+    assert(w.map(_.window_no) == Seq(0, 1, 2))
+    assert(w(0) == Multimodal.WavWindow(9L, 0, 0L, 2, 32768,
+      100L + 32768 + 200, 100L * 100 + 32768L * 32768 + 200L * 200,
+      decode_ok = true))
+    assert(w(2).n_frames == 1 && w(2).peak == 13 &&
+      w(2).sum_abs == 24L && w(2).start_ms == 4L * 1000 / 16000)
+    // start_ms floors frame_index*1000/rate
+    assert(w(1).start_ms == 2L * 1000 / 16000)
+    // whole-stream stats are the windows' sum (no frame lost/reused)
+    val st = Multimodal.wavStats(9L, b.content)
+    assert(w.map(_.sum_sq).sum == st.map(_.sum_sq).sum &&
+      w.map(_.sum_abs).sum == st.map(_.sum_abs).sum)
+    // truncation -> one bad row
+    assert(Multimodal.wavWindows(9L, b.content.take(30), 2) ==
+      Seq(Multimodal.WavWindow(9L, -1, -1L, -1, -1, -1L, -1L,
+        decode_ok = false)))
+  }
+
   test("transcodeWav: mono mixdown then box-average decimation is " +
     "exact floorDiv arithmetic; never-upsample and non-divisible " +
     "rates pass through byte-identical; undecodable routes to None") {
