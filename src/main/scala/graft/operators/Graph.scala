@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation. The canonical 100 TB
+  * use is domain/page authority as a quality prior: crawl corpora
+  * (C4/CCNet-style pipelines) weight or filter documents by the link
+  * authority of their host, which is PageRank over the host graph.
+  * The reference's data model has no link graph (its quality signal
+  * is per-document validation, articles.py), so this is one of the
+  * beyond-reference curation surfaces, next to perplexity filtering
+  * (LangModel) and near-dup clustering (Dedup.resolveClusters).
+  *
+  * Execution shape, per power iteration: ONE shuffle — ranks join
+  * edges on `src` (edges are hash-partitioned on `src` once, up
+  * front, and every iteration's join reuses that exchange because the
+  * rank side is re-partitioned to match), then the contribution sum
+  * shuffles by `dst`. The dangling-node mass (rank parked on nodes
+  * with no out-edges) is a ONE-ROW aggregate broadcast back into the
+  * update — never a driver collect inside the loop, so the whole
+  * run stays one lazy plan per iteration. Each iteration's ranks are
+  * persisted and the previous iteration's unpersisted: without the
+  * persist the lineage re-executes all prior iterations (exponential
+  * blowup), which is THE classic iterative-Spark trap.
+  */
+object Graph {
+
+  /** PageRank over `edges` restricted to the node universe `nodes`.
+    *
+    * Semantics (classic, with dangling redistribution): every node
+    * starts at rank 1/N; each iteration
+    * `r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + D/N)`
+    * where `D` is the summed rank of dangling nodes (no out-edges).
+    * Σ r stays exactly 1 per iteration, which DoubleSpec-style checks
+    * can pin. Self-loops are dropped (a page linking to itself
+    * contributes nothing in the classic formulation); parallel edges
+    * are collapsed — an endorsement is counted once.
+    *
+    * `nodes` fixes the universe N independently of edge structure so
+    * isolated nodes (no in- OR out-edges) still hold baseline rank —
+    * deriving N from the edge list silently shrinks the universe when
+    * a node's only edges are dropped self-loops.
+    *
+    * Returns (`node`, `rank`) for every node in `nodes`.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame,
+               srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val spark = edges.sparkSession
+
+    val universe = nodes.select(col(nodes.columns.head).as("node"))
+      .distinct()
+    // one-row dimension: N as a broadcastable scalar kept in-plan
+    val nDf = universe.agg(count(lit(1)).cast("double").as("n"))
+
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      // co-locate every iteration's rank⋈edges probe on src once
+      .repartition(col("src"))
+      .persist()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("out_deg"))
+      .persist()
+
+    var ranks = universe.crossJoin(broadcast(nDf))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .persist()
+
+    var i = 0
+    while (i < iterations) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      // mass parked on dangling nodes, as a broadcast one-row agg
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling"))
+      val contribs = withDeg.filter(col("out_deg").isNotNull)
+        .select(col("node").as("src"),
+          (col("rank") / col("out_deg")).as("w"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w")).as("contrib"))
+      val next = universe
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nDf))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("dangling") / col("n"))).as("rank"))
+        .persist()
+      next.count() // materialize before dropping the parent iteration
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+
+  /** In-/out-degree per node over the deduped, self-loop-free edge
+    * view `pageRank` ranks on — the companion diagnostic (authority
+    * queries usually report rank next to degree).
+    */
+  def degrees(edges: DataFrame, nodes: DataFrame,
+              srcCol: String, dstCol: String): DataFrame = {
+    val universe = nodes.select(col(nodes.columns.head).as("node"))
+      .distinct()
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    universe
+      .join(e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("out_deg")), Seq("node"), "left")
+      .join(e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_deg")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

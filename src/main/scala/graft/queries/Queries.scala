@@ -197,7 +197,8 @@ object Queries
     "q140_wav_transcode" -> (q140 _),
     "q141_multimodal_transcode" -> (q141 _),
     "q142_stream_right_outer" -> (q142 _),
-    "q143_wav_windows" -> (q143 _)
+    "q143_wav_windows" -> (q143 _),
+    "q144_pagerank"     -> (q144 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -473,7 +474,8 @@ object Queries
     "q140_wav_transcode" -> q140Sql,
     "q141_multimodal_transcode" -> q141Sql,
     "q142_stream_right_outer" -> q142Sql,
-    "q143_wav_windows" -> q143Sql
+    "q143_wav_windows" -> q143Sql,
+    "q144_pagerank"     -> q144Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -445,4 +445,70 @@ private[queries] trait QueriesCuration { this: Queries.type =>
       | CAST(sum(n * mx - sm) AS BIGINT), CAST(sum(n * mx) AS BIGINT)
       |FROM sb
       |ORDER BY mode""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+  // Link-graph PageRank as a curation quality prior (Graph.pageRank):
+  // crawl pipelines weight documents by the authority of their host's
+  // link neighborhood. The 200-node fixture graph is closed-form
+  // ((doc_id·17 + j·61) mod 200, fan-out 1 + doc_id mod 3) so DuckDB
+  // replays edge derivation, degree counting, dangling-mass
+  // redistribution and all five unrolled power iterations in exact
+  // arithmetic; ranks round at 6dp (fp sum-order ulps ≪ 1e-6, the
+  // q24 precedent). Self-loop-only nodes go dangling — the mass path
+  // is exercised, not just defined.
+  private[queries] def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id")
+    val edges = nodes
+      .select($"doc_id",
+        explode(sequence(lit(1L), lit(1L) + $"doc_id" % 3)).as("j"))
+      .select($"doc_id".as("src"),
+        (($"doc_id" * 17 + $"j" * 61) % 200).as("dst"))
+    Graph.pageRank(edges, nodes, "src", "dst", iterations = 5)
+      .join(Graph.degrees(edges, nodes, "src", "dst"), Seq("node"))
+      .select($"node", $"out_deg", $"in_deg",
+        (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
+      .orderBy($"node")
+  }
+  private[queries] lazy val q144Sql = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         | SELECT nodes.node,
+         |  0.15 / (SELECT n FROM nn)
+         |  + 0.85 * (coalesce(c.contrib, 0)
+         |    + (SELECT coalesce(sum(r.rank), 0) FROM r${k - 1} r
+         |       LEFT JOIN deg USING (node) WHERE deg.node IS NULL)
+         |      / (SELECT n FROM nn)) AS rank
+         | FROM nodes
+         | LEFT JOIN (
+         |   SELECT e.dst AS node, sum(r.rank / deg.out_deg) AS contrib
+         |   FROM r${k - 1} r JOIN deg USING (node)
+         |   JOIN e ON e.src = r.node
+         |   GROUP BY e.dst) c USING (node))""".stripMargin
+    s"""WITH nodes AS (
+       | SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+       |e0 AS (
+       | SELECT doc_id AS src, (doc_id * 17 + j * 61) % 200 AS dst
+       | FROM documents, unnest(generate_series(1, 1 + doc_id % 3)) t(j)
+       | WHERE doc_id < 200),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |deg AS (
+       | SELECT src AS node, count(*)::DOUBLE AS out_deg FROM e
+       | GROUP BY 1),
+       |indeg AS (SELECT dst AS node, count(*) AS in_deg FROM e
+       | GROUP BY 1),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT nodes.node,
+       | CAST(coalesce(deg.out_deg, 0) AS BIGINT) AS out_deg,
+       | coalesce(indeg.in_deg, 0) AS in_deg,
+       | floor(r5.rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM nodes
+       |LEFT JOIN deg USING (node)
+       |LEFT JOIN indeg USING (node)
+       |JOIN r5 ON r5.node = nodes.node
+       |ORDER BY nodes.node""".stripMargin
+  }
 }

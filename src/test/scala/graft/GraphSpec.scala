@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank invariants: mass conservation, the uniform-cycle closed
+  * form, dangling redistribution, and a hand-checkable 3-node chain.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                      iters: Int = 5): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), nodes.toDF("node"),
+        "src", "dst", iterations = iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("rank mass sums to 1 every run, dangling or not") {
+    val cycle = ranksOf(Seq((0L, 1L), (1L, 2L), (2L, 0L)), Seq(0L, 1L, 2L))
+    assert(math.abs(cycle.values.sum - 1.0) < 1e-12)
+    // node 2 dangles: its mass must be redistributed, not lost
+    val dang = ranksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 1L, 2L))
+    assert(math.abs(dang.values.sum - 1.0) < 1e-12)
+  }
+
+  test("a uniform cycle is the fixed point: every rank = 1/N") {
+    val n = 6L
+    val edges = (0L until n).map(i => (i, (i + 1) % n))
+    val r = ranksOf(edges, 0L until n, iters = 3)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12))
+  }
+
+  test("3-node chain matches the hand-computed iteration") {
+    // 0→1, 1→2, 2 dangling; d=0.85, N=3, one iteration from uniform:
+    // dangling D=1/3; base=(0.15/3)+0.85·(1/9)=0.05+0.0944…
+    val r = ranksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 1L, 2L), iters = 1)
+    val base = 0.15 / 3 + 0.85 * (1.0 / 3 / 3)
+    assert(math.abs(r(0L) - base) < 1e-12)
+    assert(math.abs(r(1L) - (base + 0.85 / 3)) < 1e-12)
+    assert(math.abs(r(2L) - (base + 0.85 / 3)) < 1e-12)
+    // in-link beats no in-link once ranks separate
+    val r5 = ranksOf(Seq((0L, 1L), (1L, 2L)), Seq(0L, 1L, 2L))
+    assert(r5(2L) > r5(0L) && r5(1L) > r5(0L))
+  }
+
+  test("self-loops and parallel edges do not change the result") {
+    val clean = ranksOf(Seq((0L, 1L), (1L, 0L), (1L, 2L)), Seq(0L, 1L, 2L))
+    val noisy = ranksOf(
+      Seq((0L, 1L), (0L, 1L), (0L, 0L), (1L, 0L), (1L, 2L), (2L, 2L)),
+      Seq(0L, 1L, 2L))
+    clean.foreach { case (k, v) => assert(math.abs(noisy(k) - v) < 1e-12) }
+  }
+
+  test("isolated nodes keep baseline rank and widen N") {
+    val r = ranksOf(Seq((0L, 1L)), Seq(0L, 1L, 2L, 3L))
+    // 2 and 3 have no in-edges: rank = (1-d)/N + d·D/N each iteration
+    assert(r(2L) == r(3L))
+    assert(r(1L) > r(2L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("degrees counts the deduped self-loop-free view") {
+    val rows = Graph.degrees(
+        Seq((0L, 1L), (0L, 1L), (0L, 0L), (1L, 2L)).toDF("src", "dst"),
+        Seq(0L, 1L, 2L).toDF("node"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq((0L, 1L, 0L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+}
