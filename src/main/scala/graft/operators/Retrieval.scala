@@ -373,4 +373,97 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick k results maximizing
+    * `λ·rel(c) − penaltyWeight·max_{s∈selected} cos(c, s)` — the
+    * diversification pass RAG stacks run AFTER a cheap recall stage
+    * (ANN/BM25 top-N) so near-duplicate hits don't crowd the context
+    * window. Greedy selection is inherently sequential IN k but
+    * embarrassingly parallel ACROSS queries, so the distributed shape
+    * is: ONE shuffle grouping candidates by query, then each group
+    * (N ≤ the recall stage's top-N, i.e. tens) reranks partition-
+    * locally in O(N·k·dim). The candidate table never joins itself —
+    * pairwise similarities are computed inside the group on exactly
+    * the pairs the greedy walk touches.
+    *
+    * `penaltyWeight` defaults to `1-λ` but is explicit so an oracle
+    * can pass the exact literal it also writes in SQL (1.0-0.7 is one
+    * ulp off 0.3 in binary64). `roundDigits ≥ 0` floors rel and every
+    * pairwise cosine at that many decimals before scoring (oracle
+    * mode: comparisons then run on bit-identical doubles in any
+    * engine); production passes -1 and keeps full precision.
+    *
+    * Input: (`qCol`: long, `idCol`: long, `relCol`: double,
+    * `vecCol`: array<numeric>). Output: (qCol, mmr_rank, idCol,
+    * mmr_score) with mmr_rank 1..k and mmr_score floored at
+    * `roundDigits` when ≥ 0. Rank 1 is argmax rel (empty selected set
+    * ⇒ zero penalty); ties break on ascending id everywhere.
+    */
+  def mmrRerank(candidates: DataFrame, qCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.7, penaltyWeight: Double = Double.NaN,
+                roundDigits: Int = -1): DataFrame = {
+    require(k >= 1, "mmrRerank: k must be >= 1")
+    val pw = if (penaltyWeight.isNaN) 1.0 - lambda else penaltyWeight
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val quant: Double => Double =
+      if (roundDigits >= 0) {
+        val p = math.pow(10, roundDigits)
+        x => math.floor(x * p + 0.5) / p
+      } else identity
+    candidates
+      .select(col(qCol).cast("long"), col(idCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cs = it.map { case (_, id, rel, vec) =>
+          (id, quant(rel), vec.toArray)
+        }.toArray.sortBy(_._1)
+        val norm = cs.map { c =>
+          var s = 0.0; var i = 0
+          while (i < c._3.length) { s += c._3(i) * c._3(i); i += 1 }
+          math.sqrt(s)
+        }
+        def cos(a: Int, b: Int): Double = {
+          val (va, vb) = (cs(a)._3, cs(b)._3)
+          var d = 0.0; var i = 0
+          while (i < va.length) { d += va(i) * vb(i); i += 1 }
+          quant(d / (norm(a) * norm(b)))
+        }
+        val picked = Array.newBuilder[(Long, Long, Long, Double)]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val taken = new Array[Boolean](cs.length)
+        var rank = 1L
+        while (rank <= k && selected.length < cs.length) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            if (!taken(c)) {
+              // max over the selected set, NOT clamped at zero — an
+              // all-negative neighborhood must reward, not no-op
+              var pen = 0.0
+              var first = true
+              selected.foreach { s =>
+                val v = cos(c, s)
+                pen = if (first) v else math.max(pen, v)
+                first = false
+              }
+              val score = lambda * cs(c)._2 - pw * pen
+              // strict > plus ascending scan order = ties to lowest id
+              if (score > bestScore) { best = c; bestScore = score }
+            }
+            c += 1
+          }
+          taken(best) = true
+          selected += best
+          picked += ((q, rank, cs(best)._1, quant(bestScore)))
+          rank += 1
+        }
+        picked.result().iterator
+      }
+      .toDF(qCol, "mmr_rank", idCol, "mmr_score")
+  }
 }

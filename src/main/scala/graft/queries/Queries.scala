@@ -198,7 +198,8 @@ object Queries
     "q141_multimodal_transcode" -> (q141 _),
     "q142_stream_right_outer" -> (q142 _),
     "q143_wav_windows" -> (q143 _),
-    "q144_pagerank"     -> (q144 _)
+    "q144_pagerank"     -> (q144 _),
+    "q145_mmr_rerank"   -> (q145 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -475,7 +476,8 @@ object Queries
     "q141_multimodal_transcode" -> q141Sql,
     "q142_stream_right_outer" -> q142Sql,
     "q143_wav_windows" -> q143Sql,
-    "q144_pagerank"     -> q144Sql
+    "q144_pagerank"     -> q144Sql,
+    "q145_mmr_rerank"   -> q145Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

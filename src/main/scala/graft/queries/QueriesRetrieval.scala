@@ -886,4 +886,112 @@ private[queries] trait QueriesRetrieval { this: Queries.type =>
       |  ELSE 'tail' END AS tier
       |FROM scored s LEFT JOIN cuts USING (lang)
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  // MMR diversification rerank (Retrieval.mmrRerank): brute-force
+  // cosine top-12 recall per query, then four unrolled greedy picks at
+  // λ=0.7 / penalty 0.3. Oracle mode floors rel and every pairwise
+  // cosine at 6dp FIRST, so both engines run the greedy argmax on
+  // bit-identical doubles; the SQL unrolls the four steps as CTE
+  // layers (s1 = argmax rel; s_{i+1} = argmax 0.7·rel −
+  // 0.3·max(sim to picked)), the Spark side runs the general k-loop
+  // kernel. penaltyWeight is passed as the literal 0.3 on both sides
+  // (1.0−0.7 is one ulp off 0.3 in binary64 — parity demands the
+  // same constant, not the same formula).
+  private[queries] def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val cand = Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb,
+        "vec_id", "embedding", 12)
+      .select($"q_id",
+        (floor($"sim" * 1000000.0 + 0.5) / 1000000.0).as("rel"), $"c_id")
+      .join(emb.select($"vec_id".as("c_id"), $"embedding"), Seq("c_id"))
+    Retrieval.mmrRerank(cand, "q_id", "c_id", "rel", "embedding",
+        k = 4, lambda = 0.7, penaltyWeight = 0.3, roundDigits = 6)
+      .select($"q_id", $"mmr_rank", $"c_id", $"mmr_score")
+      .orderBy($"q_id", $"mmr_rank")
+  }
+  private[queries] lazy val q145Sql =
+    """WITH qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id < 8),
+      |cv AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |sc AS (
+      | SELECT q_id, c_id,
+      |  list_dot_product(qv.v, cv.v)
+      |   / (sqrt(list_dot_product(qv.v, qv.v))
+      |      * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+      | FROM qv, cv WHERE q_id <> c_id),
+      |cand AS (
+      | SELECT q_id, c_id,
+      |  floor(sim * 1000000.0 + 0.5) / 1000000.0 AS rel
+      | FROM (SELECT q_id, c_id, sim, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
+      | WHERE rn <= 12),
+      |p AS (
+      | SELECT a.q_id, a.c_id AS a, b.c_id AS b,
+      |  floor(list_dot_product(va.v, vb.v)
+      |   / (sqrt(list_dot_product(va.v, va.v))
+      |      * sqrt(list_dot_product(vb.v, vb.v)))
+      |   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      | FROM cand a JOIN cand b
+      |   ON a.q_id = b.q_id AND a.c_id <> b.c_id
+      | JOIN cv va ON va.c_id = a.c_id
+      | JOIN cv vb ON vb.c_id = b.c_id),
+      |s1 AS (
+      | SELECT q_id, c_id, 0.7 * rel AS score FROM (
+      |  SELECT q_id, c_id, rel, row_number() OVER
+      |   (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn FROM cand)
+      | WHERE rn = 1),
+      |c2 AS (
+      | SELECT cand.q_id, cand.c_id,
+      |  0.7 * cand.rel - 0.3 * p.sim AS score
+      | FROM cand
+      | JOIN s1 ON s1.q_id = cand.q_id
+      | JOIN p ON p.q_id = cand.q_id AND p.a = cand.c_id
+      |   AND p.b = s1.c_id),
+      |s2 AS (SELECT q_id, c_id, score FROM (
+      |  SELECT q_id, c_id, score, row_number() OVER
+      |   (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn FROM c2)
+      | WHERE rn = 1),
+      |c3 AS (
+      | SELECT cand.q_id, cand.c_id,
+      |  0.7 * cand.rel - 0.3 * greatest(p1.sim, p2.sim) AS score
+      | FROM cand
+      | JOIN s1 ON s1.q_id = cand.q_id
+      | JOIN s2 ON s2.q_id = cand.q_id
+      | JOIN p p1 ON p1.q_id = cand.q_id AND p1.a = cand.c_id
+      |   AND p1.b = s1.c_id
+      | JOIN p p2 ON p2.q_id = cand.q_id AND p2.a = cand.c_id
+      |   AND p2.b = s2.c_id),
+      |s3 AS (SELECT q_id, c_id, score FROM (
+      |  SELECT q_id, c_id, score, row_number() OVER
+      |   (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn FROM c3)
+      | WHERE rn = 1),
+      |c4 AS (
+      | SELECT cand.q_id, cand.c_id,
+      |  0.7 * cand.rel
+      |   - 0.3 * greatest(p1.sim, p2.sim, p3.sim) AS score
+      | FROM cand
+      | JOIN s1 ON s1.q_id = cand.q_id
+      | JOIN s2 ON s2.q_id = cand.q_id
+      | JOIN s3 ON s3.q_id = cand.q_id
+      | JOIN p p1 ON p1.q_id = cand.q_id AND p1.a = cand.c_id
+      |   AND p1.b = s1.c_id
+      | JOIN p p2 ON p2.q_id = cand.q_id AND p2.a = cand.c_id
+      |   AND p2.b = s2.c_id
+      | JOIN p p3 ON p3.q_id = cand.q_id AND p3.a = cand.c_id
+      |   AND p3.b = s3.c_id),
+      |s4 AS (SELECT q_id, c_id, score FROM (
+      |  SELECT q_id, c_id, score, row_number() OVER
+      |   (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn FROM c4)
+      | WHERE rn = 1),
+      |steps AS (
+      | SELECT q_id, 1 AS r, c_id, score FROM s1
+      | UNION ALL SELECT q_id, 2, c_id, score FROM s2
+      | UNION ALL SELECT q_id, 3, c_id, score FROM s3
+      | UNION ALL SELECT q_id, 4, c_id, score FROM s4)
+      |SELECT q_id, CAST(r AS BIGINT) AS mmr_rank, c_id,
+      | floor(score * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+      |FROM steps ORDER BY q_id, mmr_rank""".stripMargin
 }

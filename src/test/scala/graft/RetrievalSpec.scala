@@ -408,4 +408,61 @@ class RetrievalSpec extends AnyFunSuite {
     // all 3 members pass; false positives stay ≈ fpp · 4997 ≪ 5000
     assert(passed >= 3 && passed < 500)
   }
+
+  // ------------------------------------------------------------ MMR
+
+  private def mmrFixture(rows: Seq[(Long, Long, Double, Seq[Double])]) =
+    rows.toDF("q", "id", "rel", "vec")
+
+  test("mmrRerank diversifies: a redundant near-dup loses to a " +
+      "distinct lower-rel candidate") {
+    // candidates: two near-identical high-rel vectors + one orthogonal
+    // mid-rel vector. Pure relevance ranks the twin second; MMR at
+    // λ=0.5 must rank the orthogonal one second.
+    val cand = mmrFixture(Seq(
+      (1L, 10L, 0.95, Seq(1.0, 0.0, 0.0)),
+      (1L, 11L, 0.94, Seq(0.999, 0.01, 0.0)),   // near-dup of 10
+      (1L, 12L, 0.60, Seq(0.0, 1.0, 0.0))))
+    val picks = Retrieval.mmrRerank(cand, "q", "id", "rel", "vec",
+        k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(2))
+    assert(picks.toSeq == Seq(10L, 12L, 11L))
+  }
+
+  test("mmrRerank at full λ weight ≡ relevance order") {
+    val cand = mmrFixture(Seq(
+      (1L, 10L, 0.3, Seq(1.0, 0.0)), (1L, 11L, 0.9, Seq(1.0, 0.0)),
+      (1L, 12L, 0.5, Seq(0.0, 1.0))))
+    val picks = Retrieval.mmrRerank(cand, "q", "id", "rel", "vec",
+        k = 3, lambda = 1.0, penaltyWeight = 0.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(2))
+    assert(picks.toSeq == Seq(11L, 12L, 10L))
+  }
+
+  test("mmrRerank negative neighborhood REWARDS (no clamp at zero)") {
+    // second pick's only neighbor is anti-correlated: its MMR score
+    // must EXCEED λ·rel (the penalty term flips sign) — regression for
+    // a max(0, ·) clamp that silently zeroed negative similarities.
+    val cand = mmrFixture(Seq(
+      (1L, 10L, 0.9, Seq(1.0, 0.0)),
+      (1L, 11L, 0.5, Seq(-1.0, 0.0))))
+    val rows = Retrieval.mmrRerank(cand, "q", "id", "rel", "vec",
+        k = 2, lambda = 0.7, penaltyWeight = 0.3)
+      .orderBy("mmr_rank").collect()
+    assert(rows(1).getLong(2) == 11L)
+    assert(rows(1).getDouble(3) > 0.7 * 0.5 + 1e-9)
+    assert(math.abs(rows(1).getDouble(3) - (0.7 * 0.5 + 0.3)) < 1e-9)
+  }
+
+  test("mmrRerank ties break by ascending id; k past n returns n; " +
+      "groups stay independent") {
+    val cand = mmrFixture(Seq(
+      (1L, 20L, 0.8, Seq(1.0, 0.0)), (1L, 19L, 0.8, Seq(0.0, 1.0)),
+      (2L, 30L, 0.4, Seq(1.0, 1.0))))
+    val out = Retrieval.mmrRerank(cand, "q", "id", "rel", "vec",
+        k = 5, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 1L, 19L), (1L, 2L, 20L), (2L, 1L, 30L)))
+  }
 }
