@@ -993,6 +993,87 @@ object Multimodal extends Serializable {
     }
   }
 
+  /** [[syntheticY4m]]'s structured sibling for temporal analysis: a
+    * real Y4M container whose frames carry a SCENE structure instead
+    * of LCG noise. Frame `f`'s luma plane is
+    * `16 + ((id·37 + (f/sceneLen)·89) mod 200) + (f mod 2)` plus a
+    * per-pixel `i mod 4` texture; chroma is flat 128. Within a scene
+    * consecutive frame means differ by ±1 (the mod-2 flicker);
+    * across a scene boundary the mod-200 walk jumps by 89 or −111 —
+    * so mean-luma deltas separate cleanly and a threshold detector's
+    * expected output is closed-form replayable.
+    */
+  def syntheticY4mScenes(id: Long, width: Int, height: Int,
+                         nFrames: Int, sceneLen: Int): MediaBlob = {
+    require(width % 2 == 0 && height % 2 == 0, "4:2:0 needs even dims")
+    require(sceneLen >= 1)
+    val frameLen = y4mFrameBytes(width, height, "420jpeg").toInt
+    val header =
+      s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (marker.length + frameLen))
+    bb.put(header)
+    val ySize = width * height
+    (0 until nFrames).foreach { f =>
+      bb.put(marker)
+      val base = (16 + ((id * 37 + (f / sceneLen) * 89) % 200) +
+        (f % 2)).toInt
+      var i = 0
+      while (i < ySize) { bb.put((base + (i % 4)).toByte); i += 1 }
+      while (i < frameLen) { bb.put(128.toByte); i += 1 }
+    }
+    MediaBlob(id, "video", bb.array())
+  }
+
+  /** One frame's temporal-analysis row: mean luma, the delta to the
+    * previous frame (null on frame 0), the threshold cut flag, and
+    * the running scene number (count of cuts so far).
+    */
+  case class SceneCut(media_id: Long, frame_no: Int, mean_luma: Double,
+                      delta: Option[Double], is_cut: Boolean,
+                      scene_no: Long)
+
+  /** Shot/scene-boundary detection over Y4M blobs: per-frame mean
+    * luma (the Y plane is the first w·h bytes of every Y4M
+    * colorspace), deltas between consecutive frames, and a cut
+    * wherever `|Δmean| > threshold` — the classic first-pass shot
+    * detector video-curation pipelines run before frame sampling, so
+    * sampled frames cover every shot instead of clustering inside
+    * long ones. Plan shape matches the other blob kernels: ONE
+    * partition-wise pass, frames of a stream visited sequentially in
+    * their container (the delta needs no window shuffle — temporal
+    * adjacency is physical adjacency in the bytes), blobs never
+    * shuffle, corrupt streams yield no rows (the decode seam owns
+    * reporting them).
+    */
+  def sceneCuts(blobs: Dataset[MediaBlob],
+                threshold: Double): Dataset[SceneCut] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      y4mLayout(b.content) match {
+        case Some((w, h, _, _, _, frames)) =>
+          val ySize = w * h
+          var prev = Double.NaN
+          var scene = 0L
+          frames.iterator.zipWithIndex.map { case ((off, _), f) =>
+            var sum = 0L
+            var i = off.toInt
+            val end = off.toInt + ySize
+            while (i < end) { sum += b.content(i) & 0xff; i += 1 }
+            val mean = sum.toDouble / ySize
+            val delta = if (f == 0) None else Some(mean - prev)
+            val cut = delta.exists(d => math.abs(d) > threshold)
+            if (cut) scene += 1
+            prev = mean
+            SceneCut(b.media_id, f, mean, delta, cut, scene)
+          }
+        case None => Iterator.empty
+      }
+    })
+  }
+
   /** Frame-sampling plan over (id, duration_ms): one row per sampled
     * frame at `everyMs` cadence, capped at `maxFrames` — metadata-only,
     * fully relational (explode of a bounded sequence).

@@ -199,7 +199,8 @@ object Queries
     "q142_stream_right_outer" -> (q142 _),
     "q143_wav_windows" -> (q143 _),
     "q144_pagerank"     -> (q144 _),
-    "q145_mmr_rerank"   -> (q145 _)
+    "q145_mmr_rerank"   -> (q145 _),
+    "q146_scene_cuts"   -> (q146 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -477,7 +478,8 @@ object Queries
     "q142_stream_right_outer" -> q142Sql,
     "q143_wav_windows" -> q143Sql,
     "q144_pagerank"     -> q144Sql,
-    "q145_mmr_rerank"   -> q145Sql
+    "q145_mmr_rerank"   -> q145Sql,
+    "q146_scene_cuts"   -> q146Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -969,4 +969,56 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |FROM p WHERE bad
       |ORDER BY media_id, window_no""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  // Scene-cut detection over Y4M streams (Multimodal.sceneCuts): the
+  // temporal-analysis leg of the video family (q121 decode, q139
+  // frame resize) — per-frame mean luma from the real Y-plane bytes,
+  // consecutive deltas, |Δ| > 40 cuts, running scene number. The
+  // scene-structured writer makes every statistic closed-form: frame
+  // f's mean is 16 + ((id·37 + (f/3)·89) mod 200) + (f mod 2) + 1.5
+  // (the +1.5 is the i mod 4 pixel texture, exact because even dims ⇒
+  // 4 | w·h), so within-scene deltas are ±1, boundary deltas 89±1 or
+  // −111±1, and scene_no ≡ f/3. Every 9th container is truncated
+  // mid-frame → zero rows, mirrored by the oracle's filter.
+  private[queries] def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 180)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticY4mScenes(id, 16 + 2 * (id % 4).toInt,
+          12 + 2 * (id % 2).toInt, 9 + (id % 6).toInt, sceneLen = 3)
+        if (id % 9 == 0) b.copy(content = b.content.dropRight(10))
+        else b
+      }
+    m.sceneCuts(blobs, threshold = 40.0).toDF()
+      .select($"media_id", $"frame_no", $"mean_luma", $"delta",
+        $"is_cut", $"scene_no")
+      .orderBy($"media_id", $"frame_no")
+  }
+  private[queries] lazy val q146Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  9 + doc_id % 6 AS nf,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 180),
+      |f AS (
+      | SELECT doc_id,
+      |  unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS fno
+      | FROM p WHERE NOT bad),
+      |m AS (
+      | SELECT doc_id, fno,
+      |  (16 + ((doc_id * 37 + (fno // 3) * 89) % 200) + (fno % 2)
+      |    + 1.5)::DOUBLE AS mean_luma
+      | FROM f),
+      |d AS (
+      | SELECT doc_id, fno, mean_luma,
+      |  mean_luma - lag(mean_luma) OVER
+      |    (PARTITION BY doc_id ORDER BY fno) AS delta
+      | FROM m)
+      |SELECT doc_id AS media_id, CAST(fno AS INT) AS frame_no,
+      | mean_luma, delta,
+      | coalesce(abs(delta) > 40.0, FALSE) AS is_cut,
+      | fno // 3 AS scene_no
+      |FROM d ORDER BY media_id, frame_no""".stripMargin
 }

@@ -1245,4 +1245,46 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("sceneCuts: boundaries exactly at the writer's scene length, " +
+      "means exact, corrupt streams silent") {
+    val blob = Multimodal.syntheticY4mScenes(7L, 8, 6, nFrames = 9,
+      sceneLen = 3)
+    val rows = Multimodal.sceneCuts(Seq(blob).toDS(), threshold = 40.0)
+      .collect().sortBy(_.frame_no)
+    assert(rows.length == 9)
+    // closed form: mean(f) = 16 + ((7·37 + (f/3)·89) % 200) + f%2 + 1.5
+    rows.foreach { r =>
+      val f = r.frame_no
+      val exp = 16 + ((7L * 37 + (f / 3) * 89) % 200) + (f % 2) + 1.5
+      assert(r.mean_luma == exp, s"frame $f")
+      assert(r.is_cut == (f > 0 && f % 3 == 0), s"cut at $f")
+      assert(r.scene_no == f / 3, s"scene at $f")
+    }
+    assert(rows(0).delta.isEmpty)
+    assert(rows(1).delta.contains(1.0))
+    // single-scene stream: no cuts at all
+    val flat = Multimodal.syntheticY4mScenes(3L, 8, 6, nFrames = 5,
+      sceneLen = 100)
+    val fr = Multimodal.sceneCuts(Seq(flat).toDS(), 40.0).collect()
+    assert(fr.length == 5 && fr.forall(!_.is_cut) &&
+      fr.forall(_.scene_no == 0L))
+    // truncated container: zero rows, never a throw
+    val bad = blob.copy(content = blob.content.dropRight(5))
+    assert(Multimodal.sceneCuts(Seq(bad).toDS(), 40.0).collect().isEmpty)
+  }
+
+  test("sceneCuts reads the Y plane of non-420 colorspaces too") {
+    // hand-built mono stream: 4×2 luma, two frames 100 then 200
+    val header = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII")
+    val fm = "FRAME\n".getBytes("US-ASCII")
+    val bytes = header ++ fm ++ Array.fill(8)(100.toByte) ++
+      fm ++ Array.fill(8)(200.toByte)
+    val rows = Multimodal.sceneCuts(
+        Seq(MediaBlob(1L, "video", bytes)).toDS(), threshold = 40.0)
+      .collect().sortBy(_.frame_no)
+    assert(rows.map(_.mean_luma).toSeq == Seq(100.0, 200.0))
+    assert(rows(1).delta.contains(100.0) && rows(1).is_cut &&
+      rows(1).scene_no == 1L)
+  }
 }
