@@ -508,6 +508,30 @@ object Multimodal extends Serializable {
     MediaBlob(id, "image", pngEncode(width, height, rgb))
   }
 
+  /** [[syntheticPng]]'s structured sibling for perceptual hashing: a
+    * wrapped-gradient image, `gray(x,y) = (id·31 + x·7 + y·13) mod
+    * 256` on all three channels — every block statistic is
+    * closed-form integer arithmetic an oracle can replay, while the
+    * bytes still travel the full encode→decode path. `tweakOrigin`
+    * bumps pixel (0,0) by one gray level (mod 256): the near-dup
+    * plant whose perceptual hash must land within a couple of bits
+    * of the original.
+    */
+  def syntheticPngGradient(id: Long, width: Int, height: Int,
+                           tweakOrigin: Boolean = false): MediaBlob = {
+    val rgb = new Array[Byte](width * height * 3)
+    (0 until height).foreach { y =>
+      (0 until width).foreach { x =>
+        val g0 = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = if (tweakOrigin && x == 0 && y == 0) (g0 + 1) % 256
+                else g0
+        val p = (y * width + x) * 3
+        rgb(p) = g.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = g.toByte
+      }
+    }
+    MediaBlob(id, "image", pngEncode(width, height, rgb))
+  }
+
   /** REAL PNG header parse — the image codec behind the decode seam,
     * next to [[parseWav]]. Checks the 8-byte signature, requires the
     * first chunk to be a 13-byte IHDR with an intact CRC32 (PNG
@@ -699,6 +723,136 @@ object Multimodal extends Serializable {
           Array.emptyByteArray)
       }
     })
+  }
+
+  // ---------------------------------------------------------- pHash
+
+  /** Scaled-integer luma block sums on a `gw × gh` grid over a decoded
+    * RGB image: pixel (x,y) belongs to block (x·gw/w, y·gh/h) (the
+    * standard floor mapping, so no divisibility constraint on dims),
+    * luma is the BT.601 integer form 299·R + 587·G + 114·B kept ×1000
+    * — all sums exact longs, so every downstream mean comparison can
+    * cross-multiply instead of divide and any engine replays it
+    * bit-free. Returns (blockSum, blockCount) arrays in row-major
+    * block order, or None where [[decodePngPixels]] rejects.
+    */
+  private def lumaBlockSums(bytes: Array[Byte], gw: Int, gh: Int)
+      : Option[(Array[Long], Array[Long])] =
+    decodePngPixels(bytes).flatMap { case (w, h, px) =>
+      if (w < gw || h < gh) None
+      else {
+        val sums = new Array[Long](gw * gh)
+        val counts = new Array[Long](gw * gh)
+        var y = 0
+        while (y < h) {
+          val by = y * gh / h
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            val luma = 299L * (px(p) & 0xff) + 587L * (px(p + 1) & 0xff) +
+              114L * (px(p + 2) & 0xff)
+            val b = by * gw + x * gw / w
+            sums(b) += luma
+            counts(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((sums, counts))
+      }
+    }
+
+  /** Average hash (aHash): bit `i` set iff block `i`'s mean luma
+    * exceeds the whole image's mean, decided by exact cross-
+    * multiplication (`sum_i · totalPixels > total · count_i`). The
+    * cheapest of the perceptual-hash family and the classic first
+    * pass of image near-dup detection in crawl curation — invariant
+    * to resizing and mild noise, 64 bits on the default 8×8 grid.
+    */
+  def aHashBits(bytes: Array[Byte], grid: Int = 8): Option[Array[Boolean]] =
+    lumaBlockSums(bytes, grid, grid).map { case (sums, counts) =>
+      val total = sums.sum
+      val pixels = counts.sum
+      Array.tabulate(grid * grid) { i =>
+        sums(i) * pixels > total * counts(i)
+      }
+    }
+
+  /** Difference hash (dHash): blocks on a `(grid+1) × grid` grid, bit
+    * `(cy·grid + cx)` set iff the block right of `(cx, cy)` is
+    * brighter (cross-multiplied mean compare again). Encodes the
+    * horizontal gradient structure, which survives brightness shifts
+    * that flip aHash bits — the standard complement to aHash.
+    */
+  def dHashBits(bytes: Array[Byte], grid: Int = 8): Option[Array[Boolean]] =
+    lumaBlockSums(bytes, grid + 1, grid).map { case (sums, counts) =>
+      Array.tabulate(grid * grid) { i =>
+        val cy = i / grid; val cx = i % grid
+        val l = cy * (grid + 1) + cx
+        sums(l + 1) * counts(l) > sums(l) * counts(l + 1)
+      }
+    }
+
+  case class ImageHashBit(media_id: Long, algo: String, bit_no: Int,
+                          bit: Boolean)
+
+  /** Both perceptual hashes per blob as bit rows — partition-wise,
+    * blobs never shuffle, undecodable blobs yield no rows (the decode
+    * seam owns reporting them).
+    */
+  def imageHashBits(blobs: Dataset[MediaBlob],
+                    grid: Int = 8): Dataset[ImageHashBit] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      val a = aHashBits(b.content, grid).iterator.flatMap(_.zipWithIndex
+        .map { case (bit, i) => ImageHashBit(b.media_id, "a", i, bit) })
+      val d = dHashBits(b.content, grid).iterator.flatMap(_.zipWithIndex
+        .map { case (bit, i) => ImageHashBit(b.media_id, "d", i, bit) })
+      a ++ d
+    })
+  }
+
+  /** Perceptual near-dup pairs by banded aHash: pack the 64 aHash
+    * bits into a long per image (one decode pass, partition-wise),
+    * split it into four 16-bit bands, and self-join on exact band
+    * match — for `maxHamming ≤ 3` the pigeonhole makes banding
+    * LOSSLESS (≤3 differing bits can dirty ≤3 of 4 bands), so the
+    * result is provably ALL pairs within the hamming budget, found
+    * with one shuffle on (band_no, band_value) instead of an O(n²)
+    * cross join: the same candidate-generation shape as
+    * [[graft.operators.Dedup.simhashCandidates]], on image bytes
+    * instead of text shingles. Hamming distance itself is codegen'd
+    * `bit_count(a ^ b)`.
+    */
+  def imageNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int,
+                        grid: Int = 8): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole guarantees losslessness only to hamming 3")
+    import blobs.sparkSession.implicits._
+    val hashes = blobs.mapPartitions(_.flatMap { b =>
+      aHashBits(b.content, grid).map { bits =>
+        var hash = 0L
+        bits.zipWithIndex.foreach { case (bit, i) =>
+          if (bit) hash |= 1L << i
+        }
+        (b.media_id, hash, (hash >>> 0) & 0xffffL, (hash >>> 16) & 0xffffL,
+          (hash >>> 32) & 0xffffL, (hash >>> 48) & 0xffffL)
+      }
+    }).toDF("media_id", "hash", "b0", "b1", "b2", "b3")
+    val banded = hashes.select(col("media_id"), col("hash"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_no", "band_val")))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.hash").as("ha"), col("y.hash").as("hb"))
+      .distinct()
+    pairs
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   case class Y4mMeta(media_id: Long, width: Int, height: Int,

@@ -200,7 +200,9 @@ object Queries
     "q143_wav_windows" -> (q143 _),
     "q144_pagerank"     -> (q144 _),
     "q145_mmr_rerank"   -> (q145 _),
-    "q146_scene_cuts"   -> (q146 _)
+    "q146_scene_cuts"   -> (q146 _),
+    "q147_image_phash"  -> (q147 _),
+    "q148_image_neardup" -> (q148 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -479,7 +481,9 @@ object Queries
     "q143_wav_windows" -> q143Sql,
     "q144_pagerank"     -> q144Sql,
     "q145_mmr_rerank"   -> q145Sql,
-    "q146_scene_cuts"   -> q146Sql
+    "q146_scene_cuts"   -> q146Sql,
+    "q147_image_phash"  -> q147Sql,
+    "q148_image_neardup" -> q148Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1021,4 +1021,126 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | coalesce(abs(delta) > 40.0, FALSE) AS is_cut,
       | fno // 3 AS scene_no
       |FROM d ORDER BY media_id, frame_no""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  // Perceptual image hashes under the oracle (Multimodal
+  // .imageHashBits): aHash (8×8 block mean vs global mean) and dHash
+  // (9×8 horizontal gradient) over REAL decoded PNG bytes. The
+  // gradient writer makes every block sum closed-form, and both
+  // kernels decide bits by exact integer cross-multiplication (never
+  // a mean division), so DuckDB replays pixel→block assignment (the
+  // floor maps (x·g)//w), the sums, and every comparison exactly.
+  // r=g=b in the fixture ⇒ the BT.601 ×1000 luma scale cancels out of
+  // every cross-multiplied compare, so the oracle works in raw gray.
+  // Every 13th blob is truncated → zero rows from the hash pass.
+  private[queries] def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticPngGradient(id, 24 + 8 * (id % 4).toInt,
+          16 + 8 * (id % 3).toInt)
+        if (id % 13 == 0) b.copy(content = b.content.dropRight(10))
+        else b
+      }
+    m.imageHashBits(blobs).toDF()
+      .select($"media_id", $"algo", $"bit_no", $"bit")
+      .orderBy($"media_id", $"algo", $"bit_no")
+  }
+  private[queries] lazy val q147Sql =
+    """WITH p AS (
+      | SELECT doc_id, 24 + 8 * (doc_id % 4) AS w,
+      |  16 + 8 * (doc_id % 3) AS h
+      | FROM documents WHERE doc_id < 150 AND doc_id % 13 <> 0),
+      |px AS (
+      | SELECT doc_id, w, h, x, y,
+      |  (doc_id * 31 + x * 7 + y * 13) % 256 AS g
+      | FROM p, unnest(generate_series(0, CAST(w - 1 AS BIGINT))) tx(x),
+      |  unnest(generate_series(0, CAST(h - 1 AS BIGINT))) ty(y)),
+      |tot AS (SELECT doc_id, sum(g) AS t, count(*) AS n FROM px
+      | GROUP BY 1),
+      |ab AS (
+      | SELECT doc_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
+      |  sum(g) AS s, count(*) AS c
+      | FROM px GROUP BY 1, 2),
+      |bits_a AS (
+      | SELECT ab.doc_id, 'a' AS algo, b AS bit_no,
+      |  s * n > t * c AS bit
+      | FROM ab JOIN tot USING (doc_id)),
+      |db AS (
+      | SELECT doc_id, y * 8 // h AS cy, x * 9 // w AS cx,
+      |  sum(g) AS s, count(*) AS c
+      | FROM px GROUP BY 1, 2, 3),
+      |bits_d AS (
+      | SELECT l.doc_id, 'd' AS algo, l.cy * 8 + l.cx AS bit_no,
+      |  r.s * l.c > l.s * r.c AS bit
+      | FROM db l JOIN db r
+      |  ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+      | WHERE l.cx < 8)
+      |SELECT doc_id AS media_id, algo, CAST(bit_no AS INT) AS bit_no,
+      | bit
+      |FROM (SELECT * FROM bits_a UNION ALL SELECT * FROM bits_d)
+      |ORDER BY media_id, algo, bit_no""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  // Banded perceptual near-dup pairs (Multimodal.imageNearDupPairs):
+  // ten planted copies differing by ONE gray level at the origin must
+  // surface against their originals via the 4×16-bit aHash band join
+  // — lossless for hamming ≤ 3 by pigeonhole, so the oracle is simply
+  // ALL pairs within the hamming budget, computed by replaying every
+  // image's 64 aHash bits and counting disagreements.
+  private[queries] def q148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .flatMap { id =>
+        val base = m.syntheticPngGradient(id, 24 + 8 * (id % 4).toInt,
+          16 + 8 * (id % 3).toInt)
+        if (id < 10)
+          Seq(base, m.syntheticPngGradient(id, 24 + 8 * (id % 4).toInt,
+            16 + 8 * (id % 3).toInt, tweakOrigin = true)
+            .copy(media_id = 10000000L + id))
+        else Seq(base)
+      }
+    m.imageNearDupPairs(blobs, maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+  private[queries] lazy val q148Sql =
+    """WITH imgs AS (
+      | SELECT doc_id AS media_id, doc_id AS gid,
+      |  24 + 8 * (doc_id % 4) AS w, 16 + 8 * (doc_id % 3) AS h,
+      |  FALSE AS tweak
+      | FROM documents WHERE doc_id < 150
+      | UNION ALL
+      | SELECT 10000000 + doc_id, doc_id,
+      |  24 + 8 * (doc_id % 4), 16 + 8 * (doc_id % 3), TRUE
+      | FROM documents WHERE doc_id < 10),
+      |px AS (
+      | SELECT media_id, w, h, x, y,
+      |  CASE WHEN tweak AND x = 0 AND y = 0
+      |   THEN ((gid * 31 + x * 7 + y * 13) % 256 + 1) % 256
+      |   ELSE (gid * 31 + x * 7 + y * 13) % 256 END AS g
+      | FROM imgs,
+      |  unnest(generate_series(0, CAST(w - 1 AS BIGINT))) tx(x),
+      |  unnest(generate_series(0, CAST(h - 1 AS BIGINT))) ty(y)),
+      |tot AS (SELECT media_id, sum(g) AS t, count(*) AS n FROM px
+      | GROUP BY 1),
+      |ab AS (
+      | SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
+      |  sum(g) AS s, count(*) AS c
+      | FROM px GROUP BY 1, 2),
+      |bits AS (
+      | SELECT ab.media_id, b AS bit_no, s * n > t * c AS bit
+      | FROM ab JOIN tot USING (media_id)),
+      |pairs AS (
+      | SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      | FROM bits a JOIN bits b
+      |  ON a.bit_no = b.bit_no AND a.media_id < b.media_id
+      | GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM pairs WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 }

@@ -1273,6 +1273,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sceneCuts(Seq(bad).toDS(), 40.0).collect().isEmpty)
   }
 
+  test("perceptual hashes: near-dup within a bit, resize-stable, " +
+      "brightness shift flips aHash but never dHash") {
+    val base = Multimodal.syntheticPngGradient(5L, 40, 24)
+    val tweaked = Multimodal.syntheticPngGradient(5L, 40, 24,
+      tweakOrigin = true)
+    def ham(a: Array[Boolean], b: Array[Boolean]): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val (ab, at) = (Multimodal.aHashBits(base.content).get,
+      Multimodal.aHashBits(tweaked.content).get)
+    assert(ham(ab, at) <= 1)
+    // resize to half: block structure survives nearest-neighbor
+    val resized = Multimodal.resizePng(base.content, 20).get._3
+    assert(ham(ab, Multimodal.aHashBits(resized).get) <= 6)
+    // uniform brightness shift (no wrap): dHash INVARIANT by
+    // construction (gradient order is unchanged), aHash compares to a
+    // shifted global mean so bits may move — build a ramp in [0,100]
+    def ramp(shift: Int): Array[Byte] = {
+      val rgb = new Array[Byte](40 * 24 * 3)
+      (0 until 24).foreach { y =>
+        (0 until 40).foreach { x =>
+          val g = (x * 2 + shift).toByte
+          val p = (y * 40 + x) * 3
+          rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+        }
+      }
+      Multimodal.pngEncode(40, 24, rgb)
+    }
+    val d0 = Multimodal.dHashBits(ramp(0)).get
+    val d50 = Multimodal.dHashBits(ramp(50)).get
+    assert(ham(d0, d50) == 0)
+    // undecodable bytes: None, never a throw
+    assert(Multimodal.aHashBits(base.content.dropRight(7)).isEmpty)
+    assert(Multimodal.dHashBits(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("imageNearDupPairs surfaces the planted copy through the " +
+      "band join") {
+    val blobs = (0L until 30L).map { id =>
+      Multimodal.syntheticPngGradient(id, 32, 24)
+    } :+ Multimodal.syntheticPngGradient(7L, 32, 24, tweakOrigin = true)
+      .copy(media_id = 999L)
+    val pairs = Multimodal.imageNearDupPairs(blobs.toDS(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 7L && p._2 == 999L && p._3 <= 1),
+      s"planted pair missing from ${pairs.toSeq}")
+  }
+
   test("sceneCuts reads the Y plane of non-420 colorspaces too") {
     // hand-built mono stream: 4×2 luma, two frames 100 then 200
     val header = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 Cmono\n"
