@@ -202,7 +202,8 @@ object Queries
     "q145_mmr_rerank"   -> (q145 _),
     "q146_scene_cuts"   -> (q146 _),
     "q147_image_phash"  -> (q147 _),
-    "q148_image_neardup" -> (q148 _)
+    "q148_image_neardup" -> (q148 _),
+    "q149_pagerank_resume" -> (q149 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -483,7 +484,8 @@ object Queries
     "q145_mmr_rerank"   -> q145Sql,
     "q146_scene_cuts"   -> q146Sql,
     "q147_image_phash"  -> q147Sql,
-    "q148_image_neardup" -> q148Sql
+    "q148_image_neardup" -> q148Sql,
+    "q149_pagerank_resume" -> q149Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

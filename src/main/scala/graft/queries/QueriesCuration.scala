@@ -511,4 +511,77 @@ private[queries] trait QueriesCuration { this: Queries.type =>
        |JOIN r5 ON r5.node = nodes.node
        |ORDER BY nodes.node""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q149
+  // Incremental PageRank (Graph.pageRankResume): after an edge delta,
+  // resume power iteration FROM the old ranks for two steps instead of
+  // recomputing five from uniform — the warm start is within the
+  // contraction factor (0.85²) of the new fixed point, and at graph
+  // scale it touches every edge 2× not 5×. The oracle replays q144's
+  // five cold iterations, the in-plan mass renormalization of the
+  // seed, and both warm iterations over the unioned edge set.
+  private[queries] def q149(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id")
+    val edges = nodes
+      .select($"doc_id",
+        explode(sequence(lit(1L), lit(1L) + $"doc_id" % 3)).as("j"))
+      .select($"doc_id".as("src"),
+        (($"doc_id" * 17 + $"j" * 61) % 200).as("dst"))
+    val prior = Graph.pageRank(edges, nodes, "src", "dst", iterations = 5)
+    val delta = nodes.filter($"doc_id" % 4 === 0)
+      .select($"doc_id".as("src"), (($"doc_id" * 29 + 97) % 200).as("dst"))
+    Graph.pageRankResume(edges.unionByName(delta), nodes, "src", "dst",
+        prior, iterations = 2)
+      .select($"node",
+        (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
+      .orderBy($"node")
+  }
+  private[queries] lazy val q149Sql = {
+    def iter(prev: String, cur: String, eT: String, degT: String): String =
+      s"""$cur AS (
+         | SELECT nodes.node,
+         |  0.15 / (SELECT n FROM nn)
+         |  + 0.85 * (coalesce(c.contrib, 0)
+         |    + (SELECT coalesce(sum(r.rank), 0) FROM $prev r
+         |       LEFT JOIN $degT d ON d.node = r.node
+         |       WHERE d.node IS NULL)
+         |      / (SELECT n FROM nn)) AS rank
+         | FROM nodes
+         | LEFT JOIN (
+         |   SELECT e.dst AS node, sum(r.rank / d.out_deg) AS contrib
+         |   FROM $prev r JOIN $degT d ON d.node = r.node
+         |   JOIN $eT e ON e.src = r.node
+         |   GROUP BY e.dst) c USING (node))""".stripMargin
+    s"""WITH nodes AS (
+       | SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+       |e0 AS (
+       | SELECT doc_id AS src, (doc_id * 17 + j * 61) % 200 AS dst
+       | FROM documents, unnest(generate_series(1, 1 + doc_id % 3)) t(j)
+       | WHERE doc_id < 200),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |deg AS (
+       | SELECT src AS node, count(*)::DOUBLE AS out_deg FROM e
+       | GROUP BY 1),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |${(1 to 5).map(k => iter(s"r${k - 1}", s"r$k", "e", "deg"))
+          .mkString(",\n")},
+       |d0 AS (
+       | SELECT doc_id AS src, (doc_id * 29 + 97) % 200 AS dst
+       | FROM documents WHERE doc_id < 200 AND doc_id % 4 = 0),
+       |e2 AS (SELECT DISTINCT src, dst
+       | FROM (SELECT * FROM e0 UNION ALL SELECT * FROM d0)
+       | WHERE src <> dst),
+       |deg2 AS (
+       | SELECT src AS node, count(*)::DOUBLE AS out_deg FROM e2
+       | GROUP BY 1),
+       |mass AS (SELECT sum(rank) AS m FROM r5),
+       |s0 AS (SELECT node, rank / (SELECT m FROM mass) AS rank FROM r5),
+       |${iter("s0", "s1", "e2", "deg2")},
+       |${iter("s1", "s2", "e2", "deg2")}
+       |SELECT node, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM s2 ORDER BY node""".stripMargin
+  }
 }

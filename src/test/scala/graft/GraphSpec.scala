@@ -62,6 +62,36 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-12)
   }
 
+  test("pageRankResume from a 5-iter prior ≡ 7 cold iterations " +
+      "(modulo the seed renormalization ulp)") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L))
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val prior = Graph.pageRank(edges.toDF("src", "dst"),
+      nodes.toDF("node"), "src", "dst", iterations = 5)
+    val warm = Graph.pageRankResume(edges.toDF("src", "dst"),
+        nodes.toDF("node"), "src", "dst", prior, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    val cold = ranksOf(edges, nodes, iters = 7)
+    cold.foreach { case (k, v) =>
+      assert(math.abs(warm(k) - v) < 1e-12, s"node $k")
+    }
+  }
+
+  test("pageRankResume handles node churn: new node seeds at 1/N, " +
+      "mass stays 1") {
+    val prior = Graph.pageRank(Seq((0L, 1L)).toDF("src", "dst"),
+      Seq(0L, 1L).toDF("node"), "src", "dst", iterations = 3)
+    val warm = Graph.pageRankResume(
+        Seq((0L, 1L), (2L, 1L)).toDF("src", "dst"),
+        Seq(0L, 1L, 2L).toDF("node"), "src", "dst", prior,
+        iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(warm.keySet == Set(0L, 1L, 2L))
+    assert(math.abs(warm.values.sum - 1.0) < 1e-12)
+    // node 1 keeps both in-links; the newcomer has none
+    assert(warm(1L) > warm(2L))
+  }
+
   test("degrees counts the deduped self-loop-free view") {
     val rows = Graph.degrees(
         Seq((0L, 1L), (0L, 1L), (0L, 0L), (1L, 2L)).toDF("src", "dst"),
