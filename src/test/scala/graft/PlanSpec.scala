@@ -306,6 +306,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q146 scene cuts and q147 image hashes shuffle metadata only: " +
+    "one exchange (ordering sort), blobs stay partition-local") {
+    for (q <- Seq("q146_scene_cuts", "q147_image_phash")) {
+      val p = plan(q)
+      val n = p.sliding("Exchange".length).count(_ == "Exchange")
+      assert(n == 1, s"$q: expected 1 exchange (ordering sort), got $n\n$p")
+      assert(p.contains("MapPartitions"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q148 image near-dup pairs join banded — equi-join on " +
+    "(band_no, band_val), never a cartesian over images") {
+    val p = plan("q148_image_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q119x loaded-scale BPE plans the constant-depth loop " +
     "expression, never a replace chain") {
     val p = Queries.benchOnly("q119x_bpe_loaded")(spark, sf)
