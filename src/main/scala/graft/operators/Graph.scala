@@ -105,7 +105,7 @@ object Graph {
         projected.crossJoin(broadcast(mass))
           .select(col("node"), (col("rank") / col("mass")).as("rank"))
     }
-    var ranks = seed.persist()
+    var ranks = seed.localCheckpoint()
 
     var i = 0
     while (i < iterations) {
@@ -127,13 +127,83 @@ object Graph {
           (lit(1.0 - damping) / col("n") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) +
               col("dangling") / col("n"))).as("rank"))
-        .persist()
-      next.count() // materialize before dropping the parent iteration
+        // localCheckpoint, not persist: each iteration's plan embeds
+        // the previous one ~4× (contribs, dangling, the node join), so
+        // lineage grows 4^k — the ANALYZER chokes long before the
+        // executor does (a 7-iteration warm-start plan stringifies
+        // to gigabytes). Truncating to the materialized RDD keeps
+        // planning O(1) per iteration; the blocks are the same ones
+        // persist would hold.
+        .localCheckpoint()
       ranks.unpersist()
       ranks = next
       i += 1
     }
     ranks
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for
+    * community detection — the lightweight complement to
+    * [[graft.operators.Dedup.resolveClusters]]: connected components
+    * find REACHABILITY clusters, label propagation finds DENSITY
+    * clusters (a weakly-connected pair of communities separates).
+    * Corpus curation uses it to group near-dup neighborhoods and
+    * topic clusters without training anything.
+    *
+    * Semantics, per synchronous round: every node adopts the most
+    * frequent label among its neighbors (edges treated as undirected
+    * — the union of both directions, deduped, self-loop-free), ties
+    * broken by the SMALLEST label; isolated nodes keep their own.
+    * Deterministic by construction — no async sweep, no random order
+    * — so two engines agree round for round. Fixed `iterations`
+    * rather than convergence detection: each round is ONE
+    * neighbor-join shuffle + ONE (node, label) count shuffle, and at
+    * scale you budget rounds, not fixpoints (labels stabilize in a
+    * handful of rounds on community-structured graphs).
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+                       srcCol: String, dstCol: String,
+                       iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs >= 1 iteration")
+    val universe = nodes.select(col(nodes.columns.head).as("node"))
+      .distinct()
+    val directed = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = directed
+      .unionByName(directed.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+
+    var labels = universe.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val counts = und.withColumnRenamed("src", "node")
+        .join(labels, Seq("node"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val winners = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      val next = labels
+        .join(winners, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        // lineage cut per round — see pageRankImpl's note
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
   }
 
   /** In-/out-degree per node over the deduped, self-loop-free edge

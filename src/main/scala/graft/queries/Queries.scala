@@ -203,7 +203,8 @@ object Queries
     "q146_scene_cuts"   -> (q146 _),
     "q147_image_phash"  -> (q147 _),
     "q148_image_neardup" -> (q148 _),
-    "q149_pagerank_resume" -> (q149 _)
+    "q149_pagerank_resume" -> (q149 _),
+    "q150_label_prop"   -> (q150 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -485,7 +486,8 @@ object Queries
     "q146_scene_cuts"   -> q146Sql,
     "q147_image_phash"  -> q147Sql,
     "q148_image_neardup" -> q148Sql,
-    "q149_pagerank_resume" -> q149Sql
+    "q149_pagerank_resume" -> q149Sql,
+    "q150_label_prop"   -> q150Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -584,4 +584,64 @@ private[queries] trait QueriesCuration { this: Queries.type =>
        |SELECT node, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
        |FROM s2 ORDER BY node""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q150
+  // Label-propagation community detection (Graph.labelPropagation):
+  // 20 dense 10-node blocks with single bridges between consecutive
+  // blocks — connected components would merge EVERYTHING into one
+  // cluster; LPA keeps the density structure. Synchronous rounds with
+  // smallest-label tie-break are pure relational algebra, so the
+  // oracle replays all four rounds exactly: per round one
+  // neighbor-label count and one (cnt DESC, label ASC) argmax.
+  private[queries] def q150(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id")
+    val intra = nodes
+      .select($"doc_id", explode(sequence(lit(1L), lit(2L))).as("j"))
+      .select($"doc_id".as("src"),
+        ($"doc_id" - ($"doc_id" % 10) +
+          (($"doc_id" * 3 + $"j") % 10)).as("dst"))
+    val bridges = nodes.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("src"),
+        (((expr("doc_id div 10") + 1) % 20) * 10).as("dst"))
+    Graph.labelPropagation(intra.unionByName(bridges), nodes,
+        "src", "dst", iterations = 4)
+      .orderBy($"node")
+  }
+  private[queries] lazy val q150Sql = {
+    def round(k: Int): String =
+      s"""cnt$k AS (
+         | SELECT e.dst AS node, l.label, count(*) AS c
+         | FROM l${k - 1} l JOIN e ON e.src = l.node
+         | GROUP BY 1, 2),
+         |win$k AS (
+         | SELECT node, label FROM (
+         |  SELECT node, label,
+         |   row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, label) AS rn
+         |  FROM cnt$k) WHERE rn = 1),
+         |l$k AS (
+         | SELECT p.node, coalesce(w.label, p.label) AS label
+         | FROM l${k - 1} p LEFT JOIN win$k w ON w.node = p.node)"""
+        .stripMargin
+    s"""WITH nodes AS (
+       | SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+       |e0 AS (
+       | SELECT doc_id AS src,
+       |  doc_id - (doc_id % 10) + (doc_id * 3 + j) % 10 AS dst
+       | FROM documents, unnest(generate_series(1, 2)) t(j)
+       | WHERE doc_id < 200
+       | UNION ALL
+       | SELECT doc_id, ((doc_id // 10 + 1) % 20) * 10
+       | FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0),
+       |e AS (
+       | SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0)
+       | WHERE src <> dst),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+  }
 }

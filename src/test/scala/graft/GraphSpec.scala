@@ -92,6 +92,34 @@ class GraphSpec extends AnyFunSuite {
     assert(warm(1L) > warm(2L))
   }
 
+  test("labelPropagation: disjoint triangles converge to their min " +
+      "label; isolated nodes keep their own") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 5L, 6L, 7L, 9L).toDF("node")
+    val labels = Graph.labelPropagation(edges, nodes, "src", "dst",
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(2L) == 0L)
+    assert(labels(5L) == 5L && labels(6L) == 5L && labels(7L) == 5L)
+    assert(labels(9L) == 9L) // isolated: keeps its own label
+  }
+
+  test("labelPropagation treats edges as undirected and is " +
+      "deterministic across runs") {
+    // star given only outward direction: leaves still see the hub
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val a = Graph.labelPropagation(edges, nodes, "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(edges, nodes, "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // every leaf's only neighbor is the hub: leaves carry the hub's
+    // (round-dependent) label, never each other's
+    assert(a(1L) == a(2L) && a(2L) == a(3L))
+  }
+
   test("degrees counts the deduped self-loop-free view") {
     val rows = Graph.degrees(
         Seq((0L, 1L), (0L, 1L), (0L, 0L), (1L, 2L)).toDF("src", "dst"),
