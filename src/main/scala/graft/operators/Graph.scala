@@ -65,12 +65,50 @@ object Graph {
                      iterations: Int = 2,
                      damping: Double = 0.85): DataFrame =
     pageRankImpl(edges, nodes, srcCol, dstCol, Some(prior), iterations,
-      damping)
+      damping, None, None)
+
+  /** Personalized (topic-sensitive, Haveliwala 2002) and optionally
+    * edge-weighted PageRank. The teleport vector concentrates the
+    * (1-d) restart mass — and the dangling-node mass — on `seeds`
+    * instead of spreading it uniformly, so ranks measure authority AS
+    * SEEN FROM the seed neighborhood: curation pipelines seed with
+    * vetted domains (reference corpora, allowlists) and use the
+    * resulting rank as a trust prior (the TrustRank construction).
+    *
+    * `seeds`: first column = node id; optional second NUMERIC column =
+    * teleport weight (normalized in-plan to sum 1; absent ⇒ uniform
+    * over the seed set). Seeds outside the node universe are ignored;
+    * at least one in-universe seed is required (checked lazily — an
+    * empty teleport vector divides 0/0 into NaN ranks, so callers get
+    * a loud wrong answer, not a silent uniform fallback... hence the
+    * eager require below instead).
+    *
+    * `weightCol`: optional edge-weight column in `edges`. Parallel
+    * edges SUM their weights (each endorsement counts, unlike the
+    * unweighted collapse), and a node's contribution splits
+    * proportionally to out-weight: r(u)·w(u→v)/W(u). Non-positive
+    * total out-weight rows are treated as dangling.
+    *
+    * Iteration update:
+    * `r'(v) = (1-d)·t(v) + d·(Σ_{u→v} r(u)·w(u,v)/W(u) + D·t(v))`.
+    * Σr stays exactly 1 (mass conservation holds for any teleport
+    * distribution). Starts from `t` itself — the standard PPR start,
+    * inside the contraction ball of the fixed point.
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+                           srcCol: String, dstCol: String,
+                           seeds: DataFrame,
+                           iterations: Int = 5, damping: Double = 0.85,
+                           weightCol: Option[String] = None): DataFrame =
+    pageRankImpl(edges, nodes, srcCol, dstCol, None, iterations,
+      damping, Some(seeds), weightCol)
 
   private def pageRankImpl(edges: DataFrame, nodes: DataFrame,
                            srcCol: String, dstCol: String,
                            prior: Option[DataFrame],
-                           iterations: Int, damping: Double): DataFrame = {
+                           iterations: Int, damping: Double,
+                           seeds: Option[DataFrame] = None,
+                           weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
 
     val universe = nodes.select(col(nodes.columns.head).as("node"))
@@ -78,22 +116,78 @@ object Graph {
     // one-row dimension: N as a broadcastable scalar kept in-plan
     val nDf = universe.agg(count(lit(1)).cast("double").as("n"))
 
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val eRaw = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        weightCol.map(w => col(w).cast("double"))
+          .getOrElse(lit(1.0)).as("ew"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      // restrict BOTH endpoints to the node universe: an edge whose
+      // dst lies outside would have its contribution computed then
+      // dropped by the universe left-join while still inflating its
+      // src's out-degree — rank mass silently leaks and Σrank=1
+      // breaks (the normal case for host link graphs, where the edge
+      // list covers more hosts than the curated node table)
+      .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    val e = (weightCol match {
+      // weighted: parallel edges SUM (each endorsement counts);
+      // unweighted: collapse to one (the classic formulation)
+      case Some(_) => eRaw.groupBy(col("src"), col("dst"))
+        .agg(sum(col("ew")).as("ew"))
+      case None => eRaw.distinct()
+    })
       // co-locate every iteration's rank⋈edges probe on src once
       .repartition(col("src"))
       .persist()
     val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("double").as("out_deg"))
+      .agg(sum(col("ew")).as("out_deg"))
+      .filter(col("out_deg") > 0.0)
       .persist()
 
-    val seed = prior match {
-      case None =>
+    // teleport vector t: uniform 1/N, or normalized over the seed set.
+    // Kept as an optional (node, t) frame joined per iteration; the
+    // uniform case stays a pure scalar (1/n) so classic pageRank's
+    // plan is unchanged.
+    val tele = seeds.map { s =>
+      val sc = s.columns
+      val sw = if (sc.length >= 2) col(sc(1)).cast("double") else lit(1.0)
+      val inU = s.select(col(sc(0)).as("node"), sw.as("tw"))
+        .groupBy(col("node")).agg(sum(col("tw")).as("tw"))
+        .join(universe, Seq("node"), "left_semi")
+      val tot = inU.agg(sum(col("tw")).as("tot"))
+      inU.crossJoin(broadcast(tot))
+        .select(col("node"), (col("tw") / col("tot")).as("t"))
+        .persist()
+    }
+    tele.foreach { t =>
+      require(t.limit(1).count() > 0,
+        "personalizedPageRank: no seed lies in the node universe")
+    }
+    // uniform path keeps the r14 expression verbatim ((1-d)/n, D/n):
+    // rewriting it as (1-d)·t with t=1/n changes the fp rounding by an
+    // ulp, enough to flip a 6dp oracle hash on a boundary value
+    def update(df: DataFrame): DataFrame = tele match {
+      case Some(t) => df.join(t, Seq("node"), "left")
+        .withColumn("t", coalesce(col("t"), lit(0.0)))
+        .select(col("node"),
+          (lit(1.0 - damping) * col("t") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("dangling") * col("t"))).as("rank"))
+      case None => df
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("dangling") / col("n"))).as("rank"))
+    }
+
+    val seed = (prior, tele) match {
+      case (None, None) =>
         universe.crossJoin(broadcast(nDf))
           .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-      case Some(p) =>
+      case (None, Some(t)) =>
+        universe.join(t, Seq("node"), "left")
+          .select(col("node"), coalesce(col("t"), lit(0.0)).as("rank"))
+      case (Some(p), _) =>
         val cols = p.columns
         val projected = universe
           .join(p.select(col(cols(0)).as("node"),
@@ -105,7 +199,7 @@ object Graph {
         projected.crossJoin(broadcast(mass))
           .select(col("node"), (col("rank") / col("mass")).as("rank"))
     }
-    var ranks = seed.localCheckpoint()
+    var ranks = Materialize.iterCut(seed)
 
     var i = 0
     while (i < iterations) {
@@ -118,27 +212,27 @@ object Graph {
           (col("rank") / col("out_deg")).as("w"))
         .join(e, Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w")).as("contrib"))
-      val next = universe
+        .agg(sum(col("w") * col("ew")).as("contrib"))
+      val next = update(universe
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(nDf))
-        .select(col("node"),
-          (lit(1.0 - damping) / col("n") + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) +
-              col("dangling") / col("n"))).as("rank"))
-        // localCheckpoint, not persist: each iteration's plan embeds
-        // the previous one ~4× (contribs, dangling, the node join), so
-        // lineage grows 4^k — the ANALYZER chokes long before the
-        // executor does (a 7-iteration warm-start plan stringifies
-        // to gigabytes). Truncating to the materialized RDD keeps
-        // planning O(1) per iteration; the blocks are the same ones
-        // persist would hold.
-        .localCheckpoint()
+        .crossJoin(broadcast(nDf)))
+      // eager lineage cut, not persist: each iteration's plan embeds
+      // the previous one ~4× (contribs, dangling, the node join), so
+      // lineage grows 4^k — the ANALYZER chokes long before the
+      // executor does (a 7-iteration warm-start plan stringifies to
+      // gigabytes). Materialize.iterCut truncates to the materialized
+      // blocks (localCheckpoint locally; reliable checkpoint /
+      // replicated persist under spark.graft.materialize=resilient,
+      // so executor loss mid-run recovers instead of killing the job).
+      val cut = Materialize.iterCut(next)
       ranks.unpersist()
-      ranks = next
+      ranks = cut
       i += 1
     }
+    e.unpersist()
+    outDeg.unpersist()
+    tele.foreach(_.unpersist())
     ranks
   }
 
@@ -173,12 +267,16 @@ object Graph {
       .unionByName(directed.select(col("dst").as("src"),
         col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
+      // same universe restriction as pageRank: out-of-universe
+      // endpoints must not shape neighbor-label counts
+      .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .distinct()
       .repartition(col("src"))
       .persist()
 
-    var labels = universe.select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    var labels = Materialize.iterCut(
+      universe.select(col("node"), col("node").as("label")))
     var i = 0
     while (i < iterations) {
       val counts = und.withColumnRenamed("src", "node")
@@ -193,16 +291,16 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node"), col("label").as("new_label"))
-      val next = labels
+      // lineage cut per round — see pageRankImpl's note
+      val next = Materialize.iterCut(labels
         .join(winners, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("new_label"), col("label")).as("label"))
-        // lineage cut per round — see pageRankImpl's note
-        .localCheckpoint()
+          coalesce(col("new_label"), col("label")).as("label")))
       labels.unpersist()
       labels = next
       i += 1
     }
+    und.unpersist()
     labels
   }
 
@@ -217,6 +315,8 @@ object Graph {
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
+      .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .distinct()
     universe
       .join(e.groupBy(col("src").as("node"))

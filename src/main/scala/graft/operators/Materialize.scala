@@ -39,4 +39,32 @@ object Materialize {
         else df.persist(StorageLevel.DISK_ONLY)
       case _ => df.localCheckpoint(eager = false)
     }
+
+  /** EAGER lineage cut for iterative loops (PageRank, label
+    * propagation): each round's result must be materialized before the
+    * caller frees the previous round's blocks, or freeing them forces
+    * a recompute of the whole chain. [[apply]]'s lazy forms cannot
+    * guarantee that ordering, so loops route here instead:
+    *  - `local` (default): eager `localCheckpoint()` — lineage
+    *    truncated, blocks in executor memory/disk. Fast, NON-RESILIENT
+    *    (an executor loss kills the job) — right for local[]/tests.
+    *  - `resilient` + checkpoint dir: eager reliable `checkpoint()` —
+    *    lineage truncated AND blocks on the shared FS, so a lost
+    *    executor mid-run recovers instead of killing a multi-hour
+    *    100 TB iteration. THE cluster configuration for iterative ops.
+    *  - `resilient`, no checkpoint dir: replicated
+    *    `persist(DISK_ONLY_2)` forced eager — a single executor loss
+    *    is absorbed by the replica, and lineage is RETAINED as the
+    *    recompute backstop. Lineage grows ~4× per round here, so this
+    *    fallback is for bounded iteration counts (≤~10); set a
+    *    checkpoint dir for anything longer.
+    */
+  def iterCut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
+      case "resilient" =>
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint()
+        else { val p = df.persist(StorageLevel.DISK_ONLY_2); p.count(); p }
+      case _ => df.localCheckpoint()
+    }
 }

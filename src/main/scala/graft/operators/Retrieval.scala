@@ -428,6 +428,11 @@ object Retrieval {
           math.sqrt(s)
         }
         def cos(a: Int, b: Int): Double = {
+          // zero-norm guard: cosine against a degenerate vector is 0
+          // (no directional similarity), not NaN — an unguarded NaN
+          // here poisons every score at rank ≥ 2 and `score >
+          // bestScore` never fires again
+          if (norm(a) == 0.0 || norm(b) == 0.0) return 0.0
           val (va, vb) = (cs(a)._3, cs(b)._3)
           var d = 0.0; var i = 0
           while (i < va.length) { d += va(i) * vb(i); i += 1 }
@@ -457,10 +462,15 @@ object Retrieval {
             }
             c += 1
           }
-          taken(best) = true
-          selected += best
-          picked += ((q, rank, cs(best)._1, quant(bestScore)))
-          rank += 1
+          // degrade, don't crash: a NaN rel (or any score set where
+          // nothing beats -∞) leaves best = -1 — emit what was picked
+          if (best < 0) { rank = k + 1 }
+          else {
+            taken(best) = true
+            selected += best
+            picked += ((q, rank, cs(best)._1, quant(bestScore)))
+            rank += 1
+          }
         }
         picked.result().iterator
       }

@@ -204,7 +204,8 @@ object Queries
     "q147_image_phash"  -> (q147 _),
     "q148_image_neardup" -> (q148 _),
     "q149_pagerank_resume" -> (q149 _),
-    "q150_label_prop"   -> (q150 _)
+    "q150_label_prop"   -> (q150 _),
+    "q151_ppr_weighted" -> (q151 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -487,7 +488,8 @@ object Queries
     "q147_image_phash"  -> q147Sql,
     "q148_image_neardup" -> q148Sql,
     "q149_pagerank_resume" -> q149Sql,
-    "q150_label_prop"   -> q150Sql
+    "q150_label_prop"   -> q150Sql,
+    "q151_ppr_weighted" -> q151Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

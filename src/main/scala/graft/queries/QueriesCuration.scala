@@ -644,4 +644,82 @@ private[queries] trait QueriesCuration { this: Queries.type =>
        |${(1 to 4).map(round).mkString(",\n")}
        |SELECT node, label FROM l4 ORDER BY node""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q151
+  // Personalized + weighted PageRank (Graph.personalizedPageRank):
+  // the TrustRank construction — teleport mass concentrated on a
+  // weighted seed set (vetted domains), edge weights splitting each
+  // node's contribution proportionally. The fixture reuses q144's
+  // closed-form edge generator, duplicates the src%7==0 slice to pin
+  // the parallel-edges-SUM rule, weights w = 1+(src+dst)%5, and seeds
+  // doc_id%17==0 with tw = 1 + 0.7·(doc_id%3). Edge weights are
+  // integer-valued doubles, so out-weights are EXACT on both engines;
+  // the 0.7 teleport factor is deliberately binary-INEXACT — with
+  // all-integer inputs the halves in w/W ratios park several ranks
+  // exactly on a 6dp rounding boundary (0.0053125) where engine ulps
+  // flip the hash; a generic-double teleport moves every reachable
+  // rank off the boundary lattice, and the remaining order ulps are
+  // absorbed by the rounding (q144 precedent). Three unrolled
+  // iterations from r0 = t.
+  private[queries] def q151(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id")
+    val base = nodes
+      .select($"doc_id",
+        explode(sequence(lit(1L), lit(1L) + $"doc_id" % 3)).as("j"))
+      .select($"doc_id".as("src"),
+        (($"doc_id" * 17 + $"j" * 61) % 200).as("dst"))
+    val edges = base.unionByName(base.filter($"src" % 7 === 0))
+      .withColumn("w", lit(1.0) + ($"src" + $"dst") % 5)
+    val seeds = nodes.filter($"doc_id" % 17 === 0)
+      .select($"doc_id".as("node"),
+        (lit(1.0) + ($"doc_id" % 3) * lit(0.7)).as("tw"))
+    Graph.personalizedPageRank(edges, nodes, "src", "dst", seeds,
+        iterations = 3, weightCol = Some("w"))
+      .select($"node",
+        (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
+      .orderBy($"node")
+  }
+  private[queries] lazy val q151Sql = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         | SELECT nodes.node,
+         |  0.15 * coalesce(tele.t, 0)
+         |  + 0.85 * (coalesce(c.contrib, 0)
+         |    + (SELECT coalesce(sum(r.rank), 0) FROM r${k - 1} r
+         |       LEFT JOIN deg d ON d.node = r.node
+         |       WHERE d.node IS NULL)
+         |      * coalesce(tele.t, 0)) AS rank
+         | FROM nodes
+         | LEFT JOIN tele USING (node)
+         | LEFT JOIN (
+         |   SELECT e.dst AS node, sum(r.rank / d.out_w * e.w) AS contrib
+         |   FROM r${k - 1} r JOIN deg d ON d.node = r.node
+         |   JOIN ew e ON e.src = r.node
+         |   GROUP BY e.dst) c USING (node))""".stripMargin
+    s"""WITH nodes AS (
+       | SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+       |e0 AS (
+       | SELECT doc_id AS src, (doc_id * 17 + j * 61) % 200 AS dst
+       | FROM documents, unnest(generate_series(1, 1 + doc_id % 3)) t(j)
+       | WHERE doc_id < 200),
+       |eu AS (SELECT * FROM e0
+       | UNION ALL SELECT * FROM e0 WHERE src % 7 = 0),
+       |ew AS (
+       | SELECT src, dst, sum(1.0 + (src + dst) % 5) AS w
+       | FROM eu WHERE src <> dst GROUP BY 1, 2),
+       |deg AS (SELECT src AS node, sum(w) AS out_w FROM ew GROUP BY 1),
+       |sd AS (
+       | SELECT doc_id AS node, 1.0 + (doc_id % 3) * 0.7 AS tw
+       | FROM documents WHERE doc_id < 200 AND doc_id % 17 = 0),
+       |tele AS (
+       | SELECT node, tw / (SELECT sum(tw) FROM sd) AS t FROM sd),
+       |r0 AS (
+       | SELECT nodes.node, coalesce(tele.t, 0) AS rank
+       | FROM nodes LEFT JOIN tele USING (node)),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT node, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM r3 ORDER BY node""".stripMargin
+  }
 }

@@ -120,6 +120,120 @@ class GraphSpec extends AnyFunSuite {
     assert(a(1L) == a(2L) && a(2L) == a(3L))
   }
 
+  test("edges with an endpoint outside the node universe are dropped " +
+      "entirely: no out-degree inflation, no mass leak") {
+    // 1→5 (dst outside) and 7→0 (src outside) must not exist: if 1→5
+    // merely had its contribution dropped post-hoc, node 1's
+    // out-degree would still count it and Σrank < 1
+    val noisy = ranksOf(Seq((0L, 1L), (1L, 5L), (7L, 0L)),
+      Seq(0L, 1L, 2L))
+    val clean = ranksOf(Seq((0L, 1L)), Seq(0L, 1L, 2L))
+    assert(math.abs(noisy.values.sum - 1.0) < 1e-12)
+    clean.foreach { case (k, v) => assert(math.abs(noisy(k) - v) < 1e-12) }
+    // labelPropagation: out-of-universe endpoints must not shape votes
+    val lp = Graph.labelPropagation(
+        Seq((0L, 1L), (1L, 9L), (9L, 2L)).toDF("src", "dst"),
+        Seq(0L, 1L, 2L).toDF("node"), "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lp(2L) == 2L) // 2's only edge routes through 9 (outside)
+    // degrees ignores them too
+    val d = Graph.degrees(Seq((0L, 1L), (1L, 5L)).toDF("src", "dst"),
+        Seq(0L, 1L, 2L).toDF("node"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(d == Set((0L, 1L, 0L), (1L, 0L, 1L), (2L, 0L, 0L)))
+  }
+
+  test("resilient materialize mode (persist/checkpoint) ≡ local mode " +
+      "for pageRank, pageRankResume and labelPropagation") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L))
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    def run() = {
+      val pr = ranksOf(edges, nodes, iters = 3)
+      val prior = Graph.pageRank(edges.toDF("src", "dst"),
+        nodes.toDF("node"), "src", "dst", iterations = 3)
+      val warm = Graph.pageRankResume(edges.toDF("src", "dst"),
+          nodes.toDF("node"), "src", "dst", prior, iterations = 2)
+        .as[(Long, Double)].collect().toMap
+      val lp = Graph.labelPropagation(edges.toDF("src", "dst"),
+          nodes.toDF("node"), "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap
+      (pr, warm, lp)
+    }
+    val local = run()
+    spark.conf.set(graft.operators.Materialize.ModeKey, "resilient")
+    try {
+      // no checkpoint dir → replicated eager persist fallback
+      assert(run() == local)
+      val cpDir = java.nio.file.Files
+        .createTempDirectory("graft-graph-cp").toString
+      spark.sparkContext.setCheckpointDir(cpDir)
+      try {
+        // reliable checkpoint path — the 100 TB cluster configuration
+        assert(run() == local)
+      } finally spark.sparkContext.setCheckpointDir(null)
+    } finally spark.conf.unset(graft.operators.Materialize.ModeKey)
+  }
+
+  test("personalizedPageRank: restart mass sits on the seed set and " +
+      "matches the hand-computed iterations") {
+    def ppr(iters: Int): Map[Long, Double] =
+      Graph.personalizedPageRank(
+          Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"),
+          Seq(0L, 1L, 2L).toDF("node"), "src", "dst",
+          Seq(0L).toDF("node"), iterations = iters)
+        .as[(Long, Double)].collect().toMap
+    // start r0 = t = (1,0,0); chain 0→1→2, 2 dangling
+    val r1 = ppr(1)
+    assert(math.abs(r1(0L) - 0.15) < 1e-12)
+    assert(math.abs(r1(1L) - 0.85) < 1e-12)
+    assert(math.abs(r1(2L) - 0.0) < 1e-12)
+    val r2 = ppr(2)
+    assert(math.abs(r2(1L) - 0.85 * 0.15) < 1e-12)
+    assert(math.abs(r2(2L) - 0.85 * 0.85) < 1e-12)
+    // iteration 3 exercises dangling→teleport redistribution: all of
+    // node 2's mass restarts at the seed, none leaks uniformly
+    val r3 = ppr(3)
+    assert(math.abs(r3(0L) - (0.15 + 0.85 * 0.7225)) < 1e-12)
+    assert(math.abs(r3.values.sum - 1.0) < 1e-12)
+  }
+
+  test("personalizedPageRank: weighted edges split contribution by " +
+      "out-weight; parallel weighted edges sum; seed weights shape t") {
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    // 0→1 carries 3× the weight of 0→2 (split as parallel edges to
+    // pin the sum-not-collapse rule); uniform teleport via all-seeds
+    val w = Graph.personalizedPageRank(
+        Seq((0L, 1L, 2.0), (0L, 1L, 1.0), (0L, 2L, 1.0))
+          .toDF("src", "dst", "w"),
+        nodes, "src", "dst", Seq(0L, 1L, 2L).toDF("node"),
+        iterations = 1, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+    // contribution into 1 is 3× that into 2 (net of the common base)
+    val base = w(0L) // node 0 gets no contribution: pure base
+    assert(math.abs((w(1L) - base) / (w(2L) - base) - 3.0) < 1e-9)
+    // seed weights: t = (0.75, 0.25, 0); out-of-universe seed ignored
+    val s = Graph.personalizedPageRank(
+        Seq((2L, 0L)).toDF("src", "dst"), nodes, "src", "dst",
+        Seq((0L, 3.0), (1L, 1.0), (99L, 5.0)).toDF("node", "tw"),
+        iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    // r0 = t = (0.75, 0.25, 0); nodes 0 and 1 dangle so D = 1 and the
+    // update collapses to r1 = 0.15·t + 0.85·(0 + 1·t) = t exactly
+    assert(math.abs(s(0L) - 0.75) < 1e-12)
+    assert(math.abs(s(1L) - 0.25) < 1e-12)
+    assert(math.abs(s(2L) - 0.0) < 1e-12)
+  }
+
+  test("personalizedPageRank requires an in-universe seed") {
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(Seq((0L, 1L)).toDF("src", "dst"),
+        Seq(0L, 1L).toDF("node"), "src", "dst",
+        Seq(9L).toDF("node"))
+    }
+  }
+
   test("degrees counts the deduped self-loop-free view") {
     val rows = Graph.degrees(
         Seq((0L, 1L), (0L, 1L), (0L, 0L), (1L, 2L)).toDF("src", "dst"),

@@ -454,6 +454,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(rows(1).getDouble(3) - (0.7 * 0.5 + 0.3)) < 1e-9)
   }
 
+  test("mmrRerank degrades gracefully on degenerate vectors: a " +
+      "zero-norm candidate scores cosine 0, never NaN, never crashes") {
+    // the zero vector would make every cos() at rank ≥ 2 NaN without
+    // the guard — score > bestScore never fires, best stays -1 and
+    // taken(-1) throws for the whole partition
+    val cand = mmrFixture(Seq(
+      (1L, 10L, 0.9, Seq(1.0, 0.0)),
+      (1L, 11L, 0.8, Seq(0.0, 0.0)),   // zero-norm
+      (1L, 12L, 0.5, Seq(0.0, 1.0))))
+    val rows = Retrieval.mmrRerank(cand, "q", "id", "rel", "vec",
+        k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(rows.length == 3)
+    // zero-norm neighbor carries zero penalty: 11 scores λ·0.8 - 0
+    assert(rows(1).getLong(2) == 11L)
+    assert(math.abs(rows(1).getDouble(3) - 0.5 * 0.8) < 1e-9)
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+    // a NaN rel must truncate the ranking, not throw
+    val nan = Retrieval.mmrRerank(mmrFixture(Seq(
+        (1L, 10L, Double.NaN, Seq(1.0, 0.0)))),
+      "q", "id", "rel", "vec", k = 2)
+    assert(nan.count() == 0)
+  }
+
   test("mmrRerank ties break by ascending id; k past n returns n; " +
       "groups stay independent") {
     val cand = mmrFixture(Seq(
