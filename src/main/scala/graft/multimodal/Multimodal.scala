@@ -350,18 +350,30 @@ object Multimodal extends Serializable {
     *  - mixdown applies BEFORE decimation (the floors do not commute;
     *    this order is the contract and the oracle's replay).
     *
-    * Never-upsample / never-approximate: `srcRate <= targetRate`, or
-    * a `srcRate` that `targetRate` does not divide (fractional
-    * resampling would need an interpolation kernel — not exactly
-    * replayable), leaves the rate unchanged; if no transform applies
-    * at all the input bytes pass through BYTE-IDENTICAL (extra RIFF
-    * chunks preserved). Anything [[parseWav]] rejects, or a
-    * non-16-bit stream, or a data length that splits a frame, returns
-    * None (the blob variant routes that to empty content, the resize
-    * family's row-property contract).
+    * Never-upsample / never-approximate: `srcRate <= targetRate`
+    * leaves the rate unchanged, and so does a `srcRate` that
+    * `targetRate` does not divide UNLESS `fractional = true` — then
+    * the non-divisible downsample (the single most common real
+    * conversion: 44.1 kHz → 16 kHz, the ASR ingest rate for exactly
+    * the reference's TTS wav blobs, tts_utils.py:31-35) runs an EXACT
+    * fixed-point linear interpolation: output frame j sits at source
+    * position j·S/T (S = srcRate, T = targetRate, pure rationals);
+    * with i0 = (j·S) div T and rem = (j·S) mod T, the sample is
+    * `floorDiv(s[i0]·(T−rem) + s[i0+1]·rem, T)` (s[i0] verbatim when
+    * rem = 0) — all Long integer arithmetic, so any engine replays it
+    * closed-form. outFrames = (frames−1)·T div S + 1, exactly the j
+    * whose position lands inside the input. Divisible rates keep the
+    * box decimation even with `fractional = true` (it is exact AND
+    * pre-averages). If no transform applies at all the input bytes
+    * pass through BYTE-IDENTICAL (extra RIFF chunks preserved).
+    * Anything [[parseWav]] rejects, or a non-16-bit stream, or a data
+    * length that splits a frame, returns None (the blob variant
+    * routes that to empty content, the resize family's row-property
+    * contract).
     */
   def transcodeWav(bytes: Array[Byte], targetRate: Int,
-                   mono: Boolean): Option[Array[Byte]] = {
+                   mono: Boolean,
+                   fractional: Boolean = false): Option[Array[Byte]] = {
     require(targetRate >= 1)
     val meta = parseWav(0L, bytes)
     if (!meta.decode_ok || meta.bits_per_sample != 16) return None
@@ -371,8 +383,9 @@ object Multimodal extends Serializable {
     val k = if (meta.sample_rate > targetRate &&
       meta.sample_rate % targetRate == 0) meta.sample_rate / targetRate
     else 1
+    val frac = fractional && k == 1 && meta.sample_rate > targetRate
     val doMix = mono && ch > 1
-    if (k == 1 && !doMix) return Some(bytes)
+    if (k == 1 && !doMix && !frac) return Some(bytes)
     val (_, dataOff, _) = wavChunkWalk(bytes)
     if (dataOff < 0) return None
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -397,6 +410,34 @@ object Multimodal extends Serializable {
         }
       }
       f += 1
+    }
+    if (frac) {
+      // exact fixed-point linear interpolation (scaladoc formula)
+      val srcR = meta.sample_rate
+      val outFrames =
+        if (frames == 0) 0
+        else (((frames - 1).toLong * targetRate) / srcR + 1).toInt
+      val fb = wavHeader(targetRate, outCh, bitsPerSample = 16,
+        dataLen = outFrames * outCh * 2)
+      var j = 0
+      while (j < outFrames) {
+        val num = j.toLong * srcR
+        val i0 = (num / targetRate).toInt
+        val rem = (num % targetRate).toInt
+        var c = 0
+        while (c < outCh) {
+          val v =
+            if (rem == 0) mixed(i0 * outCh + c)
+            else Math.floorDiv(
+              mixed(i0 * outCh + c).toLong * (targetRate - rem) +
+                mixed((i0 + 1) * outCh + c).toLong * rem,
+              targetRate).toInt
+          fb.putShort(v.toShort)
+          c += 1
+        }
+        j += 1
+      }
+      return Some(fb.array())
     }
     val outFrames = frames / k
     val outRate = if (k == 1) meta.sample_rate else targetRate
@@ -424,10 +465,11 @@ object Multimodal extends Serializable {
     * `decode_ok = false` (a row property, never a task failure).
     */
   def transcodeWavBlobs(blobs: Dataset[MediaBlob], targetRate: Int,
-                        mono: Boolean): Dataset[MediaBlob] = {
+                        mono: Boolean,
+                        fractional: Boolean = false): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map { b =>
-      transcodeWav(b.content, targetRate, mono) match {
+      transcodeWav(b.content, targetRate, mono, fractional) match {
         case Some(out) => MediaBlob(b.media_id, b.media_type, out)
         case None => MediaBlob(b.media_id, b.media_type,
           Array.emptyByteArray)

@@ -205,7 +205,8 @@ object Queries
     "q148_image_neardup" -> (q148 _),
     "q149_pagerank_resume" -> (q149 _),
     "q150_label_prop"   -> (q150 _),
-    "q151_ppr_weighted" -> (q151 _)
+    "q151_ppr_weighted" -> (q151 _),
+    "q152_wav_resample" -> (q152 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -489,7 +490,8 @@ object Queries
     "q148_image_neardup" -> q148Sql,
     "q149_pagerank_resume" -> q149Sql,
     "q150_label_prop"   -> q150Sql,
-    "q151_ppr_weighted" -> q151Sql
+    "q151_ppr_weighted" -> q151Sql,
+    "q152_wav_resample" -> q152Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1143,4 +1143,95 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
       |FROM pairs WHERE hamming <= 3
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  // FRACTIONAL audio resample under the oracle — q140's byte-level
+  // transcode chain at the rates real corpora actually carry: 44.1 k /
+  // 22.05 k / 24 k sources to the 16 kHz ASR ingest rate, none
+  // divisible, so transcodeWav(fractional = true) runs the exact
+  // fixed-point linear interpolation (output j at source position
+  // j·S/16000; v = floorDiv(m[i0]·(T−rem) + m[i0+1]·rem, T)). The
+  // oracle replays encode → mixdown → interpolate → re-encode →
+  // decode closed-form: floor(x/16000.0) over exact-integer doubles
+  // ≡ floorDiv because |x| < 2^30 and the fractional part is ≥ 1/T ≫
+  // one double ulp. Every 13th blob truncated mid-header → one
+  // decode_ok=false row.
+  private[queries] def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 40 + (id % 50).toInt
+        val rate = (id % 3) match {
+          case 0 => 44100
+          case 1 => 22050
+          case _ => 24000
+        }
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, rate, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.transcodeWavBlobs(blobs, targetRate = 16000,
+        mono = true, fractional = true)).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q152Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 50 AS fr,
+      |  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+      |   ELSE 24000 END AS s,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |fi AS (
+      | SELECT doc_id, ch, fr, s, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, s, i, unnest(range(ch)) AS c FROM fi),
+      |mx AS (
+      | SELECT doc_id, fr, s, i,
+      |  CAST(floor(sum(((doc_id*7 + i*13 + c*17) % 65536) - 32768)
+      |    / any_value(ch)) AS BIGINT) AS m
+      | FROM sc GROUP BY doc_id, fr, s, i),
+      |jd AS (
+      | SELECT doc_id, s, unnest(range((fr - 1) * 16000 // s + 1)) AS j
+      | FROM p WHERE NOT bad),
+      |ps AS (
+      | SELECT doc_id, j, (j * s) // 16000 AS i0, (j * s) % 16000 AS rem
+      | FROM jd),
+      |ov AS (
+      | SELECT ps.doc_id, ps.j,
+      |  CASE WHEN ps.rem = 0 THEN m0.m
+      |   ELSE CAST(floor((m0.m * (16000 - ps.rem) + m1.m * ps.rem)
+      |     / 16000.0) AS BIGINT) END AS o
+      | FROM ps
+      | JOIN mx m0 ON m0.doc_id = ps.doc_id AND m0.i = ps.i0
+      | LEFT JOIN mx m1 ON m1.doc_id = ps.doc_id AND m1.i = ps.i0 + 1),
+      |agg AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(o)) AS INT) AS peak,
+      |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(o*o) AS BIGINT) AS sum_sq
+      | FROM ov GROUP BY doc_id)
+      |SELECT doc_id AS media_id, CAST(0 AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
 }

@@ -211,6 +211,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.transcodeWav(w8.content, 4000, mono = true).isEmpty)
   }
 
+  test("transcodeWav fractional=true: 44.1k→16k runs exact fixed-point " +
+    "linear interpolation matching the hand-computed ramp; divisible " +
+    "rates keep box decimation; upsample still passes through") {
+    // mono ramp s(i) = 441·i at 44.1 kHz (20 frames). Output j sits at
+    // source position j·44100/16000 = j·2.75625, so
+    // v(j) = floorDiv(441·j·44100, 16000) and
+    // outFrames = (19·16000)//44100 + 1 = 7:
+    //   [0, 1215, 2431, 3646, 4862, 6077, 7293]
+    val ramp = Array.tabulate(20)(i => (441 * i).toShort)
+    val b = Multimodal.syntheticWavPcm(1L, 44100, 1, ramp)
+    val Some(out) = Multimodal.transcodeWav(b.content, 16000,
+      mono = true, fractional = true)
+    val meta = Multimodal.parseWav(1L, out)
+    assert(meta.sample_rate == 16000 && meta.channels == 1 &&
+      meta.data_bytes == 14L && meta.decode_ok)
+    val st = Multimodal.wavStats(1L, out).head
+    assert(st.n_samples == 7L)
+    assert(st.peak == 7293)
+    assert(st.sum_abs == 0L + 1215 + 2431 + 3646 + 4862 + 6077 + 7293)
+    // stereo mixdown happens BEFORE interpolation: 24 kHz → 16 kHz
+    // (ratio 3/2), l/r = (10,21),(−5,−6),(30,7),(2,2) → mixed
+    // floorDiv = [15,−6,18,2]; j=1 at pos 1.5: floorDiv(−6·8000
+    // + 18·8000, 16000) = 6; j=2 at pos 3.0: 2. outFrames = 3.
+    val b2 = Multimodal.syntheticWavPcm(2L, 24000, 2,
+      Array[Short](10, 21, -5, -6, 30, 7, 2, 2))
+    val Some(out2) = Multimodal.transcodeWav(b2.content, 16000,
+      mono = true, fractional = true)
+    val st2 = Multimodal.wavStats(2L, out2).head
+    assert(Multimodal.parseWav(2L, out2).sample_rate == 16000)
+    assert(st2.n_samples == 3L && st2.sum_abs == 15L + 6L + 2L)
+    // divisible rate: fractional=true still routes to box decimation
+    val dv = Multimodal.syntheticWavPcm(3L, 16000, 2,
+      Array[Short](10, 20, -3, -4, 5, 8, 7, 2, 100, -50))
+    assert(java.util.Arrays.equals(
+      Multimodal.transcodeWav(dv.content, 8000, mono = true,
+        fractional = true).get,
+      Multimodal.transcodeWav(dv.content, 8000, mono = true).get))
+    // never-upsample holds with fractional=true
+    val lo = Multimodal.syntheticWavPcm(4L, 8000, 1, Array[Short](1, 2))
+    assert(Multimodal.transcodeWav(lo.content, 16000, mono = true,
+      fractional = true).get eq lo.content)
+  }
+
   test("transcodeY4m re-emits a genuine Y4M stream: sampled resized " +
     "frames parse back with target dims; no-op passes through " +
     "byte-identical; non-420 and corrupt streams route to None") {
