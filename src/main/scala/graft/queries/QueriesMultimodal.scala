@@ -505,23 +505,26 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
 
   // ---------------------------------------------------------------- q136
   // Mixed-modality dispatch under the oracle: ONE heterogeneous blob
-  // column carrying all four real containers (WAV / PNG / JPEG / Y4M,
-  // family = id % 4, params derived from id / 4 so each family spans
-  // its parameter space), routed per row by MAGIC BYTES to the right
-  // parser in one partition-wise pass. Every 7th blob has its first
-  // byte zeroed — breaking all four magics — and must come back
-  // format='unknown', decode_ok=false with sentinel fields: a row
-  // property, never a task failure. The oracle replays the id-derived
-  // construction (each family's formula is its homogeneous query's —
-  // q94/q109/q128/q121) and the corrupted-magic routing.
+  // column carrying all SIX real containers (WAV / PNG / JPEG / Y4M /
+  // WebP / GIF, family = id % 6, params derived from id / 6 so each
+  // family spans its parameter space — WebP additionally cycles its
+  // VP8 / VP8L / VP8X variants so all three dim encodings are hit),
+  // routed per row by MAGIC BYTES to the right parser in one
+  // partition-wise pass. Every 7th blob has its first byte zeroed —
+  // breaking all six magics — and must come back format='unknown',
+  // decode_ok=false with sentinel fields: a row property, never a
+  // task failure. The oracle replays the id-derived construction
+  // (each family's formula is its homogeneous query's — q94/q109/
+  // q128/q121; WebP/GIF dims are direct header fields) and the
+  // corrupted-magic routing.
   private[queries] def q136(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
     val blobs = t(s, dir, "documents").filter($"doc_id" < 280)
       .select($"doc_id").as[Long]
       .map { id =>
-        val j = id / 4
-        val b = (id % 4) match {
+        val j = id / 6
+        val b = (id % 6) match {
           case 0 =>
             val rate = Array(8000, 16000, 44100)((j % 3).toInt)
             m.syntheticWav(id, rate, 1 + (j % 2).toInt, 16,
@@ -531,11 +534,18 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
           case 2 =>
             m.syntheticJpegPhoto(id, 24 + (j % 11).toInt * 4,
               16 + (j % 5).toInt * 4)
-          case _ =>
+          case 3 =>
             val rates = Array((25, 1), (30000, 1001), (24, 1))
             val (num, den) = rates((j % 3).toInt)
             m.syntheticY4m(id, 16 + 2 * (j % 5).toInt,
               12 + 2 * (j % 3).toInt, num, den, 1 + (j % 10).toInt)
+          case 4 =>
+            val variants = Array("VP8", "VP8L", "VP8X")
+            m.syntheticWebp(id, 16 + (j % 9).toInt, 12 + (j % 5).toInt,
+              variants((j % 3).toInt))
+          case _ =>
+            m.syntheticGif(id, 10 + (j % 11).toInt, 8 + (j % 6).toInt,
+              v89 = j % 2 == 0)
         }
         if (id % 7 == 0) { b.content(0) = 0; b } else b
       }
@@ -546,7 +556,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   }
   private[queries] lazy val q136Sql =
     """WITH p AS (
-      | SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS j,
+      | SELECT doc_id, doc_id % 6 AS fam, doc_id // 6 AS j,
       |  doc_id % 7 = 0 AS bad
       | FROM documents WHERE doc_id < 280),
       |d AS (
@@ -560,19 +570,24 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  16 + 2 * (j % 5) AS y4m_w, 12 + 2 * (j % 3) AS y4m_h,
       |  CASE j % 3 WHEN 0 THEN 25 WHEN 1 THEN 30000 ELSE 24 END AS num,
       |  CASE j % 3 WHEN 0 THEN 1 WHEN 1 THEN 1001 ELSE 1 END AS den,
-      |  1 + j % 10 AS y4m_frames
+      |  1 + j % 10 AS y4m_frames,
+      |  16 + j % 9 AS webp_w, 12 + j % 5 AS webp_h,
+      |  10 + j % 11 AS gif_w, 8 + j % 6 AS gif_h
       | FROM p)
       |SELECT doc_id AS media_id,
       | CASE WHEN bad THEN 'unknown'
       |   WHEN fam = 0 THEN 'wav' WHEN fam = 1 THEN 'png'
-      |   WHEN fam = 2 THEN 'jpeg' ELSE 'y4m' END AS format,
+      |   WHEN fam = 2 THEN 'jpeg' WHEN fam = 3 THEN 'y4m'
+      |   WHEN fam = 4 THEN 'webp' ELSE 'gif' END AS format,
       | NOT bad AS decode_ok,
       | CAST(CASE WHEN bad OR fam = 0 THEN -1
       |   WHEN fam = 1 THEN png_w WHEN fam = 2 THEN jpg_w
-      |   ELSE y4m_w END AS INT) AS width,
+      |   WHEN fam = 3 THEN y4m_w WHEN fam = 4 THEN webp_w
+      |   ELSE gif_w END AS INT) AS width,
       | CAST(CASE WHEN bad OR fam = 0 THEN -1
       |   WHEN fam = 1 THEN png_h WHEN fam = 2 THEN jpg_h
-      |   ELSE y4m_h END AS INT) AS height,
+      |   WHEN fam = 3 THEN y4m_h WHEN fam = 4 THEN webp_h
+      |   ELSE gif_h END AS INT) AS height,
       | CAST(CASE WHEN NOT bad AND fam = 0 THEN rate ELSE -1 END
       |   AS INT) AS sample_rate,
       | CAST(CASE WHEN bad THEN -1 WHEN fam = 0 THEN ch
@@ -795,7 +810,10 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // Heterogeneous blob TRANSCODE under the oracle — the capstone
   // composing q136's magic-bytes dispatch with the whole per-modality
   // transform family (q124/q134 image resize, q140 audio transcode,
-  // q139 video frame resize): ONE mixed blob column (q136's fixture),
+  // q139 video frame resize): ONE mixed blob column (the four
+  // TRANSCODABLE codecs of q136's fixture — WebP/GIF are
+  // metadata-only legs that pass through dispatchTranscode unchanged,
+  // so they are exercised by q136, not here),
   // one partition-wise dispatchTranscode pass (images -> maxEdge 12,
   // audio -> 8 kHz mono, video -> every 2nd frame at maxEdge 12),
   // then dispatchDecode on the EMITTED bytes — so the oracle's

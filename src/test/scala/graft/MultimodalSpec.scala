@@ -254,6 +254,56 @@ class MultimodalSpec extends AnyFunSuite {
       fractional = true).get eq lo.content)
   }
 
+  test("parseWebp round-trips all three variant headers, takes the " +
+    "first recognized chunk, and routes truncation / bad sync to " +
+    "decode_ok=false") {
+    for ((v, w, h) <- Seq(("VP8", 320, 240), ("VP8L", 1, 16383),
+        ("VP8X", 5000, 3000))) {
+      val b = Multimodal.syntheticWebp(7L, w, h, v)
+      assert(Multimodal.sniffFormat(b.content) == "webp")
+      assert(Multimodal.parseWebp(7L, b.content) ==
+        Multimodal.WebpMeta(7L, v, w, h, decode_ok = true))
+    }
+    // truncated payload: declared chunk size past the buffer
+    val t = Multimodal.syntheticWebp(8L, 64, 48, "VP8")
+    assert(!Multimodal.parseWebp(8L, t.content.dropRight(4)).decode_ok)
+    // VP8 body without the 0x9D012A sync code
+    val s = Multimodal.syntheticWebp(9L, 64, 48, "VP8")
+    s.content(20 + 3) = 0 // sync byte inside the VP8 payload
+    assert(!Multimodal.parseWebp(9L, s.content).decode_ok)
+    // a flipped form-type byte demotes to unknown at the sniffer
+    val u = Multimodal.syntheticWebp(10L, 64, 48, "VP8L")
+    u.content(8) = 'X'.toByte
+    assert(Multimodal.sniffFormat(u.content) == "unknown")
+  }
+
+  test("parseGif reads the logical screen descriptor for both " +
+    "versions; short or mis-versioned streams route to " +
+    "decode_ok=false; dispatch handles webp/gif end to end") {
+    val g87 = Multimodal.syntheticGif(1L, 640, 480, v89 = false)
+    val g89 = Multimodal.syntheticGif(2L, 13, 7, v89 = true)
+    assert(Multimodal.parseGif(1L, g87.content) ==
+      Multimodal.GifMeta(1L, "87a", 640, 480, gct = false,
+        decode_ok = true))
+    assert(Multimodal.parseGif(2L, g89.content) ==
+      Multimodal.GifMeta(2L, "89a", 13, 7, gct = false,
+        decode_ok = true))
+    assert(!Multimodal.parseGif(3L, g87.content.take(12)).decode_ok)
+    val badV = g89.content.clone()
+    badV(4) = '5'.toByte // GIF95a: sniffed unknown, parsed not-ok
+    assert(Multimodal.sniffFormat(badV) == "unknown")
+    assert(!Multimodal.parseGif(4L, badV).decode_ok)
+    // dispatchOne surfaces both as unified rows; dispatchTranscode
+    // passes the metadata-only legs through byte-identical
+    val dm = Multimodal.dispatchOne(2L, g89.content)
+    assert(dm.format == "gif" && dm.decode_ok && dm.width == 13 &&
+      dm.height == 7 && dm.sample_rate == -1)
+    val wp = Multimodal.syntheticWebp(5L, 31, 17, "VP8X")
+    val dw = Multimodal.dispatchOne(5L, wp.content)
+    assert(dw.format == "webp" && dw.decode_ok && dw.width == 31 &&
+      dw.height == 17)
+  }
+
   test("transcodeY4m re-emits a genuine Y4M stream: sampled resized " +
     "frames parse back with target dims; no-op passes through " +
     "byte-identical; non-420 and corrupt streams route to None") {
