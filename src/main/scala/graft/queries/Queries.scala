@@ -206,7 +206,8 @@ object Queries
     "q149_pagerank_resume" -> (q149 _),
     "q150_label_prop"   -> (q150 _),
     "q151_ppr_weighted" -> (q151 _),
-    "q152_wav_resample" -> (q152 _)
+    "q152_wav_resample" -> (q152 _),
+    "q153_mp4_meta"     -> (q153 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -491,7 +492,8 @@ object Queries
     "q149_pagerank_resume" -> q149Sql,
     "q150_label_prop"   -> q150Sql,
     "q151_ppr_weighted" -> q151Sql,
-    "q152_wav_resample" -> q152Sql
+    "q152_wav_resample" -> q152Sql,
+    "q153_mp4_meta"     -> q153Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

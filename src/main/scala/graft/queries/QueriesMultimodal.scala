@@ -1252,4 +1252,62 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
       |FROM p WHERE bad
       |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  // MP4 / ISO-BMFF metadata walk under the oracle — the real-video
+  // counterpart of the Y4M leg: each row synthesizes a genuine boxed
+  // file (ftyp + moov(mvhd v0/v1 + video trak with 16.16 tkhd dims +
+  // stsd sample entry [+ zero-dim audio trak]) + mdat) from
+  // id-derived closed-form params, and parseMp4 walks it back out —
+  // brand, timescale, floor duration-ms, track count, dims, codec
+  // 4CC. Every 13th blob truncated to 16 bytes: the ftyp box declares
+  // 20, the walk sees the bound violation, and the row comes back all
+  // sentinels — a recognized-container-broken-body row property.
+  private[queries] def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val tss = Array(600, 1000, 90000)
+        val codecs = Array("avc1", "hvc1", "vp09", "av01")
+        val b = m.syntheticMp4(id,
+          if (id % 2 == 0) "isom" else "mp42",
+          tss((id % 3).toInt),
+          (1 + id % 60) * 500,
+          16 * (1 + (id % 8)).toInt, 16 * (1 + (id % 5)).toInt,
+          codecs((id % 4).toInt), v1 = id % 5 == 0,
+          audioTrack = id % 2 == 0)
+        if (id % 13 == 0) b.copy(content = b.content.take(16)) else b
+      }
+    m.decodeMp4(blobs).toDF()
+      .select($"media_id", $"brand", $"timescale", $"duration_ms",
+        $"n_tracks", $"width", $"height", $"codec", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q153Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |  CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |   ELSE 90000 END AS ts,
+      |  (1 + doc_id % 60) * 500 AS dur,
+      |  16 * (1 + doc_id % 8) AS w, 16 * (1 + doc_id % 5) AS h,
+      |  CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+      |   WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec,
+      |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_tracks,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN '' ELSE brand END AS brand,
+      | CAST(CASE WHEN bad THEN -1 ELSE ts END AS INT) AS timescale,
+      | CAST(CASE WHEN bad THEN -1 ELSE dur * 1000 // ts END
+      |   AS BIGINT) AS duration_ms,
+      | CAST(CASE WHEN bad THEN -1 ELSE n_tracks END AS INT)
+      |   AS n_tracks,
+      | CAST(CASE WHEN bad THEN -1 ELSE w END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 ELSE h END AS INT) AS height,
+      | CASE WHEN bad THEN '' ELSE codec END AS codec,
+      | NOT bad AS decode_ok
+      |FROM p ORDER BY media_id""".stripMargin
 }

@@ -304,6 +304,46 @@ class MultimodalSpec extends AnyFunSuite {
       dw.height == 17)
   }
 
+  test("parseMp4 walks ftyp/moov/trak boxes: v0 and v1 mvhd, 16.16 " +
+    "tkhd dims with the zero-dim audio track skipped, stsd codec; " +
+    "truncation, bad sizes and largesize all handled") {
+    val b0 = Multimodal.syntheticMp4(1L, "isom", 1000, 2500L, 320, 240,
+      "avc1")
+    assert(Multimodal.sniffFormat(b0.content) == "mp4")
+    assert(Multimodal.parseMp4(1L, b0.content) ==
+      Multimodal.Mp4Meta(1L, "isom", 1000, 2500L, 1, 320, 240, "avc1",
+        decode_ok = true))
+    // v1 mvhd (64-bit duration) + audio track: dims come from the
+    // VIDEO tkhd, track count includes both, duration floors
+    val b1 = Multimodal.syntheticMp4(2L, "mp42", 90000, 123456L, 64,
+      48, "hvc1", v1 = true, audioTrack = true)
+    assert(Multimodal.parseMp4(2L, b1.content) ==
+      Multimodal.Mp4Meta(2L, "mp42", 90000, 123456L * 1000 / 90000, 2,
+        64, 48, "hvc1", decode_ok = true))
+    // truncation: a declared box size past the buffer is a row
+    // property (brand sniffs, decode fails)
+    assert(Multimodal.sniffFormat(b0.content.take(16)) == "mp4")
+    assert(!Multimodal.parseMp4(3L, b0.content.take(16)).decode_ok)
+    // bad size: a box claiming size 4 (< its own 8-byte header)
+    val bad = b0.content.clone()
+    bad(3) = 4.toByte // ftyp size 20 -> 4
+    assert(!Multimodal.parseMp4(4L, bad).decode_ok)
+    // largesize: re-wrap the ftyp payload under a size==1 + u64 header
+    val ftypPayload = b0.content.slice(8, 20)
+    val ls = java.nio.ByteBuffer.allocate(16 + ftypPayload.length)
+    ls.putInt(1).put("ftyp".getBytes("US-ASCII"))
+      .putLong(16L + ftypPayload.length).put(ftypPayload)
+    val rest = b0.content.drop(20)
+    val lsMp4 = ls.array() ++ rest
+    assert(Multimodal.parseMp4(5L, lsMp4) ==
+      Multimodal.parseMp4(5L, b0.content))
+    // dispatch: unified row with track count in the channels slot
+    val dm = Multimodal.dispatchOne(2L, b1.content)
+    assert(dm.format == "mp4" && dm.decode_ok && dm.width == 64 &&
+      dm.height == 48 && dm.channels == 2 &&
+      dm.duration_ms == 123456L * 1000 / 90000)
+  }
+
   test("transcodeY4m re-emits a genuine Y4M stream: sampled resized " +
     "frames parse back with target dims; no-op passes through " +
     "byte-identical; non-420 and corrupt streams route to None") {
