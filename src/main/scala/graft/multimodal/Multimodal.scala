@@ -1556,13 +1556,17 @@ object Multimodal extends Serializable {
   /** REAL JPEG header parse — [[parsePng]]'s contract for JFIF
     * streams. Requires SOI first; walks the marker segments (length-
     * checked against EOF); pulls (precision, height, width,
-    * components) from SOF0 — progressive (SOF2) and the other
-    * non-baseline frame types are structurally parsed but routed to
-    * decode_ok=false, like palette PNGs in decodePngPixels; after SOS
-    * counts entropy bytes (FF00 stuffing and RST markers stay inside
-    * the scan) until EOI. Truncation anywhere — a segment length past
-    * EOF, a scan that never reaches EOI — and component counts
-    * outside {1,3,4} route to decode_ok=false.
+    * components) from the first SOF; after SOS counts entropy bytes
+    * (FF00 stuffing and RST markers stay inside the scan) across ALL
+    * scans until EOI — progressive (SOF2) streams are multi-scan
+    * chains of tables+SOS segments and validate end to end.
+    * decode_ok reflects what [[decodeJpegPixels]] can decode: a
+    * complete single-scan baseline (SOF0) or a complete progressive
+    * (SOF2) chain, 8-bit, components ∈ {1,3,4}. The other frame
+    * types (arithmetic, lossless, hierarchical, 12-bit) stay
+    * decode_ok=false, like palette PNGs in decodePngPixels.
+    * Truncation anywhere — a segment length past EOF, a scan chain
+    * that never reaches EOI — routes to decode_ok=false.
     */
   def parseJpeg(id: Long, bytes: Array[Byte]): JpegMeta = {
     def u8(i: Int): Int = bytes(i) & 0xff
@@ -1572,6 +1576,7 @@ object Multimodal extends Serializable {
     var off = 2
     var w = -1; var h = -1; var ncomp = -1; var prec = -1
     var baseline = false
+    var progressive = false
     var sawSof = false
     var inScanAt = -1
     while (inScanAt < 0 && off + 4 <= bytes.length) {
@@ -1593,6 +1598,7 @@ object Multimodal extends Serializable {
         if (isSof && !sawSof) {
           sawSof = true
           baseline = m == 0xc0
+          progressive = m == 0xc2
           if (len < 8) return BadJpeg.copy(media_id = id)
           prec = u8(off + 4)
           h = u16(off + 5); w = u16(off + 7)
@@ -1605,12 +1611,14 @@ object Multimodal extends Serializable {
       }
     }
     if (inScanAt < 0 || !sawSof) return BadJpeg.copy(media_id = id)
-    // entropy-coded scan: stuffed FF00 and RSTn stay inside; the next
-    // real marker must be EOI (DC-only single-scan streams)
+    // entropy-coded scans: stuffed FF00 and RSTn stay inside; a
+    // tables/SOS segment between scans continues the chain (the
+    // progressive shape); EOI completes it
     var p = inScanAt
     var entropy = 0L
     var complete = false
     var ended = false
+    var multiScan = false
     while (!ended && p < bytes.length) {
       if (u8(p) == 0xff && p + 1 < bytes.length) {
         val m = u8(p + 1)
@@ -1618,15 +1626,27 @@ object Multimodal extends Serializable {
         else if (m >= 0xd0 && m <= 0xd7) { entropy += 2; p += 2 } // RST
         else if (m == 0xff) p += 1                         // fill byte
         else if (m == 0xd9) { complete = true; ended = true } // EOI
-        else ended = true  // another header marker: a multi-scan
-                           // (progressive) stream — structurally fine,
-                           // but not a complete baseline single scan;
-                           // dims survive, decode_ok goes false below
+        else if (m == 0xd8 ||
+          (m >= 0xc0 && m <= 0xcf && m != 0xc4)) {
+          ended = true // a SECOND frame inside the stream (DHT
+                       // redefinition between scans is fine, SOF/SOI
+                       // is not): structurally broken
+        } else {
+          // a tables/DRI/SOS segment between scans: walk it so
+          // multi-scan (progressive) chains validate to EOI
+          if (p + 4 > bytes.length) ended = true
+          else {
+            val l2 = u16(p + 2)
+            if (l2 < 2 || p + 2 + l2 > bytes.length) ended = true
+            else { multiScan = true; p += 2 + l2 }
+          }
+        }
       } else { entropy += 1; p += 1 }
     }
     if (w <= 0 || h <= 0) return BadJpeg.copy(media_id = id)
-    val ok = complete && baseline && prec == 8 &&
-      (ncomp == 1 || ncomp == 3 || ncomp == 4)
+    val ok = complete && prec == 8 &&
+      (ncomp == 1 || ncomp == 3 || ncomp == 4) &&
+      ((baseline && !multiScan) || progressive)
     JpegMeta(id, w, h, ncomp, prec, entropy, decode_ok = ok)
   }
 
@@ -1991,10 +2011,12 @@ object Multimodal extends Serializable {
     * downsample), restart-marker intervals honored (DRI + RSTn with
     * predictor reset). Covers what real web JPEGs carry
     * (reference extract_utils.py:50-59 harvests exactly these);
-    * progressive (SOF2) / arithmetic / 12-bit / multi-scan streams
-    * route to None via [[parseJpeg]]'s decode_ok, truncation and
-    * malformed entropy data route to None mid-decode — a row
-    * property, never a task failure.
+    * progressive (SOF2) streams route to the multi-scan
+    * spectral-selection / successive-approximation decoder
+    * ([[decodeJpegPixelsProgressive]]); arithmetic / 12-bit /
+    * multi-scan-sequential streams route to None via [[parseJpeg]]'s
+    * decode_ok, truncation and malformed entropy data route to None
+    * mid-decode — a row property, never a task failure.
     *
     * Returns (width, height, one FULL-RESOLUTION pixel plane per
     * component — grayscale 1, YCbCr 3, CMYK-shaped 4); [[decodeJpegRgb]]
@@ -2006,6 +2028,8 @@ object Multimodal extends Serializable {
       : Option[(Int, Int, Array[Array[Int]])] = {
     val meta = parseJpeg(0L, bytes)
     if (!meta.decode_ok) return None
+    if (jpegFrameMarker(bytes) == 0xc2)
+      return decodeJpegPixelsProgressive(bytes, meta)
     def u8(i: Int): Int = bytes(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     var off = 2
@@ -2197,6 +2221,411 @@ object Multimodal extends Serializable {
         var x = 0
         while (x < meta.width) {
           o(dstBase + x) = planes(c)(srcBase + x * hs / hMax)
+          x += 1
+        }
+        y += 1
+      }
+      o
+    }
+    Some((meta.width, meta.height, outPlanes))
+  }
+
+  /** First SOF marker byte (0xc0 baseline, 0xc2 progressive, ...) or
+    * -1 — the frame-type router for [[decodeJpegPixels]].
+    */
+  private def jpegFrameMarker(bytes: Array[Byte]): Int = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if (u8(off) != 0xff) return -1
+      while (off + 4 <= bytes.length && u8(off + 1) == 0xff) off += 1
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
+      else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 &&
+        m != 0xcc) return m
+      else if (m == 0xda || m == 0xd9) return -1
+      else off += 2 + u16(off + 2)
+    }
+    -1
+  }
+
+  /** FULL pixel decode of a PROGRESSIVE (SOF2) JPEG — spec Annex G:
+    * the image's DCT coefficients arrive over MULTIPLE scans, each
+    * carrying a spectral band (Ss..Se) at a bit precision (Ah, Al):
+    * DC-first scans Huffman-decode predictors (value << Al), DC
+    * refinements append one bit per block, AC-first scans decode a
+    * band with EOB-RUN block skips (G.1.2.2), and AC refinements run
+    * the correction-bit algorithm (G.1.2.3: every nonzero-history
+    * coefficient crossed consumes a bit; zero-history positions count
+    * the run and receive ±(1<<Al)). Coefficients accumulate per
+    * component across scans; dequantization + IDCT + chroma upsample
+    * run ONCE at EOI — the same tail as the baseline decoder.
+    * Restart intervals reset predictors AND the EOB run. ~10% of real
+    * web JPEGs behind the reference's img-src path
+    * (extract_utils.py:50-59) are progressive.
+    *
+    * Structural violations (a second SOF, an AC scan listing multiple
+    * components, a band past 63, truncation mid-scan) return None —
+    * the row-property contract. Interleaved scans are DC-only per
+    * spec; non-interleaved scans walk the component's own ceil-grid
+    * while storage uses the padded MCU grid stride, so both
+    * addressing modes hit the same blocks.
+    */
+  private def decodeJpegPixelsProgressive(bytes: Array[Byte],
+                                          meta: JpegMeta)
+      : Option[(Int, Int, Array[Array[Int]])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val nc = meta.components
+    val quants = mutable.Map.empty[Int, Array[Int]]
+    val dcTables = mutable.Map.empty[Int, JpegHuff]
+    val acTables = mutable.Map.empty[Int, JpegHuff]
+    var sofIds: Array[Int] = null
+    var sofH: Array[Int] = null
+    var sofV: Array[Int] = null
+    var sofTq: Array[Int] = null
+    var dri = 0
+    var hMax = 0; var vMax = 0
+    var mcusX = 0; var mcusY = 0
+    var bw: Array[Int] = null  // padded (MCU-grid) block width/height
+    var bh: Array[Int] = null
+    var bwN: Array[Int] = null // non-interleaved ceil-grid dims
+    var bhN: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+
+    // one scan's entropy decode; returns false on corruption
+    def runScan(ns: Int, scanComp: Array[Int], scanTd: Array[Int],
+                scanTa: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+                br: JpegBitReader): Boolean = {
+      val prevDc = new Array[Int](nc)
+      var eobrun = 0
+      var rstIdx = 0
+      val dcT = Array.tabulate(ns)(i => dcTables.get(scanTd(i)).orNull)
+      val acT = Array.tabulate(ns)(i => acTables.get(scanTa(i)).orNull)
+      if (ss == 0 && ah == 0 && dcT.exists(_ == null)) return false
+      if (ss > 0 && acT(0) == null) return false
+
+      def dcFirst(c: Int, base: Int, t: JpegHuff): Boolean = {
+        val cat = br.huffDecode(t)
+        if (cat < 0 || cat > 15) return false
+        var diff = 0
+        if (cat > 0) {
+          if (!br.fill(cat)) return false
+          diff = jpegExtend(br.take(cat), cat)
+        }
+        prevDc(c) += diff
+        coefs(c)(base) = prevDc(c) << al
+        true
+      }
+      def dcRefine(c: Int, base: Int): Boolean = {
+        if (!br.fill(1)) return false
+        if (br.take(1) == 1) coefs(c)(base) |= (1 << al)
+        true
+      }
+      def acFirst(c: Int, base: Int, t: JpegHuff): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = br.huffDecode(t)
+          if (rs < 0) return false
+          val r = rs >> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                if (!br.fill(r)) return false
+                eobrun += br.take(r)
+              }
+              return true // EOB ends this block; run covers the NEXT
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            if (!br.fill(s)) return false
+            coefs(c)(base + JpegZigZag(k)) =
+              jpegExtend(br.take(s), s) << al
+            k += 1
+          }
+        }
+        true
+      }
+      def acRefine(c: Int, base: Int, t: JpegHuff): Boolean = {
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(z: Int): Boolean = {
+          if (!br.fill(1)) return false
+          if (br.take(1) == 1 && (coefs(c)(z) & p1) == 0)
+            coefs(c)(z) += (if (coefs(c)(z) >= 0) p1 else m1)
+          true
+        }
+        var k = ss
+        if (eobrun == 0) {
+          var entered = false // entered the EOB tail
+          while (k <= se && !entered) {
+            val rs = br.huffDecode(t)
+            if (rs < 0) return false
+            var r = rs >> 4
+            val s = rs & 15
+            var value = 0
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  if (!br.fill(r)) return false
+                  eobrun += br.take(r)
+                }
+                entered = true
+              }
+              // r == 15: ZRL — skip 16 zero-history positions below
+            } else {
+              if (s != 1) return false
+              if (!br.fill(1)) return false
+              value = if (br.take(1) == 1) p1 else m1
+            }
+            if (!entered) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = base + JpegZigZag(k)
+                if (coefs(c)(z) != 0) {
+                  if (!correct(z)) return false
+                  k += 1
+                } else if (r == 0) {
+                  if (value != 0) coefs(c)(z) = value
+                  k += 1
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+              // value != 0 with no zero slot left: corrupt but
+              // recoverable — the while exits on k > se either way
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = base + JpegZigZag(k)
+            if (coefs(c)(z) != 0 && !correct(z)) return false
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+      def oneBlock(si: Int, c: Int, base: Int): Boolean =
+        if (ss == 0) {
+          if (ah == 0) dcFirst(c, base, dcT(si)) else dcRefine(c, base)
+        } else {
+          if (ah == 0) acFirst(c, base, acT(si))
+          else acRefine(c, base, acT(si))
+        }
+      def atRestart(unit: Int): Boolean = {
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          if (!br.restart(rstIdx)) return false
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(prevDc, 0)
+          eobrun = 0
+        }
+        true
+      }
+
+      if (ns > 1) { // interleaved: MCU order (DC scans only)
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (!atRestart(mcu)) return false
+            var si = 0
+            while (si < ns) {
+              val c = scanComp(si)
+              var bj = 0
+              while (bj < sofV(c)) {
+                var bi = 0
+                while (bi < sofH(c)) {
+                  val base = ((my * sofV(c) + bj) * bw(c) +
+                    mx * sofH(c) + bi) * 64
+                  if (!oneBlock(si, c, base)) return false
+                  bi += 1
+                }
+                bj += 1
+              }
+              si += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: the component's own ceil-grid
+        val c = scanComp(0)
+        var blk = 0
+        var by = 0
+        while (by < bhN(c)) {
+          var bx = 0
+          while (bx < bwN(c)) {
+            if (!atRestart(blk)) return false
+            if (!oneBlock(0, c, (by * bw(c) + bx) * 64)) return false
+            blk += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      true
+    }
+
+    var off = 2
+    var done = false
+    while (!done && off + 2 <= bytes.length) {
+      if (u8(off) != 0xff) return None
+      while (off + 3 < bytes.length && u8(off + 1) == 0xff) off += 1
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
+      else if (m == 0xd9) done = true
+      else {
+        if (off + 4 > bytes.length) return None
+        val len = u16(off + 2)
+        val segEnd = off + 2 + len
+        if (len < 2 || segEnd > bytes.length) return None
+        var next = segEnd
+        if (m == 0xdb) {
+          var p0 = off + 4
+          while (p0 + 1 <= segEnd) {
+            val pq = u8(p0) >> 4
+            val size = 1 + (if (pq == 1) 128 else 64)
+            if (p0 + size > segEnd) p0 = segEnd
+            else {
+              if (pq == 0)
+                quants(u8(p0) & 0x0f) =
+                  Array.tabulate(64)(i => u8(p0 + 1 + i))
+              else
+                quants(u8(p0) & 0x0f) =
+                  Array.tabulate(64)(i => u16(p0 + 1 + 2 * i))
+              p0 += size
+            }
+          }
+        } else if (m == 0xc4) {
+          var p0 = off + 4
+          while (p0 + 17 <= segEnd) {
+            val cls = u8(p0) >> 4
+            val id = u8(p0) & 0x0f
+            val bits = Array.tabulate(16)(i => u8(p0 + 1 + i))
+            val total = bits.sum
+            if (p0 + 17 + total > segEnd) p0 = segEnd
+            else {
+              val vals = Array.tabulate(total)(i => u8(p0 + 17 + i))
+              if (cls == 0) dcTables(id) = buildJpegHuff(bits, vals)
+              else if (cls == 1) acTables(id) = buildJpegHuff(bits, vals)
+              p0 += 17 + total
+            }
+          }
+        } else if (m == 0xdd) {
+          if (len >= 4) dri = u16(off + 4)
+        } else if (m == 0xc2) {
+          if (sofTq != null) return None // second frame
+          sofIds = Array.tabulate(nc)(i => u8(off + 10 + 3 * i))
+          sofH = Array.tabulate(nc)(i => u8(off + 11 + 3 * i) >> 4)
+          sofV = Array.tabulate(nc)(i => u8(off + 11 + 3 * i) & 0x0f)
+          sofTq = Array.tabulate(nc)(i => u8(off + 12 + 3 * i))
+          if (nc == 1) { sofH(0) = 1; sofV(0) = 1 }
+          if (sofH.exists(x => x < 1 || x > 4) ||
+            sofV.exists(x => x < 1 || x > 4)) return None
+          hMax = sofH.max; vMax = sofV.max
+          mcusX = (meta.width + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (meta.height + 8 * vMax - 1) / (8 * vMax)
+          bw = Array.tabulate(nc)(c => mcusX * sofH(c))
+          bh = Array.tabulate(nc)(c => mcusY * sofV(c))
+          bwN = Array.tabulate(nc)(c =>
+            ((meta.width * sofH(c) + hMax - 1) / hMax + 7) / 8)
+          bhN = Array.tabulate(nc)(c =>
+            ((meta.height * sofV(c) + vMax - 1) / vMax + 7) / 8)
+          coefs = Array.tabulate(nc)(c =>
+            new Array[Int](bw(c) * bh(c) * 64))
+        } else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4) {
+          return None // a non-SOF2 frame reached this decoder
+        } else if (m == 0xda) {
+          if (sofTq == null) return None
+          val ns = u8(off + 4)
+          if (ns < 1 || ns > nc || len != 6 + 2 * ns) return None
+          val scanComp = new Array[Int](ns)
+          val scanTd = new Array[Int](ns)
+          val scanTa = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val ci = sofIds.indexOf(u8(off + 5 + 2 * i))
+            if (ci < 0) return None
+            scanComp(i) = ci
+            scanTd(i) = u8(off + 6 + 2 * i) >> 4
+            scanTa(i) = u8(off + 6 + 2 * i) & 0x0f
+            i += 1
+          }
+          val ss = u8(off + 5 + 2 * ns)
+          val se = u8(off + 6 + 2 * ns)
+          val ah = u8(off + 7 + 2 * ns) >> 4
+          val al = u8(off + 7 + 2 * ns) & 0x0f
+          if (ss == 0) { if (se != 0) return None }
+          else if (ns != 1 || se < ss || se > 63) return None
+          if (al > 13 || ah > 13) return None
+          val br = new JpegBitReader(bytes, segEnd)
+          if (!runScan(ns, scanComp, scanTd, scanTa, ss, se, ah, al,
+            br)) return None
+          next = br.p
+        }
+        off = next
+      }
+    }
+    if (!done || coefs == null) return None
+    val compQuant = sofTq.map(tq => quants.get(tq).orNull)
+    if (compQuant.exists(_ == null)) return None
+    // dequant + IDCT once, then the baseline tail: crop + upsample
+    val planeW = Array.tabulate(nc)(c => bw(c) * 8)
+    val planes = Array.tabulate(nc)(c =>
+      new Array[Int](bw(c) * 8 * bh(c) * 8))
+    val coefBuf = new Array[Int](64)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var c = 0
+    while (c < nc) {
+      var by = 0
+      while (by < bh(c)) {
+        var bx = 0
+        while (bx < bw(c)) {
+          val base = (by * bw(c) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val z = JpegZigZag(k)
+            coefBuf(z) = coefs(c)(base + z) * compQuant(c)(k)
+            k += 1
+          }
+          idct8x8(coefBuf, tmp, blk)
+          var yy = 0
+          while (yy < 8) {
+            val rowBase = (by * 8 + yy) * planeW(c) + bx * 8
+            var xx = 0
+            while (xx < 8) {
+              planes(c)(rowBase + xx) = blk(yy * 8 + xx); xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    val outPlanes = Array.tabulate(nc) { cc =>
+      val o = new Array[Int](meta.width * meta.height)
+      val hs = sofH(cc)
+      val vs = sofV(cc)
+      var y = 0
+      while (y < meta.height) {
+        val srcBase = (y * vs / vMax) * planeW(cc)
+        val dstBase = y * meta.width
+        var x = 0
+        while (x < meta.width) {
+          o(dstBase + x) = planes(cc)(srcBase + x * hs / hMax)
           x += 1
         }
         y += 1

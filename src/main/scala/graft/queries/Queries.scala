@@ -207,7 +207,8 @@ object Queries
     "q150_label_prop"   -> (q150 _),
     "q151_ppr_weighted" -> (q151 _),
     "q152_wav_resample" -> (q152 _),
-    "q153_mp4_meta"     -> (q153 _)
+    "q153_mp4_meta"     -> (q153 _),
+    "q154_jpeg_progressive" -> (q154 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -493,7 +494,8 @@ object Queries
     "q150_label_prop"   -> q150Sql,
     "q151_ppr_weighted" -> q151Sql,
     "q152_wav_resample" -> q152Sql,
-    "q153_mp4_meta"     -> q153Sql
+    "q153_mp4_meta"     -> q153Sql,
+    "q154_jpeg_progressive" -> q154Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

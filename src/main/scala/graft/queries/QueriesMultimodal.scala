@@ -1310,4 +1310,86 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | CASE WHEN bad THEN '' ELSE codec END AS codec,
       | NOT bad AS decode_ok
       |FROM p ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+  // PROGRESSIVE JPEG decode under the oracle — q138's foreign-stream
+  // pattern with the JDK writer in PROGRESSIVE mode: each row
+  // ImageIO-encodes the deterministic photo as an SOF2 multi-scan
+  // stream (spectral selection + successive approximation, the shape
+  // of ~10% of real web JPEGs) and our Annex-G decoder must recover
+  // pixels within the same quantization+subsampling tolerance. The
+  // oracle pins dims, components, the presence of the SOF2 marker,
+  // decode_ok and the `faithful` bound — invariant to the writer's
+  // exact scan script. Every 11th image truncated post-encode →
+  // undecodable row property.
+  private[queries] def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    t(s, dir, "documents").filter($"doc_id" < 120)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 24 + (id % 7).toInt * 8
+        val h = 16 + (id % 5).toInt * 8
+        val orig = m.syntheticPhotoRgb(id, w, h)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            img.setRGB(x, y, ((orig(i) & 0xff) << 16) |
+              ((orig(i + 1) & 0xff) << 8) | (orig(i + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(
+          javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null,
+          new javax.imageio.IIOImage(img, null, null), param)
+        ios.close(); writer.dispose()
+        val full = bos.toByteArray
+        val bytes =
+          if (id % 11 == 0) java.util.Arrays.copyOf(full, 20) else full
+        val meta = m.parseJpeg(id, bytes)
+        val sof2 = (0 until bytes.length - 1).exists(j =>
+          (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xc2)
+        m.decodeJpegRgb(bytes) match {
+          case Some((dw, dh, rgb)) =>
+            var errSum = 0L
+            var i = 0
+            while (i < rgb.length) {
+              errSum += math.abs((rgb(i) & 0xff) - (orig(i) & 0xff))
+              i += 1
+            }
+            val mae = errSum.toDouble / math.max(1, rgb.length)
+            (id, dw, dh, meta.components, sof2, true, mae <= 8.0)
+          case None =>
+            (id, -1, -1, meta.components, sof2, false, false)
+        }
+      }
+      .toDF("media_id", "width", "height", "components", "progressive",
+        "decode_ok", "faithful")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q154Sql =
+    """SELECT doc_id AS media_id,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+      |   ELSE 24 + (doc_id % 7) * 8 END AS INT) AS width,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+      |   ELSE 16 + (doc_id % 5) * 8 END AS INT) AS height,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1 ELSE 3 END AS INT)
+      |   AS components,
+      | doc_id % 11 <> 0 AS progressive,
+      | doc_id % 11 <> 0 AS decode_ok,
+      | doc_id % 11 <> 0 AS faithful
+      |FROM documents WHERE doc_id < 120
+      |ORDER BY media_id""".stripMargin
 }

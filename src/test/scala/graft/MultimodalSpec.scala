@@ -254,6 +254,72 @@ class MultimodalSpec extends AnyFunSuite {
       fractional = true).get eq lo.content)
   }
 
+  test("decodeJpegPixels decodes PROGRESSIVE (SOF2) streams: an " +
+    "ImageIO-encoded progressive photo round-trips within " +
+    "quantization tolerance and matches the baseline decode closely") {
+    val w = 48; val h = 32
+    val orig = Multimodal.syntheticPhotoRgb(11L, w, h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((orig(i) & 0xff) << 16) |
+          ((orig(i + 1) & 0xff) << 8) | (orig(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    def encode(progressive: Boolean): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      if (progressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null),
+        param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val prog = encode(progressive = true)
+    // the JDK writer really emitted SOF2 (else this test proves nothing)
+    assert((0 until prog.length - 1).exists(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2))
+    assert(Multimodal.parseJpeg(11L, prog).decode_ok)
+    val Some((dw, dh, rgb)) = Multimodal.decodeJpegRgb(prog)
+    assert(dw == w && dh == h)
+    var errSum = 0L
+    var i = 0
+    while (i < rgb.length) {
+      errSum += math.abs((rgb(i) & 0xff) - (orig(i) & 0xff))
+      i += 1
+    }
+    assert(errSum.toDouble / rgb.length <= 8.0,
+      s"progressive MAE ${errSum.toDouble / rgb.length}")
+    // progressive and baseline encodes of the SAME pixels must decode
+    // near-identically (same quantization, different scan order)
+    val Some((_, _, rgbBase)) = Multimodal.decodeJpegRgb(
+      encode(progressive = false))
+    var diffSum = 0L
+    i = 0
+    while (i < rgb.length) {
+      diffSum += math.abs((rgb(i) & 0xff) - (rgbBase(i) & 0xff))
+      i += 1
+    }
+    assert(diffSum.toDouble / rgb.length <= 2.0,
+      s"progressive-vs-baseline MAE ${diffSum.toDouble / rgb.length}")
+    // truncation mid-chain stays a row property
+    assert(!Multimodal.parseJpeg(11L,
+      java.util.Arrays.copyOf(prog, prog.length / 2)).decode_ok)
+    assert(Multimodal.decodeJpegRgb(
+      java.util.Arrays.copyOf(prog, prog.length / 2)).isEmpty)
+  }
+
   test("parseWebp round-trips all three variant headers, takes the " +
     "first recognized chunk, and routes truncation / bad sync to " +
     "decode_ok=false") {
@@ -703,13 +769,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.parseJpeg(3L, Array.emptyByteArray).decode_ok)
     assert(!Multimodal.parseJpeg(3L, Array[Byte](0xff.toByte,
       0xd8.toByte)).decode_ok)
-    // flip SOF0 -> SOF2 (progressive): structure still parses but the
-    // baseline gate must fail; find the FFC0 marker and rewrite it
+    // flip SOF0 -> SOF2: STRUCTURALLY a complete progressive stream
+    // now (decode_ok=true since round 15's SOF2 support), but its
+    // baseline scan header (Ss=0, Se=63) is non-conforming under a
+    // progressive frame — the DECODER rejects it (the same contract
+    // as malformed entropy data: metadata true, pixels None)
     val prog = good.clone()
     val sof = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
-    assert(!Multimodal.parseJpeg(3L, prog).decode_ok)
+    assert(Multimodal.parseJpeg(3L, prog).decode_ok)
+    assert(Multimodal.decodeJpegPixels(prog).isEmpty)
+    // a lossless SOF3 frame stays decode_ok=false
+    val sof3 = good.clone()
+    sof3(sof + 1) = 0xc3.toByte
+    assert(!Multimodal.parseJpeg(3L, sof3).decode_ok)
     // corrupt a segment length field to run past EOF
     val badLen = good.clone()
     badLen(4) = 0x7f.toByte // APP0 declared length now huge
