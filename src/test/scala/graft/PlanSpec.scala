@@ -293,15 +293,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q130_ann_staleness").contains("LocalTableScan"))
   }
   test("blob pipelines shuffle METADATA only: q134 resize, q136 " +
-    "dispatch, q140 audio transcode and q141 heterogeneous transcode " +
-    "have exactly one exchange — the final metadata sort — never a " +
-    "blob-column shuffle") {
+    "dispatch, q140 audio transcode, q141 heterogeneous transcode, " +
+    "q152 fractional resample, q153 MP4 walk and q154 progressive " +
+    "decode have exactly one exchange — the final metadata sort — " +
+    "never a blob-column shuffle") {
     for (q <- Seq("q134_jpeg_resize", "q136_modality_dispatch",
-        "q140_wav_transcode", "q141_multimodal_transcode")) {
+        "q140_wav_transcode", "q141_multimodal_transcode",
+        "q152_wav_resample", "q153_mp4_meta",
+        "q154_jpeg_progressive")) {
       val p = plan(q)
       val n = p.sliding("Exchange".length).count(_ == "Exchange")
       assert(n == 1, s"$q: expected 1 exchange (ordering sort), got $n\n$p")
-      assert(p.contains("MapPartitions"), q)
+      // decode runs partition-local either way: mapPartitions (blob
+      // operators) or a typed map over the fixture's Dataset
+      assert(p.contains("MapPartitions") || p.contains("MapElements"), q)
       assert(!p.contains("CartesianProduct"), q)
     }
   }
