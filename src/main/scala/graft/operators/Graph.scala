@@ -103,6 +103,24 @@ object Graph {
     pageRankImpl(edges, nodes, srcCol, dstCol, None, iterations,
       damping, Some(seeds), weightCol)
 
+  /** Warm-start personalized PageRank — [[pageRankResume]]'s
+    * incremental form with [[personalizedPageRank]]'s teleport/weight
+    * semantics: resume from `prior` (renormalized to mass 1 over the
+    * possibly-churned universe) and iterate the seeded update. The
+    * trust-prior maintenance loop at 100 TB: re-rank after an edge
+    * delta in 1-2 iterations instead of a full recompute, without
+    * giving up the seeded teleport.
+    */
+  def personalizedPageRankResume(edges: DataFrame, nodes: DataFrame,
+                                 srcCol: String, dstCol: String,
+                                 seeds: DataFrame, prior: DataFrame,
+                                 iterations: Int = 2,
+                                 damping: Double = 0.85,
+                                 weightCol: Option[String] = None)
+      : DataFrame =
+    pageRankImpl(edges, nodes, srcCol, dstCol, Some(prior), iterations,
+      damping, Some(seeds), weightCol)
+
   private def pageRankImpl(edges: DataFrame, nodes: DataFrame,
                            srcCol: String, dstCol: String,
                            prior: Option[DataFrame],
@@ -254,24 +272,39 @@ object Graph {
     * neighbor-join shuffle + ONE (node, label) count shuffle, and at
     * scale you budget rounds, not fixpoints (labels stabilize in a
     * handful of rounds on community-structured graphs).
+    *
+    * `weightCol`: optional edge weights — the vote becomes
+    * max-sum-of-weights instead of max-count (parallel/bidirectional
+    * duplicates SUM into a stronger tie), ties still break on the
+    * smallest label. Unweighted keeps the classic deduped-edge vote.
     */
   def labelPropagation(edges: DataFrame, nodes: DataFrame,
                        srcCol: String, dstCol: String,
-                       iterations: Int = 4): DataFrame = {
+                       iterations: Int = 4,
+                       weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "labelPropagation needs >= 1 iteration")
     val universe = nodes.select(col(nodes.columns.head).as("node"))
       .distinct()
     val directed = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val und = directed
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        weightCol.map(w => col(w).cast("double"))
+          .getOrElse(lit(1.0)).as("ew"))
+    val undRaw = directed
       .unionByName(directed.select(col("dst").as("src"),
-        col("src").as("dst")))
+        col("src").as("dst"), col("ew")))
       .filter(col("src") =!= col("dst"))
       // same universe restriction as pageRank: out-of-universe
       // endpoints must not shape neighbor-label counts
       .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .distinct()
+    val und = (weightCol match {
+      // weighted: parallel/bidirectional duplicates SUM (a doubly-
+      // listed link is a stronger tie); unweighted keeps the classic
+      // deduped-edge vote, bit-identical to the r14 plan
+      case Some(_) => undRaw.groupBy(col("src"), col("dst"))
+        .agg(sum(col("ew")).as("ew"))
+      case None => undRaw.distinct()
+    })
       .repartition(col("src"))
       .persist()
 
@@ -281,9 +314,10 @@ object Graph {
     while (i < iterations) {
       val counts = und.withColumnRenamed("src", "node")
         .join(labels, Seq("node"))
-        .select(col("dst").as("node"), col("label"))
+        .select(col("dst").as("node"), col("label"), col("ew"))
         .groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(weightCol.map(_ => sum(col("ew")).as("cnt"))
+          .getOrElse(count(lit(1)).as("cnt")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node"))
         .orderBy(col("cnt").desc, col("label").asc)

@@ -208,7 +208,8 @@ object Queries
     "q151_ppr_weighted" -> (q151 _),
     "q152_wav_resample" -> (q152 _),
     "q153_mp4_meta"     -> (q153 _),
-    "q154_jpeg_progressive" -> (q154 _)
+    "q154_jpeg_progressive" -> (q154 _),
+    "q155_lpa_weighted" -> (q155 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -495,7 +496,8 @@ object Queries
     "q151_ppr_weighted" -> q151Sql,
     "q152_wav_resample" -> q152Sql,
     "q153_mp4_meta"     -> q153Sql,
-    "q154_jpeg_progressive" -> q154Sql
+    "q154_jpeg_progressive" -> q154Sql,
+    "q155_lpa_weighted" -> q155Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -722,4 +722,67 @@ private[queries] trait QueriesCuration { this: Queries.type =>
        |SELECT node, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
        |FROM r3 ORDER BY node""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q155
+  // WEIGHTED label propagation (Graph.labelPropagation + weightCol):
+  // q150's block-and-bridge fixture with symmetric closed-form edge
+  // weights w = 1 + (src+dst)%3 — the vote becomes max-SUM-of-weights
+  // (bidirectional duplicates sum into stronger ties), ties still
+  // break on the smallest label. Weights are integer-valued doubles,
+  // so every per-(node,label) sum is EXACT on both engines and the
+  // (c DESC, label ASC) argmax is replayed without rounding. Three
+  // synchronous rounds.
+  private[queries] def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id")
+    val intra = nodes
+      .select($"doc_id", explode(sequence(lit(1L), lit(2L))).as("j"))
+      .select($"doc_id".as("src"),
+        ($"doc_id" - ($"doc_id" % 10) +
+          (($"doc_id" * 3 + $"j") % 10)).as("dst"))
+    val bridges = nodes.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("src"),
+        (((expr("doc_id div 10") + 1) % 20) * 10).as("dst"))
+    val edges = intra.unionByName(bridges)
+      .withColumn("w", lit(1.0) + ($"src" + $"dst") % 3)
+    Graph.labelPropagation(edges, nodes, "src", "dst", iterations = 3,
+        weightCol = Some("w"))
+      .orderBy($"node")
+  }
+  private[queries] lazy val q155Sql = {
+    def round(k: Int): String =
+      s"""cnt$k AS (
+         | SELECT e.dst AS node, l.label, sum(e.w) AS c
+         | FROM l${k - 1} l JOIN ew e ON e.src = l.node
+         | GROUP BY 1, 2),
+         |win$k AS (
+         | SELECT node, label FROM (
+         |  SELECT node, label,
+         |   row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, label) AS rn
+         |  FROM cnt$k) WHERE rn = 1),
+         |l$k AS (
+         | SELECT p.node, coalesce(w.label, p.label) AS label
+         | FROM l${k - 1} p LEFT JOIN win$k w ON w.node = p.node)"""
+        .stripMargin
+    s"""WITH nodes AS (
+       | SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+       |e0 AS (
+       | SELECT doc_id AS src,
+       |  doc_id - (doc_id % 10) + (doc_id * 3 + j) % 10 AS dst
+       | FROM documents, unnest(generate_series(1, 2)) t(j)
+       | WHERE doc_id < 200
+       | UNION ALL
+       | SELECT doc_id, ((doc_id // 10 + 1) % 20) * 10
+       | FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0),
+       |ew AS (
+       | SELECT src, dst, sum(1.0 + (src + dst) % 3) AS w FROM (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0)
+       | WHERE src <> dst GROUP BY 1, 2),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
 }

@@ -226,6 +226,46 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(s(2L) - 0.0) < 1e-12)
   }
 
+  test("personalizedPageRankResume from an n-iter prior ≡ n+2 cold " +
+      "personalized iterations (modulo seed renormalization ulp)") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L))
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val seeds = Seq(0L, 3L)
+    def cold(iters: Int) =
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+          nodes.toDF("node"), "src", "dst", seeds.toDF("node"),
+          iterations = iters)
+    val warm = Graph.personalizedPageRankResume(edges.toDF("src", "dst"),
+        nodes.toDF("node"), "src", "dst", seeds.toDF("node"), cold(3),
+        iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    val full = cold(5).as[(Long, Double)].collect().toMap
+    full.foreach { case (k, v) =>
+      assert(math.abs(warm(k) - v) < 1e-12, s"node $k")
+    }
+    assert(math.abs(warm.values.sum - 1.0) < 1e-12)
+  }
+
+  test("labelPropagation with edge weights: a heavy tie outvotes a " +
+      "heavier count; unweighted stays the classic deduped vote") {
+    // node 3's neighbors: 1 and 2 (label 1, 2 after round 1? use one
+    // round). Weighted: edge 3-2 carries weight 5 vs two parallel
+    // 3-1 edges at weight 1 each (sum 2) → 3 adopts label 2.
+    val e = Seq((3L, 1L, 1.0), (3L, 1L, 1.0), (3L, 2L, 5.0))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val weighted = Graph.labelPropagation(e, nodes, "src", "dst",
+        iterations = 1, weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(weighted(3L) == 2L)
+    // unweighted: parallel edges collapse — one neighbor each, tie →
+    // smallest label wins
+    val unweighted = Graph.labelPropagation(e, nodes, "src", "dst",
+        iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(unweighted(3L) == 1L)
+  }
+
   test("personalizedPageRank requires an in-universe seed") {
     intercept[IllegalArgumentException] {
       Graph.personalizedPageRank(Seq((0L, 1L)).toDF("src", "dst"),
