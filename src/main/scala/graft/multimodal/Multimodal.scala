@@ -2230,6 +2230,107 @@ object Multimodal extends Serializable {
     Some((meta.width, meta.height, outPlanes))
   }
 
+  /** EXIF metadata row: `orientation` is TIFF tag 0x0112 (1..8; -1 if
+    * the tag is absent), `big_endian` the TIFF byte order, `has_exif`
+    * whether a well-formed Exif APP1 was found at all. Orientation
+    * matters for training data: ~1 in 7 real camera JPEGs stores
+    * rotated pixels and relies on this tag for display — a pipeline
+    * that ignores it trains on sideways images.
+    */
+  case class JpegExif(media_id: Long, orientation: Int,
+                      big_endian: Boolean, has_exif: Boolean)
+
+  /** Exif APP1 walk, metadata only: find the `Exif\0\0` APP1 segment
+    * before the first scan, validate the TIFF header (II/MM + 42),
+    * walk IFD0's 12-byte entries for the orientation SHORT. Both byte
+    * orders honored. Any structural violation — truncated TIFF, bad
+    * endian marker, an IFD running past the segment — reports
+    * has_exif=false, a row property.
+    */
+  def parseJpegExif(id: Long, bytes: Array[Byte]): JpegExif = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16be(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val none = JpegExif(id, -1, big_endian = false, has_exif = false)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return none
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if (u8(off) != 0xff) return none
+      while (off + 4 <= bytes.length && u8(off + 1) == 0xff) off += 1
+      val m = u8(off + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2
+      else if (m == 0xda || m == 0xd9) return none // scan: no EXIF seen
+      else {
+        val len = u16be(off + 2)
+        if (len < 2 || off + 2 + len > bytes.length) return none
+        if (m == 0xe1 && len >= 16 && u8(off + 4) == 'E' &&
+          u8(off + 5) == 'x' && u8(off + 6) == 'i' &&
+          u8(off + 7) == 'f' && u8(off + 8) == 0 && u8(off + 9) == 0) {
+          val t0 = off + 10 // TIFF origin
+          val tEnd = off + 2 + len
+          if (t0 + 8 > tEnd) return none
+          val big = u8(t0) == 'M' && u8(t0 + 1) == 'M'
+          if (!big && !(u8(t0) == 'I' && u8(t0 + 1) == 'I')) return none
+          def v16(i: Int): Int =
+            if (big) (u8(i) << 8) | u8(i + 1) else u8(i) | (u8(i + 1) << 8)
+          def v32(i: Int): Long =
+            if (big) (v16(i).toLong << 16) | v16(i + 2)
+            else (v16(i + 2).toLong << 16) | v16(i)
+          if (v16(t0 + 2) != 42) return none
+          val ifd = v32(t0 + 4)
+          if (ifd < 8 || t0 + ifd + 2 > tEnd) return none
+          val i0 = (t0 + ifd).toInt
+          val cnt = v16(i0)
+          var orient = -1
+          var e = 0
+          while (e < cnt) {
+            val ep = i0 + 2 + e * 12
+            if (ep + 12 > tEnd) return none
+            if (v16(ep) == 0x0112 && v16(ep + 2) == 3 &&
+              v32(ep + 4) == 1L) orient = v16(ep + 8)
+            e += 1
+          }
+          return JpegExif(id, orient, big, has_exif = true)
+        }
+        off += 2 + len
+      }
+    }
+    none
+  }
+
+  /** Partition-wise EXIF decode — the [[decodeJpeg]] contract. */
+  def decodeJpegExif(blobs: Dataset[MediaBlob]): Dataset[JpegExif] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseJpegExif(b.media_id, b.content)))
+  }
+
+  /** Insert a genuine Exif APP1 (single-entry IFD0 carrying the
+    * orientation SHORT, either byte order) right after SOI. Fixture
+    * writer for [[parseJpegExif]]; any EXIF reader accepts the output.
+    */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int,
+                          bigEndian: Boolean): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+    require(orientation >= 1 && orientation <= 8)
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    tiff.putShort(42).putInt(8)
+    tiff.putShort(1) // one IFD0 entry
+    tiff.putShort(0x0112.toShort).putShort(3).putInt(1)
+    tiff.putShort(orientation.toShort).putShort(0) // left-justified
+    tiff.putInt(0)   // no next IFD
+    val app1len = 2 + 6 + 26
+    val out = java.nio.ByteBuffer.allocate(jpeg.length + 2 + app1len)
+    out.put(jpeg, 0, 2)
+    out.put(0xff.toByte).put(0xe1.toByte).putShort(app1len.toShort)
+    out.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.put(tiff.array())
+    out.put(jpeg, 2, jpeg.length - 2)
+    out.array()
+  }
+
   /** First SOF marker byte (0xc0 baseline, 0xc2 progressive, ...) or
     * -1 — the frame-type router for [[decodeJpegPixels]].
     */
@@ -3281,6 +3382,78 @@ object Multimodal extends Serializable {
   }
 
   // ------------------------------------------------------------------
+  // GZIP: the compressed-text leg. Crawl text arrives gzip-framed
+  // (CommonCrawl WET/WARC payloads, .json.gz dumps); a 100 TB text
+  // pipeline decompresses blob columns partition-locally before any
+  // text operator runs. java.util.zip is in every JVM — no new deps.
+  // ------------------------------------------------------------------
+
+  /** Decompressed-text row: `n_chars` of the UTF-8 payload, plus its
+    * lowercase-hex MD5 (the cross-engine checksum — compressed BYTES
+    * are encoder-dependent, decompressed CONTENT is the contract).
+    */
+  case class GzipText(media_id: Long, n_chars: Long, digest: String,
+                      decode_ok: Boolean)
+
+  /** GZIP-deflate `data` (deterministic: fixed level, no OS/mtime
+    * header fields beyond the writer's defaults). Fixture writer for
+    * the decompression path.
+    */
+  def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** Inflate a gzip member; None on bad magic, truncation, or a
+    * corrupt stream — the row-property contract. `maxBytes` bounds
+    * decompression-bomb blowup (a 100 TB crawl column WILL contain
+    * hostile frames): inflation stops past the cap and the blob
+    * reports undecodable rather than OOMing the executor.
+    */
+  def gunzip(bytes: Array[Byte],
+             maxBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (bytes.length < 18 || (bytes(0) & 0xff) != 0x1f ||
+      (bytes(1) & 0xff) != 0x8b) return None
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes) return None
+        n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Partition-wise gzip text decode — the [[decodeWav]] contract:
+    * one inflater pass per partition, blobs never shuffle; output is
+    * (length, md5) METADATA, so downstream exchanges move hashes,
+    * never payloads.
+    */
+  def decodeGzipText(blobs: Dataset[MediaBlob]): Dataset[GzipText] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      gunzip(b.content) match {
+        case Some(data) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(data).map("%02x".format(_)).mkString
+          GzipText(b.media_id,
+            new String(data, "UTF-8").length.toLong, hex,
+            decode_ok = true)
+        case None =>
+          GzipText(b.media_id, -1L, "", decode_ok = false)
+      }
+    })
+  }
+
+  // ------------------------------------------------------------------
   // MP4 / ISO-BMFF: the metadata video leg. Y4M is an interchange
   // format; 100 TB crawl video is MP4/MOV. A box walk (ftyp brand,
   // moov/mvhd timescale+duration, trak/tkhd dims, stsd sample-entry
@@ -3518,6 +3691,7 @@ object Multimodal extends Serializable {
     else if (bytes.length >= 9 && ascii(0, 9) == "YUV4MPEG2") "y4m"
     // ISO-BMFF: the ftyp box type at offset 4 (its 4-byte size varies)
     else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
+    else if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
     else "unknown"
   }
 
@@ -3559,6 +3733,10 @@ object Multimodal extends Serializable {
         // many interleaved streams" (the DispatchedMeta contract)
         DispatchedMeta(id, "mp4", v.decode_ok, v.width, v.height, -1,
           if (v.decode_ok) v.n_tracks else -1, -1, v.duration_ms)
+      case "gzip" =>
+        // container-only leg: decode_ok = the member inflates clean
+        DispatchedMeta(id, "gzip", gunzip(bytes).isDefined, -1, -1,
+          -1, -1, -1, -1L)
       case _ =>
         DispatchedMeta(id, "unknown", decode_ok = false, -1, -1, -1,
           -1, -1, -1L)

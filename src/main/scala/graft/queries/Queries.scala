@@ -209,7 +209,9 @@ object Queries
     "q152_wav_resample" -> (q152 _),
     "q153_mp4_meta"     -> (q153 _),
     "q154_jpeg_progressive" -> (q154 _),
-    "q155_lpa_weighted" -> (q155 _)
+    "q155_lpa_weighted" -> (q155 _),
+    "q156_gzip_text"    -> (q156 _),
+    "q157_jpeg_exif"    -> (q157 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -497,7 +499,9 @@ object Queries
     "q152_wav_resample" -> q152Sql,
     "q153_mp4_meta"     -> q153Sql,
     "q154_jpeg_progressive" -> q154Sql,
-    "q155_lpa_weighted" -> q155Sql
+    "q155_lpa_weighted" -> q155Sql,
+    "q156_gzip_text"    -> q156Sql,
+    "q157_jpeg_exif"    -> q157Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1392,4 +1392,84 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | doc_id % 11 <> 0 AS faithful
       |FROM documents WHERE doc_id < 120
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  // GZIP text decompression under the oracle — the compressed-text
+  // ingest leg (CommonCrawl WET/WARC payloads arrive gzip-framed):
+  // each row gzip-frames a closed-form string executor-side and
+  // decodeGzipText inflates it back, emitting LENGTH + MD5 metadata
+  // only — compressed bytes are encoder-dependent, decompressed
+  // CONTENT is the contract, and both engines hash the same UTF-8
+  // payload. Every 13th blob truncated below the gzip minimum →
+  // decode_ok=false row property (the decompression-bomb cap shares
+  // the same routing).
+  private[queries] def q156(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val text = ("doc-" + id + ";") * (1 + (id % 40)).toInt
+        val gz = m.gzipBytes(text.getBytes("UTF-8"))
+        val content =
+          if (id % 13 == 0) java.util.Arrays.copyOf(gz, 10) else gz
+        m.MediaBlob(id, "application/gzip", content)
+      }
+    m.decodeGzipText(blobs).toDF()
+      .select($"media_id", $"n_chars", $"digest", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q156Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  repeat('doc-' || doc_id || ';',
+      |    CAST(1 + doc_id % 40 AS INT)) AS t,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200)
+      |SELECT doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE length(t) END AS BIGINT)
+      |   AS n_chars,
+      | CASE WHEN bad THEN '' ELSE md5(t) END AS digest,
+      | NOT bad AS decode_ok
+      |FROM p ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  // EXIF orientation walk under the oracle — real camera JPEGs store
+  // rotated pixels and rely on TIFF tag 0x0112; a pipeline that
+  // ignores it trains on sideways images. Each row inserts a genuine
+  // Exif APP1 (single-entry IFD0, byte order alternating II/MM by id)
+  // into a synthetic JPEG and parseJpegExif walks it back out. Every
+  // 13th image carries NO Exif segment; every 11th has its TIFF
+  // endian marker corrupted → has_exif=false row property (13 wins
+  // when both hit). The oracle replays the id-derived construction.
+  private[queries] def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val base = m.syntheticJpeg(id, 16, 16).content
+        val content =
+          if (id % 13 == 0) base
+          else {
+            val ex = m.withExifOrientation(base, 1 + (id % 8).toInt,
+              bigEndian = id % 2 == 0)
+            if (id % 11 == 0) { ex(12) = 'X'.toByte; ex(13) = 'X'.toByte }
+            ex
+          }
+        m.MediaBlob(id, "image/jpeg", content)
+      }
+    m.decodeJpegExif(blobs).toDF()
+      .select($"media_id", $"orientation", $"big_endian", $"has_exif")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q157Sql =
+    """SELECT doc_id AS media_id,
+      | CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 11 = 0 THEN -1
+      |   ELSE 1 + doc_id % 8 END AS INT) AS orientation,
+      | doc_id % 13 <> 0 AND doc_id % 11 <> 0 AND doc_id % 2 = 0
+      |   AS big_endian,
+      | doc_id % 13 <> 0 AND doc_id % 11 <> 0 AS has_exif
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY media_id""".stripMargin
 }

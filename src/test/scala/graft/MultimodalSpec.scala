@@ -320,6 +320,52 @@ class MultimodalSpec extends AnyFunSuite {
       java.util.Arrays.copyOf(prog, prog.length / 2)).isEmpty)
   }
 
+  test("gunzip round-trips, rejects truncation and bad magic, and " +
+    "caps decompression bombs instead of inflating them") {
+    val data = ("payload-" * 100).getBytes("UTF-8")
+    val gz = Multimodal.gzipBytes(data)
+    assert(Multimodal.sniffFormat(gz) == "gzip")
+    assert(Multimodal.gunzip(gz).exists(_.sameElements(data)))
+    // truncated member / flipped magic → None
+    assert(Multimodal.gunzip(java.util.Arrays.copyOf(gz, 10)).isEmpty)
+    assert(Multimodal.gunzip(gz.dropRight(3)).isEmpty)
+    val bad = gz.clone(); bad(0) = 0
+    assert(Multimodal.gunzip(bad).isEmpty)
+    // bomb cap: 1 MB of zeros gzips to ~1 KB; a 64 KB cap must refuse
+    // to inflate it rather than materialize the megabyte
+    val bomb = Multimodal.gzipBytes(new Array[Byte](1 << 20))
+    assert(bomb.length < 4096)
+    assert(Multimodal.gunzip(bomb, maxBytes = 1 << 16).isEmpty)
+    assert(Multimodal.gunzip(bomb).isDefined) // default cap admits it
+    // dispatch surfaces the container row
+    val dm = Multimodal.dispatchOne(3L, gz)
+    assert(dm.format == "gzip" && dm.decode_ok)
+  }
+
+  test("parseJpegExif reads the orientation tag in both byte orders; " +
+    "a decoder on the EXIF'd stream still works; corrupt TIFF and " +
+    "missing APP1 report has_exif=false") {
+    val base = Multimodal.syntheticJpeg(5L, 16, 16).content
+    for (big <- Seq(true, false); o <- Seq(1, 3, 6, 8)) {
+      val ex = Multimodal.withExifOrientation(base, o, big)
+      assert(Multimodal.parseJpegExif(5L, ex) ==
+        Multimodal.JpegExif(5L, o, big, has_exif = true), s"$big/$o")
+      // the inserted APP1 must not break the existing parse/decode
+      assert(Multimodal.parseJpeg(5L, ex).decode_ok)
+      assert(Multimodal.decodeJpegBlocks(ex).isDefined)
+    }
+    assert(Multimodal.parseJpegExif(5L, base) ==
+      Multimodal.JpegExif(5L, -1, big_endian = false, has_exif = false))
+    // corrupt TIFF endian marker inside a present APP1
+    val bad = Multimodal.withExifOrientation(base, 6, bigEndian = true)
+    bad(12) = 'X'.toByte; bad(13) = 'X'.toByte
+    assert(!Multimodal.parseJpegExif(5L, bad).has_exif)
+    // truncated APP1 length past EOF
+    val trunc = Multimodal.withExifOrientation(base, 6, bigEndian = true)
+      .take(20)
+    assert(!Multimodal.parseJpegExif(5L, trunc).has_exif)
+  }
+
   test("parseWebp round-trips all three variant headers, takes the " +
     "first recognized chunk, and routes truncation / bad sync to " +
     "decode_ok=false") {
