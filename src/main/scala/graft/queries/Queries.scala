@@ -211,7 +211,8 @@ object Queries
     "q154_jpeg_progressive" -> (q154 _),
     "q155_lpa_weighted" -> (q155 _),
     "q156_gzip_text"    -> (q156 _),
-    "q157_jpeg_exif"    -> (q157 _)
+    "q157_jpeg_exif"    -> (q157 _),
+    "q158_warc_records" -> (q158 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -501,7 +502,8 @@ object Queries
     "q154_jpeg_progressive" -> q154Sql,
     "q155_lpa_weighted" -> q155Sql,
     "q156_gzip_text"    -> q156Sql,
-    "q157_jpeg_exif"    -> q157Sql
+    "q157_jpeg_exif"    -> q157Sql,
+    "q158_warc_records" -> q158Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

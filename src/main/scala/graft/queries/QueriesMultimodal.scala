@@ -1472,4 +1472,55 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | doc_id % 13 <> 0 AND doc_id % 11 <> 0 AS has_exif
       |FROM documents WHERE doc_id < 200
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  // WARC record walk under the oracle — the crawl SOURCE format
+  // itself: each row synthesizes a genuine multi-record archive
+  // (version line + CRLF headers + Content-Length payload + CRLF CRLF
+  // terminator) from closed-form params and Warc.records walks it
+  // back out — type, target URI, payload length and MD5 per record.
+  // Every 13th archive truncated to 10 bytes → ONE ok=false row at
+  // record 0 (a row property; complete records before a cut would
+  // still surface). The oracle replays the id-derived construction
+  // including the payload checksums.
+  private[queries] def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val full = graft.sources.Warc.synthetic(id, 1 + (id % 4).toInt)
+        val content =
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 10) else full
+        m.MediaBlob(id, "application/warc", content)
+      }
+    graft.sources.Warc.records(blobs).toDF()
+      .select($"media_id", $"rec_no", $"warc_type", $"target_uri",
+        $"content_length", $"digest", $"ok")
+      .orderBy($"media_id", $"rec_no")
+  }
+  private[queries] lazy val q158Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 4 AS n, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |r AS (
+      | SELECT doc_id, unnest(range(n)) AS rec_no FROM p WHERE NOT bad),
+      |d AS (
+      | SELECT doc_id, rec_no,
+      |  CASE rec_no % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+      |   ELSE 'metadata' END AS warc_type,
+      |  'http://ex.com/' || doc_id || '/' || rec_no AS target_uri,
+      |  repeat('payload-' || doc_id || '-' || rec_no || ';',
+      |   CAST(1 + (doc_id + rec_no) % 5 AS INT)) AS payload
+      | FROM r)
+      |SELECT doc_id AS media_id, CAST(rec_no AS INT) AS rec_no,
+      | warc_type, target_uri,
+      | CAST(length(payload) AS BIGINT) AS content_length,
+      | md5(payload) AS digest, true AS ok
+      |FROM d
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS INT), '', '', CAST(-1 AS BIGINT), '',
+      | false
+      |FROM p WHERE bad
+      |ORDER BY media_id, rec_no""".stripMargin
 }

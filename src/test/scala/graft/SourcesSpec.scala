@@ -58,4 +58,37 @@ class SourcesSpec extends AnyFunSuite {
     val err = intercept[NoSuchElementException](Sources("nope"))
     assert(err.getMessage.contains("no SourcePlugin 'nope'"))
   }
+
+  test("Warc.parse round-trips the synthetic archive, survives a cut " +
+    "mid-payload by emitting the complete prefix plus one bad row, " +
+    "and rejects structural garbage as a row property") {
+    import graft.sources.{Warc, WarcRecord}
+    val full = Warc.synthetic(7L, 3)
+    val recs = Warc.parse(7L, full)
+    assert(recs.length == 3 && recs.forall(_.ok))
+    assert(recs.map(_.warc_type) ==
+      Seq("response", "request", "metadata"))
+    assert(recs(1).target_uri == "http://ex.com/7/1")
+    // checksum matches an independent digest of the same payload
+    val p1 = ("payload-7-1;" * (1 + ((7 + 1) % 5)).toInt)
+      .getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(recs(1).digest ==
+      md.digest(p1).map("%02x".format(_)).mkString)
+    assert(recs(1).content_length == p1.length.toLong)
+    // cut inside record 2's payload: records 0-1 survive, then ok=false
+    val cut = java.util.Arrays.copyOf(full, full.length - 6)
+    val partial = Warc.parse(7L, cut)
+    assert(partial.length == 3)
+    assert(partial.take(2).forall(_.ok))
+    assert(partial(2) == WarcRecord(7L, 2, "", "", -1L, "", ok = false))
+    // a gzip-framed archive composes with gunzip upstream
+    val m = graft.multimodal.Multimodal
+    assert(Warc.parse(7L, m.gunzip(m.gzipBytes(full)).get) == recs)
+    // garbage and empty input: one bad row, never a throw
+    assert(Warc.parse(1L, "not a warc".getBytes("UTF-8")) ==
+      Seq(WarcRecord(1L, 0, "", "", -1L, "", ok = false)))
+    assert(Warc.parse(1L, Array.emptyByteArray) ==
+      Seq(WarcRecord(1L, 0, "", "", -1L, "", ok = false)))
+  }
 }
