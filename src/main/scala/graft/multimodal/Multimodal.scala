@@ -458,6 +458,63 @@ object Multimodal extends Serializable {
     Some(bb.array())
   }
 
+  /** Peak-normalize 16-bit PCM to `targetPeak` in EXACT rational
+    * arithmetic — the gain stage of speech prep (corpora level loud
+    * and quiet recordings before training): every sample becomes
+    * `floorDiv(s · targetPeak, peak)` where `peak = max|s|` over ALL
+    * channels (one gain per file — per-channel gains would break the
+    * stereo image). Quiet audio amplifies, hot audio attenuates,
+    * output is bounded by `targetPeak` by construction. Silent files
+    * (peak 0) and files already at the target pass through
+    * BYTE-IDENTICAL. Same rejection contract as [[transcodeWav]].
+    */
+  def normalizeWavPeak(bytes: Array[Byte],
+                       targetPeak: Int): Option[Array[Byte]] = {
+    require(targetPeak >= 1 && targetPeak <= 32767)
+    val meta = parseWav(0L, bytes)
+    if (!meta.decode_ok || meta.bits_per_sample != 16) return None
+    val ch = meta.channels
+    if (ch < 1 || meta.data_bytes % (2L * ch) != 0 ||
+      meta.data_bytes > Int.MaxValue) return None
+    val (_, dataOff, _) = wavChunkWalk(bytes)
+    if (dataOff < 0) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = (meta.data_bytes / 2L).toInt
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(buf.getShort(dataOff + i * 2).toInt)
+      if (a > peak) peak = a
+      i += 1
+    }
+    if (peak == 0 || peak == targetPeak) return Some(bytes)
+    val bb = wavHeader(meta.sample_rate, ch, bitsPerSample = 16,
+      dataLen = n * 2)
+    i = 0
+    while (i < n) {
+      val s = buf.getShort(dataOff + i * 2).toInt
+      bb.putShort(Math.floorDiv(s.toLong * targetPeak, peak).toShort)
+      i += 1
+    }
+    Some(bb.array())
+  }
+
+  /** Partition-wise peak normalization — [[transcodeWavBlobs]]'s
+    * contract (empty content on rejection).
+    */
+  def normalizeWavPeakBlobs(blobs: Dataset[MediaBlob],
+                            targetPeak: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      normalizeWavPeak(b.content, targetPeak) match {
+        case Some(out) => MediaBlob(b.media_id, b.media_type, out)
+        case None => MediaBlob(b.media_id, b.media_type,
+          Array.emptyByteArray)
+      }
+    })
+  }
+
   /** Partition-wise WAV blob transcode — [[resizeJpegBlobs]]'s
     * contract: one decoder per partition, blobs never shuffle;
     * untranscodable blobs come back with EMPTY content so the

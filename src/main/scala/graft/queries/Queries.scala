@@ -212,7 +212,8 @@ object Queries
     "q155_lpa_weighted" -> (q155 _),
     "q156_gzip_text"    -> (q156 _),
     "q157_jpeg_exif"    -> (q157 _),
-    "q158_warc_records" -> (q158 _)
+    "q158_warc_records" -> (q158 _),
+    "q159_wav_normalize" -> (q159 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -503,7 +504,8 @@ object Queries
     "q155_lpa_weighted" -> q155Sql,
     "q156_gzip_text"    -> q156Sql,
     "q157_jpeg_exif"    -> q157Sql,
-    "q158_warc_records" -> q158Sql
+    "q158_warc_records" -> q158Sql,
+    "q159_wav_normalize" -> q159Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

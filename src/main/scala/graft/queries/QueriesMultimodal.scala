@@ -1523,4 +1523,80 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | false
       |FROM p WHERE bad
       |ORDER BY media_id, rec_no""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  // PEAK NORMALIZATION under the oracle — the gain stage of speech
+  // prep over q127's closed-form PCM containers: one exact rational
+  // gain per file (o = floorDiv(s·30000, max|s| over all channels) —
+  // per-channel gains would break the stereo image), quiet files
+  // amplify, hot files attenuate, output bounded by the target. The
+  // oracle replays encode → peak scan → floorDiv gain → re-encode →
+  // per-channel stats decode from the same closed form; floor(x/peak)
+  // over exact-integer doubles ≡ floorDiv (|x| < 2^31, fractional
+  // part ≥ 1/peak ≫ one ulp). Every 13th blob truncated mid-header →
+  // one decode_ok=false row.
+  private[queries] def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 50 + (id % 100).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.normalizeWavPeakBlobs(blobs, targetPeak = 30000))
+      .toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q159Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 100 AS fr,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, fr, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, i, unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, c AS channel,
+      |  ((doc_id*7 + i*13 + c*17) % 65536) - 32768 AS s
+      | FROM sc),
+      |pk AS (
+      | SELECT doc_id, max(abs(s)) AS peak FROM sv GROUP BY 1),
+      |ov AS (
+      | SELECT sv.doc_id, sv.channel,
+      |  CASE WHEN pk.peak = 0 OR pk.peak = 30000 THEN sv.s
+      |   ELSE CAST(floor(sv.s * 30000 / pk.peak) AS BIGINT) END AS o
+      | FROM sv JOIN pk ON pk.doc_id = sv.doc_id),
+      |agg AS (
+      | SELECT doc_id, channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(o)) AS INT) AS peak,
+      |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(o*o) AS BIGINT) AS sum_sq
+      | FROM ov GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
 }

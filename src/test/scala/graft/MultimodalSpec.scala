@@ -211,6 +211,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.transcodeWav(w8.content, 4000, mono = true).isEmpty)
   }
 
+  test("normalizeWavPeak applies one exact rational gain per file: " +
+    "amplify and attenuate match floorDiv arithmetic; silent and " +
+    "at-target files pass through byte-identical") {
+    // peak 100 → target 30000: gain ×300 exactly
+    val quiet = Multimodal.syntheticWavPcm(1L, 16000, 1,
+      Array[Short](10, -25, 100, -100, 3))
+    val Some(up) = Multimodal.normalizeWavPeak(quiet.content, 30000)
+    val st = Multimodal.wavStats(1L, up).head
+    assert(st.peak == 30000)
+    assert(st.sum_abs == (10L + 25 + 100 + 100 + 3) * 300)
+    // attenuate with floors: peak 32000 → 3000, gain 3/32:
+    // floorDiv(s·3000, 32000): 32000→3000, -15→-2 (floor, not trunc)
+    val hot = Multimodal.syntheticWavPcm(2L, 16000, 2,
+      Array[Short](32000, -15, 160, 321))
+    val Some(down) = Multimodal.normalizeWavPeak(hot.content, 3000)
+    val chans = Multimodal.wavStats(2L, down).sortBy(_.channel)
+    assert(chans(0).sum_abs == 3000L + 15) // ch0: 32000→3000, 160→15
+    assert(chans(1).sum_abs == 2L + 30)    // ch1: -15→-2, 321→30
+    // peak already at target / all-zero: the SAME array
+    val at = Multimodal.syntheticWavPcm(3L, 16000, 1,
+      Array[Short](3000, -7))
+    assert(Multimodal.normalizeWavPeak(at.content, 3000).get
+      eq at.content)
+    val silent = Multimodal.syntheticWavPcm(4L, 16000, 1,
+      Array[Short](0, 0, 0))
+    assert(Multimodal.normalizeWavPeak(silent.content, 30000).get
+      eq silent.content)
+    // rejection contract matches transcodeWav
+    assert(Multimodal.normalizeWavPeak(
+      quiet.content.take(30), 30000).isEmpty)
+  }
+
   test("transcodeWav fractional=true: 44.1k→16k runs exact fixed-point " +
     "linear interpolation matching the hand-computed ramp; divisible " +
     "rates keep box decimation; upsample still passes through") {
