@@ -213,7 +213,8 @@ object Queries
     "q156_gzip_text"    -> (q156 _),
     "q157_jpeg_exif"    -> (q157 _),
     "q158_warc_records" -> (q158 _),
-    "q159_wav_normalize" -> (q159 _)
+    "q159_wav_normalize" -> (q159 _),
+    "q160_text_encoding" -> (q160 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -505,7 +506,8 @@ object Queries
     "q156_gzip_text"    -> q156Sql,
     "q157_jpeg_exif"    -> q157Sql,
     "q158_warc_records" -> q158Sql,
-    "q159_wav_normalize" -> q159Sql
+    "q159_wav_normalize" -> q159Sql,
+    "q160_text_encoding" -> q160Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

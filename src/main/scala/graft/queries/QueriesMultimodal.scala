@@ -1599,4 +1599,68 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
       |FROM p WHERE bad
       |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  // Charset detection + decode under the oracle — crawl text lies
+  // about its encoding: four families per id (plain UTF-8, BOM'd
+  // UTF-8 with multibyte é, BOM'd UTF-16LE, and Latin-1 whose 0xE9
+  // byte is INVALID UTF-8 so strict validation must reject it into
+  // the fallback), each re-encoded executor-side from a closed-form
+  // string. The contract is the decoded CONTENT — length + MD5 of the
+  // UTF-8 re-encoding — which DuckDB replays with chr(233) literals
+  // (its strings are UTF-8, so md5() hashes identical bytes). Every
+  // 13th blob emptied → decode_ok=false.
+  private[queries] def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        import java.nio.charset.StandardCharsets
+        val k = 1 + (id % 5).toInt
+        val content: Array[Byte] =
+          if (id % 13 == 0) Array.emptyByteArray
+          else (id % 4) match {
+            case 0 => (("doc-" + id + ";") * k)
+              .getBytes(StandardCharsets.UTF_8)
+            case 1 => Array[Byte](0xef.toByte, 0xbb.toByte,
+              0xbf.toByte) ++ (("caf\u00e9-" + id + ";") * k)
+              .getBytes(StandardCharsets.UTF_8)
+            case 2 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+              (("u16-" + id + ";") * k)
+                .getBytes(StandardCharsets.UTF_16LE)
+            case _ => (("caf\u00e9-" + id + ";") * k)
+              .getBytes(StandardCharsets.ISO_8859_1)
+          }
+        m.MediaBlob(id, "text/plain", content)
+      }
+    m.decodeTextBlobs(blobs).toDF()
+      .select($"media_id", $"encoding", $"has_bom", $"n_chars",
+        $"digest", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q160Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 4 AS fam,
+      |  CAST(1 + doc_id % 5 AS INT) AS k,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |d AS (
+      | SELECT doc_id, fam, bad,
+      |  CASE fam
+      |   WHEN 0 THEN repeat('doc-' || doc_id || ';', k)
+      |   WHEN 2 THEN repeat('u16-' || doc_id || ';', k)
+      |   ELSE repeat('caf' || chr(233) || '-' || doc_id || ';', k)
+      |  END AS t
+      | FROM p)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN ''
+      |  WHEN fam = 2 THEN 'utf-16le'
+      |  WHEN fam = 3 THEN 'latin-1' ELSE 'utf-8' END AS encoding,
+      | NOT bad AND (fam = 1 OR fam = 2) AS has_bom,
+      | CAST(CASE WHEN bad THEN -1 ELSE length(t) END AS BIGINT)
+      |   AS n_chars,
+      | CASE WHEN bad THEN '' ELSE md5(t) END AS digest,
+      | NOT bad AS decode_ok
+      |FROM d ORDER BY media_id""".stripMargin
 }

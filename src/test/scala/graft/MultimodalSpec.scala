@@ -398,6 +398,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.parseJpegExif(5L, trunc).has_exif)
   }
 
+  test("detectAndDecodeText: BOM wins, strict UTF-8 validation " +
+    "rejects Latin-1 bytes into the fallback, odd-length UTF-16 " +
+    "falls through, decoded content round-trips") {
+    import java.nio.charset.StandardCharsets
+    val m = Multimodal
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    // plain ASCII = valid UTF-8, no BOM
+    val a = m.detectAndDecodeText(1L, "hello".getBytes("UTF-8"))
+    assert(a == m.TextBlob(1L, "utf-8", has_bom = false, 5L,
+      md5("hello"), decode_ok = true))
+    // multibyte UTF-8 with BOM
+    val s1 = "café"
+    val b = m.detectAndDecodeText(2L,
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+        s1.getBytes(StandardCharsets.UTF_8))
+    assert(b == m.TextBlob(2L, "utf-8", has_bom = true, 4L, md5(s1),
+      decode_ok = true))
+    // the same text in Latin-1: 0xE9 + ASCII is INVALID UTF-8
+    val c = m.detectAndDecodeText(3L,
+      s1.getBytes(StandardCharsets.ISO_8859_1))
+    assert(c.encoding == "latin-1" && c.digest == md5(s1))
+    // UTF-16 both orders, BOM'd
+    val le = m.detectAndDecodeText(4L,
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        "wide".getBytes(StandardCharsets.UTF_16LE))
+    assert(le.encoding == "utf-16le" && le.digest == md5("wide"))
+    val be = m.detectAndDecodeText(5L,
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++
+        "wide".getBytes(StandardCharsets.UTF_16BE))
+    assert(be.encoding == "utf-16be" && be.digest == md5("wide"))
+    // odd byte count with a UTF-16 BOM is malformed → Latin-1 path
+    val odd = m.detectAndDecodeText(6L,
+      Array[Byte](0xff.toByte, 0xfe.toByte, 'x'.toByte))
+    assert(odd.encoding == "latin-1")
+    // truncated multibyte sequence → Latin-1, empty → decode_ok=false
+    assert(m.detectAndDecodeText(7L,
+      s1.getBytes(StandardCharsets.UTF_8).dropRight(1))
+      .encoding == "latin-1")
+    assert(!m.detectAndDecodeText(8L, Array.emptyByteArray).decode_ok)
+  }
+
   test("parseWebp round-trips all three variant headers, takes the " +
     "first recognized chunk, and routes truncation / bad sync to " +
     "decode_ok=false") {
