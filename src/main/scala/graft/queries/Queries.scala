@@ -214,7 +214,8 @@ object Queries
     "q157_jpeg_exif"    -> (q157 _),
     "q158_warc_records" -> (q158 _),
     "q159_wav_normalize" -> (q159 _),
-    "q160_text_encoding" -> (q160 _)
+    "q160_text_encoding" -> (q160 _),
+    "q161_wet_ingest"   -> (q161 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -507,7 +508,8 @@ object Queries
     "q157_jpeg_exif"    -> q157Sql,
     "q158_warc_records" -> q158Sql,
     "q159_wav_normalize" -> q159Sql,
-    "q160_text_encoding" -> q160Sql
+    "q160_text_encoding" -> q160Sql,
+    "q161_wet_ingest"   -> q161Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

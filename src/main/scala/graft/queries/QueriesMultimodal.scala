@@ -1663,4 +1663,75 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | CASE WHEN bad THEN '' ELSE md5(t) END AS digest,
       | NOT bad AS decode_ok
       |FROM d ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  // WET-ingest capstone under the oracle — the round-15 crawl legs
+  // composed end to end in ONE partition-local pass
+  // (Warc.textRecords): a .warc.gz column (half the archives
+  // gzip-framed, half raw — the sniffer routes) → record walk →
+  // per-payload charset detect+decode, payloads alternating valid
+  // UTF-8 and Latin-1 spellings. The digest hashes the DECODED text's
+  // UTF-8 re-encoding, so the Latin-1 payloads prove the charset leg
+  // ran (a raw-bytes hash would differ). Every 13th archive truncated
+  // → one ok=false row. The oracle replays records, encodings,
+  // lengths and checksums closed-form.
+  private[queries] def q161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        import java.nio.charset.StandardCharsets
+        val recs = (0 until (1 + (id % 3)).toInt).map { r =>
+          val k = (1 + (id + r) % 4).toInt
+          val payload =
+            if ((id + r) % 2 == 0)
+              (("text-" + id + "-" + r + ";") * k)
+                .getBytes(StandardCharsets.UTF_8)
+            else
+              (("caf\u00e9-" + id + "-" + r + ";") * k)
+                .getBytes(StandardCharsets.ISO_8859_1)
+          ("conversion", s"http://ex.com/$id/$r", payload)
+        }
+        val archive = graft.sources.Warc.syntheticRecords(id, recs)
+        val framed = if (id % 2 == 0) m.gzipBytes(archive) else archive
+        val content =
+          if (id % 13 == 0) java.util.Arrays.copyOf(framed, 10)
+          else framed
+        m.MediaBlob(id, "application/warc", content)
+      }
+    graft.sources.Warc.textRecords(blobs).toDF()
+      .select($"media_id", $"rec_no", $"warc_type", $"target_uri",
+        $"encoding", $"n_chars", $"digest", $"ok")
+      .orderBy($"media_id", $"rec_no")
+  }
+  private[queries] lazy val q161Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |r AS (
+      | SELECT doc_id, unnest(range(n)) AS rec_no FROM p WHERE NOT bad),
+      |d AS (
+      | SELECT doc_id, rec_no, (doc_id + rec_no) % 2 AS fam,
+      |  CAST(1 + (doc_id + rec_no) % 4 AS INT) AS k
+      | FROM r),
+      |tx AS (
+      | SELECT doc_id, rec_no, fam,
+      |  CASE WHEN fam = 0
+      |   THEN repeat('text-' || doc_id || '-' || rec_no || ';', k)
+      |   ELSE repeat('caf' || chr(233) || '-' || doc_id || '-'
+      |     || rec_no || ';', k) END AS t
+      | FROM d)
+      |SELECT doc_id AS media_id, CAST(rec_no AS INT) AS rec_no,
+      | 'conversion' AS warc_type,
+      | 'http://ex.com/' || doc_id || '/' || rec_no AS target_uri,
+      | CASE WHEN fam = 0 THEN 'utf-8' ELSE 'latin-1' END AS encoding,
+      | CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS digest,
+      | true AS ok
+      |FROM tx
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS INT), '', '', '', CAST(-1 AS BIGINT),
+      | '', false
+      |FROM p WHERE bad
+      |ORDER BY media_id, rec_no""".stripMargin
 }

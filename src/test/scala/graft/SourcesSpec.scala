@@ -91,4 +91,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(Warc.parse(1L, Array.emptyByteArray) ==
       Seq(WarcRecord(1L, 0, "", "", -1L, "", ok = false)))
   }
+
+  test("Warc.textRecords composes gzip-unwrap, record walk and " +
+    "charset decode in one pass: Latin-1 and UTF-8 spellings of the " +
+    "same text hash identically") {
+    import java.nio.charset.StandardCharsets
+    import graft.sources.Warc
+    val m = graft.multimodal.Multimodal
+    import spark.implicits._
+    val text = "café!"
+    val archive = Warc.syntheticRecords(9L, Seq(
+      ("conversion", "http://a", text.getBytes(StandardCharsets.UTF_8)),
+      ("conversion", "http://b",
+        text.getBytes(StandardCharsets.ISO_8859_1))))
+    val blobs = Seq(
+      m.MediaBlob(9L, "warc", m.gzipBytes(archive)), // gzip-framed
+      m.MediaBlob(10L, "warc", archive))             // raw
+      .toDS()
+    val rows = Warc.textRecords(blobs).collect()
+      .sortBy(r => (r.media_id, r.rec_no))
+    assert(rows.length == 4 && rows.forall(_.ok))
+    // framed and raw archives decode identically
+    assert(rows.take(2).map(r => (r.rec_no, r.encoding, r.digest))
+      .toSeq ==
+      rows.drop(2).map(r => (r.rec_no, r.encoding, r.digest)).toSeq)
+    // the two spellings: different encodings, SAME decoded digest
+    assert(rows(0).encoding == "utf-8" && rows(1).encoding == "latin-1")
+    assert(rows(0).digest == rows(1).digest)
+    assert(rows(0).n_chars == text.length.toLong)
+  }
 }
