@@ -619,4 +619,54 @@ object Dedup {
       .select(col("doc_id"), col("__out.clean_text"),
         col("__out.kept_tokens"), col("__out.removed_tokens"))
   }
+
+  /** Corpus-wide LINE-level boilerplate removal — the C4 cleaning
+    * step [[duplicateSpans]] does not cover (C4 §2.2, arXiv:1910.10683:
+    * lines recurring across pages are navigation/cookie-notice
+    * boilerplate, stripped BEFORE page-level dedup): any line that
+    * appears in at least `minDupDocs` DISTINCT documents is dropped
+    * from every document; line order is otherwise preserved.
+    *
+    * Scale shape: lines explode once, then only their MD5s shuffle
+    * (md5, not xxhash64, because the oracle engine must replay the
+    * very same fingerprint — the cross-engine-function constraint;
+    * 32-hex-char keys, never line text). The boilerplate set is a
+    * count-distinct-docs aggregate over those hashes, materialized
+    * once ([[Materialize]]) and anti-joined back; reassembly is one
+    * groupBy on the doc id, co-located when the source is already
+    * partitioned by id. Documents whose every line is boilerplate
+    * survive as empty text (n_kept = 0), never disappear.
+    *
+    * Output: (doc_id, text, n_kept, n_dropped).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minDupDocs: Int = 2): DataFrame = {
+    require(minDupDocs >= 2, "minDupDocs below 2 would drop every line")
+    val lines = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val boiler = Materialize(lines
+      .select(md5(col("line").cast("binary")).as("lh"), col("doc_id"))
+      .distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= minDupDocs)
+      .select(col("lh")))
+    val kept = lines
+      .join(boiler.withColumnRenamed("lh", "__boiler"),
+        md5(col("line").cast("binary")) === col("__boiler"), "left_anti")
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_total"))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n",
+          sort_array(collect_list(struct(col("pos"), col("line"))))
+            .getField("line")).as("text"),
+        count(lit(1)).as("n_kept"))
+    totals
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

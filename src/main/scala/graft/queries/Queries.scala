@@ -215,7 +215,8 @@ object Queries
     "q158_warc_records" -> (q158 _),
     "q159_wav_normalize" -> (q159 _),
     "q160_text_encoding" -> (q160 _),
-    "q161_wet_ingest"   -> (q161 _)
+    "q161_wet_ingest"   -> (q161 _),
+    "q162_line_dedup"   -> (q162 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -509,7 +510,8 @@ object Queries
     "q158_warc_records" -> q158Sql,
     "q159_wav_normalize" -> q159Sql,
     "q160_text_encoding" -> q160Sql,
-    "q161_wet_ingest"   -> q161Sql
+    "q161_wet_ingest"   -> q161Sql,
+    "q162_line_dedup"   -> q162Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -552,4 +552,62 @@ private[queries] trait QueriesDedup { this: Queries.type =>
       |LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q162
+  // C4-style LINE-level boilerplate removal (Dedup.dedupLines,
+  // arXiv:1910.10683 §2.2): lines recurring across ≥5 documents —
+  // the universal header, the half-corpus footer, the ~29-doc
+  // tag-{id%7} lines — are stripped from EVERY document; unique body
+  // lines and the 2-3-doc rare-{id%67} lines stay (the threshold cuts
+  // BETWEEN the families, so both directions are pinned). The oracle
+  // replays the whole pipeline relationally: split → per-line
+  // distinct-doc counts over the SAME md5 fingerprint → anti-filter →
+  // order-preserving reassembly.
+  private[queries] def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id",
+        concat(
+          lit("HDR\nbody-"), $"doc_id".cast("string"),
+          lit("-a\nbody-"), $"doc_id".cast("string"),
+          lit("-b\ntag-"), ($"doc_id" % 7).cast("string"),
+          lit("\nrare-"), ($"doc_id" % 67).cast("string"),
+          when($"doc_id" % 2 === 0, lit("\nFTR")).otherwise(lit("")))
+          .as("text"))
+    Dedup.dedupLines(corpus, "doc_id", "text", minDupDocs = 5)
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q162Sql =
+    """WITH docs AS (
+      | SELECT doc_id,
+      |  'HDR' || chr(10) || 'body-' || doc_id || '-a' || chr(10)
+      |   || 'body-' || doc_id || '-b' || chr(10)
+      |   || 'tag-' || (doc_id % 7) || chr(10)
+      |   || 'rare-' || (doc_id % 67)
+      |   || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'FTR'
+      |      ELSE '' END AS text
+      | FROM documents WHERE doc_id < 200),
+      |ls AS (
+      | SELECT doc_id, i AS pos,
+      |  list_extract(string_split(text, chr(10)), i) AS line
+      | FROM docs,
+      |  unnest(generate_series(1,
+      |    len(string_split(text, chr(10))))) t(i)),
+      |cnt AS (
+      | SELECT md5(line) AS lh, count(DISTINCT doc_id) AS n
+      | FROM ls GROUP BY 1),
+      |kept AS (
+      | SELECT ls.* FROM ls
+      | WHERE md5(ls.line) NOT IN (SELECT lh FROM cnt WHERE n >= 5)),
+      |tot AS (SELECT doc_id, count(*) AS n FROM ls GROUP BY 1),
+      |agg AS (
+      | SELECT doc_id,
+      |  string_agg(line, chr(10) ORDER BY pos) AS text,
+      |  count(*) AS n_kept
+      | FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.text, '') AS text,
+      | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      | CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM tot t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 }

@@ -331,4 +331,28 @@ class DedupSpec extends AnyFunSuite {
       df.filter($"id".isin(kept.toSeq: _*)), "text", "id", minJaccard = 0.5)
     assert(again.count() == kept.size)
   }
+
+  test("dedupLines strips lines recurring across >= minDupDocs docs, " +
+    "preserves order, counts per-DOC not per-occurrence, and keeps " +
+    "all-boilerplate docs as empty rows") {
+    val docs = Seq(
+      (1L, "COOKIE\nalpha\nbeta\nCOOKIE"),  // boilerplate twice in ONE
+      (2L, "COOKIE\ngamma"),                 // doc: distinct-doc count
+      (3L, "delta\nCOOKIE\nepsilon"),        // is 4, not 5
+      (4L, "COOKIE"),                        // all-boilerplate doc
+      (5L, "zeta\nzeta")                     // intra-doc repeat: 1 doc,
+    ).toDF("id", "text")                     // NOT boilerplate
+    val out = Dedup.dedupLines(docs, "id", "text", minDupDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha\nbeta", 2L, 2L)))
+    assert(out(2L) == (("gamma", 1L, 1L)))
+    assert(out(3L) == (("delta\nepsilon", 2L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))        // survives as empty
+    assert(out(5L) == (("zeta\nzeta", 2L, 0L)))
+    // below threshold nothing is dropped
+    val none = Dedup.dedupLines(docs, "id", "text", minDupDocs = 5)
+      .agg(org.apache.spark.sql.functions.sum($"n_dropped")).head.getLong(0)
+    assert(none == 0L)
+  }
 }
