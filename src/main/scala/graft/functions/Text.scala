@@ -175,4 +175,44 @@ object Text {
     val noTags = regexp_replace(noChrome, "<[^>]+>", " ")
     trim(regexp_replace(noTags, "\\s+", " "))
   }
+
+  /** URL canonicalization — the key under which crawl URL-dedup
+    * equates pages (the P2 anti-join and exact-dedup families assume
+    * one spelling per page; real crawls carry dozens). Deterministic
+    * rule set, applied in order:
+    *  1. fragment stripped (`#...` never reaches the server);
+    *  2. scheme+authority lowercased (case-insensitive per RFC 3986);
+    *     PATH CASE IS PRESERVED (it is significant);
+    *  3. a leading `www.` dropped from the host;
+    *  4. default ports stripped scheme-aware (`:80` for http, `:443`
+    *     for https — an https host on :80 keeps its port);
+    *  5. tracking parameters removed (`utm_*`, `gclid`, `fbclid`),
+    *     remaining parameter ORDER preserved (sorting would conflate
+    *     semantically ordered params); an emptied query drops its `?`;
+    *  6. trailing slashes dropped — only when no query survives (a
+    *     trailing slash before `?` is part of the served path).
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val auth = regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(auth) + 1, length(noFrag))
+    val a = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(auth), "^(https?://)www\\.", "$1"),
+        "^(http://[^/:]+):80$", "$1"),
+      "^(https://[^/:]+):443$", "$1")
+    val qpos = instr(rest, "?")
+    val path = when(qpos > 0, rest.substr(lit(1), qpos - 1))
+      .otherwise(rest)
+    val query = when(qpos > 0, rest.substr(qpos + 1, length(rest)))
+      .otherwise(lit(""))
+    val params = filter(split(query, "&"), p =>
+      !(p.rlike("^(utm_[^=]*|gclid|fbclid)=") || p === lit("")))
+    val fq = array_join(params, "&")
+    val pathClean = when(fq === "", regexp_replace(path, "/+$", ""))
+      .otherwise(path)
+    concat(a, pathClean,
+      when(fq === "", lit("")).otherwise(concat(lit("?"), fq)))
+  }
 }

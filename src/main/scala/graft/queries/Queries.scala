@@ -216,7 +216,8 @@ object Queries
     "q159_wav_normalize" -> (q159 _),
     "q160_text_encoding" -> (q160 _),
     "q161_wet_ingest"   -> (q161 _),
-    "q162_line_dedup"   -> (q162 _)
+    "q162_line_dedup"   -> (q162 _),
+    "q163_url_canon"    -> (q163 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -511,7 +512,8 @@ object Queries
     "q159_wav_normalize" -> q159Sql,
     "q160_text_encoding" -> q160Sql,
     "q161_wet_ingest"   -> q161Sql,
-    "q162_line_dedup"   -> q162Sql
+    "q162_line_dedup"   -> q162Sql,
+    "q163_url_canon"    -> q163Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -688,4 +688,74 @@ private[queries] trait QueriesText { this: Queries.type =>
        | CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens
        |FROM b ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q163
+  // URL canonicalization (Text.canonicalUrl) — the key under which
+  // crawl URL-dedup equates pages. The fixture assembles every messy
+  // spelling from id-derived parts (uppercase scheme/host, www
+  // prefix, scheme-consistent default ports vs a real :8080, tracking
+  // params mixed with real ones, utm-only queries, trailing slashes,
+  // fragments) and the oracle states the EXPECTED canonical
+  // closed-form — an independent answer key, not a replay of the
+  // regex chain, so a rule regression cannot hide behind a matching
+  // implementation bug on both sides.
+  private[queries] def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urls = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id",
+        concat(
+          when($"doc_id" % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
+          lit("://"),
+          when($"doc_id" % 2 === 0,
+            concat(lit("WWW.Site"), ($"doc_id" % 50).cast("string"),
+              lit(".COM")))
+            .otherwise(concat(lit("site"),
+              ($"doc_id" % 50).cast("string"), lit(".com"))),
+          when($"doc_id" % 4 === 1,
+            when($"doc_id" % 3 === 0, lit(":443")).otherwise(lit(":80")))
+            .when($"doc_id" % 4 === 2, lit(":8080"))
+            .otherwise(lit("")),
+          lit("/Article/"), $"doc_id".cast("string"),
+          when($"doc_id" % 5 === 0, lit("/")).otherwise(lit("")),
+          when($"doc_id" % 7 < 3, lit("?a=1&utm_source=x&b=2"))
+            .when($"doc_id" % 7 === 3, lit("?utm_campaign=z"))
+            .otherwise(lit("")),
+          when($"doc_id" % 6 === 0, lit("#Frag")).otherwise(lit("")))
+          .as("url"))
+    urls.select($"doc_id", $"url",
+        graft.functions.Text.canonicalUrl($"url").as("canon"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q163Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END AS sch,
+      |  'site' || (doc_id % 50) || '.com' AS host,
+      |  CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END AS port,
+      |  '/Article/' || doc_id AS path,
+      |  doc_id % 5 = 0 AS trail,
+      |  CASE WHEN doc_id % 7 < 3 THEN 'a=1&b=2' ELSE '' END AS cq
+      | FROM documents WHERE doc_id < 200),
+      |u AS (
+      | SELECT doc_id,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+      |  || '://'
+      |  || (CASE WHEN doc_id % 2 = 0
+      |      THEN 'WWW.Site' || (doc_id % 50) || '.COM'
+      |      ELSE 'site' || (doc_id % 50) || '.com' END)
+      |  || (CASE WHEN doc_id % 4 = 1 THEN
+      |        CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END
+      |      WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+      |  || '/Article/' || doc_id
+      |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+      |  || (CASE WHEN doc_id % 7 < 3 THEN '?a=1&utm_source=x&b=2'
+      |      WHEN doc_id % 7 = 3 THEN '?utm_campaign=z' ELSE '' END)
+      |  || (CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END) AS url
+      | FROM documents WHERE doc_id < 200)
+      |SELECT p.doc_id, u.url,
+      | p.sch || '://' || p.host || p.port || p.path
+      | || (CASE WHEN p.trail AND p.cq <> '' THEN '/' ELSE '' END)
+      | || (CASE WHEN p.cq <> '' THEN '?' || p.cq ELSE '' END) AS canon
+      |FROM p JOIN u USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
 }

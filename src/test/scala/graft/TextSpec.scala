@@ -183,4 +183,30 @@ class TextSpec extends AnyFunSuite {
     assert(ws == 7)
     assert(vi == 4) // học_sinh, việt_nam, yêu, khoa_học
   }
+
+  test("canonicalUrl: scheme-aware ports, www strip, tracking-param " +
+    "removal with order preserved, query-emptied trailing slash") {
+    import org.apache.spark.sql.functions.col
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(graft.functions.Text.canonicalUrl(col("u")))
+        .head.getString(0)
+    // case + www + default port + fragment
+    assert(canon("HTTP://WWW.Ex.COM:80/A/b#frag") == "http://ex.com/A/b")
+    // https keeps :80 (NOT its default), strips :443
+    assert(canon("https://ex.com:80/x") == "https://ex.com:80/x")
+    assert(canon("https://ex.com:443/x") == "https://ex.com/x")
+    // tracking params go, order of the rest preserved, ? kept
+    assert(canon("http://ex.com/p?b=2&utm_source=s&a=1&gclid=g") ==
+      "http://ex.com/p?b=2&a=1")
+    // utm-only query: ? dropped AND the trailing slash rule fires
+    assert(canon("http://ex.com/p/?utm_campaign=c") == "http://ex.com/p")
+    // trailing slash BEFORE a surviving query is part of the path
+    assert(canon("http://ex.com/p/?a=1") == "http://ex.com/p/?a=1")
+    // path case preserved; bare host; fbclid
+    assert(canon("http://Ex.com/CaseSensitive") ==
+      "http://ex.com/CaseSensitive")
+    assert(canon("http://ex.com/?fbclid=z") == "http://ex.com")
+    assert(canon("http://ex.com") == "http://ex.com")
+  }
 }
