@@ -766,6 +766,79 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Binary (sign-bit) quantization — the far end of the compression
+    * ladder (flat float32 → SQ8 4× → PQ ~32× → BQ ~32 bits/vector-
+    * component → 1): each component keeps only its SIGN relative to
+    * the vector's own mean (centering makes the split informative for
+    * non-centered embeddings), packed 63 components per long —
+    * 63, not 64, because the packing fold is `acc·2 + bit` and a bit
+    * in the sign position would overflow ANSI long arithmetic (which
+    * THROWS in Spark 4); one bit of the word is the price of staying
+    * a pure, cross-engine-replayable expression. Hamming distance
+    * between packed words estimates angular distance (the
+    * sign-random-projection bound), so candidate generation is
+    * popcount-cheap XORs over a ~32×-smaller relation.
+    * Output: (c_id, words array<long>).
+    */
+  def bqEncode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = Vectors.toDouble(col(vecCol))
+    df.select(col(idCol).as("c_id"), v.as("__v"))
+      .select(col("c_id"), col("__v"),
+        (aggregate(col("__v"), lit(0.0), (acc, x) => acc + x) /
+          size(col("__v"))).as("__mu"))
+      .select(col("c_id"),
+        Vectors.bound(col("__v")) { vv =>
+          Vectors.bound(col("__mu")) { mu =>
+            transform(
+              sequence(lit(0), floor((size(vv) - 1) / 63).cast("int")),
+              w => aggregate(sequence(lit(0), lit(62)), lit(0L),
+                (acc, j) => acc * 2 +
+                  when(w * 63 + j < size(vv) &&
+                    element_at(vv, w * 63 + j + 1) > mu, 1L)
+                    .otherwise(0L)))
+          }
+        }.as("words"))
+  }
+
+  /** Approximate top-k over a BQ corpus: hamming-rank the packed
+    * words, keep `rerankFactor·k` survivors per query, re-rank them
+    * EXACTLY against the uncompressed vectors. `rerankFactor ≤ 0`
+    * reranks every candidate — provably ≡ [[bruteForceTopK]] (the
+    * q164 oracle mode, the q48/q77 exhaustive pattern); the
+    * approximate mode is recall-spec-pinned in VectorSimilaritySpec.
+    * At 100 TB the packed relation is the only full scan; exact
+    * vectors are touched for survivors alone (a semi-join-sized read).
+    */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val codes = bqEncode(corpus, idCol, vecCol)
+    val qcodes = bqEncode(queries, idCol, vecCol)
+      .select(col("c_id").as("q_id"), col("words").as("q_words"))
+    val cand = codes.join(broadcast(qcodes), col("q_id") =!= col("c_id"))
+      .withColumn("ham",
+        aggregate(zip_with(col("q_words"), col("words"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+    val pruned =
+      if (rerankFactor <= 0) cand.select(col("q_id"), col("c_id"))
+      else {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("ham").asc, col("c_id").asc)
+        cand.withColumn("__hr", row_number().over(w))
+          .filter(col("__hr") <= k * rerankFactor)
+          .select(col("q_id"), col("c_id"))
+      }
+    val qv = queries.select(col(idCol).as("q_id"),
+      Vectors.toDouble(col(vecCol)).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("c_id"),
+      Vectors.toDouble(col(vecCol)).as("c_vec"))
+    val scored = pruned
+      .join(broadcast(qv), Seq("q_id"))
+      .join(cv, Seq("c_id"))
+      .withColumn("sim", Vectors.cosine(col("q_vec"), col("c_vec")))
+    rankTopK(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): documents whose EMBEDDINGS are

@@ -217,7 +217,8 @@ object Queries
     "q160_text_encoding" -> (q160 _),
     "q161_wet_ingest"   -> (q161 _),
     "q162_line_dedup"   -> (q162 _),
-    "q163_url_canon"    -> (q163 _)
+    "q163_url_canon"    -> (q163 _),
+    "q164_bq_ann"       -> (q164 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -513,7 +514,8 @@ object Queries
     "q160_text_encoding" -> q160Sql,
     "q161_wet_ingest"   -> q161Sql,
     "q162_line_dedup"   -> q162Sql,
-    "q163_url_canon"    -> q163Sql
+    "q163_url_canon"    -> q163Sql,
+    "q164_bq_ann"       -> q164Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -437,6 +437,26 @@ private[queries] trait QueriesVector { this: Queries.type =>
       | round(sim, 6) AS sim
       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  // Binary-quantization ANN (Similarity.bqEncode/bqTopK) — the sixth
+  // ANN family, the far end of the compression ladder: sign-vs-mean
+  // bits packed 63/long, hamming candidates, exact rerank. Run at the
+  // exhaustive parameterization (rerankFactor = 0 reranks EVERY
+  // candidate), which makes the output ≡ brute-force cosine top-k —
+  // the q48/q77 oracle pattern; the approximate mode's recall is
+  // spec-pinned in VectorSimilaritySpec.
+  private[queries] def q164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    Similarity.bqTopK(emb.filter($"vec_id" >= 30 && $"vec_id" < 40),
+        emb, "vec_id", "embedding", k = 5, rerankFactor = 0)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"c_id",
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+  private[queries] lazy val q164Sql =
+    bruteTopKSql("vec_id >= 30 AND vec_id < 40", 5)
+
   // ---------------------------------------------------------------- q129
   // Tagged HNSW under the ORACLE contract (the q48/q77 pattern for
   // fitted ANN structures): the full tagged lifecycle — tag-sharded

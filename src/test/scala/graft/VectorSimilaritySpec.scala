@@ -565,6 +565,46 @@ class VectorSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall too low: $recall")
   }
 
+  test("bq binary quantization: 63-bit word packing round-trips the " +
+    "sign pattern; exhaustive mode ≡ brute force; approximate recall " +
+    "holds on separated data") {
+    // hand-checkable packing: 4 dims, mean 0 → bits (+,-,+,-) = 1010
+    // at word positions 62..59 under the acc·2+bit fold over 63 slots
+    val tiny = Seq((0L, Array(1.0f, -1.0f, 2.0f, -2.0f)))
+      .toDF("id", "vec")
+    val word = Similarity.bqEncode(tiny, "id", "vec")
+      .select("words").head.getSeq[Long](0)
+    assert(word.length == 1)
+    // bits j=0..62 fold MSB-first: bit for dim d sits at 2^(62-d)
+    assert(word.head == (1L << 62) + (1L << 60))
+    val rnd = new scala.util.Random(43)
+    val data = (0 until 300).map(i =>
+      (i.toLong, Array.fill(96)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    // 96 dims → 2 words per vector
+    assert(Similarity.bqEncode(data, "id", "vec")
+      .select("words").head.getSeq[Long](0).length == 2)
+    val q = data.filter($"id" < 5)
+    val exact = Similarity.bruteForceTopK(q, data, "id", "vec", 10)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // exhaustive: rerankFactor = 0 reranks everything → identical
+    val exh = Similarity.bqTopK(q, data, "id", "vec", 10,
+        rerankFactor = 0)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exh == exact)
+    // approximate: hamming prune at 8× then exact rerank
+    val approx = Similarity.bqTopK(q, data, "id", "vec", 10,
+        rerankFactor = 8)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (a, _, c) => (a, c) }
+    val recall = (exactPairs intersect approx).size.toDouble /
+      exactPairs.size
+    assert(recall >= 0.5, s"bq recall too low: $recall")
+  }
+
   test("centroidStaleness: in-distribution appends stay near ratio 1 " +
     "and don't trip the refit flag; drifted appends trip it") {
     val rnd = new scala.util.Random(17)
