@@ -2360,6 +2360,56 @@ object Multimodal extends Serializable {
     blobs.mapPartitions(_.map(b => parseJpegExif(b.media_id, b.content)))
   }
 
+  /** Apply an EXIF orientation (1..8) to a decoded RGB plane — the
+    * eight transforms of TIFF tag 0x0112 (identity, mirrors, 180,
+    * transpose/transverse, 90/270 rotations; 5-8 swap the dims). A
+    * pure pixel permutation: fidelity bounds against the upright
+    * original are unchanged, which is exactly what q165 pins.
+    */
+  def orientRgb(width: Int, height: Int, rgb: Array[Byte],
+                orientation: Int): (Int, Int, Array[Byte]) = {
+    if (orientation <= 1 || orientation > 8) return (width, height, rgb)
+    val swap = orientation >= 5
+    val (w2, h2) = if (swap) (height, width) else (width, height)
+    val out = new Array[Byte](rgb.length)
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        var sx = 0; var sy = 0
+        orientation match {
+          case 2 => sx = width - 1 - x2; sy = y2
+          case 3 => sx = width - 1 - x2; sy = height - 1 - y2
+          case 4 => sx = x2; sy = height - 1 - y2
+          case 5 => sx = y2; sy = x2
+          case 6 => sx = y2; sy = height - 1 - x2  // 90 deg CW
+          case 7 => sx = width - 1 - y2; sy = height - 1 - x2
+          case _ => sx = width - 1 - y2; sy = x2   // 8: 270 deg CW
+        }
+        val s = (sy * width + sx) * 3
+        val d = (y2 * w2 + x2) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    (w2, h2, out)
+  }
+
+  /** [[decodeJpegRgb]] + EXIF auto-rotation: the pixels a training
+    * pipeline should actually ingest (a camera JPEG with orientation
+    * 6 stores its pixels sideways and relies on the tag). Streams
+    * without EXIF, or with orientation 1, decode unchanged.
+    */
+  def decodeJpegRgbOriented(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    decodeJpegRgb(bytes).map { case (w, h, rgb) =>
+      val ex = parseJpegExif(0L, bytes)
+      if (ex.has_exif && ex.orientation >= 2 && ex.orientation <= 8)
+        orientRgb(w, h, rgb, ex.orientation)
+      else (w, h, rgb)
+    }
+
   /** Insert a genuine Exif APP1 (single-entry IFD0 carrying the
     * orientation SHORT, either byte order) right after SOI. Fixture
     * writer for [[parseJpegExif]]; any EXIF reader accepts the output.

@@ -218,7 +218,8 @@ object Queries
     "q161_wet_ingest"   -> (q161 _),
     "q162_line_dedup"   -> (q162 _),
     "q163_url_canon"    -> (q163 _),
-    "q164_bq_ann"       -> (q164 _)
+    "q164_bq_ann"       -> (q164 _),
+    "q165_jpeg_autorotate" -> (q165 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -515,7 +516,8 @@ object Queries
     "q161_wet_ingest"   -> q161Sql,
     "q162_line_dedup"   -> q162Sql,
     "q163_url_canon"    -> q163Sql,
-    "q164_bq_ann"       -> q164Sql
+    "q164_bq_ann"       -> q164Sql,
+    "q165_jpeg_autorotate" -> q165Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1664,6 +1664,80 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | NOT bad AS decode_ok
       |FROM d ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  // EXIF AUTO-ROTATION under the oracle — composing q157's tag walk
+  // with q138's foreign-stream decode: each row ImageIO-encodes the
+  // photo, injects orientation 1+id%8 (both byte orders), and
+  // decodeJpegRgbOriented must emit pixels matching the SAME
+  // transform applied to the replayed generator — a wrong mapping
+  // (e.g. 90° CW vs CCW) lands whole rows in the wrong place and
+  // blows the fidelity bound, so `faithful` pins the permutation
+  // itself, not just decodability. Orientations 5-8 swap the output
+  // dims, which the oracle states closed-form. Every 11th truncated.
+  private[queries] def q165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    t(s, dir, "documents").filter($"doc_id" < 120)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 24 + (id % 7).toInt * 8
+        val h = 16 + (id % 5).toInt * 8
+        val o = 1 + (id % 8).toInt
+        val orig = m.syntheticPhotoRgb(id, w, h)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            img.setRGB(x, y, ((orig(i) & 0xff) << 16) |
+              ((orig(i + 1) & 0xff) << 8) | (orig(i + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val tagged = m.withExifOrientation(bos.toByteArray, o,
+          bigEndian = id % 2 == 0)
+        val bytes =
+          if (id % 11 == 0) java.util.Arrays.copyOf(tagged, 20)
+          else tagged
+        m.decodeJpegRgbOriented(bytes) match {
+          case Some((dw, dh, rgb)) =>
+            val (ew, eh, exp) = m.orientRgb(w, h, orig, o)
+            val dimsOk = dw == ew && dh == eh
+            var errSum = 0L
+            var i = 0
+            while (dimsOk && i < rgb.length) {
+              errSum += math.abs((rgb(i) & 0xff) - (exp(i) & 0xff))
+              i += 1
+            }
+            val mae = errSum.toDouble / math.max(1, rgb.length)
+            (id, dw, dh, o, true, dimsOk && mae <= 8.0)
+          case None => (id, -1, -1, o, false, false)
+        }
+      }
+      .toDF("media_id", "width", "height", "orientation", "decode_ok",
+        "faithful")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q165Sql =
+    """WITH p AS (
+      | SELECT doc_id, 24 + (doc_id % 7) * 8 AS w,
+      |  16 + (doc_id % 5) * 8 AS h,
+      |  1 + doc_id % 8 AS o, doc_id % 11 = 0 AS bad
+      | FROM documents WHERE doc_id < 120)
+      |SELECT doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 WHEN o >= 5 THEN h ELSE w END
+      |   AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 WHEN o >= 5 THEN w ELSE h END
+      |   AS INT) AS height,
+      | CAST(o AS INT) AS orientation,
+      | NOT bad AS decode_ok, NOT bad AS faithful
+      |FROM p ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- q161
   // WET-ingest capstone under the oracle — the round-15 crawl legs
   // composed end to end in ONE partition-local pass

@@ -374,6 +374,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dm.format == "gzip" && dm.decode_ok)
   }
 
+  test("orientRgb: all eight EXIF transforms hand-checked on an " +
+    "asymmetric image; decodeJpegRgbOriented applies the tag") {
+    // 2x1 image, pixels A=(1,2,3) B=(4,5,6): every transform has a
+    // unique answer on it plus a 1x2 counterpart for the swaps
+    val ab = Array[Byte](1, 2, 3, 4, 5, 6)
+    def px(rgb: Array[Byte], i: Int) =
+      (rgb(i * 3).toInt, rgb(i * 3 + 1).toInt, rgb(i * 3 + 2).toInt)
+    // o=2 mirror: B A
+    val (w2, _, m2) = Multimodal.orientRgb(2, 1, ab, 2)
+    assert(w2 == 2 && px(m2, 0) == ((4, 5, 6)) && px(m2, 1) == ((1, 2, 3)))
+    // o=3 rotate 180 on 2x1 = mirror
+    assert(Multimodal.orientRgb(2, 1, ab, 3)._3.toSeq == m2.toSeq)
+    // o=6 (90 CW): 2x1 wide -> 1x2 tall, A on TOP (A was left)
+    val (w6, h6, r6) = Multimodal.orientRgb(2, 1, ab, 6)
+    assert(w6 == 1 && h6 == 2)
+    assert(px(r6, 0) == ((1, 2, 3)) && px(r6, 1) == ((4, 5, 6)))
+    // o=8 (270 CW): A lands on the BOTTOM
+    val (_, _, r8) = Multimodal.orientRgb(2, 1, ab, 8)
+    assert(px(r8, 0) == ((4, 5, 6)) && px(r8, 1) == ((1, 2, 3)))
+    // o=5 transpose vs o=7 transverse differ on a 2x1
+    assert(Multimodal.orientRgb(2, 1, ab, 5)._3.toSeq == r6.toSeq)
+    assert(Multimodal.orientRgb(2, 1, ab, 7)._3.toSeq == r8.toSeq)
+    // round-trip: applying o then its inverse restores the original
+    val (wi, hi, ri) = Multimodal.orientRgb(2, 1, ab, 6)
+    assert(Multimodal.orientRgb(wi, hi, ri, 8)._3.toSeq == ab.toSeq)
+    // end to end: encode a photo, tag orientation 6, decode oriented
+    val w = 24; val h = 16
+    val orig = Multimodal.syntheticPhotoRgb(3L, w, h)
+    val enc = Multimodal.jpegEncodeRgb420(w, h, orig)
+    val tagged = Multimodal.withExifOrientation(enc, 6, bigEndian = false)
+    val Some((dw, dh, rgb)) = Multimodal.decodeJpegRgbOriented(tagged)
+    assert(dw == h && dh == w)
+    val (_, _, exp) = Multimodal.orientRgb(w, h,
+      Multimodal.decodeJpegRgb(enc).get._3, 6)
+    assert(rgb.toSeq == exp.toSeq) // exact: same decode, same permute
+  }
+
   test("parseJpegExif reads the orientation tag in both byte orders; " +
     "a decoder on the EXIF'd stream still works; corrupt TIFF and " +
     "missing APP1 report has_exif=false") {
