@@ -500,6 +500,72 @@ object Multimodal extends Serializable {
     Some(bb.array())
   }
 
+  /** Trim leading/trailing SILENCE from 16-bit PCM — the other half
+    * of speech prep next to [[normalizeWavPeak]] (TTS/ASR corpora pad
+    * both ends; training on padding wastes tokens): keep the frame
+    * span from the FIRST to the LAST frame where any channel reaches
+    * `threshold` in magnitude. Interior silence is preserved (pauses
+    * are speech). A fully-silent file keeps its header with ZERO
+    * frames (decoders see an empty, valid stream — not a rejection).
+    * Nothing-to-trim passes through BYTE-IDENTICAL. Same rejection
+    * contract as [[transcodeWav]].
+    */
+  def trimWavSilence(bytes: Array[Byte],
+                     threshold: Int): Option[Array[Byte]] = {
+    require(threshold >= 1 && threshold <= 32767)
+    val meta = parseWav(0L, bytes)
+    if (!meta.decode_ok || meta.bits_per_sample != 16) return None
+    val ch = meta.channels
+    if (ch < 1 || meta.data_bytes % (2L * ch) != 0 ||
+      meta.data_bytes > Int.MaxValue) return None
+    val (_, dataOff, _) = wavChunkWalk(bytes)
+    if (dataOff < 0) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val frames = (meta.data_bytes / (2L * ch)).toInt
+    def loud(f: Int): Boolean = {
+      var c = 0
+      while (c < ch) {
+        if (math.abs(buf.getShort(dataOff + (f * ch + c) * 2).toInt)
+          >= threshold) return true
+        c += 1
+      }
+      false
+    }
+    var fi = 0
+    while (fi < frames && !loud(fi)) fi += 1
+    if (fi == frames) { // fully silent: empty but valid
+      return Some(wavHeader(meta.sample_rate, ch, 16, 0).array())
+    }
+    var la = frames - 1
+    while (la > fi && !loud(la)) la -= 1
+    if (fi == 0 && la == frames - 1) return Some(bytes)
+    val outFrames = la - fi + 1
+    val bb = wavHeader(meta.sample_rate, ch, bitsPerSample = 16,
+      dataLen = outFrames * ch * 2)
+    var i = fi * ch
+    while (i < (la + 1) * ch) {
+      bb.putShort(buf.getShort(dataOff + i * 2))
+      i += 1
+    }
+    Some(bb.array())
+  }
+
+  /** Partition-wise silence trim — [[transcodeWavBlobs]]'s contract
+    * (empty content on rejection).
+    */
+  def trimWavSilenceBlobs(blobs: Dataset[MediaBlob],
+                          threshold: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      trimWavSilence(b.content, threshold) match {
+        case Some(out) => MediaBlob(b.media_id, b.media_type, out)
+        case None => MediaBlob(b.media_id, b.media_type,
+          Array.emptyByteArray)
+      }
+    })
+  }
+
   /** Partition-wise peak normalization — [[transcodeWavBlobs]]'s
     * contract (empty content on rejection).
     */

@@ -219,7 +219,8 @@ object Queries
     "q162_line_dedup"   -> (q162 _),
     "q163_url_canon"    -> (q163 _),
     "q164_bq_ann"       -> (q164 _),
-    "q165_jpeg_autorotate" -> (q165 _)
+    "q165_jpeg_autorotate" -> (q165 _),
+    "q166_wav_trim"     -> (q166 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -517,7 +518,8 @@ object Queries
     "q162_line_dedup"   -> q162Sql,
     "q163_url_canon"    -> q163Sql,
     "q164_bq_ann"       -> q164Sql,
-    "q165_jpeg_autorotate" -> q165Sql
+    "q165_jpeg_autorotate" -> q165Sql,
+    "q166_wav_trim"     -> q166Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1664,6 +1664,75 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | NOT bad AS decode_ok
       |FROM d ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  // SILENCE TRIM under the oracle — speech-prep's other half next to
+  // q159's gain: containers built with id%8 padding frames of
+  // sub-threshold noise (|s| ≤ 600) around an interior whose every
+  // sample is ≥ 20000, trimmed at threshold 1000 — so the kept span
+  // is EXACTLY the interior, closed-form, and the oracle replays the
+  // boundary arithmetic plus the per-channel stats of the trimmed
+  // stream. id%8 == 0 exercises the byte-identical pass-through.
+  // Every 13th blob truncated mid-header → decode_ok=false row.
+  private[queries] def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 40 + (id % 30).toInt
+        val pd = (id % 8).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              if (i < pd || i >= fr - pd) (100 * (i % 7)).toShort
+              else (20000 + ((id * 7 + i * 13 + c * 17) % 10000)).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.trimWavSilenceBlobs(blobs, threshold = 1000))
+      .toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q166Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 30 AS fr,
+      |  doc_id % 8 AS pd, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, unnest(generate_series(pd, fr - pd - 1)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, i, unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, c AS channel,
+      |  20000 + ((doc_id*7 + i*13 + c*17) % 10000) AS s
+      | FROM sc),
+      |agg AS (
+      | SELECT doc_id, channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(s*s) AS BIGINT) AS sum_sq
+      | FROM sv GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
   // ---------------------------------------------------------------- q165
   // EXIF AUTO-ROTATION under the oracle — composing q157's tag walk
   // with q138's foreign-stream decode: each row ImageIO-encodes the

@@ -211,6 +211,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.transcodeWav(w8.content, 4000, mono = true).isEmpty)
   }
 
+  test("trimWavSilence keeps first-loud..last-loud, preserves " +
+    "interior pauses, passes through untrimmed files byte-identical, " +
+    "and keeps fully-silent files as valid zero-frame streams") {
+    // frames: [5, 2000, 0(pause), 900, 3000, 10] at threshold 1000
+    // → keep frames 1..4 including the interior pause and the 900
+    val b = Multimodal.syntheticWavPcm(1L, 16000, 1,
+      Array[Short](5, 2000, 0, 900, 3000, 10))
+    val Some(out) = Multimodal.trimWavSilence(b.content, 1000)
+    val st = Multimodal.wavStats(1L, out).head
+    assert(st.n_samples == 4L)
+    assert(st.sum_abs == 2000L + 0 + 900 + 3000)
+    // stereo: ANY channel reaching threshold keeps the frame
+    val s2 = Multimodal.syntheticWavPcm(2L, 16000, 2,
+      Array[Short](0, 1500, 100, 100, 1500, 0))
+    val Some(o2) = Multimodal.trimWavSilence(s2.content, 1000)
+    assert(Multimodal.parseWav(2L, o2).data_bytes == 12L) // all 3 frames
+    // nothing to trim: the SAME array
+    val loud = Multimodal.syntheticWavPcm(3L, 16000, 1,
+      Array[Short](2000, 1, 2000))
+    assert(Multimodal.trimWavSilence(loud.content, 1000).get
+      eq loud.content)
+    // fully silent: empty but VALID (not a rejection)
+    val silent = Multimodal.syntheticWavPcm(4L, 16000, 1,
+      Array[Short](1, -2, 3))
+    val Some(empty) = Multimodal.trimWavSilence(silent.content, 1000)
+    val em = Multimodal.parseWav(4L, empty)
+    assert(em.decode_ok && em.data_bytes == 0L)
+    assert(Multimodal.trimWavSilence(b.content.take(30), 1000).isEmpty)
+  }
+
   test("normalizeWavPeak applies one exact rational gain per file: " +
     "amplify and attenuate match floorDiv arithmetic; silent and " +
     "at-target files pass through byte-identical") {
