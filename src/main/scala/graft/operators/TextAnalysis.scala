@@ -397,4 +397,117 @@ object TextAnalysis {
     */
   def viTokenCount(text: Column, lexicon: Seq[String] = viLexicon): Column =
     size(viSegment(text, lexicon))
+
+  // ------------------------------------------------------------------
+  // BPE TRAINING — the missing half of the tokenizer stack. Everything
+  // above APPLIES a merge table; real pipelines also LEARN one from
+  // their own corpus (Sennrich, Haddow & Birch, ACL 2016 — the
+  // algorithm behind the GPT-2/RoBERTa merges.txt files that
+  // bpeMergesFromFile loads). At 100 TB the shape matters: the corpus
+  // is touched ONCE (the word-frequency aggregation); every training
+  // iteration after that runs on the vocabulary-sized (word, freq)
+  // frame — millions of rows, not petabytes — with one pair-count
+  // shuffle per merge and a single-ROW argmax to the driver (the
+  // learned rule is model state, same bounded-collect contract as
+  // bpeMergesFrom's table load).
+  // ------------------------------------------------------------------
+
+  /** Learn `numMerges` BPE merge rules from a (word, freq) table.
+    *
+    * Classic greedy trainer, exactly replayable: words are lowercased
+    * and stripped to [a-z] (the [[bpePieceCount]] alphabet; words
+    * shorter than 2 letters drop — they can never host a pair), then
+    * held as `<x>` marker strings. Per iteration: count ADJACENT
+    * symbol pairs weighted by word frequency (overlapping occurrences
+    * all count — "aaa" contributes (a,a) twice, the standard trainer's
+    * convention), pick the most frequent pair with ties broken by
+    * (left ASC, right ASC), and apply it everywhere as ONE literal
+    * `replace('<a><b>' → '<ab>')` — leftmost non-overlapping, exactly
+    * the greedy merge pass [[bpePieceCount]] replays at apply time.
+    * Training stops early when the best pair's count falls below
+    * `minPairFreq` (a rule seen once is noise, not vocabulary).
+    *
+    * Returns (`merge_rank`, `lhs`, `rhs`, `pair_count`) with ranks
+    * 0..k-1 — directly loadable by [[bpeMergesFrom]]: each learned
+    * rule's operands are single letters or earlier outputs and each
+    * output symbol is new (one fresh vocab symbol per merge, the
+    * property that makes the apply-time chain ≡ the min-rank loop).
+    *
+    * Scale shape: `words` stays distributed (vocabulary-sized); each
+    * iteration is one explode + pair-count shuffle and a TakeOrdered
+    * argmax (ONE row to the driver — bounded model state, never data).
+    * Lineage is cut per iteration through [[Materialize.iterCut]], so
+    * under `spark.graft.materialize=resilient` a lost executor
+    * mid-training recovers instead of killing the run.
+    */
+  def bpeTrain(words: DataFrame, wordCol: String, freqCol: String,
+               numMerges: Int, minPairFreq: Long = 2L): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 50000,
+      "bpeTrain: numMerges must be in [1, 50000]")
+    val s = words.sparkSession
+    import s.implicits._
+    val init = words
+      .select(regexp_replace(lower(col(wordCol)), "[^a-z]", "").as("w"),
+        col(freqCol).cast("long").as("f"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(sum(col("f")).as("f"))
+      .select(regexp_replace(col("w"), "([a-z])", "<$1>").as("w"),
+        col("f"))
+    var vocab = Materialize.iterCut(init)
+
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 0L
+    var stop = false
+    while (rank < numMerges && !stop) {
+      val sy = split(regexp_replace(col("w"), "^<|>$", ""), "><")
+      val best = vocab
+        .select(col("f"), sy.as("sy"))
+        // adjacent pairs: zip the symbol array with itself shifted by
+        // one; zip_with pads the shorter side with null, so the tail
+        // struct filters out. All codegen'd array functions — the pair
+        // explosion never leaves the scan stage.
+        .select(col("f"), explode(zip_with(col("sy"),
+          slice(col("sy"), lit(2), greatest(size(col("sy")), lit(1))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .filter(col("p.b").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairFreq) stop = true
+      else {
+        val a: String = best(0).getString(0)
+        val b: String = best(0).getString(1)
+        val c: Long = best(0).getLong(2)
+        learned += ((rank, a, b, c))
+        val next = vocab.select(
+          org.apache.spark.sql.functions.replace(col("w"),
+            lit(s"<$a><$b>"), lit(s"<$a$b>")).as("w"), col("f"))
+        val cut = Materialize.iterCut(next)
+        vocab.unpersist()
+        vocab = cut
+        rank += 1L
+      }
+    }
+    vocab.unpersist()
+    learned.result()
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** [[bpeTrain]] straight from a document column: ONE corpus-sized
+    * word-count shuffle (lowercase, non-letters to spaces, explode,
+    * count), then vocabulary-sized training. The end-to-end "train a
+    * tokenizer on your own 100 TB corpus" entry point; compose with
+    * [[bpeMergesFrom]] + [[bpePieceCountLoop]] to tokenize with what
+    * was learned.
+    */
+  def bpeTrainFromText(docs: DataFrame, textCol: String,
+                       numMerges: Int, minPairFreq: Long = 2L): DataFrame = {
+    val words = docs
+      .select(explode(split(
+        regexp_replace(lower(col(textCol)), "[^a-z]+", " "), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    bpeTrain(words, "w", "f", numMerges, minPairFreq)
+  }
 }

@@ -758,4 +758,52 @@ private[queries] trait QueriesText { this: Queries.type =>
       | || (CASE WHEN p.cq <> '' THEN '?' || p.cq ELSE '' END) AS canon
       |FROM p JOIN u USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+  // BPE TRAINING under the oracle (TextAnalysis.bpeTrainFromText) —
+  // the learning half of the tokenizer stack: q119 APPLIES a frozen
+  // merge table, this one LEARNS one from the corpus (Sennrich et al.
+  // 2016). The oracle unrolls all 8 training iterations as CTEs —
+  // pair counts from the zipped symbol list, argmax with the same
+  // (count DESC, lhs ASC, rhs ASC) tie-break, merge applied as the
+  // same leftmost-non-overlapping marker replace — so DuckDB replays
+  // the training ALGORITHM end to end, greedy choices and all; one
+  // wrong pair count anywhere changes every later rank.
+  private[queries] def q167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeTrainFromText(
+        t(s, dir, "documents").filter($"doc_id" < 120), "text",
+        numMerges = 8)
+      .orderBy($"merge_rank")
+  }
+  private[queries] lazy val q167Sql = {
+    val iters = (1 to 8).map { k =>
+      s"""p$k AS (
+         | SELECT u[1] AS a, u[2] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+         | FROM (
+         |  SELECT f, unnest(list_zip(sy, sy[2:])) AS u FROM (
+         |   SELECT f, string_split(trim(w, '<>'), '><') AS sy
+         |   FROM w${k - 1}) t) z
+         | WHERE u[2] IS NOT NULL GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM p$k
+         | ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$k AS (SELECT replace(w, '<'||a||'><'||b||'>',
+         |  '<'||a||b||'>') AS w, f FROM w${k - 1} CROSS JOIN b$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to 8).map { k =>
+      s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, a AS lhs, " +
+        s"b AS rhs, cnt AS pair_count FROM b$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (
+       | SELECT unnest(string_split(regexp_replace(lower(text),
+       |  '[^a-z]+', ' ', 'g'), ' ')) AS w
+       | FROM documents WHERE doc_id < 120),
+       |w0 AS (
+       | SELECT regexp_replace(w, '([a-z])', '<\\1>', 'g') AS w,
+       |  CAST(COUNT(*) AS BIGINT) AS f
+       | FROM tok WHERE len(w) >= 2 GROUP BY 1),
+       |$iters
+       |SELECT * FROM ($ranks) ORDER BY merge_rank""".stripMargin
+  }
 }
