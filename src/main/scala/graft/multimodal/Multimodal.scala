@@ -3895,6 +3895,241 @@ object Multimodal extends Serializable {
     val all = ftyp ++ moov ++ mdat
     MediaBlob(id, "video/mp4", all)
   }
+
+  // ------------------------------------------------------------------
+  // MP3: the dominant crawl audio format (WAV is the interchange
+  // format; podcast/speech crawls are MPEG audio). Metadata needs NO
+  // codec decode — skip the ID3v2 tag (syncsafe size), read the FIRST
+  // frame header's version/layer/bitrate/samplerate/mode bits, and
+  // estimate CBR duration from the audio byte span. The parseJpeg
+  // contract: every bound checked before use, any truncation or
+  // reserved bit pattern is a row property, never a task failure.
+  // ------------------------------------------------------------------
+
+  /** `version` ∈ {"1","2","2.5"}; `layer` ∈ 1..3; `bitrate_kbps` from
+    * the header index (free-format and the reserved index reject);
+    * `duration_ms` = audio bytes (total minus ID3v2 tag and any
+    * trailing ID3v1 block) × 8 / bitrate — exact for CBR, the honest
+    * first-frame estimate for VBR (crawl triage, not playback).
+    */
+  case class Mp3Meta(media_id: Long, version: String, layer: Int,
+                     bitrate_kbps: Int, sample_rate: Int, channels: Int,
+                     id3_size: Int, duration_ms: Long,
+                     decode_ok: Boolean)
+
+  private val BadMp3 =
+    Mp3Meta(0L, "", -1, -1, -1, -1, -1, -1L, decode_ok = false)
+
+  /** Bitrate (kbps) by [mpeg1?][layer 1..3][index 1..14] and sample
+    * rate by [version][index 0..2] — the ISO 11172-3 / 13818-3 header
+    * tables, public in every MP3 header reference.
+    */
+  private val Mp3BitrateV1 = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val Mp3BitrateV2 = Array(
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val Mp3SampleRate = Map(
+    "1" -> Array(44100, 48000, 32000),
+    "2" -> Array(22050, 24000, 16000),
+    "2.5" -> Array(11025, 12000, 8000))
+
+  /** ID3v2 tag length at the head of `bytes` (0 if none): 10-byte
+    * header + 28-bit syncsafe size + optional 10-byte footer. -1 when
+    * a declared tag overruns the buffer.
+    */
+  def id3v2Size(bytes: Array[Byte]): Int = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return 0
+    def u(i: Int): Int = bytes(i) & 0xff
+    // syncsafe: 4×7 bits, high bit of each byte must be clear
+    if ((u(6) | u(7) | u(8) | u(9)) >= 0x80) return -1
+    val body = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+    val footer = if ((u(5) & 0x10) != 0) 10 else 0
+    val total = 10 + body + footer
+    if (total > bytes.length) -1 else total
+  }
+
+  /** First-frame MPEG audio header parse, ID3-aware. The frame must
+    * start exactly where the ID3v2 tag ends (offset 0 without one) —
+    * crawl triage wants "is this a clean MP3", not a resync scan that
+    * would bless any file containing two 0xFF bytes.
+    */
+  def parseMp3(id: Long, bytes: Array[Byte]): Mp3Meta = {
+    val id3 = id3v2Size(bytes)
+    if (id3 < 0 || bytes.length < id3 + 4) return BadMp3.copy(media_id = id)
+    def u(i: Int): Int = bytes(i) & 0xff
+    val h = id3
+    if (u(h) != 0xff || (u(h + 1) & 0xe0) != 0xe0)
+      return BadMp3.copy(media_id = id)
+    val version = ((u(h + 1) >> 3) & 0x3) match {
+      case 0 => "2.5"
+      case 2 => "2"
+      case 3 => "1"
+      case _ => return BadMp3.copy(media_id = id) // reserved
+    }
+    val layer = ((u(h + 1) >> 1) & 0x3) match {
+      case 1 => 3
+      case 2 => 2
+      case 3 => 1
+      case _ => return BadMp3.copy(media_id = id) // reserved
+    }
+    val brIdx = (u(h + 2) >> 4) & 0xf
+    val srIdx = (u(h + 2) >> 2) & 0x3
+    // free-format (0) and the all-ones index (15) both reject: no
+    // table entry exists, so no duration can be stated honestly
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3)
+      return BadMp3.copy(media_id = id)
+    val table = if (version == "1") Mp3BitrateV1 else Mp3BitrateV2
+    val bitrate = table(layer - 1)(brIdx - 1)
+    val rate = Mp3SampleRate(version)(srIdx)
+    val channels = if (((u(h + 3) >> 6) & 0x3) == 3) 1 else 2
+    // trailing ID3v1 block is metadata, not audio
+    val id3v1 = if (bytes.length >= id3 + 4 + 128 &&
+      bytes(bytes.length - 128) == 'T' && bytes(bytes.length - 127) == 'A' &&
+      bytes(bytes.length - 126) == 'G') 128 else 0
+    val audioBytes = (bytes.length - id3 - id3v1).toLong
+    val durMs = audioBytes * 8L / bitrate
+    Mp3Meta(id, version, layer, bitrate, rate, channels, id3, durMs,
+      decode_ok = true)
+  }
+
+  /** Partition-wise MP3 metadata decode — the [[decodeWav]] contract. */
+  def decodeMp3(blobs: Dataset[MediaBlob]): Dataset[Mp3Meta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseMp3(b.media_id, b.content)))
+  }
+
+  /** Genuine minimal MP3 stream: optional ID3v2 tag (zero-padded body
+    * of `id3Body` bytes), `nFrames` correctly-sized frames of the
+    * requested version/layer/bitrate/samplerate (frame length by the
+    * standard formula, deterministic junk payload), optional trailing
+    * ID3v1 block. Any header-table tool reads it back.
+    */
+  def syntheticMp3(id: Long, version: String, layer: Int,
+                   bitrateKbps: Int, sampleRate: Int, mono: Boolean,
+                   nFrames: Int, id3Body: Int = 0,
+                   id3v1: Boolean = false): MediaBlob = {
+    val table = if (version == "1") Mp3BitrateV1 else Mp3BitrateV2
+    val brIdx = table(layer - 1).indexOf(bitrateKbps) + 1
+    val srIdx = Mp3SampleRate(version).indexOf(sampleRate)
+    require(brIdx >= 1 && srIdx >= 0,
+      s"syntheticMp3: no header index for ${bitrateKbps}kbps/$sampleRate" +
+        s"Hz in MPEG-$version layer $layer")
+    val verBits = version match {
+      case "1" => 3; case "2" => 2; case _ => 0
+    }
+    val layerBits = 4 - layer
+    val frameLen =
+      if (layer == 1)
+        (12 * bitrateKbps * 1000 / sampleRate) * 4
+      else {
+        val coef = if (layer == 3 && version != "1") 72 else 144
+        coef * bitrateKbps * 1000 / sampleRate
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Body > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      out.write((id3Body >> 21) & 0x7f); out.write((id3Body >> 14) & 0x7f)
+      out.write((id3Body >> 7) & 0x7f); out.write(id3Body & 0x7f)
+      out.write(new Array[Byte](id3Body))
+    }
+    val hdr = Array[Int](0xff,
+      0xe0 | (verBits << 3) | (layerBits << 1) | 1,
+      (brIdx << 4) | (srIdx << 2),
+      (if (mono) 0xc0 else 0x00))
+    for (f <- 0 until nFrames) {
+      hdr.foreach(out.write)
+      for (i <- 4 until frameLen)
+        out.write(((id * 131 + f * 17 + i) & 0xff).toInt)
+    }
+    if (id3v1) {
+      out.write('T'); out.write('A'); out.write('G')
+      out.write(new Array[Byte](125))
+    }
+    MediaBlob(id, "audio/mpeg", out.toByteArray)
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC: the lossless audio leg. STREAMINFO (the mandatory first
+  // metadata block) carries everything triage needs in 34 fixed-layout
+  // bytes — sample rate, channels, bit depth, total samples.
+  // ------------------------------------------------------------------
+
+  /** `total_samples` = 0 means "unknown" per spec and reports
+    * `duration_ms` = -1; all other fields exact from STREAMINFO.
+    */
+  case class FlacMeta(media_id: Long, sample_rate: Int, channels: Int,
+                      bits_per_sample: Int, total_samples: Long,
+                      duration_ms: Long, decode_ok: Boolean)
+
+  private val BadFlac =
+    FlacMeta(0L, -1, -1, -1, -1L, -1L, decode_ok = false)
+
+  /** fLaC magic + STREAMINFO parse. The spec REQUIRES STREAMINFO to be
+    * the first metadata block — a stream leading with anything else is
+    * malformed and rejects, as does a declared block overrunning the
+    * buffer or a zero sample rate.
+    */
+  def parseFlac(id: Long, bytes: Array[Byte]): FlacMeta = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 4 + 4 + 34 || bytes(0) != 'f' || bytes(1) != 'L' ||
+      bytes(2) != 'a' || bytes(3) != 'C') return BadFlac.copy(media_id = id)
+    val blockType = u(4) & 0x7f
+    val blockLen = (u(5) << 16) | (u(6) << 8) | u(7)
+    if (blockType != 0 || blockLen < 34 ||
+      8L + blockLen > bytes.length) return BadFlac.copy(media_id = id)
+    val s = 8 + 10 // skip min/max blocksize (4) + min/max framesize (6)
+    // 64 bits: 20 samplerate | 3 channels-1 | 5 bps-1 | 36 totalSamples
+    var acc = 0L
+    for (i <- 0 until 8) acc = (acc << 8) | u(s + i)
+    val rate = (acc >>> 44).toInt
+    val channels = ((acc >>> 41) & 0x7).toInt + 1
+    val bps = ((acc >>> 36) & 0x1f).toInt + 1
+    val total = acc & 0xfffffffffL
+    if (rate <= 0) return BadFlac.copy(media_id = id)
+    val durMs = if (total == 0L) -1L else total * 1000L / rate
+    FlacMeta(id, rate, channels, bps, total, durMs, decode_ok = true)
+  }
+
+  /** Partition-wise FLAC metadata decode — the [[decodeWav]] contract. */
+  def decodeFlac(blobs: Dataset[MediaBlob]): Dataset[FlacMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseFlac(b.media_id, b.content)))
+  }
+
+  /** Genuine minimal FLAC header: magic + last-block STREAMINFO with
+    * the given parameters (zero min/max frame sizes, deterministic
+    * MD5-field junk) + a few payload bytes. Any STREAMINFO reader
+    * parses it back.
+    */
+  def syntheticFlac(id: Long, sampleRate: Int, channels: Int,
+                    bitsPerSample: Int, totalSamples: Long): MediaBlob = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(bitsPerSample >= 4 && bitsPerSample <= 32)
+    require(totalSamples >= 0L && totalSamples < (1L << 36))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80) // last-metadata-block flag + type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(34)
+    val blockSize = 4096
+    out.write(blockSize >> 8); out.write(blockSize & 0xff)
+    out.write(blockSize >> 8); out.write(blockSize & 0xff)
+    for (_ <- 0 until 6) out.write(0) // min/max frame size unknown
+    var acc = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | totalSamples
+    for (i <- 7 to 0 by -1) out.write(((acc >>> (8 * i)) & 0xff).toInt)
+    for (i <- 0 until 16) out.write(((id * 37 + i) & 0xff).toInt)
+    for (i <- 0 until 8) out.write(((id * 53 + i) & 0xff).toInt)
+    MediaBlob(id, "audio/flac", out.toByteArray)
+  }
+
   // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
   // JPEG next to Y4M. Each decode operator above assumes a homogeneous
   // column; dispatchDecode is the missing composition: sniff the magic
@@ -3938,6 +4173,13 @@ object Multimodal extends Serializable {
     // ISO-BMFF: the ftyp box type at offset 4 (its 4-byte size varies)
     else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
     else if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
+    else if (bytes.length >= 4 && ascii(0, 4) == "fLaC") "flac"
+    // MPEG audio: an ID3v2 tag, or a bare frame sync with non-reserved
+    // version/layer bits (checked LAST — the sync pattern is the
+    // weakest magic in the chain; every stronger signature wins first)
+    else if (bytes.length >= 3 && ascii(0, 3) == "ID3") "mp3"
+    else if (bytes.length >= 4 && u(0) == 0xff && (u(1) & 0xe0) == 0xe0 &&
+      ((u(1) >> 3) & 0x3) != 1 && ((u(1) >> 1) & 0x3) != 0) "mp3"
     else "unknown"
   }
 
@@ -3983,6 +4225,14 @@ object Multimodal extends Serializable {
         // container-only leg: decode_ok = the member inflates clean
         DispatchedMeta(id, "gzip", gunzip(bytes).isDefined, -1, -1,
           -1, -1, -1, -1L)
+      case "mp3" =>
+        val a = parseMp3(id, bytes)
+        DispatchedMeta(id, "mp3", a.decode_ok, -1, -1, a.sample_rate,
+          a.channels, -1, a.duration_ms)
+      case "flac" =>
+        val fl = parseFlac(id, bytes)
+        DispatchedMeta(id, "flac", fl.decode_ok, -1, -1, fl.sample_rate,
+          fl.channels, -1, fl.duration_ms)
       case _ =>
         DispatchedMeta(id, "unknown", decode_ok = false, -1, -1, -1,
           -1, -1, -1L)
@@ -4023,8 +4273,8 @@ object Multimodal extends Serializable {
         case "y4m"  => transcodeY4m(b.content, every, maxEdge)
         // metadata-only legs: no byte-level transform exists, so a
         // valid stream passes through (dropping it would silently
-        // empty every WebP/GIF/MP4 in a mixed crawl column)
-        case "webp" | "gif" | "mp4" => Some(b.content)
+        // empty every WebP/GIF/MP4/MP3/FLAC in a mixed crawl column)
+        case "webp" | "gif" | "mp4" | "mp3" | "flac" => Some(b.content)
         case _      => None
       }
       MediaBlob(b.media_id, b.media_type,

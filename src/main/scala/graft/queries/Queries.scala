@@ -220,7 +220,10 @@ object Queries
     "q163_url_canon"    -> (q163 _),
     "q164_bq_ann"       -> (q164 _),
     "q165_jpeg_autorotate" -> (q165 _),
-    "q166_wav_trim"     -> (q166 _)
+    "q166_wav_trim"     -> (q166 _),
+    "q167_bpe_train"    -> (q167 _),
+    "q168_mp3_meta"     -> (q168 _),
+    "q169_audio_dispatch" -> (q169 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -519,7 +522,10 @@ object Queries
     "q163_url_canon"    -> q163Sql,
     "q164_bq_ann"       -> q164Sql,
     "q165_jpeg_autorotate" -> q165Sql,
-    "q166_wav_trim"     -> q166Sql
+    "q166_wav_trim"     -> q166Sql,
+    "q167_bpe_train"    -> q167Sql,
+    "q168_mp3_meta"     -> q168Sql,
+    "q169_audio_dispatch" -> q169Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

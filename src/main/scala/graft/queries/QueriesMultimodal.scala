@@ -1877,4 +1877,190 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | '', false
       |FROM p WHERE bad
       |ORDER BY media_id, rec_no""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  // MP3 metadata under the oracle — the dominant-crawl-audio
+  // counterpart of q153's MP4 walk: each row synthesizes a genuine
+  // MPEG audio stream (optional ID3v2 tag with syncsafe size,
+  // correctly-sized frames across MPEG-1/2/2.5 × layer 2/3 × the
+  // public bitrate/samplerate header tables, optional trailing ID3v1
+  // block) and parseMp3 reads back version/layer/bitrate/rate/mode
+  // plus the CBR duration from the audio byte span. The oracle's
+  // bitrate/samplerate CASEs are GENERATED from the same ISO header
+  // tables the parser indexes, and it replays the frame-length and
+  // duration integer arithmetic closed-form. Every 13th blob
+  // truncated to 2 bytes → all-sentinel row property.
+  private[queries] def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val vers = Array("1", "2", "2.5")
+        val ver = vers((id % 3).toInt)
+        val layer = if (id % 4 == 0) 2 else 3
+        val table =
+          if (ver == "1" && layer == 2)
+            Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+              320, 384)
+          else if (ver == "1")
+            Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320)
+          else // MPEG-2/2.5 layers II and III share the low-rate table
+            Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+              160)
+        val rateTables = Array(
+          Array(44100, 48000, 32000), Array(22050, 24000, 16000),
+          Array(11025, 12000, 8000))
+        val rate = rateTables((id % 3).toInt)((id / 3 % 3).toInt)
+        val b = m.syntheticMp3(id, ver, layer, table((id % 14).toInt),
+          rate, mono = id % 2 == 0, nFrames = 3 + (id % 5).toInt,
+          id3Body = if (id % 3 == 0) 64 + (id % 10).toInt * 7 else 0,
+          id3v1 = id % 5 == 0)
+        if (id % 13 == 0) b.copy(content = b.content.take(2)) else b
+      }
+    m.decodeMp3(blobs).toDF()
+      .select($"media_id", $"version", $"layer", $"bitrate_kbps",
+        $"sample_rate", $"channels", $"id3_size", $"duration_ms",
+        $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q168Sql = {
+    def lst(a: Seq[Int]) = a.mkString("[", ", ", "]")
+    val v1l2 = lst(Seq(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+      256, 320, 384))
+    val v1l3 = lst(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320))
+    val v2l23 = lst(Seq(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      144, 160))
+    s"""WITH p AS (
+       | SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+       |   ELSE '2.5' END AS ver,
+       |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 3 END AS layer,
+       |  doc_id % 14 AS bsel, (doc_id // 3) % 3 AS ssel,
+       |  3 + doc_id % 5 AS nf,
+       |  CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 10) * 7
+       |   ELSE 0 END AS id3_body,
+       |  doc_id % 5 = 0 AS has_v1,
+       |  doc_id % 13 = 0 AS bad
+       | FROM documents WHERE doc_id < 200),
+       |d AS (
+       | SELECT doc_id, ver, layer, nf, id3_body, has_v1, bad,
+       |  list_extract(CASE WHEN ver = '1' AND layer = 2 THEN $v1l2
+       |   WHEN ver = '1' THEN $v1l3
+       |   ELSE $v2l23 END, 1 + bsel) AS br,
+       |  list_extract(CASE ver WHEN '1' THEN [44100, 48000, 32000]
+       |   WHEN '2' THEN [22050, 24000, 16000]
+       |   ELSE [11025, 12000, 8000] END, 1 + ssel) AS sr
+       | FROM p),
+       |e AS (
+       | SELECT doc_id, ver, layer, br, sr, nf, id3_body, has_v1, bad,
+       |  (CASE WHEN layer = 3 AND ver <> '1' THEN 72 ELSE 144 END
+       |    * br * 1000) // sr AS frame_len
+       | FROM d)
+       |SELECT doc_id AS media_id,
+       | CASE WHEN bad THEN '' ELSE ver END AS version,
+       | CAST(CASE WHEN bad THEN -1 ELSE layer END AS INT) AS layer,
+       | CAST(CASE WHEN bad THEN -1 ELSE br END AS INT) AS bitrate_kbps,
+       | CAST(CASE WHEN bad THEN -1 ELSE sr END AS INT) AS sample_rate,
+       | CAST(CASE WHEN bad THEN -1
+       |   WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+       | CAST(CASE WHEN bad THEN -1
+       |   WHEN id3_body > 0 THEN 10 + id3_body ELSE 0 END AS INT)
+       |  AS id3_size,
+       | CAST(CASE WHEN bad THEN -1
+       |   ELSE (nf * frame_len * 8) // br END AS BIGINT) AS duration_ms,
+       | NOT bad AS decode_ok
+       |FROM e ORDER BY media_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q169
+  // Heterogeneous AUDIO dispatch under the oracle — q136's pattern
+  // over the audio container family: one blob column carrying WAV
+  // next to ID3-tagged MP3 next to FLAC next to bare-sync MP3 with an
+  // ID3v1 trailer, routed by magic bytes (the bare frame sync is the
+  // weakest magic and sniffs LAST). FLAC's unknown-length form
+  // (total_samples=0 → duration -1) and the ID3v1 byte subtraction
+  // are both exercised. Every 9th blob first-byte-zeroed → every
+  // magic breaks → format='unknown' row property.
+  private[queries] def q169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 240)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val j = id / 4
+        val wavRates = Array(8000, 16000, 44100)
+        val flacRates = Array(8000, 22050, 44100, 48000)
+        val b = (id % 4) match {
+          case 0 =>
+            m.syntheticWav(id, wavRates((j % 3).toInt),
+              1 + (j % 2).toInt, 16, ((j % 50).toInt + 1) * 40)
+          case 1 =>
+            m.syntheticMp3(id, "1", 3, 128, 44100, mono = j % 2 == 0,
+              nFrames = 4 + (j % 6).toInt,
+              id3Body = if (j % 2 == 0) 33 + (j % 7).toInt else 0)
+          case 2 =>
+            m.syntheticFlac(id, flacRates((j % 4).toInt),
+              1 + (j % 2).toInt, if (j % 2 == 0) 16 else 24,
+              if (j % 5 == 0) 0L else (j % 100 + 1) * 1000L)
+          case _ =>
+            m.syntheticMp3(id, "2", 3, 64, 22050, mono = true,
+              nFrames = 3 + (j % 4).toInt, id3v1 = true)
+        }
+        if (id % 9 == 0) { b.content(0) = 0; b } else b
+      }
+    m.dispatchDecode(blobs).toDF()
+      .select($"media_id", $"format", $"decode_ok", $"sample_rate",
+        $"channels", $"duration_ms")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q169Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS j,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 240),
+      |d AS (
+      | SELECT doc_id, fam, j, bad,
+      |  CASE j % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+      |    AS wav_rate,
+      |  1 + j % 2 AS wav_ch, (j % 50 + 1) * 40 AS wav_frames,
+      |  4 + j % 6 AS mp3a_nf,
+      |  3 + j % 4 AS mp3b_nf,
+      |  list_extract([8000, 22050, 44100, 48000], 1 + j % 4)
+      |    AS flac_rate,
+      |  1 + j % 2 AS flac_ch,
+      |  CASE WHEN j % 5 = 0 THEN 0 ELSE (j % 100 + 1) * 1000 END
+      |    AS flac_total
+      | FROM p),
+      |e AS (
+      | SELECT doc_id, fam, j, bad, wav_rate, wav_ch, wav_frames,
+      |  flac_rate, flac_ch, flac_total,
+      |  -- MPEG1 L3 128kbps @ 44100: 144·128000/44100; frames only
+      |  (144 * 128 * 1000) // 44100 AS mp3a_fl, mp3a_nf,
+      |  -- MPEG2 L3 64kbps @ 22050: 72·64000/22050; ID3v1 subtracted
+      |  (72 * 64 * 1000) // 22050 AS mp3b_fl, mp3b_nf
+      | FROM d)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN 'unknown'
+      |  WHEN fam = 0 THEN 'wav' WHEN fam = 2 THEN 'flac'
+      |  ELSE 'mp3' END AS format,
+      | NOT bad AS decode_ok,
+      | CAST(CASE WHEN bad THEN -1
+      |  WHEN fam = 0 THEN wav_rate WHEN fam = 1 THEN 44100
+      |  WHEN fam = 2 THEN flac_rate ELSE 22050 END AS INT)
+      |  AS sample_rate,
+      | CAST(CASE WHEN bad THEN -1
+      |  WHEN fam = 0 THEN wav_ch
+      |  WHEN fam = 1 THEN CASE WHEN j % 2 = 0 THEN 1 ELSE 2 END
+      |  WHEN fam = 2 THEN flac_ch ELSE 1 END AS INT) AS channels,
+      | CAST(CASE WHEN bad THEN -1
+      |  WHEN fam = 0 THEN (wav_frames * 1000) // wav_rate
+      |  WHEN fam = 1 THEN (mp3a_nf * mp3a_fl * 8) // 128
+      |  WHEN fam = 2 THEN CASE WHEN flac_total = 0 THEN -1
+      |   ELSE (flac_total * 1000) // flac_rate END
+      |  ELSE (mp3b_nf * mp3b_fl * 8) // 64 END AS BIGINT)
+      |  AS duration_ms
+      |FROM e ORDER BY media_id""".stripMargin
 }

@@ -1729,4 +1729,103 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).delta.contains(100.0) && rows(1).is_cut &&
       rows(1).scene_no == 1L)
   }
+
+  test("parseMp3: header tables, ID3v2 syncsafe skip, ID3v1 " +
+    "subtraction, CBR duration arithmetic") {
+    // MPEG1 Layer III 128kbps 44100Hz stereo, 4 frames, no tags:
+    // frameLen = 144·128000/44100 = 417; dur = 4·417·8/128 = 104 ms
+    val a = Multimodal.parseMp3(1L,
+      Multimodal.syntheticMp3(1L, "1", 3, 128, 44100, mono = false,
+        nFrames = 4).content)
+    assert(a == Multimodal.Mp3Meta(1L, "1", 3, 128, 44100, 2, 0, 104L,
+      decode_ok = true))
+    // ID3v2 tag skipped by syncsafe size; id3_size excluded from audio
+    val b0 = Multimodal.syntheticMp3(2L, "1", 3, 128, 44100,
+      mono = true, nFrames = 4, id3Body = 200)
+    val b = Multimodal.parseMp3(2L, b0.content)
+    assert(b.id3_size == 210 && b.channels == 1 && b.duration_ms == 104L)
+    // MPEG2 Layer III uses the 72 coefficient and the low-rate table;
+    // trailing ID3v1 block is not audio
+    val c = Multimodal.parseMp3(3L,
+      Multimodal.syntheticMp3(3L, "2", 3, 64, 22050, mono = true,
+        nFrames = 3, id3v1 = true).content)
+    // frameLen = 72·64000/22050 = 208; dur = 3·208·8/64 = 78 ms
+    assert(c.version == "2" && c.bitrate_kbps == 64 &&
+      c.sample_rate == 22050 && c.duration_ms == 78L && c.decode_ok)
+    // MPEG2.5 sample-rate table
+    val d = Multimodal.parseMp3(4L,
+      Multimodal.syntheticMp3(4L, "2.5", 3, 40, 11025, mono = true,
+        nFrames = 2).content)
+    assert(d.version == "2.5" && d.sample_rate == 11025 && d.decode_ok)
+    // Layer II MPEG1 table
+    val e = Multimodal.parseMp3(5L,
+      Multimodal.syntheticMp3(5L, "1", 2, 384, 48000, mono = false,
+        nFrames = 2).content)
+    assert(e.layer == 2 && e.bitrate_kbps == 384 && e.decode_ok)
+  }
+
+  test("parseMp3 rejections are row properties: truncation, broken " +
+    "sync, reserved indices, overrunning ID3 tag") {
+    val good = Multimodal.syntheticMp3(9L, "1", 3, 128, 44100,
+      mono = true, nFrames = 2).content
+    assert(!Multimodal.parseMp3(9L, good.take(2)).decode_ok)
+    val broken = good.clone(); broken(0) = 0
+    assert(!Multimodal.parseMp3(9L, broken).decode_ok)
+    // bitrate index 15 (reserved) and free-format 0 both reject
+    val r15 = good.clone(); r15(2) = (0xf0 | (r15(2) & 0x0f)).toByte
+    assert(!Multimodal.parseMp3(9L, r15).decode_ok)
+    val r0 = good.clone(); r0(2) = (r0(2) & 0x0f).toByte
+    assert(!Multimodal.parseMp3(9L, r0).decode_ok)
+    // sample-rate index 3 is reserved
+    val sr3 = good.clone(); sr3(2) = (sr3(2) | 0x0c).toByte
+    assert(!Multimodal.parseMp3(9L, sr3).decode_ok)
+    // ID3 tag declaring more bytes than the buffer holds
+    val tagged = Multimodal.syntheticMp3(9L, "1", 3, 128, 44100,
+      mono = true, nFrames = 2, id3Body = 100).content
+    assert(!Multimodal.parseMp3(9L, tagged.take(50)).decode_ok)
+  }
+
+  test("parseFlac: STREAMINFO bit unpacking, unknown-length streams, " +
+    "and malformed-stream rejections") {
+    val f = Multimodal.parseFlac(1L,
+      Multimodal.syntheticFlac(1L, 44100, 2, 16, 441000L).content)
+    assert(f == Multimodal.FlacMeta(1L, 44100, 2, 16, 441000L, 10000L,
+      decode_ok = true))
+    // total_samples = 0 means unknown → duration -1, still decodable
+    val u = Multimodal.parseFlac(2L,
+      Multimodal.syntheticFlac(2L, 48000, 1, 24, 0L).content)
+    assert(u.decode_ok && u.duration_ms == -1L && u.bits_per_sample == 24)
+    // 8 channels / 32 bps / large sample counts hit the field edges
+    val w = Multimodal.parseFlac(3L,
+      Multimodal.syntheticFlac(3L, 192000, 8, 32,
+        (1L << 36) - 1).content)
+    assert(w.channels == 8 && w.bits_per_sample == 32 &&
+      w.total_samples == (1L << 36) - 1 && w.decode_ok)
+    val good = Multimodal.syntheticFlac(4L, 44100, 2, 16, 1000L).content
+    assert(!Multimodal.parseFlac(4L, good.take(20)).decode_ok)
+    val wrongFirst = good.clone()
+    wrongFirst(4) = 0x84.toByte // first block VORBIS_COMMENT, not SI
+    assert(!Multimodal.parseFlac(4L, wrongFirst).decode_ok)
+  }
+
+  test("audio sniffing: fLaC and ID3/frame-sync magics route, JPEG's " +
+    "0xFFD8 does NOT collide with the MPEG sync mask") {
+    assert(Multimodal.sniffFormat(
+      Multimodal.syntheticFlac(1L, 44100, 2, 16, 1L).content) == "flac")
+    assert(Multimodal.sniffFormat(Multimodal.syntheticMp3(1L, "1", 3,
+      128, 44100, mono = true, nFrames = 1).content) == "mp3")
+    assert(Multimodal.sniffFormat(Multimodal.syntheticMp3(1L, "1", 3,
+      128, 44100, mono = true, nFrames = 1,
+      id3Body = 30).content) == "mp3")
+    // 0xFF 0xD8 (JPEG SOI): high bits 110 fail the 0xE0 sync mask and
+    // the jpeg check runs first anyway
+    assert(Multimodal.sniffFormat(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) ==
+      "jpeg")
+    // reserved version bits (0xF8) and reserved layer (0xF9 has
+    // layer=00) do not sniff as mp3
+    assert(Multimodal.sniffFormat(
+      Array(0xff.toByte, 0xe9.toByte, 0x44.toByte, 0x00.toByte)) ==
+      "unknown")
+  }
 }

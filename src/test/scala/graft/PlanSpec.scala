@@ -294,13 +294,15 @@ class PlanSpec extends AnyFunSuite {
   }
   test("blob pipelines shuffle METADATA only: q134 resize, q136 " +
     "dispatch, q140 audio transcode, q141 heterogeneous transcode, " +
-    "q152 fractional resample, q153 MP4 walk and q154 progressive " +
-    "decode have exactly one exchange — the final metadata sort — " +
-    "never a blob-column shuffle") {
+    "q152 fractional resample, q153 MP4 walk, q154 progressive " +
+    "decode, q168 MP3 metadata and q169 audio dispatch have exactly " +
+    "one exchange — the final metadata sort — never a blob-column " +
+    "shuffle") {
     for (q <- Seq("q134_jpeg_resize", "q136_modality_dispatch",
         "q140_wav_transcode", "q141_multimodal_transcode",
         "q152_wav_resample", "q153_mp4_meta",
-        "q154_jpeg_progressive")) {
+        "q154_jpeg_progressive", "q168_mp3_meta",
+        "q169_audio_dispatch")) {
       val p = plan(q)
       val n = p.sliding("Exchange".length).count(_ == "Exchange")
       assert(n == 1, s"$q: expected 1 exchange (ordering sort), got $n\n$p")
