@@ -215,4 +215,69 @@ object Text {
     concat(a, pathClean,
       when(fq === "", lit("")).otherwise(concat(lit("?"), fq)))
   }
+
+  /** Built-in public-suffix subset for [[registrableDomain]] — the
+    * high-traffic generic and country suffixes plus the common
+    * second-level country registrations (the full Mozilla PSL is 9k+
+    * rules; real deployments load it via [[suffixesFrom]]). Kept tiny,
+    * public, and sorted so the DuckDB oracle mirrors it exactly.
+    */
+  val publicSuffixes2: Seq[String] = Seq(
+    "ac.in", "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk",
+    "com.ar", "com.au", "com.br", "com.cn", "com.hk", "com.mx",
+    "com.sg", "com.tr", "com.vn", "edu.vn", "gov.uk", "gov.vn",
+    "ne.jp", "net.au", "or.jp", "or.kr", "org.au", "org.nz", "org.uk")
+
+  /** Load a public-suffix list from a table column (the Mozilla PSL's
+    * two-level rules) — the [[graft.operators.TextAnalysis.viLexiconFrom]]
+    * bounded-collect contract: driver-collected, capped, shipped as
+    * literals; an over-cap source throws rather than truncating.
+    */
+  def suffixesFrom(suffixes: org.apache.spark.sql.DataFrame,
+                   entryCol: String, maxEntries: Int = 20000): Seq[String] = {
+    val rows = suffixes.select(col(entryCol).cast("string").as("s"))
+      .na.drop().distinct().limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"suffixesFrom: source exceeds the $maxEntries-entry cap; raise " +
+        "maxEntries explicitly (the list ships to executors as literals)")
+    rows.map(_.getString(0)).toSeq
+  }
+
+  /** Registrable domain (eTLD+1) of a lowercase hostname — the key
+    * under which crawl pipelines aggregate per-site quotas, host-graph
+    * nodes, and politeness budgets (grouping by raw host splits
+    * `news.example.co.uk` from `example.co.uk`; grouping by TLD merges
+    * the whole registry). Algorithm, replayed verbatim by the oracle:
+    * if the last TWO labels form a listed second-level public suffix,
+    * the registrable domain is the last THREE labels; otherwise it is
+    * the last TWO (every single-label TLD is treated as a public
+    * suffix — the PSL's implicit `*` rule). Hosts with no dot (or
+    * exactly a listed suffix) return themselves: there is no
+    * registrable domain below them.
+    */
+  def registrableDomain(host: Column,
+                        suffixes2: Seq[String] = publicSuffixes2): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val is2 = last2.isin(suffixes2: _*)
+    when(n <= 1, host)
+      .when(is2 && n >= 3, concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2),
+        element_at(labels, -1)))
+      .when(is2, host)
+      .otherwise(last2)
+  }
+
+  /** [[registrableDomain]] straight from a URL: extract the lowercase
+    * host (authority minus port/userinfo) then reduce to eTLD+1.
+    */
+  def registrableDomainFromUrl(u: Column,
+                               suffixes2: Seq[String] = publicSuffixes2)
+      : Column =
+    registrableDomain(
+      lower(regexp_extract(u,
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)),
+      suffixes2)
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and URL admission (RFC 9309) — the crawl
+  * frontier's politeness gate, next to [[graft.functions.Text.canonicalUrl]]
+  * (dedup key) and `registrableDomain` (quota key). The reference
+  * fetches feeds it is explicitly configured for (feeds.json), so
+  * robots compliance is a beyond-reference surface a general crawl
+  * pipeline cannot ship without.
+  *
+  * Everything is declarative Spark: group assignment is a window
+  * cumulative-sum over line numbers, matching is a generated-regex
+  * admission join — no driver-side parsing, so a 100 TB frontier
+  * check is one rules build (small) plus one equi-join on site.
+  */
+object Robots {
+
+  /** Parse robots.txt bodies into the EFFECTIVE rule set for one
+    * crawler token. Input: one row per site (`siteCol`, `textCol`);
+    * output: (`site`, `allow`, `pattern`) rows.
+    *
+    * RFC 9309 semantics implemented:
+    *  - lines are `key: value` with `#` comments stripped; keys
+    *    case-insensitive; unknown keys ignored;
+    *  - consecutive `User-agent` lines open ONE group shared by them
+    *    all (a rule line ends the run);
+    *  - the effective group set: every group naming `agent`
+    *    (case-insensitive exact token match), else every `*` group —
+    *    matching groups MERGE;
+    *  - `Allow`/`Disallow` values are path patterns; an EMPTY
+    *    `Disallow:` means "no restriction" and produces no rule.
+    *
+    * Sites whose effective set is empty emit NO rows — absence of
+    * rules is "everything allowed", which [[isAllowed]]'s left join
+    * encodes.
+    */
+  def parseRobots(robots: DataFrame, siteCol: String, textCol: String,
+                  agent: String): DataFrame = {
+    val lines = robots
+      .select(col(siteCol).as("site"),
+        posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("site"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("site"), col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1)))
+          .as("key"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+
+    val byLine = Window.partitionBy(col("site")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      // a User-agent line opens a new group only if the previous kept
+      // line was NOT a User-agent line (consecutive UA lines share)
+      .withColumn("new_group", col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(byLine), lit(false)))
+      .withColumn("grp",
+        sum(col("new_group").cast("long")).over(byLine))
+
+    val uaGroups = grouped.filter(col("is_ua"))
+      .select(col("site"), col("grp"), lower(col("value")).as("token"))
+    val exact = uaGroups
+      .filter(col("token") === agent.toLowerCase(java.util.Locale.ROOT))
+      .select(col("site"), col("grp")).distinct()
+    val wildcard = uaGroups.filter(col("token") === "*")
+      .select(col("site"), col("grp")).distinct()
+      // '*' groups apply only where no exact group exists
+      .join(exact.select(col("site")).distinct(), Seq("site"),
+        "left_anti")
+    val effective = exact.unionByName(wildcard)
+
+    grouped.filter(!col("is_ua"))
+      .join(effective, Seq("site", "grp"), "left_semi")
+      .filter(col("value") =!= "") // empty Disallow: = no restriction
+      .select(col("site"), (col("key") === "allow").as("allow"),
+        col("value").as("pattern"))
+  }
+
+  /** Regex form of a robots path pattern: `*` is a wildcard, a
+    * trailing `$` anchors the end, everything else is literal
+    * (regex metacharacters escaped); match is anchored at the path
+    * start (prefix semantics).
+    */
+  private def patternRegex(pattern: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val escaped = regexp_replace(body,
+      "([.^$+?(){}\\[\\]\\\\|])", "\\\\$1")
+    val wild = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Admission decision per URL row: join each (`siteCol`,
+    * `pathCol`) against the site's rules, keep matching rules, and
+    * apply RFC 9309 precedence — the LONGEST pattern wins, an
+    * `allow` wins length ties, and a path matching no rule (or a
+    * site with no rules) is allowed. Returns the input plus a
+    * boolean `allowed`.
+    *
+    * Scale shape: rules are robots-file-sized (KBs per site); the
+    * join is an equi-join on site (broadcast when the rule table is
+    * small), the verdict one window over (url row, matched rules) —
+    * the URL table is touched once, never a cartesian.
+    */
+  def isAllowed(urls: DataFrame, rules: DataFrame, siteCol: String,
+                pathCol: String): DataFrame = {
+    val u = urls.withColumn("__uid", monotonically_increasing_id())
+    val r = rules.select(col("site").as(siteCol), col("allow"),
+      col("pattern"), patternRegex(col("pattern")).as("rx"),
+      length(col("pattern")).as("plen"))
+    val matched = u
+      .join(r, Seq(siteCol), "left")
+      .withColumn("hit", col("rx").isNotNull &&
+        regexp_like(col(pathCol), col("rx")))
+    val byUrl = Window.partitionBy(col("__uid"))
+      .orderBy(col("hit").desc, col("plen").desc,
+        col("allow").desc)
+    matched
+      .withColumn("rn", row_number().over(byUrl))
+      .filter(col("rn") === 1)
+      .withColumn("allowed",
+        when(col("hit"), col("allow")).otherwise(lit(true)))
+      .drop("rn", "hit", "rx", "plen", "allow", "pattern", "__uid")
+  }
+}

@@ -223,7 +223,9 @@ object Queries
     "q166_wav_trim"     -> (q166 _),
     "q167_bpe_train"    -> (q167 _),
     "q168_mp3_meta"     -> (q168 _),
-    "q169_audio_dispatch" -> (q169 _)
+    "q169_audio_dispatch" -> (q169 _),
+    "q170_domain"       -> (q170 _),
+    "q171_robots"       -> (q171 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -525,7 +527,9 @@ object Queries
     "q166_wav_trim"     -> q166Sql,
     "q167_bpe_train"    -> q167Sql,
     "q168_mp3_meta"     -> q168Sql,
-    "q169_audio_dispatch" -> q169Sql
+    "q169_audio_dispatch" -> q169Sql,
+    "q170_domain"       -> q170Sql,
+    "q171_robots"       -> q171Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

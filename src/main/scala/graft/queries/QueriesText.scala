@@ -806,4 +806,112 @@ private[queries] trait QueriesText { this: Queries.type =>
        |$iters
        |SELECT * FROM ($ranks) ORDER BY merge_rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q170
+  // Registrable-domain (eTLD+1) extraction — the key under which
+  // crawl pipelines aggregate per-site quotas, host-graph nodes and
+  // politeness budgets. The fixture assembles hosts across every
+  // algorithm branch (subdomained two-level suffix, plain .com, deep
+  // subdomains, .com.vn, a dotless host, a bare public suffix) plus
+  // a messy URL form (uppercase, userinfo, port) through the
+  // host-extraction regex; the oracle states the EXPECTED domain per
+  // branch closed-form — an independent answer key, q163's pattern.
+  private[queries] def q170(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.functions.Text
+    val hosts = t(s, dir, "documents").filter($"doc_id" < 240)
+      .select($"doc_id", ($"doc_id" % 6).as("v"),
+        ($"doc_id" % 40).cast("string").as("k"))
+      .select($"doc_id", $"v",
+        when($"v" === 0, concat(lit("news.site"), $"k", lit(".co.uk")))
+          .when($"v" === 1, concat(lit("site"), $"k", lit(".com")))
+          .when($"v" === 2, concat(lit("a.b.site"), $"k", lit(".org")))
+          .when($"v" === 3, concat(lit("site"), $"k", lit(".com.vn")))
+          .when($"v" === 4, lit("localhost"))
+          .otherwise(lit("co.uk")).as("host"))
+    hosts.select($"doc_id", $"host",
+        T.registrableDomain($"host").as("domain"),
+        T.registrableDomainFromUrl(concat(lit("http://"),
+          when($"v" % 2 === 0, lit("crawler@")).otherwise(lit("")),
+          upper($"host"), lit(":8080/a/b?c=1#f"))).as("url_domain"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q170Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 6 AS v, CAST(doc_id % 40 AS VARCHAR)
+      |  AS k
+      | FROM documents WHERE doc_id < 240),
+      |h AS (
+      | SELECT doc_id, v,
+      |  CASE v WHEN 0 THEN 'news.site' || k || '.co.uk'
+      |   WHEN 1 THEN 'site' || k || '.com'
+      |   WHEN 2 THEN 'a.b.site' || k || '.org'
+      |   WHEN 3 THEN 'site' || k || '.com.vn'
+      |   WHEN 4 THEN 'localhost' ELSE 'co.uk' END AS host,
+      |  CASE v WHEN 0 THEN 'site' || k || '.co.uk'
+      |   WHEN 1 THEN 'site' || k || '.com'
+      |   WHEN 2 THEN 'site' || k || '.org'
+      |   WHEN 3 THEN 'site' || k || '.com.vn'
+      |   WHEN 4 THEN 'localhost' ELSE 'co.uk' END AS expected
+      | FROM p)
+      |SELECT doc_id, host, expected AS domain, expected AS url_domain
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  // robots.txt admission (RFC 9309) under the oracle — parseRobots
+  // builds the effective rule set for agent 'graftbot' from three
+  // site shapes (an exact-agent group ahead of a deny-all '*'
+  // fallback that must NOT apply; a shared two-token UA group with a
+  // comment and an empty Disallow; a foreign-agent-only file = no
+  // rules = all allowed), and isAllowed applies longest-match with
+  // allow-wins-ties over wildcard and $-anchored patterns. The
+  // oracle states the expected verdict per (site shape, path)
+  // closed-form — an independent answer key; a precedence or
+  // group-selection bug cannot hide behind a replayed parser.
+  private[queries] def q171(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sites = t(s, dir, "documents").filter($"doc_id" < 10)
+      .select($"doc_id".as("site_id"), ($"doc_id" % 3).as("sv"))
+      .select($"site_id",
+        when($"sv" === 0, lit(
+          "User-agent: graftbot\nDisallow: /private*\n" +
+            "Allow: /private/ok$\nUser-agent: *\nDisallow: /"))
+          .when($"sv" === 1, lit(
+            "User-agent: otherbot\nUser-agent: *\n" +
+              "Disallow: /tmp/ # temp tree\nAllow: /tmp/public*\n" +
+              "Disallow:"))
+          .otherwise(lit("User-agent: otherbot\nDisallow: /"))
+          .as("robots_txt"))
+    val rules = Robots.parseRobots(sites, "site_id", "robots_txt",
+      "graftbot")
+    val urls = t(s, dir, "documents").filter($"doc_id" < 300)
+      .select($"doc_id", ($"doc_id" % 10).as("site_id"),
+        ($"doc_id" % 5).as("pv"))
+      .select($"doc_id", $"site_id",
+        when($"pv" === 0, lit("/index.html"))
+          .when($"pv" === 1, lit("/private/data"))
+          .when($"pv" === 2, lit("/private/ok"))
+          .when($"pv" === 3, lit("/tmp/public/x"))
+          .otherwise(lit("/tmp/secret")).as("path"))
+    Robots.isAllowed(urls, rules, "site_id", "path")
+      .select($"doc_id", $"site_id".cast("long").as("site_id"),
+        $"path", $"allowed")
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q171Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 10 AS site_id,
+      |  (doc_id % 10) % 3 AS sv, doc_id % 5 AS pv
+      | FROM documents WHERE doc_id < 300),
+      |u AS (
+      | SELECT doc_id, site_id, sv,
+      |  CASE pv WHEN 0 THEN '/index.html'
+      |   WHEN 1 THEN '/private/data' WHEN 2 THEN '/private/ok'
+      |   WHEN 3 THEN '/tmp/public/x' ELSE '/tmp/secret' END AS path
+      | FROM p)
+      |SELECT doc_id, site_id, path,
+      | CASE WHEN sv = 0 THEN path <> '/private/data'
+      |  WHEN sv = 1 THEN path <> '/tmp/secret'
+      |  ELSE true END AS allowed
+      |FROM u ORDER BY doc_id""".stripMargin
 }
