@@ -25,7 +25,8 @@ object Queries
     with QueriesCuration
     with QueriesRetrieval
     with QueriesStreaming
-    with QueriesMultimodal {
+    with QueriesMultimodal
+    with QueriesAudio {
 
 
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {

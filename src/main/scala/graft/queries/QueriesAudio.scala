@@ -1,0 +1,694 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio-container queries: WAV decode/stats/windows/transcode/
+  * normalize/trim, fractional resampling, MP3 and FLAC metadata, and
+  * the heterogeneous audio dispatch — split out of
+  * [[QueriesMultimodal]] when it passed the reviewability bound.
+  *
+  * Definitions only — the registry, oracle map and shared loader
+  * live in [[Queries]]; the self-type gives every family access to
+  * the shared helpers and cross-family fixtures without changing
+  * any call site (mechanical split of the flat registry file; no
+  * behavior change).
+  */
+private[queries] trait QueriesAudio { this: Queries.type =>
+
+  // ---------------------------------------------------------------- q94
+  // Real-codec multimodal decode: REAL RIFF/WAVE bytes (canonical PCM
+  // header + payload, the reference's actual blob type) synthesized
+  // from doc_id parameters, parsed back by the chunk-walking wav codec
+  // behind the decode seam; every 17th blob is truncated mid-header
+  // and must route to decode_ok=false. The oracle recomputes the
+  // expected header fields from the same id-derived parameters.
+  private[queries] def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 300)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rate = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+        val w = m.syntheticWav(id, rate, 1 + (id % 2).toInt, 16,
+          ((id % 100).toInt + 1) * 50)
+        if (id % 17 == 0) w.copy(content = w.content.take(20)) else w
+      }
+    m.decodeWav(blobs).toDF()
+      .select($"media_id", $"sample_rate", $"channels",
+        $"bits_per_sample", $"data_bytes", $"duration_ms", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q94Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |   WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+      |  1 + doc_id % 2 AS ch,
+      |  (doc_id % 100 + 1) * 50 AS frames,
+      |  doc_id % 17 = 0 AS bad
+      | FROM documents WHERE doc_id < 300)
+      |SELECT doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE rate END AS INT) AS sample_rate,
+      | CAST(CASE WHEN bad THEN -1 ELSE ch END AS INT) AS channels,
+      | CAST(CASE WHEN bad THEN -1 ELSE 16 END AS INT) AS bits_per_sample,
+      | CAST(CASE WHEN bad THEN -1 ELSE frames * ch * 2 END AS BIGINT)
+      |   AS data_bytes,
+      | CAST(CASE WHEN bad THEN -1 ELSE (frames * 1000) // rate END
+      |   AS BIGINT) AS duration_ms,
+      | NOT bad AS decode_ok
+      |FROM p ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  // Byte-level AUDIO feature extraction — completes the per-modality
+  // real transforms (q124 image resize, q121 video frame-sample):
+  // genuine RIFF/WAVE containers whose 16-bit PCM samples follow a
+  // closed-form id-derived pattern, decoded back out of the BYTES by
+  // wavStats into per-channel peak / sum|s| / sum s² — all exact
+  // integers, so the oracle recomputes them from the same closed form
+  // (no float hazards anywhere). Every 13th blob is truncated
+  // mid-header → one decode_ok=false row, a row property.
+  private[queries] def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 50 + (id % 100).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(blobs).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q127Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 100 AS fr,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, fr, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, i, unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, c AS channel,
+      |  ((doc_id*7 + i*13 + c*17) % 65536) - 32768 AS s
+      | FROM sc),
+      |agg AS (
+      | SELECT doc_id, channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(s*s) AS BIGINT) AS sum_sq
+      | FROM sv GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+  // Byte-level AUDIO transcode under the oracle — the WAV leg of the
+  // resize family (q124 PNG, q134 JPEG, q139 Y4M): q127's closed-form
+  // PCM containers at mixed rates (8/16/24 kHz) and channel counts,
+  // transcoded to 8 kHz MONO (the speech-prep shape) and decoded BACK
+  // out of the emitted bytes by wavStats — so the oracle replays the
+  // whole encode → mixdown → box-decimate → re-encode → decode chain
+  // from the closed form in exact integer arithmetic: mixed(i) =
+  // floorDiv(Σ_c s, ch); out(j) = floorDiv(Σ_{g<k} mixed, k) with
+  // k = srcRate/8000 and the partial tail group dropped. Every 13th
+  // blob is truncated mid-header → empty content → one
+  // decode_ok=false row, a row property end to end.
+  private[queries] def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 40 + (id % 50).toInt
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, rate, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.transcodeWavBlobs(blobs, targetRate = 8000,
+        mono = true)).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q140Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 50 AS fr,
+      |  1 + doc_id % 3 AS k, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |fi AS (
+      | SELECT doc_id, ch, fr, k, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, k, i, unnest(range(ch)) AS c FROM fi),
+      |mx AS (
+      | SELECT doc_id, fr, k, i,
+      |  CAST(floor(sum(((doc_id*7 + i*13 + c*17) % 65536) - 32768)
+      |    / any_value(ch)) AS BIGINT) AS m
+      | FROM sc GROUP BY doc_id, fr, k, i),
+      |ov AS (
+      | SELECT doc_id, i // k AS j,
+      |  CAST(floor(sum(m) / any_value(k)) AS BIGINT) AS o
+      | FROM mx WHERE i < (fr // k) * k GROUP BY doc_id, i // k),
+      |agg AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(o)) AS INT) AS peak,
+      |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(o*o) AS BIGINT) AS sum_sq
+      | FROM ov GROUP BY doc_id)
+      |SELECT doc_id AS media_id, CAST(0 AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  // WINDOWED audio features under the oracle — the audio counterpart
+  // of q45's per-frame video features, at the byte level: q127's
+  // closed-form PCM containers split into fixed 32-frame analysis
+  // windows, each folding peak / Σ|s| / Σs² across all channels (the
+  // energy contour a VAD / silence-trim curation stage consumes).
+  // The trailing PARTIAL window is emitted with its real n_frames —
+  // the oracle replays windows as i // 32 groups over the closed
+  // form, so a dropped or padded tail would hash-mismatch. Every
+  // 13th blob truncated → one decode_ok=false row.
+  private[queries] def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 50 + (id % 100).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.wavWindowsBlobs(blobs, winFrames = 32).toDF()
+      .select($"media_id", $"window_no", $"start_ms", $"n_frames",
+        $"peak", $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"window_no")
+  }
+  private[queries] lazy val q143Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 100 AS fr,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, fr, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, i, i // 32 AS w,
+      |  unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, ch, w,
+      |  ((doc_id*7 + i*13 + c*17) % 65536) - 32768 AS s
+      | FROM sc),
+      |agg AS (
+      | SELECT doc_id, w,
+      |  CAST(count(*) // any_value(ch) AS INT) AS n_frames,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(s*s) AS BIGINT) AS sum_sq
+      | FROM sv GROUP BY doc_id, w)
+      |SELECT doc_id AS media_id, CAST(w AS INT) AS window_no,
+      | CAST(w * 32 * 1000 // 16000 AS BIGINT) AS start_ms,
+      | n_frames, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, window_no""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  // FRACTIONAL audio resample under the oracle — q140's byte-level
+  // transcode chain at the rates real corpora actually carry: 44.1 k /
+  // 22.05 k / 24 k sources to the 16 kHz ASR ingest rate, none
+  // divisible, so transcodeWav(fractional = true) runs the exact
+  // fixed-point linear interpolation (output j at source position
+  // j·S/16000; v = floorDiv(m[i0]·(T−rem) + m[i0+1]·rem, T)). The
+  // oracle replays encode → mixdown → interpolate → re-encode →
+  // decode closed-form: floor(x/16000.0) over exact-integer doubles
+  // ≡ floorDiv because |x| < 2^30 and the fractional part is ≥ 1/T ≫
+  // one double ulp. Every 13th blob truncated mid-header → one
+  // decode_ok=false row.
+  private[queries] def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 40 + (id % 50).toInt
+        val rate = (id % 3) match {
+          case 0 => 44100
+          case 1 => 22050
+          case _ => 24000
+        }
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, rate, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.transcodeWavBlobs(blobs, targetRate = 16000,
+        mono = true, fractional = true)).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q152Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 50 AS fr,
+      |  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+      |   ELSE 24000 END AS s,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |fi AS (
+      | SELECT doc_id, ch, fr, s, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, s, i, unnest(range(ch)) AS c FROM fi),
+      |mx AS (
+      | SELECT doc_id, fr, s, i,
+      |  CAST(floor(sum(((doc_id*7 + i*13 + c*17) % 65536) - 32768)
+      |    / any_value(ch)) AS BIGINT) AS m
+      | FROM sc GROUP BY doc_id, fr, s, i),
+      |jd AS (
+      | SELECT doc_id, s, unnest(range((fr - 1) * 16000 // s + 1)) AS j
+      | FROM p WHERE NOT bad),
+      |ps AS (
+      | SELECT doc_id, j, (j * s) // 16000 AS i0, (j * s) % 16000 AS rem
+      | FROM jd),
+      |ov AS (
+      | SELECT ps.doc_id, ps.j,
+      |  CASE WHEN ps.rem = 0 THEN m0.m
+      |   ELSE CAST(floor((m0.m * (16000 - ps.rem) + m1.m * ps.rem)
+      |     / 16000.0) AS BIGINT) END AS o
+      | FROM ps
+      | JOIN mx m0 ON m0.doc_id = ps.doc_id AND m0.i = ps.i0
+      | LEFT JOIN mx m1 ON m1.doc_id = ps.doc_id AND m1.i = ps.i0 + 1),
+      |agg AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(o)) AS INT) AS peak,
+      |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(o*o) AS BIGINT) AS sum_sq
+      | FROM ov GROUP BY doc_id)
+      |SELECT doc_id AS media_id, CAST(0 AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  // PEAK NORMALIZATION under the oracle — the gain stage of speech
+  // prep over q127's closed-form PCM containers: one exact rational
+  // gain per file (o = floorDiv(s·30000, max|s| over all channels) —
+  // per-channel gains would break the stereo image), quiet files
+  // amplify, hot files attenuate, output bounded by the target. The
+  // oracle replays encode → peak scan → floorDiv gain → re-encode →
+  // per-channel stats decode from the same closed form; floor(x/peak)
+  // over exact-integer doubles ≡ floorDiv (|x| < 2^31, fractional
+  // part ≥ 1/peak ≫ one ulp). Every 13th blob truncated mid-header →
+  // one decode_ok=false row.
+  private[queries] def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 50 + (id % 100).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              (((id * 7 + i * 13 + c * 17) % 65536) - 32768).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.normalizeWavPeakBlobs(blobs, targetPeak = 30000))
+      .toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q159Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 100 AS fr,
+      |  doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, fr, unnest(range(fr)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, fr, i, unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, c AS channel,
+      |  ((doc_id*7 + i*13 + c*17) % 65536) - 32768 AS s
+      | FROM sc),
+      |pk AS (
+      | SELECT doc_id, max(abs(s)) AS peak FROM sv GROUP BY 1),
+      |ov AS (
+      | SELECT sv.doc_id, sv.channel,
+      |  CASE WHEN pk.peak = 0 OR pk.peak = 30000 THEN sv.s
+      |   ELSE CAST(floor(sv.s * 30000 / pk.peak) AS BIGINT) END AS o
+      | FROM sv JOIN pk ON pk.doc_id = sv.doc_id),
+      |agg AS (
+      | SELECT doc_id, channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(o)) AS INT) AS peak,
+      |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(o*o) AS BIGINT) AS sum_sq
+      | FROM ov GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  // SILENCE TRIM under the oracle — speech-prep's other half next to
+  // q159's gain: containers built with id%8 padding frames of
+  // sub-threshold noise (|s| ≤ 600) around an interior whose every
+  // sample is ≥ 20000, trimmed at threshold 1000 — so the kept span
+  // is EXACTLY the interior, closed-form, and the oracle replays the
+  // boundary arithmetic plus the per-channel stats of the trimmed
+  // stream. id%8 == 0 exercises the byte-identical pass-through.
+  // Every 13th blob truncated mid-header → decode_ok=false row.
+  private[queries] def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val fr = 40 + (id % 30).toInt
+        val pd = (id % 8).toInt
+        val samples = new Array[Short](fr * ch)
+        var i = 0
+        while (i < fr) {
+          var c = 0
+          while (c < ch) {
+            samples(i * ch + c) =
+              if (i < pd || i >= fr - pd) (100 * (i % 7)).toShort
+              else (20000 + ((id * 7 + i * 13 + c * 17) % 10000)).toShort
+            c += 1
+          }
+          i += 1
+        }
+        val b = m.syntheticWavPcm(id, 16000, ch, samples)
+        if (id % 13 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.decodeWavStats(m.trimWavSilenceBlobs(blobs, threshold = 1000))
+      .toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q166Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 30 AS fr,
+      |  doc_id % 8 AS pd, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |fi AS (
+      | SELECT doc_id, ch, unnest(generate_series(pd, fr - pd - 1)) AS i
+      | FROM p WHERE NOT bad),
+      |sc AS (
+      | SELECT doc_id, ch, i, unnest(range(ch)) AS c FROM fi),
+      |sv AS (
+      | SELECT doc_id, c AS channel,
+      |  20000 + ((doc_id*7 + i*13 + c*17) % 10000) AS s
+      | FROM sc),
+      |agg AS (
+      | SELECT doc_id, channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(s*s) AS BIGINT) AS sum_sq
+      | FROM sv GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+      | n_samples, peak, sum_abs, sum_sq, true AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  // MP3 metadata under the oracle — the dominant-crawl-audio
+  // counterpart of q153's MP4 walk: each row synthesizes a genuine
+  // MPEG audio stream (optional ID3v2 tag with syncsafe size,
+  // correctly-sized frames across MPEG-1/2/2.5 × layer 2/3 × the
+  // public bitrate/samplerate header tables, optional trailing ID3v1
+  // block) and parseMp3 reads back version/layer/bitrate/rate/mode
+  // plus the CBR duration from the audio byte span. The oracle's
+  // bitrate/samplerate CASEs are GENERATED from the same ISO header
+  // tables the parser indexes, and it replays the frame-length and
+  // duration integer arithmetic closed-form. Every 13th blob
+  // truncated to 2 bytes → all-sentinel row property.
+  private[queries] def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val vers = Array("1", "2", "2.5")
+        val ver = vers((id % 3).toInt)
+        val layer = if (id % 4 == 0) 2 else 3
+        val table =
+          if (ver == "1" && layer == 2)
+            Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+              320, 384)
+          else if (ver == "1")
+            Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320)
+          else // MPEG-2/2.5 layers II and III share the low-rate table
+            Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+              160)
+        val rateTables = Array(
+          Array(44100, 48000, 32000), Array(22050, 24000, 16000),
+          Array(11025, 12000, 8000))
+        val rate = rateTables((id % 3).toInt)((id / 3 % 3).toInt)
+        val b = m.syntheticMp3(id, ver, layer, table((id % 14).toInt),
+          rate, mono = id % 2 == 0, nFrames = 3 + (id % 5).toInt,
+          id3Body = if (id % 3 == 0) 64 + (id % 10).toInt * 7 else 0,
+          id3v1 = id % 5 == 0)
+        if (id % 13 == 0) b.copy(content = b.content.take(2)) else b
+      }
+    m.decodeMp3(blobs).toDF()
+      .select($"media_id", $"version", $"layer", $"bitrate_kbps",
+        $"sample_rate", $"channels", $"id3_size", $"duration_ms",
+        $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q168Sql = {
+    def lst(a: Seq[Int]) = a.mkString("[", ", ", "]")
+    val v1l2 = lst(Seq(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+      256, 320, 384))
+    val v1l3 = lst(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320))
+    val v2l23 = lst(Seq(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      144, 160))
+    s"""WITH p AS (
+       | SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+       |   ELSE '2.5' END AS ver,
+       |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 3 END AS layer,
+       |  doc_id % 14 AS bsel, (doc_id // 3) % 3 AS ssel,
+       |  3 + doc_id % 5 AS nf,
+       |  CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 10) * 7
+       |   ELSE 0 END AS id3_body,
+       |  doc_id % 5 = 0 AS has_v1,
+       |  doc_id % 13 = 0 AS bad
+       | FROM documents WHERE doc_id < 200),
+       |d AS (
+       | SELECT doc_id, ver, layer, nf, id3_body, has_v1, bad,
+       |  list_extract(CASE WHEN ver = '1' AND layer = 2 THEN $v1l2
+       |   WHEN ver = '1' THEN $v1l3
+       |   ELSE $v2l23 END, 1 + bsel) AS br,
+       |  list_extract(CASE ver WHEN '1' THEN [44100, 48000, 32000]
+       |   WHEN '2' THEN [22050, 24000, 16000]
+       |   ELSE [11025, 12000, 8000] END, 1 + ssel) AS sr
+       | FROM p),
+       |e AS (
+       | SELECT doc_id, ver, layer, br, sr, nf, id3_body, has_v1, bad,
+       |  (CASE WHEN layer = 3 AND ver <> '1' THEN 72 ELSE 144 END
+       |    * br * 1000) // sr AS frame_len
+       | FROM d)
+       |SELECT doc_id AS media_id,
+       | CASE WHEN bad THEN '' ELSE ver END AS version,
+       | CAST(CASE WHEN bad THEN -1 ELSE layer END AS INT) AS layer,
+       | CAST(CASE WHEN bad THEN -1 ELSE br END AS INT) AS bitrate_kbps,
+       | CAST(CASE WHEN bad THEN -1 ELSE sr END AS INT) AS sample_rate,
+       | CAST(CASE WHEN bad THEN -1
+       |   WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+       | CAST(CASE WHEN bad THEN -1
+       |   WHEN id3_body > 0 THEN 10 + id3_body ELSE 0 END AS INT)
+       |  AS id3_size,
+       | CAST(CASE WHEN bad THEN -1
+       |   ELSE (nf * frame_len * 8) // br END AS BIGINT) AS duration_ms,
+       | NOT bad AS decode_ok
+       |FROM e ORDER BY media_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q169
+  // Heterogeneous AUDIO dispatch under the oracle — q136's pattern
+  // over the audio container family: one blob column carrying WAV
+  // next to ID3-tagged MP3 next to FLAC next to bare-sync MP3 with an
+  // ID3v1 trailer, routed by magic bytes (the bare frame sync is the
+  // weakest magic and sniffs LAST). FLAC's unknown-length form
+  // (total_samples=0 → duration -1) and the ID3v1 byte subtraction
+  // are both exercised. Every 9th blob first-byte-zeroed → every
+  // magic breaks → format='unknown' row property.
+  private[queries] def q169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 240)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val j = id / 4
+        val wavRates = Array(8000, 16000, 44100)
+        val flacRates = Array(8000, 22050, 44100, 48000)
+        val b = (id % 4) match {
+          case 0 =>
+            m.syntheticWav(id, wavRates((j % 3).toInt),
+              1 + (j % 2).toInt, 16, ((j % 50).toInt + 1) * 40)
+          case 1 =>
+            m.syntheticMp3(id, "1", 3, 128, 44100, mono = j % 2 == 0,
+              nFrames = 4 + (j % 6).toInt,
+              id3Body = if (j % 2 == 0) 33 + (j % 7).toInt else 0)
+          case 2 =>
+            m.syntheticFlac(id, flacRates((j % 4).toInt),
+              1 + (j % 2).toInt, if (j % 2 == 0) 16 else 24,
+              if (j % 5 == 0) 0L else (j % 100 + 1) * 1000L)
+          case _ =>
+            m.syntheticMp3(id, "2", 3, 64, 22050, mono = true,
+              nFrames = 3 + (j % 4).toInt, id3v1 = true)
+        }
+        if (id % 9 == 0) { b.content(0) = 0; b } else b
+      }
+    m.dispatchDecode(blobs).toDF()
+      .select($"media_id", $"format", $"decode_ok", $"sample_rate",
+        $"channels", $"duration_ms")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q169Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS j,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 240),
+      |d AS (
+      | SELECT doc_id, fam, j, bad,
+      |  CASE j % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+      |    AS wav_rate,
+      |  1 + j % 2 AS wav_ch, (j % 50 + 1) * 40 AS wav_frames,
+      |  4 + j % 6 AS mp3a_nf,
+      |  3 + j % 4 AS mp3b_nf,
+      |  list_extract([8000, 22050, 44100, 48000], 1 + j % 4)
+      |    AS flac_rate,
+      |  1 + j % 2 AS flac_ch,
+      |  CASE WHEN j % 5 = 0 THEN 0 ELSE (j % 100 + 1) * 1000 END
+      |    AS flac_total
+      | FROM p),
+      |e AS (
+      | SELECT doc_id, fam, j, bad, wav_rate, wav_ch, wav_frames,
+      |  flac_rate, flac_ch, flac_total,
+      |  -- MPEG1 L3 128kbps @ 44100: 144·128000/44100; frames only
+      |  (144 * 128 * 1000) // 44100 AS mp3a_fl, mp3a_nf,
+      |  -- MPEG2 L3 64kbps @ 22050: 72·64000/22050; ID3v1 subtracted
+      |  (72 * 64 * 1000) // 22050 AS mp3b_fl, mp3b_nf
+      | FROM d)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN 'unknown'
+      |  WHEN fam = 0 THEN 'wav' WHEN fam = 2 THEN 'flac'
+      |  ELSE 'mp3' END AS format,
+      | NOT bad AS decode_ok,
+      | CAST(CASE WHEN bad THEN -1
+      |  WHEN fam = 0 THEN wav_rate WHEN fam = 1 THEN 44100
+      |  WHEN fam = 2 THEN flac_rate ELSE 22050 END AS INT)
+      |  AS sample_rate,
+      | CAST(CASE WHEN bad THEN -1
+      |  WHEN fam = 0 THEN wav_ch
+      |  WHEN fam = 1 THEN CASE WHEN j % 2 = 0 THEN 1 ELSE 2 END
+      |  WHEN fam = 2 THEN flac_ch ELSE 1 END AS INT) AS channels,
+      | CAST(CASE WHEN bad THEN -1
+      |  WHEN fam = 0 THEN (wav_frames * 1000) // wav_rate
+      |  WHEN fam = 1 THEN (mp3a_nf * mp3a_fl * 8) // 128
+      |  WHEN fam = 2 THEN CASE WHEN flac_total = 0 THEN -1
+      |   ELSE (flac_total * 1000) // flac_rate END
+      |  ELSE (mp3b_nf * mp3b_fl * 8) // 64 END AS BIGINT)
+      |  AS duration_ms
+      |FROM e ORDER BY media_id""".stripMargin
+}
