@@ -226,7 +226,8 @@ object Queries
     "q168_mp3_meta"     -> (q168 _),
     "q169_audio_dispatch" -> (q169 _),
     "q170_domain"       -> (q170 _),
-    "q171_robots"       -> (q171 _)
+    "q171_robots"       -> (q171 _),
+    "q172_frontier"     -> (q172 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -530,7 +531,8 @@ object Queries
     "q168_mp3_meta"     -> q168Sql,
     "q169_audio_dispatch" -> q169Sql,
     "q170_domain"       -> q170Sql,
-    "q171_robots"       -> q171Sql
+    "q171_robots"       -> q171Sql,
+    "q172_frontier"     -> q172Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -914,4 +914,93 @@ private[queries] trait QueriesText { this: Queries.type =>
       |  WHEN sv = 1 THEN path <> '/tmp/secret'
       |  ELSE true END AS allowed
       |FROM u ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+  // CRAWL-FRONTIER ADMISSION capstone — the full pre-fetch gate a
+  // 100 TB crawl runs per URL batch, composing this round's pieces:
+  // canonicalize (q163) → dedup on the canonical spelling (survivor =
+  // smallest id) → registrable domain (q170) → robots admission
+  // (q171) → per-domain quota (politeness budget, rank by id, keep
+  // 3). The fixture spells each page up to 10 ways (www prefix,
+  // explicit :80, utm params) across 8 domains × 5 paths; robots
+  // deny path families per domain shape. The oracle replays the
+  // whole funnel closed-form — canonical spellings, the dedup
+  // window, the deny conditions, and the quota window — so a bug in
+  // ANY stage shifts the surviving set.
+  private[queries] def q172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.functions.Text
+    val base = t(s, dir, "documents").filter($"doc_id" < 400)
+      .select($"doc_id", ($"doc_id" % 8).as("k"),
+        ($"doc_id" % 40).cast("string").as("m"))
+      .withColumn("sfx",
+        when($"k" % 3 === 0, lit(".com"))
+          .when($"k" % 3 === 1, lit(".co.uk"))
+          .otherwise(lit(".com.vn")))
+    val raw = base.select($"doc_id",
+      concat(lit("http://"),
+        when($"doc_id" % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), $"k".cast("string"), $"sfx",
+        when($"doc_id" % 7 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), $"m",
+        when($"doc_id" % 5 === 0, lit("?utm_source=x"))
+          .otherwise(lit(""))).as("url"))
+    val canon = raw.select($"doc_id", T.canonicalUrl($"url").as("canon"))
+    val surv = canon
+      .withColumn("rn", row_number().over(Window.partitionBy($"canon")
+        .orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn")
+      .withColumn("domain", T.registrableDomainFromUrl($"canon"))
+      .withColumn("path",
+        regexp_extract($"canon", "^[a-z]+://[^/]+(/.*)$", 1))
+    val sites = t(s, dir, "documents").filter($"doc_id" < 8)
+      .select($"doc_id".as("k"))
+      .select(concat(lit("site"), $"k".cast("string"),
+          when($"k" % 3 === 0, lit(".com"))
+            .when($"k" % 3 === 1, lit(".co.uk"))
+            .otherwise(lit(".com.vn"))).as("domain"),
+        when($"k" % 3 === 0,
+          lit("User-agent: graftbot\nDisallow: /p/1*"))
+          .when($"k" % 3 === 1,
+            lit("User-agent: *\nDisallow: /p/2*"))
+          .otherwise(lit("User-agent: otherbot\nDisallow: /"))
+          .as("txt"))
+    val rules = Robots.parseRobots(sites, "domain", "txt", "graftbot")
+    val admitted = Robots.isAllowed(surv, rules, "domain", "path")
+      .filter($"allowed")
+    admitted
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"domain").orderBy($"doc_id")))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"domain", $"canon",
+        $"rank".cast("int").as("rank"))
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q172Sql =
+    """WITH b AS (
+      | SELECT doc_id, doc_id % 8 AS k,
+      |  CAST(doc_id % 40 AS VARCHAR) AS m
+      | FROM documents WHERE doc_id < 400),
+      |c AS (
+      | SELECT doc_id, k, m,
+      |  'site' || k || CASE k % 3 WHEN 0 THEN '.com'
+      |   WHEN 1 THEN '.co.uk' ELSE '.com.vn' END AS domain,
+      |  'http://site' || k || CASE k % 3 WHEN 0 THEN '.com'
+      |   WHEN 1 THEN '.co.uk' ELSE '.com.vn' END || '/p/' || m
+      |   AS canon
+      | FROM b),
+      |s AS (
+      | SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY canon
+      |   ORDER BY doc_id) AS rn FROM c) WHERE rn = 1),
+      |a AS (
+      | SELECT * FROM s
+      | WHERE NOT (k % 3 = 0 AND m LIKE '1%')
+      |  AND NOT (k % 3 = 1 AND m LIKE '2%')),
+      |q AS (
+      | SELECT doc_id, domain, canon, row_number() OVER (
+      |  PARTITION BY domain ORDER BY doc_id) AS rank
+      | FROM a)
+      |SELECT doc_id, domain, canon, CAST(rank AS INT) AS rank
+      |FROM q WHERE rank <= 3 ORDER BY doc_id""".stripMargin
 }

@@ -324,6 +324,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q171/q172 robots admission joins the rules table as a " +
+    "broadcast equi-join on site — URLs are touched once, never a " +
+    "cartesian or per-rule nested loop") {
+    for (q <- Seq("q171_robots", "q172_frontier")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(p.contains("BroadcastHashJoin"), q)
+    }
+  }
+
   test("q148 image near-dup pairs join banded — equi-join on " +
     "(band_no, band_val), never a cartesian over images") {
     val p = plan("q148_image_neardup")
