@@ -105,8 +105,13 @@ object Robots {
     *
     * Scale shape: rules are robots-file-sized (KBs per site); the
     * join is an equi-join on site (broadcast when the rule table is
-    * small), the verdict one window over (url row, matched rules) —
-    * the URL table is touched once, never a cartesian.
+    * small) and the verdict is `max(struct(hit, plen, allow))` —
+    * RFC precedence encoded as struct ordering, so the reduction is
+    * MAP-SIDE combinable: the (url × matched-rule) multiplication
+    * collapses back to one row per URL before the exchange, and the
+    * one shuffle carries URL-count rows, not rule-match rows (a
+    * per-URL window would sort-shuffle every matched pair). The URL
+    * table is touched once, never a cartesian.
     */
   def isAllowed(urls: DataFrame, rules: DataFrame, siteCol: String,
                 pathCol: String): DataFrame = {
@@ -118,14 +123,27 @@ object Robots {
       .join(r, Seq(siteCol), "left")
       .withColumn("hit", col("rx").isNotNull &&
         regexp_like(col(pathCol), col("rx")))
-    val byUrl = Window.partitionBy(col("__uid"))
-      .orderBy(col("hit").desc, col("plen").desc,
-        col("allow").desc)
+    // (hit DESC, plen DESC, allow DESC) precedence packed into ONE
+    // long — bit 51: a rule matched; bits 1..41: pattern length + 1
+    // (clamped; a >2^40-octet robots pattern does not exist); bit 0:
+    // allow — so the reduction is a plain integer max and stays in
+    // the codegen'd HashAggregate fast path (a struct max falls back
+    // to SortAggregate, which re-sorts the multiplied rows). Null
+    // rule fields (left-join miss) pack below every real rule.
+    val plen = least(coalesce(col("plen"), lit(-1)).cast("long"),
+      lit(1L << 40))
+    val verdict = max(
+      when(col("hit"), lit(1L << 51)).otherwise(lit(0L)) +
+        (plen + 1L) * 2L +
+        when(coalesce(col("allow"), lit(false)), lit(1L))
+          .otherwise(lit(0L)))
     matched
-      .withColumn("rn", row_number().over(byUrl))
-      .filter(col("rn") === 1)
+      .groupBy(col("__uid") +: urls.columns.map(col): _*)
+      .agg(verdict.as("__v"))
       .withColumn("allowed",
-        when(col("hit"), col("allow")).otherwise(lit(true)))
-      .drop("rn", "hit", "rx", "plen", "allow", "pattern", "__uid")
+        when(col("__v") >= lit(1L << 51),
+          col("__v").bitwiseAND(lit(1L)) === 1L)
+          .otherwise(lit(true)))
+      .drop("__v", "__uid")
   }
 }
