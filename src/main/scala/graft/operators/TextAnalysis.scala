@@ -444,21 +444,73 @@ object TextAnalysis {
                numMerges: Int, minPairFreq: Long = 2L): DataFrame = {
     require(numMerges >= 1 && numMerges <= 50000,
       "bpeTrain: numMerges must be in [1, 50000]")
+    trainLoop(markerVocab(words, wordCol, freqCol), 0L, numMerges,
+      minPairFreq, words.sparkSession)
+  }
+
+  /** Warm-start BPE training — [[bpeTrain]]'s incremental form, the
+    * [[Graph.pageRankResume]] pattern for model maintenance: after a
+    * corpus delta, extend an EXISTING merge table by `extraMerges`
+    * rules instead of retraining from scratch. `prior` (a loaded,
+    * validated table — [[bpeMergesFrom]]'s output shape) is applied
+    * to the fresh word-frequency vocab in ONE executor-side pass
+    * (the rank-ascending replace fold, exact for every table the
+    * loader admits; the table rides in the closure like all model
+    * state — broadcast-scale, never shuffled), then the greedy loop
+    * continues with ranks starting at `prior.length`. Returns ONLY
+    * the new rules; by construction
+    * `bpeTrain(n+k) == bpeTrain(n) ++ bpeTrainResume(prior=first n, k)`
+    * on an unchanged corpus (BpeTrainSpec pins it; q173's oracle
+    * proves it cross-engine against the full unrolled training).
+    */
+  def bpeTrainResume(words: DataFrame, wordCol: String, freqCol: String,
+                     prior: Seq[(String, String)], extraMerges: Int,
+                     minPairFreq: Long = 2L): DataFrame = {
+    require(extraMerges >= 1 && extraMerges <= 50000,
+      "bpeTrainResume: extraMerges must be in [1, 50000]")
     val s = words.sparkSession
     import s.implicits._
-    val init = words
+    val pr = prior.toArray
+    val applied = markerVocab(words, wordCol, freqCol)
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, f) =>
+          var m = w
+          var i = 0
+          while (i < pr.length) {
+            m = m.replace(s"<${pr(i)._1}><${pr(i)._2}>",
+              s"<${pr(i)._1}${pr(i)._2}>")
+            i += 1
+          }
+          (m, f)
+        }
+      }.toDF("w", "f")
+    trainLoop(applied, prior.length.toLong, extraMerges, minPairFreq, s)
+  }
+
+  /** Lowercased, letters-only, `<x>`-marker (word, freq) vocabulary —
+    * the ONE corpus-sized aggregation both trainers start from.
+    */
+  private def markerVocab(words: DataFrame, wordCol: String,
+                          freqCol: String): DataFrame =
+    words
       .select(regexp_replace(lower(col(wordCol)), "[^a-z]", "").as("w"),
         col(freqCol).cast("long").as("f"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(sum(col("f")).as("f"))
       .select(regexp_replace(col("w"), "([a-z])", "<$1>").as("w"),
         col("f"))
+
+  private def trainLoop(init: DataFrame, startRank: Long,
+                        numMerges: Int, minPairFreq: Long,
+                        s: SparkSession): DataFrame = {
+    import s.implicits._
     var vocab = Materialize.iterCut(init)
 
     val learned = Seq.newBuilder[(Long, String, String, Long)]
-    var rank = 0L
+    var rank = startRank
     var stop = false
-    while (rank < numMerges && !stop) {
+    while (rank < startRank + numMerges && !stop) {
       val sy = split(regexp_replace(col("w"), "^<|>$", ""), "><")
       val best = vocab
         .select(col("f"), sy.as("sy"))
@@ -502,12 +554,21 @@ object TextAnalysis {
     * was learned.
     */
   def bpeTrainFromText(docs: DataFrame, textCol: String,
-                       numMerges: Int, minPairFreq: Long = 2L): DataFrame = {
-    val words = docs
+                       numMerges: Int, minPairFreq: Long = 2L): DataFrame =
+    bpeTrain(wordCounts(docs, textCol), "w", "f", numMerges, minPairFreq)
+
+  /** [[bpeTrainResume]] straight from a document column. */
+  def bpeTrainResumeFromText(docs: DataFrame, textCol: String,
+                             prior: Seq[(String, String)],
+                             extraMerges: Int,
+                             minPairFreq: Long = 2L): DataFrame =
+    bpeTrainResume(wordCounts(docs, textCol), "w", "f", prior,
+      extraMerges, minPairFreq)
+
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(split(
         regexp_replace(lower(col(textCol)), "[^a-z]+", " "), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    bpeTrain(words, "w", "f", numMerges, minPairFreq)
-  }
 }

@@ -227,7 +227,8 @@ object Queries
     "q169_audio_dispatch" -> (q169 _),
     "q170_domain"       -> (q170 _),
     "q171_robots"       -> (q171 _),
-    "q172_frontier"     -> (q172 _)
+    "q172_frontier"     -> (q172 _),
+    "q173_bpe_resume"   -> (q173 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -532,7 +533,8 @@ object Queries
     "q169_audio_dispatch" -> q169Sql,
     "q170_domain"       -> q170Sql,
     "q171_robots"       -> q171Sql,
-    "q172_frontier"     -> q172Sql
+    "q172_frontier"     -> q172Sql,
+    "q173_bpe_resume"   -> q173Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

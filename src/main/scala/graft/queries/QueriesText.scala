@@ -776,8 +776,15 @@ private[queries] trait QueriesText { this: Queries.type =>
         numMerges = 8)
       .orderBy($"merge_rank")
   }
-  private[queries] lazy val q167Sql = {
-    val iters = (1 to 8).map { k =>
+  private[queries] lazy val q167Sql = bpeTrainOracle(8, 0)
+
+  /** Unrolled-training oracle for [[q167]]/[[q173]]: `total` greedy
+    * iterations as CTEs; rows with `merge_rank >= minRank` returned —
+    * the resume query's oracle IS the full training's tail, so
+    * warm-start ≡ continued training is proven cross-engine.
+    */
+  private def bpeTrainOracle(total: Int, minRank: Int): String = {
+    val iters = (1 to total).map { k =>
       s"""p$k AS (
          | SELECT u[1] AS a, u[2] AS b, CAST(SUM(f) AS BIGINT) AS cnt
          | FROM (
@@ -791,7 +798,7 @@ private[queries] trait QueriesText { this: Queries.type =>
          |  '<'||a||b||'>') AS w, f FROM w${k - 1} CROSS JOIN b$k)"""
         .stripMargin
     }.mkString(",\n")
-    val ranks = (1 to 8).map { k =>
+    val ranks = (1 to total).map { k =>
       s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, a AS lhs, " +
         s"b AS rhs, cnt AS pair_count FROM b$k"
     }.mkString(" UNION ALL ")
@@ -804,8 +811,32 @@ private[queries] trait QueriesText { this: Queries.type =>
        |  CAST(COUNT(*) AS BIGINT) AS f
        | FROM tok WHERE len(w) >= 2 GROUP BY 1),
        |$iters
-       |SELECT * FROM ($ranks) ORDER BY merge_rank""".stripMargin
+       |SELECT * FROM ($ranks) WHERE merge_rank >= $minRank
+       |ORDER BY merge_rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q173
+  // Warm-start BPE training under the oracle — q149's resume pattern
+  // for the tokenizer: train 5 merges cold, load them, then RESUME
+  // for 3 more instead of retraining 8 from scratch (on an unchanged
+  // corpus the two must coincide — power-of-the-pattern: at 100 TB a
+  // vocab extension after a corpus delta touches the word-frequency
+  // aggregate once and pays only the NEW iterations). The oracle is
+  // the full 8-iteration unrolled training FILTERED to ranks 5-7:
+  // DuckDB trains straight through while the engine warm-starts, so
+  // resume ≡ continued training is proven cross-engine, not
+  // self-referentially.
+  private[queries] def q173(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").filter($"doc_id" < 120)
+    val prior = TextAnalysis.bpeMergesFrom(
+      TextAnalysis.bpeTrainFromText(docs, "text", numMerges = 5),
+      "lhs", "rhs", "merge_rank")
+    TextAnalysis.bpeTrainResumeFromText(docs, "text", prior,
+        extraMerges = 3)
+      .orderBy($"merge_rank")
+  }
+  private[queries] lazy val q173Sql = bpeTrainOracle(8, 5)
 
   // ---------------------------------------------------------------- q170
   // Registrable-domain (eTLD+1) extraction — the key under which

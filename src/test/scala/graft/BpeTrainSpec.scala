@@ -90,6 +90,26 @@ class BpeTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("warm-start resume ≡ continued training: bpeTrain(n+k) == " +
+    "bpeTrain(n) ++ resume(prior = first n, k) on an unchanged corpus") {
+    val corpus = Seq(
+      "the station is internal", "ingestion pipelines",
+      "tion ation nation station", "banana bandana",
+      "lower lowest low", "the theme thesis", "internal internet")
+    val docs = corpus.toDF("text")
+    val full = TextAnalysis.bpeTrainFromText(docs, "text", 9)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val prior = TextAnalysis.bpeMergesFrom(
+      TextAnalysis.bpeTrainFromText(docs, "text", 6),
+      "lhs", "rhs", "merge_rank")
+    val resumed = TextAnalysis.bpeTrainResumeFromText(docs, "text",
+        prior, 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(full.take(6).map(r => (r._2, r._3)) == prior)
+    assert(resumed == full.drop(6))
+    assert(resumed.map(_._1) == Seq(6L, 7L, 8L))
+  }
+
   test("training is frequency-weighted: the (word,freq) form matches " +
     "the exploded-text form") {
     val words = Seq(("low", 3L), ("lower", 2L), ("lowest", 2L))
