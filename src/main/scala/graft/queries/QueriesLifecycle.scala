@@ -434,4 +434,39 @@ private[queries] trait QueriesLifecycle { this: Queries.type =>
       |   AS n_chars
       |FROM documents WHERE doc_id < 320 AND doc_id % 7 <> 0
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q174
+  // ORC warehouse sink + pruned re-read — K7's partitioned-parquet
+  // contract on Spark's OTHER native columnar format (warehouses are
+  // frequently ORC-side; a "complete" engine serves both). Writes a
+  // lineitem projection partitioned by return flag, reads it back
+  // with a partition-pruning flag filter AND a pushed quantity
+  // predicate, and aggregates — SinkSpec pins the ORC scan shows
+  // PushedFilters + a PartitionFilters prune, same as the parquet
+  // twin. The oracle replays the aggregation from the parquet source
+  // (same rows by definition — a round-trip fidelity check).
+  private[queries] def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q174")
+      .toString
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag")
+      .write.mode("overwrite").format("orc")
+      .partitionBy("l_returnflag").save(s"$tmp/wh")
+    s.read.format("orc").load(s"$tmp/wh")
+      .filter($"l_returnflag" === "R" && $"l_quantity" >= 30.0)
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity").cast("double").as("qty"))
+      .filter($"n" >= 2)
+      .orderBy($"l_partkey")
+  }
+  private[queries] lazy val q174Sql =
+    """SELECT l_partkey, COUNT(*) AS n,
+      | CAST(SUM(l_quantity) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity >= 30
+      |GROUP BY l_partkey HAVING COUNT(*) >= 2
+      |ORDER BY l_partkey""".stripMargin
 }

@@ -103,4 +103,20 @@ class SinkSpec extends AnyFunSuite {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || scan.inputFiles.length == 1)
   }
+
+  test("K7-ORC: the ORC warehouse twin prunes partitions AND pushes " +
+    "row filters into the scan, like the parquet form") {
+    val dir = s"${tmp()}/warehouse_orc/lineitem"
+    Seq((1L, 10.0, "R"), (2L, 40.0, "R"), (3L, 40.0, "N"))
+      .toDF("k", "qty", "flag")
+      .write.partitionBy("flag").format("orc").save(dir)
+    assert(new java.io.File(s"$dir/flag=R").exists())
+    val scan = spark.read.format("orc").load(dir)
+      .filter($"flag" === "R" && $"qty" >= 30.0)
+    assert(scan.select($"k").as[Long].collect().toSeq == Seq(2L))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") ||
+      scan.inputFiles.forall(_.contains("flag=R")))
+    assert(plan.contains("PushedFilters"), plan)
+  }
 }
