@@ -4054,6 +4054,127 @@ object Multimodal extends Serializable {
     MediaBlob(id, "audio/mpeg", out.toByteArray)
   }
 
+  /** ID3v2 text tags — the metadata a speech/music curation pipeline
+    * actually keys on (dedup by (artist, title), language/topic
+    * routing by album). `id3_version` ∈ {"2.3","2.4"}; absent frames
+    * are empty strings; a missing or malformed tag is
+    * decode_ok=false.
+    */
+  case class Id3Tags(media_id: Long, id3_version: String, title: String,
+                     artist: String, album: String, decode_ok: Boolean)
+
+  private val BadId3 = Id3Tags(0L, "", "", "", "", decode_ok = false)
+
+  /** Parse the leading ID3v2.3/2.4 tag's TIT2/TPE1/TALB text frames.
+    * Frame sizes are plain big-endian in 2.3 and syncsafe in 2.4 (THE
+    * classic cross-version parsing bug — a 2.4 size read as plain
+    * overruns into the next frame); text decodes by the frame's
+    * encoding byte (0 ISO-8859-1, 1 UTF-16 with BOM, 2 UTF-16BE,
+    * 3 UTF-8), trailing NUL terminators stripped. Padding (a zero
+    * byte where a frame id should start) ends the walk. Any frame
+    * overrunning the tag bound rejects the whole blob — row property,
+    * never a task failure.
+    */
+  def parseId3(id: Long, bytes: Array[Byte]): Id3Tags = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return BadId3.copy(media_id = id)
+    val major = u(3)
+    if (major != 3 && major != 4) return BadId3.copy(media_id = id)
+    if ((u(6) | u(7) | u(8) | u(9)) >= 0x80)
+      return BadId3.copy(media_id = id)
+    val body = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+    val tagEnd = 10 + body
+    if (tagEnd > bytes.length) return BadId3.copy(media_id = id)
+    var title = ""; var artist = ""; var album = ""
+    var off = 10
+    var bad = false
+    var done = false
+    while (!done && !bad && off + 10 <= tagEnd) {
+      if (bytes(off) == 0) done = true
+      else {
+        val fid = new String(bytes, off, 4, "US-ASCII")
+        val size =
+          if (major == 4) {
+            if ((u(off + 4) | u(off + 5) | u(off + 6) | u(off + 7))
+              >= 0x80) { bad = true; 0 }
+            else (u(off + 4) << 21) | (u(off + 5) << 14) |
+              (u(off + 6) << 7) | u(off + 7)
+          } else (u(off + 4) << 24) | (u(off + 5) << 16) |
+            (u(off + 6) << 8) | u(off + 7)
+        if (!bad && (size < 1 || off + 10 + size > tagEnd)) bad = true
+        if (!bad && Set("TIT2", "TPE1", "TALB").contains(fid)) {
+          val cs = u(off + 10) match {
+            case 0 => "ISO-8859-1"
+            case 1 => "UTF-16"   // BOM-led, per spec
+            case 2 => "UTF-16BE"
+            case 3 => "UTF-8"
+            case _ => ""
+          }
+          if (cs.isEmpty) bad = true
+          else {
+            val txt = new String(bytes, off + 11, size - 1, cs)
+              .replaceAll("\u0000+$", "")
+            fid match {
+              case "TIT2" => title = txt
+              case "TPE1" => artist = txt
+              case _      => album = txt
+            }
+          }
+        }
+        off += 10 + size
+      }
+    }
+    if (bad) BadId3.copy(media_id = id)
+    else Id3Tags(id, if (major == 4) "2.4" else "2.3", title, artist,
+      album, decode_ok = true)
+  }
+
+  /** Partition-wise ID3 tag decode — the [[decodeWav]] contract. */
+  def decodeId3(blobs: Dataset[MediaBlob]): Dataset[Id3Tags] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseId3(b.media_id, b.content)))
+  }
+
+  /** Genuine tagged MP3: an ID3v2.3 or 2.4 tag carrying TIT2/TPE1/
+    * TALB in the requested encoding (correct per-version frame-size
+    * form, NUL terminators, 16 bytes of padding) prepended to a valid
+    * [[syntheticMp3]] frame stream — both parsers read their half
+    * back ([[parseMp3]] skips the tag by its syncsafe size).
+    */
+  def syntheticTaggedMp3(id: Long, title: String, artist: String,
+                         album: String, v4: Boolean,
+                         enc: Int): MediaBlob = {
+    require(Set(0, 1, 3).contains(enc),
+      "syntheticTaggedMp3: generator emits encodings 0/1/3")
+    val cs = enc match {
+      case 0 => "ISO-8859-1"
+      case 1 => "UTF-16"   // Java writes a BOM + UTF-16BE payload
+      case _ => "UTF-8"
+    }
+    val term = if (enc == 1) Array[Byte](0, 0) else Array[Byte](0)
+    def frame(fid: String, text: String): Array[Byte] = {
+      val payload = Array(enc.toByte) ++ text.getBytes(cs) ++ term
+      val n = payload.length
+      val sz =
+        if (v4) Array(((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+          ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte)
+        else Array((n >>> 24).toByte, ((n >> 16) & 0xff).toByte,
+          ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+      fid.getBytes("US-ASCII") ++ sz ++ Array[Byte](0, 0) ++ payload
+    }
+    val bodyArr = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album) ++ new Array[Byte](16)
+    val n = bodyArr.length
+    val header = Array[Byte]('I', 'D', '3',
+      (if (v4) 4 else 3).toByte, 0, 0,
+      ((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+      ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte)
+    val audio = syntheticMp3(id, "1", 3, 128, 44100, mono = true,
+      nFrames = 2).content
+    MediaBlob(id, "audio/mpeg", header ++ bodyArr ++ audio)
+  }
+
   // ------------------------------------------------------------------
   // FLAC: the lossless audio leg. STREAMINFO (the mandatory first
   // metadata block) carries everything triage needs in 34 fixed-layout
@@ -4130,6 +4251,110 @@ object Multimodal extends Serializable {
     MediaBlob(id, "audio/flac", out.toByteArray)
   }
 
+  // ------------------------------------------------------------------
+  // OGG: the streaming-audio container (Opus is the web-voice codec;
+  // Vorbis the legacy one). The first page's payload is the codec's
+  // identification header — channels/rate without any codec decode.
+  // ------------------------------------------------------------------
+
+  /** `codec` ∈ {"opus","vorbis","unknown"}; for Opus `sample_rate` is
+    * the ORIGINAL input rate the header records (Opus itself always
+    * decodes at 48 kHz) and `pre_skip` the startup samples to drop;
+    * Vorbis reports -1 pre-skip. A well-formed page wrapping an
+    * unrecognized first packet keeps decode_ok=false with
+    * codec="unknown" — container and codec are separate facts.
+    */
+  case class OggMeta(media_id: Long, codec: String, channels: Int,
+                     sample_rate: Int, pre_skip: Int,
+                     decode_ok: Boolean)
+
+  private val BadOgg = OggMeta(0L, "", -1, -1, -1, decode_ok = false)
+
+  /** First-page Ogg parse: capture pattern, stream-structure version
+    * 0, segment table bounds, then the payload against the OpusHead
+    * (LE fields) and 0x01+"vorbis" (LE fields) identification
+    * layouts. Truncation anywhere is a row property.
+    */
+  def parseOgg(id: Long, bytes: Array[Byte]): OggMeta = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    if (bytes.length < 28 || bytes(0) != 'O' || bytes(1) != 'g' ||
+      bytes(2) != 'g' || bytes(3) != 'S' || u(4) != 0)
+      return BadOgg.copy(media_id = id)
+    val nsegs = u(26)
+    if (bytes.length < 27 + nsegs) return BadOgg.copy(media_id = id)
+    var payloadLen = 0
+    var i = 0
+    while (i < nsegs) { payloadLen += u(27 + i); i += 1 }
+    val p = 27 + nsegs
+    if (bytes.length < p + payloadLen) return BadOgg.copy(media_id = id)
+    def ascii(off: Int, n: Int): String =
+      new String(bytes, off, n, "US-ASCII")
+    if (payloadLen >= 19 && ascii(p, 8) == "OpusHead") {
+      val channels = u(p + 9)
+      val preSkip = le16(p + 10)
+      val rate = le32(p + 12)
+      if (channels < 1 || rate <= 0 || rate > Int.MaxValue)
+        BadOgg.copy(media_id = id)
+      else OggMeta(id, "opus", channels, rate.toInt, preSkip,
+        decode_ok = true)
+    } else if (payloadLen >= 16 && u(p) == 1 &&
+      ascii(p + 1, 6) == "vorbis") {
+      val channels = u(p + 11)
+      val rate = le32(p + 12)
+      if (channels < 1 || rate <= 0 || rate > Int.MaxValue)
+        BadOgg.copy(media_id = id)
+      else OggMeta(id, "vorbis", channels, rate.toInt, -1,
+        decode_ok = true)
+    } else OggMeta(id, "unknown", -1, -1, -1, decode_ok = false)
+  }
+
+  /** Partition-wise Ogg metadata decode — the [[decodeWav]] contract. */
+  def decodeOgg(blobs: Dataset[MediaBlob]): Dataset[OggMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseOgg(b.media_id, b.content)))
+  }
+
+  /** Genuine single-page Ogg stream wrapping an Opus or Vorbis
+    * identification header (codec = "opus" | "vorbis" | anything else
+    * for an unknown-first-packet page). CRC left zero — readers of
+    * identification metadata do not verify page checksums.
+    */
+  def syntheticOgg(id: Long, codec: String, channels: Int, rate: Int,
+                   preSkip: Int = 312): MediaBlob = {
+    val payload: Array[Byte] = codec match {
+      case "opus" =>
+        "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1.toByte,
+          channels.toByte, (preSkip & 0xff).toByte,
+          ((preSkip >> 8) & 0xff).toByte,
+          (rate & 0xff).toByte, ((rate >> 8) & 0xff).toByte,
+          ((rate >> 16) & 0xff).toByte, ((rate >> 24) & 0xff).toByte,
+          0, 0, 0)
+      case "vorbis" =>
+        Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+          Array[Byte](0, 0, 0, 0, channels.toByte,
+            (rate & 0xff).toByte, ((rate >> 8) & 0xff).toByte,
+            ((rate >> 16) & 0xff).toByte, ((rate >> 24) & 0xff).toByte,
+            0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+      case _ => ("JUNK" + codec).getBytes("US-ASCII")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('g'); out.write('g'); out.write('S')
+    out.write(0); out.write(0x02) // version, BOS
+    for (_ <- 0 until 8) out.write(0)   // granule
+    for (i <- 0 until 4) out.write(((id >> (8 * i)) & 0xff).toInt)
+    for (_ <- 0 until 4) out.write(0)   // page seq
+    for (_ <- 0 until 4) out.write(0)   // crc (unverified)
+    // segment lacing: 255-byte segments + remainder
+    val full = payload.length / 255
+    out.write(full + 1)
+    for (_ <- 0 until full) out.write(255)
+    out.write(payload.length % 255)
+    out.write(payload)
+    MediaBlob(id, "audio/ogg", out.toByteArray)
+  }
+
   // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
   // JPEG next to Y4M. Each decode operator above assumes a homogeneous
   // column; dispatchDecode is the missing composition: sniff the magic
@@ -4174,6 +4399,8 @@ object Multimodal extends Serializable {
     else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
     else if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
     else if (bytes.length >= 4 && ascii(0, 4) == "fLaC") "flac"
+    else if (bytes.length >= 5 && ascii(0, 4) == "OggS" && u(4) == 0)
+      "ogg"
     // MPEG audio: an ID3v2 tag, or a bare frame sync with non-reserved
     // version/layer bits (checked LAST — the sync pattern is the
     // weakest magic in the chain; every stronger signature wins first)
@@ -4233,6 +4460,10 @@ object Multimodal extends Serializable {
         val fl = parseFlac(id, bytes)
         DispatchedMeta(id, "flac", fl.decode_ok, -1, -1, fl.sample_rate,
           fl.channels, -1, fl.duration_ms)
+      case "ogg" =>
+        val og = parseOgg(id, bytes)
+        DispatchedMeta(id, "ogg", og.decode_ok, -1, -1, og.sample_rate,
+          og.channels, -1, -1L)
       case _ =>
         DispatchedMeta(id, "unknown", decode_ok = false, -1, -1, -1,
           -1, -1, -1L)
@@ -4274,7 +4505,8 @@ object Multimodal extends Serializable {
         // metadata-only legs: no byte-level transform exists, so a
         // valid stream passes through (dropping it would silently
         // empty every WebP/GIF/MP4/MP3/FLAC in a mixed crawl column)
-        case "webp" | "gif" | "mp4" | "mp3" | "flac" => Some(b.content)
+        case "webp" | "gif" | "mp4" | "mp3" | "flac" | "ogg" =>
+          Some(b.content)
         case _      => None
       }
       MediaBlob(b.media_id, b.media_type,

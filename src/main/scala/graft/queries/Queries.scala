@@ -228,7 +228,10 @@ object Queries
     "q170_domain"       -> (q170 _),
     "q171_robots"       -> (q171 _),
     "q172_frontier"     -> (q172 _),
-    "q173_bpe_resume"   -> (q173 _)
+    "q173_bpe_resume"   -> (q173 _),
+    "q174_orc_warehouse" -> (q174 _),
+    "q175_id3_tags"     -> (q175 _),
+    "q176_ogg_meta"     -> (q176 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -534,7 +537,10 @@ object Queries
     "q170_domain"       -> q170Sql,
     "q171_robots"       -> q171Sql,
     "q172_frontier"     -> q172Sql,
-    "q173_bpe_resume"   -> q173Sql
+    "q173_bpe_resume"   -> q173Sql,
+    "q174_orc_warehouse" -> q174Sql,
+    "q175_id3_tags"     -> q175Sql,
+    "q176_ogg_meta"     -> q176Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -691,4 +691,112 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |  ELSE (mp3b_nf * mp3b_fl * 8) // 64 END AS BIGINT)
       |  AS duration_ms
       |FROM e ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q175
+  // ID3v2 text-frame extraction under the oracle — the tag metadata
+  // an audio curation pipeline keys on (dedup by artist+title). Each
+  // row builds a genuinely tagged MP3: TIT2/TPE1/TALB frames cycling
+  // version × encoding (2.3/ISO-8859-1, 2.3/UTF-16-with-BOM,
+  // 2.4/UTF-8 — 2.4 uses SYNCSAFE frame sizes, the classic
+  // cross-version bug), artist carrying a non-ASCII é through every
+  // encoding, NUL terminators stripped. The oracle states the
+  // expected strings closed-form. Every 13th blob truncated mid-tag
+  // → all-sentinel row; parseMp3 on the SAME bytes still reads the
+  // audio (tag skip by syncsafe size), pinned by the sample_rate
+  // column riding along.
+  private[queries] def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val v = (id % 3).toInt
+        val b = m.syntheticTaggedMp3(id,
+          s"Title-$id", s"Artést-$id", s"Album-${id % 7}",
+          v4 = v == 2, enc = Array(0, 1, 3)(v))
+        if (id % 13 == 0) b.copy(content = b.content.take(24)) else b
+      }
+    val tags = m.decodeId3(blobs).toDF()
+    val audio = m.decodeMp3(blobs).toDF()
+      .select($"media_id", $"sample_rate")
+    tags.join(audio, Seq("media_id"))
+      .select($"media_id", $"id3_version", $"title", $"artist",
+        $"album", $"decode_ok", $"sample_rate")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q175Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 3 AS v, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN ''
+      |  WHEN v = 2 THEN '2.4' ELSE '2.3' END AS id3_version,
+      | CASE WHEN bad THEN '' ELSE 'Title-' || doc_id END AS title,
+      | CASE WHEN bad THEN ''
+      |  ELSE 'Art' || chr(233) || 'st-' || doc_id END AS artist,
+      | CASE WHEN bad THEN '' ELSE 'Album-' || (doc_id % 7) END
+      |  AS album,
+      | NOT bad AS decode_ok,
+      | CAST(CASE WHEN bad THEN -1 ELSE 44100 END AS INT)
+      |  AS sample_rate
+      |FROM p ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  // Ogg identification-header parse under the oracle — the streaming
+  // audio container next to q168's MP3 and q169's FLAC: each row
+  // wraps an OpusHead (LE pre-skip/input-rate) or Vorbis id header
+  // in a genuine single-page Ogg stream (segment lacing, BOS flag),
+  // every 7th page carries an UNKNOWN first packet (container valid,
+  // codec not — codec='unknown', decode_ok=false as separate facts),
+  // every 13th is truncated mid-page (all sentinels). The oracle
+  // replays the id-derived construction closed-form.
+  private[queries] def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rates = Array(8000, 16000, 24000, 48000)
+        val b =
+          if (id % 7 == 0) m.syntheticOgg(id, "mystery", 1, 0)
+          else if (id % 2 == 0)
+            m.syntheticOgg(id, "opus", 1 + (id % 2).toInt,
+              rates((id / 2 % 4).toInt), preSkip = 100 + (id % 50).toInt)
+          else m.syntheticOgg(id, "vorbis", 1 + (id % 3).toInt,
+            rates((id / 3 % 4).toInt))
+        if (id % 13 == 0) b.copy(content = b.content.take(20)) else b
+      }
+    m.decodeOgg(blobs).toDF()
+      .select($"media_id", $"codec", $"channels", $"sample_rate",
+        $"pre_skip", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q176Sql =
+    """WITH p AS (
+      | SELECT doc_id,
+      |  doc_id % 13 = 0 AS trunc, doc_id % 7 = 0 AS junk,
+      |  doc_id % 2 = 0 AS is_opus
+      | FROM documents WHERE doc_id < 200),
+      |d AS (
+      | SELECT doc_id, trunc, junk, is_opus,
+      |  list_extract([8000, 16000, 24000, 48000],
+      |   1 + (doc_id // 2) % 4) AS opus_rate,
+      |  list_extract([8000, 16000, 24000, 48000],
+      |   1 + (doc_id // 3) % 4) AS vorb_rate,
+      |  1 + doc_id % 2 AS opus_ch, 1 + doc_id % 3 AS vorb_ch,
+      |  100 + doc_id % 50 AS skip
+      | FROM p)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN trunc THEN '' WHEN junk THEN 'unknown'
+      |  WHEN is_opus THEN 'opus' ELSE 'vorbis' END AS codec,
+      | CAST(CASE WHEN trunc OR junk THEN -1
+      |  WHEN is_opus THEN opus_ch ELSE vorb_ch END AS INT)
+      |  AS channels,
+      | CAST(CASE WHEN trunc OR junk THEN -1
+      |  WHEN is_opus THEN opus_rate ELSE vorb_rate END AS INT)
+      |  AS sample_rate,
+      | CAST(CASE WHEN trunc OR junk OR NOT is_opus THEN -1
+      |  ELSE skip END AS INT) AS pre_skip,
+      | NOT (trunc OR junk) AS decode_ok
+      |FROM d ORDER BY media_id""".stripMargin
 }

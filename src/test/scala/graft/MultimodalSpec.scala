@@ -1808,6 +1808,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.parseFlac(4L, wrongFirst).decode_ok)
   }
 
+  test("parseId3: v2.3 plain vs v2.4 syncsafe frame sizes, all four " +
+    "text encodings, NUL stripping, padding stop, malformed tags") {
+    for ((v4, enc) <- Seq((false, 0), (false, 1), (true, 3))) {
+      val b = Multimodal.syntheticTaggedMp3(1L, "Tïtle", "Ärtist",
+        "Albüm", v4, enc)
+      val t = Multimodal.parseId3(1L, b.content)
+      assert(t == Multimodal.Id3Tags(1L, if (v4) "2.4" else "2.3",
+        "Tïtle", "Ärtist", "Albüm", decode_ok = true),
+        s"v4=$v4 enc=$enc got $t")
+      // the same bytes still parse as audio: tag skipped by size
+      assert(Multimodal.parseMp3(1L, b.content).sample_rate == 44100)
+    }
+    // UTF-16BE (encoding 2) decodes even though the generator doesn't
+    // emit it: hand-build one frame
+    val txt = "Ab".getBytes("UTF-16BE")
+    val payload = Array(2.toByte) ++ txt
+    val fr = "TIT2".getBytes("US-ASCII") ++
+      Array(0.toByte, 0.toByte, 0.toByte, payload.length.toByte) ++
+      Array[Byte](0, 0) ++ payload
+    val hdr = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0,
+      ((fr.length >> 7) & 0x7f).toByte, (fr.length & 0x7f).toByte)
+    assert(Multimodal.parseId3(2L, hdr ++ fr).title == "Ab")
+    // malformed: a frame overrunning the tag bound rejects
+    val good = Multimodal.syntheticTaggedMp3(3L, "T", "A", "B",
+      v4 = false, enc = 0).content
+    assert(!Multimodal.parseId3(3L, good.take(20)).decode_ok)
+    // an untagged stream is decode_ok=false (no tag is a row property)
+    assert(!Multimodal.parseId3(4L, Multimodal.syntheticMp3(4L, "1", 3,
+      128, 44100, mono = true, nFrames = 1).content).decode_ok)
+  }
+
+  test("parseOgg: OpusHead and Vorbis id headers through real page " +
+    "lacing (incl. >255-byte payload), unknown first packet, " +
+    "truncation") {
+    val o = Multimodal.parseOgg(1L,
+      Multimodal.syntheticOgg(1L, "opus", 2, 48000, preSkip = 312)
+        .content)
+    assert(o == Multimodal.OggMeta(1L, "opus", 2, 48000, 312,
+      decode_ok = true))
+    val v = Multimodal.parseOgg(2L,
+      Multimodal.syntheticOgg(2L, "vorbis", 2, 44100).content)
+    assert(v == Multimodal.OggMeta(2L, "vorbis", 2, 44100, -1,
+      decode_ok = true))
+    // a page whose first packet is neither: container ok, codec not
+    val j = Multimodal.parseOgg(3L,
+      Multimodal.syntheticOgg(3L, "whatever", 1, 0).content)
+    assert(j.codec == "unknown" && !j.decode_ok)
+    val good = Multimodal.syntheticOgg(4L, "opus", 1, 16000).content
+    assert(!Multimodal.parseOgg(4L, good.take(25)).decode_ok)
+    assert(Multimodal.sniffFormat(good) == "ogg")
+    // multi-segment lacing: a 300-byte unknown payload still bounds
+    val big = Multimodal.syntheticOgg(5L, "x" * 300, 1, 0).content
+    assert(Multimodal.parseOgg(5L, big).codec == "unknown")
+    assert(!Multimodal.parseOgg(5L, big.dropRight(10)).decode_ok)
+  }
+
   test("audio sniffing: fLaC and ID3/frame-sync magics route, JPEG's " +
     "0xFFD8 does NOT collide with the MPEG sync mask") {
     assert(Multimodal.sniffFormat(
