@@ -1388,4 +1388,66 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |FROM p WHERE bad
       |ORDER BY media_id, rec_no""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  // USTAR member walk under the oracle — the tarball envelope next to
+  // q158's WARC: each row synthesizes a genuine archive (octal
+  // fields, spaced-checksum arithmetic, 512-byte padding, zero-block
+  // terminator; a leading directory entry every 4th row) and
+  // Tar.entries inventories it back — names, sizes, md5 digests —
+  // without untarring to a filesystem. The oracle replays the member
+  // construction closed-form (DuckDB md5 over the same generated
+  // content). Every 13th blob truncated mid-member → ONE all-sentinel
+  // row.
+  private[queries] def q177(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val dirs: Seq[(String, Array[Byte])] =
+          if (id % 4 == 0) Seq("docs/" -> Array.emptyByteArray)
+          else Seq.empty
+        val files = (0 until (1 + (id % 3)).toInt).map { j =>
+          val c = (s"tar-$id-$j;" * (1 + ((id + j) % 4).toInt))
+            .getBytes("UTF-8")
+          s"docs/f${id}_$j.txt" -> c
+        }
+        val bytes = graft.sources.Tar.synthetic(id, dirs ++ files)
+        m.MediaBlob(id, "application/x-tar",
+          if (id % 13 == 0) bytes.take(700) else bytes)
+      }
+    graft.sources.Tar.entries(blobs).toDF()
+      .select($"media_id", $"entry_no", $"name", $"size",
+        $"type_flag", $"digest", $"ok")
+      .orderBy($"media_id", $"entry_no")
+  }
+  private[queries] lazy val q177Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 13 = 0 AS bad,
+      |  doc_id % 4 = 0 AS hasdir
+      | FROM documents WHERE doc_id < 150),
+      |f AS (
+      | SELECT doc_id, j,
+      |  CAST(j + CASE WHEN hasdir THEN 1 ELSE 0 END AS INT)
+      |   AS entry_no,
+      |  'docs/f' || doc_id || '_' || j || '.txt' AS name,
+      |  repeat('tar-' || doc_id || '-' || j || ';',
+      |   1 + (doc_id + j) % 4) AS c
+      | FROM (SELECT doc_id, hasdir, unnest(range(n)) AS j
+      |       FROM p WHERE NOT bad) t)
+      |SELECT media_id, entry_no, name, size, type_flag, digest, ok
+      |FROM (
+      | SELECT doc_id AS media_id, entry_no, name,
+      |  CAST(length(c) AS BIGINT) AS size, 'file' AS type_flag,
+      |  md5(c) AS digest, true AS ok
+      | FROM f
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), 'docs/', CAST(0 AS BIGINT),
+      |  'dir', '', true
+      | FROM p WHERE hasdir AND NOT bad
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), '', CAST(-1 AS BIGINT), '', '',
+      |  false
+      | FROM p WHERE bad)
+      |ORDER BY media_id, entry_no""".stripMargin
 }

@@ -120,4 +120,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(0).digest == rows(1).digest)
     assert(rows(0).n_chars == text.length.toLong)
   }
+
+  test("Tar.parse inventories a genuine USTAR archive — octal sizes, " +
+    "spaced-checksum verification, padding, dirs — and rejects " +
+    "truncation, bad checksums and bad magic as one row property") {
+    import graft.sources.{Tar, TarEntry}
+    val data0 = "hello tar".getBytes("UTF-8")
+    val data1 = new Array[Byte](600) // crosses a block boundary
+    (0 until 600).foreach(i => data1(i) = (i % 251).toByte)
+    val bytes = Tar.synthetic(5L, Seq(
+      "d/" -> Array.emptyByteArray,
+      "d/a.txt" -> data0,
+      "d/b.bin" -> data1))
+    val es = Tar.parse(5L, bytes)
+    assert(es.map(e => (e.entry_no, e.name, e.size, e.type_flag)) ==
+      Seq((0, "d/", 0L, "dir"), (1, "d/a.txt", 9L, "file"),
+        (2, "d/b.bin", 600L, "file")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(es(2).digest ==
+      md.digest(data1).map("%02x".format(_)).mkString)
+    // zero-length member digests as md5 of empty
+    val e0 = Tar.parse(6L, Tar.synthetic(6L, Seq(
+      "z" -> Array.emptyByteArray)))
+    assert(e0.head.digest == "d41d8cd98f00b204e9800998ecf8427e")
+    // truncation mid-data, flipped checksum, wrong magic: one bad row
+    val badRow = TarEntry(5L, 0, "", -1L, "", "", ok = false)
+    assert(Tar.parse(5L, bytes.take(700)) == Seq(badRow))
+    val flip = bytes.clone(); flip(148) = '7'
+    assert(Tar.parse(5L, flip) == Seq(badRow))
+    val magic = bytes.clone(); magic(257) = 'x'
+    assert(Tar.parse(5L, magic) == Seq(badRow))
+    assert(Tar.parse(5L, "short".getBytes("UTF-8")) == Seq(badRow))
+  }
 }
