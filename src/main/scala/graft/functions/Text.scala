@@ -270,6 +270,16 @@ object Text {
       .otherwise(last2)
   }
 
+  /** All anchor-link targets in an HTML document — the raw material
+    * of the host link graph ([[graft.operators.Graph.pageRank]]'s
+    * edge source at crawl scale). Case-insensitive `<a ... href="…">`
+    * scan; the capture stops at the closing quote or a `#` (fragments
+    * never reach the server, [[canonicalUrl]] rule 1).
+    */
+  def hrefUrls(c: Column): Column =
+    regexp_extract_all(c,
+      lit("(?i)<a\\s[^>]*?href=[\"']([^\"'#>]+)"), lit(1))
+
   /** [[registrableDomain]] straight from a URL: extract the lowercase
     * host (authority minus port/userinfo) then reduce to eTLD+1.
     */

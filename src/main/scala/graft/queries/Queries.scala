@@ -231,7 +231,9 @@ object Queries
     "q173_bpe_resume"   -> (q173 _),
     "q174_orc_warehouse" -> (q174 _),
     "q175_id3_tags"     -> (q175 _),
-    "q176_ogg_meta"     -> (q176 _)
+    "q176_ogg_meta"     -> (q176 _),
+    "q177_tar_members"  -> (q177 _),
+    "q178_link_graph"   -> (q178 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -540,7 +542,9 @@ object Queries
     "q173_bpe_resume"   -> q173Sql,
     "q174_orc_warehouse" -> q174Sql,
     "q175_id3_tags"     -> q175Sql,
-    "q176_ogg_meta"     -> q176Sql
+    "q176_ogg_meta"     -> q176Sql,
+    "q177_tar_members"  -> q177Sql,
+    "q178_link_graph"   -> q178Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

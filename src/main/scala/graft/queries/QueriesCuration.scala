@@ -785,4 +785,84 @@ private[queries] trait QueriesCuration { this: Queries.type =>
        |${(1 to 3).map(round).mkString(",\n")}
        |SELECT node, label FROM l3 ORDER BY node""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q178
+  // HTML → link graph → PageRank, end to end (the crawl authority
+  // pipeline in one plan): each page's closed-form HTML carries
+  // id-derived <a href> links with real-crawl noise (www prefixes,
+  // paths, a class attribute); Text.hrefUrls extracts the targets,
+  // registrableDomainFromUrl collapses them to eTLD+1 host-graph
+  // nodes (www vanishes as a subdomain), and Graph.pageRank ranks the
+  // 40-domain universe over 3 unrolled-in-the-oracle iterations. A
+  // link-extractor or domain-reduction bug changes the edge set and
+  // every rank moves — the composition is load-bearing, not
+  // decorative.
+  private[queries] def q178(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.functions.Text
+    val pages = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id",
+        concat(lit("<html><body><p>Doc "), $"doc_id", lit("</p>"),
+          array_join(transform(
+            sequence(lit(1L), lit(1L) + $"doc_id" % 3),
+            j => concat(lit("<a class='l' href=\"http://www.site"),
+              (($"doc_id" * 17 + j * 61) % 40).cast("string"),
+              lit(".com/p/"), j.cast("string"), lit("\">x</a>"))), ""),
+          lit("</body></html>")).as("html"))
+    val edges = pages
+      .select(concat(lit("site"), ($"doc_id" % 40).cast("string"),
+          lit(".com")).as("src"),
+        explode(T.hrefUrls($"html")).as("href"))
+      .select($"src", T.registrableDomainFromUrl($"href").as("dst"))
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 40)
+      .select(concat(lit("site"), $"doc_id".cast("string"),
+        lit(".com")).as("domain"))
+    Graph.pageRank(edges, nodes, "src", "dst", iterations = 3)
+      .join(Graph.degrees(edges, nodes, "src", "dst"), Seq("node"))
+      .select($"node", $"out_deg", $"in_deg",
+        (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
+      .orderBy($"node")
+  }
+  private[queries] lazy val q178Sql = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         | SELECT nodes.node,
+         |  0.15 / (SELECT n FROM nn)
+         |  + 0.85 * (coalesce(c.contrib, 0)
+         |    + (SELECT coalesce(sum(r.rank), 0) FROM r${k - 1} r
+         |       LEFT JOIN deg USING (node) WHERE deg.node IS NULL)
+         |      / (SELECT n FROM nn)) AS rank
+         | FROM nodes
+         | LEFT JOIN (
+         |   SELECT e.dst AS node, sum(r.rank / deg.out_deg) AS contrib
+         |   FROM r${k - 1} r JOIN deg USING (node)
+         |   JOIN e ON e.src = r.node
+         |   GROUP BY e.dst) c USING (node))""".stripMargin
+    s"""WITH nodes AS (
+       | SELECT 'site' || doc_id || '.com' AS node FROM documents
+       | WHERE doc_id < 40),
+       |e0 AS (
+       | SELECT 'site' || (doc_id % 40) || '.com' AS src,
+       |  'site' || ((doc_id * 17 + j * 61) % 40) || '.com' AS dst
+       | FROM documents, unnest(generate_series(1, 1 + doc_id % 3)) t(j)
+       | WHERE doc_id < 200),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |deg AS (
+       | SELECT src AS node, count(*)::DOUBLE AS out_deg FROM e
+       | GROUP BY 1),
+       |indeg AS (SELECT dst AS node, count(*) AS in_deg FROM e
+       | GROUP BY 1),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT nodes.node,
+       | CAST(coalesce(deg.out_deg, 0) AS BIGINT) AS out_deg,
+       | coalesce(indeg.in_deg, 0) AS in_deg,
+       | floor(r3.rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM nodes
+       |LEFT JOIN deg USING (node)
+       |LEFT JOIN indeg USING (node)
+       |JOIN r3 ON r3.node = nodes.node
+       |ORDER BY nodes.node""".stripMargin
+  }
 }

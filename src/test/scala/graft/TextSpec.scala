@@ -78,6 +78,16 @@ class TextSpec extends AnyFunSuite {
       == "http://a/b.jpg")
   }
 
+  test("hrefUrls extracts every anchor target, case-insensitive, " +
+    "fragment-stripped, ignoring non-anchor hrefs") {
+    val html = """<A HREF="http://a/x">1</A><link href="http://css">
+      |<a class=l href='http://b/y#frag'>2</a><a name=z>no href</a>
+      |<a data-x="1" href="HTTPS://c/z?q=1">3</a>""".stripMargin
+    val r = Seq(html).toDF("x")
+      .select(Text.hrefUrls($"x").as("r")).head.getSeq[String](0)
+    assert(r == Seq("http://a/x", "http://b/y", "HTTPS://c/z?q=1"))
+  }
+
   test("summaryBullets splits, trims, drops empties") {
     val r = Seq("a\n\n  b \nc").toDF("x")
       .select(Text.summaryBullets($"x").as("r")).head.getSeq[String](0)
