@@ -233,7 +233,8 @@ object Queries
     "q175_id3_tags"     -> (q175 _),
     "q176_ogg_meta"     -> (q176 _),
     "q177_tar_members"  -> (q177 _),
-    "q178_link_graph"   -> (q178 _)
+    "q178_link_graph"   -> (q178 _),
+    "q179_quality_lr"   -> (q179 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -555,5 +556,6 @@ object Queries
   def oraclesWithFitted: Map[String, String] =
     oracles ++ q76SqlNow.map("q76_pq_ann" -> _) ++
       q120SqlNow.map("q120_semdedup_ivf" -> _) ++
-      q130SqlNow.map("q130_ann_staleness" -> _)
+      q130SqlNow.map("q130_ann_staleness" -> _) ++
+      q179SqlNow.map("q179_quality_lr" -> _)
 }

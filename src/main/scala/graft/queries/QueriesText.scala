@@ -826,6 +826,56 @@ private[queries] trait QueriesText { this: Queries.type =>
   // DuckDB trains straight through while the engine warm-starts, so
   // resume ≡ continued training is proven cross-engine, not
   // self-referentially.
+  // ---------------------------------------------------------------- q179
+  // Learned quality filter under a FITTED-model oracle (q76's
+  // pattern) — the FineWeb-Edu-shaped curation step: distill the
+  // heuristic teacher (qualityScore ≥ 0.5) into a linear scorer via
+  // spark.ml logistic regression, then deploy the MARGIN as one
+  // codegen'd scan-side expression. The oracle SQL is generated from
+  // the fitted coefficients AFTER the query runs and replays feature
+  // extraction + the left-associated dot product in exact IEEE
+  // arithmetic (margins, not sigmoids — exp() is not
+  // correctly-rounded-guaranteed across engines); the teacher column
+  // rides along so the distillation agreement is visible.
+  private[queries] lazy val lrModels =
+    scala.collection.concurrent.TrieMap
+      .empty[String, QualityModel.LrModel]
+  @volatile private var lastLrDir: Option[String] = None
+  private[queries] def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val model = lrModels.getOrElseUpdate(dir,
+      QualityModel.fit(docs, "text"))
+    lastLrDir = Some(dir)
+    QualityModel.score(model, docs, "doc_id", "text")
+      .join(docs.select($"doc_id",
+        (TextAnalysis.qualityScore($"text") >= 0.5).as("teacher")),
+        Seq("doc_id"))
+      .orderBy($"doc_id")
+  }
+  private[queries] def q179SqlNow: Option[String] =
+    lastLrDir.flatMap(lrModels.get).map { m =>
+      val stopRe = s"\\b(${TextAnalysis.stopwords.mkString("|")})\\b"
+      val z = QualityModel.marginSql(m, stopRe)
+      s"""SELECT doc_id,
+         | floor(($z) * 1000000.0 + 0.5) / 1000000.0 AS margin,
+         | ($z) >= 0.0 AS kept,
+         | (CASE WHEN toks > 0 THEN
+         |   least(1.0, toks / 100.0) * 0.4
+         |   + least(1.0, stop * 5.0 / toks) * 0.3
+         |   + (dist / toks) * 0.3 ELSE 0.0 END) >= 0.5 AS teacher
+         |FROM (
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+         |   AS toks,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopRe'))
+         |   AS DOUBLE) AS stop,
+         |  CAST(len(list_distinct(regexp_extract_all(text, '\\S+')))
+         |   AS DOUBLE) AS dist
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
+
   private[queries] def q173(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents").filter($"doc_id" < 120)
