@@ -234,7 +234,8 @@ object Queries
     "q176_ogg_meta"     -> (q176 _),
     "q177_tar_members"  -> (q177 _),
     "q178_link_graph"   -> (q178 _),
-    "q179_quality_lr"   -> (q179 _)
+    "q179_quality_lr"   -> (q179 _),
+    "q180_stream_frontier" -> (q180 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -545,7 +546,8 @@ object Queries
     "q175_id3_tags"     -> q175Sql,
     "q176_ogg_meta"     -> q176Sql,
     "q177_tar_members"  -> q177Sql,
-    "q178_link_graph"   -> q178Sql
+    "q178_link_graph"   -> q178Sql,
+    "q180_stream_frontier" -> q180Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

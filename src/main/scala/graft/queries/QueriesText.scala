@@ -1008,33 +1008,35 @@ private[queries] trait QueriesText { this: Queries.type =>
   // whole funnel closed-form — canonical spellings, the dedup
   // window, the deny conditions, and the quota window — so a bug in
   // ANY stage shifts the surviving set.
-  private[queries] def q172(s: SparkSession, dir: String): DataFrame = {
+  /** The frontier fixture (shared by q172 and its streaming twin
+    * q180): (doc_id, url) with up to 10 messy spellings per page
+    * across 8 domains × 5 paths.
+    */
+  private[queries] def frontierRaw(s: SparkSession,
+                                   dir: String): DataFrame = {
     import s.implicits._
-    val T = graft.functions.Text
-    val base = t(s, dir, "documents").filter($"doc_id" < 400)
+    t(s, dir, "documents").filter($"doc_id" < 400)
       .select($"doc_id", ($"doc_id" % 8).as("k"),
         ($"doc_id" % 40).cast("string").as("m"))
       .withColumn("sfx",
         when($"k" % 3 === 0, lit(".com"))
           .when($"k" % 3 === 1, lit(".co.uk"))
           .otherwise(lit(".com.vn")))
-    val raw = base.select($"doc_id",
-      concat(lit("http://"),
-        when($"doc_id" % 3 === 0, lit("www.")).otherwise(lit("")),
-        lit("site"), $"k".cast("string"), $"sfx",
-        when($"doc_id" % 7 === 0, lit(":80")).otherwise(lit("")),
-        lit("/p/"), $"m",
-        when($"doc_id" % 5 === 0, lit("?utm_source=x"))
-          .otherwise(lit(""))).as("url"))
-    val canon = raw.select($"doc_id", T.canonicalUrl($"url").as("canon"))
-    val surv = canon
-      .withColumn("rn", row_number().over(Window.partitionBy($"canon")
-        .orderBy($"doc_id")))
-      .filter($"rn" === 1).drop("rn")
-      .withColumn("domain", T.registrableDomainFromUrl($"canon"))
-      .withColumn("path",
-        regexp_extract($"canon", "^[a-z]+://[^/]+(/.*)$", 1))
-    val sites = t(s, dir, "documents").filter($"doc_id" < 8)
+      .select($"doc_id",
+        concat(lit("http://"),
+          when($"doc_id" % 3 === 0, lit("www.")).otherwise(lit("")),
+          lit("site"), $"k".cast("string"), $"sfx",
+          when($"doc_id" % 7 === 0, lit(":80")).otherwise(lit("")),
+          lit("/p/"), $"m",
+          when($"doc_id" % 5 === 0, lit("?utm_source=x"))
+            .otherwise(lit(""))).as("url"))
+  }
+
+  /** The 8 frontier domains' robots files (q171's three shapes). */
+  private[queries] def frontierSites(s: SparkSession,
+                                     dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").filter($"doc_id" < 8)
       .select($"doc_id".as("k"))
       .select(concat(lit("site"), $"k".cast("string"),
           when($"k" % 3 === 0, lit(".com"))
@@ -1046,7 +1048,22 @@ private[queries] trait QueriesText { this: Queries.type =>
             lit("User-agent: *\nDisallow: /p/2*"))
           .otherwise(lit("User-agent: otherbot\nDisallow: /"))
           .as("txt"))
-    val rules = Robots.parseRobots(sites, "domain", "txt", "graftbot")
+  }
+
+  private[queries] def q172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.functions.Text
+    val canon = frontierRaw(s, dir)
+      .select($"doc_id", T.canonicalUrl($"url").as("canon"))
+    val surv = canon
+      .withColumn("rn", row_number().over(Window.partitionBy($"canon")
+        .orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn")
+      .withColumn("domain", T.registrableDomainFromUrl($"canon"))
+      .withColumn("path",
+        regexp_extract($"canon", "^[a-z]+://[^/]+(/.*)$", 1))
+    val rules = Robots.parseRobots(frontierSites(s, dir), "domain",
+      "txt", "graftbot")
     val admitted = Robots.isAllowed(surv, rules, "domain", "path")
       .filter($"allowed")
     admitted
