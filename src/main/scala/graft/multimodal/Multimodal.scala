@@ -3626,6 +3626,137 @@ object Multimodal extends Serializable {
     })
   }
 
+  /** Bounded copy of a decompression stream — the [[gunzip]]
+    * bomb-cap contract shared by every codec leg below.
+    */
+  private def drainCapped(in: java.io.InputStream,
+                          maxBytes: Int): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes) return None
+        n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None
+      case _: RuntimeException => None }
+
+  /** Inflate a raw zlib stream (0x78 CMF — html/http payloads show up
+    * deflate-framed); None on corruption or past the bomb cap.
+    */
+  def inflateZlib(bytes: Array[Byte],
+                  maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    if (bytes.length < 3 || (bytes(0) & 0xff) != 0x78) None
+    else drainCapped(new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(bytes)), maxBytes)
+
+  /** Decompress a zstandard frame (magic 28 B5 2F FD — the codec
+    * CommonCrawl is migrating to). Streamed through zstd-jni's
+    * ZstdInputStream, same bomb cap.
+    */
+  def unzstd(bytes: Array[Byte],
+             maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    if (bytes.length < 5 || (bytes(0) & 0xff) != 0x28 ||
+      (bytes(1) & 0xff) != 0xb5 || (bytes(2) & 0xff) != 0x2f ||
+      (bytes(3) & 0xff) != 0xfd) None
+    else drainCapped(new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(bytes)), maxBytes)
+
+  /** Decompress an LZ4 FRAME (magic 04 22 4D 18). */
+  def unlz4(bytes: Array[Byte],
+            maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    if (bytes.length < 7 || (bytes(0) & 0xff) != 0x04 ||
+      (bytes(1) & 0xff) != 0x22 || (bytes(2) & 0xff) != 0x4d ||
+      (bytes(3) & 0xff) != 0x18) None
+    else drainCapped(new net.jpountz.lz4.LZ4FrameInputStream(
+      new java.io.ByteArrayInputStream(bytes)), maxBytes)
+
+  /** Compression sniff by magic bytes (the [[sniffFormat]] doctrine:
+    * never trust an extension column). "none" = no known frame.
+    */
+  def sniffCompression(bytes: Array[Byte]): String = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
+    else if (bytes.length >= 5 && u(0) == 0x28 && u(1) == 0xb5 &&
+      u(2) == 0x2f && u(3) == 0xfd) "zstd"
+    else if (bytes.length >= 7 && u(0) == 0x04 && u(1) == 0x22 &&
+      u(2) == 0x4d && u(3) == 0x18) "lz4"
+    else if (bytes.length >= 3 && u(0) == 0x78 &&
+      (u(1) == 0x01 || u(1) == 0x5e || u(1) == 0x9c || u(1) == 0xda))
+      "zlib"
+    else "none"
+  }
+
+  /** Route a blob through its sniffed codec; "none" passes the bytes
+    * through unchanged (an uncompressed member in a mixed column is
+    * data, not an error). Returns (codec, bytes) or None when a
+    * recognized frame fails to decompress.
+    */
+  def decompressAuto(bytes: Array[Byte],
+                     maxBytes: Int = 1 << 26)
+      : Option[(String, Array[Byte])] =
+    sniffCompression(bytes) match {
+      case "gzip" => gunzip(bytes, maxBytes).map("gzip" -> _)
+      case "zstd" => unzstd(bytes, maxBytes).map("zstd" -> _)
+      case "lz4"  => unlz4(bytes, maxBytes).map("lz4" -> _)
+      case "zlib" => inflateZlib(bytes, maxBytes).map("zlib" -> _)
+      case _      => Some("none" -> bytes)
+    }
+
+  /** One decompressed-text metadata row per blob: sniffed codec,
+    * decoded length + md5 (content is the contract — compressed bytes
+    * are encoder-dependent).
+    */
+  case class DecompressedText(media_id: Long, codec: String,
+                              n_chars: Long, digest: String,
+                              decode_ok: Boolean)
+
+  /** Partition-wise mixed-codec text decompression — the
+    * [[decodeGzipText]] contract over gzip/zstd/lz4/zlib/plain
+    * columns.
+    */
+  def decompressText(blobs: Dataset[MediaBlob])
+      : Dataset[DecompressedText] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      decompressAuto(b.content) match {
+        case Some((codec, data)) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(data).map("%02x".format(_)).mkString
+          DecompressedText(b.media_id, codec,
+            new String(data, "UTF-8").length.toLong, hex,
+            decode_ok = true)
+        case None =>
+          DecompressedText(b.media_id,
+            sniffCompression(b.content), -1L, "", decode_ok = false)
+      }
+    })
+  }
+
+  /** Fixture writers for the zstd/lz4/zlib legs (gzip:
+    * [[gzipBytes]]).
+    */
+  def zstdBytes(data: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, 3)
+
+  def lz4Bytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
+  def zlibBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.DeflaterOutputStream(bos)
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Text encoding: crawl text lies about its charset (or says
   // nothing). Detection order is the practical web rule: BOM wins;

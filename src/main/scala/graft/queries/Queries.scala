@@ -235,7 +235,8 @@ object Queries
     "q177_tar_members"  -> (q177 _),
     "q178_link_graph"   -> (q178 _),
     "q179_quality_lr"   -> (q179 _),
-    "q180_stream_frontier" -> (q180 _)
+    "q180_stream_frontier" -> (q180 _),
+    "q181_decompress"   -> (q181 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -547,7 +548,8 @@ object Queries
     "q176_ogg_meta"     -> q176Sql,
     "q177_tar_members"  -> q177Sql,
     "q178_link_graph"   -> q178Sql,
-    "q180_stream_frontier" -> q180Sql
+    "q180_stream_frontier" -> q180Sql,
+    "q181_decompress"   -> q181Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

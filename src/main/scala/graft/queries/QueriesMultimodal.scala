@@ -1088,6 +1088,61 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | NOT bad AS decode_ok
       |FROM p ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  // MIXED-CODEC text decompression under the oracle — q156's gzip leg
+  // widened to the full crawl compression matrix: gzip, zstandard
+  // (the codec CommonCrawl is migrating to; zstd-jni rides Spark's
+  // own classpath), LZ4 frames, raw zlib, and uncompressed
+  // pass-through, all routed by MAGIC BYTES in one partition-wise
+  // pass. Compressed bytes are encoder-dependent so the contract is
+  // the DECODED content (length + md5, both engines hash the same
+  // UTF-8 payload). Corrupted rows keep their magic but truncate the
+  // stream — the codec still sniffs (a separate triage fact) while
+  // decompression fails as a row property.
+  private[queries] def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 250)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val text = ("mix-" + id + ";") * (1 + (id % 30)).toInt
+        val raw = text.getBytes("UTF-8")
+        val v = (id % 5).toInt
+        val enc = v match {
+          case 0 => m.gzipBytes(raw)
+          case 1 => m.zstdBytes(raw)
+          case 2 => m.lz4Bytes(raw)
+          case 3 => m.zlibBytes(raw)
+          case _ => raw
+        }
+        val keepMagic = Array(18, 8, 8, 4)
+        val content =
+          if (id % 13 == 0 && v != 4)
+            java.util.Arrays.copyOf(enc, keepMagic(v))
+          else enc
+        m.MediaBlob(id, "application/octet-stream", content)
+      }
+    m.decompressText(blobs).toDF()
+      .select($"media_id", $"codec", $"n_chars", $"digest",
+        $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q181Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 5 AS v,
+      |  doc_id % 13 = 0 AND doc_id % 5 <> 4 AS bad,
+      |  repeat('mix-' || doc_id || ';',
+      |    CAST(1 + doc_id % 30 AS INT)) AS t
+      | FROM documents WHERE doc_id < 250)
+      |SELECT doc_id AS media_id,
+      | CASE v WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'lz4'
+      |  WHEN 3 THEN 'zlib' ELSE 'none' END AS codec,
+      | CAST(CASE WHEN bad THEN -1 ELSE length(t) END AS BIGINT)
+      |  AS n_chars,
+      | CASE WHEN bad THEN '' ELSE md5(t) END AS digest,
+      | NOT bad AS decode_ok
+      |FROM p ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- q157
   // EXIF orientation walk under the oracle — real camera JPEGs store
   // rotated pixels and rely on TIFF tag 0x0112; a pipeline that

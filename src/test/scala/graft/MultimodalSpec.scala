@@ -1808,6 +1808,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.parseFlac(4L, wrongFirst).decode_ok)
   }
 
+  test("decompressAuto: gzip/zstd/lz4/zlib round-trip by magic " +
+    "sniff, plain bytes pass through, truncated frames keep their " +
+    "codec but fail, bomb cap bounds inflation") {
+    val data = ("payload-123;" * 50).getBytes("UTF-8")
+    val encs = Seq(
+      "gzip" -> Multimodal.gzipBytes(data),
+      "zstd" -> Multimodal.zstdBytes(data),
+      "lz4" -> Multimodal.lz4Bytes(data),
+      "zlib" -> Multimodal.zlibBytes(data))
+    for ((codec, enc) <- encs) {
+      val Some((c, out)) = Multimodal.decompressAuto(enc)
+      assert(c == codec && java.util.Arrays.equals(out, data), codec)
+      // truncation past the magic: codec sniffs, decompress fails
+      val keep = Map("gzip" -> 18, "zstd" -> 8, "lz4" -> 8,
+        "zlib" -> 4)(codec)
+      val cut = java.util.Arrays.copyOf(enc, keep)
+      assert(Multimodal.sniffCompression(cut) == codec, codec)
+      assert(Multimodal.decompressAuto(cut).isEmpty, codec)
+    }
+    // no frame magic: identity pass-through
+    val Some((none, same)) = Multimodal.decompressAuto(data)
+    assert(none == "none" && java.util.Arrays.equals(same, data))
+    // bomb cap: a 2MB payload under a 1MB cap reports undecodable
+    val big = new Array[Byte](2 << 20)
+    assert(Multimodal.decompressAuto(Multimodal.zstdBytes(big),
+      maxBytes = 1 << 20).isEmpty)
+  }
+
   test("parseId3: v2.3 plain vs v2.4 syncsafe frame sizes, all four " +
     "text encodings, NUL stripping, padding stop, malformed tags") {
     for ((v4, enc) <- Seq((false, 0), (false, 1), (true, 3))) {
