@@ -236,7 +236,8 @@ object Queries
     "q178_link_graph"   -> (q178 _),
     "q179_quality_lr"   -> (q179 _),
     "q180_stream_frontier" -> (q180 _),
-    "q181_decompress"   -> (q181 _)
+    "q181_decompress"   -> (q181 _),
+    "q182_expectations" -> (q182 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -549,7 +550,8 @@ object Queries
     "q177_tar_members"  -> q177Sql,
     "q178_link_graph"   -> q178Sql,
     "q180_stream_frontier" -> q180Sql,
-    "q181_decompress"   -> q181Sql
+    "q181_decompress"   -> q181Sql,
+    "q182_expectations" -> q182Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -469,4 +469,61 @@ private[queries] trait QueriesLifecycle { this: Queries.type =>
       |WHERE l_returnflag = 'R' AND l_quantity >= 30
       |GROUP BY l_partkey HAVING COUNT(*) >= 2
       |ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+  // Declarative data-quality expectations (Expectations.check) — the
+  // report a corpus refresh publishes next to its data: every row
+  // predicate runs in ONE scan-side aggregate (violations counted,
+  // never a job failure), key-uniqueness checks pay their explicit
+  // aggregation shuffle. The battery mixes passing gates
+  // (doc_id unique/non-null, n_chars ≡ length(text)) with genuinely
+  // failing ones (zh rows break lang_known; (lang, source) is far
+  // from unique) so both verdict paths carry real counts; NOT-TRUE
+  // semantics (false OR null violates) replayed in the oracle.
+  private[queries] def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Expectations.check(t(s, dir, "documents"),
+      Seq(
+        "doc_id_nonnull" -> $"doc_id".isNotNull,
+        "lang_known" -> $"lang".isin("en", "de", "fr", "es"),
+        "n_chars_consistent" -> ($"n_chars" === length($"text")),
+        "text_min_50" -> (length($"text") >= 50)),
+      uniqueKeys = Seq(
+        "doc_id_unique" -> Seq("doc_id"),
+        "lang_source_unique" -> Seq("lang", "source")))
+  }
+  private[queries] lazy val q182Sql =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM documents),
+      |r AS (
+      | SELECT 'doc_id_nonnull' AS expectation, n.n_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id IS NULL) AS n_violations FROM n
+      | UNION ALL
+      | SELECT 'doc_id_unique', n.n_rows,
+      |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+      |    SELECT count(*) AS c FROM documents GROUP BY doc_id
+      |    HAVING count(*) > 1)) FROM n
+      | UNION ALL
+      | SELECT 'lang_known', n.n_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE lang IS NULL OR lang NOT IN ('en','de','fr','es'))
+      |  FROM n
+      | UNION ALL
+      | SELECT 'lang_source_unique', n.n_rows,
+      |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+      |    SELECT count(*) AS c FROM documents GROUP BY lang, source
+      |    HAVING count(*) > 1)) FROM n
+      | UNION ALL
+      | SELECT 'n_chars_consistent', n.n_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE n_chars IS NULL OR text IS NULL
+      |    OR n_chars <> length(text)) FROM n
+      | UNION ALL
+      | SELECT 'text_min_50', n.n_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE text IS NULL OR length(text) < 50) FROM n)
+      |SELECT expectation, n_rows, n_violations,
+      | n_violations = 0 AS pass
+      |FROM r ORDER BY expectation""".stripMargin
 }
