@@ -38,7 +38,38 @@ object Robots {
     * encodes.
     */
   def parseRobots(robots: DataFrame, siteCol: String, textCol: String,
-                  agent: String): DataFrame = {
+                  agent: String): DataFrame =
+    effectiveDirectives(robots, siteCol, textCol, agent)
+      .filter(col("key").isin("allow", "disallow"))
+      .filter(col("value") =!= "") // empty Disallow: = no restriction
+      .select(col("site"), (col("key") === "allow").as("allow"),
+        col("value").as("pattern"))
+
+  /** `Crawl-delay` per site, from the same effective-group selection
+    * as [[parseRobots]] (the de-facto extension most crawlers honor;
+    * it is group-scoped like the path rules). Multiple declarations
+    * keep the MAXIMUM (politeness errs slow); non-numeric values are
+    * ignored. Sites with no effective declaration emit no row —
+    * [[schedule]]'s left join supplies the default.
+    */
+  def crawlDelays(robots: DataFrame, siteCol: String, textCol: String,
+                  agent: String): DataFrame =
+    effectiveDirectives(robots, siteCol, textCol, agent)
+      .filter(col("key") === "crawl-delay")
+      // try_cast: ANSI mode is on, and a malformed delay in a crawl
+      // robots file must be ignored, not fail the job
+      .select(col("site"), expr("try_cast(value AS double)").as("d"))
+      .filter(col("d").isNotNull && col("d") >= 0.0)
+      .groupBy(col("site")).agg(max(col("d")).as("delay_s"))
+
+  /** All directives of the groups that apply to `agent`:
+    * (site, key, value) with RFC 9309 group selection — comments
+    * stripped, consecutive `User-agent` lines share a group, exact
+    * agent groups beat `*`, matching groups merge.
+    */
+  private def effectiveDirectives(robots: DataFrame, siteCol: String,
+                                  textCol: String,
+                                  agent: String): DataFrame = {
     val lines = robots
       .select(col(siteCol).as("site"),
         posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
@@ -49,7 +80,8 @@ object Robots {
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1)))
           .as("key"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
+      .filter(col("key").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
 
     val byLine = Window.partitionBy(col("site")).orderBy(col("ln"))
     val grouped = lines
@@ -75,9 +107,26 @@ object Robots {
 
     grouped.filter(!col("is_ua"))
       .join(effective, Seq("site", "grp"), "left_semi")
-      .filter(col("value") =!= "") // empty Disallow: = no restriction
-      .select(col("site"), (col("key") === "allow").as("allow"),
-        col("value").as("pattern"))
+      .select(col("site"), col("key"), col("value"))
+  }
+
+  /** Politeness schedule: slot each URL `(rank-1) · delay` seconds
+    * after its site's window start, rank = position within the site
+    * by `orderCol` — the per-host pacing a fetch fleet executes.
+    * Sites without a crawl-delay row pace at `defaultDelay`. One
+    * window per site; delays broadcast-join (robots-table-sized).
+    */
+  def schedule(urls: DataFrame, delays: DataFrame, siteCol: String,
+               orderCol: String, defaultDelay: Double): DataFrame = {
+    val w = Window.partitionBy(col(siteCol)).orderBy(col(orderCol))
+    urls
+      .join(delays.withColumnRenamed("site", siteCol), Seq(siteCol),
+        "left")
+      .withColumn("delay_s",
+        coalesce(col("delay_s"), lit(defaultDelay)))
+      .withColumn("fetch_rank", row_number().over(w))
+      .withColumn("sched_s",
+        (col("fetch_rank") - 1).cast("double") * col("delay_s"))
   }
 
   /** Regex form of a robots path pattern: `*` is a wildcard, a

@@ -237,7 +237,8 @@ object Queries
     "q179_quality_lr"   -> (q179 _),
     "q180_stream_frontier" -> (q180 _),
     "q181_decompress"   -> (q181 _),
-    "q182_expectations" -> (q182 _)
+    "q182_expectations" -> (q182 _),
+    "q183_crawl_schedule" -> (q183 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -551,7 +552,8 @@ object Queries
     "q178_link_graph"   -> q178Sql,
     "q180_stream_frontier" -> q180Sql,
     "q181_decompress"   -> q181Sql,
-    "q182_expectations" -> q182Sql
+    "q182_expectations" -> q182Sql,
+    "q183_crawl_schedule" -> q183Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1008,6 +1008,53 @@ private[queries] trait QueriesText { this: Queries.type =>
   // whole funnel closed-form — canonical spellings, the dedup
   // window, the deny conditions, and the quota window — so a bug in
   // ANY stage shifts the surviving set.
+  // ---------------------------------------------------------------- q183
+  // Crawl-delay politeness scheduling (Robots.crawlDelays +
+  // Robots.schedule) — the pacing leg of the robots stack: delays
+  // come from the same RFC 9309 effective-group selection as the
+  // path rules (an exact-agent group's delay, a '*' fallback that a
+  // foreign agent's declaration must NOT shadow, and a no-delay site
+  // paced at the default), and each site's URLs slot at
+  // (rank-1)·delay seconds. The oracle replays group selection and
+  // the slot arithmetic closed-form.
+  private[queries] def q183(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sites = t(s, dir, "documents").filter($"doc_id" < 6)
+      .select($"doc_id".as("site"))
+      .select($"site".as("k"),
+        when($"site" % 3 === 0, concat(
+          lit("User-agent: graftbot\nCrawl-delay: "),
+          ($"site" + 1).cast("string"), lit("\nDisallow: /x")))
+          .when($"site" % 3 === 1, lit(
+            "User-agent: *\nCrawl-delay: 2.5\n" +
+              "User-agent: otherbot\nCrawl-delay: 9"))
+          .otherwise(lit("User-agent: graftbot\nDisallow: /y"))
+          .as("txt"))
+    val delays = Robots.crawlDelays(sites, "k", "txt", "graftbot")
+    val urls = t(s, dir, "documents").filter($"doc_id" < 240)
+      .select($"doc_id", ($"doc_id" % 6).as("site"))
+    Robots.schedule(urls, delays, "site", "doc_id",
+        defaultDelay = 1.0)
+      .select($"doc_id", $"site", $"delay_s",
+        $"fetch_rank".cast("int").as("fetch_rank"), $"sched_s")
+      .orderBy($"doc_id")
+  }
+  private[queries] lazy val q183Sql =
+    """WITH u AS (
+      | SELECT doc_id, doc_id % 6 AS site FROM documents
+      | WHERE doc_id < 240),
+      |d AS (
+      | SELECT doc_id, site,
+      |  CASE WHEN site % 3 = 0 THEN CAST(1 + site AS DOUBLE)
+      |   WHEN site % 3 = 1 THEN 2.5 ELSE 1.0 END AS delay_s,
+      |  row_number() OVER (PARTITION BY site ORDER BY doc_id)
+      |   AS fetch_rank
+      | FROM u)
+      |SELECT doc_id, site, delay_s,
+      | CAST(fetch_rank AS INT) AS fetch_rank,
+      | (fetch_rank - 1) * delay_s AS sched_s
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** The frontier fixture (shared by q172 and its streaming twin
     * q180): (doc_id, url) with up to 10 messy spellings per page
     * across 8 domains × 5 paths.

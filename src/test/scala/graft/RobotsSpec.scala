@@ -83,6 +83,29 @@ class RobotsSpec extends AnyFunSuite {
     assert(out.forall(identity) && out.length == 2)
   }
 
+  test("crawlDelays follows group selection (exact beats '*', a " +
+    "foreign agent's delay never applies), keeps the max, ignores " +
+    "garbage; schedule slots (rank-1)·delay with the default") {
+    val sites = Seq(
+      (1L, "User-agent: graftbot\nCrawl-delay: 3\nDisallow: /x\n" +
+        "User-agent: *\nCrawl-delay: 7"),
+      (2L, "User-agent: otherbot\nCrawl-delay: 9\n" +
+        "User-agent: *\nCrawl-delay: 2.5"),
+      (3L, "User-agent: graftbot\nCrawl-delay: nonsense"),
+      (4L, "User-agent: graftbot\nCrawl-delay: 1\n" +
+        "User-agent: graftbot\nCrawl-delay: 6")).toDF("site", "txt")
+    val d = Robots.crawlDelays(sites, "site", "txt", "graftbot")
+      .as[(Long, Double)].collect().toMap
+    assert(d == Map(1L -> 3.0, 2L -> 2.5, 4L -> 6.0))
+    val urls = Seq((10L, 1L), (11L, 1L), (12L, 3L), (13L, 3L))
+      .toDF("uid", "site")
+    val sched = Robots.schedule(urls, d.toSeq.toDF("site", "delay_s"),
+        "site", "uid", defaultDelay = 1.5)
+      .select($"uid", $"sched_s").as[(Long, Double)].collect().toMap
+    assert(sched == Map(10L -> 0.0, 11L -> 3.0, 12L -> 0.0,
+      13L -> 1.5))
+  }
+
   test("registrableDomain: two-level suffixes, implicit single-label " +
     "TLD rule, dotless hosts, bare suffixes") {
     val rows = Seq(
