@@ -280,6 +280,16 @@ object Text {
     regexp_extract_all(c,
       lit("(?i)<a\\s[^>]*?href=[\"']([^\"'#>]+)"), lit(1))
 
+  /** All `<loc>` targets in a sitemap XML document — the other half
+    * of crawl discovery next to [[hrefUrls]] (robots `Sitemap:` lines
+    * name the file, this reads it). Whitespace inside the element is
+    * trimmed by the capture; entity-escaped URLs pass through
+    * [[htmlUnescapeTwice]] upstream when needed.
+    */
+  def sitemapLocs(xml: Column): Column =
+    regexp_extract_all(xml,
+      lit("(?is)<loc>\\s*(.+?)\\s*</loc>"), lit(1))
+
   /** [[registrableDomain]] straight from a URL: extract the lowercase
     * host (authority minus port/userinfo) then reduce to eTLD+1.
     */

@@ -62,6 +62,27 @@ object Robots {
       .filter(col("d").isNotNull && col("d") >= 0.0)
       .groupBy(col("site")).agg(max(col("d")).as("delay_s"))
 
+  /** `Sitemap:` declarations — (site, sitemap_url) rows. Per the
+    * sitemaps protocol these are GROUP-INDEPENDENT (they apply to
+    * every crawler and may appear anywhere in the file), so this
+    * deliberately bypasses the effective-group selection the other
+    * accessors share. The crawl-discovery seed: frontier expansion
+    * reads these, fetches the XML, and feeds
+    * [[graft.functions.Text.sitemapLocs]] output into admission.
+    */
+  def sitemaps(robots: DataFrame, siteCol: String,
+               textCol: String): DataFrame =
+    robots
+      .select(col(siteCol).as("site"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col("site"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(lower(col("line")).startsWith("sitemap:"))
+      .select(col("site"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   /** All directives of the groups that apply to `agent`:
     * (site, key, value) with RFC 9309 group selection — comments
     * stripped, consecutive `User-agent` lines share a group, exact

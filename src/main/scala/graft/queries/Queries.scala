@@ -238,7 +238,8 @@ object Queries
     "q180_stream_frontier" -> (q180 _),
     "q181_decompress"   -> (q181 _),
     "q182_expectations" -> (q182 _),
-    "q183_crawl_schedule" -> (q183 _)
+    "q183_crawl_schedule" -> (q183 _),
+    "q184_sitemap_seed" -> (q184 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -553,7 +554,8 @@ object Queries
     "q180_stream_frontier" -> q180Sql,
     "q181_decompress"   -> q181Sql,
     "q182_expectations" -> q182Sql,
-    "q183_crawl_schedule" -> q183Sql
+    "q183_crawl_schedule" -> q183Sql,
+    "q184_sitemap_seed" -> q184Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

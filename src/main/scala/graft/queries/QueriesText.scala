@@ -1055,6 +1055,64 @@ private[queries] trait QueriesText { this: Queries.type =>
       | (fetch_rank - 1) * delay_s AS sched_s
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  // Sitemap discovery (Robots.sitemaps + Text.sitemapLocs) — the
+  // crawl-frontier SEED path: robots files declare group-independent
+  // `Sitemap:` lines (some sites two, some none, one behind a
+  // comment), each named XML carries id-derived <url><loc> entries
+  // with whitespace/case noise, and the pipeline explodes the
+  // declared maps into seed URLs. The oracle replays the
+  // declaration-and-content construction closed-form.
+  private[queries] def q184(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.functions.Text
+    val sites = t(s, dir, "documents").filter($"doc_id" < 12)
+      .select($"doc_id".as("k"))
+      .select($"k",
+        when($"k" % 3 === 0, concat(
+          lit("User-agent: *\nDisallow: /tmp\nSitemap: http://site"),
+          $"k".cast("string"), lit(".com/sitemap.xml")))
+          .when($"k" % 3 === 1, concat(
+            lit("SITEMAP: http://site"), $"k".cast("string"),
+            lit(".com/maps/a.xml # primary\nUser-agent: *\n"),
+            lit("Allow: /\nSitemap: http://site"), $"k".cast("string"),
+            lit(".com/maps/b.xml")))
+          .otherwise(lit("User-agent: *\nDisallow: /private"))
+          .as("txt"))
+    val declared = Robots.sitemaps(sites, "k", "txt")
+    // the fetched XML per sitemap URL, id-derived: 1 + site%3 locs
+    val xml = declared.select($"site", $"sitemap_url",
+      concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+        array_join(transform(
+          sequence(lit(0L), ($"site" % 3).cast("long")),
+          j => concat(lit("  <url><LOC>"), lit("\n   "),
+            lit("http://site"), $"site".cast("string"), lit(".com/d/"),
+            j.cast("string"), lit(" \n  </LOC></url>"))), "\n"),
+        lit("\n</urlset>")).as("xml"))
+    xml.select($"site", $"sitemap_url",
+        explode(graft.functions.Text.sitemapLocs($"xml")).as("loc"))
+      .orderBy($"site", $"sitemap_url", $"loc")
+  }
+  private[queries] lazy val q184Sql =
+    """WITH p AS (
+      | SELECT doc_id AS k FROM documents WHERE doc_id < 12),
+      |decl AS (
+      | SELECT k AS site,
+      |  'http://site' || k || '.com/sitemap.xml' AS sitemap_url
+      | FROM p WHERE k % 3 = 0
+      | UNION ALL
+      | SELECT k, 'http://site' || k || '.com/maps/a.xml'
+      | FROM p WHERE k % 3 = 1
+      | UNION ALL
+      | SELECT k, 'http://site' || k || '.com/maps/b.xml'
+      | FROM p WHERE k % 3 = 1),
+      |locs AS (
+      | SELECT site, sitemap_url,
+      |  'http://site' || site || '.com/d/' || j AS loc
+      | FROM decl, unnest(generate_series(0, site % 3)) t(j))
+      |SELECT site, sitemap_url, loc FROM locs
+      |ORDER BY site, sitemap_url, loc""".stripMargin
+
   /** The frontier fixture (shared by q172 and its streaming twin
     * q180): (doc_id, url) with up to 10 messy spellings per page
     * across 8 domains × 5 paths.

@@ -106,6 +106,23 @@ class RobotsSpec extends AnyFunSuite {
       13L -> 1.5))
   }
 
+  test("sitemaps are group-independent (found inside foreign " +
+    "groups), comment-stripped, and sitemapLocs reads noisy XML") {
+    val sites = Seq(
+      (1L, "User-agent: other\nDisallow: /\n" +
+        "Sitemap: http://a/s1.xml # main\n" +
+        "SITEMAP: http://a/s2.xml"),
+      (2L, "User-agent: *\nAllow: /")).toDF("site", "txt")
+    val d = Robots.sitemaps(sites, "site", "txt")
+      .as[(Long, String)].collect().toSet
+    assert(d == Set(1L -> "http://a/s1.xml", 1L -> "http://a/s2.xml"))
+    val xml = "<urlset><url><LOC>\n http://x/1 \n</LOC></url>" +
+      "<url><loc>http://x/2</loc></url></urlset>"
+    val locs = Seq(xml).toDF("x")
+      .select(Text.sitemapLocs($"x")).as[Seq[String]].collect().head
+    assert(locs == Seq("http://x/1", "http://x/2"))
+  }
+
   test("registrableDomain: two-level suffixes, implicit single-label " +
     "TLD rule, dotless hosts, bare suffixes") {
     val rows = Seq(
