@@ -571,4 +571,45 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z]+", " "), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** Collocation mining by POINTWISE-MUTUAL-INFORMATION lift —
+    * corpus phrase discovery ("new york", "machine learning") for
+    * tokenizer vocab seeding and boilerplate fingerprinting. Adjacent
+    * lowercase-word bigrams are counted corpus-wide, joined to their
+    * unigram counts, and scored
+    * `lift = n_ab · N / (n_a · n_b)` — the PMI's argument, kept as a
+    * RATIO instead of its log so both engines compute pure IEEE
+    * *,/ over integer counts (log is not correctly-rounded-
+    * guaranteed; the ordering is identical under the monotone map).
+    * `minPairCount` drops the noise tail before the joins.
+    *
+    * Scale shape: one corpus-sized explode feeding two grouped
+    * counts; the unigram joins are vocabulary-keyed; N rides as a
+    * broadcast one-row aggregate.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minPairCount: Long = 5L): DataFrame = {
+    val words = docs.select(filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z]+", " "), " "),
+      w => length(w) >= 1).as("ws"))
+    val uni = words.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum(col("n")).as("nn"))
+    val pairs = words
+      .select(explode(zip_with(col("ws"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")), lit(1))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(uni.select(col("w").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (floor((col("n_ab").cast("double") * col("nn")) /
+          (col("n_a").cast("double") * col("n_b")) * 1000000.0 + 0.5)
+          / 1000000.0).as("lift"))
+  }
 }

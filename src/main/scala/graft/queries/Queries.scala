@@ -239,7 +239,8 @@ object Queries
     "q181_decompress"   -> (q181 _),
     "q182_expectations" -> (q182 _),
     "q183_crawl_schedule" -> (q183 _),
-    "q184_sitemap_seed" -> (q184 _)
+    "q184_sitemap_seed" -> (q184 _),
+    "q185_collocations" -> (q185 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -555,7 +556,8 @@ object Queries
     "q181_decompress"   -> q181Sql,
     "q182_expectations" -> q182Sql,
     "q183_crawl_schedule" -> q183Sql,
-    "q184_sitemap_seed" -> q184Sql
+    "q184_sitemap_seed" -> q184Sql,
+    "q185_collocations" -> q185Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

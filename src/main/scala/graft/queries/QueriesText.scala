@@ -1055,6 +1055,44 @@ private[queries] trait QueriesText { this: Queries.type =>
       | (fetch_rank - 1) * delay_s AS sched_s
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  // Collocation mining (TextAnalysis.collocations) — PMI-lift phrase
+  // discovery over the corpus: adjacent-bigram counts joined to
+  // unigram counts, scored n_ab·N/(n_a·n_b) as a pure-IEEE ratio
+  // (the PMI ordering without its log — transcendentals are not
+  // cross-engine-exact), ordered by the ROUNDED lift with (a, b)
+  // tie-breaks on both sides so the top-50 cut is deterministic.
+  private[queries] def q185(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minPairCount = 5L)
+      .orderBy($"lift".desc, $"a", $"b")
+      .limit(50)
+  }
+  private[queries] lazy val q185Sql =
+    """WITH w AS (
+      | SELECT list_filter(string_split(regexp_replace(lower(text),
+      |  '[^a-z]+', ' ', 'g'), ' '), x -> len(x) >= 1) AS ws
+      | FROM documents),
+      |un AS (
+      | SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM un),
+      |pc AS (
+      | SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM (
+      |  SELECT z[1] AS a, z[2] AS b FROM (
+      |   SELECT unnest(list_zip(ws, ws[2:])) AS z FROM w) t
+      |  WHERE z[2] IS NOT NULL)
+      | GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT pc.a, pc.b, pc.n_ab, ua.n AS n_a, ub.n AS n_b,
+      | floor((CAST(pc.n_ab AS DOUBLE) * (SELECT nn FROM tot))
+      |   / (CAST(ua.n AS DOUBLE) * ub.n) * 1000000.0 + 0.5)
+      |  / 1000000.0 AS lift
+      |FROM pc
+      |JOIN un ua ON ua.w = pc.a
+      |JOIN un ub ON ub.w = pc.b
+      |ORDER BY lift DESC, pc.a, pc.b LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- q184
   // Sitemap discovery (Robots.sitemaps + Text.sitemapLocs) — the
   // crawl-frontier SEED path: robots files declare group-independent

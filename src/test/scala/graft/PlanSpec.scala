@@ -302,7 +302,8 @@ class PlanSpec extends AnyFunSuite {
         "q140_wav_transcode", "q141_multimodal_transcode",
         "q152_wav_resample", "q153_mp4_meta",
         "q154_jpeg_progressive", "q168_mp3_meta",
-        "q169_audio_dispatch")) {
+        "q169_audio_dispatch", "q176_ogg_meta",
+        "q181_decompress")) {
       val p = plan(q)
       val n = p.sliding("Exchange".length).count(_ == "Exchange")
       assert(n == 1, s"$q: expected 1 exchange (ordering sort), got $n\n$p")

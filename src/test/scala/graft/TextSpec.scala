@@ -88,6 +88,19 @@ class TextSpec extends AnyFunSuite {
     assert(r == Seq("http://a/x", "http://b/y", "HTTPS://c/z?q=1"))
   }
 
+  test("collocations: hand-computed PMI lift, min-count cut, " +
+    "punctuation-split adjacency") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("New York! new york.", "york city, new york")
+      .toDF("text")
+    // unigrams: new=3 york=4 city=1, N=8; (new,york)=3 (others 1)
+    val rows = TextAnalysis.collocations(docs, "text",
+        minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(("new", "york", 3L, 3L, 4L, 2.0)))
+  }
+
   test("summaryBullets splits, trims, drops empties") {
     val r = Seq("a\n\n  b \nc").toDF("x")
       .select(Text.summaryBullets($"x").as("r")).head.getSeq[String](0)
