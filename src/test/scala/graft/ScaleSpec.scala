@@ -119,4 +119,35 @@ class ScaleSpec extends AnyFunSuite {
       assert(batch2 < cap, s"batch 2 re-exchanged the index: $batch2 B")
     } finally spark.sparkContext.removeSparkListener(tally)
   }
+
+  test("robots admission shuffle volume tracks URL count, not " +
+    "rule-match count: 8x the rules per site moves <2x the bytes " +
+    "(the packed-long max combines map-side)") {
+    val tally = ShuffleTally.install(spark.sparkContext)
+    try {
+      import graft.operators.Robots
+      // every rule matches every path, so the url×rule multiplication
+      // is real; a verdict that shipped matched rows would scale ~8x
+      def mkRules(nPerSite: Int) = (0 until 4).flatMap { s =>
+        (0 until nPerSite).map { r =>
+          // every pattern is a prefix of every path → every rule MATCHES
+          (s.toLong, r % 2 == 0, "/p/path-".take(2 + r % 6))
+        }
+      }.toDF("site", "allow", "pattern")
+      val urls = (0 until 2000).map { i =>
+        (i.toLong, (i % 4).toLong, s"/p/path-$i")
+      }.toDF("uid", "site", "path")
+      def shuffled(nPerSite: Int): Long = {
+        val s0 = tally.snapshot(spark.sparkContext)
+        Robots.isAllowed(urls, mkRules(nPerSite), "site", "path")
+          .count()
+        (tally.snapshot(spark.sparkContext) - s0).write
+      }
+      val small = shuffled(2)
+      val large = shuffled(16)
+      assert(small > 0, "expected the verdict aggregation to shuffle")
+      assert(large < small * 2,
+        s"shuffle bytes scaled with rule count: $small -> $large")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 }
