@@ -240,7 +240,8 @@ object Queries
     "q182_expectations" -> (q182 _),
     "q183_crawl_schedule" -> (q183 _),
     "q184_sitemap_seed" -> (q184 _),
-    "q185_collocations" -> (q185 _)
+    "q185_collocations" -> (q185 _),
+    "q186_weighted_linkrank" -> (q186 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -557,7 +558,8 @@ object Queries
     "q182_expectations" -> q182Sql,
     "q183_crawl_schedule" -> q183Sql,
     "q184_sitemap_seed" -> q184Sql,
-    "q185_collocations" -> q185Sql
+    "q185_collocations" -> q185Sql,
+    "q186_weighted_linkrank" -> q186Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -823,6 +823,80 @@ private[queries] trait QueriesCuration { this: Queries.type =>
         (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
       .orderBy($"node")
   }
+  // ---------------------------------------------------------------- q186
+  // WEIGHTED HTML link graph — q178 with edge MULTIPLICITY: the same
+  // pages' anchors feed personalizedPageRank with per-link weight 1
+  // and a uniform all-node seed set (teleport 1/N ⇒ the classic
+  // weighted formulation), so the operator's parallel-edges-SUM rule
+  // turns repeated (src,dst) links into stronger endorsements — the
+  // real-web semantics q178's distinct-collapse deliberately
+  // ignores. Pages sharing a source domain emit overlapping target
+  // sets with varying fan-out, so multiplicities are non-uniform and
+  // the ranks genuinely differ from q178's. Three unrolled weighted
+  // iterations in the oracle (q151's form, uniform teleport).
+  private[queries] def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.functions.Text
+    val pages = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id",
+        concat(lit("<html><body><p>Doc "), $"doc_id", lit("</p>"),
+          array_join(transform(
+            sequence(lit(1L), lit(1L) + $"doc_id" % 3),
+            j => concat(lit("<a class='l' href=\"http://www.site"),
+              (($"doc_id" * 17 + j * 61) % 40).cast("string"),
+              lit(".com/p/"), j.cast("string"), lit("\">x</a>"))), ""),
+          lit("</body></html>")).as("html"))
+    val edges = pages
+      .select(concat(lit("site"), ($"doc_id" % 40).cast("string"),
+          lit(".com")).as("src"),
+        explode(T.hrefUrls($"html")).as("href"))
+      .select($"src", T.registrableDomainFromUrl($"href").as("dst"),
+        lit(1.0).as("w"))
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 40)
+      .select(concat(lit("site"), $"doc_id".cast("string"),
+        lit(".com")).as("domain"))
+    Graph.personalizedPageRank(edges, nodes, "src", "dst",
+        seeds = nodes, iterations = 3, weightCol = Some("w"))
+      .select($"node",
+        (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
+      .orderBy($"node")
+  }
+  private[queries] lazy val q186Sql = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         | SELECT nodes.node,
+         |  0.15 * (SELECT t FROM tele)
+         |  + 0.85 * (coalesce(c.contrib, 0)
+         |    + (SELECT coalesce(sum(r.rank), 0) FROM r${k - 1} r
+         |       LEFT JOIN deg d ON d.node = r.node
+         |       WHERE d.node IS NULL)
+         |      * (SELECT t FROM tele)) AS rank
+         | FROM nodes
+         | LEFT JOIN (
+         |   SELECT e.dst AS node, sum(r.rank / d.out_w * e.w) AS contrib
+         |   FROM r${k - 1} r JOIN deg d ON d.node = r.node
+         |   JOIN ew e ON e.src = r.node
+         |   GROUP BY e.dst) c USING (node))""".stripMargin
+    s"""WITH nodes AS (
+       | SELECT 'site' || doc_id || '.com' AS node FROM documents
+       | WHERE doc_id < 40),
+       |e0 AS (
+       | SELECT 'site' || (doc_id % 40) || '.com' AS src,
+       |  'site' || ((doc_id * 17 + j * 61) % 40) || '.com' AS dst
+       | FROM documents, unnest(generate_series(1, 1 + doc_id % 3)) t(j)
+       | WHERE doc_id < 200),
+       |ew AS (
+       | SELECT src, dst, sum(1.0) AS w FROM e0 WHERE src <> dst
+       | GROUP BY 1, 2),
+       |deg AS (SELECT src AS node, sum(w) AS out_w FROM ew GROUP BY 1),
+       |tele AS (
+       | SELECT 1.0 / (SELECT count(*) FROM nodes) AS t),
+       |r0 AS (SELECT node, (SELECT t FROM tele) AS rank FROM nodes),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT node, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM r3 ORDER BY node""".stripMargin
+  }
+
   private[queries] lazy val q178Sql = {
     def iter(k: Int): String =
       s"""r$k AS (
