@@ -241,7 +241,8 @@ object Queries
     "q183_crawl_schedule" -> (q183 _),
     "q184_sitemap_seed" -> (q184 _),
     "q185_collocations" -> (q185 _),
-    "q186_weighted_linkrank" -> (q186 _)
+    "q186_weighted_linkrank" -> (q186 _),
+    "q187_audio_tag_dedup" -> (q187 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -559,7 +560,8 @@ object Queries
     "q183_crawl_schedule" -> q183Sql,
     "q184_sitemap_seed" -> q184Sql,
     "q185_collocations" -> q185Sql,
-    "q186_weighted_linkrank" -> q186Sql
+    "q186_weighted_linkrank" -> q186Sql,
+    "q187_audio_tag_dedup" -> q187Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -741,6 +741,48 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |  AS sample_rate
       |FROM p ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+  // Audio dedup keyed on ID3 tags — WHY q175's frames matter: the
+  // same recording recurs across a crawl under different byte
+  // streams (bitrates, tag paddings), so byte hashes miss it; the
+  // (artist, title) tag key is the dedup identity audio curation
+  // actually uses. Tagged blobs with id-derived keys (~3-4 copies
+  // per key across version/encoding variants) reduce to the
+  // first-occurrence survivor with a copy count; undecodable tags
+  // (truncated every 13th) stay OUT of the grouping rather than
+  // forming a garbage '' key. Oracle replays key derivation and the
+  // min/count closed-form.
+  private[queries] def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val v = (id % 3).toInt
+        val b = m.syntheticTaggedMp3(id,
+          s"Title-${id % 60}", s"Artést-${id % 30}",
+          s"Album-${id % 7}", v4 = v == 2, enc = Array(0, 1, 3)(v))
+        if (id % 13 == 0) b.copy(content = b.content.take(24)) else b
+      }
+    m.decodeId3(blobs).toDF()
+      .filter($"decode_ok")
+      .groupBy($"artist", $"title")
+      .agg(min($"media_id").as("media_id"),
+        count(lit(1)).as("n_copies"))
+      .select($"media_id", $"artist", $"title", $"n_copies")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q187Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 60 AS tk, doc_id % 30 AS ak
+      | FROM documents WHERE doc_id < 200 AND doc_id % 13 <> 0)
+      |SELECT min(doc_id) AS media_id,
+      | 'Art' || chr(233) || 'st-' || ak AS artist,
+      | 'Title-' || tk AS title,
+      | CAST(count(*) AS BIGINT) AS n_copies
+      |FROM p GROUP BY tk, ak
+      |ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- q176
   // Ogg identification-header parse under the oracle — the streaming
   // audio container next to q168's MP3 and q169's FLAC: each row
