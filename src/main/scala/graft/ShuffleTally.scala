@@ -16,6 +16,7 @@ class ShuffleTally extends SparkListener {
   private val write = new AtomicLong
   private val read = new AtomicLong
   private val spilled = new AtomicLong
+  private val input = new AtomicLong
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
@@ -23,13 +24,20 @@ class ShuffleTally extends SparkListener {
       write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      input.addAndGet(m.inputMetrics.bytesRead)
       ()
     }
   }
 
-  case class Snapshot(write: Long, read: Long, spilled: Long) {
+  /** `input` = source-scan bytes actually read (task input metrics) —
+    * the evidence scan-pruning claims (pushed In()/bloom row-group
+    * skipping) are measured by, where shuffle bytes can't see them.
+    */
+  case class Snapshot(write: Long, read: Long, spilled: Long,
+                      input: Long = 0L) {
     def -(o: Snapshot): Snapshot =
-      Snapshot(write - o.write, read - o.read, spilled - o.spilled)
+      Snapshot(write - o.write, read - o.read, spilled - o.spilled,
+        input - o.input)
   }
 
   /** Current totals, after draining the listener bus so in-flight
@@ -40,7 +48,7 @@ class ShuffleTally extends SparkListener {
     */
   def snapshot(sc: SparkContext): Snapshot = {
     org.apache.spark.graftbridge.ListenerBridge.drain(sc): Unit
-    Snapshot(write.get, read.get, spilled.get)
+    Snapshot(write.get, read.get, spilled.get, input.get)
   }
 }
 

@@ -37,6 +37,18 @@ object BloomJoin {
       .head().getAs[Array[Byte]]("bf")
   }
 
+  /** The bloom membership test as a standalone scan predicate:
+    * `might_contain(bloom, xxhash64(key))` over a [[buildBloom]]
+    * bitset riding as a foldable literal — codegen'd, evaluated at
+    * the scan before any exchange. False positives pass (callers
+    * follow with an exact join); false negatives cannot occur.
+    */
+  def mightContain(bloom: Array[Byte], key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloom)),
+      ColumnBridge.expression(xxhash64(key))))
+
   /** Rows of `probe` whose `probeKey` has a match in `build.buildKey` —
     * ≡ `probe.join(build, probe(probeKey) === build(buildKey),
     * "left_semi")`, with the bloom pre-filter pruning the probe scan
@@ -46,10 +58,7 @@ object BloomJoin {
                     build: DataFrame, buildKey: String,
                     expectedItems: Long = 1000000L): DataFrame = {
     val bloom = buildBloom(build, buildKey, expectedItems)
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      ColumnBridge.expression(lit(bloom)),
-      ColumnBridge.expression(xxhash64(col(probeKey)))))
-    probe.filter(mightContain)
+    probe.filter(mightContain(bloom, col(probeKey)))
       .join(build.select(col(buildKey).as(probeKey)),
         Seq(probeKey), "left_semi")
   }

@@ -196,10 +196,7 @@ object Dedup {
     // the whole signature computation runs twice (measured 2× at sf0.1)
     val sig = Materialize(
       minhashSignatures(df, textCol, idCol, numHashes, hash))
-    val buckets = sig
-      .select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rows, hash)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+    val buckets = bandBuckets(sig, numHashes, bands, hash)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -227,16 +224,80 @@ object Dedup {
                             numHashes: Int = 32, bands: Int = 8,
                             broadcastDelta: Boolean = true,
                             hash: SigHash = Xx64): DataFrame = {
-    val rows = numHashes / bands
-    def toBuckets(sig: DataFrame) = sig
-      .select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rows, hash)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.band_hash"))
     // the delta feeds three consumers below — materialize once
     val dSig = Materialize(deltaSigs)
-    val db = toBuckets(dSig)
+    val db = bandBuckets(dSig, numHashes, bands, hash)
     val dbSide = if (broadcastDelta) broadcast(db) else db
-    val di = toBuckets(indexSigs).as("a").join(dbSide.as("b"),
+    val di = bandBuckets(indexSigs, numHashes, bands, hash).as("a")
+      .join(dbSide.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val dd = db.as("a").join(db.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    di.union(dd).distinct()
+  }
+
+  /** Banded LSH bucket rows `(id, band, band_hash)` for a signature
+    * relation — the shuffled currency of every candidate generator
+    * here, and the PERSISTED form of the incremental signature index:
+    * storing buckets (not signatures) means later deltas probe the
+    * index without re-banding the corpus, and clustering the stored
+    * relation by `band_hash` ([[Layout.byKey]]) gives the pruned-scan
+    * serve path of [[incrementalCandidatesPruned]].
+    */
+  def bandBuckets(sigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                  hash: SigHash = Xx64): DataFrame =
+    sigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands, hash))
+          .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+
+  /** [[incrementalCandidates]] against a PERSISTED pre-banded index
+    * ([[bandBuckets]] rows on disk) with the index SCAN pruned by the
+    * delta's band-key set — the serve-path contract of
+    * `Retrieval.bm25FromIndex`, applied to dedup: the naive form
+    * broadcast-joins the delta into a FULL index scan (no shuffle,
+    * but at a 100 TB corpus the signature relation is TB-scale and
+    * the per-batch full read dominates batch cost). Here the delta's
+    * DISTINCT band hashes — bounded by `deltaRows × bands`, driver-
+    * sized for any sane micro-batch, cap ENFORCED — are collected and
+    * pushed into the index read as an `In(band_hash, …)` LITERAL
+    * predicate, which reaches the parquet reader's row-group min/max
+    * skipping (unlike a broadcast semi join, which filters after the
+    * scan). Under a [[Layout.byKey]]("band_hash") layout the batch
+    * genuinely seeks its collision buckets instead of reading the
+    * whole index (PlanSpec pins PushedFilters; ScaleSpec pins the
+    * scan's surfaced-row delta). Deployment note: size
+    * `spark.sql.parquet.pushdown.inFilterThreshold` ABOVE the
+    * per-batch distinct-band-key count — past that threshold Spark's
+    * parquet translation degrades the In to a min/max range, which
+    * over uniformly-hashed band keys skips nothing. Emits the same
+    * contract as
+    * [[incrementalCandidates]]: delta×index ∪ delta×delta pairs,
+    * `id_a < id_b`, distinct — DedupSpec pins pruned ≡ naive.
+    */
+  def incrementalCandidatesPruned(indexBuckets: DataFrame,
+                                  deltaBuckets: DataFrame,
+                                  maxDeltaKeys: Int = 1 << 20)
+      : DataFrame = {
+    val db = Materialize(deltaBuckets)
+    // sanctioned bounded collect (the bm25FromIndex isin contract);
+    // limit(cap+1) keeps even the failing path's collect bounded
+    val keys = db.select(col("band_hash")).distinct()
+      .limit(maxDeltaKeys + 1).collect().map(_.get(0))
+    require(keys.length <= maxDeltaKeys,
+      s"incrementalCandidatesPruned: delta exceeds the $maxDeltaKeys " +
+        "distinct-band-key cap that bounds the driver-side In() " +
+        "pushdown; split the batch or raise maxDeltaKeys explicitly")
+    val pruned = indexBuckets.filter(col("band_hash").isin(
+      keys.sortBy(_.toString).toSeq: _*))
+    val di = pruned.as("a").join(broadcast(db).as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") =!= col("b.id"))

@@ -317,10 +317,11 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
         if (fs.exists(new org.apache.hadoop.fs.Path(idx)))
           sp.read.parquet(idx)
         else firstHere.select(col("fp")).limit(0)
-      // ...and not already in the persisted index (ONE anti-join; the
-      // prior corpus is never re-fingerprinted)
+      // ...and not already in the persisted index (the INVERTED
+      // probe — bloom-pruned index scan, broadcast semi + anti; the
+      // prior corpus is never re-fingerprinted NOR shuffled)
       val fresh = graft.operators.Materialize(
-        firstHere.join(known, Seq("fp"), "left_anti"))
+        graft.streaming.Streams.freshAgainstIndex(firstHere, "fp", known))
       val gated = fresh
         .withColumn("q",
           floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
@@ -640,20 +641,22 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
 
   // ---------------------------------------------------------------- q180
   // STREAMING crawl frontier — q172's admission funnel as the
-  // continuous job a live crawler actually runs: URL batches arrive
+  // continuous job a live crawler actually runs
+  // (graft.streaming.Streams.streamingFrontier): URL batches arrive
   // (doc_id-ordered slices, the pinned-mtime drive), and each
   // micro-batch canonicalizes, dedups against the PERSISTED
-  // seen-canon index (one anti-join — the frontier history is never
-  // re-canonicalized), applies the static broadcast robots rules,
-  // and admits under the PERSISTED per-domain quota state
-  // (IncrementalAgg's exactly-once batch protocol, q111's pattern) —
-  // an admitted URL's global rank = prior count + in-batch rank, so
-  // the streaming run must reproduce the batch funnel EXACTLY:
-  // q180's oracle IS q172's (same fixture, same SQL), proving
-  // batch ≡ streaming cross-engine.
+  // seen-canon index via the INVERTED probe (bloom-pruned scan →
+  // broadcast semi → broadcast anti, Streams.frontierFresh — the
+  // crawl history is never shuffled NOR re-canonicalized), applies
+  // the static broadcast robots rules, and admits under the
+  // PERSISTED per-domain quota state (IncrementalAgg's exactly-once
+  // batch protocol, q111's pattern) — an admitted URL's global rank
+  // = prior count + in-batch rank, so the streaming run must
+  // reproduce the batch funnel EXACTLY: q180's oracle IS q172's
+  // (same fixture, same SQL), proving batch ≡ streaming
+  // cross-engine.
   private[queries] def q180(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val T = graft.functions.Text
     val tmp = java.nio.file.Files.createTempDirectory("graft-q180")
       .toString
     val inDir = s"$tmp/in"; val seen = s"$tmp/seen"
@@ -667,61 +670,13 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
     writeSlice(raw.filter($"doc_id" >= 300), 2)
     val rules = Robots.parseRobots(frontierSites(s, dir), "domain",
       "txt", "graftbot").persist()
-    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-               Long) => Unit = (batch, id) => {
-      val sp = batch.sparkSession
-      val c = batch.toDF()
-        .select(col("doc_id"), T.canonicalUrl(col("url")).as("canon"))
-      val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
-      val firstHere = c.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      val fs = Staging.fsOf(sp, seen)
-      val known =
-        if (fs.exists(new org.apache.hadoop.fs.Path(seen)))
-          sp.read.parquet(seen)
-        else firstHere.select(col("canon")).limit(0)
-      val fresh = Materialize(
-        firstHere.join(known, Seq("canon"), "left_anti"))
-      val enriched = fresh
-        .withColumn("domain", T.registrableDomainFromUrl(col("canon")))
-        .withColumn("path",
-          regexp_extract(col("canon"), "^[a-z]+://[^/]+(/.*)$", 1))
-      val allowed = Robots.isAllowed(enriched, rules, "domain", "path")
-        .filter(col("allowed"))
-      val prior =
-        if (fs.exists(new org.apache.hadoop.fs.Path(counts)))
-          sp.read.parquet(counts)
-            .select(col("domain"), col("n_rows").as("prior_n"))
-        else allowed.select(col("domain")).limit(0)
-          .withColumn("prior_n", lit(0L))
-      val wd = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
-      // admitted must be MATERIALIZED by the counts refresh (the
-      // first action) before the swap replaces the counts it reads
-      val admitted = Materialize(allowed
-        .withColumn("brank", row_number().over(wd))
-        .join(prior, Seq("domain"), "left")
-        .withColumn("rank",
-          (coalesce(col("prior_n"), lit(0L)) + col("brank"))
-            .cast("int"))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("domain"), col("canon"),
-          col("rank")))
-      IncrementalAgg.refreshAdditive(sp, counts,
-        admitted.select(col("domain")).withColumn("one", lit(1L)),
-        Seq("domain"), Seq("one"), s"b$id")
-      admitted.write
-        .mode(org.apache.spark.sql.SaveMode.Append).parquet(adm)
-      fresh.select(col("canon")).write
-        .mode(org.apache.spark.sql.SaveMode.Append).parquet(seen)
-    }
     withShufflePartitions(s, 4) {
-      val q = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .writeStream
-        .option("checkpointLocation", cp)
-        .foreachBatch(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = graft.streaming.Streams.streamingFrontier(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir),
+        "doc_id", "url", rules, perDomainQuota = 3,
+        seenPath = seen, countsPath = counts, admittedPath = adm,
+        checkpoint = cp)
       q.awaitTermination()
     }
     rules.unpersist()

@@ -2,11 +2,12 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.operators.Upsert
+import graft.operators.{BloomJoin, IncrementalAgg, Materialize, Robots, Staging, Upsert}
 
 /** Structured Streaming re-expression of the reference's polling-sensor
   * incremental machinery (SURVEY.md §2.10 ST1-ST6): the 60s/120s/300s
@@ -60,28 +61,38 @@ object Streams {
 
   /** Streaming incremental dedup — the ingest-dedup loop as a
     * micro-batch sink: each batch of (id, text) docs computes its own
-    * minhash signatures, emits near-dup candidates against the
-    * persisted corpus signature index
-    * ([[graft.operators.Dedup.incrementalCandidates]] — broadcast
-    * delta, ONE index scan, zero index shuffle), appends the
-    * candidates, then appends its signatures to the index so later
-    * batches see them. The corpus is signed exactly once across the
-    * stream's lifetime. Replayed batches re-append the same candidate
-    * pairs (and duplicate signature rows); downstream consumers
-    * dedupe on (id_a, id_b) — the same run-key idempotency story as
-    * [[dedupedStream]], applied at the output instead of the input.
+    * minhash band buckets, emits near-dup candidates against the
+    * persisted corpus index
+    * ([[graft.operators.Dedup.incrementalCandidatesPruned]] —
+    * broadcast delta, the index SCAN pruned to the delta's band keys
+    * via a pushed `In()` literal, zero index shuffle), appends the
+    * candidates, then appends its own buckets — clustered by
+    * `band_hash` through [[graft.operators.Layout.byKey]], so the
+    * stored relation's row groups min/max-skip under later batches'
+    * pushed keys — to the index so later batches see them. The index
+    * holds PRE-BANDED bucket rows `(id, band, band_hash)`, not
+    * signatures: the corpus is signed AND banded exactly once across
+    * the stream's lifetime, and a batch reads only its collision
+    * buckets, not the whole crawl history (the naive full-scan-per-
+    * batch read is the 100 TB failure mode; `Layout.compact` bounds
+    * the accreted file count). Replayed batches re-append the same
+    * candidate pairs (and duplicate bucket rows); downstream
+    * consumers dedupe on (id_a, id_b) — the same run-key idempotency
+    * story as [[dedupedStream]], applied at the output instead of the
+    * input.
     */
   def streamingDedup(input: DataFrame, idCol: String, textCol: String,
                      indexPath: String, candidatesPath: String,
                      checkpoint: String,
-                     trigger: Trigger = Trigger.AvailableNow())
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     indexFilesPerBatch: Int = 4)
       : StreamingQuery = {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, Layout}
     val sink: (Dataset[Row], Long) => Unit = (batch, _) => {
       val spark = batch.sparkSession
-      // lazy materialization: the signatures feed two write actions below
-      val deltaSigs = graft.operators.Materialize(
-        Dedup.minhashSignatures(batch.toDF(), textCol, idCol))
+      // lazy materialization: the buckets feed two write actions below
+      val deltaBuckets = Materialize(Dedup.bandBuckets(
+        Dedup.minhashSignatures(batch.toDF(), textCol, idCol)))
       // resolve against the PATH's filesystem, not fs.defaultFS — an
       // index on another scheme (s3a vs file) would otherwise throw
       // "Wrong FS" or silently answer exists() against the wrong store
@@ -90,13 +101,142 @@ object Streams {
       val index =
         if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
           spark.read.parquet(indexPath)
-        else deltaSigs.limit(0) // first batch: delta-delta pairs only
-      Dedup.incrementalCandidates(index, deltaSigs)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(candidatesPath)
-      deltaSigs.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(indexPath)
+        else deltaBuckets.limit(0) // first batch: delta-delta pairs only
+      Dedup.incrementalCandidatesPruned(index, deltaBuckets)
+        .write.mode(SaveMode.Append).parquet(candidatesPath)
+      Layout.byKey(deltaBuckets, "band_hash", indexFilesPerBatch)
+        .write.mode(SaveMode.Append).parquet(indexPath)
     }
+    input.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(sink)
+      .start()
+  }
+
+  /** The streaming frontier's seen-index probe, INVERTED so the crawl
+    * history is never shuffled: `firstHere` (this batch's first-seen
+    * canonical URLs — batch-sized by construction) must be deduped
+    * against `known` (the persisted seen-canon index — crawl-history-
+    * sized, i.e. billions of rows at 100 TB). The naive
+    * `firstHere.join(known, "left_anti")` is a scale-killer: Spark
+    * can only broadcast the RIGHT side of a left-anti join, so once
+    * the index outgrows the broadcast threshold the plan degrades to
+    * a sort-merge join that SHUFFLES THE ENTIRE CRAWL HISTORY every
+    * micro-batch. Inversion (the q116 serve-path contract, bloom
+    * form): (1) a bloom bitset over the batch canons prunes the seen
+    * SCAN — history rows not colliding with this batch's keys are
+    * dropped at the scan, before any join; (2) the pruned scan
+    * broadcast-SEMI-joins against the batch canon set (build-right is
+    * legal there), yielding the ≤ batch-sized "seen in this batch"
+    * set; (3) that tiny set broadcasts into the left-anti. Result ≡
+    * the naive anti join (the bloom admits false positives but the
+    * exact semi join removes them; q180 shares q172's oracle), and NO
+    * exchange ever carries the seen side — per-batch shuffle is
+    * batch-sized (PlanSpec/ScaleSpec pin both). Layer
+    * [[graft.operators.Layout.byKey]] on the index writes and the
+    * bloom filter rides above a canon-clustered scan whose row groups
+    * min/max-skip too.
+    */
+  def frontierFresh(firstHere: DataFrame, known: DataFrame,
+                    expectedBatch: Long = 1000000L): DataFrame =
+    freshAgainstIndex(firstHere, "canon", known, expectedBatch)
+
+  /** The keyed general form of [[frontierFresh]]'s inverted probe:
+    * rows of `delta` whose `keyCol` does NOT appear in `index` —
+    * ≡ `delta.join(index, Seq(keyCol), "left_anti")`, planned so the
+    * index side is bloom-pruned at its scan and never enters an
+    * exchange. Any persisted dedup-key index probed by bounded
+    * micro-batches (crawl seen-URLs, document fingerprints, run
+    * keys) should route here instead of the naive anti join.
+    */
+  def freshAgainstIndex(delta: DataFrame, keyCol: String,
+                        index: DataFrame,
+                        expectedBatch: Long = 1000000L): DataFrame = {
+    val batchKeys = Materialize(delta.select(col(keyCol)))
+    val bloom = BloomJoin.buildBloom(batchKeys, keyCol, expectedBatch)
+    if (bloom == null) delta // empty batch: nothing to probe
+    else {
+      val seenHit = index.select(col(keyCol))
+        .filter(BloomJoin.mightContain(bloom, col(keyCol)))
+        .join(broadcast(batchKeys), Seq(keyCol), "left_semi")
+      delta.join(broadcast(seenHit), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** One micro-batch of the crawl-frontier funnel (q172's admission
+    * pipeline against persisted state): canonicalize → first-seen
+    * within the batch → [[frontierFresh]] against the seen index →
+    * robots admission under broadcast `rules` → per-domain quota
+    * ranked across batches via the persisted counts table
+    * (IncrementalAgg's exactly-once additive refresh). Appends
+    * admitted rows `(doc_id, domain, canon, rank)` to `admittedPath`
+    * and the batch's fresh canons to `seenPath`. Idempotency story:
+    * replayed batches re-append the same rows; downstream consumers
+    * key on (canon) / (doc_id) — the run-key pattern of
+    * [[dedupedStream]] applied at the output.
+    */
+  def frontierBatch(batch: DataFrame, batchId: Long, idCol: String,
+                    urlCol: String, rules: DataFrame,
+                    perDomainQuota: Int, seenPath: String,
+                    countsPath: String, admittedPath: String): Unit = {
+    val sp = batch.sparkSession
+    val T = graft.functions.Text
+    val c = batch.select(col(idCol).as("doc_id"),
+      T.canonicalUrl(col(urlCol)).as("canon"))
+    val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
+    val firstHere = c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val fs = Staging.fsOf(sp, seenPath)
+    val known =
+      if (fs.exists(new org.apache.hadoop.fs.Path(seenPath)))
+        sp.read.parquet(seenPath)
+      else firstHere.select(col("canon")).limit(0)
+    val fresh = Materialize(frontierFresh(firstHere, known))
+    val enriched = fresh
+      .withColumn("domain", T.registrableDomainFromUrl(col("canon")))
+      .withColumn("path",
+        regexp_extract(col("canon"), "^[a-z]+://[^/]+(/.*)$", 1))
+    val allowed = Robots.isAllowed(enriched, rules, "domain", "path")
+      .filter(col("allowed"))
+    val prior =
+      if (fs.exists(new org.apache.hadoop.fs.Path(countsPath)))
+        sp.read.parquet(countsPath)
+          .select(col("domain"), col("n_rows").as("prior_n"))
+      else allowed.select(col("domain")).limit(0)
+        .withColumn("prior_n", lit(0L))
+    val wd = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    // admitted must be MATERIALIZED by the counts refresh (the first
+    // action) before the swap replaces the counts it reads
+    val admitted = Materialize(allowed
+      .withColumn("brank", row_number().over(wd))
+      .join(prior, Seq("domain"), "left")
+      .withColumn("rank",
+        (coalesce(col("prior_n"), lit(0L)) + col("brank")).cast("int"))
+      .filter(col("rank") <= perDomainQuota)
+      .select(col("doc_id"), col("domain"), col("canon"), col("rank")))
+    IncrementalAgg.refreshAdditive(sp, countsPath,
+      admitted.select(col("domain")).withColumn("one", lit(1L)),
+      Seq("domain"), Seq("one"), s"b$batchId")
+    admitted.write.mode(SaveMode.Append).parquet(admittedPath)
+    fresh.select(col("canon")).write.mode(SaveMode.Append)
+      .parquet(seenPath)
+  }
+
+  /** ST1+ST7 capstone: the continuous crawl frontier — each arriving
+    * URL batch runs [[frontierBatch]] against the persisted
+    * seen/counts state. The streaming twin of the batch funnel: both
+    * produce identical admitted tables (q180's oracle IS q172's SQL).
+    */
+  def streamingFrontier(input: DataFrame, idCol: String, urlCol: String,
+                        rules: DataFrame, perDomainQuota: Int,
+                        seenPath: String, countsPath: String,
+                        admittedPath: String, checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val sink: (Dataset[Row], Long) => Unit = (batch, id) =>
+      frontierBatch(batch.toDF(), id, idCol, urlCol, rules,
+        perDomainQuota, seenPath, countsPath, admittedPath)
     input.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)

@@ -159,6 +159,31 @@ class DedupSpec extends AnyFunSuite {
     assert(incr.nonEmpty) // the planted exact copies must collide
   }
 
+  test("incrementalCandidatesPruned over a persisted byKey index == " +
+    "the naive full-scan incremental path") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val indexSigs = Dedup.minhashSignatures(index, "text", "doc_id")
+    val deltaSigs = Dedup.minhashSignatures(delta, "text", "doc_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bandidx").toString
+    graft.operators.Layout.byKey(
+        Dedup.bandBuckets(indexSigs), "band_hash", 4)
+      .write.mode("overwrite").parquet(s"$dir/idx")
+    val pruned = Dedup.incrementalCandidatesPruned(
+        spark.read.parquet(s"$dir/idx"), Dedup.bandBuckets(deltaSigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = Dedup.incrementalCandidates(indexSigs, deltaSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == naive,
+      s"pruned ${pruned.size} pairs vs naive ${naive.size}")
+    assert(pruned.nonEmpty)
+  }
+
   test("resolveClusters labels every component by its min id") {
     // three known components: a 5-clique, a triangle, an isolated edge
     val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)

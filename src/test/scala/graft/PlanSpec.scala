@@ -343,6 +343,65 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("frontierFresh inverts the seen-index probe: bloom-pruned scan " +
+    "+ broadcast semi + broadcast anti — NO exchange carries the seen " +
+    "side, no sort-merge join anywhere") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-frontier-plan").toString
+    // a history-sized seen index on disk, a batch-sized local delta
+    spark.range(50000).selectExpr("concat('http://s/', id) AS canon")
+      .write.mode("overwrite").parquet(s"$tmp/seen")
+    val firstHere = (0 until 100)
+      .map(i => (i.toLong, s"http://s/${i * 1000}"))
+      .toDF("doc_id", "canon")
+    val fresh = graft.streaming.Streams.frontierFresh(
+      firstHere, spark.read.parquet(s"$tmp/seen"))
+    val p = fresh.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"bloom prune missing from the seen scan:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected semi+anti pair in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ in:\n$p")
+    // the ONLY exchanges are broadcasts of batch-sized sets: any
+    // hash/range repartition would mean the seen relation shuffled
+    assert(!p.contains("Exchange hashpartitioning") &&
+           !p.contains("Exchange rangepartitioning") &&
+           !p.contains("Exchange SinglePartition"),
+      s"shuffle exchange in the frontier probe:\n$p")
+    // result ≡ the naive anti join
+    val naive = firstHere.join(spark.read.parquet(s"$tmp/seen"),
+      Seq("canon"), "left_anti")
+    assert(fresh.count() === naive.count())
+  }
+
+  test("incrementalCandidatesPruned pushes the delta's band keys into " +
+    "the index scan as In(band_hash) — PushedFilters, not a post-scan " +
+    "filter") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bandidx-plan").toString
+    val idxDocs = (0 until 50)
+      .map(i => (i.toLong, s"index doc number $i with some words"))
+      .toDF("doc_id", "text")
+    graft.operators.Layout.byKey(
+        Dedup.bandBuckets(Dedup.minhashSignatures(
+          idxDocs, "text", "doc_id")), "band_hash", 4)
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    val delta = (0 until 5)
+      .map(i => (1000L + i, s"index doc number $i with some words"))
+      .toDF("doc_id", "text")
+    val p = Dedup.incrementalCandidatesPruned(
+        spark.read.parquet(s"$tmp/idx"),
+        Dedup.bandBuckets(Dedup.minhashSignatures(
+          delta, "text", "doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(band_hash"),
+      s"expected In(band_hash) pushed into the index scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ in:\n$p")
+  }
+
   test("q119x loaded-scale BPE plans the constant-depth loop " +
     "expression, never a replace chain") {
     val p = Queries.benchOnly("q119x_bpe_loaded")(spark, sf)

@@ -150,4 +150,100 @@ class ScaleSpec extends AnyFunSuite {
         s"shuffle bytes scaled with rule count: $small -> $large")
     } finally spark.sparkContext.removeSparkListener(tally)
   }
+
+  test("pruned dedup-index probe reads a FRACTION of the index: the " +
+    "pushed In(band_hash) over the byKey layout skips row groups — " +
+    "the scan surfaces delta-bucket-sized rows, not the index") {
+    import graft.operators.Layout
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bandidx-scale").toString
+    // synthetic 100k-doc corpus signatures (32 hashes each) and a
+    // 1-doc delta that is an exact re-key of a corpus doc — the batch
+    // key count (8 bands) must be ≪ the row-group count for min/max
+    // skipping to have anything to skip, which is exactly the 100 TB
+    // regime (a micro-batch's keys vs millions of row groups)
+    val mkSig = expr("transform(sequence(0, 31), s -> xxhash64(id, s))")
+    val idxSigs = spark.range(100000).select(col("id"), mkSig.as("sig"))
+    val deltaSigs = spark.range(1).select(col("id"), mkSig.as("sig"))
+      .select((col("id") + 1000000L).as("id"), col("sig"))
+    // the persisted form: pre-banded buckets, band_hash-clustered,
+    // small row groups so skipping has units to skip (the old
+    // signature-row layout surfaced every row per batch by
+    // construction — nothing about band_hash exists at that scan)
+    Layout.byKey(Dedup.bandBuckets(idxSigs), "band_hash", 4)
+      .write.option("parquet.block.size", 32 * 1024)
+      .mode("overwrite").parquet(s"$dir/idx")
+    val nIndexRows = 100000L * 8
+    // evidence metric: rows the parquet reader SURFACES (the scan
+    // node's numOutputRows) — a skipped row group's rows never
+    // surface, so this counts exactly what the pushed filter saved.
+    // (Task input-byte metrics are unreliable for local vectored IO —
+    // they report footer-sized reads for full scans here.)
+    def scanSurfaced(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // collect() executes df's OWN queryExecution — a
+                   // count() would run a separate plan instance and
+                   // leave these metrics untouched
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => leaves(q.plan)
+          case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => leaves(r.child)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(s)
+          case other => other.children.flatMap(leaves) ++
+            other.subqueries.flatMap(leaves)
+        }
+      leaves(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val pruned = Dedup.incrementalCandidatesPruned(
+      spark.read.parquet(s"$dir/idx"), Dedup.bandBuckets(deltaSigs))
+    assert(pruned.count() >= 1L, "the planted re-key must collide")
+    val surfaced = scanSurfaced(pruned)
+    assert(surfaced > 0, "index scan surfaced nothing?")
+    assert(surfaced < nIndexRows / 4,
+      s"pushed In() did not skip: scan surfaced $surfaced of " +
+        s"$nIndexRows index rows")
+    // control: the same scan WITHOUT the pushed keys surfaces it all
+    val full = scanSurfaced(spark.read.parquet(s"$dir/idx"))
+    assert(full == nIndexRows, s"control scan surfaced $full")
+  }
+
+  test("streaming frontier seen-probe shuffle is BATCH-sized, not " +
+    "index-sized: 8x the crawl history moves ~zero extra bytes " +
+    "(inverted probe — the history is never exchanged)") {
+    import graft.streaming.Streams
+    def mkSeen(n: Int, dir: String): Unit =
+      spark.range(n.toLong)
+        .selectExpr("concat('http://s/', id) AS canon")
+        .write.mode("overwrite").parquet(dir)
+    val firstHere = (0 until 200)
+      .map(i => (i.toLong, s"http://s/${i * 500}"))
+      .toDF("doc_id", "canon")
+    val tally = ShuffleTally.install(spark.sparkContext)
+    try {
+      def shuffled(nSeen: Int): Long = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-frontier-scale").toString
+        mkSeen(nSeen, s"$dir/seen")
+        val s0 = tally.snapshot(spark.sparkContext)
+        Streams.frontierFresh(firstHere,
+          spark.read.parquet(s"$dir/seen")).count()
+        (tally.snapshot(spark.sparkContext) - s0).write
+      }
+      val small = shuffled(25000)
+      val large = shuffled(200000)
+      // both joins are broadcast (bloom build ships one bitset row;
+      // broadcasts are not shuffle) — bytes must be near-zero and
+      // FLAT in history size. 64 KB tolerates partial-agg rows.
+      val cap = 64 * 1024L
+      assert(small <= cap, s"probe shuffled at 25k history: $small B")
+      assert(large <= cap, s"probe shuffled at 200k history: $large B")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 }

@@ -89,8 +89,10 @@ class StreamingSpec extends AnyFunSuite {
     // doc 1's text, only its signature in the index
     assert(cands.contains((1L, 10L)), s"got $cands")
     assert(!cands.exists(p => p._1 == 2L || p._2 == 2L))
-    // index now holds all three signatures
-    assert(spark.read.parquet(s"$dir/index").count() == 3)
+    // index now holds all three docs' band buckets (8 bands each)
+    assert(spark.read.parquet(s"$dir/index")
+      .select("id").distinct().count() == 3)
+    assert(spark.read.parquet(s"$dir/index").count() == 24)
   }
 
   test("incrementalSketch: streamed slice sketches roll up to the " +
