@@ -1,0 +1,476 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** `version` ∈ {"1","2","2.5"}; `layer` ∈ 1..3; `bitrate_kbps` from
+  * the header index (free-format and the reserved index reject);
+  * `duration_ms` = audio bytes (total minus ID3v2 tag and any
+  * trailing ID3v1 block) × 8 / bitrate — exact for CBR, the honest
+  * first-frame estimate for VBR (crawl triage, not playback).
+  */
+case class Mp3Meta(media_id: Long, version: String, layer: Int,
+                   bitrate_kbps: Int, sample_rate: Int, channels: Int,
+                   id3_size: Int, duration_ms: Long,
+                   decode_ok: Boolean)
+
+/** ID3v2 text tags — the metadata a speech/music curation pipeline
+  * actually keys on (dedup by (artist, title), language/topic
+  * routing by album). `id3_version` ∈ {"2.3","2.4"}; absent frames
+  * are empty strings; a missing or malformed tag is
+  * decode_ok=false.
+  */
+case class Id3Tags(media_id: Long, id3_version: String, title: String,
+                   artist: String, album: String, decode_ok: Boolean)
+
+/** `total_samples` = 0 means "unknown" per spec and reports
+  * `duration_ms` = -1; all other fields exact from STREAMINFO.
+  */
+case class FlacMeta(media_id: Long, sample_rate: Int, channels: Int,
+                    bits_per_sample: Int, total_samples: Long,
+                    duration_ms: Long, decode_ok: Boolean)
+
+/** `codec` ∈ {"opus","vorbis","unknown"}; for Opus `sample_rate` is
+  * the ORIGINAL input rate the header records (Opus itself always
+  * decodes at 48 kHz) and `pre_skip` the startup samples to drop;
+  * Vorbis reports -1 pre-skip. A well-formed page wrapping an
+  * unrecognized first packet keeps decode_ok=false with
+  * codec="unknown" — container and codec are separate facts.
+  */
+case class OggMeta(media_id: Long, codec: String, channels: Int,
+                   sample_rate: Int, pre_skip: Int,
+                   decode_ok: Boolean)
+
+/** Compressed audio: MP3 header/ID3v2 tags, FLAC STREAMINFO, Ogg (Opus/Vorbis) identification headers.
+  *
+  * One slice of [[Multimodal]] (mixed in there; call sites use
+  * `Multimodal.*`) — split per codec for reviewability, no behavior
+  * change.
+  */
+private[multimodal] trait AudioCodec extends Serializable {
+  // MP3: the dominant crawl audio format (WAV is the interchange
+  // format; podcast/speech crawls are MPEG audio). Metadata needs NO
+  // codec decode — skip the ID3v2 tag (syncsafe size), read the FIRST
+  // frame header's version/layer/bitrate/samplerate/mode bits, and
+  // estimate CBR duration from the audio byte span. The parseJpeg
+  // contract: every bound checked before use, any truncation or
+  // reserved bit pattern is a row property, never a task failure.
+  // ------------------------------------------------------------------
+
+
+  private val BadMp3 =
+    Mp3Meta(0L, "", -1, -1, -1, -1, -1, -1L, decode_ok = false)
+
+  /** Bitrate (kbps) by [mpeg1?][layer 1..3][index 1..14] and sample
+    * rate by [version][index 0..2] — the ISO 11172-3 / 13818-3 header
+    * tables, public in every MP3 header reference.
+    */
+  private val Mp3BitrateV1 = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val Mp3BitrateV2 = Array(
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val Mp3SampleRate = Map(
+    "1" -> Array(44100, 48000, 32000),
+    "2" -> Array(22050, 24000, 16000),
+    "2.5" -> Array(11025, 12000, 8000))
+
+  /** ID3v2 tag length at the head of `bytes` (0 if none): 10-byte
+    * header + 28-bit syncsafe size + optional 10-byte footer. -1 when
+    * a declared tag overruns the buffer.
+    */
+  def id3v2Size(bytes: Array[Byte]): Int = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return 0
+    def u(i: Int): Int = bytes(i) & 0xff
+    // syncsafe: 4×7 bits, high bit of each byte must be clear
+    if ((u(6) | u(7) | u(8) | u(9)) >= 0x80) return -1
+    val body = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+    val footer = if ((u(5) & 0x10) != 0) 10 else 0
+    val total = 10 + body + footer
+    if (total > bytes.length) -1 else total
+  }
+
+  /** First-frame MPEG audio header parse, ID3-aware. The frame must
+    * start exactly where the ID3v2 tag ends (offset 0 without one) —
+    * crawl triage wants "is this a clean MP3", not a resync scan that
+    * would bless any file containing two 0xFF bytes.
+    */
+  def parseMp3(id: Long, bytes: Array[Byte]): Mp3Meta = {
+    val id3 = id3v2Size(bytes)
+    if (id3 < 0 || bytes.length < id3 + 4) return BadMp3.copy(media_id = id)
+    def u(i: Int): Int = bytes(i) & 0xff
+    val h = id3
+    if (u(h) != 0xff || (u(h + 1) & 0xe0) != 0xe0)
+      return BadMp3.copy(media_id = id)
+    val version = ((u(h + 1) >> 3) & 0x3) match {
+      case 0 => "2.5"
+      case 2 => "2"
+      case 3 => "1"
+      case _ => return BadMp3.copy(media_id = id) // reserved
+    }
+    val layer = ((u(h + 1) >> 1) & 0x3) match {
+      case 1 => 3
+      case 2 => 2
+      case 3 => 1
+      case _ => return BadMp3.copy(media_id = id) // reserved
+    }
+    val brIdx = (u(h + 2) >> 4) & 0xf
+    val srIdx = (u(h + 2) >> 2) & 0x3
+    // free-format (0) and the all-ones index (15) both reject: no
+    // table entry exists, so no duration can be stated honestly
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3)
+      return BadMp3.copy(media_id = id)
+    val table = if (version == "1") Mp3BitrateV1 else Mp3BitrateV2
+    val bitrate = table(layer - 1)(brIdx - 1)
+    val rate = Mp3SampleRate(version)(srIdx)
+    val channels = if (((u(h + 3) >> 6) & 0x3) == 3) 1 else 2
+    // trailing ID3v1 block is metadata, not audio
+    val id3v1 = if (bytes.length >= id3 + 4 + 128 &&
+      bytes(bytes.length - 128) == 'T' && bytes(bytes.length - 127) == 'A' &&
+      bytes(bytes.length - 126) == 'G') 128 else 0
+    val audioBytes = (bytes.length - id3 - id3v1).toLong
+    val durMs = audioBytes * 8L / bitrate
+    Mp3Meta(id, version, layer, bitrate, rate, channels, id3, durMs,
+      decode_ok = true)
+  }
+
+  /** Partition-wise MP3 metadata decode — the [[decodeWav]] contract. */
+  def decodeMp3(blobs: Dataset[MediaBlob]): Dataset[Mp3Meta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseMp3(b.media_id, b.content)))
+  }
+
+  /** Genuine minimal MP3 stream: optional ID3v2 tag (zero-padded body
+    * of `id3Body` bytes), `nFrames` correctly-sized frames of the
+    * requested version/layer/bitrate/samplerate (frame length by the
+    * standard formula, deterministic junk payload), optional trailing
+    * ID3v1 block. Any header-table tool reads it back.
+    */
+  def syntheticMp3(id: Long, version: String, layer: Int,
+                   bitrateKbps: Int, sampleRate: Int, mono: Boolean,
+                   nFrames: Int, id3Body: Int = 0,
+                   id3v1: Boolean = false): MediaBlob = {
+    val table = if (version == "1") Mp3BitrateV1 else Mp3BitrateV2
+    val brIdx = table(layer - 1).indexOf(bitrateKbps) + 1
+    val srIdx = Mp3SampleRate(version).indexOf(sampleRate)
+    require(brIdx >= 1 && srIdx >= 0,
+      s"syntheticMp3: no header index for ${bitrateKbps}kbps/$sampleRate" +
+        s"Hz in MPEG-$version layer $layer")
+    val verBits = version match {
+      case "1" => 3; case "2" => 2; case _ => 0
+    }
+    val layerBits = 4 - layer
+    val frameLen =
+      if (layer == 1)
+        (12 * bitrateKbps * 1000 / sampleRate) * 4
+      else {
+        val coef = if (layer == 3 && version != "1") 72 else 144
+        coef * bitrateKbps * 1000 / sampleRate
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Body > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      out.write((id3Body >> 21) & 0x7f); out.write((id3Body >> 14) & 0x7f)
+      out.write((id3Body >> 7) & 0x7f); out.write(id3Body & 0x7f)
+      out.write(new Array[Byte](id3Body))
+    }
+    val hdr = Array[Int](0xff,
+      0xe0 | (verBits << 3) | (layerBits << 1) | 1,
+      (brIdx << 4) | (srIdx << 2),
+      (if (mono) 0xc0 else 0x00))
+    for (f <- 0 until nFrames) {
+      hdr.foreach(out.write)
+      for (i <- 4 until frameLen)
+        out.write(((id * 131 + f * 17 + i) & 0xff).toInt)
+    }
+    if (id3v1) {
+      out.write('T'); out.write('A'); out.write('G')
+      out.write(new Array[Byte](125))
+    }
+    MediaBlob(id, "audio/mpeg", out.toByteArray)
+  }
+
+
+  private val BadId3 = Id3Tags(0L, "", "", "", "", decode_ok = false)
+
+  /** Parse the leading ID3v2.3/2.4 tag's TIT2/TPE1/TALB text frames.
+    * Frame sizes are plain big-endian in 2.3 and syncsafe in 2.4 (THE
+    * classic cross-version parsing bug — a 2.4 size read as plain
+    * overruns into the next frame); text decodes by the frame's
+    * encoding byte (0 ISO-8859-1, 1 UTF-16 with BOM, 2 UTF-16BE,
+    * 3 UTF-8), trailing NUL terminators stripped. Padding (a zero
+    * byte where a frame id should start) ends the walk. Any frame
+    * overrunning the tag bound rejects the whole blob — row property,
+    * never a task failure.
+    */
+  def parseId3(id: Long, bytes: Array[Byte]): Id3Tags = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return BadId3.copy(media_id = id)
+    val major = u(3)
+    if (major != 3 && major != 4) return BadId3.copy(media_id = id)
+    if ((u(6) | u(7) | u(8) | u(9)) >= 0x80)
+      return BadId3.copy(media_id = id)
+    val body = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+    val tagEnd = 10 + body
+    if (tagEnd > bytes.length) return BadId3.copy(media_id = id)
+    var title = ""; var artist = ""; var album = ""
+    var off = 10
+    var bad = false
+    var done = false
+    while (!done && !bad && off + 10 <= tagEnd) {
+      if (bytes(off) == 0) done = true
+      else {
+        val fid = new String(bytes, off, 4, "US-ASCII")
+        val size =
+          if (major == 4) {
+            if ((u(off + 4) | u(off + 5) | u(off + 6) | u(off + 7))
+              >= 0x80) { bad = true; 0 }
+            else (u(off + 4) << 21) | (u(off + 5) << 14) |
+              (u(off + 6) << 7) | u(off + 7)
+          } else (u(off + 4) << 24) | (u(off + 5) << 16) |
+            (u(off + 6) << 8) | u(off + 7)
+        if (!bad && (size < 1 || off + 10 + size > tagEnd)) bad = true
+        if (!bad && Set("TIT2", "TPE1", "TALB").contains(fid)) {
+          val cs = u(off + 10) match {
+            case 0 => "ISO-8859-1"
+            case 1 => "UTF-16"   // BOM-led, per spec
+            case 2 => "UTF-16BE"
+            case 3 => "UTF-8"
+            case _ => ""
+          }
+          if (cs.isEmpty) bad = true
+          else {
+            val txt = new String(bytes, off + 11, size - 1, cs)
+              .replaceAll("\u0000+$", "")
+            fid match {
+              case "TIT2" => title = txt
+              case "TPE1" => artist = txt
+              case _      => album = txt
+            }
+          }
+        }
+        off += 10 + size
+      }
+    }
+    if (bad) BadId3.copy(media_id = id)
+    else Id3Tags(id, if (major == 4) "2.4" else "2.3", title, artist,
+      album, decode_ok = true)
+  }
+
+  /** Partition-wise ID3 tag decode — the [[decodeWav]] contract. */
+  def decodeId3(blobs: Dataset[MediaBlob]): Dataset[Id3Tags] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseId3(b.media_id, b.content)))
+  }
+
+  /** Genuine tagged MP3: an ID3v2.3 or 2.4 tag carrying TIT2/TPE1/
+    * TALB in the requested encoding (correct per-version frame-size
+    * form, NUL terminators, 16 bytes of padding) prepended to a valid
+    * [[syntheticMp3]] frame stream — both parsers read their half
+    * back ([[parseMp3]] skips the tag by its syncsafe size).
+    */
+  def syntheticTaggedMp3(id: Long, title: String, artist: String,
+                         album: String, v4: Boolean,
+                         enc: Int): MediaBlob = {
+    require(Set(0, 1, 3).contains(enc),
+      "syntheticTaggedMp3: generator emits encodings 0/1/3")
+    val cs = enc match {
+      case 0 => "ISO-8859-1"
+      case 1 => "UTF-16"   // Java writes a BOM + UTF-16BE payload
+      case _ => "UTF-8"
+    }
+    val term = if (enc == 1) Array[Byte](0, 0) else Array[Byte](0)
+    def frame(fid: String, text: String): Array[Byte] = {
+      val payload = Array(enc.toByte) ++ text.getBytes(cs) ++ term
+      val n = payload.length
+      val sz =
+        if (v4) Array(((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+          ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte)
+        else Array((n >>> 24).toByte, ((n >> 16) & 0xff).toByte,
+          ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+      fid.getBytes("US-ASCII") ++ sz ++ Array[Byte](0, 0) ++ payload
+    }
+    val bodyArr = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album) ++ new Array[Byte](16)
+    val n = bodyArr.length
+    val header = Array[Byte]('I', 'D', '3',
+      (if (v4) 4 else 3).toByte, 0, 0,
+      ((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+      ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte)
+    val audio = syntheticMp3(id, "1", 3, 128, 44100, mono = true,
+      nFrames = 2).content
+    MediaBlob(id, "audio/mpeg", header ++ bodyArr ++ audio)
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC: the lossless audio leg. STREAMINFO (the mandatory first
+  // metadata block) carries everything triage needs in 34 fixed-layout
+  // bytes — sample rate, channels, bit depth, total samples.
+  // ------------------------------------------------------------------
+
+
+  private val BadFlac =
+    FlacMeta(0L, -1, -1, -1, -1L, -1L, decode_ok = false)
+
+  /** fLaC magic + STREAMINFO parse. The spec REQUIRES STREAMINFO to be
+    * the first metadata block — a stream leading with anything else is
+    * malformed and rejects, as does a declared block overrunning the
+    * buffer or a zero sample rate.
+    */
+  def parseFlac(id: Long, bytes: Array[Byte]): FlacMeta = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length < 4 + 4 + 34 || bytes(0) != 'f' || bytes(1) != 'L' ||
+      bytes(2) != 'a' || bytes(3) != 'C') return BadFlac.copy(media_id = id)
+    val blockType = u(4) & 0x7f
+    val blockLen = (u(5) << 16) | (u(6) << 8) | u(7)
+    if (blockType != 0 || blockLen < 34 ||
+      8L + blockLen > bytes.length) return BadFlac.copy(media_id = id)
+    val s = 8 + 10 // skip min/max blocksize (4) + min/max framesize (6)
+    // 64 bits: 20 samplerate | 3 channels-1 | 5 bps-1 | 36 totalSamples
+    var acc = 0L
+    for (i <- 0 until 8) acc = (acc << 8) | u(s + i)
+    val rate = (acc >>> 44).toInt
+    val channels = ((acc >>> 41) & 0x7).toInt + 1
+    val bps = ((acc >>> 36) & 0x1f).toInt + 1
+    val total = acc & 0xfffffffffL
+    if (rate <= 0) return BadFlac.copy(media_id = id)
+    val durMs = if (total == 0L) -1L else total * 1000L / rate
+    FlacMeta(id, rate, channels, bps, total, durMs, decode_ok = true)
+  }
+
+  /** Partition-wise FLAC metadata decode — the [[decodeWav]] contract. */
+  def decodeFlac(blobs: Dataset[MediaBlob]): Dataset[FlacMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseFlac(b.media_id, b.content)))
+  }
+
+  /** Genuine minimal FLAC header: magic + last-block STREAMINFO with
+    * the given parameters (zero min/max frame sizes, deterministic
+    * MD5-field junk) + a few payload bytes. Any STREAMINFO reader
+    * parses it back.
+    */
+  def syntheticFlac(id: Long, sampleRate: Int, channels: Int,
+                    bitsPerSample: Int, totalSamples: Long): MediaBlob = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(bitsPerSample >= 4 && bitsPerSample <= 32)
+    require(totalSamples >= 0L && totalSamples < (1L << 36))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80) // last-metadata-block flag + type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(34)
+    val blockSize = 4096
+    out.write(blockSize >> 8); out.write(blockSize & 0xff)
+    out.write(blockSize >> 8); out.write(blockSize & 0xff)
+    for (_ <- 0 until 6) out.write(0) // min/max frame size unknown
+    var acc = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | totalSamples
+    for (i <- 7 to 0 by -1) out.write(((acc >>> (8 * i)) & 0xff).toInt)
+    for (i <- 0 until 16) out.write(((id * 37 + i) & 0xff).toInt)
+    for (i <- 0 until 8) out.write(((id * 53 + i) & 0xff).toInt)
+    MediaBlob(id, "audio/flac", out.toByteArray)
+  }
+
+  // ------------------------------------------------------------------
+  // OGG: the streaming-audio container (Opus is the web-voice codec;
+  // Vorbis the legacy one). The first page's payload is the codec's
+  // identification header — channels/rate without any codec decode.
+  // ------------------------------------------------------------------
+
+
+  private val BadOgg = OggMeta(0L, "", -1, -1, -1, decode_ok = false)
+
+  /** First-page Ogg parse: capture pattern, stream-structure version
+    * 0, segment table bounds, then the payload against the OpusHead
+    * (LE fields) and 0x01+"vorbis" (LE fields) identification
+    * layouts. Truncation anywhere is a row property.
+    */
+  def parseOgg(id: Long, bytes: Array[Byte]): OggMeta = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    if (bytes.length < 28 || bytes(0) != 'O' || bytes(1) != 'g' ||
+      bytes(2) != 'g' || bytes(3) != 'S' || u(4) != 0)
+      return BadOgg.copy(media_id = id)
+    val nsegs = u(26)
+    if (bytes.length < 27 + nsegs) return BadOgg.copy(media_id = id)
+    var payloadLen = 0
+    var i = 0
+    while (i < nsegs) { payloadLen += u(27 + i); i += 1 }
+    val p = 27 + nsegs
+    if (bytes.length < p + payloadLen) return BadOgg.copy(media_id = id)
+    def ascii(off: Int, n: Int): String =
+      new String(bytes, off, n, "US-ASCII")
+    if (payloadLen >= 19 && ascii(p, 8) == "OpusHead") {
+      val channels = u(p + 9)
+      val preSkip = le16(p + 10)
+      val rate = le32(p + 12)
+      if (channels < 1 || rate <= 0 || rate > Int.MaxValue)
+        BadOgg.copy(media_id = id)
+      else OggMeta(id, "opus", channels, rate.toInt, preSkip,
+        decode_ok = true)
+    } else if (payloadLen >= 16 && u(p) == 1 &&
+      ascii(p + 1, 6) == "vorbis") {
+      val channels = u(p + 11)
+      val rate = le32(p + 12)
+      if (channels < 1 || rate <= 0 || rate > Int.MaxValue)
+        BadOgg.copy(media_id = id)
+      else OggMeta(id, "vorbis", channels, rate.toInt, -1,
+        decode_ok = true)
+    } else OggMeta(id, "unknown", -1, -1, -1, decode_ok = false)
+  }
+
+  /** Partition-wise Ogg metadata decode — the [[decodeWav]] contract. */
+  def decodeOgg(blobs: Dataset[MediaBlob]): Dataset[OggMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseOgg(b.media_id, b.content)))
+  }
+
+  /** Genuine single-page Ogg stream wrapping an Opus or Vorbis
+    * identification header (codec = "opus" | "vorbis" | anything else
+    * for an unknown-first-packet page). CRC left zero — readers of
+    * identification metadata do not verify page checksums.
+    */
+  def syntheticOgg(id: Long, codec: String, channels: Int, rate: Int,
+                   preSkip: Int = 312): MediaBlob = {
+    val payload: Array[Byte] = codec match {
+      case "opus" =>
+        "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1.toByte,
+          channels.toByte, (preSkip & 0xff).toByte,
+          ((preSkip >> 8) & 0xff).toByte,
+          (rate & 0xff).toByte, ((rate >> 8) & 0xff).toByte,
+          ((rate >> 16) & 0xff).toByte, ((rate >> 24) & 0xff).toByte,
+          0, 0, 0)
+      case "vorbis" =>
+        Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+          Array[Byte](0, 0, 0, 0, channels.toByte,
+            (rate & 0xff).toByte, ((rate >> 8) & 0xff).toByte,
+            ((rate >> 16) & 0xff).toByte, ((rate >> 24) & 0xff).toByte,
+            0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+      case _ => ("JUNK" + codec).getBytes("US-ASCII")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('g'); out.write('g'); out.write('S')
+    out.write(0); out.write(0x02) // version, BOS
+    for (_ <- 0 until 8) out.write(0)   // granule
+    for (i <- 0 until 4) out.write(((id >> (8 * i)) & 0xff).toInt)
+    for (_ <- 0 until 4) out.write(0)   // page seq
+    for (_ <- 0 until 4) out.write(0)   // crc (unverified)
+    // segment lacing: 255-byte segments + remainder
+    val full = payload.length / 255
+    out.write(full + 1)
+    for (_ <- 0 until full) out.write(255)
+    out.write(payload.length % 255)
+    out.write(payload)
+    MediaBlob(id, "audio/ogg", out.toByteArray)
+  }
+
+}

@@ -1,0 +1,176 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Unified dispatch row: `format` is the sniffed container; fields
+  * a codec doesn't carry hold -1 (channels doubles as JPEG's
+  * component count — both answer "how many interleaved planes").
+  */
+case class DispatchedMeta(media_id: Long, format: String,
+                          decode_ok: Boolean, width: Int, height: Int,
+                          sample_rate: Int, channels: Int, frames: Int,
+                          duration_ms: Long)
+
+/** Heterogeneous dispatch: magic-byte sniff routing each blob to its codec parser/transcoder in one partition-wise pass.
+  *
+  * One slice of [[Multimodal]] (mixed in there; call sites use
+  * `Multimodal.*`) — split per codec for reviewability, no behavior
+  * change.
+  */
+private[multimodal] trait DispatchCodec extends Serializable
+    with WavCodec with PngCodec with Y4mCodec with JpegCodec
+    with WebImageCodec with CompressionCodec with Mp4Codec
+    with AudioCodec {
+  // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
+  // JPEG next to Y4M. Each decode operator above assumes a homogeneous
+  // column; dispatchDecode is the missing composition: sniff the magic
+  // bytes, route each blob to its codec's parser, surface one unified
+  // row. One partition-wise pass, blobs never shuffle, unknown or
+  // corrupted magic stays a row property (format='unknown',
+  // decode_ok=false) — never a task failure.
+  // ------------------------------------------------------------------
+
+
+  /** Container sniff by magic bytes alone (never by extension or a
+    * type column — crawl metadata lies): RIFF/WAVE and RIFF/WEBP
+    * (disambiguated by the form type at offset 8), the 8-byte PNG
+    * signature, JPEG SOI, GIF87a/GIF89a, the YUV4MPEG2 tag. Anything
+    * else — including a single flipped byte in a real header — is
+    * "unknown".
+    */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def ascii(off: Int, n: Int): String =
+      if (bytes.length >= off + n) new String(bytes, off, n, "US-ASCII")
+      else ""
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 12 && ascii(0, 4) == "RIFF" &&
+      ascii(8, 4) == "WAVE") "wav"
+    else if (bytes.length >= 12 && ascii(0, 4) == "RIFF" &&
+      ascii(8, 4) == "WEBP") "webp"
+    else if (bytes.length >= 8 && u(0) == 0x89 && ascii(1, 3) == "PNG" &&
+      u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a) "png"
+    else if (bytes.length >= 2 && u(0) == 0xff && u(1) == 0xd8) "jpeg"
+    else if (bytes.length >= 6 &&
+      (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a")) "gif"
+    else if (bytes.length >= 9 && ascii(0, 9) == "YUV4MPEG2") "y4m"
+    // ISO-BMFF: the ftyp box type at offset 4 (its 4-byte size varies)
+    else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
+    else if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
+    else if (bytes.length >= 4 && ascii(0, 4) == "fLaC") "flac"
+    else if (bytes.length >= 5 && ascii(0, 4) == "OggS" && u(4) == 0)
+      "ogg"
+    // MPEG audio: an ID3v2 tag, or a bare frame sync with non-reserved
+    // version/layer bits (checked LAST — the sync pattern is the
+    // weakest magic in the chain; every stronger signature wins first)
+    else if (bytes.length >= 3 && ascii(0, 3) == "ID3") "mp3"
+    else if (bytes.length >= 4 && u(0) == 0xff && (u(1) & 0xe0) == 0xe0 &&
+      ((u(1) >> 3) & 0x3) != 1 && ((u(1) >> 1) & 0x3) != 0) "mp3"
+    else "unknown"
+  }
+
+  /** Route one blob through its sniffed codec's parser. A recognized
+    * container with a broken body (truncated WAV data chunk, JPEG with
+    * no EOI) keeps its `format` and reports decode_ok=false — the
+    * sniff and the parse are separate facts and both are useful
+    * signals when triaging a crawl.
+    */
+  def dispatchOne(id: Long, bytes: Array[Byte]): DispatchedMeta =
+    sniffFormat(bytes) match {
+      case "wav" =>
+        val w = parseWav(id, bytes)
+        DispatchedMeta(id, "wav", w.decode_ok, -1, -1, w.sample_rate,
+          w.channels, -1, w.duration_ms)
+      case "png" =>
+        val p = parsePng(id, bytes)
+        DispatchedMeta(id, "png", p.decode_ok, p.width, p.height, -1,
+          -1, -1, -1L)
+      case "jpeg" =>
+        val j = parseJpeg(id, bytes)
+        DispatchedMeta(id, "jpeg", j.decode_ok, j.width, j.height, -1,
+          j.components, -1, -1L)
+      case "y4m" =>
+        val y = parseY4m(id, bytes)
+        DispatchedMeta(id, "y4m", y.decode_ok, y.width, y.height, -1,
+          -1, y.frames, y.duration_ms)
+      case "webp" =>
+        val wp = parseWebp(id, bytes)
+        DispatchedMeta(id, "webp", wp.decode_ok, wp.width, wp.height,
+          -1, -1, -1, -1L)
+      case "gif" =>
+        val g = parseGif(id, bytes)
+        DispatchedMeta(id, "gif", g.decode_ok, g.width, g.height, -1,
+          -1, -1, -1L)
+      case "mp4" =>
+        val v = parseMp4(id, bytes)
+        // channels doubles as track count here — both answer "how
+        // many interleaved streams" (the DispatchedMeta contract)
+        DispatchedMeta(id, "mp4", v.decode_ok, v.width, v.height, -1,
+          if (v.decode_ok) v.n_tracks else -1, -1, v.duration_ms)
+      case "gzip" =>
+        // container-only leg: decode_ok = the member inflates clean
+        DispatchedMeta(id, "gzip", gunzip(bytes).isDefined, -1, -1,
+          -1, -1, -1, -1L)
+      case "mp3" =>
+        val a = parseMp3(id, bytes)
+        DispatchedMeta(id, "mp3", a.decode_ok, -1, -1, a.sample_rate,
+          a.channels, -1, a.duration_ms)
+      case "flac" =>
+        val fl = parseFlac(id, bytes)
+        DispatchedMeta(id, "flac", fl.decode_ok, -1, -1, fl.sample_rate,
+          fl.channels, -1, fl.duration_ms)
+      case "ogg" =>
+        val og = parseOgg(id, bytes)
+        DispatchedMeta(id, "ogg", og.decode_ok, -1, -1, og.sample_rate,
+          og.channels, -1, -1L)
+      case _ =>
+        DispatchedMeta(id, "unknown", decode_ok = false, -1, -1, -1,
+          -1, -1, -1L)
+    }
+
+  /** Partition-wise heterogeneous decode — the same plan shape as the
+    * homogeneous operators ([[decodeWav]]/[[decodePng]]/...): one
+    * sniffer+parser pass per partition, blobs never shuffle.
+    */
+  def dispatchDecode(blobs: Dataset[MediaBlob]): Dataset[DispatchedMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => dispatchOne(b.media_id, b.content)))
+  }
+
+  /** Heterogeneous blob TRANSCODE — [[dispatchDecode]]'s composition
+    * with the per-modality transforms: sniff each blob's container and
+    * apply the right downscale in the SAME partition-wise pass —
+    * images ([[resizePng]]/[[resizeJpeg]]) to `maxEdge`, audio
+    * ([[transcodeWav]]) to `targetRate`(+`mono`), video
+    * ([[transcodeY4m]]) to every-`every`-th frame at `maxEdge`. This
+    * is the one-operator form of a multimodal curation stage over a
+    * 100 TB crawl column: blobs never shuffle, each emits exactly one
+    * output blob, and unknown containers or undecodable bodies come
+    * back with EMPTY content so a downstream [[dispatchDecode]]
+    * reports them as `decode_ok=false` row properties — never a task
+    * failure. Each codec's own never-upsample / never-approximate
+    * pass-through rules apply unchanged.
+    */
+  def dispatchTranscode(blobs: Dataset[MediaBlob], maxEdge: Int,
+                        targetRate: Int, mono: Boolean,
+                        every: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val out = sniffFormat(b.content) match {
+        case "wav"  => transcodeWav(b.content, targetRate, mono)
+        case "png"  => resizePng(b.content, maxEdge).map(_._3)
+        case "jpeg" => resizeJpeg(b.content, maxEdge).map(_._3)
+        case "y4m"  => transcodeY4m(b.content, every, maxEdge)
+        // metadata-only legs: no byte-level transform exists, so a
+        // valid stream passes through (dropping it would silently
+        // empty every WebP/GIF/MP4/MP3/FLAC in a mixed crawl column)
+        case "webp" | "gif" | "mp4" | "mp3" | "flac" | "ogg" =>
+          Some(b.content)
+        case _      => None
+      }
+      MediaBlob(b.media_id, b.media_type,
+        out.getOrElse(Array.emptyByteArray))
+    })
+  }
+}
