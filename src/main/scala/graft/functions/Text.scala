@@ -290,6 +290,16 @@ object Text {
     regexp_extract_all(xml,
       lit("(?is)<loc>\\s*(.+?)\\s*</loc>"), lit(1))
 
+  /** Root element kind of a sitemap document: 'urlset' (leaf — its
+    * `<loc>`s are page URLs), 'sitemapindex' (its `<loc>`s are CHILD
+    * sitemap URLs needing another fetch+parse), else 'unknown'. The
+    * sitemaps protocol nests exactly this one level.
+    */
+  def sitemapKind(xml: Column): Column =
+    when(xml.rlike("(?is)<\\s*sitemapindex[\\s>]"), lit("sitemapindex"))
+      .when(xml.rlike("(?is)<\\s*urlset[\\s>]"), lit("urlset"))
+      .otherwise(lit("unknown"))
+
   /** [[registrableDomain]] straight from a URL: extract the lowercase
     * host (authority minus port/userinfo) then reduce to eTLD+1.
     */

@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 /** `version` ∈ {"1","2","2.5"}; `layer` ∈ 1..3; `bitrate_kbps` from
-  * the header index (free-format and the reserved index reject);
-  * `duration_ms` = audio bytes (total minus ID3v2 tag and any
-  * trailing ID3v1 block) × 8 / bitrate — exact for CBR, the honest
-  * first-frame estimate for VBR (crawl triage, not playback).
+  * the header index (free-format and the reserved index reject).
+  * `vbr_frames` is the frame count a Xing/Info/VBRI header declares
+  * (-1 when absent) — most web MP3 is VBR, where the first frame's
+  * bitrate says nothing about length, so when the tag is present
+  * `duration_ms` = frames × samples-per-frame × 1000 / rate (exact
+  * integers); without one it falls back to audio bytes (total minus
+  * ID3v2 tag and any trailing ID3v1 block) × 8 / bitrate — exact for
+  * CBR, the honest first-frame estimate otherwise.
   */
 case class Mp3Meta(media_id: Long, version: String, layer: Int,
                    bitrate_kbps: Int, sample_rate: Int, channels: Int,
-                   id3_size: Int, duration_ms: Long,
+                   id3_size: Int, vbr_frames: Int, duration_ms: Long,
                    decode_ok: Boolean)
 
 /** ID3v2 text tags — the metadata a speech/music curation pipeline
@@ -37,9 +41,14 @@ case class FlacMeta(media_id: Long, sample_rate: Int, channels: Int,
   * Vorbis reports -1 pre-skip. A well-formed page wrapping an
   * unrecognized first packet keeps decode_ok=false with
   * codec="unknown" — container and codec are separate facts.
+  * `duration_ms` comes from the LAST complete page's granule
+  * position — Opus granules tick at 48 kHz regardless of input rate
+  * (minus pre-skip per RFC 7845 §4.1), Vorbis at the id header's
+  * rate; -1 when the stream has no data page past the id header or
+  * the final granule is the -1 "no packet ends here" sentinel.
   */
 case class OggMeta(media_id: Long, codec: String, channels: Int,
-                   sample_rate: Int, pre_skip: Int,
+                   sample_rate: Int, pre_skip: Int, duration_ms: Long,
                    decode_ok: Boolean)
 
 /** Compressed audio: MP3 header/ID3v2 tags, FLAC STREAMINFO, Ogg (Opus/Vorbis) identification headers.
@@ -60,7 +69,7 @@ private[multimodal] trait AudioCodec extends Serializable {
 
 
   private val BadMp3 =
-    Mp3Meta(0L, "", -1, -1, -1, -1, -1, -1L, decode_ok = false)
+    Mp3Meta(0L, "", -1, -1, -1, -1, -1, -1, -1L, decode_ok = false)
 
   /** Bitrate (kbps) by [mpeg1?][layer 1..3][index 1..14] and sample
     * rate by [version][index 0..2] — the ISO 11172-3 / 13818-3 header
@@ -133,10 +142,46 @@ private[multimodal] trait AudioCodec extends Serializable {
     val id3v1 = if (bytes.length >= id3 + 4 + 128 &&
       bytes(bytes.length - 128) == 'T' && bytes(bytes.length - 127) == 'A' &&
       bytes(bytes.length - 126) == 'G') 128 else 0
-    val audioBytes = (bytes.length - id3 - id3v1).toLong
-    val durMs = audioBytes * 8L / bitrate
-    Mp3Meta(id, version, layer, bitrate, rate, channels, id3, durMs,
-      decode_ok = true)
+    // VBR headers live in the FIRST frame's payload: Xing/Info right
+    // after the layer-III side info (whose size depends on version ×
+    // channel mode), VBRI at a fixed 32 bytes past the header (the
+    // Fraunhofer layout). Either carries the TOTAL frame count, which
+    // turns the duration exact where the CBR byte estimate is
+    // systematically wrong on variable-bitrate streams.
+    def be32(i: Int): Long =
+      ((u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) |
+        u(i + 3)) & 0xffffffffL
+    def tagAt(i: Int, t: String): Boolean =
+      bytes.length >= i + 4 &&
+        new String(bytes, i, 4, "US-ASCII") == t
+    val sideInfo =
+      if (layer != 3) -1 // Xing/VBRI are layer-III structures
+      else if (version == "1") { if (channels == 1) 17 else 32 }
+      else { if (channels == 1) 9 else 17 }
+    val xingOff = h + 4 + sideInfo
+    val vbrFrames: Int =
+      if (sideInfo >= 0 &&
+        (tagAt(xingOff, "Xing") || tagAt(xingOff, "Info")) &&
+        bytes.length >= xingOff + 12 && (be32(xingOff + 4) & 1L) == 1L)
+        be32(xingOff + 8).toInt
+      else if (sideInfo >= 0 && tagAt(h + 36, "VBRI") &&
+        bytes.length >= h + 36 + 18)
+        be32(h + 36 + 14).toInt
+      else -1
+    val samplesPerFrame =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (version == "1") 1152
+      else 576
+    val durMs =
+      if (vbrFrames >= 0)
+        vbrFrames.toLong * samplesPerFrame * 1000L / rate
+      else {
+        val audioBytes = (bytes.length - id3 - id3v1).toLong
+        audioBytes * 8L / bitrate
+      }
+    Mp3Meta(id, version, layer, bitrate, rate, channels, id3, vbrFrames,
+      durMs, decode_ok = true)
   }
 
   /** Partition-wise MP3 metadata decode — the [[decodeWav]] contract. */
@@ -154,7 +199,12 @@ private[multimodal] trait AudioCodec extends Serializable {
   def syntheticMp3(id: Long, version: String, layer: Int,
                    bitrateKbps: Int, sampleRate: Int, mono: Boolean,
                    nFrames: Int, id3Body: Int = 0,
-                   id3v1: Boolean = false): MediaBlob = {
+                   id3v1: Boolean = false,
+                   vbrTag: String = ""): MediaBlob = {
+    require(vbrTag.isEmpty || layer == 3,
+      "Xing/Info/VBRI are layer-III structures")
+    require(Set("", "Xing", "Info", "VBRI")(vbrTag),
+      s"unknown VBR tag $vbrTag")
     val table = if (version == "1") Mp3BitrateV1 else Mp3BitrateV2
     val brIdx = table(layer - 1).indexOf(bitrateKbps) + 1
     val srIdx = Mp3SampleRate(version).indexOf(sampleRate)
@@ -186,8 +236,32 @@ private[multimodal] trait AudioCodec extends Serializable {
       (if (mono) 0xc0 else 0x00))
     for (f <- 0 until nFrames) {
       hdr.foreach(out.write)
+      val payload = new Array[Byte](frameLen - 4)
       for (i <- 4 until frameLen)
-        out.write(((id * 131 + f * 17 + i) & 0xff).toInt)
+        payload(i - 4) = ((id * 131 + f * 17 + i) & 0xff).toByte
+      if (f == 0 && vbrTag.nonEmpty) {
+        // the tag sits where parseMp3 looks: Xing/Info after the
+        // side info (zeroed here, as real encoders leave it in the
+        // tag frame), VBRI at the fixed 32-byte Fraunhofer offset
+        val sideInfo =
+          if (version == "1") { if (mono) 17 else 32 }
+          else { if (mono) 9 else 17 }
+        val at = if (vbrTag == "VBRI") 32 else sideInfo
+        def be32(v: Long, off: Int): Unit = {
+          payload(off) = ((v >> 24) & 0xff).toByte
+          payload(off + 1) = ((v >> 16) & 0xff).toByte
+          payload(off + 2) = ((v >> 8) & 0xff).toByte
+          payload(off + 3) = (v & 0xff).toByte
+        }
+        val need = at + (if (vbrTag == "VBRI") 18 else 12)
+        require(need <= payload.length,
+          s"frame too small ($frameLen B) for a $vbrTag header")
+        java.util.Arrays.fill(payload, 0, at, 0.toByte)
+        vbrTag.getBytes("US-ASCII").copyToArray(payload, at)
+        if (vbrTag == "VBRI") be32(nFrames.toLong, at + 14)
+        else { be32(1L, at + 4); be32(nFrames.toLong, at + 8) }
+      }
+      out.write(payload)
     }
     if (id3v1) {
       out.write('T'); out.write('A'); out.write('G')
@@ -386,17 +460,25 @@ private[multimodal] trait AudioCodec extends Serializable {
   // ------------------------------------------------------------------
 
 
-  private val BadOgg = OggMeta(0L, "", -1, -1, -1, decode_ok = false)
+  private val BadOgg =
+    OggMeta(0L, "", -1, -1, -1, -1L, decode_ok = false)
 
-  /** First-page Ogg parse: capture pattern, stream-structure version
-    * 0, segment table bounds, then the payload against the OpusHead
+  /** Ogg parse: capture pattern, stream-structure version 0, segment
+    * table bounds, then the first page's payload against the OpusHead
     * (LE fields) and 0x01+"vorbis" (LE fields) identification
-    * layouts. Truncation anywhere is a row property.
+    * layouts. Duration comes from walking the page headers to the
+    * LAST complete page's granule position (RFC 3533 §6) — the
+    * standard trick for length without decoding a single packet:
+    * Opus granules tick at 48 kHz minus the pre-skip (RFC 7845),
+    * Vorbis at the id header's rate. A truncated trailing page is
+    * skipped (its granule never counted); truncation of the FIRST
+    * page is a row property.
     */
   def parseOgg(id: Long, bytes: Array[Byte]): OggMeta = {
     def u(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
     def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
     if (bytes.length < 28 || bytes(0) != 'O' || bytes(1) != 'g' ||
       bytes(2) != 'g' || bytes(3) != 'S' || u(4) != 0)
       return BadOgg.copy(media_id = id)
@@ -407,8 +489,36 @@ private[multimodal] trait AudioCodec extends Serializable {
     while (i < nsegs) { payloadLen += u(27 + i); i += 1 }
     val p = 27 + nsegs
     if (bytes.length < p + payloadLen) return BadOgg.copy(media_id = id)
-    def ascii(off: Int, n: Int): String =
-      new String(bytes, off, n, "US-ASCII")
+    // page walk: last COMPLETE page's granule; bounded by byte length
+    var off = 0
+    var lastGranule = -1L
+    var nPages = 0
+    var walking = true
+    while (walking && off + 27 <= bytes.length &&
+      bytes(off) == 'O' && bytes(off + 1) == 'g' &&
+      bytes(off + 2) == 'g' && bytes(off + 3) == 'S' &&
+      u(off + 4) == 0) {
+      val ns = u(off + 26)
+      if (off + 27 + ns > bytes.length) walking = false
+      else {
+        var pl = 0
+        var k = 0
+        while (k < ns) { pl += u(off + 27 + k); k += 1 }
+        if (off + 27 + ns + pl > bytes.length) walking = false
+        else {
+          lastGranule = le64(off + 6)
+          nPages += 1
+          off += 27 + ns + pl
+        }
+      }
+    }
+    def ascii(o: Int, n: Int): String =
+      new String(bytes, o, n, "US-ASCII")
+    // duration is only claimable with a data page past the id header
+    // and a non-sentinel granule (-1 = "no packet ends on this page")
+    def durMs(samplesPerMs: Long => Long): Long =
+      if (nPages <= 1 || lastGranule < 0) -1L
+      else samplesPerMs(lastGranule)
     if (payloadLen >= 19 && ascii(p, 8) == "OpusHead") {
       val channels = u(p + 9)
       val preSkip = le16(p + 10)
@@ -416,6 +526,7 @@ private[multimodal] trait AudioCodec extends Serializable {
       if (channels < 1 || rate <= 0 || rate > Int.MaxValue)
         BadOgg.copy(media_id = id)
       else OggMeta(id, "opus", channels, rate.toInt, preSkip,
+        durMs(g => math.max(0L, g - preSkip) * 1000L / 48000L),
         decode_ok = true)
     } else if (payloadLen >= 16 && u(p) == 1 &&
       ascii(p + 1, 6) == "vorbis") {
@@ -424,8 +535,9 @@ private[multimodal] trait AudioCodec extends Serializable {
       if (channels < 1 || rate <= 0 || rate > Int.MaxValue)
         BadOgg.copy(media_id = id)
       else OggMeta(id, "vorbis", channels, rate.toInt, -1,
+        durMs(g => g * 1000L / rate),
         decode_ok = true)
-    } else OggMeta(id, "unknown", -1, -1, -1, decode_ok = false)
+    } else OggMeta(id, "unknown", -1, -1, -1, -1L, decode_ok = false)
   }
 
   /** Partition-wise Ogg metadata decode — the [[decodeWav]] contract. */
@@ -434,13 +546,18 @@ private[multimodal] trait AudioCodec extends Serializable {
     blobs.mapPartitions(_.map(b => parseOgg(b.media_id, b.content)))
   }
 
-  /** Genuine single-page Ogg stream wrapping an Opus or Vorbis
-    * identification header (codec = "opus" | "vorbis" | anything else
-    * for an unknown-first-packet page). CRC left zero — readers of
-    * identification metadata do not verify page checksums.
+  /** Genuine Ogg stream wrapping an Opus or Vorbis identification
+    * header (codec = "opus" | "vorbis" | anything else for an
+    * unknown-first-packet page), optionally followed by `dataPages`
+    * audio pages of deterministic junk packets whose granule
+    * positions rise monotonically to `lastGranule` on the final
+    * (EOS-flagged) page — the field [[parseOgg]]'s duration reads.
+    * CRC left zero — readers of identification metadata do not
+    * verify page checksums.
     */
   def syntheticOgg(id: Long, codec: String, channels: Int, rate: Int,
-                   preSkip: Int = 312): MediaBlob = {
+                   preSkip: Int = 312, dataPages: Int = 0,
+                   lastGranule: Long = 0L): MediaBlob = {
     val payload: Array[Byte] = codec match {
       case "opus" =>
         "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1.toByte,
@@ -458,18 +575,30 @@ private[multimodal] trait AudioCodec extends Serializable {
       case _ => ("JUNK" + codec).getBytes("US-ASCII")
     }
     val out = new java.io.ByteArrayOutputStream()
-    out.write('O'); out.write('g'); out.write('g'); out.write('S')
-    out.write(0); out.write(0x02) // version, BOS
-    for (_ <- 0 until 8) out.write(0)   // granule
-    for (i <- 0 until 4) out.write(((id >> (8 * i)) & 0xff).toInt)
-    for (_ <- 0 until 4) out.write(0)   // page seq
-    for (_ <- 0 until 4) out.write(0)   // crc (unverified)
-    // segment lacing: 255-byte segments + remainder
-    val full = payload.length / 255
-    out.write(full + 1)
-    for (_ <- 0 until full) out.write(255)
-    out.write(payload.length % 255)
-    out.write(payload)
+    def page(flags: Int, granule: Long, seq: Int,
+             body: Array[Byte]): Unit = {
+      out.write('O'); out.write('g'); out.write('g'); out.write('S')
+      out.write(0); out.write(flags) // version, header-type flags
+      for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
+      for (i <- 0 until 4) out.write(((id >> (8 * i)) & 0xff).toInt)
+      for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
+      for (_ <- 0 until 4) out.write(0) // crc (unverified)
+      // segment lacing: 255-byte segments + remainder
+      val full = body.length / 255
+      out.write(full + 1)
+      for (_ <- 0 until full) out.write(255)
+      out.write(body.length % 255)
+      out.write(body)
+    }
+    page(0x02, 0L, 0, payload) // BOS identification page
+    for (k <- 0 until dataPages) {
+      val body = Array.tabulate(20 + (k % 7))(i =>
+        ((id * 131 + k * 17 + i) & 0xff).toByte)
+      val granule =
+        if (k == dataPages - 1) lastGranule
+        else lastGranule * (k + 1) / dataPages
+      page(if (k == dataPages - 1) 0x04 else 0x00, granule, k + 1, body)
+    }
     MediaBlob(id, "audio/ogg", out.toByteArray)
   }
 

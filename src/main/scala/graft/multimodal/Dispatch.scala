@@ -97,11 +97,11 @@ private[multimodal] trait DispatchCodec extends Serializable
       case "webp" =>
         val wp = parseWebp(id, bytes)
         DispatchedMeta(id, "webp", wp.decode_ok, wp.width, wp.height,
-          -1, -1, -1, -1L)
+          -1, -1, wp.frame_count, wp.anim_duration_ms)
       case "gif" =>
         val g = parseGif(id, bytes)
         DispatchedMeta(id, "gif", g.decode_ok, g.width, g.height, -1,
-          -1, -1, -1L)
+          -1, g.frame_count, g.duration_cs * 10L)
       case "mp4" =>
         val v = parseMp4(id, bytes)
         // channels doubles as track count here — both answer "how
@@ -123,7 +123,7 @@ private[multimodal] trait DispatchCodec extends Serializable
       case "ogg" =>
         val og = parseOgg(id, bytes)
         DispatchedMeta(id, "ogg", og.decode_ok, -1, -1, og.sample_rate,
-          og.channels, -1, -1L)
+          og.channels, -1, og.duration_ms)
       case _ =>
         DispatchedMeta(id, "unknown", decode_ok = false, -1, -1, -1,
           -1, -1, -1L)

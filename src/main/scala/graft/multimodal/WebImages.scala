@@ -7,16 +7,28 @@ import scala.collection.mutable
 /** `variant` is the first recognized VP8-family chunk: "VP8" (lossy
   * — dims from the sync-coded frame header), "VP8L" (lossless — the
   * 14-bit packed dims), or "VP8X" (extended — 24-bit canvas dims).
+  * `frame_count`/`anim_duration_ms`: for VP8X the walk continues
+  * past the header chunk counting ANMF frames and summing their
+  * 24-bit durations — the triage signal separating animations (meme
+  * crawl) from photos; a still VP8/VP8L IS one frame (count 1,
+  * duration 0), a non-animated VP8X counts 0 ANMF chunks.
   */
 case class WebpMeta(media_id: Long, variant: String, width: Int,
-                    height: Int, decode_ok: Boolean)
+                    height: Int, frame_count: Int,
+                    anim_duration_ms: Long, decode_ok: Boolean)
 
 /** `version` is "87a" or "89a"; `gct` mirrors the global-color-table
   * flag bit (real GIFs nearly always set it — the sniffed value is a
-  * triage signal, not a decode input).
+  * triage signal, not a decode input). `frame_count` counts image
+  * descriptors and `duration_cs` sums the graphic-control-extension
+  * delays (centiseconds — GIF's native unit): 0/0 for a bare header,
+  * ≥2 frames flags an animation. The block walk stops (keeping the
+  * counts so far) at the trailer or any bound violation — the header
+  * facts stay valid even when the stream is cut mid-animation.
   */
 case class GifMeta(media_id: Long, version: String, width: Int,
-                   height: Int, gct: Boolean, decode_ok: Boolean)
+                   height: Int, gct: Boolean, frame_count: Int,
+                   duration_cs: Int, decode_ok: Boolean)
 
 /** WebP (VP8/VP8L/VP8X) and GIF: fixed-header metadata walks and genuine minimal writers.
   *
@@ -34,7 +46,8 @@ private[multimodal] trait WebImageCodec extends Serializable {
   // ------------------------------------------------------------------
 
 
-  private val BadWebp = WebpMeta(0L, "", -1, -1, decode_ok = false)
+  private val BadWebp =
+    WebpMeta(0L, "", -1, -1, -1, -1L, decode_ok = false)
 
   /** RIFF/WEBP metadata walk: chunk headers only, first VP8 / VP8L /
     * VP8X chunk wins (VP8X carries the extended file's CANVAS dims —
@@ -57,6 +70,12 @@ private[multimodal] trait WebImageCodec extends Serializable {
     if (bytes.length < 12 || ascii(0, 4) != "RIFF" ||
       ascii(8, 4) != "WEBP") return bad
     var off = 12L
+    // VP8X streams keep walking after the header chunk: ANMF chunks
+    // carry one animation frame each, their 24-bit duration at
+    // payload offset 12
+    var vp8x: WebpMeta = null
+    var anmf = 0
+    var animMs = 0L
     while (off + 8 <= bytes.length) {
       val o = off.toInt
       val cc = ascii(o, 4)
@@ -65,38 +84,51 @@ private[multimodal] trait WebImageCodec extends Serializable {
       if (p + size > bytes.length) return bad // truncated payload
       val pi = p.toInt
       cc match {
-        case "VP8 " =>
+        case "VP8 " if vp8x == null =>
           return if (size >= 10 && u(pi + 3) == 0x9d &&
             u(pi + 4) == 0x01 && u(pi + 5) == 0x2a)
             WebpMeta(id, "VP8", u16(pi + 6) & 0x3fff,
-              u16(pi + 8) & 0x3fff, decode_ok = true)
+              u16(pi + 8) & 0x3fff, 1, 0L, decode_ok = true)
           else bad
-        case "VP8L" =>
+        case "VP8L" if vp8x == null =>
           return if (size >= 5 && u(pi) == 0x2f) {
             val b = u32(pi + 1)
             WebpMeta(id, "VP8L", (b & 0x3fff).toInt + 1,
-              ((b >> 14) & 0x3fff).toInt + 1, decode_ok = true)
+              ((b >> 14) & 0x3fff).toInt + 1, 1, 0L, decode_ok = true)
           } else bad
-        case "VP8X" =>
-          return if (size >= 10)
-            WebpMeta(id, "VP8X",
-              (u(pi + 4) | (u(pi + 5) << 8) | (u(pi + 6) << 16)) + 1,
-              (u(pi + 7) | (u(pi + 8) << 8) | (u(pi + 9) << 16)) + 1,
-              decode_ok = true)
-          else bad
+        case "VP8X" if vp8x == null =>
+          if (size < 10) return bad
+          vp8x = WebpMeta(id, "VP8X",
+            (u(pi + 4) | (u(pi + 5) << 8) | (u(pi + 6) << 16)) + 1,
+            (u(pi + 7) | (u(pi + 8) << 8) | (u(pi + 9) << 16)) + 1,
+            0, 0L, decode_ok = true)
+        case "ANMF" if vp8x != null =>
+          if (size >= 16) {
+            anmf += 1
+            animMs += u(pi + 12) | (u(pi + 13) << 8) | (u(pi + 14) << 16)
+          }
         case _ => // unrecognized chunk (ICCP, EXIF, ...): skip, padded
       }
       off = p + size + (size & 1L)
     }
-    bad
+    if (vp8x != null)
+      vp8x.copy(frame_count = anmf, anim_duration_ms = animMs)
+    else bad
   }
 
   /** Genuine minimal WebP container for the requested variant —
     * RIFF/WEBP + one VP8/VP8L/VP8X chunk whose header encodes the
-    * dims exactly as [[parseWebp]] reads them. Deterministic per id.
+    * dims exactly as [[parseWebp]] reads them. A VP8X with
+    * `frames > 0` becomes an animation: the ANIM flag set, an ANIM
+    * chunk (background + loop count), and `frames` ANMF chunks each
+    * declaring `frameDurationMs` in its 24-bit duration field.
+    * Deterministic per id.
     */
   def syntheticWebp(id: Long, width: Int, height: Int,
-                    variant: String): MediaBlob = {
+                    variant: String, frames: Int = 0,
+                    frameDurationMs: Int = 0): MediaBlob = {
+    require(frames == 0 || variant == "VP8X",
+      "animation frames need the extended (VP8X) container")
     require(width >= 1 && height >= 1 && width <= 0x3fff &&
       height <= 0x3fff, "dims must fit the 14-bit VP8 fields")
     val (cc, payload) = variant match {
@@ -116,7 +148,8 @@ private[multimodal] trait WebImageCodec extends Serializable {
         ("VP8L", bb.array())
       case "VP8X" =>
         val bb = java.nio.ByteBuffer.allocate(10)
-        bb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        bb.put((if (frames > 0) 0x02 else 0).toByte) // ANIM flag
+          .put(0.toByte).put(0.toByte).put(0.toByte)
         val (w1, h1) = (width - 1, height - 1)
         bb.put((w1 & 0xff).toByte).put(((w1 >> 8) & 0xff).toByte)
           .put(((w1 >> 16) & 0xff).toByte)
@@ -126,25 +159,54 @@ private[multimodal] trait WebImageCodec extends Serializable {
       case other =>
         throw new IllegalArgumentException(s"unknown variant $other")
     }
-    val pad = payload.length & 1
-    val riffSize = 4 + 8 + payload.length + pad
+    def chunk(cc4: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc4.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array() // trailing pad byte (if any) is the zero default
+    }
+    val chunks = new java.io.ByteArrayOutputStream()
+    chunks.write(chunk(cc, payload))
+    if (frames > 0) {
+      chunks.write(chunk("ANIM", new Array[Byte](6))) // bg + loop 0
+      for (k <- 0 until frames) {
+        // ANMF header: x/y/(w-1)/(h-1) as 24-bit LE, duration 24-bit,
+        // flags byte — then a token frame payload
+        val f = java.nio.ByteBuffer.allocate(16 + 4)
+        def le24(v: Int): Unit = {
+          f.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+            .put(((v >> 16) & 0xff).toByte)
+        }
+        le24(0); le24(0); le24(width - 1); le24(height - 1)
+        le24(frameDurationMs)
+        f.put(0.toByte)
+        f.put(((id * 131 + k) & 0xff).toByte).put(0.toByte)
+          .put(0.toByte).put(0.toByte)
+        chunks.write(chunk("ANMF", f.array()))
+      }
+    }
+    val body = chunks.toByteArray
+    val riffSize = 4 + body.length
     val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
-      .put("WEBP".getBytes("US-ASCII"))
-    bb.put(cc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
-    if (pad == 1) bb.put(0.toByte)
+      .put("WEBP".getBytes("US-ASCII")).put(body)
     MediaBlob(id, "image/webp", bb.array())
   }
 
 
   private val BadGif =
-    GifMeta(0L, "", -1, -1, gct = false, decode_ok = false)
+    GifMeta(0L, "", -1, -1, gct = false, -1, -1, decode_ok = false)
 
-  /** GIF logical-screen descriptor: 6-byte signature+version then
-    * 16-bit LE canvas dims and the packed flags byte — 13 fixed bytes,
-    * no block walk needed for metadata. Anything shorter or with a
-    * version other than 87a/89a routes to decode_ok=false.
+  /** GIF parse: the 13-byte logical-screen descriptor (signature +
+    * version, 16-bit LE canvas dims, packed flags), then the block
+    * walk — image descriptors (0x2C, counting frames, skipping local
+    * color tables and LZW sub-blocks), extensions (0x21, summing
+    * graphic-control delay fields), trailer (0x3B). The walk stops at
+    * any bound violation keeping the counts so far; anything shorter
+    * than the descriptor or with a version other than 87a/89a routes
+    * to decode_ok=false.
     */
   def parseGif(id: Long, bytes: Array[Byte]): GifMeta = {
     def u(i: Int): Int = bytes(i) & 0xff
@@ -153,24 +215,84 @@ private[multimodal] trait WebImageCodec extends Serializable {
       return BadGif.copy(media_id = id)
     val v = new String(bytes, 3, 3, "US-ASCII")
     if (v != "87a" && v != "89a") return BadGif.copy(media_id = id)
+    val packed = u(10)
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x7) + 1))
+    var frames = 0
+    var delayCs = 0
+    // sub-blocks: length-prefixed runs until a zero terminator
+    def skipSubBlocks(at: Int): Int = {
+      var o = at
+      while (o < bytes.length && u(o) != 0) o += 1 + u(o)
+      if (o < bytes.length) o + 1 else bytes.length
+    }
+    var walking = true
+    while (walking && off < bytes.length) {
+      u(off) match {
+        case 0x2c => // image descriptor: 10 bytes + LCT + LZW data
+          if (off + 10 > bytes.length) walking = false
+          else {
+            frames += 1
+            val p = u(off + 9)
+            var o = off + 10
+            if ((p & 0x80) != 0) o += 3 * (1 << ((p & 0x7) + 1))
+            o += 1 // LZW minimum code size
+            if (o > bytes.length) walking = false
+            else off = skipSubBlocks(o)
+          }
+        case 0x21 => // extension: label + sub-blocks
+          if (off + 2 > bytes.length) walking = false
+          else {
+            // graphic control (0xF9): delay (cs) at block offset 1-2
+            if (u(off + 1) == 0xf9 && off + 7 <= bytes.length &&
+              u(off + 2) == 4)
+              delayCs += u(off + 4) | (u(off + 5) << 8)
+            off = skipSubBlocks(off + 2)
+          }
+        case 0x3b => walking = false // trailer
+        case _ => walking = false    // junk: keep the counts so far
+      }
+    }
     GifMeta(id, v, u(6) | (u(7) << 8), u(8) | (u(9) << 8),
-      (u(10) & 0x80) != 0, decode_ok = true)
+      (packed & 0x80) != 0, frames, delayCs, decode_ok = true)
   }
 
   /** Minimal genuine GIF: signature + logical screen descriptor +
-    * trailer. Deterministic per id; any GIF tool accepts it as an
-    * (empty) image stream.
+    * `frames` frames (each a graphic-control extension declaring
+    * `delayCs` centiseconds, a full-canvas image descriptor and a
+    * token LZW data stream) + trailer. Deterministic per id; any GIF
+    * tool accepts it as an image stream.
     */
   def syntheticGif(id: Long, width: Int, height: Int,
-                   v89: Boolean): MediaBlob = {
+                   v89: Boolean, frames: Int = 0,
+                   delayCs: Int = 0): MediaBlob = {
     require(width >= 1 && height >= 1 && width <= 0xffff &&
       height <= 0xffff)
-    val bb = java.nio.ByteBuffer.allocate(14)
+    require(frames == 0 || v89, "GCE delays need GIF89a")
+    val out = new java.io.ByteArrayOutputStream()
+    val bb = java.nio.ByteBuffer.allocate(13)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put((if (v89) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
     bb.putShort(width.toShort).putShort(height.toShort)
     bb.put(0.toByte).put(0.toByte).put(0.toByte) // packed, bg, aspect
-    bb.put(0x3b.toByte)                          // trailer
-    MediaBlob(id, "image/gif", bb.array())
+    out.write(bb.array())
+    for (k <- 0 until frames) {
+      // graphic control extension: delay in centiseconds
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(delayCs & 0xff)
+      out.write((delayCs >> 8) & 0xff); out.write(0); out.write(0)
+      // image descriptor: full canvas, no local color table
+      val d = java.nio.ByteBuffer.allocate(10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      d.put(0x2c.toByte).putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort)
+        .put(0.toByte)
+      out.write(d.array())
+      // token LZW stream: min code size + one data sub-block + end
+      out.write(2); out.write(1)
+      out.write(((id * 131 + k) & 0xff).toInt); out.write(0)
+    }
+    out.write(0x3b) // trailer
+    MediaBlob(id, "image/gif", out.toByteArray)
   }
 }

@@ -83,6 +83,41 @@ object Robots {
           .as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
 
+  /** Sitemap seed URLs with ONE level of `<sitemapindex>` recursion —
+    * what the protocol allows: `roots` are declared sitemap URLs
+    * (site, sitemap_url); `pages` is the fetched-XML relation
+    * (url, xml). A root whose document is a `<urlset>` contributes
+    * its `<loc>`s directly; a `<sitemapindex>` root's `<loc>`s are
+    * CHILD sitemap URLs, joined back against `pages` and expanded
+    * once (a child that is itself an index is ignored — the spec
+    * forbids deeper nesting, and honoring it would unbound the plan).
+    * Output: (site, sitemap_url, loc) where `sitemap_url` is the
+    * document that directly carried the loc — the child for
+    * index-derived rows. Both fetch joins are plain equi-joins on the
+    * URL: at crawl scale `pages` is the big side and roots/children
+    * stay broadcastable (bounded by robots declarations × index
+    * fan-out).
+    */
+  def sitemapSeeds(roots: DataFrame, pages: DataFrame): DataFrame = {
+    val T = graft.functions.Text
+    val fetched = roots
+      .join(pages.withColumnRenamed("url", "sitemap_url"),
+        Seq("sitemap_url"))
+      .withColumn("kind", T.sitemapKind(col("xml")))
+    val direct = fetched.filter(col("kind") === "urlset")
+      .select(col("site"), col("sitemap_url"),
+        explode(T.sitemapLocs(col("xml"))).as("loc"))
+    val children = fetched.filter(col("kind") === "sitemapindex")
+      .select(col("site"),
+        explode(T.sitemapLocs(col("xml"))).as("sitemap_url"))
+      .join(pages.withColumnRenamed("url", "sitemap_url"),
+        Seq("sitemap_url"))
+      .filter(T.sitemapKind(col("xml")) === "urlset") // one level only
+      .select(col("site"), col("sitemap_url"),
+        explode(T.sitemapLocs(col("xml"))).as("loc"))
+    direct.unionByName(children)
+  }
+
   /** All directives of the groups that apply to `agent`:
     * (site, key, value) with RFC 9309 group selection — comments
     * stripped, consecutive `User-agent` lines share a group, exact

@@ -242,7 +242,8 @@ object Queries
     "q184_sitemap_seed" -> (q184 _),
     "q185_collocations" -> (q185 _),
     "q186_weighted_linkrank" -> (q186 _),
-    "q187_audio_tag_dedup" -> (q187 _)
+    "q187_audio_tag_dedup" -> (q187 _),
+    "q188_zip_members"  -> (q188 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -561,7 +562,8 @@ object Queries
     "q184_sitemap_seed" -> q184Sql,
     "q185_collocations" -> q185Sql,
     "q186_weighted_linkrank" -> q186Sql,
-    "q187_audio_tag_dedup" -> q187Sql
+    "q187_audio_tag_dedup" -> q187Sql,
+    "q188_zip_members"  -> q188Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -513,11 +513,15 @@ private[queries] trait QueriesAudio { this: Queries.type =>
   // correctly-sized frames across MPEG-1/2/2.5 × layer 2/3 × the
   // public bitrate/samplerate header tables, optional trailing ID3v1
   // block) and parseMp3 reads back version/layer/bitrate/rate/mode
-  // plus the CBR duration from the audio byte span. The oracle's
-  // bitrate/samplerate CASEs are GENERATED from the same ISO header
-  // tables the parser indexes, and it replays the frame-length and
-  // duration integer arithmetic closed-form. Every 13th blob
-  // truncated to 2 bytes → all-sentinel row property.
+  // plus the CBR duration from the audio byte span — and, on the
+  // layer-III rows carrying a Xing/Info/VBRI header (most web MP3 is
+  // VBR, where the byte estimate is systematically wrong), the EXACT
+  // duration from the declared frame count × samples-per-frame /
+  // rate. The oracle's bitrate/samplerate CASEs are GENERATED from
+  // the same ISO header tables the parser indexes, and it replays
+  // the frame-length, VBR and CBR duration integer arithmetic
+  // closed-form. Every 13th blob truncated to 2 bytes →
+  // all-sentinel row property.
   private[queries] def q168(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
@@ -541,16 +545,22 @@ private[queries] trait QueriesAudio { this: Queries.type =>
           Array(44100, 48000, 32000), Array(22050, 24000, 16000),
           Array(11025, 12000, 8000))
         val rate = rateTables((id % 3).toInt)((id / 3 % 3).toInt)
+        val vbrTag =
+          if (layer != 3) ""
+          else if (id % 5 == 2) "Xing"
+          else if (id % 5 == 3) "Info"
+          else if (id % 5 == 4 && ver == "1") "VBRI"
+          else ""
         val b = m.syntheticMp3(id, ver, layer, table((id % 14).toInt),
           rate, mono = id % 2 == 0, nFrames = 3 + (id % 5).toInt,
           id3Body = if (id % 3 == 0) 64 + (id % 10).toInt * 7 else 0,
-          id3v1 = id % 5 == 0)
+          id3v1 = id % 5 == 0, vbrTag = vbrTag)
         if (id % 13 == 0) b.copy(content = b.content.take(2)) else b
       }
     m.decodeMp3(blobs).toDF()
       .select($"media_id", $"version", $"layer", $"bitrate_kbps",
-        $"sample_rate", $"channels", $"id3_size", $"duration_ms",
-        $"decode_ok")
+        $"sample_rate", $"channels", $"id3_size", $"vbr_frames",
+        $"duration_ms", $"decode_ok")
       .orderBy($"media_id")
   }
   private[queries] lazy val q168Sql = {
@@ -585,7 +595,10 @@ private[queries] trait QueriesAudio { this: Queries.type =>
        |e AS (
        | SELECT doc_id, ver, layer, br, sr, nf, id3_body, has_v1, bad,
        |  (CASE WHEN layer = 3 AND ver <> '1' THEN 72 ELSE 144 END
-       |    * br * 1000) // sr AS frame_len
+       |    * br * 1000) // sr AS frame_len,
+       |  layer = 3 AND (doc_id % 5 IN (2, 3)
+       |   OR (doc_id % 5 = 4 AND ver = '1')) AS has_vbr,
+       |  CASE WHEN ver = '1' THEN 1152 ELSE 576 END AS spf
        | FROM d)
        |SELECT doc_id AS media_id,
        | CASE WHEN bad THEN '' ELSE ver END AS version,
@@ -597,7 +610,10 @@ private[queries] trait QueriesAudio { this: Queries.type =>
        | CAST(CASE WHEN bad THEN -1
        |   WHEN id3_body > 0 THEN 10 + id3_body ELSE 0 END AS INT)
        |  AS id3_size,
+       | CAST(CASE WHEN bad OR NOT has_vbr THEN -1 ELSE nf END AS INT)
+       |  AS vbr_frames,
        | CAST(CASE WHEN bad THEN -1
+       |   WHEN has_vbr THEN (nf * spf * 1000) // sr
        |   ELSE (nf * frame_len * 8) // br END AS BIGINT) AS duration_ms,
        | NOT bad AS decode_ok
        |FROM e ORDER BY media_id""".stripMargin
@@ -784,14 +800,16 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q176
-  // Ogg identification-header parse under the oracle — the streaming
-  // audio container next to q168's MP3 and q169's FLAC: each row
-  // wraps an OpusHead (LE pre-skip/input-rate) or Vorbis id header
-  // in a genuine single-page Ogg stream (segment lacing, BOS flag),
-  // every 7th page carries an UNKNOWN first packet (container valid,
-  // codec not — codec='unknown', decode_ok=false as separate facts),
-  // every 13th is truncated mid-page (all sentinels). The oracle
-  // replays the id-derived construction closed-form.
+  // Ogg parse under the oracle — the streaming audio container next
+  // to q168's MP3 and q169's FLAC: each row wraps an OpusHead (LE
+  // pre-skip/input-rate) or Vorbis id header in a genuine Ogg stream
+  // (segment lacing, BOS flag) followed by 0-2 data pages whose
+  // final granule position yields the DURATION (Opus at 48 kHz minus
+  // pre-skip per RFC 7845, Vorbis at the id rate; -1 with no data
+  // page). Every 7th page carries an UNKNOWN first packet (container
+  // valid, codec not — codec='unknown', decode_ok=false as separate
+  // facts), every 13th is truncated mid-page (all sentinels). The
+  // oracle replays the id-derived construction closed-form.
   private[queries] def q176(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
@@ -799,18 +817,23 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       .select($"doc_id").as[Long]
       .map { id =>
         val rates = Array(8000, 16000, 24000, 48000)
+        val np = (id % 3).toInt
         val b =
           if (id % 7 == 0) m.syntheticOgg(id, "mystery", 1, 0)
-          else if (id % 2 == 0)
+          else if (id % 2 == 0) {
+            val skip = 100 + (id % 50).toInt
             m.syntheticOgg(id, "opus", 1 + (id % 2).toInt,
-              rates((id / 2 % 4).toInt), preSkip = 100 + (id % 50).toInt)
-          else m.syntheticOgg(id, "vorbis", 1 + (id % 3).toInt,
-            rates((id / 3 % 4).toInt))
+              rates((id / 2 % 4).toInt), preSkip = skip,
+              dataPages = np,
+              lastGranule = skip + 960L * (1 + id % 20))
+          } else m.syntheticOgg(id, "vorbis", 1 + (id % 3).toInt,
+            rates((id / 3 % 4).toInt), dataPages = np,
+            lastGranule = 441L * (1 + id % 30))
         if (id % 13 == 0) b.copy(content = b.content.take(20)) else b
       }
     m.decodeOgg(blobs).toDF()
       .select($"media_id", $"codec", $"channels", $"sample_rate",
-        $"pre_skip", $"decode_ok")
+        $"pre_skip", $"duration_ms", $"decode_ok")
       .orderBy($"media_id")
   }
   private[queries] lazy val q176Sql =
@@ -826,7 +849,10 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |  list_extract([8000, 16000, 24000, 48000],
       |   1 + (doc_id // 3) % 4) AS vorb_rate,
       |  1 + doc_id % 2 AS opus_ch, 1 + doc_id % 3 AS vorb_ch,
-      |  100 + doc_id % 50 AS skip
+      |  100 + doc_id % 50 AS skip,
+      |  doc_id % 3 AS np,
+      |  960 * (1 + doc_id % 20) AS opus_samples,
+      |  441 * (1 + doc_id % 30) AS vorb_granule
       | FROM p)
       |SELECT doc_id AS media_id,
       | CASE WHEN trunc THEN '' WHEN junk THEN 'unknown'
@@ -839,6 +865,10 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |  AS sample_rate,
       | CAST(CASE WHEN trunc OR junk OR NOT is_opus THEN -1
       |  ELSE skip END AS INT) AS pre_skip,
+      | CAST(CASE WHEN trunc OR junk OR np = 0 THEN -1
+      |  WHEN is_opus THEN (opus_samples * 1000) // 48000
+      |  ELSE (vorb_granule * 1000) // vorb_rate END AS BIGINT)
+      |  AS duration_ms,
       | NOT (trunc OR junk) AS decode_ok
       |FROM d ORDER BY media_id""".stripMargin
 }

@@ -432,11 +432,16 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
               12 + 2 * (j % 3).toInt, num, den, 1 + (j % 10).toInt)
           case 4 =>
             val variants = Array("VP8", "VP8L", "VP8X")
+            val anim = j % 3 == 2 && j % 2 == 0
             m.syntheticWebp(id, 16 + (j % 9).toInt, 12 + (j % 5).toInt,
-              variants((j % 3).toInt))
+              variants((j % 3).toInt),
+              frames = if (anim) 1 + (j % 4).toInt else 0,
+              frameDurationMs = if (anim) 40 + (j % 6).toInt * 10 else 0)
           case _ =>
             m.syntheticGif(id, 10 + (j % 11).toInt, 8 + (j % 6).toInt,
-              v89 = j % 2 == 0)
+              v89 = j % 2 == 0,
+              frames = if (j % 2 == 0) 1 + (j % 3).toInt else 0,
+              delayCs = if (j % 2 == 0) 4 + (j % 5).toInt else 0)
         }
         if (id % 7 == 0) { b.content(0) = 0; b } else b
       }
@@ -451,7 +456,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  doc_id % 7 = 0 AS bad
       | FROM documents WHERE doc_id < 280),
       |d AS (
-      | SELECT doc_id, fam, bad,
+      | SELECT doc_id, fam, bad, j,
       |  CASE j % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
       |    AS rate,
       |  1 + j % 2 AS ch,
@@ -463,7 +468,11 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  CASE j % 3 WHEN 0 THEN 1 WHEN 1 THEN 1001 ELSE 1 END AS den,
       |  1 + j % 10 AS y4m_frames,
       |  16 + j % 9 AS webp_w, 12 + j % 5 AS webp_h,
-      |  10 + j % 11 AS gif_w, 8 + j % 6 AS gif_h
+      |  10 + j % 11 AS gif_w, 8 + j % 6 AS gif_h,
+      |  j % 3 = 2 AND j % 2 = 0 AS webp_anim,
+      |  1 + j % 4 AS webp_frames, 40 + (j % 6) * 10 AS webp_fdur,
+      |  j % 2 = 0 AS gif_anim,
+      |  1 + j % 3 AS gif_frames, 4 + j % 5 AS gif_delay
       | FROM p)
       |SELECT doc_id AS media_id,
       | CASE WHEN bad THEN 'unknown'
@@ -483,11 +492,20 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |   AS INT) AS sample_rate,
       | CAST(CASE WHEN bad THEN -1 WHEN fam = 0 THEN ch
       |   WHEN fam = 2 THEN 3 ELSE -1 END AS INT) AS channels,
-      | CAST(CASE WHEN NOT bad AND fam = 3 THEN y4m_frames ELSE -1 END
-      |   AS INT) AS frames,
+      | CAST(CASE WHEN bad THEN -1
+      |   WHEN fam = 3 THEN y4m_frames
+      |   WHEN fam = 4 THEN (CASE WHEN webp_anim THEN webp_frames
+      |     WHEN j % 3 = 2 THEN 0 ELSE 1 END)
+      |   WHEN fam = 5 THEN (CASE WHEN gif_anim THEN gif_frames
+      |     ELSE 0 END)
+      |   ELSE -1 END AS INT) AS frames,
       | CAST(CASE WHEN bad THEN -1
       |   WHEN fam = 0 THEN (wav_frames * 1000) // rate
       |   WHEN fam = 3 THEN y4m_frames * 1000 * den // num
+      |   WHEN fam = 4 THEN (CASE WHEN webp_anim
+      |     THEN webp_frames * webp_fdur ELSE 0 END)
+      |   WHEN fam = 5 THEN (CASE WHEN gif_anim
+      |     THEN gif_frames * gif_delay * 10 ELSE 0 END)
       |   ELSE -1 END AS BIGINT) AS duration_ms
       |FROM d ORDER BY media_id""".stripMargin
   // ---------------------------------------------------------------- q138
@@ -1503,6 +1521,68 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | UNION ALL
       | SELECT doc_id, CAST(0 AS INT), '', CAST(-1 AS BIGINT), '', '',
       |  false
+      | FROM p WHERE bad)
+      |ORDER BY media_id, entry_no""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  // ZIP member inventory under the oracle — the THIRD crawl envelope
+  // next to q177's tar and q158's WARC: each row builds a genuine
+  // archive (local headers, central directory, EOCD; members
+  // alternating stored/deflate), Zip.entries walks the central
+  // directory, extracts each member through its local header and
+  // verifies its CRC-32. Every 11th archive carries one member whose
+  // stored CRC is off by one (crc_ok=false row property, digest
+  // still computed — the data is fine, the checksum lies); every
+  // 13th is truncated mid-directory (one all-sentinel row). The
+  // oracle replays names, sizes, methods and md5 digests closed-form
+  // from the same member strings.
+  private[queries] def q188(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val members = (0 until (1 + (id % 3)).toInt).map { j =>
+          val c = (s"zip-$id-$j;" * (1 + ((id + j) % 5).toInt))
+            .getBytes("UTF-8")
+          (s"data/m${id}_$j.txt", c,
+            if ((id + j) % 2 == 0) "stored" else "deflate")
+        }
+        val corrupt: Set[Int] = if (id % 11 == 0) Set(0) else Set.empty
+        val bytes = graft.sources.Zip.synthetic(id, members, corrupt)
+        m.MediaBlob(id, "application/zip",
+          if (id % 13 == 0) bytes.take(bytes.length - 30) else bytes)
+      }
+    graft.sources.Zip.entries(blobs).toDF()
+      .select($"media_id", $"entry_no", $"name", $"method",
+        $"size", $"crc_ok", $"digest", $"ok")
+      .orderBy($"media_id", $"entry_no")
+  }
+  private[queries] lazy val q188Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 13 = 0 AS bad,
+      |  doc_id % 11 = 0 AS corrupt
+      | FROM documents WHERE doc_id < 150),
+      |f AS (
+      | SELECT doc_id, corrupt, CAST(j AS INT) AS entry_no,
+      |  'data/m' || doc_id || '_' || j || '.txt' AS name,
+      |  CASE WHEN (doc_id + j) % 2 = 0 THEN 'stored'
+      |   ELSE 'deflate' END AS method,
+      |  repeat('zip-' || doc_id || '-' || j || ';',
+      |   1 + (doc_id + j) % 5) AS c
+      | FROM (SELECT doc_id, corrupt, unnest(range(n)) AS j
+      |       FROM p WHERE NOT bad) t)
+      |SELECT media_id, entry_no, name, method, size, crc_ok, digest,
+      | ok
+      |FROM (
+      | SELECT doc_id AS media_id, entry_no, name, method,
+      |  CAST(length(c) AS BIGINT) AS size,
+      |  NOT (corrupt AND entry_no = 0) AS crc_ok,
+      |  md5(c) AS digest, true AS ok
+      | FROM f
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), '', '', CAST(-1 AS BIGINT),
+      |  false, '', false
       | FROM p WHERE bad)
       |ORDER BY media_id, entry_no""".stripMargin
 }

@@ -1094,16 +1094,18 @@ private[queries] trait QueriesText { this: Queries.type =>
       |ORDER BY lift DESC, pc.a, pc.b LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------- q184
-  // Sitemap discovery (Robots.sitemaps + Text.sitemapLocs) — the
-  // crawl-frontier SEED path: robots files declare group-independent
-  // `Sitemap:` lines (some sites two, some none, one behind a
-  // comment), each named XML carries id-derived <url><loc> entries
-  // with whitespace/case noise, and the pipeline explodes the
-  // declared maps into seed URLs. The oracle replays the
+  // Sitemap discovery (Robots.sitemaps + Robots.sitemapSeeds +
+  // Text.sitemapLocs/sitemapKind) — the crawl-frontier SEED path:
+  // robots files declare group-independent `Sitemap:` lines (some
+  // sites two, some none, one behind a comment, every third site a
+  // `<sitemapindex>` that nests one level of child sitemaps — the
+  // shape big sites actually publish), each fetched XML carries
+  // id-derived <url><loc> entries with whitespace/case noise, and
+  // the pipeline expands declared maps (and index children, one
+  // level) into seed URLs. The oracle replays the
   // declaration-and-content construction closed-form.
   private[queries] def q184(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val T = graft.functions.Text
     val sites = t(s, dir, "documents").filter($"doc_id" < 12)
       .select($"doc_id".as("k"))
       .select($"k",
@@ -1115,20 +1117,50 @@ private[queries] trait QueriesText { this: Queries.type =>
             lit(".com/maps/a.xml # primary\nUser-agent: *\n"),
             lit("Allow: /\nSitemap: http://site"), $"k".cast("string"),
             lit(".com/maps/b.xml")))
-          .otherwise(lit("User-agent: *\nDisallow: /private"))
+          .otherwise(concat(
+            lit("User-agent: *\nDisallow: /private\nSitemap: "),
+            lit("http://site"), $"k".cast("string"),
+            lit(".com/sitemap_index.xml")))
           .as("txt"))
     val declared = Robots.sitemaps(sites, "k", "txt")
-    // the fetched XML per sitemap URL, id-derived: 1 + site%3 locs
-    val xml = declared.select($"site", $"sitemap_url",
-      concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
-        array_join(transform(
-          sequence(lit(0L), ($"site" % 3).cast("long")),
-          j => concat(lit("  <url><LOC>"), lit("\n   "),
-            lit("http://site"), $"site".cast("string"), lit(".com/d/"),
-            j.cast("string"), lit(" \n  </LOC></url>"))), "\n"),
-        lit("\n</urlset>")).as("xml"))
-    xml.select($"site", $"sitemap_url",
-        explode(graft.functions.Text.sitemapLocs($"xml")).as("loc"))
+    // the fetched-XML relation: direct urlsets (1 + site%3 locs),
+    // sitemapindex docs listing two children, and the child urlsets
+    // (1 + site%2 locs each)
+    val ks = sites.select($"k")
+    def host(k: Column) = concat(lit("http://site"),
+      k.cast("string"), lit(".com"))
+    val directPages = declared.filter(!$"sitemap_url"
+        .endsWith("sitemap_index.xml"))
+      .select($"sitemap_url".as("url"),
+        concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(transform(
+            sequence(lit(0L), ($"site" % 3).cast("long")),
+            j => concat(lit("  <url><LOC>"), lit("\n   "),
+              host($"site"), lit("/d/"),
+              j.cast("string"), lit(" \n  </LOC></url>"))), "\n"),
+          lit("\n</urlset>")).as("xml"))
+    val indexPages = ks.filter($"k" % 3 === 2)
+      .select(concat(host($"k"), lit("/sitemap_index.xml")).as("url"),
+        concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+          array_join(transform(sequence(lit(0L), lit(1L)),
+            c => concat(lit("  <sitemap><loc>"), host($"k"),
+              lit("/maps/c"), c.cast("string"),
+              lit(".xml</loc></sitemap>"))), "\n"),
+          lit("\n</sitemapindex>")).as("xml"))
+    val childPages = ks.filter($"k" % 3 === 2)
+      .select($"k", explode(sequence(lit(0L), lit(1L))).as("c"))
+      .select(concat(host($"k"), lit("/maps/c"), $"c".cast("string"),
+          lit(".xml")).as("url"),
+        concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(transform(
+            sequence(lit(0L), ($"k" % 2).cast("long")),
+            j => concat(lit("  <url><loc> "), host($"k"), lit("/e/"),
+              $"c".cast("string"), lit("/"), j.cast("string"),
+              lit(" </loc></url>"))), "\n"),
+          lit("\n</urlset>")).as("xml"))
+    val pages = directPages.unionByName(indexPages)
+      .unionByName(childPages)
+    Robots.sitemapSeeds(declared, pages)
       .orderBy($"site", $"sitemap_url", $"loc")
   }
   private[queries] lazy val q184Sql =
@@ -1147,8 +1179,18 @@ private[queries] trait QueriesText { this: Queries.type =>
       |locs AS (
       | SELECT site, sitemap_url,
       |  'http://site' || site || '.com/d/' || j AS loc
-      | FROM decl, unnest(generate_series(0, site % 3)) t(j))
+      | FROM decl, unnest(generate_series(0, site % 3)) t(j)),
+      |child_locs AS (
+      | SELECT k AS site,
+      |  'http://site' || k || '.com/maps/c' || c || '.xml'
+      |   AS sitemap_url,
+      |  'http://site' || k || '.com/e/' || c || '/' || j AS loc
+      | FROM p, unnest(generate_series(0, 1)) u(c),
+      |  unnest(generate_series(0, k % 2)) w(j)
+      | WHERE k % 3 = 2)
       |SELECT site, sitemap_url, loc FROM locs
+      |UNION ALL
+      |SELECT site, sitemap_url, loc FROM child_locs
       |ORDER BY site, sitemap_url, loc""".stripMargin
 
   /** The frontier fixture (shared by q172 and its streaming twin

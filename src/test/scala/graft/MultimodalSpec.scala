@@ -516,7 +516,8 @@ class MultimodalSpec extends AnyFunSuite {
       val b = Multimodal.syntheticWebp(7L, w, h, v)
       assert(Multimodal.sniffFormat(b.content) == "webp")
       assert(Multimodal.parseWebp(7L, b.content) ==
-        Multimodal.WebpMeta(7L, v, w, h, decode_ok = true))
+        Multimodal.WebpMeta(7L, v, w, h,
+          if (v == "VP8X") 0 else 1, 0L, decode_ok = true))
     }
     // truncated payload: declared chunk size past the buffer
     val t = Multimodal.syntheticWebp(8L, 64, 48, "VP8")
@@ -531,16 +532,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sniffFormat(u.content) == "unknown")
   }
 
+  test("animated GIF/WebP: frame counts and durations from the block " +
+    "walk — the meme-vs-photo triage signal") {
+    // GIF89a, 3 frames at 5 cs each → 15 cs total
+    val g = Multimodal.parseGif(1L,
+      Multimodal.syntheticGif(1L, 32, 24, v89 = true, frames = 3,
+        delayCs = 5).content)
+    assert(g.frame_count == 3 && g.duration_cs == 15 && g.decode_ok)
+    // a mid-animation cut keeps header facts and the frames seen
+    val full = Multimodal.syntheticGif(2L, 32, 24, v89 = true,
+      frames = 3, delayCs = 5).content
+    val cut = Multimodal.parseGif(2L, full.take(full.length - 25))
+    assert(cut.decode_ok && cut.frame_count < 3)
+    // WebP VP8X animation: 4 ANMF frames at 40 ms each
+    val w = Multimodal.parseWebp(3L,
+      Multimodal.syntheticWebp(3L, 64, 48, "VP8X", frames = 4,
+        frameDurationMs = 40).content)
+    assert(w.variant == "VP8X" && w.frame_count == 4 &&
+      w.anim_duration_ms == 160L && w.decode_ok)
+    // stills: VP8 is one frame; a frameless VP8X counts zero
+    assert(Multimodal.parseWebp(4L,
+      Multimodal.syntheticWebp(4L, 16, 16, "VP8").content)
+      .frame_count == 1)
+    assert(Multimodal.parseWebp(5L,
+      Multimodal.syntheticWebp(5L, 16, 16, "VP8X").content)
+      .frame_count == 0)
+    // dispatch surfaces the animation row: frames + duration in ms
+    val dm = Multimodal.dispatchOne(1L,
+      Multimodal.syntheticGif(1L, 32, 24, v89 = true, frames = 3,
+        delayCs = 5).content)
+    assert(dm.frames == 3 && dm.duration_ms == 150L)
+  }
+
   test("parseGif reads the logical screen descriptor for both " +
     "versions; short or mis-versioned streams route to " +
     "decode_ok=false; dispatch handles webp/gif end to end") {
     val g87 = Multimodal.syntheticGif(1L, 640, 480, v89 = false)
     val g89 = Multimodal.syntheticGif(2L, 13, 7, v89 = true)
     assert(Multimodal.parseGif(1L, g87.content) ==
-      Multimodal.GifMeta(1L, "87a", 640, 480, gct = false,
+      Multimodal.GifMeta(1L, "87a", 640, 480, gct = false, 0, 0,
         decode_ok = true))
     assert(Multimodal.parseGif(2L, g89.content) ==
-      Multimodal.GifMeta(2L, "89a", 13, 7, gct = false,
+      Multimodal.GifMeta(2L, "89a", 13, 7, gct = false, 0, 0,
         decode_ok = true))
     assert(!Multimodal.parseGif(3L, g87.content.take(12)).decode_ok)
     val badV = g89.content.clone()
@@ -1737,8 +1770,8 @@ class MultimodalSpec extends AnyFunSuite {
     val a = Multimodal.parseMp3(1L,
       Multimodal.syntheticMp3(1L, "1", 3, 128, 44100, mono = false,
         nFrames = 4).content)
-    assert(a == Multimodal.Mp3Meta(1L, "1", 3, 128, 44100, 2, 0, 104L,
-      decode_ok = true))
+    assert(a == Multimodal.Mp3Meta(1L, "1", 3, 128, 44100, 2, 0, -1,
+      104L, decode_ok = true))
     // ID3v2 tag skipped by syncsafe size; id3_size excluded from audio
     val b0 = Multimodal.syntheticMp3(2L, "1", 3, 128, 44100,
       mono = true, nFrames = 4, id3Body = 200)
@@ -1762,6 +1795,42 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.syntheticMp3(5L, "1", 2, 384, 48000, mono = false,
         nFrames = 2).content)
     assert(e.layer == 2 && e.bitrate_kbps == 384 && e.decode_ok)
+  }
+
+  test("parseMp3 VBR: Xing/Info/VBRI frame counts make the duration " +
+    "exact where the CBR byte estimate is wrong") {
+    // MPEG1 L3 stereo: side info 32 → Xing at frame offset 36.
+    // 5 declared frames · 1152 samples / 44100 Hz = 130 ms exactly —
+    // NOT the byte estimate (5·417·8/128 = 130 here by coincidence of
+    // CBR frames; the declared-count path is proven by vbr_frames)
+    val x = Multimodal.parseMp3(1L,
+      Multimodal.syntheticMp3(1L, "1", 3, 128, 44100, mono = false,
+        nFrames = 5, vbrTag = "Xing").content)
+    assert(x.vbr_frames == 5 && x.duration_ms == 130L && x.decode_ok)
+    // Info (LAME's CBR spelling) parses identically; mono MPEG2 side
+    // info is 9 bytes, so the tag sits at offset 13
+    val i = Multimodal.parseMp3(2L,
+      Multimodal.syntheticMp3(2L, "2", 3, 64, 22050, mono = true,
+        nFrames = 4, vbrTag = "Info").content)
+    // 4 · 576 · 1000 / 22050 = 104 ms (MPEG2 L3 = 576 samples/frame)
+    assert(i.vbr_frames == 4 && i.duration_ms == 104L)
+    // VBRI sits at the fixed 32-byte payload offset, frames at +14
+    val v = Multimodal.parseMp3(3L,
+      Multimodal.syntheticMp3(3L, "1", 3, 160, 48000, mono = false,
+        nFrames = 7, vbrTag = "VBRI").content)
+    // 7 · 1152 · 1000 / 48000 = 168 ms
+    assert(v.vbr_frames == 7 && v.duration_ms == 168L)
+    // an ID3v2 tag in front moves the frame (and the VBR tag) intact
+    val t = Multimodal.parseMp3(4L,
+      Multimodal.syntheticMp3(4L, "1", 3, 128, 44100, mono = true,
+        nFrames = 5, id3Body = 120, vbrTag = "Xing").content)
+    assert(t.vbr_frames == 5 && t.id3_size == 130 &&
+      t.duration_ms == 130L)
+    // no tag → vbr_frames = -1 and the byte-span fallback
+    val c = Multimodal.parseMp3(5L,
+      Multimodal.syntheticMp3(5L, "1", 3, 128, 44100, mono = false,
+        nFrames = 5).content)
+    assert(c.vbr_frames == -1 && c.duration_ms == 130L)
   }
 
   test("parseMp3 rejections are row properties: truncation, broken " +
@@ -1873,11 +1942,11 @@ class MultimodalSpec extends AnyFunSuite {
     val o = Multimodal.parseOgg(1L,
       Multimodal.syntheticOgg(1L, "opus", 2, 48000, preSkip = 312)
         .content)
-    assert(o == Multimodal.OggMeta(1L, "opus", 2, 48000, 312,
+    assert(o == Multimodal.OggMeta(1L, "opus", 2, 48000, 312, -1L,
       decode_ok = true))
     val v = Multimodal.parseOgg(2L,
       Multimodal.syntheticOgg(2L, "vorbis", 2, 44100).content)
-    assert(v == Multimodal.OggMeta(2L, "vorbis", 2, 44100, -1,
+    assert(v == Multimodal.OggMeta(2L, "vorbis", 2, 44100, -1, -1L,
       decode_ok = true))
     // a page whose first packet is neither: container ok, codec not
     val j = Multimodal.parseOgg(3L,
@@ -1890,6 +1959,31 @@ class MultimodalSpec extends AnyFunSuite {
     val big = Multimodal.syntheticOgg(5L, "x" * 300, 1, 0).content
     assert(Multimodal.parseOgg(5L, big).codec == "unknown")
     assert(!Multimodal.parseOgg(5L, big.dropRight(10)).decode_ok)
+  }
+
+  test("parseOgg duration: last-page granule position, Opus 48 kHz " +
+    "minus pre-skip, Vorbis at the id rate, truncated tail skipped") {
+    // Opus: granule 312 + 96000 samples → (96000)·1000/48000 = 2000 ms
+    val o = Multimodal.parseOgg(1L,
+      Multimodal.syntheticOgg(1L, "opus", 2, 16000, preSkip = 312,
+        dataPages = 3, lastGranule = 312L + 96000L).content)
+    assert(o.duration_ms == 2000L && o.decode_ok)
+    // Vorbis granules tick at the ID header's rate
+    val v = Multimodal.parseOgg(2L,
+      Multimodal.syntheticOgg(2L, "vorbis", 2, 44100,
+        dataPages = 2, lastGranule = 44100L * 3).content)
+    assert(v.duration_ms == 3000L)
+    // no data page → duration unknown, id fields still parse
+    val one = Multimodal.parseOgg(3L,
+      Multimodal.syntheticOgg(3L, "opus", 1, 8000).content)
+    assert(one.duration_ms == -1L && one.decode_ok)
+    // truncating the FINAL page mid-body drops its granule: the last
+    // COMPLETE page (granule lastGranule·2/3) is what counts
+    val full = Multimodal.syntheticOgg(4L, "vorbis", 1, 22050,
+      dataPages = 3, lastGranule = 22050L * 3).content
+    val cut = Multimodal.parseOgg(4L, full.dropRight(5))
+    assert(cut.decode_ok &&
+      cut.duration_ms == (22050L * 3 * 2 / 3) * 1000L / 22050L)
   }
 
   test("audio sniffing: fLaC and ID3/frame-sync magics route, JPEG's " +

@@ -152,4 +152,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(Tar.parse(5L, magic) == Seq(badRow))
     assert(Tar.parse(5L, "short".getBytes("UTF-8")) == Seq(badRow))
   }
+
+  test("Zip.parse inventories a genuine archive through the central " +
+    "directory: stored + deflate members, CRC verification, digests") {
+    import graft.sources.Zip
+    val a = "alpha content ".getBytes("UTF-8")
+    val b = ("beta " * 50).getBytes("UTF-8") // compressible
+    val bytes = Zip.synthetic(7L, Seq(
+      ("a.txt", a, "stored"), ("b/bb.txt", b, "deflate")))
+    val es = Zip.parse(7L, bytes)
+    assert(es.map(e => (e.entry_no, e.name, e.method, e.size,
+      e.crc_ok, e.ok)) == Seq(
+      (0, "a.txt", "stored", a.length.toLong, true, true),
+      (1, "b/bb.txt", "deflate", b.length.toLong, true, true)))
+    // deflate genuinely compressed the repetitive member
+    assert(es(1).compressed_size < b.length)
+    def md5(d: Array[Byte]) = java.security.MessageDigest
+      .getInstance("MD5").digest(d).map("%02x".format(_)).mkString
+    assert(es.map(_.digest) == Seq(md5(a), md5(b)))
+    // a lying CRC is a per-entry property; the data still digests
+    val lied = Zip.parse(8L,
+      Zip.synthetic(8L, Seq(("a.txt", a, "deflate")), Set(0)))
+    assert(lied.head.ok && !lied.head.crc_ok &&
+      lied.head.digest == md5(a))
+  }
+
+  test("Zip.parse structural violations are one sentinel row; data " +
+    "problems stay per-entry; the bomb cap bounds extraction") {
+    import graft.sources.{Zip, ZipEntry}
+    val badRow = ZipEntry(9L, 0, "", "", -1L, -1L, crc_ok = false, "",
+      ok = false)
+    val bytes = Zip.synthetic(9L, Seq(
+      ("x.txt", "xx".getBytes, "stored"),
+      ("y.txt", ("y" * 1000).getBytes, "deflate")))
+    // cutting the EOCD/central directory is structural
+    assert(Zip.parse(9L, bytes.take(bytes.length - 25)) == Seq(badRow))
+    assert(Zip.parse(9L, "PK".getBytes) == Seq(badRow))
+    // corrupting one member's deflate stream keeps the other entries
+    val lho = bytes.length // find y's data by re-parse offsets: flip a
+    val flip = bytes.clone()
+    // y.txt's deflate data sits after its 30+5-byte local header;
+    // x.txt occupies 30+5+2 bytes first
+    flip(30 + 5 + 2 + 30 + 5 + 3) = (flip(70) ^ 0x55).toByte
+    val es = Zip.parse(9L, flip)
+    assert(es.length == 2 && es(0).ok &&
+      (!es(1).ok || !es(1).crc_ok)) // bitflip: inflate dies or CRC lies
+    // bomb cap: a member larger than maxOut dies as a row property
+    val esCap = Zip.parse(9L, bytes, maxOut = 100)
+    assert(esCap(0).ok && !esCap(1).ok)
+    assert(lho > 0)
+  }
 }
