@@ -58,6 +58,11 @@ private[multimodal] trait DispatchCodec extends Serializable
     // ISO-BMFF: the ftyp box type at offset 4 (its 4-byte size varies)
     else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
     else if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
+    // archive envelopes: ZIP local-header magic; USTAR's magic sits
+    // at offset 257 (tar has no leading signature at all)
+    else if (bytes.length >= 30 && ascii(0, 2) == "PK" &&
+      u(2) == 3 && u(3) == 4) "zip"
+    else if (bytes.length >= 262 && ascii(257, 5) == "ustar") "tar"
     else if (bytes.length >= 4 && ascii(0, 4) == "fLaC") "flac"
     else if (bytes.length >= 5 && ascii(0, 4) == "OggS" && u(4) == 0)
       "ogg"
@@ -112,6 +117,19 @@ private[multimodal] trait DispatchCodec extends Serializable
         // container-only leg: decode_ok = the member inflates clean
         DispatchedMeta(id, "gzip", gunzip(bytes).isDefined, -1, -1,
           -1, -1, -1, -1L)
+      case "zip" =>
+        // envelope leg: decode_ok = every member extracts and
+        // checksums clean; frames doubles as the member count (the
+        // DispatchedMeta contract: "how many things inside")
+        val es = graft.sources.Zip.parse(id, bytes)
+        val clean = es.forall(e => e.ok && e.crc_ok)
+        DispatchedMeta(id, "zip", clean, -1, -1, -1, -1,
+          if (clean) es.length else -1, -1L)
+      case "tar" =>
+        val es = graft.sources.Tar.parse(id, bytes)
+        val clean = es.forall(_.ok)
+        DispatchedMeta(id, "tar", clean, -1, -1, -1, -1,
+          if (clean) es.length else -1, -1L)
       case "mp3" =>
         val a = parseMp3(id, bytes)
         DispatchedMeta(id, "mp3", a.decode_ok, -1, -1, a.sample_rate,

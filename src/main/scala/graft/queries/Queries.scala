@@ -243,7 +243,8 @@ object Queries
     "q185_collocations" -> (q185 _),
     "q186_weighted_linkrank" -> (q186 _),
     "q187_audio_tag_dedup" -> (q187 _),
-    "q188_zip_members"  -> (q188 _)
+    "q188_zip_members"  -> (q188 _),
+    "q189_envelope_dispatch" -> (q189 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -563,7 +564,8 @@ object Queries
     "q185_collocations" -> q185Sql,
     "q186_weighted_linkrank" -> q186Sql,
     "q187_audio_tag_dedup" -> q187Sql,
-    "q188_zip_members"  -> q188Sql
+    "q188_zip_members"  -> q188Sql,
+    "q189_envelope_dispatch" -> q189Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

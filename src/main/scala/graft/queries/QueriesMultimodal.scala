@@ -1585,4 +1585,80 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  false, '', false
       | FROM p WHERE bad)
       |ORDER BY media_id, entry_no""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+  // Heterogeneous ENVELOPE dispatch under the oracle — q136's
+  // pattern over the container family a crawl's raw zone actually
+  // holds: one blob column carrying WAV next to gzip next to ZIP
+  // next to USTAR, routed by magic bytes (tar's magic lives at
+  // offset 257 — no leading signature exists). Envelope rows carry
+  // the member count in `frames` ("how many things inside") and
+  // decode_ok = every member extracts and checksums clean: every
+  // 11th zip lies about one CRC (clean=false), every 9th blob has
+  // its routing magic zeroed (format='unknown' row property — for
+  // tar that byte is at 257, not 0).
+  private[queries] def q189(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 160)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val j = id / 4
+        val b = (id % 4) match {
+          case 0 =>
+            val rate = Array(8000, 16000, 44100)((j % 3).toInt)
+            m.syntheticWav(id, rate, 1 + (j % 2).toInt, 16,
+              ((j % 50).toInt + 1) * 40)
+          case 1 =>
+            m.MediaBlob(id, "application/gzip",
+              m.gzipBytes(s"payload-$id".getBytes("UTF-8")))
+          case 2 =>
+            val members = (0 until (1 + (j % 3)).toInt).map { k =>
+              (s"m$k.txt", s"zip-$id-$k".getBytes("UTF-8"),
+                if (k % 2 == 0) "deflate" else "stored")
+            }
+            m.MediaBlob(id, "application/zip",
+              graft.sources.Zip.synthetic(id, members,
+                if (id % 11 == 0) Set(0) else Set.empty[Int]))
+          case _ =>
+            val files = (0 until (1 + (j % 2)).toInt).map { k =>
+              (s"f$k.txt", s"tar-$id-$k".getBytes("UTF-8"))
+            }
+            m.MediaBlob(id, "application/x-tar",
+              graft.sources.Tar.synthetic(id, files))
+        }
+        if (id % 9 == 0) {
+          b.content(if (id % 4 == 3) 257 else 0) = 0; b
+        } else b
+      }
+    m.dispatchDecode(blobs).toDF()
+      .select($"media_id", $"format", $"decode_ok", $"frames",
+        $"duration_ms")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q189Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS j,
+      |  doc_id % 9 = 0 AS bad, doc_id % 11 = 0 AS lied
+      | FROM documents WHERE doc_id < 160),
+      |d AS (
+      | SELECT doc_id, fam, bad, lied,
+      |  CASE j % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |   ELSE 44100 END AS rate,
+      |  (j % 50 + 1) * 40 AS wav_frames,
+      |  1 + j % 3 AS zip_n, 1 + j % 2 AS tar_n
+      | FROM p)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN bad THEN 'unknown'
+      |  WHEN fam = 0 THEN 'wav' WHEN fam = 1 THEN 'gzip'
+      |  WHEN fam = 2 THEN 'zip' ELSE 'tar' END AS format,
+      | NOT bad AND NOT (fam = 2 AND lied) AS decode_ok,
+      | CAST(CASE WHEN bad THEN -1
+      |  WHEN fam = 2 THEN (CASE WHEN lied THEN -1 ELSE zip_n END)
+      |  WHEN fam = 3 THEN tar_n
+      |  ELSE -1 END AS INT) AS frames,
+      | CAST(CASE WHEN NOT bad AND fam = 0
+      |  THEN (wav_frames * 1000) // rate ELSE -1 END AS BIGINT)
+      |  AS duration_ms
+      |FROM d ORDER BY media_id""".stripMargin
 }
