@@ -133,10 +133,11 @@ object Streams {
     * the naive anti join (the bloom admits false positives but the
     * exact semi join removes them; q180 shares q172's oracle), and NO
     * exchange ever carries the seen side — per-batch shuffle is
-    * batch-sized (PlanSpec/ScaleSpec pin both). Layer
-    * [[graft.operators.Layout.byKey]] on the index writes and the
-    * bloom filter rides above a canon-clustered scan whose row groups
-    * min/max-skip too.
+    * batch-sized (PlanSpec/ScaleSpec pin both). The bloom test is a
+    * post-scan codegen'd filter (not a pushable source predicate), so
+    * the seen relation is still READ once per batch — linear, never
+    * shuffled; bound the accreted file count with
+    * [[graft.operators.Layout.compact]].
     */
   def frontierFresh(firstHere: DataFrame, known: DataFrame,
                     expectedBatch: Long = 1000000L): DataFrame =

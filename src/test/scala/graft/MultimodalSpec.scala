@@ -398,6 +398,13 @@ class MultimodalSpec extends AnyFunSuite {
     val bomb = Multimodal.gzipBytes(new Array[Byte](1 << 20))
     assert(bomb.length < 4096)
     assert(Multimodal.gunzip(bomb, maxBytes = 1 << 16).isEmpty)
+    // CONCATENATED members decode as one stream — real .warc.gz is
+    // one gzip member per record, back to back; this is what lets
+    // the WET ingest path read production CommonCrawl framing
+    val a = "record-one;".getBytes("UTF-8")
+    val b = "record-two!".getBytes("UTF-8")
+    val multi = Multimodal.gzipBytes(a) ++ Multimodal.gzipBytes(b)
+    assert(Multimodal.gunzip(multi).exists(_.sameElements(a ++ b)))
     assert(Multimodal.gunzip(bomb).isDefined) // default cap admits it
     // dispatch surfaces the container row
     val dm = Multimodal.dispatchOne(3L, gz)
