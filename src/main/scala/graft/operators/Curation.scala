@@ -323,4 +323,43 @@ object Curation {
       .filter(col("__u") < col("__cut"))
       .drop("__u", "__cut", "n_s", "z")
   }
+
+  /** Cluster-balanced sampling over an embedding column — the
+    * diversity-preserving subsample a web-scale corpus needs (the
+    * SemDeDup/SSL-prototypes family: uniform sampling over-represents
+    * the head clusters; per-cluster caps keep the tail): assign each
+    * vector to its nearest cell of a FITTED
+    * [[Similarity.IvfModel]] (the same frozen coarse quantizer the
+    * ANN stack amortizes — one fit serves search, semantic dedup,
+    * drift monitoring and sampling), rank within the cell by distance
+    * to the centroid, and keep `perCluster` rows. `central = true`
+    * keeps the most prototypical members (cluster summaries /
+    * curriculum seeds); `false` keeps the FARTHEST — the
+    * prototype-pruning form that drops redundant near-centroid mass.
+    * Output: input row + (cell, cell_rank, cell_dist) with the
+    * distance quantized to 1e-6 for cross-engine comparison (ranking
+    * happens on the RAW distance, whose left-assoc kernel arithmetic
+    * an oracle replays bit-for-bit — the q120 fitted-model pattern).
+    *
+    * Scale shape: assignment is one codegen'd scan-side expression
+    * (centroids ride as a reference object, never joined); the only
+    * exchange is the per-cell ranking window, keyed on nlist cells —
+    * size the model's nlist ≫ shuffle-partition count and the window
+    * partitions stay balanced.
+    */
+  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
+                    model: Similarity.IvfModel, perCluster: Int,
+                    central: Boolean = true): DataFrame = {
+    val cell = element_at(model.nearestCells(col(vecCol), 1), 1)
+    val d = model.nearestCellDistance(col(vecCol))
+    val withCell = df.withColumn("cell", cell).withColumn("__d", d)
+    val ord = if (central) col("__d").asc else col("__d").desc
+    val w = Window.partitionBy(col("cell")).orderBy(ord, col(idCol))
+    withCell
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= perCluster)
+      .withColumn("cell_dist",
+        floor(col("__d") * 1e6 + 0.5) / 1e6)
+      .drop("__d")
+  }
 }

@@ -244,7 +244,9 @@ object Queries
     "q186_weighted_linkrank" -> (q186 _),
     "q187_audio_tag_dedup" -> (q187 _),
     "q188_zip_members"  -> (q188 _),
-    "q189_envelope_dispatch" -> (q189 _)
+    "q189_envelope_dispatch" -> (q189 _),
+    "q190_pruned_dedup_serve" -> (q190 _),
+    "q191_cluster_sample" -> (q191 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -565,7 +567,8 @@ object Queries
     "q186_weighted_linkrank" -> q186Sql,
     "q187_audio_tag_dedup" -> q187Sql,
     "q188_zip_members"  -> q188Sql,
-    "q189_envelope_dispatch" -> q189Sql
+    "q189_envelope_dispatch" -> q189Sql,
+    "q190_pruned_dedup_serve" -> q190Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted
@@ -577,5 +580,6 @@ object Queries
     oracles ++ q76SqlNow.map("q76_pq_ann" -> _) ++
       q120SqlNow.map("q120_semdedup_ivf" -> _) ++
       q130SqlNow.map("q130_ann_staleness" -> _) ++
-      q179SqlNow.map("q179_quality_lr" -> _)
+      q179SqlNow.map("q179_quality_lr" -> _) ++
+      q191SqlNow.map("q191_cluster_sample" -> _)
 }

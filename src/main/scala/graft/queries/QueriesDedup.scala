@@ -610,4 +610,35 @@ private[queries] trait QueriesDedup { this: Queries.type =>
       | CAST(t.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
       |FROM tot t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  // q80's incremental dedup served from the PERSISTED pre-banded
+  // index: the corpus's band buckets are written to parquet through
+  // Layout.byKey("band_hash") — the on-disk form streamingDedup
+  // maintains — and the delta probes them through
+  // Dedup.incrementalCandidatesPruned (bounded band-key collect
+  // pushed into the scan as an In() literal). The oracle IS q80's
+  // SQL: persisted-pruned serve ≡ in-memory recompute, proven
+  // cross-engine (the q180 ≡ q172 pattern). Md5 oracle mode makes
+  // the band keys DuckDB-replayable strings.
+  private[queries] def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q190").toString
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val index = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+    Layout.byKey(Dedup.bandBuckets(
+        Dedup.minhashSignatures(index, "text", "doc_id",
+          hash = Dedup.Md5), hash = Dedup.Md5), "band_hash", 4)
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    Dedup.incrementalCandidatesPruned(
+        s.read.parquet(s"$tmp/idx"),
+        Dedup.bandBuckets(Dedup.minhashSignatures(delta, "text",
+          "doc_id", hash = Dedup.Md5), hash = Dedup.Md5))
+      .orderBy($"id_a", $"id_b")
+  }
+  // persisted-pruned ≡ recompute: the oracle is literally q80's
+  private[queries] def q190Sql: String = q80Sql
 }

@@ -597,4 +597,69 @@ private[queries] trait QueriesVector { this: Queries.type =>
        | dq / (${dd(fitQ)}) > 1.25 AS refit_recommended
        |FROM qq ORDER BY batch""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q191
+  // Cluster-balanced sampling (Curation.clusterSample) — the
+  // diversity-preserving subsample of the SemDeDup/SSL-prototypes
+  // family: assign every embedding to its nearest fitted-IVF cell
+  // (the SAME frozen coarse quantizer the ANN/semantic-dedup/drift
+  // stack amortizes), rank within the cell by centroid distance, keep
+  // the 5 most prototypical per cell. The BUCKETED algorithm itself
+  // is under the oracle: fitted centroids become frozen literals in
+  // generated SQL (the q76/q120 pattern) and DuckDB re-derives cells
+  // with the same left-assoc squared-L2 chains + first-minimum
+  // argmin, ranks on the bit-identical raw distance, and rounds the
+  // reported distance identically.
+  private[queries] lazy val clusterSampleModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfModel]
+  @volatile private var lastClusterSampleDir: Option[String] = None
+  private[queries] def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").filter($"vec_id" < 400)
+      .select($"vec_id", $"embedding")
+    val model = clusterSampleModels.getOrElseUpdate(dir,
+      Similarity.fitIvf(emb, "embedding", nlist = 8))
+    lastClusterSampleDir = Some(dir)
+    Curation.clusterSample(emb, "vec_id", "embedding", model,
+        perCluster = 5)
+      .select($"vec_id", $"cell", $"cell_rank", $"cell_dist")
+      .orderBy($"vec_id")
+  }
+
+  /** q191's oracle, generated from the centroids fitted by the LAST
+    * q191 run (None until q191 has run in this JVM — Verify's
+    * run-then-dump order guarantees it has, like q76/q120).
+    */
+  private[queries] def q191SqlNow: Option[String] =
+    lastClusterSampleDir.flatMap(clusterSampleModels.get)
+      .map(q191SqlFor)
+
+  private[queries] def q191SqlFor(model: Similarity.IvfModel): String = {
+    def dd(x: Double) = java.lang.Double.toString(x)
+    // per-cell squared-L2 as a left-assoc `+` chain — bit-equal to
+    // VectorKernels.nearestCells' ascending-index fold; argmin by
+    // list_position(dc, list_min(dc)) = first strict minimum, the
+    // kernel's tie-break; the kernel's cell ids are 0-based
+    val chains = model.centroids.map { cent =>
+      cent.zipWithIndex.map { case (x, i) =>
+        s"(v[${i + 1}]-(${dd(x)}))*(v[${i + 1}]-(${dd(x)}))"
+      }.mkString("+")
+    }
+    s"""WITH e AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       | WHERE vec_id < 400),
+       |d AS (SELECT vec_id,
+       |  [${chains.mkString(",\n   ")}] AS dc
+       | FROM e),
+       |c AS (SELECT vec_id,
+       |  CAST(list_position(dc, list_min(dc)) - 1 AS INT) AS cell,
+       |  sqrt(list_min(dc)) AS dist
+       | FROM d),
+       |r AS (SELECT vec_id, cell, dist, row_number() OVER (
+       |  PARTITION BY cell ORDER BY dist, vec_id) AS rk
+       | FROM c)
+       |SELECT vec_id, cell, CAST(rk AS INT) AS cell_rank,
+       | floor(dist * 1000000 + 0.5) / 1000000 AS cell_dist
+       |FROM r WHERE rk <= 5 ORDER BY vec_id""".stripMargin
+  }
 }

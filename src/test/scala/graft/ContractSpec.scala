@@ -15,11 +15,11 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only the fitted-model oracles (q76, q120, q130, q179) are " +
-    "absent from the static map") {
+  test("only the fitted-model oracles (q76, q120, q130, q179, q191) " +
+    "are absent from the static map") {
     val rowsOnly = Queries.all.keySet -- Queries.oracles.keySet
     assert(rowsOnly == Set("q76_pq_ann", "q120_semdedup_ivf",
-      "q130_ann_staleness", "q179_quality_lr"),
+      "q130_ann_staleness", "q179_quality_lr", "q191_cluster_sample"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -34,6 +34,8 @@ class ContractSpec extends AnyFunSuite {
       "/root/testdata/sf0.001").count()
     Queries.all("q179_quality_lr")(SharedSpark.spark,
       "/root/testdata/sf0.001").count()
+    Queries.all("q191_cluster_sample")(SharedSpark.spark,
+      "/root/testdata/sf0.001").count()
     val withFitted = Queries.oraclesWithFitted
     assert((Queries.all.keySet -- withFitted.keySet).isEmpty,
       s"rows-only residue: ${Queries.all.keySet -- withFitted.keySet}")
@@ -45,6 +47,9 @@ class ContractSpec extends AnyFunSuite {
     assert(sql130.contains("quantile_disc") && sql130.contains("list_min"))
     val sql179 = withFitted("q179_quality_lr")
     assert(sql179.contains("margin") && sql179.contains("documents"))
+    val sql191 = withFitted("q191_cluster_sample")
+    assert(sql191.contains("list_position") &&
+      sql191.contains("row_number"))
   }
 
   test("query names are well-formed and unique") {

@@ -234,4 +234,41 @@ class CurationSpec extends AnyFunSuite {
     assert(srt.map(_._4).sum <= arr.map(_._4).sum,
       s"sorted ${srt.map(_._4).sum} > arrival ${arr.map(_._4).sum}")
   }
+
+  test("clusterSample: per-cluster caps hold, central keeps the " +
+    "nearest-to-centroid members, diverse keeps the farthest — " +
+    "complementary picks from the same assignment") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two planted blobs far apart + per-point noise
+    val pts = (0 until 120).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i.toLong, Array.tabulate(8)(d =>
+        base + rnd.nextGaussian() * 0.5 + d * 0.01))
+    }.toSeq.toDF("vec_id", "embedding")
+    val model = Similarity.fitIvf(pts, "embedding", nlist = 2,
+      trainSample = 120)
+    val central = Curation.clusterSample(pts, "vec_id", "embedding",
+      model, perCluster = 7).collect()
+    assert(central.length == 14) // 2 cells × 7
+    val byCell = central.groupBy(_.getAs[Int]("cell"))
+    assert(byCell.size == 2 && byCell.values.forall(_.length == 7))
+    // ranks are 1..7 within each cell, distances nondecreasing
+    byCell.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("cell_rank"))
+      assert(sorted.map(_.getAs[Int]("cell_rank")).toSeq == (1 to 7))
+      val ds = sorted.map(_.getAs[Double]("cell_dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    // diverse picks the other end: max central dist < min diverse dist
+    val diverse = Curation.clusterSample(pts, "vec_id", "embedding",
+      model, perCluster = 7, central = false).collect()
+    val maxCentral = central.map(_.getAs[Double]("cell_dist")).max
+    val minDiverse = diverse.map(_.getAs[Double]("cell_dist")).min
+    assert(maxCentral < minDiverse,
+      s"central max $maxCentral !< diverse min $minDiverse")
+    assert(central.map(_.getAs[Long]("vec_id")).toSet
+      .intersect(diverse.map(_.getAs[Long]("vec_id")).toSet).isEmpty)
+  }
 }
