@@ -13,6 +13,17 @@ case class DispatchedMeta(media_id: Long, format: String,
                           sample_rate: Int, channels: Int, frames: Int,
                           duration_ms: Long)
 
+/** Pixel-level image quality sums — INTEGER-exact so every engine
+  * (and the DuckDB oracle) reproduces them bit-for-bit: `sum_luma` /
+  * `sum_luma_sq` over BT.601 integer luma (mean/contrast derive
+  * downstream as ratios), `lap_sq_sum` the 4-neighbor Laplacian
+  * energy over interior pixels — the classic blur detector (a sharp
+  * image has high energy; a blurred or flat one collapses toward 0).
+  */
+case class ImageQuality(media_id: Long, width: Int, height: Int,
+                        sum_luma: Long, sum_luma_sq: Long,
+                        lap_sq_sum: Long, decode_ok: Boolean)
+
 /** Heterogeneous dispatch: magic-byte sniff routing each blob to its codec parser/transcoder in one partition-wise pass.
   *
   * One slice of [[Multimodal]] (mixed in there; call sites use
@@ -151,6 +162,71 @@ private[multimodal] trait DispatchCodec extends Serializable
     * homogeneous operators ([[decodeWav]]/[[decodePng]]/...): one
     * sniffer+parser pass per partition, blobs never shuffle.
     */
+  /** FULL-pixel image quality metrics for the curation gate a crawl
+    * image column needs (LAION-style triage: drop flat/blurred/
+    * near-empty images before paying for embedding them): decode the
+    * blob (PNG or JPEG by magic), reduce to BT.601 integer luma
+    * `(299r + 587g + 114b) / 1000`, and emit INTEGER sums — total
+    * luma, total squared luma, and the 4-neighbor Laplacian energy
+    * `Σ (4p − N − S − E − W)²` over interior pixels. Integer
+    * arithmetic end-to-end: the sums hash-match any engine that
+    * replays the pixel formula (q192's oracle does, from the
+    * generator), and downstream derives mean / variance (contrast) /
+    * per-pixel blur score as ratios. Undecodable blobs are a
+    * sentinel row, never a task failure.
+    */
+  def imageQualityOne(id: Long, bytes: Array[Byte]): ImageQuality = {
+    val decoded = sniffFormat(bytes) match {
+      case "png"  => decodePngPixels(bytes)
+      case "jpeg" => decodeJpegRgb(bytes)
+      case _      => None
+    }
+    decoded match {
+      case Some((w, h, rgb)) =>
+        val luma = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val p = i * 3
+          luma(i) = ((rgb(p) & 0xff) * 299 + (rgb(p + 1) & 0xff) * 587 +
+            (rgb(p + 2) & 0xff) * 114) / 1000
+          i += 1
+        }
+        var s = 0L
+        var s2 = 0L
+        i = 0
+        while (i < luma.length) {
+          s += luma(i); s2 += luma(i).toLong * luma(i); i += 1
+        }
+        var lap2 = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val l = 4L * luma(y * w + x) - luma(y * w + x - 1) -
+              luma(y * w + x + 1) - luma((y - 1) * w + x) -
+              luma((y + 1) * w + x)
+            lap2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        ImageQuality(id, w, h, s, s2, lap2, decode_ok = true)
+      case None =>
+        ImageQuality(id, -1, -1, -1L, -1L, -1L, decode_ok = false)
+    }
+  }
+
+  /** Partition-wise image quality — the [[dispatchDecode]] contract:
+    * one decoder pass, blobs never shuffle, exchanges move the
+    * integer sums only.
+    */
+  def imageQualityStats(blobs: Dataset[MediaBlob])
+      : Dataset[ImageQuality] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => imageQualityOne(b.media_id,
+      b.content)))
+  }
+
   def dispatchDecode(blobs: Dataset[MediaBlob]): Dataset[DispatchedMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(b => dispatchOne(b.media_id, b.content)))

@@ -54,6 +54,8 @@ object Multimodal extends Serializable
   val Id3Tags: graft.multimodal.Id3Tags.type = graft.multimodal.Id3Tags
   type ImageHashBit = graft.multimodal.ImageHashBit
   val ImageHashBit: graft.multimodal.ImageHashBit.type = graft.multimodal.ImageHashBit
+  type ImageQuality = graft.multimodal.ImageQuality
+  val ImageQuality: graft.multimodal.ImageQuality.type = graft.multimodal.ImageQuality
   type JpegExif = graft.multimodal.JpegExif
   val JpegExif: graft.multimodal.JpegExif.type = graft.multimodal.JpegExif
   type JpegMeta = graft.multimodal.JpegMeta

@@ -246,7 +246,8 @@ object Queries
     "q188_zip_members"  -> (q188 _),
     "q189_envelope_dispatch" -> (q189 _),
     "q190_pruned_dedup_serve" -> (q190 _),
-    "q191_cluster_sample" -> (q191 _)
+    "q191_cluster_sample" -> (q191 _),
+    "q192_image_quality" -> (q192 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -568,7 +569,8 @@ object Queries
     "q187_audio_tag_dedup" -> q187Sql,
     "q188_zip_members"  -> q188Sql,
     "q189_envelope_dispatch" -> q189Sql,
-    "q190_pruned_dedup_serve" -> q190Sql
+    "q190_pruned_dedup_serve" -> q190Sql,
+    "q192_image_quality" -> q192Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

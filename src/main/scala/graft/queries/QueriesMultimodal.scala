@@ -1661,4 +1661,69 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  THEN (wav_frames * 1000) // rate ELSE -1 END AS BIGINT)
       |  AS duration_ms
       |FROM d ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+  // Image quality sums under the oracle (Multimodal.imageQualityStats)
+  // — the pixel-level curation gate: each row encodes a REAL PNG of
+  // the deterministic gradient pattern, the operator decodes it
+  // (IDAT inflate + row-filter reversal), reduces to BT.601 integer
+  // luma and emits INTEGER sums (total luma, squared luma, 4-neighbor
+  // Laplacian blur energy over interior pixels). Gray pixels make
+  // luma ≡ the generator value exactly, so DuckDB replays the whole
+  // computation from the pixel FORMULA — including the Laplacian's
+  // mod-256 wrap seams — without ever touching PNG bytes: the decode
+  // path is proven pixel-exact by arithmetic identity. Every 7th
+  // blob truncated → all-sentinel row property.
+  private[queries] def q192(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 120)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticPngGradient(id, 8 + (id % 9).toInt,
+          8 + (id % 5).toInt)
+        if (id % 7 == 0) b.copy(content = b.content.take(20)) else b
+      }
+    m.imageQualityStats(blobs).toDF()
+      .select($"media_id", $"width", $"height", $"sum_luma",
+        $"sum_luma_sq", $"lap_sq_sum", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q192Sql =
+    """WITH p AS (
+      | SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+      |  doc_id % 7 = 0 AS bad
+      | FROM documents WHERE doc_id < 120),
+      |px AS (
+      | SELECT doc_id, (doc_id * 31 + x * 7 + y * 13) % 256 AS g
+      | FROM p, unnest(generate_series(0, w - 1)) ux(x),
+      |  unnest(generate_series(0, h - 1)) uy(y)
+      | WHERE NOT bad),
+      |sums AS (
+      | SELECT doc_id, CAST(sum(g) AS BIGINT) AS s,
+      |  CAST(sum(g * g) AS BIGINT) AS s2
+      | FROM px GROUP BY doc_id),
+      |lap AS (
+      | SELECT doc_id, CAST(sum(lp * lp) AS BIGINT) AS lap2 FROM (
+      |  SELECT doc_id,
+      |   4 * ((doc_id * 31 + x * 7 + y * 13) % 256)
+      |   - ((doc_id * 31 + (x - 1) * 7 + y * 13) % 256)
+      |   - ((doc_id * 31 + (x + 1) * 7 + y * 13) % 256)
+      |   - ((doc_id * 31 + x * 7 + (y - 1) * 13) % 256)
+      |   - ((doc_id * 31 + x * 7 + (y + 1) * 13) % 256) AS lp
+      |  FROM p, unnest(generate_series(1, w - 2)) ux(x),
+      |   unnest(generate_series(1, h - 2)) uy(y)
+      |  WHERE NOT bad) t GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE w END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 ELSE h END AS INT) AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE s END AS BIGINT) AS sum_luma,
+      | CAST(CASE WHEN bad THEN -1 ELSE s2 END AS BIGINT)
+      |  AS sum_luma_sq,
+      | CAST(CASE WHEN bad THEN -1 ELSE lap2 END AS BIGINT)
+      |  AS lap_sq_sum,
+      | NOT bad AS decode_ok
+      |FROM p LEFT JOIN sums ON p.doc_id = sums.doc_id
+      | LEFT JOIN lap ON p.doc_id = lap.doc_id
+      |ORDER BY media_id""".stripMargin
 }

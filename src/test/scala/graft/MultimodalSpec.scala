@@ -539,6 +539,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sniffFormat(u.content) == "unknown")
   }
 
+  test("imageQuality: integer luma/Laplacian sums discriminate flat " +
+    "from structured, agree with closed-form JPEG block arithmetic, " +
+    "and route undecodables to a sentinel") {
+    // flat PNG: zero variance, zero blur energy
+    val flat = Multimodal.pngEncode(10, 6,
+      Array.fill(10 * 6 * 3)(77.toByte))
+    val f = Multimodal.imageQualityOne(1L, flat)
+    assert(f.decode_ok && f.sum_luma == 77L * 60 &&
+      f.sum_luma_sq == 77L * 77 * 60 && f.lap_sq_sum == 0L)
+    // the gradient is LINEAR mod 256 — its Laplacian is zero except
+    // at wrap seams, so a small patch is "blurry" (0 energy) while a
+    // patch wide enough to wrap (7·23 + 13·15 ≥ 256) shows structure
+    val smooth = Multimodal.imageQualityOne(2L,
+      Multimodal.syntheticPngGradient(2L, 10, 7).content)
+    assert(smooth.decode_ok && smooth.lap_sq_sum == 0L)
+    val g = Multimodal.imageQualityOne(2L,
+      Multimodal.syntheticPngGradient(2L, 24, 16).content)
+    assert(g.decode_ok && g.lap_sq_sum > 0L)
+    // JPEG path: a two-block DC-only stream decodes exactly, so the
+    // sums follow closed-form block arithmetic — uniform blocks
+    // contribute zero energy, the seam contributes 12·(v1−v2)²
+    // (columns 7 and 8 × 6 interior rows × (±(v1−v2))²)
+    val jb = Multimodal.syntheticJpeg(3L, 16, 8)
+    val Some((_, _, blocks)) = Multimodal.decodeJpegBlocks(jb.content)
+    val (v1, v2) = (blocks(0).toLong, blocks(1).toLong)
+    val jq = Multimodal.imageQualityOne(3L, jb.content)
+    assert(jq.decode_ok && jq.width == 16 && jq.height == 8)
+    assert(jq.sum_luma == 64L * (v1 + v2))
+    assert(jq.sum_luma_sq == 64L * (v1 * v1 + v2 * v2))
+    assert(jq.lap_sq_sum == 12L * (v1 - v2) * (v1 - v2))
+    // non-image or truncated blobs: one sentinel row, never a throw
+    assert(!Multimodal.imageQualityOne(4L, "not an image".getBytes)
+      .decode_ok)
+    assert(!Multimodal.imageQualityOne(5L, flat.take(30)).decode_ok)
+  }
+
   test("animated GIF/WebP: frame counts and durations from the block " +
     "walk — the meme-vs-photo triage signal") {
     // GIF89a, 3 frames at 5 cs each → 15 cs total
