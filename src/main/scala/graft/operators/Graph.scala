@@ -254,6 +254,80 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) — the OTHER
+    * authority model next to the PageRank family: PageRank measures
+    * global endorsement flow; HITS separates "points at good pages"
+    * (hub) from "is pointed at by good hubs" (authority), the pair a
+    * crawl frontier uses to rank DIRECTORY pages (high hub — fetch
+    * them to discover links) differently from CONTENT pages (high
+    * authority — fetch them for the corpus). Synchronous mutual
+    * recursion per iteration: `a(v) = Σ_{u→v} h(u)` then L1-normalize,
+    * `h(u) = Σ_{u→v} a(v)` then L1-normalize — L1 (not the classic
+    * L2) so the oracle replays plain sum ratios; the RANKING is
+    * normalization-invariant. Starts from uniform hubs. Edges are
+    * deduped, self-loop-free, both endpoints restricted to the node
+    * universe (the pageRank lesson: out-of-universe endpoints leak
+    * mass). Nodes outside every edge hold hub = authority = 0 after
+    * the first normalize. Requires ≥1 surviving edge (an empty graph
+    * normalizes 0/0 into NaN — loud, not silently uniform).
+    *
+    * Scale shape: identical to a PageRank iteration — the edge frame
+    * is co-located on src once and each half-step is one broadcast-
+    * normalizer aggregate plus one key-partitioned join+sum;
+    * [[Materialize.iterCut]] truncates lineage per half-step
+    * (resilient mode on clusters, the round-15 contract).
+    */
+  def hits(edges: DataFrame, nodes: DataFrame,
+           srcCol: String, dstCol: String,
+           iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val universe = nodes.select(col(nodes.columns.head).as("node"))
+      .distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(universe.select(col("node").as("src")), Seq("src"),
+        "left_semi")
+      .join(universe.select(col("node").as("dst")), Seq("dst"),
+        "left_semi")
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val nDf = universe.agg(count(lit(1)).cast("double").as("n"))
+    var hub = Materialize.iterCut(universe.crossJoin(broadcast(nDf))
+      .select(col("node"), (lit(1.0) / col("n")).as("hub")))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val aRaw = universe.join(
+        hub.select(col("node").as("src"), col("hub"))
+          .join(e, Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("hub")).as("a0")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("a0"), lit(0.0)).as("a0"))
+      val aSum = aRaw.agg(sum(col("a0")).as("s"))
+      val aN = Materialize.iterCut(aRaw.crossJoin(broadcast(aSum))
+        .select(col("node"), (col("a0") / col("s")).as("authority")))
+      val hRaw = universe.join(
+        aN.select(col("node").as("dst"), col("authority"))
+          .join(e, Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("authority")).as("h0")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("h0"), lit(0.0)).as("h0"))
+      val hSum = hRaw.agg(sum(col("h0")).as("s"))
+      val hN = Materialize.iterCut(hRaw.crossJoin(broadcast(hSum))
+        .select(col("node"), (col("h0") / col("s")).as("hub")))
+      if (auth != null) auth.unpersist()
+      hub.unpersist()
+      auth = aN
+      hub = hN
+      i += 1
+    }
+    e.unpersist()
+    hub.join(auth, Seq("node"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for
     * community detection — the lightweight complement to
     * [[graft.operators.Dedup.resolveClusters]]: connected components

@@ -247,7 +247,8 @@ object Queries
     "q189_envelope_dispatch" -> (q189 _),
     "q190_pruned_dedup_serve" -> (q190 _),
     "q191_cluster_sample" -> (q191 _),
-    "q192_image_quality" -> (q192 _)
+    "q192_image_quality" -> (q192 _),
+    "q193_hits" -> (q193 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -570,7 +571,8 @@ object Queries
     "q188_zip_members"  -> q188Sql,
     "q189_envelope_dispatch" -> q189Sql,
     "q190_pruned_dedup_serve" -> q190Sql,
-    "q192_image_quality" -> q192Sql
+    "q192_image_quality" -> q192Sql,
+    "q193_hits" -> q193Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -939,4 +939,70 @@ private[queries] trait QueriesCuration { this: Queries.type =>
        |JOIN r3 ON r3.node = nodes.node
        |ORDER BY nodes.node""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q193
+  // HITS hubs-and-authorities (Graph.hits) — the OTHER authority
+  // model next to q144's PageRank, over the same synthetic link
+  // graph: hub scores rank pages by the quality of what they POINT
+  // AT (the crawl's directory-page signal), authority by who points
+  // at them. Three synchronous mutually-recursive iterations with L1
+  // normalization, unrolled as paired CTEs in the oracle (auth-from-
+  // hub then hub-from-auth per round, each divided by its plain-SQL
+  // sum); both scores rounded to 1e-6 — normalization sums differ
+  // across engines by ~1e-15, far under the rounding granularity
+  // (q144's tolerance argument).
+  private[queries] def q193(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id")
+    val edges = nodes
+      .select($"doc_id",
+        explode(sequence(lit(1L), lit(1L) + $"doc_id" % 3)).as("j"))
+      .select($"doc_id".as("src"),
+        (($"doc_id" * 17 + $"j" * 61) % 200).as("dst"))
+    Graph.hits(edges, nodes, "src", "dst", iterations = 3)
+      .select($"node",
+        (floor($"hub" * 1000000.0 + 0.5) / 1000000.0).as("hub"),
+        (floor($"authority" * 1000000.0 + 0.5) / 1000000.0)
+          .as("authority"))
+      .orderBy($"node")
+  }
+  private[queries] lazy val q193Sql = {
+    def round(k: Int): String =
+      s"""a${k}raw AS (
+         | SELECT nodes.node, coalesce(s.a, 0) AS a FROM nodes
+         | LEFT JOIN (
+         |  SELECT e.dst AS node, sum(h.hub) AS a
+         |  FROM h${k - 1} h JOIN e ON e.src = h.node
+         |  GROUP BY e.dst) s USING (node)),
+         |a$k AS (
+         | SELECT node, a / (SELECT sum(a) FROM a${k}raw) AS auth
+         | FROM a${k}raw),
+         |h${k}raw AS (
+         | SELECT nodes.node, coalesce(s.h, 0) AS h FROM nodes
+         | LEFT JOIN (
+         |  SELECT e.src AS node, sum(a.auth) AS h
+         |  FROM a$k a JOIN e ON e.dst = a.node
+         |  GROUP BY e.src) s USING (node)),
+         |h$k AS (
+         | SELECT node, h / (SELECT sum(h) FROM h${k}raw) AS hub
+         | FROM h${k}raw)""".stripMargin
+    s"""WITH nodes AS (
+       | SELECT doc_id AS node FROM documents WHERE doc_id < 200),
+       |e0 AS (
+       | SELECT doc_id AS src, (doc_id * 17 + j * 61) % 200 AS dst
+       | FROM documents, unnest(generate_series(1, 1 + doc_id % 3)) t(j)
+       | WHERE doc_id < 200),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT nodes.node,
+       | floor(h3.hub * 1000000.0 + 0.5) / 1000000.0 AS hub,
+       | floor(a3.auth * 1000000.0 + 0.5) / 1000000.0 AS authority
+       |FROM nodes
+       |JOIN h3 ON h3.node = nodes.node
+       |JOIN a3 ON a3.node = nodes.node
+       |ORDER BY nodes.node""".stripMargin
+  }
 }

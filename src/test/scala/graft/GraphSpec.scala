@@ -282,4 +282,32 @@ class GraphSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
     assert(rows == Seq((0L, 1L, 0L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
+
+  test("hits: the directory page is the hub, its targets the " +
+    "authorities, scores L1-normalize, isolated nodes hold zero") {
+    // 0 → {1,2,3}; 4 → {1}; 5 isolated — node 0 points at all the
+    // authorities so it must out-hub node 4; 1 collects two hubs
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("node")
+    val out = Graph.hits(edges, nodes, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val eps = 1e-12
+    // L1 normalization on both score vectors
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < eps)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < eps)
+    // node 0 dominates hubs; node 1 dominates authorities
+    assert(out(0L)._1 > out(4L)._1 && out(4L)._1 > 0.0)
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 == out(3L)._2)
+    // pure hubs have zero authority; pure authorities zero hub;
+    // the isolated node holds zero on both
+    assert(out(0L)._2 == 0.0 && out(1L)._1 == 0.0)
+    assert(out(5L) == (0.0, 0.0))
+    // deterministic across runs
+    val again = Graph.hits(edges, nodes, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(again == out)
+  }
 }
