@@ -67,11 +67,17 @@ object Bench {
           try {
             fn(spark, sfDir).count()
             val sec = (System.nanoTime() - t0) / 1e9
+            // post-consume: drop any iterative final frames (iterCut
+            // blocks) this query stranded, so they never ride as
+            // block-manager eviction pressure into later queries
+            graft.operators.Materialize.releaseAll(spark)
             val d = tally.snapshot(spark.sparkContext) - s0
             name -> Right((sec,
               s"""{"w":${d.write},"r":${d.read},"sp":${d.spilled}}"""))
           } catch {
             case e: Throwable =>
+              try graft.operators.Materialize.releaseAll(spark)
+              catch { case _: Throwable => () }
               val msg = Option(e.getMessage).getOrElse("").linesIterator
                 .take(1).mkString.take(160)
               name -> Left(s"err: ${e.getClass.getSimpleName}: $msg")

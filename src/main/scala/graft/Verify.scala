@@ -31,6 +31,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally {
+        // drop any iterCut frames the query stranded (the Bench hook)
+        try graft.operators.Materialize.releaseAll(spark)
+        catch { case _: Throwable => () }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

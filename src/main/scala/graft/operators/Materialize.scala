@@ -31,6 +31,18 @@ import org.apache.spark.storage.StorageLevel
 object Materialize {
   val ModeKey = "spark.graft.materialize"
 
+  // Every frame iterCut hands out, until released. localCheckpoint
+  // persistence lives at the RDD layer (NOT the cacheManager), so
+  // `df.unpersist()` on an iterCut frame is a silent no-op and the
+  // blocks stay in block-manager memory until the RDD object is GC'd
+  // — across a 200-query bench run the iterative family strands ~10
+  // checkpointed frames of eviction pressure. The registry makes the
+  // frames releasable deterministically: operators release their own
+  // intermediates per round via [[release]], and harnesses
+  // (Bench/Verify, or a spec) drop the FINAL returned frames after
+  // consuming them via [[releaseAll]].
+  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
       case "resilient" =>
@@ -39,6 +51,38 @@ object Materialize {
         else df.persist(StorageLevel.DISK_ONLY)
       case _ => df.localCheckpoint(eager = false)
     }
+
+  /** Free the blocks behind a frame [[iterCut]] produced. Checkpointed
+    * frames (local or reliable) carry their RDD inside the plan's
+    * LogicalRDD leaf and must be unpersisted at the RDD layer; the
+    * DISK_ONLY_2 fallback is a normal cacheManager persist, covered by
+    * `df.unpersist()`. Releasing is terminal for localCheckpoint
+    * frames (truncated lineage cannot recompute) — call only after the
+    * frame's consumers are done. Idempotent.
+    */
+  def release(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    df.unpersist()
+    synchronized { tracked -= df }
+  }
+
+  /** Release every still-tracked [[iterCut]] frame of `spark`'s
+    * context — the post-consume hook Bench/Verify call after each
+    * query so one query's final iterative frames never ride as
+    * eviction pressure into the next (assertable:
+    * `sparkContext.getPersistentRDDs` returns to its pre-query size).
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mine = synchronized {
+      tracked.filter(_.sparkSession.sparkContext eq spark.sparkContext)
+        .toList
+    }
+    mine.foreach(release)
+  }
 
   /** EAGER lineage cut for iterative loops (PageRank, label
     * propagation): each round's result must be materialized before the
@@ -59,12 +103,16 @@ object Materialize {
     *    fallback is for bounded iteration counts (≤~10); set a
     *    checkpoint dir for anything longer.
     */
-  def iterCut(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
-      case "resilient" =>
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint()
-        else { val p = df.persist(StorageLevel.DISK_ONLY_2); p.count(); p }
-      case _ => df.localCheckpoint()
-    }
+  def iterCut(df: DataFrame): DataFrame = {
+    val out =
+      df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
+        case "resilient" =>
+          if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            df.checkpoint()
+          else { val p = df.persist(StorageLevel.DISK_ONLY_2); p.count(); p }
+        case _ => df.localCheckpoint()
+      }
+    synchronized { tracked += out }
+    out
+  }
 }

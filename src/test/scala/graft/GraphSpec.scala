@@ -310,4 +310,50 @@ class GraphSpec extends AnyFunSuite {
         (r.getDouble(1), r.getDouble(2))).toMap
     assert(again == out)
   }
+
+  test("pageRankResiduals: ranks unchanged, one residual per " +
+    "iteration, monotone contraction at rate ≈ damping") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L),
+      (2L, 3L)).toDF("src", "dst")
+    val nodes = (0L to 3L).toDF("node")
+    val iters = 6
+    val (ranks, resid) = Graph.pageRankResiduals(
+      edges, nodes, "src", "dst", iterations = iters)
+    // instrumented run returns bit-identical ranks to the plain run
+    val plain = Graph.pageRank(edges, nodes, "src", "dst",
+      iterations = iters).as[(Long, Double)].collect().toMap
+    ranks.as[(Long, Double)].collect().foreach { case (k, v) =>
+      assert(v == plain(k), s"node $k")
+    }
+    val rs = resid.orderBy("iteration").as[(Int, Double)].collect()
+    assert(rs.map(_._1).toSeq == (1 to iters))
+    assert(rs.forall(_._2 >= 0.0))
+    // power iteration contracts: each L1 delta ≤ damping × previous
+    // (allow an ulp of slack — the bound is |PR| ≤ d in L1 norm)
+    rs.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b <= a * 0.85 + 1e-12, s"no contraction: $a -> $b")
+    }
+    // deltas are non-trivial for the first step (not all zeros)
+    assert(rs.head._2 > 1e-6)
+  }
+
+  test("Materialize.releaseAll drops every iterCut frame a graph " +
+    "query stranded: persistent-RDD count returns to pre-query level") {
+    import graft.operators.Materialize
+    Materialize.releaseAll(spark) // clean slate from earlier tests
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nodes = (0L to 2L).toDF("node")
+    val pr = Graph.pageRank(edges, nodes, "src", "dst", iterations = 4)
+    pr.count() // consume: the final iterCut frame is now persisted
+    val h = Graph.hits(edges, nodes, "src", "dst", iterations = 3)
+    h.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected the final frames to be persisted before release")
+    Materialize.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "releaseAll must return block-manager state to pre-query level")
+    // idempotent: a second pass is a no-op, not an error
+    Materialize.releaseAll(spark)
+  }
 }
