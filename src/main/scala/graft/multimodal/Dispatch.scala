@@ -32,8 +32,8 @@ case class ImageQuality(media_id: Long, width: Int, height: Int,
   */
 private[multimodal] trait DispatchCodec extends Serializable
     with WavCodec with PngCodec with Y4mCodec with JpegCodec
-    with WebImageCodec with CompressionCodec with Mp4Codec
-    with AudioCodec {
+    with WebImageCodec with Vp8lCodec with CompressionCodec
+    with Mp4Codec with AudioCodec {
   // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
   // JPEG next to Y4M. Each decode operator above assumes a homogeneous
   // column; dispatchDecode is the missing composition: sniff the magic
@@ -175,12 +175,25 @@ private[multimodal] trait DispatchCodec extends Serializable
     * per-pixel blur score as ratios. Undecodable blobs are a
     * sentinel row, never a task failure.
     */
-  def imageQualityOne(id: Long, bytes: Array[Byte]): ImageQuality = {
-    val decoded = sniffFormat(bytes) match {
+  /** Magic-sniffed pixel decode over every container with a pixel
+    * decoder in this repo — the concrete [[PngCodec.decodeImagePixels]]
+    * every pixel-level operator (perceptual hashes, near-dup pairs,
+    * quality stats) routes through. A recognized container whose body
+    * a decoder rejects (interlaced PNG, lossy VP8, …) returns None —
+    * a row property, never a task failure.
+    */
+  override def decodeImagePixels(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    sniffFormat(bytes) match {
       case "png"  => decodePngPixels(bytes)
       case "jpeg" => decodeJpegRgb(bytes)
+      case "gif"  => decodeGifPixels(bytes)
+      case "webp" => decodeWebpPixels(bytes)
       case _      => None
     }
+
+  def imageQualityOne(id: Long, bytes: Array[Byte]): ImageQuality = {
+    val decoded = decodeImagePixels(bytes)
     decoded match {
       case Some((w, h, rgb)) =>
         val luma = new Array[Int](w * h)

@@ -19,6 +19,15 @@ case class ImageHashBit(media_id: Long, algo: String, bit_no: Int,
   */
 private[multimodal] trait PngCodec extends Serializable {
 
+  /** Format-dispatched pixel decode — implemented by
+    * [[DispatchCodec]] (magic sniff → PNG / JPEG / GIF / WebP-VP8L
+    * decoder), abstract here so the perceptual-hash family below
+    * covers EVERY decodable image container, not just PNG: a crawl
+    * near-dup pass that only hashes one format silently under-dedups
+    * the rest of the corpus.
+    */
+  def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])]
+
   private val BadPng = PngMeta(0L, -1, -1, -1, -1, -1L, decode_ok = false)
 
   private val PngSig: Array[Byte] =
@@ -314,11 +323,13 @@ private[multimodal] trait PngCodec extends Serializable {
     * — all sums exact longs, so every downstream mean comparison can
     * cross-multiply instead of divide and any engine replays it
     * bit-free. Returns (blockSum, blockCount) arrays in row-major
-    * block order, or None where [[decodePngPixels]] rejects.
+    * block order, or None where [[decodeImagePixels]] rejects —
+    * format-dispatched, so PNG, JPEG, GIF and WebP-VP8L blobs all
+    * hash through the same kernel.
     */
   private def lumaBlockSums(bytes: Array[Byte], gw: Int, gh: Int)
       : Option[(Array[Long], Array[Long])] =
-    decodePngPixels(bytes).flatMap { case (w, h, px) =>
+    decodeImagePixels(bytes).flatMap { case (w, h, px) =>
       if (w < gw || h < gh) None
       else {
         val sums = new Array[Long](gw * gh)

@@ -257,6 +257,346 @@ private[multimodal] trait WebImageCodec extends Serializable {
       (packed & 0x80) != 0, frames, delayCs, decode_ok = true)
   }
 
+  // ------------------------------------------------------ GIF pixels
+  // Full first-frame pixel decode: real LZW (variable code width,
+  // clear/EOI, the KwKwK case, 4096-entry freeze), global/local color
+  // tables, the 4-pass interlace ordering, frame-rect composite onto
+  // the canvas. The encoder side is a genuine LZW compressor (hash-
+  // chained dictionary, width growth mirrored against the decoder's
+  // one-code lag) so fixtures travel the same bit-level path as any
+  // conforming GIF writer — the spec round-trips a JDK-ImageIO-encoded
+  // image to prove decode independence from this file's writer.
+  // ------------------------------------------------------------------
+
+  /** GIF-variant LZW compress of palette indices at `minCode` bits.
+    * Emits an initial clear code; code width grows one step before the
+    * next code would overflow it (`next > 2^width` at emit time — the
+    * exact mirror of the decoder's `next == 2^width` post-add bump,
+    * which lags the encoder by one code); at 4096 entries the
+    * dictionary FREEZES (no mid-stream clear) — both ends stop adding
+    * at the same code index, so the streams stay in lockstep.
+    */
+  def gifLzwEncode(minCode: Int,
+                                       indices: Array[Byte]): Array[Byte] = {
+    require(minCode >= 2 && minCode <= 8)
+    require(indices.nonEmpty)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    val bos = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var nbits = 0
+    def emit(code: Int): Unit = {
+      if (next > (1 << width) && width < 12) width += 1
+      acc |= code << nbits
+      nbits += width
+      while (nbits >= 8) {
+        bos.write(acc & 0xff); acc >>>= 8; nbits -= 8
+      }
+    }
+    emit(clear)
+    var prev = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((prev << 8) | k)
+      val e = dict.get(key)
+      if (e != null) prev = e.intValue()
+      else {
+        emit(prev)
+        if (next < 4096) { dict.put(key, Integer.valueOf(next)); next += 1 }
+        prev = k
+      }
+      i += 1
+    }
+    emit(prev)
+    emit(eoi)
+    if (nbits > 0) bos.write(acc & 0xff)
+    bos.toByteArray
+  }
+
+  /** GIF-variant LZW decompress to exactly `expected` indices. Rejects
+    * (None) truncated bitstreams, codes past the dictionary frontier,
+    * or a literal frontier violation after clear; tolerates streams
+    * carrying MORE pixels than the frame declares (stops at
+    * `expected`, like every shipping decoder).
+    */
+  def gifLzwDecode(minCode: Int, data: Array[Byte],
+                                       expected: Int): Option[Array[Byte]] = {
+    if (minCode < 2 || minCode > 8 || expected <= 0) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expected)
+    var got = 0
+    var acc = 0
+    var nbits = 0
+    var p = 0
+    def read(): Int = {
+      while (nbits < width && p < data.length) {
+        acc |= (data(p) & 0xff) << nbits; nbits += 8; p += 1
+      }
+      if (nbits < width) -1
+      else {
+        val v = acc & ((1 << width) - 1)
+        acc >>>= width; nbits -= width; v
+      }
+    }
+    var prev = -1
+    var done = false
+    while (!done && got < expected) {
+      val code = read()
+      if (code < 0) return None
+      if (code == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else if (prev < 0) {
+        if (code >= clear) return None // first code must be a literal
+        out(got) = code.toByte; got += 1; prev = code
+      } else {
+        var sp = 0
+        var cur = code
+        if (code > next) return None
+        if (code == next) { // KwKwK: string(prev) + first(string(prev))
+          var c = prev
+          while (c >= clear + 2) c = prefix(c)
+          stack(sp) = c.toByte; sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1; cur = prefix(cur)
+        }
+        stack(sp) = cur.toByte; sp += 1
+        val first = stack(sp - 1)
+        while (sp > 0 && got < expected) {
+          sp -= 1; out(got) = stack(sp); got += 1
+        }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          if (next < 4096 && next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (got == expected) Some(out) else None
+  }
+
+  /** Interlaced GIF row order: pass 1 rows 0,8,16…, pass 2 4,12…,
+    * pass 3 2,6,10…, pass 4 1,3,5… — the order frame rows appear in
+    * the LZW stream.
+    */
+  private def gifInterlaceRows(h: Int): Array[Int] = {
+    val starts = Array(0, 4, 2, 1)
+    val steps = Array(8, 8, 4, 2)
+    val rows = new Array[Int](h)
+    var k = 0
+    var pass = 0
+    while (pass < 4) {
+      var r = starts(pass)
+      while (r < h) { rows(k) = r; k += 1; r += steps(pass) }
+      pass += 1
+    }
+    rows
+  }
+
+  /** Genuine palette GIF writer: GIF89a signature, logical screen
+    * descriptor, a power-of-two global color table, one full-canvas
+    * image descriptor and a REAL LZW-compressed index stream
+    * ([[gifLzwEncode]]), trailer. `palette` is packed RGB triplets
+    * (length 3·2ᵏ); `interlace` stores rows in the 4-pass order.
+    */
+  def gifEncode(width: Int, height: Int, indices: Array[Byte],
+                palette: Array[Byte],
+                interlace: Boolean = false): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0xffff &&
+      height <= 0xffff)
+    require(indices.length == width * height, "one index per pixel")
+    require(palette.length % 3 == 0)
+    val n = palette.length / 3
+    require(n >= 2 && n <= 256 && Integer.bitCount(n) == 1,
+      "palette must hold a power-of-two entry count in [2, 256]")
+    val sizeBits = 31 - Integer.numberOfLeadingZeros(n) // log2(n)
+    require(indices.forall(b => (b & 0xff) < n), "index out of palette")
+    val out = new java.io.ByteArrayOutputStream()
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(width.toShort).putShort(height.toShort)
+    bb.put((0x80 | (sizeBits - 1)).toByte) // GCT present, 2^sizeBits
+      .put(0.toByte).put(0.toByte)         // bg index, aspect
+    out.write(bb.array())
+    out.write(palette)
+    val d = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    d.put(0x2c.toByte).putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+      .put((if (interlace) 0x40 else 0).toByte)
+    out.write(d.array())
+    val stored =
+      if (!interlace) indices
+      else {
+        val rows = gifInterlaceRows(height)
+        val t = new Array[Byte](indices.length)
+        var k = 0
+        while (k < height) {
+          System.arraycopy(indices, rows(k) * width, t, k * width, width)
+          k += 1
+        }
+        t
+      }
+    val minCode = math.max(2, sizeBits)
+    out.write(minCode)
+    val lzw = gifLzwEncode(minCode, stored)
+    var o = 0
+    while (o < lzw.length) {
+      val m = math.min(255, lzw.length - o)
+      out.write(m)
+      out.write(lzw, o, m)
+      o += m
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** [[syntheticPngGradient]]'s GIF twin: the SAME wrapped-gradient
+    * pixels — `gray(x,y) = (id·31 + x·7 + y·13) mod 256` — through a
+    * 256-entry grayscale palette and real LZW, so one oracle formula
+    * replays both containers and the cross-format near-dup join sees
+    * hamming-0 pairs between a PNG and its GIF re-encode.
+    */
+  def syntheticGifGradient(id: Long, width: Int, height: Int,
+                           tweakOrigin: Boolean = false,
+                           interlace: Boolean = false): MediaBlob = {
+    val idx = new Array[Byte](width * height)
+    (0 until height).foreach { y =>
+      (0 until width).foreach { x =>
+        val g0 = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = if (tweakOrigin && x == 0 && y == 0) (g0 + 1) % 256
+                else g0
+        idx(y * width + x) = g.toByte
+      }
+    }
+    val pal = new Array[Byte](256 * 3)
+    (0 until 256).foreach { i =>
+      pal(i * 3) = i.toByte; pal(i * 3 + 1) = i.toByte
+      pal(i * 3 + 2) = i.toByte
+    }
+    MediaBlob(id, "image/gif", gifEncode(width, height, idx, pal,
+      interlace = interlace))
+  }
+
+  /** FULL first-frame pixel decode of a GIF: canvas initialized to the
+    * background color (when a global table exists), the first image
+    * descriptor's rectangle LZW-decoded ([[gifLzwDecode]]) through its
+    * local-or-global palette — honoring the interlace flag — and
+    * composited at its offset. Returns (canvasW, canvasH, RGB) or None
+    * for anything [[parseGif]] rejects plus: no palette for the frame,
+    * frame rect outside the canvas, palette-range violations, LZW
+    * malformations, or a stream that ends before any frame. The same
+    * never-fail contract as [[decodePngPixels]].
+    */
+  def decodeGifPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val meta = parseGif(0L, bytes)
+    if (!meta.decode_ok || meta.width <= 0 || meta.height <= 0) return None
+    val w = meta.width
+    val h = meta.height
+    if (w.toLong * h * 3 > (1L << 28)) return None
+    def u(i: Int): Int = bytes(i) & 0xff
+    val packed = u(10)
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val nc = 1 << ((packed & 0x7) + 1)
+      if (off + 3 * nc > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, off, off + 3 * nc)
+      off += 3 * nc
+    }
+    val canvas = new Array[Byte](w * h * 3)
+    val bg = u(11)
+    if (gct != null && bg * 3 + 2 < gct.length) {
+      var i = 0
+      while (i < w * h) {
+        canvas(i * 3) = gct(bg * 3)
+        canvas(i * 3 + 1) = gct(bg * 3 + 1)
+        canvas(i * 3 + 2) = gct(bg * 3 + 2)
+        i += 1
+      }
+    }
+    def skipSubBlocks(at: Int): Int = {
+      var o = at
+      while (o < bytes.length && u(o) != 0) o += 1 + u(o)
+      if (o < bytes.length) o + 1 else bytes.length
+    }
+    while (off < bytes.length) {
+      u(off) match {
+        case 0x21 =>
+          if (off + 2 > bytes.length) return None
+          off = skipSubBlocks(off + 2)
+        case 0x2c =>
+          if (off + 10 > bytes.length) return None
+          val fx = u(off + 1) | (u(off + 2) << 8)
+          val fy = u(off + 3) | (u(off + 4) << 8)
+          val fw = u(off + 5) | (u(off + 6) << 8)
+          val fh = u(off + 7) | (u(off + 8) << 8)
+          val p = u(off + 9)
+          var o = off + 10
+          var pal = gct
+          if ((p & 0x80) != 0) {
+            val nc = 1 << ((p & 0x7) + 1)
+            if (o + 3 * nc > bytes.length) return None
+            pal = java.util.Arrays.copyOfRange(bytes, o, o + 3 * nc)
+            o += 3 * nc
+          }
+          if (pal == null) return None
+          if (fw <= 0 || fh <= 0 || fx + fw > w || fy + fh > h)
+            return None
+          if (o >= bytes.length) return None
+          val minCode = u(o)
+          o += 1
+          // concatenate the LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var bo = o
+          while (bo < bytes.length && u(bo) != 0) {
+            val m = u(bo)
+            if (bo + 1 + m > bytes.length) return None
+            data.write(bytes, bo + 1, m)
+            bo += 1 + m
+          }
+          val idx = gifLzwDecode(minCode, data.toByteArray, fw * fh)
+            .getOrElse(return None)
+          val palN = pal.length / 3
+          val rows =
+            if ((p & 0x40) != 0) gifInterlaceRows(fh)
+            else Array.tabulate(fh)(identity)
+          var k = 0
+          while (k < fh) {
+            val cy = fy + rows(k)
+            var x = 0
+            while (x < fw) {
+              val ci = idx(k * fw + x) & 0xff
+              if (ci >= palN) return None
+              val dst = (cy * w + fx + x) * 3
+              canvas(dst) = pal(ci * 3)
+              canvas(dst + 1) = pal(ci * 3 + 1)
+              canvas(dst + 2) = pal(ci * 3 + 2)
+              x += 1
+            }
+            k += 1
+          }
+          return Some((w, h, canvas))
+        case 0x3b => return None // trailer before any frame
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** Minimal genuine GIF: signature + logical screen descriptor +
     * `frames` frames (each a graphic-control extension declaring
     * `delayCs` centiseconds, a full-canvas image descriptor and a
