@@ -211,21 +211,29 @@ private[multimodal] trait Vp8lCodec extends Serializable {
       offset + br.read(extra) + 1
     }
 
-  /** The 120-entry short-distance neighborhood: (dx, dy) pairs with
-    * dy in 0..7 and dx in -7..8 (dx >= 1 when dy = 0), ordered by
-    * ascending dx²+dy², ties broken by LARGER dy first then positive
-    * dx before negative — distance codes 1-120 index this table;
-    * codes above 120 carry `code - 120` directly.
+  /** The 120-entry short-distance neighborhood (the spec's literal
+    * kCodeToPlane table, RFC 9649 §5.2.3, transcribed as (dx, dy)):
+    * distance codes 1-120 index this table; codes above 120 carry
+    * `code - 120` directly. Hardcoded verbatim — Vp8lTableSpec pins
+    * it against the (d², larger-dy, positive-dx) ordering rule it
+    * follows, but the table itself is the source of truth.
     */
-  private lazy val DistanceMap: Array[(Int, Int)] = {
-    val pairs = for {
-      dy <- 0 to 7
-      dx <- -7 to 8
-      if dy > 0 || dx >= 1
-    } yield (dx, dy)
-    pairs.sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx.sign, 0) }
-      .toArray
-  }
+  private[graft] val DistanceMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0),  (1, 1),  (-1, 1), (0, 2),  (2, 0),  (1, 2),  (-1, 2),
+    (2, 1), (-2, 1), (2, 2),  (-2, 2), (0, 3),  (3, 0),  (1, 3),  (-1, 3),
+    (3, 1), (-3, 1), (2, 3),  (-2, 3), (3, 2),  (-3, 2), (0, 4),  (4, 0),
+    (1, 4), (-1, 4), (4, 1),  (-4, 1), (3, 3),  (-3, 3), (2, 4),  (-2, 4),
+    (4, 2), (-4, 2), (0, 5),  (3, 4),  (-3, 4), (4, 3),  (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1),  (-5, 1), (2, 5),  (-2, 5), (5, 2),  (-5, 2),
+    (4, 4), (-4, 4), (3, 5),  (-3, 5), (5, 3),  (-5, 3), (0, 6),  (6, 0),
+    (1, 6), (-1, 6), (6, 1),  (-6, 1), (2, 6),  (-2, 6), (6, 2),  (-6, 2),
+    (4, 5), (-4, 5), (5, 4),  (-5, 4), (3, 6),  (-3, 6), (6, 3),  (-6, 3),
+    (0, 7), (7, 0),  (1, 7),  (-1, 7), (5, 5),  (-5, 5), (7, 1),  (-7, 1),
+    (4, 6), (-4, 6), (6, 4),  (-6, 4), (2, 7),  (-2, 7), (7, 2),  (-7, 2),
+    (3, 7), (-3, 7), (7, 3),  (-7, 3), (5, 6),  (-5, 6), (6, 5),  (-6, 5),
+    (8, 0), (4, 7),  (-4, 7), (7, 4),  (-7, 4), (8, 1),  (8, 2),  (6, 6),
+    (-6, 6), (8, 3), (5, 7),  (-5, 7), (7, 5),  (-7, 5), (8, 4),  (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5),  (7, 7),  (-7, 7), (8, 6),  (8, 7))
 
   private def planeCodeToDistance(xsize: Int, code: Int): Int =
     if (code > 120) code - 120
@@ -445,7 +453,10 @@ private[multimodal] trait Vp8lCodec extends Serializable {
                   def d(sh: Int) = math.abs(((l >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
                   d(24) + d(16) + d(8) + d(0)
                 }
-                if (pa <= pb) l else t
+                // Spec: pL = Manhattan(pred, L) = sum|T-TL| (= pa),
+                // pT = Manhattan(pred, T) = sum|L-TL| (= pb); return L
+                // only when STRICTLY closer — ties go to T (libwebp).
+                if (pa < pb) l else t
               case 12 => clampAddSubtractFull(l, t, tl)
               case 13 => clampAddSubtractHalf(avg2(l, t), tl)
               case _  => return (null, 0)
@@ -752,7 +763,12 @@ private[multimodal] trait Vp8lCodec extends Serializable {
         bw.write(clLengths(ClcOrder(i)), 3); i += 1
       }
       bw.write(0, 1) // no max_symbol cap
-      lengths.foreach { l => bw.writeCode(clCodes(l), clLengths(l)) }
+      // Degenerate code-length code (one used symbol, e.g. every used
+      // pixel symbol at the same length): the decoder's single-symbol
+      // path reads ZERO bits per length symbol (PrefixCode.single), so
+      // emitting clLengths(l)-bit codes here would desync the stream.
+      if (clLengths.count(_ > 0) > 1)
+        lengths.foreach { l => bw.writeCode(clCodes(l), clLengths(l)) }
     }
   }
 

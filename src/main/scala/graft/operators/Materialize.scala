@@ -41,7 +41,21 @@ object Materialize {
   // intermediates per round via [[release]], and harnesses
   // (Bench/Verify, or a spec) drop the FINAL returned frames after
   // consuming them via [[releaseAll]].
-  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  //
+  // WEAK references: a library caller of Graph.pageRank/hits/
+  // labelPropagation who never calls releaseAll must not have the
+  // registry pin their final frames forever — once the caller drops
+  // the frame, GC clears the ref and the ContextCleaner reclaims the
+  // blocks through the normal RDD-GC path (the pre-registry
+  // behavior). Cleared refs are swept on every registry touch.
+  private val tracked = scala.collection.mutable.ListBuffer
+    .empty[java.lang.ref.WeakReference[DataFrame]]
+
+  private def sweepLocked(): Unit = tracked.filterInPlace(_.get != null)
+
+  /** Live (non-GC-cleared) tracked-frame count — test hook. */
+  private[graft] def trackedCount: Int =
+    synchronized { sweepLocked(); tracked.size }
 
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
@@ -67,7 +81,11 @@ object Materialize {
       case _ => ()
     }
     df.unpersist()
-    synchronized { tracked -= df }
+    synchronized {
+      tracked.filterInPlace { r =>
+        val d = r.get; d != null && (d ne df)
+      }
+    }
   }
 
   /** Release every still-tracked [[iterCut]] frame of `spark`'s
@@ -78,7 +96,9 @@ object Materialize {
     */
   def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val mine = synchronized {
-      tracked.filter(_.sparkSession.sparkContext eq spark.sparkContext)
+      sweepLocked()
+      tracked.iterator.flatMap(r => Option(r.get))
+        .filter(_.sparkSession.sparkContext eq spark.sparkContext)
         .toList
     }
     mine.foreach(release)
@@ -112,7 +132,10 @@ object Materialize {
           else { val p = df.persist(StorageLevel.DISK_ONLY_2); p.count(); p }
         case _ => df.localCheckpoint()
       }
-    synchronized { tracked += out }
+    synchronized {
+      sweepLocked()
+      tracked += new java.lang.ref.WeakReference(out)
+    }
     out
   }
 }

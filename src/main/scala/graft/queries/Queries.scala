@@ -248,7 +248,8 @@ object Queries
     "q190_pruned_dedup_serve" -> (q190 _),
     "q191_cluster_sample" -> (q191 _),
     "q192_image_quality" -> (q192 _),
-    "q193_hits" -> (q193 _)
+    "q193_hits" -> (q193 _),
+    "q194_mixed_image_quality" -> (q194 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -381,6 +382,62 @@ object Queries
             .bpePieceCount($"text", len2 ++ len3)
             .cast("long").as("bpe_tokens"))
         .orderBy($"doc_id")
+    }),
+    "q190x_pruned_serve_resident" -> ((s: SparkSession, dir: String) => {
+      // q190's amortized twin (the q49y resident pattern): q190 times
+      // index BUILD + one pruned serve in a single number, so the
+      // pruned serve's cheapness is illegible. Here the banded parquet
+      // index is built ONCE, then EIGHT independent deltas probe it
+      // through incrementalCandidatesPruned (band-key In() scan
+      // pushdown) — so (q190x - q190)/7 ≈ marginal pruned-serve cost,
+      // the number the "persisted index makes dedup admission cheap at
+      // 100 TB" claim rests on. Oracle unchanged: pruned ≡ recompute
+      // is q190's green entry; this twin only exposes the timing.
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q190x").toString
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val index = docs.filter($"doc_id" % 5 =!= 0)
+      Layout.byKey(Dedup.bandBuckets(
+          Dedup.minhashSignatures(index, "text", "doc_id",
+            hash = Dedup.Md5), hash = Dedup.Md5), "band_hash", 4)
+        .write.mode("overwrite").parquet(s"$tmp/idx")
+      val persisted = s.read.parquet(s"$tmp/idx")
+      (0 until 8).map { b =>
+        val delta = docs.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 10000000L * (b + 1)).as("doc_id"), $"text")
+        Dedup.incrementalCandidatesPruned(persisted,
+          Dedup.bandBuckets(Dedup.minhashSignatures(delta, "text",
+            "doc_id", hash = Dedup.Md5), hash = Dedup.Md5))
+      }.reduce(_ unionByName _).orderBy($"id_a", $"id_b")
+    }),
+    "q149x_pagerank_resume_resident" -> ((s: SparkSession, dir: String) => {
+      // q149's amortized twin: q149 times a 5-iteration cold fit PLUS
+      // one 2-iteration warm resume in a single number, hiding the
+      // resume's 2-vs-5 advantage. Here the prior is fitted ONCE
+      // (eager — pageRank's iterCut materializes it), then EIGHT
+      // 2-iteration resumes run against it with per-batch edge deltas
+      // — so (q149x - q149)/7 ≈ marginal warm-resume cost. Resume ≡
+      // continued-iteration correctness is q149's green oracle; this
+      // twin only exposes the timing.
+      import s.implicits._
+      val nodes = t(s, dir, "documents").filter($"doc_id" < 200)
+        .select($"doc_id")
+      val edges = nodes
+        .select($"doc_id",
+          explode(sequence(lit(1L), lit(1L) + $"doc_id" % 3)).as("j"))
+        .select($"doc_id".as("src"),
+          (($"doc_id" * 17 + $"j" * 61) % 200).as("dst"))
+      val prior = Graph.pageRank(edges, nodes, "src", "dst",
+        iterations = 5)
+      (0 until 8).map { b =>
+        val delta = nodes.filter($"doc_id" % 4 === 0)
+          .select($"doc_id".as("src"),
+            (($"doc_id" * 29 + 97 + b) % 200).as("dst"))
+        Graph.pageRankResume(edges.unionByName(delta), nodes, "src",
+            "dst", prior, iterations = 2)
+          .select(lit(b).as("batch"), $"node", $"rank")
+      }.reduce(_ unionByName _).orderBy($"batch", $"node")
     })
   )
 
@@ -572,7 +629,8 @@ object Queries
     "q189_envelope_dispatch" -> q189Sql,
     "q190_pruned_dedup_serve" -> q190Sql,
     "q192_image_quality" -> q192Sql,
-    "q193_hits" -> q193Sql
+    "q193_hits" -> q193Sql,
+    "q194_mixed_image_quality" -> q194Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -871,19 +871,29 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // surface against their originals via the 4×16-bit aHash band join
   // — lossless for hamming ≤ 3 by pigeonhole, so the oracle is simply
   // ALL pairs within the hamming budget, computed by replaying every
-  // image's 64 aHash bits and counting disagreements.
+  // image's 64 aHash bits and counting disagreements. The first ten
+  // images additionally get GIF (LZW, interlaced) and WebP-lossless
+  // (VP8L, color-cached) RE-ENCODES of the same pixels — the
+  // cross-format hamming-0 pairs prove decodeGifPixels and
+  // decodeWebpPixels under the oracle, which replays pixels from the
+  // generator formula independent of container.
   private[queries] def q148(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
     val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
       .select($"doc_id").as[Long]
       .flatMap { id =>
-        val base = m.syntheticPngGradient(id, 24 + 8 * (id % 4).toInt,
-          16 + 8 * (id % 3).toInt)
+        val (w, h) = (24 + 8 * (id % 4).toInt, 16 + 8 * (id % 3).toInt)
+        val base = m.syntheticPngGradient(id, w, h)
         if (id < 10)
-          Seq(base, m.syntheticPngGradient(id, 24 + 8 * (id % 4).toInt,
-            16 + 8 * (id % 3).toInt, tweakOrigin = true)
-            .copy(media_id = 10000000L + id))
+          Seq(base,
+            m.syntheticPngGradient(id, w, h, tweakOrigin = true)
+              .copy(media_id = 10000000L + id),
+            m.syntheticGifGradient(id, w, h, interlace = id % 2 == 0)
+              .copy(media_id = 20000000L + id),
+            m.syntheticWebpGradient(id, w, h,
+              cacheBits = if (id % 2 == 0) 8 else 0)
+              .copy(media_id = 30000000L + id))
         else Seq(base)
       }
     m.imageNearDupPairs(blobs, maxHamming = 3)
@@ -898,6 +908,14 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | UNION ALL
       | SELECT 10000000 + doc_id, doc_id,
       |  24 + 8 * (doc_id % 4), 16 + 8 * (doc_id % 3), TRUE
+      | FROM documents WHERE doc_id < 10
+      | UNION ALL
+      | SELECT 20000000 + doc_id, doc_id,
+      |  24 + 8 * (doc_id % 4), 16 + 8 * (doc_id % 3), FALSE
+      | FROM documents WHERE doc_id < 10
+      | UNION ALL
+      | SELECT 30000000 + doc_id, doc_id,
+      |  24 + 8 * (doc_id % 4), 16 + 8 * (doc_id % 3), FALSE
       | FROM documents WHERE doc_id < 10),
       |px AS (
       | SELECT media_id, w, h, x, y,
@@ -1714,6 +1732,88 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  FROM p, unnest(generate_series(1, w - 2)) ux(x),
       |   unnest(generate_series(1, h - 2)) uy(y)
       |  WHERE NOT bad) t GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE w END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 ELSE h END AS INT) AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE s END AS BIGINT) AS sum_luma,
+      | CAST(CASE WHEN bad THEN -1 ELSE s2 END AS BIGINT)
+      |  AS sum_luma_sq,
+      | CAST(CASE WHEN bad THEN -1 ELSE lap2 END AS BIGINT)
+      |  AS lap_sq_sum,
+      | NOT bad AS decode_ok
+      |FROM p LEFT JOIN sums ON p.doc_id = sums.doc_id
+      | LEFT JOIN lap ON p.doc_id = lap.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+  // Mixed-container pixel quality under the oracle: the SAME
+  // imageQualityStats pass over a column that interleaves PNG, GIF
+  // (LZW, half interlaced), WebP-lossless gradients (VP8L with
+  // SUBTRACT_GREEN, half color-cached) and BANDED WebP streams
+  // encoded with real LZ77 backward references — so the GIF LZW
+  // decoder, the VP8L entropy/transform machinery AND its
+  // backward-reference path all sit under the DuckDB oracle, which
+  // replays the generator formulas without touching any container
+  // bytes (gray pixels ⇒ luma ≡ g exactly, as q192). Every 7th blob
+  // truncated → all-sentinel row property regardless of container.
+  private[queries] def q194(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 160)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val (w, h) = (12 + (id % 9).toInt, 10 + (id % 5).toInt)
+        val b = (id % 4) match {
+          case 0 => m.syntheticPngGradient(id, w, h)
+          case 1 => m.syntheticGifGradient(id, w, h,
+            interlace = id % 2 == 0)
+          case 2 => m.syntheticWebpGradient(id, w, h,
+            cacheBits = if (id % 2 == 0) 8 else 0)
+          case _ =>
+            val px = Array.tabulate(w * h) { i =>
+              val (x, y) = (i % w, i / w)
+              val g = ((id * 31 + (x / 5) * 37 + (y / 3) * 53) % 256).toInt
+              (0xff << 24) | (g << 16) | (g << 8) | g
+            }
+            graft.multimodal.Multimodal.MediaBlob(id, "image/webp",
+              m.vp8lEncode(w, h, px, subtractGreen = id % 2 == 0,
+                cacheBits = 4, lz77 = true))
+        }
+        if (id % 7 == 0) b.copy(content = b.content.take(20)) else b
+      }
+    m.imageQualityStats(blobs).toDF()
+      .select($"media_id", $"width", $"height", $"sum_luma",
+        $"sum_luma_sq", $"lap_sq_sum", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q194Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 4 AS fam, 12 + doc_id % 9 AS w,
+      |  10 + doc_id % 5 AS h, doc_id % 7 = 0 AS bad
+      | FROM documents WHERE doc_id < 160),
+      |px AS (
+      | SELECT doc_id, w, h, x, y,
+      |  CASE WHEN fam = 3
+      |   THEN (doc_id * 31 + (x // 5) * 37 + (y // 3) * 53) % 256
+      |   ELSE (doc_id * 31 + x * 7 + y * 13) % 256 END AS g
+      | FROM p, unnest(generate_series(0, CAST(w - 1 AS BIGINT))) ux(x),
+      |  unnest(generate_series(0, CAST(h - 1 AS BIGINT))) uy(y)
+      | WHERE NOT bad),
+      |sums AS (
+      | SELECT doc_id, CAST(sum(g) AS BIGINT) AS s,
+      |  CAST(sum(g * g) AS BIGINT) AS s2
+      | FROM px GROUP BY doc_id),
+      |lap AS (
+      | SELECT c.doc_id, CAST(sum(
+      |   (4 * c.g - l.g - r.g - u.g - d.g) *
+      |   (4 * c.g - l.g - r.g - u.g - d.g)) AS BIGINT) AS lap2
+      | FROM px c
+      | JOIN px l ON l.doc_id = c.doc_id AND l.y = c.y AND l.x = c.x - 1
+      | JOIN px r ON r.doc_id = c.doc_id AND r.y = c.y AND r.x = c.x + 1
+      | JOIN px u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+      | JOIN px d ON d.doc_id = c.doc_id AND d.x = c.x AND d.y = c.y + 1
+      | WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2
+      | GROUP BY c.doc_id)
       |SELECT p.doc_id AS media_id,
       | CAST(CASE WHEN bad THEN -1 ELSE w END AS INT) AS width,
       | CAST(CASE WHEN bad THEN -1 ELSE h END AS INT) AS height,

@@ -252,6 +252,198 @@ class WebPixelsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWebpPixels(out.array()).isEmpty)
   }
 
+  test("vp8lEncode lz77=true round-trips images with horizontal runs " +
+    "and repeated rows — backward references through the 2D map") {
+    // rows of long same-color runs (distance-1 copies) and whole
+    // repeated rows (distance-w copies), all four flag combinations
+    val (w, h) = (24, 12)
+    val px = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      val band = (x / 6) + (y / 4) // 4 horizontal bands × 3 row-bands
+      val g = (band * 37 + 11) % 256
+      (0xff << 24) | (g << 16) | ((g + y / 4) % 256 << 8) | g
+    }
+    for {
+      sg <- Seq(false, true)
+      cb <- Seq(0, 5)
+    } {
+      val bytes = Multimodal.vp8lEncode(w, h, px, subtractGreen = sg,
+        cacheBits = cb, lz77 = true)
+      val (dw, dh, rgb) = Multimodal.decodeWebpPixels(bytes)
+        .getOrElse(fail(s"lz77 sg=$sg cb=$cb did not decode"))
+      assert(dw == w && dh == h)
+      (0 until px.length).foreach { i =>
+        assert((rgb(i * 3) & 0xff) == ((px(i) >> 16) & 0xff) &&
+          (rgb(i * 3 + 1) & 0xff) == ((px(i) >> 8) & 0xff) &&
+          (rgb(i * 3 + 2) & 0xff) == (px(i) & 0xff),
+          s"lz77 sg=$sg cb=$cb pixel $i")
+      }
+    }
+  }
+
+  test("uniform histograms (every symbol of a channel at one code " +
+    "length) encode to decodable streams — degenerate code-length code") {
+    // 16×16 image whose red AND blue channels each use all 256 values
+    // exactly once → a perfectly uniform 8-bit histogram → the
+    // code-length code degenerates to a single symbol, which must be
+    // transmitted at ZERO bits per length (the decoder's single path)
+    val px = Array.tabulate(256) { i =>
+      (0xff << 24) | (i << 16) | (((i * 7) % 256) << 8) | ((255 - i) << 0)
+    }
+    for (cb <- Seq(0, 4)) {
+      val bytes = Multimodal.vp8lEncode(16, 16, px, cacheBits = cb)
+      val (dw, dh, rgb) = Multimodal.decodeWebpPixels(bytes)
+        .getOrElse(fail(s"uniform cb=$cb did not decode"))
+      assert(dw == 16 && dh == 16)
+      (0 until 256).foreach { i =>
+        assert((rgb(i * 3) & 0xff) == i && (rgb(i * 3 + 2) & 0xff) == 255 - i,
+          s"uniform cb=$cb pixel $i")
+      }
+    }
+  }
+
+  test("DistanceMap is the spec's kCodeToPlane table; the ordering " +
+    "rule (d², larger dy, positive dx) reproduces it exactly") {
+    val table = Multimodal.DistanceMap
+    assert(table.length == 120)
+    val generated = (for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if dy > 0 || dx >= 1
+    } yield (dx, dy)).sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, -dy, -dx.sign)
+    }.toArray
+    assert(table.toSeq == generated.toSeq)
+    // and a few literal anchors straight from the RFC
+    assert(table(0) == ((0, 1)) && table(1) == ((1, 0)))
+    assert(table(9) == ((-2, 1)) && table(119) == ((8, 7)))
+  }
+
+  private def riffWrap(payload: Array[Byte]): Array[Byte] = {
+    val riffSize = 4 + 8 + payload.length + (payload.length & 1)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8L".getBytes("US-ASCII")).putInt(payload.length)
+      .put(payload)
+    out.array()
+  }
+
+  private final class SpecBitWriter {
+    private val bw = new java.io.ByteArrayOutputStream()
+    private var acc = 0L; private var nb = 0
+    def wr(v: Int, n: Int): Unit = {
+      acc |= (v.toLong & ((1L << n) - 1)) << nb; nb += n
+      while (nb >= 8) { bw.write((acc & 0xff).toInt); acc >>>= 8; nb -= 8 }
+    }
+    def bytes(): Array[Byte] = {
+      if (nb > 0) { bw.write((acc & 0xff).toInt); nb = 0; acc = 0 }
+      bw.toByteArray
+    }
+  }
+
+  test("hand-crafted stream with a MID-TABLE distance code decodes " +
+    "through the neighborhood map: plane code 10 = (-2,1) at w=8") {
+    // 8×2 image, no transforms. Green code (normal form, CL symbols
+    // {1, 18}): literal green 0 at len 1, length-symbol 258 (copy len
+    // 3) at len 1. Red carries the pixel identity {0, 5}. Row 1 opens
+    // with a (len=3, plane-code-10) reference → dist = 8 - 2 = 6 →
+    // copies pixels 2..4 of row 0.
+    val b = new SpecBitWriter
+    b.wr(0x2f, 8); b.wr(8 - 1, 14); b.wr(2 - 1, 14)
+    b.wr(0, 1); b.wr(0, 3)   // alpha hint, version
+    b.wr(0, 1)               // no transforms
+    b.wr(0, 1)               // no color cache
+    b.wr(0, 1)               // no meta prefix
+    // green: normal form. CL code over {1:len1, 18:len1}: ClcOrder
+    // positions 17@0,18@1,0@2,1@3 → num_code_lengths=4, entries 0,1,0,1
+    b.wr(0, 1)               // normal
+    b.wr(4 - 4, 4)
+    b.wr(0, 3); b.wr(1, 3); b.wr(0, 3); b.wr(1, 3)
+    b.wr(0, 1)               // no max_symbol cap
+    // canonical CL codes: sym1→0, sym18→1 (1 bit each)
+    b.wr(0, 1)               // sym 0: len 1
+    b.wr(1, 1); b.wr(127, 7) // 18: repeat 138 zeros (syms 1..138)
+    b.wr(1, 1); b.wr(119 - 11, 7) // 18: repeat 119 zeros (syms 139..257)
+    b.wr(0, 1)               // sym 258: len 1
+    b.wr(1, 1); b.wr(21 - 11, 7)  // 18: repeat 21 zeros (syms 259..279)
+    // red: simple 2-symbol {0, 5}
+    b.wr(1, 1); b.wr(1, 1); b.wr(1, 1); b.wr(0, 8); b.wr(5, 8)
+    // blue: simple single {0}; alpha: simple single {255}
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(255, 8)
+    // distance: simple single {6} (prefix value 8 + extra(2) + 1)
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(6, 8)
+    // row 0 literals, red pattern [0,5,0,5,5,0,0,5]
+    val row0 = Array(0, 5, 0, 5, 5, 0, 0, 5)
+    row0.foreach { r => b.wr(0, 1); b.wr(if (r == 5) 1 else 0, 1) }
+    // copy: green sym 258 (code 1) → length code 2 → len 3, then the
+    // single-symbol distance code (0 bits) with 2 extra bits = 1 →
+    // lz77 value 8 + 1 + 1 = 10 → DistanceMap(9) = (-2, 1) → dist 6
+    b.wr(1, 1); b.wr(1, 2)
+    // remaining 5 literals of row 1: red [0,0,5,0,5]
+    Array(0, 0, 5, 0, 5).foreach { r =>
+      b.wr(0, 1); b.wr(if (r == 5) 1 else 0, 1)
+    }
+    val (w, h, rgb) = Multimodal.decodeWebpPixels(riffWrap(b.bytes()))
+      .getOrElse(fail("crafted mid-table-distance stream did not decode"))
+    assert(w == 8 && h == 2)
+    val expectedRed = row0 ++ Array(row0(2), row0(3), row0(4), 0, 0, 5, 0, 5)
+    (0 until 16).foreach { i =>
+      assert((rgb(i * 3) & 0xff) == expectedRed(i), s"pixel $i red")
+      assert((rgb(i * 3 + 1) & 0xff) == 0 && (rgb(i * 3 + 2) & 0xff) == 0,
+        s"pixel $i g/b")
+    }
+  }
+
+  test("predictor mode 11 (Select) breaks Manhattan-distance ties " +
+    "toward T, matching libwebp — crafted 2×2 predictor stream") {
+    // One 4×4 tile (bits=2) whose mode is 11. Pixels: TL=(ff,0,0,0),
+    // T=(ff,10,0,0), L=(ff,0,10,0) → pL = Σ|T-TL| = 10 = Σ|L-TL| = pT,
+    // L != T → spec returns T. Residual at (1,1) is zero, so the
+    // decoded pixel IS the Select output.
+    val b = new SpecBitWriter
+    b.wr(0x2f, 8); b.wr(2 - 1, 14); b.wr(2 - 1, 14)
+    b.wr(0, 1); b.wr(0, 3)     // alpha hint, version
+    b.wr(1, 1); b.wr(0, 2)     // transform present: PREDICTOR
+    b.wr(0, 3)                 // bits = 2 → one 1×1 tile image
+    //   tile sub-image (isLevel0=false): no cache, 5 simple codes
+    b.wr(0, 1)                 // no color cache
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(11, 8) // green = mode 11
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)  // red {0}
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)  // blue {0}
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)  // alpha {0}
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)  // distance {0}
+    b.wr(0, 1)                 // no more transforms
+    b.wr(0, 1)                 // no color cache (main)
+    b.wr(0, 1)                 // no meta prefix
+    // main codes: green simple 2-sym {0, 10}; red simple 2-sym {0, 10};
+    // blue single {0}; alpha single {0}; distance single {0}
+    b.wr(1, 1); b.wr(1, 1); b.wr(1, 1); b.wr(0, 8); b.wr(10, 8)
+    b.wr(1, 1); b.wr(1, 1); b.wr(1, 1); b.wr(0, 8); b.wr(10, 8)
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)
+    b.wr(1, 1); b.wr(0, 1); b.wr(1, 1); b.wr(0, 8)
+    // residuals (a,r,g,b): (0,0): 0,0 — black pred adds ff000000;
+    // (1,0): r=10 over pred L; (0,1): g=10 over pred T; (1,1): zero
+    b.wr(0, 1); b.wr(0, 1)     // (0,0) green sym 0, red sym 0
+    b.wr(0, 1); b.wr(1, 1)     // (1,0) green 0, red 10
+    b.wr(1, 1); b.wr(0, 1)     // (0,1) green 10, red 0
+    b.wr(0, 1); b.wr(0, 1)     // (1,1) zero residual
+    val (w, h, rgb) = Multimodal.decodeWebpPixels(riffWrap(b.bytes()))
+      .getOrElse(fail("crafted predictor stream did not decode"))
+    assert(w == 2 && h == 2)
+    def px(i: Int) = (rgb(i * 3) & 0xff, rgb(i * 3 + 1) & 0xff,
+      rgb(i * 3 + 2) & 0xff)
+    assert(px(0) == ((0, 0, 0)))
+    assert(px(1) == ((10, 0, 0)))   // T
+    assert(px(2) == ((0, 10, 0)))   // L
+    // the tie pixel: libwebp/spec return T, not L
+    assert(px(3) == ((10, 0, 0)),
+      "Select tie must resolve to T (libwebp behavior)")
+  }
+
   // ----------------------------------------- cross-format pixel family
 
   test("same gradient through PNG, GIF and WebP containers produces " +
