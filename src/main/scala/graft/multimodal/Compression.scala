@@ -26,6 +26,7 @@ case class DecompressedText(media_id: Long, codec: String,
   * change.
   */
 private[multimodal] trait CompressionCodec extends Serializable {
+  this: BrotliCodec => // declared-encoding brotli routing
   // ------------------------------------------------------------------
   // GZIP: the compressed-text leg. Crawl text arrives gzip-framed
   // (CommonCrawl WET/WARC payloads, .json.gz dumps); a 100 TB text
@@ -175,14 +176,18 @@ private[multimodal] trait CompressionCodec extends Serializable {
 
 
   /** Partition-wise mixed-codec text decompression — the
-    * [[decodeGzipText]] contract over gzip/zstd/lz4/zlib/plain
-    * columns.
+    * [[decodeGzipText]] contract over gzip/zstd/lz4/zlib/brotli/plain
+    * columns. Brotli is HEADERLESS (no magic bytes exist to sniff —
+    * `Content-Encoding: br` is declared, never detectable), so rows
+    * whose `media_type` carries the HTTP token `"br"` route to
+    * [[unbrotli]]; everything else goes through the magic sniff.
     */
   def decompressText(blobs: Dataset[MediaBlob])
       : Dataset[DecompressedText] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map { b =>
-      decompressAuto(b.content) match {
+      (if (b.media_type == "br") unbrotli(b.content).map("br" -> _)
+       else decompressAuto(b.content)) match {
         case Some((codec, data)) =>
           val md = java.security.MessageDigest.getInstance("MD5")
           val hex = md.digest(data).map("%02x".format(_)).mkString
@@ -191,7 +196,9 @@ private[multimodal] trait CompressionCodec extends Serializable {
             decode_ok = true)
         case None =>
           DecompressedText(b.media_id,
-            sniffCompression(b.content), -1L, "", decode_ok = false)
+            if (b.media_type == "br") "br"
+            else sniffCompression(b.content), -1L, "",
+            decode_ok = false)
       }
     })
   }

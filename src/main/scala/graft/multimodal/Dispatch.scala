@@ -32,8 +32,8 @@ case class ImageQuality(media_id: Long, width: Int, height: Int,
   */
 private[multimodal] trait DispatchCodec extends Serializable
     with WavCodec with PngCodec with Y4mCodec with JpegCodec
-    with WebImageCodec with Vp8lCodec with CompressionCodec
-    with Mp4Codec with AudioCodec {
+    with WebImageCodec with Vp8lCodec with BrotliCodec
+    with CompressionCodec with Mp4Codec with AudioCodec {
   // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
   // JPEG next to Y4M. Each decode operator above assumes a homogeneous
   // column; dispatchDecode is the missing composition: sniff the magic

@@ -684,7 +684,8 @@ private[multimodal] trait Vp8lCodec extends Serializable {
     * construction scaling — fixture alphabets never get close), plus
     * the canonical code values matching [[PrefixCode]]'s assignment.
     */
-  private def huffmanLengths(hist: Array[Long], maxLen: Int = 15): Array[Int] = {
+  private[multimodal] def huffmanLengths(hist: Array[Long],
+                                         maxLen: Int = 15): Array[Int] = {
     val n = hist.length
     val used = (0 until n).filter(hist(_) > 0)
     val lengths = new Array[Int](n)
@@ -702,13 +703,18 @@ private[multimodal] trait Vp8lCodec extends Serializable {
       pq.enqueue(Node(a.w + b.w, a.syms ++ b.syms, depths))
     }
     val d = pq.dequeue().depths
-    require(d.values.max <= maxLen,
-      s"huffman depth ${d.values.max} exceeds $maxLen — rescale histogram")
+    if (d.values.max > maxLen) {
+      // depth overflow (tight maxLen + skewed counts): flatten the
+      // histogram and retry — converges to uniform, whose depth is
+      // ceil(log2(used)) ≤ maxLen for every alphabet used here
+      return huffmanLengths(hist.map(h => if (h > 0) (h + 1) / 2 else 0),
+        maxLen)
+    }
     d.foreach { case (s, l) => lengths(s) = l }
     lengths
   }
 
-  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+  private[multimodal] def canonicalCodes(lengths: Array[Int]): Array[Int] = {
     val maxLen = 15
     val count = new Array[Int](maxLen + 1)
     lengths.foreach(l => if (l > 0) count(l) += 1)
