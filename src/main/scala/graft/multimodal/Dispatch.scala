@@ -245,6 +245,102 @@ private[multimodal] trait DispatchCodec extends Serializable
     blobs.mapPartitions(_.map(b => dispatchOne(b.media_id, b.content)))
   }
 
+  /** [[PngCodec.resizePng]]'s exact contract on the GIF container:
+    * decode (first frame), nearest-neighbor sample with the shared
+    * integer floor mapping, re-encode. NN sampling picks ORIGINAL
+    * pixels, so the output colors are a subset of the source palette
+    * (≤ 256 by construction) and the re-encode is pixel-exact — no
+    * quantization ever. Never upscales (within-budget images return
+    * their original bytes); animated GIFs resize to their first
+    * frame (the poster-frame rule of a transcode stage). None where
+    * [[WebImageCodec.decodeGifPixels]] rejects.
+    */
+  def resizeGif(bytes: Array[Byte],
+                maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
+    require(maxEdge >= 1)
+    decodeGifPixels(bytes).flatMap { case (w, h, px) =>
+      val m = math.max(w, h)
+      if (m <= maxEdge) Some((w, h, bytes))
+      else {
+        val w2 = math.max(1L, w.toLong * maxEdge / m).toInt
+        val h2 = math.max(1L, h.toLong * maxEdge / m).toInt
+        val colorIdx = new java.util.LinkedHashMap[Int, Integer]()
+        val indices = new Array[Byte](w2 * h2)
+        var y = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            val p = (sy * w + sx) * 3
+            val c = ((px(p) & 0xff) << 16) | ((px(p + 1) & 0xff) << 8) |
+              (px(p + 2) & 0xff)
+            var idx = colorIdx.get(c)
+            if (idx == null) {
+              idx = Integer.valueOf(colorIdx.size)
+              colorIdx.put(c, idx)
+            }
+            indices(y * w2 + x) = idx.intValue.toByte
+            x += 1
+          }
+          y += 1
+        }
+        val n = colorIdx.size
+        if (n > 256) None // unreachable for a decoded GIF source
+        else {
+          var padded = 2
+          while (padded < n) padded <<= 1
+          val palette = new Array[Byte](padded * 3)
+          val it = colorIdx.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getKey.intValue
+            val i = e.getValue.intValue
+            palette(i * 3) = ((c >> 16) & 0xff).toByte
+            palette(i * 3 + 1) = ((c >> 8) & 0xff).toByte
+            palette(i * 3 + 2) = (c & 0xff).toByte
+          }
+          Some((w2, h2, gifEncode(w2, h2, indices, palette)))
+        }
+      }
+    }
+  }
+
+  /** The WebP-lossless leg of the resize family: VP8L decode, the
+    * shared NN floor mapping, VP8L re-encode (SUBTRACT_GREEN + LZ77 —
+    * lossless, so pixel-exact like every resize here). Lossy VP8 and
+    * VP8X wrappers return None (their pixel decode is the lossy
+    * codec); [[dispatchTranscode]] passes those through unchanged.
+    */
+  def resizeWebp(bytes: Array[Byte],
+                 maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
+    require(maxEdge >= 1)
+    decodeWebpPixels(bytes).map { case (w, h, px) =>
+      val m = math.max(w, h)
+      if (m <= maxEdge) (w, h, bytes)
+      else {
+        val w2 = math.max(1L, w.toLong * maxEdge / m).toInt
+        val h2 = math.max(1L, h.toLong * maxEdge / m).toInt
+        val argb = new Array[Int](w2 * h2)
+        var y = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            val p = (sy * w + sx) * 3
+            argb(y * w2 + x) = (0xff << 24) | ((px(p) & 0xff) << 16) |
+              ((px(p + 1) & 0xff) << 8) | (px(p + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (w2, h2, vp8lEncode(w2, h2, argb, subtractGreen = true,
+          lz77 = true))
+      }
+    }
+  }
+
   /** Heterogeneous blob TRANSCODE — [[dispatchDecode]]'s composition
     * with the per-modality transforms: sniff each blob's container and
     * apply the right downscale in the SAME partition-wise pass —
@@ -269,10 +365,18 @@ private[multimodal] trait DispatchCodec extends Serializable
         case "png"  => resizePng(b.content, maxEdge).map(_._3)
         case "jpeg" => resizeJpeg(b.content, maxEdge).map(_._3)
         case "y4m"  => transcodeY4m(b.content, every, maxEdge)
+        case "gif"  => resizeGif(b.content, maxEdge).map(_._3)
+        // lossless WebP resizes; lossy VP8 / VP8X (whose pixel decode
+        // is the lossy codec) passes through unchanged; a VP8L stream
+        // with a broken body empties like PNG/JPEG
+        case "webp" =>
+          if (parseWebp(0L, b.content).variant == "VP8L")
+            resizeWebp(b.content, maxEdge).map(_._3)
+          else Some(b.content)
         // metadata-only legs: no byte-level transform exists, so a
         // valid stream passes through (dropping it would silently
-        // empty every WebP/GIF/MP4/MP3/FLAC in a mixed crawl column)
-        case "webp" | "gif" | "mp4" | "mp3" | "flac" | "ogg" =>
+        // empty every MP4/MP3/FLAC in a mixed crawl column)
+        case "mp4" | "mp3" | "flac" | "ogg" =>
           Some(b.content)
         case _      => None
       }

@@ -13,6 +13,14 @@ case class Mp4Meta(media_id: Long, brand: String, timescale: Int,
                    duration_ms: Long, n_tracks: Int, width: Int,
                    height: Int, codec: String, decode_ok: Boolean)
 
+/** One media sample located in the file: `offset`/`size` in bytes
+  * (the stsc×stsz×stco/co64 expansion), `keyframe` from stss (all
+  * true when the track carries no stss, per spec).
+  */
+case class Mp4Sample(media_id: Long, track_id: Int, sample_no: Int,
+                     chunk_no: Int, offset: Long, size: Long,
+                     keyframe: Boolean)
+
 /** MP4 / ISO-BMFF: box walk (ftyp/mvhd/tkhd/stsd) and a genuine minimal writer.
   *
   * One slice of [[Multimodal]] (mixed in there; call sites use
@@ -138,6 +146,171 @@ private[multimodal] trait Mp4Codec extends Serializable {
     blobs.mapPartitions(_.map(b => parseMp4(b.media_id, b.content)))
   }
 
+  /** SAMPLE-TABLE walk: every frame's byte location without touching
+    * a codec. Per track, `stsc` (sample-to-chunk runs) × `stsz`
+    * (sizes, uniform or per-sample) × `stco`/`co64` (chunk offsets)
+    * expand to one (track, sample, chunk, offset, size) row each —
+    * offsets accumulate within a chunk — and `stss` marks sync
+    * samples (absent ⇒ every sample is a keyframe, per spec). This is
+    * what turns "an MP4 column" into "a frame-extraction work list"
+    * at 100 TB: the expansion is partition-local, blobs never
+    * shuffle, and downstream range-reads fetch exactly the keyframe
+    * bytes it selects. Exact integer arithmetic throughout — q195's
+    * oracle replays offsets and sizes from the generator formula.
+    * Malformed tables (runs out of order, counts past the table,
+    * offsets past 2^63, truncation) yield ZERO rows for the blob —
+    * the row-property contract; blob-level validity stays with
+    * [[parseMp4]].
+    */
+  def parseMp4Samples(id: Long, bytes: Array[Byte]): Seq[Mp4Sample] = {
+    val n = bytes.length.toLong
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def ascii(i: Int, len: Int): String =
+      new String(bytes, i, len, "US-ASCII")
+    var bad = false
+    def walk(start: Long, end: Long)(
+        f: (String, Long, Long) => Unit): Unit = {
+      var off = start
+      while (off < end && !bad) {
+        if (off + 8 > end) { bad = true; return }
+        var size = u32(off.toInt)
+        val typ = ascii(off.toInt + 4, 4)
+        var hdr = 8L
+        if (size == 1L) {
+          if (off + 16 > end) { bad = true; return }
+          size = u64(off.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = end - off
+        if (size < hdr || size > end - off) { bad = true; return }
+        f(typ, off + hdr, off + size)
+        off += size
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[Mp4Sample]
+    if (n < 8) return Seq.empty
+    walk(0L, n) { (t, s, e) =>
+      if (t == "moov") walk(s, e) { (t2, s2, e2) =>
+        if (t2 == "trak") {
+          var trackId = -1
+          var stsc: Array[(Long, Long)] = null   // (firstChunk, spc)
+          var sizes: Array[Long] = null
+          var chunkOffs: Array[Long] = null
+          var sync: Set[Int] = null
+          walk(s2, e2) { (t3, s3, e3) =>
+            t3 match {
+              case "tkhd" =>
+                if (e3 - s3 >= 24) {
+                  val ver = bytes(s3.toInt) & 0xff
+                  val at = if (ver == 1) s3 + 20 else s3 + 12
+                  if (at + 4 <= e3) trackId = u32(at.toInt).toInt
+                  else bad = true
+                } else bad = true
+              case "mdia" => walk(s3, e3) { (t4, s4, e4) =>
+                if (t4 == "minf") walk(s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walk(s5, e5) { (t6, s6, e6) =>
+                    t6 match {
+                      case "stsc" =>
+                        if (e6 - s6 >= 8) {
+                          val cnt = u32(s6.toInt + 4)
+                          if (s6 + 8 + cnt * 12 <= e6 && cnt <= (1 << 20))
+                            stsc = Array.tabulate(cnt.toInt) { i =>
+                              val b = (s6 + 8 + i * 12).toInt
+                              (u32(b), u32(b + 4)) // (first, spc) — sdi ignored
+                            }
+                          else bad = true
+                        } else bad = true
+                      case "stsz" =>
+                        if (e6 - s6 >= 12) {
+                          val uniform = u32(s6.toInt + 4)
+                          val cnt = u32(s6.toInt + 8)
+                          if (cnt > (1 << 22)) bad = true
+                          else if (uniform != 0L)
+                            sizes = Array.fill(cnt.toInt)(uniform)
+                          else if (s6 + 12 + cnt * 4 <= e6)
+                            sizes = Array.tabulate(cnt.toInt)(i =>
+                              u32((s6 + 12 + i * 4).toInt))
+                          else bad = true
+                        } else bad = true
+                      case "stco" =>
+                        if (e6 - s6 >= 8) {
+                          val cnt = u32(s6.toInt + 4)
+                          if (s6 + 8 + cnt * 4 <= e6 && cnt <= (1 << 20))
+                            chunkOffs = Array.tabulate(cnt.toInt)(i =>
+                              u32((s6 + 8 + i * 4).toInt))
+                          else bad = true
+                        } else bad = true
+                      case "co64" =>
+                        if (e6 - s6 >= 8) {
+                          val cnt = u32(s6.toInt + 4)
+                          if (s6 + 8 + cnt * 8 <= e6 && cnt <= (1 << 20))
+                            chunkOffs = Array.tabulate(cnt.toInt)(i =>
+                              u64((s6 + 8 + i * 8).toInt))
+                          else bad = true
+                        } else bad = true
+                      case "stss" =>
+                        if (e6 - s6 >= 8) {
+                          val cnt = u32(s6.toInt + 4)
+                          if (s6 + 8 + cnt * 4 <= e6 && cnt <= (1 << 20))
+                            sync = Array.tabulate(cnt.toInt)(i =>
+                              u32((s6 + 8 + i * 4).toInt).toInt).toSet
+                          else bad = true
+                        } else bad = true
+                      case _ =>
+                    }
+                  }
+                }
+              }
+              case _ =>
+            }
+          }
+          if (!bad && trackId >= 0 && stsc != null && sizes != null &&
+            chunkOffs != null && stsc.nonEmpty) {
+            // stsc runs must start at chunk 1 and ascend
+            val ascending = stsc.head._1 == 1L &&
+              stsc.sliding(2).forall {
+                case Array((a, _), (b, _)) => b > a
+                case _ => true
+              }
+            if (ascending) {
+              var sampleNo = 1
+              var run = 0
+              var chunk = 1
+              while (chunk <= chunkOffs.length &&
+                sampleNo <= sizes.length) {
+                while (run + 1 < stsc.length &&
+                  stsc(run + 1)._1 <= chunk) run += 1
+                val spc = stsc(run)._2
+                var within = 0L
+                var off = chunkOffs(chunk - 1)
+                while (within < spc && sampleNo <= sizes.length) {
+                  val sz = sizes(sampleNo - 1)
+                  out += Mp4Sample(id, trackId, sampleNo, chunk, off,
+                    sz,
+                    keyframe = sync == null || sync.contains(sampleNo))
+                  off += sz
+                  within += 1
+                  sampleNo += 1
+                }
+                chunk += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    if (bad) Seq.empty else out.toSeq
+  }
+
+  /** Partition-wise sample-table expansion — one walk per blob, rows
+    * out, blobs never shuffle.
+    */
+  def mp4SampleTable(blobs: Dataset[MediaBlob]): Dataset[Mp4Sample] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => parseMp4Samples(b.media_id, b.content))
+  }
+
   /** Genuine minimal ISO-BMFF file: ftyp + moov(mvhd + video trak
     * (tkhd dims + mdia/minf/stbl/stsd sample entry) [+ audio trak]) +
     * a small mdat. `v1` emits the 64-bit mvhd form. Deterministic per
@@ -205,6 +378,112 @@ private[multimodal] trait Mp4Codec extends Serializable {
     val mdat = box("mdat", Array.tabulate[Byte](16)(i =>
       ((id * 31 + i) & 0xff).toByte))
     val all = ftyp ++ moov ++ mdat
+    MediaBlob(id, "video/mp4", all)
+  }
+
+  /** [[syntheticMp4]] with a COMPLETE sample table whose mdat really
+    * contains the samples at the advertised offsets: 12 samples in
+    * stsc runs (chunks 1-2 carry 3 samples, chunks 3-5 carry 2),
+    * per-sample sizes `20 + (id·7 + k·13) mod 40`, chunk offsets into
+    * the contiguous mdat payload, and stss sync samples at
+    * `1, 1+g, 1+2g` with `g = 2 + id mod 3`. The stss entry count is
+    * fixed at 3, so the moov size — and with it the mdat payload
+    * base — is one constant for every id (Mp4SampleSpec pins it),
+    * which lets q195's oracle replay absolute file offsets from the
+    * formula alone. `co64` writes 64-bit chunk offsets instead of
+    * stco (same values).
+    */
+  def syntheticMp4WithSamples(id: Long,
+                              co64: Boolean = false): MediaBlob = {
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val len = 8 + parts.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      parts.foreach(bb.put)
+      bb.array()
+    }
+    val nSamples = 12
+    val sizes = Array.tabulate(nSamples)(k =>
+      20 + ((id * 7 + k * 13) % 40).toInt)
+    val g = 2 + (id % 3).toInt
+    val syncs = Array(1, 1 + g, 1 + 2 * g)
+    val chunkSamples = Array(3, 3, 2, 2, 2)
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(12)
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("isom".getBytes("US-ASCII")).array())
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 80)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(1000).putInt(1200)          // timescale, duration
+      bb.putInt(0x00010000).putShort(0x0100.toShort)
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte).put(7.toByte)
+      bb.putInt(0).putInt(0).putInt(1).putInt(0)
+      bb.putInt(1200)
+      bb.position(bb.position() + 52)
+      bb.putInt(64 << 16).putInt(48 << 16)
+      box("tkhd", bb.array())
+    }
+    val stsd = box("stsd", java.nio.ByteBuffer.allocate(8)
+      .putInt(0).putInt(1).array(),
+      java.nio.ByteBuffer.allocate(16).putInt(16)
+        .put("avc1".getBytes("US-ASCII")).putInt(0).putInt(0).array())
+    val stts = box("stts", java.nio.ByteBuffer.allocate(16)
+      .putInt(0).putInt(1).putInt(nSamples).putInt(100).array())
+    val stsc = box("stsc", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 2 * 12)
+      bb.putInt(0).putInt(2)
+      bb.putInt(1).putInt(3).putInt(1)      // chunks 1.. : 3 samples
+      bb.putInt(3).putInt(2).putInt(1)      // chunks 3.. : 2 samples
+      bb.array()
+    })
+    val stsz = box("stsz", {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * nSamples)
+      bb.putInt(0).putInt(0).putInt(nSamples)
+      sizes.foreach(bb.putInt)
+      bb.array()
+    })
+    val stss = box("stss", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * syncs.length)
+      bb.putInt(0).putInt(syncs.length)
+      syncs.foreach(bb.putInt)
+      bb.array()
+    })
+    // chunk offsets into the contiguous payload, patched below once
+    // the moov size (stco-value-independent) is known
+    val chunkFirst = chunkSamples.scanLeft(0)(_ + _) // sample index base
+    def chunkOffsets(base: Long): Array[Long] =
+      chunkFirst.take(chunkSamples.length).map(f =>
+        base + sizes.take(f).map(_.toLong).sum)
+    def stcoBox(base: Long): Array[Byte] =
+      if (co64) box("co64", {
+        val bb = java.nio.ByteBuffer.allocate(8 + 8 * chunkSamples.length)
+        bb.putInt(0).putInt(chunkSamples.length)
+        chunkOffsets(base).foreach(bb.putLong)
+        bb.array()
+      })
+      else box("stco", {
+        val bb = java.nio.ByteBuffer.allocate(8 + 4 * chunkSamples.length)
+        bb.putInt(0).putInt(chunkSamples.length)
+        chunkOffsets(base).foreach(o => bb.putInt(o.toInt))
+        bb.array()
+      })
+    def moovOf(base: Long): Array[Byte] =
+      box("moov", box("mvhd", mvhd),
+        box("trak", tkhd, box("mdia", box("minf", box("stbl",
+          stsd, stts, stsc, stsz, stcoBox(base), stss)))))
+    val mdatBase = ftyp.length + moovOf(0L).length + 8L
+    val payload = new Array[Byte](sizes.sum)
+    var p = 0
+    sizes.indices.foreach { k =>
+      (0 until sizes(k)).foreach { i =>
+        payload(p) = ((id * 31 + k * 7 + i) & 0xff).toByte; p += 1
+      }
+    }
+    val all = ftyp ++ moovOf(mdatBase) ++ box("mdat", payload)
     MediaBlob(id, "video/mp4", all)
   }
 

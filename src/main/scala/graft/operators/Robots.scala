@@ -98,24 +98,37 @@ object Robots {
     * stay broadcastable (bounded by robots declarations × index
     * fan-out).
     */
-  def sitemapSeeds(roots: DataFrame, pages: DataFrame): DataFrame = {
+  def sitemapSeeds(roots: DataFrame, pages: DataFrame,
+                   maxIndexDepth: Int = 1): DataFrame = {
     val T = graft.functions.Text
-    val fetched = roots
+    require(maxIndexDepth >= 0 && maxIndexDepth <= 4,
+      "sitemap index recursion is bounded (real indexes nest 1-2 deep)")
+    def fetched(refs: DataFrame): DataFrame = refs
       .join(pages.withColumnRenamed("url", "sitemap_url"),
         Seq("sitemap_url"))
       .withColumn("kind", T.sitemapKind(col("xml")))
-    val direct = fetched.filter(col("kind") === "urlset")
-      .select(col("site"), col("sitemap_url"),
-        explode(T.sitemapLocs(col("xml"))).as("loc"))
-    val children = fetched.filter(col("kind") === "sitemapindex")
-      .select(col("site"),
-        explode(T.sitemapLocs(col("xml"))).as("sitemap_url"))
-      .join(pages.withColumnRenamed("url", "sitemap_url"),
-        Seq("sitemap_url"))
-      .filter(T.sitemapKind(col("xml")) === "urlset") // one level only
-      .select(col("site"), col("sitemap_url"),
-        explode(T.sitemapLocs(col("xml"))).as("loc"))
-    direct.unionByName(children)
+    // level 0 = the robots-declared roots; each further level follows
+    // <sitemapindex> children. Depth is a bounded unroll (each level
+    // one join against the fetched-pages corpus), not a driver loop
+    // over rows — the plan stays a fixed dag at any corpus size.
+    var frontier = roots.select(col("site"), col("sitemap_url"))
+    var out: DataFrame = null
+    var level = 0
+    while (level <= maxIndexDepth && frontier != null) {
+      val f = fetched(frontier)
+      val direct = f.filter(col("kind") === "urlset")
+        .select(col("site"), col("sitemap_url"),
+          explode(T.sitemapLocs(col("xml"))).as("loc"))
+      out = if (out == null) direct else out.unionByName(direct)
+      frontier =
+        if (level < maxIndexDepth)
+          f.filter(col("kind") === "sitemapindex")
+            .select(col("site"),
+              explode(T.sitemapLocs(col("xml"))).as("sitemap_url"))
+        else null
+      level += 1
+    }
+    out
   }
 
   /** All directives of the groups that apply to `agent`:

@@ -249,7 +249,10 @@ object Queries
     "q191_cluster_sample" -> (q191 _),
     "q192_image_quality" -> (q192 _),
     "q193_hits" -> (q193 _),
-    "q194_mixed_image_quality" -> (q194 _)
+    "q194_mixed_image_quality" -> (q194 _),
+    "q195_mp4_samples" -> (q195 _),
+    "q196_flac_pcm" -> (q196 _),
+    "q197_gif_webp_resize" -> (q197 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -630,7 +633,10 @@ object Queries
     "q190_pruned_dedup_serve" -> q190Sql,
     "q192_image_quality" -> q192Sql,
     "q193_hits" -> q193Sql,
-    "q194_mixed_image_quality" -> q194Sql
+    "q194_mixed_image_quality" -> q194Sql,
+    "q195_mp4_samples" -> q195Sql,
+    "q196_flac_pcm" -> q196Sql,
+    "q197_gif_webp_resize" -> q197Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -871,4 +871,79 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |  AS duration_ms,
       | NOT (trunc OR junk) AS decode_ok
       |FROM d ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q196
+  // FLAC PCM decode under the oracle (Multimodal.decodeFlacStats):
+  // each row encodes deterministic samples into REAL FLAC frames —
+  // constant/fixed-order-2-Rice subframes across multiple blocks,
+  // mono and stereo, half the stereo rows through mid/side
+  // decorrelation — and the operator decodes them back to per-channel
+  // integer stats. DuckDB replays the stats from the sample FORMULA,
+  // so frame parse + subframe predictors + Rice residuals + stereo
+  // reconstruction are proven exact by arithmetic identity (the q192
+  // pattern at the audio layer). Every 11th blob truncated → one
+  // sentinel row.
+  private[queries] def q196(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 120)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val n = 150 + (id % 5).toInt * 30
+        val inter = new Array[Int](n * ch)
+        if (ch == 1)
+          (0 until n).foreach { i =>
+            inter(i) =
+              ((id * 31 + i.toLong * i * 7 + i * 13) % 401).toInt - 200
+          }
+        else (0 until n).foreach { i =>
+          inter(2 * i) = ((id * 17 + i * 3) % 201).toInt - 100
+          inter(2 * i + 1) = ((id * 13 + i * 7) % 151).toInt - 75
+        }
+        val mode = if (id % 4 == 1) "midside" else "independent"
+        val b = m.MediaBlob(id, "audio/flac",
+          m.flacEncode(16000, ch, 16, inter, blockSize = 64,
+            stereoMode = mode))
+        if (id % 11 == 0) b.copy(content = b.content.take(50)) else b
+      }
+    m.decodeFlacStats(blobs).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q196Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch,
+      |  150 + (doc_id % 5) * 30 AS n, doc_id % 11 = 0 AS bad
+      | FROM documents WHERE doc_id < 120),
+      |i AS (
+      | SELECT doc_id, ch, CAST(k AS BIGINT) AS k
+      | FROM p, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) t(k)
+      | WHERE NOT bad),
+      |v AS (
+      | SELECT doc_id, 0 AS channel,
+      |  (doc_id * 31 + k * k * 7 + k * 13) % 401 - 200 AS v
+      | FROM i WHERE ch = 1
+      | UNION ALL
+      | SELECT doc_id, 0, (doc_id * 17 + k * 3) % 201 - 100
+      | FROM i WHERE ch = 2
+      | UNION ALL
+      | SELECT doc_id, 1, (doc_id * 13 + k * 7) % 151 - 75
+      | FROM i WHERE ch = 2),
+      |agg AS (
+      | SELECT doc_id, channel, count(*) AS n_samples,
+      |  max(abs(v)) AS peak, sum(abs(v)) AS sum_abs,
+      |  sum(v * v) AS sum_sq
+      | FROM v GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(channel AS INT) AS channel,
+      | CAST(n_samples AS BIGINT) AS n_samples,
+      | CAST(peak AS INT) AS peak, CAST(sum_abs AS BIGINT) AS sum_abs,
+      | CAST(sum_sq AS BIGINT) AS sum_sq, TRUE AS decode_ok
+      |FROM agg
+      |UNION ALL
+      |SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+      |FROM p WHERE bad
+      |ORDER BY media_id, channel""".stripMargin
 }

@@ -1143,20 +1143,24 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       .map { id =>
         val text = ("mix-" + id + ";") * (1 + (id % 30)).toInt
         val raw = text.getBytes("UTF-8")
-        val v = (id % 5).toInt
+        val v = (id % 6).toInt
         val enc = v match {
           case 0 => m.gzipBytes(raw)
           case 1 => m.zstdBytes(raw)
           case 2 => m.lz4Bytes(raw)
           case 3 => m.zlibBytes(raw)
+          case 5 => m.brotliBytes(raw)
           case _ => raw
         }
-        val keepMagic = Array(18, 8, 8, 4)
+        // brotli is headerless (`Content-Encoding: br` is declared,
+        // never sniffable) — those rows route by media_type
+        val keepMagic = Array(18, 8, 8, 4, 0, 4)
         val content =
           if (id % 13 == 0 && v != 4)
             java.util.Arrays.copyOf(enc, keepMagic(v))
           else enc
-        m.MediaBlob(id, "application/octet-stream", content)
+        m.MediaBlob(id,
+          if (v == 5) "br" else "application/octet-stream", content)
       }
     m.decompressText(blobs).toDF()
       .select($"media_id", $"codec", $"n_chars", $"digest",
@@ -1165,14 +1169,14 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   }
   private[queries] lazy val q181Sql =
     """WITH p AS (
-      | SELECT doc_id, doc_id % 5 AS v,
-      |  doc_id % 13 = 0 AND doc_id % 5 <> 4 AS bad,
+      | SELECT doc_id, doc_id % 6 AS v,
+      |  doc_id % 13 = 0 AND doc_id % 6 <> 4 AS bad,
       |  repeat('mix-' || doc_id || ';',
       |    CAST(1 + doc_id % 30 AS INT)) AS t
       | FROM documents WHERE doc_id < 250)
       |SELECT doc_id AS media_id,
       | CASE v WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'lz4'
-      |  WHEN 3 THEN 'zlib' ELSE 'none' END AS codec,
+      |  WHEN 3 THEN 'zlib' WHEN 5 THEN 'br' ELSE 'none' END AS codec,
       | CAST(CASE WHEN bad THEN -1 ELSE length(t) END AS BIGINT)
       |  AS n_chars,
       | CASE WHEN bad THEN '' ELSE md5(t) END AS digest,
@@ -1825,5 +1829,140 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | NOT bad AS decode_ok
       |FROM p LEFT JOIN sums ON p.doc_id = sums.doc_id
       | LEFT JOIN lap ON p.doc_id = lap.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+  // MP4 sample-table walk under the oracle (Multimodal
+  // .mp4SampleTable): the stsc×stsz×stco expansion that turns "an MP4
+  // column" into "a frame-extraction work list" — every sample's
+  // absolute byte offset, size, owning chunk and stss keyframe flag,
+  // exact integers end-to-end. The writer's moov size is one pinned
+  // constant (Mp4SampleSpec asserts mdat base 496), so DuckDB replays
+  // absolute offsets from the size formula's prefix sums alone.
+  // Every 9th blob truncated → zero rows (the row-property contract).
+  private[queries] def q195(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticMp4WithSamples(id)
+        if (id % 9 == 0) b.copy(content = b.content.take(40)) else b
+      }
+    m.mp4SampleTable(blobs).toDF()
+      // offset/size are SQL keywords — aliased so the oracle compare's
+      // generated column lists stay parseable on both engines
+      .select($"media_id", $"track_id", $"sample_no", $"chunk_no",
+        $"offset".as("byte_offset"), $"size".as("byte_size"),
+        $"keyframe")
+      .orderBy($"media_id", $"sample_no")
+  }
+  private[queries] lazy val q195Sql =
+    """WITH p AS (
+      | SELECT doc_id FROM documents
+      | WHERE doc_id < 150 AND doc_id % 9 <> 0),
+      |s AS (
+      | SELECT doc_id, CAST(k AS INT) AS k
+      | FROM p, unnest(generate_series(0, 11)) t(k)),
+      |sz AS (
+      | SELECT doc_id, k,
+      |  20 + (doc_id * 7 + k * 13) % 40 AS smp_size
+      | FROM s),
+      |o AS (
+      | SELECT doc_id, k, smp_size,
+      |  496 + coalesce(sum(smp_size) OVER (
+      |    PARTITION BY doc_id ORDER BY k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS smp_off
+      | FROM sz)
+      |SELECT doc_id AS media_id, CAST(1 AS INT) AS track_id,
+      | CAST(k + 1 AS INT) AS sample_no,
+      | CAST(CASE WHEN k < 3 THEN 1 WHEN k < 6 THEN 2
+      |   WHEN k < 8 THEN 3 WHEN k < 10 THEN 4 ELSE 5 END AS INT)
+      |  AS chunk_no,
+      | CAST(smp_off AS BIGINT) AS byte_offset,
+      | CAST(smp_size AS BIGINT) AS byte_size,
+      | (k + 1) IN (1, 3 + doc_id % 3, 5 + 2 * (doc_id % 3))
+      |  AS keyframe
+      |FROM o ORDER BY media_id, sample_no""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+  // GIF/WebP byte-level resize under the oracle: dispatchTranscode
+  // routes each container to its new resize leg (GIF: decode → NN
+  // sample → palette-subset re-encode; WebP-lossless: VP8L decode →
+  // NN sample → VP8L re-encode) and imageQualityStats decodes the
+  // RESIZED bytes back to integer sums. The oracle replays the whole
+  // chain from the generator formula with the shared floor coordinate
+  // mapping `src = x·w / w'` — so both resize legs are proven
+  // pixel-exact by arithmetic identity (q124's lifecycle, upgraded
+  // from dims-only to full pixel sums). Every 9th blob truncated →
+  // EMPTY transcode output → all-sentinel stats row.
+  private[queries] def q197(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 140)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val (w, h) = (10 + (id % 14).toInt, 9 + (id % 9).toInt)
+        val b =
+          if (id % 2 == 0)
+            m.syntheticGifGradient(id, w, h, interlace = id % 4 == 0)
+          else m.syntheticWebpGradient(id, w, h,
+            cacheBits = if (id % 4 == 1) 6 else 0)
+        if (id % 9 == 0) b.copy(content = b.content.take(30)) else b
+      }
+    m.imageQualityStats(m.dispatchTranscode(blobs, maxEdge = 10,
+        targetRate = 8000, mono = true, every = 2)).toDF()
+      .select($"media_id", $"width", $"height", $"sum_luma",
+        $"sum_luma_sq", $"lap_sq_sum", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q197Sql =
+    """WITH p AS (
+      | SELECT doc_id, 10 + doc_id % 14 AS w, 9 + doc_id % 9 AS h,
+      |  greatest(10 + doc_id % 14, 9 + doc_id % 9) AS m,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 140),
+      |d AS (
+      | SELECT doc_id, w, h, bad,
+      |  CASE WHEN m <= 10 THEN w
+      |   ELSE greatest(1, w * 10 // m) END AS w2,
+      |  CASE WHEN m <= 10 THEN h
+      |   ELSE greatest(1, h * 10 // m) END AS h2
+      | FROM p),
+      |px AS (
+      | SELECT doc_id, w2, h2, x, y,
+      |  (doc_id * 31 + (x * w // w2) * 7 + (y * h // h2) * 13) % 256
+      |   AS g
+      | FROM d, unnest(generate_series(0, CAST(w2 - 1 AS BIGINT))) ux(x),
+      |  unnest(generate_series(0, CAST(h2 - 1 AS BIGINT))) uy(y)
+      | WHERE NOT bad),
+      |sums AS (
+      | SELECT doc_id, CAST(sum(g) AS BIGINT) AS s,
+      |  CAST(sum(g * g) AS BIGINT) AS s2
+      | FROM px GROUP BY doc_id),
+      |lap AS (
+      | SELECT c.doc_id, CAST(sum(
+      |   (4 * c.g - l.g - r.g - u.g - dn.g) *
+      |   (4 * c.g - l.g - r.g - u.g - dn.g)) AS BIGINT) AS lap2
+      | FROM px c
+      | JOIN px l ON l.doc_id = c.doc_id AND l.y = c.y AND l.x = c.x - 1
+      | JOIN px r ON r.doc_id = c.doc_id AND r.y = c.y AND r.x = c.x + 1
+      | JOIN px u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+      | JOIN px dn ON dn.doc_id = c.doc_id AND dn.x = c.x
+      |  AND dn.y = c.y + 1
+      | WHERE c.x BETWEEN 1 AND c.w2 - 2 AND c.y BETWEEN 1 AND c.h2 - 2
+      | GROUP BY c.doc_id)
+      |SELECT d.doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE w2 END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 ELSE h2 END AS INT) AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE s END AS BIGINT) AS sum_luma,
+      | CAST(CASE WHEN bad THEN -1 ELSE s2 END AS BIGINT)
+      |  AS sum_luma_sq,
+      | CAST(CASE WHEN bad THEN -1 ELSE coalesce(lap2, 0) END
+      |  AS BIGINT) AS lap_sq_sum,
+      | NOT bad AS decode_ok
+      |FROM d LEFT JOIN sums ON d.doc_id = sums.doc_id
+      | LEFT JOIN lap ON d.doc_id = lap.doc_id
       |ORDER BY media_id""".stripMargin
 }

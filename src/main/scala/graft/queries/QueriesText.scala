@@ -1147,20 +1147,34 @@ private[queries] trait QueriesText { this: Queries.type =>
               lit("/maps/c"), c.cast("string"),
               lit(".xml</loc></sitemap>"))), "\n"),
           lit("\n</sitemapindex>")).as("xml"))
+    // child c0 is a urlset; child c1 is ITSELF a <sitemapindex>
+    // pointing at a grandchild urlset — the depth-2 leg
     val childPages = ks.filter($"k" % 3 === 2)
-      .select($"k", explode(sequence(lit(0L), lit(1L))).as("c"))
-      .select(concat(host($"k"), lit("/maps/c"), $"c".cast("string"),
-          lit(".xml")).as("url"),
+      .select(concat(host($"k"), lit("/maps/c0.xml")).as("url"),
         concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
           array_join(transform(
             sequence(lit(0L), ($"k" % 2).cast("long")),
-            j => concat(lit("  <url><loc> "), host($"k"), lit("/e/"),
-              $"c".cast("string"), lit("/"), j.cast("string"),
-              lit(" </loc></url>"))), "\n"),
+            j => concat(lit("  <url><loc> "), host($"k"), lit("/e/0/"),
+              j.cast("string"), lit(" </loc></url>"))), "\n"),
+          lit("\n</urlset>")).as("xml"))
+    val childIndexPages = ks.filter($"k" % 3 === 2)
+      .select(concat(host($"k"), lit("/maps/c1.xml")).as("url"),
+        concat(lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+          lit("  <sitemap><loc>"), host($"k"),
+          lit("/maps/g.xml</loc></sitemap>"),
+          lit("\n</sitemapindex>")).as("xml"))
+    val grandPages = ks.filter($"k" % 3 === 2)
+      .select(concat(host($"k"), lit("/maps/g.xml")).as("url"),
+        concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(transform(
+            sequence(lit(0L), ($"k" % 2).cast("long")),
+            j => concat(lit("  <url><loc> "), host($"k"), lit("/f/"),
+              j.cast("string"), lit(" </loc></url>"))), "\n"),
           lit("\n</urlset>")).as("xml"))
     val pages = directPages.unionByName(indexPages)
-      .unionByName(childPages)
-    Robots.sitemapSeeds(declared, pages)
+      .unionByName(childPages).unionByName(childIndexPages)
+      .unionByName(grandPages)
+    Robots.sitemapSeeds(declared, pages, maxIndexDepth = 2)
       .orderBy($"site", $"sitemap_url", $"loc")
   }
   private[queries] lazy val q184Sql =
@@ -1182,15 +1196,21 @@ private[queries] trait QueriesText { this: Queries.type =>
       | FROM decl, unnest(generate_series(0, site % 3)) t(j)),
       |child_locs AS (
       | SELECT k AS site,
-      |  'http://site' || k || '.com/maps/c' || c || '.xml'
-      |   AS sitemap_url,
-      |  'http://site' || k || '.com/e/' || c || '/' || j AS loc
-      | FROM p, unnest(generate_series(0, 1)) u(c),
-      |  unnest(generate_series(0, k % 2)) w(j)
+      |  'http://site' || k || '.com/maps/c0.xml' AS sitemap_url,
+      |  'http://site' || k || '.com/e/0/' || j AS loc
+      | FROM p, unnest(generate_series(0, k % 2)) w(j)
+      | WHERE k % 3 = 2),
+      |grand_locs AS (
+      | SELECT k AS site,
+      |  'http://site' || k || '.com/maps/g.xml' AS sitemap_url,
+      |  'http://site' || k || '.com/f/' || j AS loc
+      | FROM p, unnest(generate_series(0, k % 2)) w(j)
       | WHERE k % 3 = 2)
       |SELECT site, sitemap_url, loc FROM locs
       |UNION ALL
       |SELECT site, sitemap_url, loc FROM child_locs
+      |UNION ALL
+      |SELECT site, sitemap_url, loc FROM grand_locs
       |ORDER BY site, sitemap_url, loc""".stripMargin
 
   /** The frontier fixture (shared by q172 and its streaming twin

@@ -444,6 +444,70 @@ class WebPixelsSpec extends AnyFunSuite {
       "Select tie must resolve to T (libwebp behavior)")
   }
 
+  // ------------------------------------------------------------ resize
+
+  test("resizeGif: pixel-exact NN downscale (palette subset, no " +
+    "quantization), never-upscale pass-through, row-property failures") {
+    val (w, h) = (40, 25)
+    val b = Multimodal.syntheticGifGradient(6L, w, h)
+    val (w2, h2, out) = Multimodal.resizeGif(b.content, 10).get
+    assert(w2 == 10 && h2 == 6) // 25*10/40 = 6
+    val (dw, dh, px) = Multimodal.decodeGifPixels(out).get
+    assert(dw == w2 && dh == h2)
+    (0 until h2).foreach { y =>
+      val sy = y * h / h2
+      (0 until w2).foreach { x =>
+        val sx = x * w / w2
+        val g = ((6L * 31 + sx * 7 + sy * 13) % 256).toInt
+        val p = (y * w2 + x) * 3
+        assert((px(p) & 0xff) == g && (px(p + 1) & 0xff) == g &&
+          (px(p + 2) & 0xff) == g, s"($x,$y)")
+      }
+    }
+    // within budget → original bytes untouched
+    val small = Multimodal.syntheticGifGradient(2L, 8, 6)
+    assert(Multimodal.resizeGif(small.content, 10).get._3 eq
+      small.content)
+    assert(Multimodal.resizeGif(b.content.take(30), 10).isEmpty)
+  }
+
+  test("resizeWebp: VP8L decode → NN sample → VP8L re-encode is " +
+    "pixel-exact; lossy VP8 rejects; transcode dispatch routes both") {
+    val (w, h) = (36, 24)
+    val b = Multimodal.syntheticWebpGradient(4L, w, h)
+    val (w2, h2, out) = Multimodal.resizeWebp(b.content, 12).get
+    assert(w2 == 12 && h2 == 8)
+    val (dw, dh, px) = Multimodal.decodeWebpPixels(out).get
+    assert(dw == w2 && dh == h2)
+    (0 until h2).foreach { y =>
+      val sy = y * h / h2
+      (0 until w2).foreach { x =>
+        val sx = x * w / w2
+        val g = ((4L * 31 + sx * 7 + sy * 13) % 256).toInt
+        assert((px((y * w2 + x) * 3) & 0xff) == g, s"($x,$y)")
+      }
+    }
+    val lossy = Multimodal.syntheticWebp(1L, 64, 64, "VP8")
+    assert(Multimodal.resizeWebp(lossy.content, 12).isEmpty)
+    // dispatchTranscode: VP8L resizes, VP8 passes through, a GIF
+    // resizes, a broken GIF empties
+    import spark.implicits._
+    val blobs = Seq(
+      b.copy(media_id = 1L),
+      lossy.copy(media_id = 2L),
+      Multimodal.syntheticGifGradient(3L, 40, 25),
+      Multimodal.syntheticGifGradient(4L, 40, 25)
+        .copy(content = Multimodal.syntheticGifGradient(4L, 40, 25)
+          .content.take(30))).toDS()
+    val outs = Multimodal.dispatchTranscode(blobs, maxEdge = 12,
+      targetRate = 8000, mono = true, every = 2)
+      .collect().sortBy(_.media_id)
+    assert(Multimodal.decodeWebpPixels(outs(0).content).get._1 == 12)
+    assert(java.util.Arrays.equals(outs(1).content, lossy.content))
+    assert(Multimodal.decodeGifPixels(outs(2).content).get._1 == 12)
+    assert(outs(3).content.isEmpty)
+  }
+
   // ----------------------------------------- cross-format pixel family
 
   test("same gradient through PNG, GIF and WebP containers produces " +
