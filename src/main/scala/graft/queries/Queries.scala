@@ -252,7 +252,8 @@ object Queries
     "q194_mixed_image_quality" -> (q194 _),
     "q195_mp4_samples" -> (q195 _),
     "q196_flac_pcm" -> (q196 _),
-    "q197_gif_webp_resize" -> (q197 _)
+    "q197_gif_webp_resize" -> (q197 _),
+    "q198_warc_http" -> (q198 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -636,7 +637,8 @@ object Queries
     "q194_mixed_image_quality" -> q194Sql,
     "q195_mp4_samples" -> q195Sql,
     "q196_flac_pcm" -> q196Sql,
-    "q197_gif_webp_resize" -> q197Sql
+    "q197_gif_webp_resize" -> q197Sql,
+    "q198_warc_http" -> q198Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1965,4 +1965,59 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |FROM d LEFT JOIN sums ON d.doc_id = sums.doc_id
       | LEFT JOIN lap ON d.doc_id = lap.doc_id
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+  // HTTP-response WARC ingest under the oracle (Warc.httpRecords):
+  // the real crawl-response shape q158's WET path skips — each
+  // `response` record carries HTTP framing, and the body decompresses
+  // per the DECLARED `Content-Encoding` (identity / gzip / BROTLI —
+  // brotli is headerless, so the header is the only routing signal),
+  // then charset-decodes. Half the archives are .warc.gz-framed on
+  // top. The oracle replays the decoded text from the generator
+  // formula — envelope walk, HTTP parse, three decompression legs and
+  // charset decode all proven in one chain. Every 13th archive
+  // truncated → one ok=false row.
+  private[queries] def q198(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val bytes = graft.sources.Warc.syntheticHttp(id, 3,
+          gzipFramed = id % 2 == 0)
+        graft.multimodal.Multimodal.MediaBlob(id, "application/warc",
+          if (id % 13 == 0) bytes.take(40) else bytes)
+      }
+    graft.sources.Warc.httpRecords(blobs).toDF()
+      .select($"media_id", $"rec_no", $"target_uri", $"status",
+        $"content_encoding", $"charset", $"n_chars", $"digest", $"ok")
+      .orderBy($"media_id", $"rec_no")
+  }
+  private[queries] lazy val q198Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |r AS (
+      | SELECT doc_id, CAST(r AS INT) AS rec_no
+      | FROM p, unnest(generate_series(0, 2)) t(r)
+      | WHERE NOT bad),
+      |d AS (
+      | SELECT doc_id, rec_no,
+      |  repeat('resp-' || doc_id || '-' || rec_no || ';',
+      |    CAST(1 + (doc_id + rec_no) % 6 AS INT)) AS text,
+      |  CASE WHEN (doc_id + rec_no) % 7 = 0 THEN 404 ELSE 200 END
+      |   AS status,
+      |  CASE rec_no % 3 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+      |   ELSE 'br' END AS ce
+      | FROM r)
+      |SELECT doc_id AS media_id, rec_no,
+      | 'http://ex.com/' || doc_id || '/' || rec_no AS target_uri,
+      | CAST(status AS INT) AS status, ce AS content_encoding,
+      | 'utf-8' AS charset, CAST(length(text) AS BIGINT) AS n_chars,
+      | md5(text) AS digest, TRUE AS ok
+      |FROM d
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS INT), '', CAST(-1 AS INT), '', '',
+      | CAST(-1 AS BIGINT), '', FALSE
+      |FROM p WHERE bad
+      |ORDER BY media_id, rec_no""".stripMargin
 }

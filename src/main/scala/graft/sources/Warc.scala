@@ -160,6 +160,132 @@ object Warc {
     })
   }
 
+  /** One HTTP response unwrapped from a WARC `response` record:
+    * status + declared `Content-Encoding` honored (identity / gzip /
+    * deflate / brotli — brotli is HEADERLESS, so the declared header
+    * is the ONLY routing signal, exactly why
+    * [[graft.multimodal.Multimodal.unbrotli]] exists), body
+    * decompressed under the shared bomb cap, then charset-detected;
+    * `digest`/`n_chars` follow [[WarcTextRecord]]'s decoded-content
+    * contract.
+    */
+  case class WarcHttpRecord(media_id: Long, rec_no: Int,
+                            target_uri: String, status: Int,
+                            content_encoding: String, charset: String,
+                            n_chars: Long, digest: String, ok: Boolean)
+
+  private val BadHttp =
+    WarcHttpRecord(0L, 0, "", -1, "", "", -1L, "", ok = false)
+
+  private def parseHttpResponse(id: Long, recNo: Int, uri: String,
+                                payload: Array[Byte]): WarcHttpRecord = {
+    val m = graft.multimodal.Multimodal
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return BadHttp.copy(media_id = id, rec_no = recNo,
+      target_uri = uri)
+    val head = new String(payload, 0, split, "ISO-8859-1")
+    val lines = head.split("\r\n")
+    val statusParts = lines.head.split(" ")
+    val status =
+      if (statusParts.length >= 2 && statusParts(0).startsWith("HTTP/"))
+        try statusParts(1).toInt catch { case _: NumberFormatException => -1 }
+      else -1
+    if (status < 0) return BadHttp.copy(media_id = id, rec_no = recNo,
+      target_uri = uri)
+    val headers = lines.tail.flatMap { h =>
+      val ci = h.indexOf(':')
+      if (ci < 0) None
+      else Some(h.substring(0, ci).trim
+        .toLowerCase(java.util.Locale.ROOT) ->
+        h.substring(ci + 1).trim)
+    }.toMap
+    val ce = headers.getOrElse("content-encoding", "identity")
+      .toLowerCase(java.util.Locale.ROOT)
+    val body = java.util.Arrays.copyOfRange(payload, split + 4,
+      payload.length)
+    val decoded = ce match {
+      case "identity" | "" => Some(body)
+      case "gzip" | "x-gzip" => m.gunzip(body)
+      case "deflate" => m.inflateZlib(body)
+      case "br" => m.unbrotli(body)
+      case _ => None
+    }
+    decoded match {
+      case Some(d) =>
+        val tb = m.detectAndDecodeText(id, d)
+        WarcHttpRecord(id, recNo, uri, status, ce, tb.encoding,
+          tb.n_chars, tb.digest, ok = tb.decode_ok)
+      case None =>
+        WarcHttpRecord(id, recNo, uri, status, ce, "", -1L, "",
+          ok = false)
+    }
+  }
+
+  /** The HTTP ingest composition: gzip-unwrap the archive (if
+    * framed) → record walk → per-response HTTP header parse →
+    * `Content-Encoding`-declared body decompression (gzip / deflate /
+    * BROTLI / identity) → charset detect+decode — one partition-local
+    * pass, payload bytes never shuffle. This is what an actual crawl
+    * response column needs that the WET text path does not: real
+    * `response` records carry HTTP framing and a double-digit percent
+    * of the modern web arrives `Content-Encoding: br`. Non-response
+    * records are skipped; a malformed envelope or body stays a
+    * row property.
+    */
+  def httpRecords(blobs: Dataset[MediaBlob])
+      : Dataset[WarcHttpRecord] = {
+    import blobs.sparkSession.implicits._
+    val m = graft.multimodal.Multimodal
+    blobs.mapPartitions(_.flatMap { b =>
+      val raw =
+        if (m.sniffFormat(b.content) == "gzip")
+          m.gunzip(b.content).orNull
+        else b.content
+      if (raw == null) Seq(BadHttp.copy(media_id = b.media_id))
+      else parseFull(b.media_id, raw).flatMap { case (r, payload) =>
+        if (!r.ok) Some(BadHttp.copy(media_id = b.media_id,
+          rec_no = r.rec_no))
+        else if (r.warc_type != "response") None
+        else Some(parseHttpResponse(b.media_id, r.rec_no,
+          r.target_uri, payload))
+      }
+    })
+  }
+
+  /** Genuine minimal HTTP-response WARC archive: each record a full
+    * status line + headers + body, with the body compressed per the
+    * declared `Content-Encoding`. Fixture writer for [[httpRecords]].
+    */
+  def syntheticHttp(id: Long, nRecords: Int,
+                    gzipFramed: Boolean): Array[Byte] = {
+    val m = graft.multimodal.Multimodal
+    val recs = (0 until nRecords).map { r =>
+      val status = if ((id + r) % 7 == 0) 404 else 200
+      val text = ("resp-" + id + "-" + r + ";") *
+        (1 + ((id + r) % 6)).toInt
+      val raw = text.getBytes("UTF-8")
+      val (ce, body) = (r % 3) match {
+        case 0 => ("identity", raw)
+        case 1 => ("gzip", m.gzipBytes(raw))
+        case _ => ("br", m.brotliBytes(raw))
+      }
+      val head = s"HTTP/1.1 $status X\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Encoding: $ce\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      ("response", s"http://ex.com/$id/$r",
+        head.getBytes("ISO-8859-1") ++ body)
+    }
+    val archive = syntheticRecords(id, recs)
+    if (gzipFramed) m.gzipBytes(archive) else archive
+  }
+
   /** Genuine minimal WARC archive from explicit records
     * (type, target-uri, payload bytes). Any WARC tool reads it back.
     */

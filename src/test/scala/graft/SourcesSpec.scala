@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.multimodal.Multimodal
 import graft.sources.{FileTreeSource, SourcePlugin, Sources}
 
 /** The fetch seam: ingest resolves its raw-content source by name, so
@@ -119,6 +120,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(0).encoding == "utf-8" && rows(1).encoding == "latin-1")
     assert(rows(0).digest == rows(1).digest)
     assert(rows(0).n_chars == text.length.toLong)
+  }
+
+  test("Warc.httpRecords unwraps HTTP framing and honors the " +
+    "declared Content-Encoding: identity, gzip and headerless brotli") {
+    import graft.sources.Warc
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "application/warc",
+        Warc.syntheticHttp(1L, 3, gzipFramed = false)),
+      Multimodal.MediaBlob(2L, "application/warc",
+        Warc.syntheticHttp(2L, 3, gzipFramed = true)),
+      Multimodal.MediaBlob(3L, "application/warc",
+        Warc.syntheticHttp(3L, 3, gzipFramed = false).take(40))
+    ).toDS()
+    val rows = Warc.httpRecords(blobs).collect()
+      .groupBy(_.media_id).map { case (k, v) => k -> v.sortBy(_.rec_no) }
+    Seq(1L, 2L).foreach { id =>
+      val rs = rows(id)
+      assert(rs.length == 3 && rs.forall(_.ok))
+      assert(rs.map(_.content_encoding).toSeq ==
+        Seq("identity", "gzip", "br"))
+      rs.foreach { r =>
+        val text = ("resp-" + id + "-" + r.rec_no + ";") *
+          (1 + ((id + r.rec_no) % 6)).toInt
+        assert(r.n_chars == text.length)
+        assert(r.charset == "utf-8")
+        assert(r.status == (if ((id + r.rec_no) % 7 == 0) 404 else 200))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        assert(r.digest == md.digest(text.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      }
+    }
+    assert(rows(3L).length == 1 && !rows(3L).head.ok)
+    // a declared-but-wrong encoding is a row property
+    val lying = Warc.syntheticRecords(9L, Seq(("response",
+      "http://x/1",
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n".getBytes("ISO-8859-1")
+        ++ "this is not brotli at all, definitely not".getBytes))))
+    val bad = Warc.httpRecords(Seq(Multimodal.MediaBlob(9L, "w",
+      lying)).toDS()).collect()
+    assert(bad.length == 1 && !bad.head.ok &&
+      bad.head.content_encoding == "br" && bad.head.status == 200)
   }
 
   test("Tar.parse inventories a genuine USTAR archive — octal sizes, " +
