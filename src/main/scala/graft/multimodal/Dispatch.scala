@@ -32,7 +32,7 @@ case class ImageQuality(media_id: Long, width: Int, height: Int,
   */
 private[multimodal] trait DispatchCodec extends Serializable
     with WavCodec with PngCodec with Y4mCodec with JpegCodec
-    with WebImageCodec with Vp8lCodec with BrotliCodec
+    with WebImageCodec with Vp8lCodec with Vp8Codec with BrotliCodec
     with CompressionCodec with Mp4Codec with AudioCodec {
   // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
   // JPEG next to Y4M. Each decode operator above assumes a homogeneous
@@ -179,7 +179,7 @@ private[multimodal] trait DispatchCodec extends Serializable
     * decoder in this repo — the concrete [[PngCodec.decodeImagePixels]]
     * every pixel-level operator (perceptual hashes, near-dup pairs,
     * quality stats) routes through. A recognized container whose body
-    * a decoder rejects (interlaced PNG, lossy VP8, …) returns None —
+    * a decoder rejects (interlaced PNG, foreign-table VP8, …) returns None —
     * a row property, never a task failure.
     */
   override def decodeImagePixels(bytes: Array[Byte])
@@ -306,11 +306,12 @@ private[multimodal] trait DispatchCodec extends Serializable
     }
   }
 
-  /** The WebP-lossless leg of the resize family: VP8L decode, the
-    * shared NN floor mapping, VP8L re-encode (SUBTRACT_GREEN + LZ77 —
-    * lossless, so pixel-exact like every resize here). Lossy VP8 and
-    * VP8X wrappers return None (their pixel decode is the lossy
-    * codec); [[dispatchTranscode]] passes those through unchanged.
+  /** The WebP leg of the resize family: pixel decode (VP8L, or the
+    * VP8 keyframe codec via [[Vp8lCodec.decodeWebpPixels]]'s lossy
+    * fallback), the shared NN floor mapping, VP8L re-encode
+    * (SUBTRACT_GREEN + LZ77) — so a lossy source transcodes to
+    * lossless on the way down, and the resized pixels stay exact.
+    * Undecodable bodies return None.
     */
   def resizeWebp(bytes: Array[Byte],
                  maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
@@ -366,11 +367,13 @@ private[multimodal] trait DispatchCodec extends Serializable
         case "jpeg" => resizeJpeg(b.content, maxEdge).map(_._3)
         case "y4m"  => transcodeY4m(b.content, every, maxEdge)
         case "gif"  => resizeGif(b.content, maxEdge).map(_._3)
-        // lossless WebP resizes; lossy VP8 / VP8X (whose pixel decode
-        // is the lossy codec) passes through unchanged; a VP8L stream
-        // with a broken body empties like PNG/JPEG
+        // lossless AND lossy single-frame WebP resize (the lossy leg
+        // decodes through the VP8 keyframe codec and re-encodes as
+        // VP8L); VP8X wrappers (possibly animations) pass through
+        // unchanged; a broken body empties like PNG/JPEG
         case "webp" =>
-          if (parseWebp(0L, b.content).variant == "VP8L")
+          val variant = parseWebp(0L, b.content).variant
+          if (variant == "VP8L" || variant == "VP8")
             resizeWebp(b.content, maxEdge).map(_._3)
           else Some(b.content)
         // metadata-only legs: no byte-level transform exists, so a

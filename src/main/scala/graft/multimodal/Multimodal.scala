@@ -30,7 +30,7 @@ case class DecodedMeta(media_id: Long, media_type: String,
   * or library decoder changes one function.
   */
 object Multimodal extends Serializable
-    with WavCodec with PngCodec with Y4mCodec with JpegCodec with WebImageCodec with Vp8lCodec with BrotliCodec with CompressionCodec with TextCharsetCodec with Mp4Codec with AudioCodec with FlacPcmCodec with DispatchCodec {
+    with WavCodec with PngCodec with Y4mCodec with JpegCodec with WebImageCodec with Vp8lCodec with Vp8Codec with BrotliCodec with CompressionCodec with TextCharsetCodec with Mp4Codec with AudioCodec with FlacPcmCodec with DispatchCodec {
 
 
   val Magic: Int = 0x47524d4d // "GRMM"

@@ -35,6 +35,8 @@ package graft.multimodal
   * Spark-side pixel seam those blobs flow through.
   */
 private[multimodal] trait Vp8lCodec extends Serializable {
+  self: Vp8Codec => // lossy fallback for decodeWebpPixels
+
 
   // ---------------------------------------------------------------- bits
 
@@ -588,10 +590,11 @@ private[multimodal] trait Vp8lCodec extends Serializable {
     * triplets: the RIFF walk finds the VP8L chunk, the 5-byte header
     * yields dims, then [[decodeImageStream]] + inverse transforms.
     * Alpha is dropped (composited as-is — the pixel family works in
-    * RGB). Returns None for: non-VP8L variants (lossy VP8, VP8X
-    * wrappers — whose pixel decode would need the lossy codec),
-    * malformed bitstreams, or images past the allocation bound. The
-    * same never-fail contract as [[PngCodec.decodePngPixels]].
+    * RGB). Containers without a VP8L chunk (lossy VP8, VP8X wrappers)
+    * fall through to [[Vp8Codec.decodeWebpLossy]]'s keyframe decoder.
+    * Returns None for malformed bitstreams or images past the
+    * allocation bound — the same never-fail contract as
+    * [[PngCodec.decodePngPixels]].
     */
   def decodeWebpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     // locate the VP8L chunk via the RIFF walk
@@ -615,7 +618,7 @@ private[multimodal] trait Vp8lCodec extends Serializable {
       if (cc == "VP8L") { chunkStart = o + 8; chunkLen = size }
       else off += 8 + size + (size & 1L)
     }
-    if (chunkStart < 0 || chunkLen < 5) return None
+    if (chunkStart < 0 || chunkLen < 5) return decodeWebpLossy(bytes)
     if (u(chunkStart) != 0x2f) return None
     val br = new BitReader(bytes, chunkStart + 1)
     val wm1 = br.read(14)

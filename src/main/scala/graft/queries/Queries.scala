@@ -253,7 +253,8 @@ object Queries
     "q195_mp4_samples" -> (q195 _),
     "q196_flac_pcm" -> (q196 _),
     "q197_gif_webp_resize" -> (q197 _),
-    "q198_warc_http" -> (q198 _)
+    "q198_warc_http" -> (q198 _),
+    "q199_lossy_webp_quality" -> (q199 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -638,7 +639,8 @@ object Queries
     "q195_mp4_samples" -> q195Sql,
     "q196_flac_pcm" -> q196Sql,
     "q197_gif_webp_resize" -> q197Sql,
-    "q198_warc_http" -> q198Sql
+    "q198_warc_http" -> q198Sql,
+    "q199_lossy_webp_quality" -> q199Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

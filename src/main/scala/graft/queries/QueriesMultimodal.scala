@@ -2020,4 +2020,103 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | CAST(-1 AS BIGINT), '', FALSE
       |FROM p WHERE bad
       |ORDER BY media_id, rec_no""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+  // LOSSY WebP (VP8 keyframe) pixels under the oracle — the final
+  // image container: decodeWebpPixels now routes "VP8 " chunks
+  // through the full RFC 6386 keyframe decoder (bool coder, mode
+  // trees, token trees, WHT+IDCT, DC/V/H prediction chains). The
+  // fixture's per-MB Y2-DC offsets reconstruct to EXACT closed-form
+  // flat macroblocks (Vp8.scala syntheticWebpLossyFlat: at seam qi=0,
+  // a Y2 level of 8·o is a uniform luma offset of exactly o), and
+  // every even id is a PNG of the SAME closed-form pixels — so one
+  // generator formula oracles both containers and any lossy-decode
+  // drift breaks the hash match. Every 7th blob truncated →
+  // all-sentinel row, a row property, never a task failure.
+  private[queries] def q199(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 140)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 16 * (1 + (id % 3).toInt)
+        val h = 16 * (1 + (id % 2).toInt)
+        val b =
+          if (id % 2 == 0) {
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = m.lossyFlatPixel(id, x, y).toByte
+                val p = (y * w + x) * 3
+                rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.MediaBlob(id, "image/png",
+              m.pngEncode(w, h, rgb))
+          } else m.syntheticWebpLossyFlat(id, w, h)
+        if (id % 7 == 0) b.copy(content = b.content.take(20)) else b
+      }
+    m.imageQualityStats(blobs).toDF()
+      .select($"media_id", $"width", $"height", $"sum_luma",
+        $"sum_luma_sq", $"lap_sq_sum", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q199Sql =
+    """WITH p AS (
+      | SELECT doc_id, 16 * (1 + doc_id % 3) AS w,
+      |  16 * (1 + doc_id % 2) AS h,
+      |  1 + doc_id % 3 AS mbw, 1 + doc_id % 2 AS mbh,
+      |  doc_id % 7 = 0 AS bad
+      | FROM documents WHERE doc_id < 140),
+      |mb AS (
+      | SELECT p.doc_id, mx, my,
+      |  128
+      |  + (SELECT COALESCE(SUM(((p.doc_id * 7 + j * 11) % 9) - 4), 0)
+      |     FROM unnest(generate_series(0, my)) tj(j))
+      |  + (SELECT COALESCE(SUM(((p.doc_id * 7 + i * 5 + my * 11) % 9)
+      |       - 4), 0)
+      |     FROM unnest(generate_series(1, mx)) ti(i)) AS g
+      | FROM p,
+      |  unnest(generate_series(0, CAST(p.mbw - 1 AS BIGINT))) ux(mx),
+      |  unnest(generate_series(0, CAST(p.mbh - 1 AS BIGINT))) uy(my)
+      | WHERE NOT p.bad),
+      |px AS (
+      | SELECT p.doc_id, p.w, p.h, x, y, mb.g
+      | FROM p,
+      |  unnest(generate_series(0, CAST(p.w - 1 AS BIGINT))) ux(x),
+      |  unnest(generate_series(0, CAST(p.h - 1 AS BIGINT))) uy(y),
+      |  mb
+      | WHERE NOT p.bad AND mb.doc_id = p.doc_id
+      |  AND mb.mx = x // 16 AND mb.my = y // 16),
+      |sums AS (
+      | SELECT doc_id, CAST(sum(g) AS BIGINT) AS s,
+      |  CAST(sum(g * g) AS BIGINT) AS s2
+      | FROM px GROUP BY doc_id),
+      |lap AS (
+      | SELECT c.doc_id, CAST(sum(
+      |   (4 * c.g - l.g - r.g - u.g - d.g) *
+      |   (4 * c.g - l.g - r.g - u.g - d.g)) AS BIGINT) AS lap2
+      | FROM px c
+      | JOIN px l ON l.doc_id = c.doc_id AND l.y = c.y AND l.x = c.x - 1
+      | JOIN px r ON r.doc_id = c.doc_id AND r.y = c.y AND r.x = c.x + 1
+      | JOIN px u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+      | JOIN px d ON d.doc_id = c.doc_id AND d.x = c.x AND d.y = c.y + 1
+      | WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2
+      | GROUP BY c.doc_id)
+      |SELECT p.doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE w END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 ELSE h END AS INT) AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE s END AS BIGINT) AS sum_luma,
+      | CAST(CASE WHEN bad THEN -1 ELSE s2 END AS BIGINT)
+      |  AS sum_luma_sq,
+      | CAST(CASE WHEN bad THEN -1 ELSE lap2 END AS BIGINT)
+      |  AS lap_sq_sum,
+      | NOT bad AS decode_ok
+      |FROM p LEFT JOIN sums ON p.doc_id = sums.doc_id
+      | LEFT JOIN lap ON p.doc_id = lap.doc_id
+      |ORDER BY media_id""".stripMargin
 }
