@@ -30,7 +30,7 @@ case class DecodedMeta(media_id: Long, media_type: String,
   * or library decoder changes one function.
   */
 object Multimodal extends Serializable
-    with WavCodec with PngCodec with Y4mCodec with JpegCodec with WebImageCodec with Vp8lCodec with Vp8Codec with BrotliCodec with CompressionCodec with TextCharsetCodec with Mp4Codec with AudioCodec with FlacPcmCodec with DispatchCodec {
+    with WavCodec with PngCodec with Y4mCodec with JpegCodec with WebImageCodec with Vp8lCodec with Vp8Codec with BrotliCodec with CompressionCodec with TextCharsetCodec with Mp4Codec with AudioCodec with FlacPcmCodec with PdfCodec with DispatchCodec {
 
 
   val Magic: Int = 0x47524d4d // "GRMM"
@@ -68,6 +68,8 @@ object Multimodal extends Serializable
   val Mp4Meta: graft.multimodal.Mp4Meta.type = graft.multimodal.Mp4Meta
   type OggMeta = graft.multimodal.OggMeta
   val OggMeta: graft.multimodal.OggMeta.type = graft.multimodal.OggMeta
+  type PdfPage = graft.multimodal.PdfPage
+  val PdfPage: graft.multimodal.PdfPage.type = graft.multimodal.PdfPage
   type PngMeta = graft.multimodal.PngMeta
   val PngMeta: graft.multimodal.PngMeta.type = graft.multimodal.PngMeta
   type ResizedFrame = graft.multimodal.ResizedFrame

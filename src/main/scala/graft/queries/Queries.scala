@@ -254,7 +254,8 @@ object Queries
     "q196_flac_pcm" -> (q196 _),
     "q197_gif_webp_resize" -> (q197 _),
     "q198_warc_http" -> (q198 _),
-    "q199_lossy_webp_quality" -> (q199 _)
+    "q199_lossy_webp_quality" -> (q199 _),
+    "q200_pdf_text" -> (q200 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -640,7 +641,8 @@ object Queries
     "q196_flac_pcm" -> q196Sql,
     "q197_gif_webp_resize" -> q197Sql,
     "q198_warc_http" -> q198Sql,
-    "q199_lossy_webp_quality" -> q199Sql
+    "q199_lossy_webp_quality" -> q199Sql,
+    "q200_pdf_text" -> q200Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2119,4 +2119,61 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |FROM p LEFT JOIN sums ON p.doc_id = sums.doc_id
       | LEFT JOIN lap ON p.doc_id = lap.doc_id
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+  // PDF text extraction under the oracle — the dominant document
+  // format of an LLM training corpus: each row synthesizes a genuine
+  // multi-page PDF 1.4 (catalog → pages tree → FlateDecode content
+  // streams showing lines via Td/Tj) and Multimodal.pdfPages walks it
+  // back scan-shaped (objects found WITHOUT the xref table, the
+  // real-crawl stance) into per-page text rows. The oracle replays
+  // page text closed-form (string_agg of the generated lines with
+  // newlines). Every 11th blob truncated mid-structure → ONE
+  // all-sentinel row, a row property, never a task failure.
+  private[queries] def q200(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 160)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val pages = (0 until (1 + (id % 3)).toInt).map { p =>
+          (0 until (1 + ((id + p) % 4)).toInt).map { j =>
+            s"pdf-$id-$p-$j;" * (1 + ((id + j) % 3).toInt)
+          }
+        }
+        val b = m.syntheticPdf(id, pages, hexStrings = id % 4 == 2)
+        m.MediaBlob(id, "application/pdf",
+          if (id % 11 == 0) b.take(80) else b)
+      }
+    m.pdfPages(blobs).toDF()
+      .select($"media_id", $"page_no", $"n_chars", $"text", $"ok")
+      .orderBy($"media_id", $"page_no")
+  }
+  private[queries] lazy val q200Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 3 AS np, doc_id % 11 = 0 AS bad
+      | FROM documents WHERE doc_id < 160),
+      |pg AS (
+      | SELECT doc_id, CAST(pn AS INT) AS page_no,
+      |  1 + (doc_id + pn) % 4 AS nl
+      | FROM (SELECT doc_id, unnest(range(np)) AS pn
+      |       FROM p WHERE NOT bad) t),
+      |ln AS (
+      | SELECT doc_id, page_no, j,
+      |  repeat('pdf-' || doc_id || '-' || page_no || '-' || j || ';',
+      |   CAST(1 + (doc_id + j) % 3 AS INT)) AS line
+      | FROM (SELECT doc_id, page_no, unnest(range(nl)) AS j
+      |       FROM pg) t),
+      |tx AS (
+      | SELECT doc_id, page_no,
+      |  string_agg(line || chr(10), '' ORDER BY j) AS text
+      | FROM ln GROUP BY doc_id, page_no)
+      |SELECT media_id, page_no, n_chars, text, ok FROM (
+      | SELECT doc_id AS media_id, page_no,
+      |  CAST(length(text) AS BIGINT) AS n_chars, text, TRUE AS ok
+      | FROM tx
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), CAST(-1 AS BIGINT), '', FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id, page_no""".stripMargin
 }
