@@ -255,7 +255,8 @@ object Queries
     "q197_gif_webp_resize" -> (q197 _),
     "q198_warc_http" -> (q198 _),
     "q199_lossy_webp_quality" -> (q199 _),
-    "q200_pdf_text" -> (q200 _)
+    "q200_pdf_text" -> (q200 _),
+    "q201_subtitle_cues" -> (q201 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -642,7 +643,8 @@ object Queries
     "q197_gif_webp_resize" -> q197Sql,
     "q198_warc_http" -> q198Sql,
     "q199_lossy_webp_quality" -> q199Sql,
-    "q200_pdf_text" -> q200Sql
+    "q200_pdf_text" -> q200Sql,
+    "q201_subtitle_cues" -> q201Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2176,4 +2176,62 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | SELECT doc_id, CAST(0 AS INT), CAST(-1 AS BIGINT), '', FALSE
       | FROM p WHERE bad)
       |ORDER BY media_id, page_no""".stripMargin
+
+  // ---------------------------------------------------------------- q201
+  // Subtitle cues under the oracle — the text half of video/audio
+  // training pairs: each row synthesizes a genuine caption file (SRT
+  // with numbered comma-millis blocks, or WebVTT with header, NOTE
+  // block, cue ids and trailing cue settings — alternating by id) and
+  // Subtitles.cues parses it back to (cue_no, start_ms, end_ms, text)
+  // rows. The oracle replays the cue construction closed-form (spans
+  // are k·span → k·span + span/2; multi-line payloads every 3rd cue).
+  // Every 13th blob is non-subtitle garbage → ONE all-sentinel row.
+  private[queries] def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 160)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b =
+          if (id % 13 == 0) s"garbage-$id".getBytes("UTF-8")
+          else graft.sources.Subtitles.synthetic(id,
+            n = 2 + (id % 4).toInt, vtt = id % 2 == 1,
+            spanMs = 1500L + (id % 3) * 250L,
+            line = k =>
+              if (k % 3 == 0) s"sub-$id-$k-a\nsub-$id-$k-b"
+              else s"sub-$id-$k")
+        m.MediaBlob(id, if (id % 2 == 1) "text/vtt" else "text/srt", b)
+      }
+    graft.sources.Subtitles.cues(blobs).toDF()
+      .select($"media_id", $"cue_no", $"start_ms", $"end_ms", $"text",
+        $"format", $"ok")
+      .orderBy($"media_id", $"cue_no")
+  }
+  private[queries] lazy val q201Sql =
+    """WITH p AS (
+      | SELECT doc_id, 2 + doc_id % 4 AS n,
+      |  1500 + (doc_id % 3) * 250 AS span,
+      |  doc_id % 2 = 1 AS vtt, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 160),
+      |c AS (
+      | SELECT doc_id, CAST(k AS INT) AS cue_no,
+      |  CAST(k * span AS BIGINT) AS start_ms,
+      |  CAST(k * span + span // 2 AS BIGINT) AS end_ms,
+      |  CASE WHEN k % 3 = 0
+      |   THEN 'sub-' || doc_id || '-' || k || '-a' || chr(10) ||
+      |    'sub-' || doc_id || '-' || k || '-b'
+      |   ELSE 'sub-' || doc_id || '-' || k END AS text,
+      |  CASE WHEN vtt THEN 'vtt' ELSE 'srt' END AS format
+      | FROM (SELECT doc_id, span, vtt, unnest(range(n)) AS k
+      |       FROM p WHERE NOT bad) t)
+      |SELECT media_id, cue_no, start_ms, end_ms, text, format, ok
+      |FROM (
+      | SELECT doc_id AS media_id, cue_no, start_ms, end_ms, text,
+      |  format, TRUE AS ok
+      | FROM c
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT), '', '', FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id, cue_no""".stripMargin
 }
