@@ -516,6 +516,51 @@ private[multimodal] trait PdfCodec extends Serializable {
 
   // --------------------------------------------------------- surface
 
+  /** expand /Type /ObjStm object streams (PDF 1.5+ keeps most
+    * objects inside these compressed containers, where the raw scan
+    * cannot see them): decode, read the N (objnum, offset) header
+    * pairs, parse each embedded object at /First + offset. Scan-found
+    * top-level definitions win on collision (they are the newer
+    * incremental-update layer in the documents that have both).
+    */
+  private def expandObjectStreams(bytes: Array[Byte],
+      objs: scala.collection.mutable.LinkedHashMap[Int, PdfObj]): Unit = {
+    val streams = objs.collect {
+      case (num, s: PStream)
+        if s.dict.v.get("Type").contains(PName("ObjStm")) => (num, s)
+    }.toVector
+    streams.foreach { case (_, s) =>
+      val nOpt = resolve(s.dict.v.getOrElse("N", PNull), objs)
+      val firstOpt = resolve(s.dict.v.getOrElse("First", PNull), objs)
+      (nOpt, firstOpt) match {
+        case (PNum(nD), PNum(firstD)) =>
+          decodeStream(s, bytes, objs).foreach { data =>
+            val n = nD.toInt
+            val first = firstD.toInt
+            val hdr = new PdfLexer(data, 0, math.min(first, data.length))
+            val pairs = Vector.newBuilder[(Int, Int)]
+            var i = 0
+            var okHdr = true
+            while (okHdr && i < n) {
+              (hdr.obj(), hdr.obj()) match {
+                case (Some(PNum(num)), Some(PNum(off))) =>
+                  pairs += ((num.toInt, off.toInt))
+                case _ => okHdr = false
+              }
+              i += 1
+            }
+            if (okHdr) pairs.result().foreach { case (num, off) =>
+              if (!objs.contains(num) && first + off < data.length) {
+                val lx = new PdfLexer(data, first + off, data.length)
+                lx.obj().foreach(o => objs(num) = o)
+              }
+            }
+          }
+        case _ =>
+      }
+    }
+  }
+
   /** full text extraction: (page_no, text) pairs, or None when the
     * document structure is unwalkable
     */
@@ -524,6 +569,7 @@ private[multimodal] trait PdfCodec extends Serializable {
       bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')) return None
     try {
       val objs = scanObjects(bytes)
+      expandObjectStreams(bytes, objs)
       pageOrder(objs).flatMap { pages =>
         val out = Vector.newBuilder[(Int, String)]
         var pageNo = 0
@@ -575,11 +621,16 @@ private[multimodal] trait PdfCodec extends Serializable {
     * each with a FlateDecode content stream showing its lines via
     * `Td`/`Tj` — a correct xref table and trailer included (so any
     * conforming reader opens it), though [[pdfExtractPages]]
-    * deliberately does not rely on them. Deterministic byte-exact
-    * output for a given input.
+    * deliberately does not rely on them. With `objStm = true` the
+    * dictionary objects move into a compressed /Type /ObjStm
+    * container (the PDF 1.5+ layout; the plain xref table then
+    * under-describes those objects — real 1.5 files use xref streams,
+    * which this scan-based reader ignores anyway). Deterministic
+    * byte-exact output for a given input.
     */
   def syntheticPdf(id: Long, pageLines: Seq[Seq[String]],
-                   hexStrings: Boolean = false): Array[Byte] = {
+                   hexStrings: Boolean = false,
+                   objStm: Boolean = false): Array[Byte] = {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     def hex(s: String): String =
@@ -631,9 +682,44 @@ private[multimodal] trait PdfCodec extends Serializable {
     }
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    w("%PDF-1.4\n%âãÏÓ\n")
+    w(s"%PDF-1.${if (objStm) 5 else 4}\n%âãÏÓ\n")
     val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
-    objects.result().sortBy(_._1).foreach { case (num, body) =>
+    val allObjs = objects.result().sortBy(_._1)
+    // objStm mode: dictionary objects (no streams allowed inside an
+    // object stream per spec) move into a compressed /Type /ObjStm
+    // container — the PDF 1.5+ layout the scan-based reader must see
+    // through
+    val (packed, topLevel) =
+      if (objStm) allObjs.partition { case (_, body) =>
+        !new String(body, "ISO-8859-1").contains("stream")
+      }
+      else (Vector.empty[(Int, Array[Byte])], allObjs)
+    if (packed.nonEmpty) {
+      val payload = new java.io.ByteArrayOutputStream()
+      val header = new StringBuilder()
+      packed.foreach { case (num, body) =>
+        header.append(s"$num ${payload.size()} ")
+        payload.write(body); payload.write('\n')
+      }
+      val hdrBytes = header.toString.getBytes("ISO-8859-1")
+      val joined = new java.io.ByteArrayOutputStream()
+      joined.write(hdrBytes); joined.write(payload.toByteArray)
+      val d = new java.util.zip.Deflater()
+      d.setInput(joined.toByteArray); d.finish()
+      val buf = new Array[Byte](8192)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      val flate = bos.toByteArray
+      val stmNum = allObjs.map(_._1).max + 1
+      offsets(stmNum) = out.size()
+      w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} " +
+        s"/First ${hdrBytes.length} /Length ${flate.length} " +
+        s"/Filter /FlateDecode >>\nstream\n")
+      out.write(flate)
+      w("\nendstream\nendobj\n")
+    }
+    topLevel.foreach { case (num, body) =>
       offsets(num) = out.size()
       w(s"$num 0 obj\n")
       out.write(body)

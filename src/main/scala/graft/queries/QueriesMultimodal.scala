@@ -2141,7 +2141,11 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
             s"pdf-$id-$p-$j;" * (1 + ((id + j) % 3).toInt)
           }
         }
-        val b = m.syntheticPdf(id, pages, hexStrings = id % 4 == 2)
+        // every 3rd doc uses the PDF 1.5 ObjStm layout (dict objects
+        // inside a compressed object stream), every 4th hex strings —
+        // same closed-form text either way, so one oracle covers all
+        val b = m.syntheticPdf(id, pages, hexStrings = id % 4 == 2,
+          objStm = id % 3 == 1)
         m.MediaBlob(id, "application/pdf",
           if (id % 11 == 0) b.take(80) else b)
       }

@@ -74,6 +74,24 @@ class PdfSpec extends AnyFunSuite {
       "one\ntwothree\n")
   }
 
+  test("object-stream (PDF 1.5 ObjStm) documents round-trip: the " +
+    "catalog/pages/page dicts live inside a compressed container") {
+    (0 until 4).foreach { k =>
+      val pages = (0 until 1 + k % 2).map { p =>
+        (0 until 1 + (k + p) % 3).map(j => s"stm $k/$p/$j")
+      }
+      val bytes = Multimodal.syntheticPdf(k.toLong, pages,
+        objStm = true)
+      // the page dictionaries must NOT be scannable at top level
+      assert(!new String(bytes, "ISO-8859-1").contains("/Type /Page "))
+      val got = Multimodal.pdfExtractPages(bytes)
+      assert(got.isDefined, s"k=$k")
+      got.get.zip(pages).foreach { case ((no, text), lines) =>
+        assert(text == pageText(lines), s"k=$k page=$no")
+      }
+    }
+  }
+
   test("rejection: non-PDF, truncated stream, unsupported filter, " +
     "pages-tree cycle — all None, never a throw") {
     assert(Multimodal.pdfExtractPages("hello".getBytes).isEmpty)
