@@ -1092,24 +1092,46 @@ private[multimodal] trait Vp8Codec extends Serializable {
     */
   def vp8Encode(width: Int, height: Int, qIndex: Int,
       plan: (Int, Int) => Vp8MbPlan, filterLevel: Int = 0,
-      simpleFilter: Boolean = false, sharpness: Int = 0): Array[Byte] = {
+      simpleFilter: Boolean = false, sharpness: Int = 0,
+      tokenPartitions: Int = 1,
+      segmentQi: Array[Int] = null,
+      segmentOf: (Int, Int) => Int = null): Array[Byte] = {
     import Vp8Tables._
     require(width >= 1 && height >= 1 && width <= 0x3fff &&
       height <= 0x3fff, "dims must fit the 14-bit fields")
     require(qIndex >= 0 && qIndex <= 127, "qIndex is a 7-bit field")
+    require(Set(1, 2, 4, 8)(tokenPartitions), "1/2/4/8 partitions")
+    require((segmentQi == null) == (segmentOf == null),
+      "segment features travel together")
     val mbW = (width + 15) / 16
     val mbH = (height + 15) / 16
+    val segmented = segmentQi != null
+    val segTreeProbs = Array(100, 140, 200)
 
     val e1 = new Vp8BoolEncoder // feature/mode partition
-    val e2 = new Vp8BoolEncoder // token partition
+    val tokenEncs =
+      Array.fill(tokenPartitions)(new Vp8BoolEncoder)
+    var e2 = tokenEncs(0) // the current MB row's token partition
     e1.literal(0, 1) // color space
     e1.literal(0, 1) // clamping
-    e1.literal(0, 1) // segmentation off
+    e1.literal(if (segmented) 1 else 0, 1)
+    if (segmented) {
+      // §9.3: update map + absolute per-segment quantizer values
+      e1.literal(1, 1) // update_mb_segmentation_map
+      e1.literal(1, 1) // update_segment_feature_data
+      e1.literal(1, 1) // absolute values
+      var i = 0
+      while (i < 4) { e1.literal(1, 1); e1.signedLiteral(segmentQi(i), 7); i += 1 }
+      i = 0
+      while (i < 4) { e1.literal(0, 1); i += 1 } // no lf overrides
+      i = 0
+      while (i < 3) { e1.literal(1, 1); e1.literal(segTreeProbs(i), 8); i += 1 }
+    }
     e1.literal(if (simpleFilter) 1 else 0, 1)
     e1.literal(filterLevel, 6)
     e1.literal(sharpness, 3)
     e1.literal(0, 1) // lf deltas off
-    e1.literal(0, 2) // one token partition
+    e1.literal(Integer.numberOfTrailingZeros(tokenPartitions), 2)
     e1.literal(qIndex, 7)
     var i = 0
     while (i < 5) { e1.literal(0, 1); i += 1 } // no quant deltas
@@ -1187,6 +1209,7 @@ private[multimodal] trait Vp8Codec extends Serializable {
     val subModes = new Array[Int](16)
     var mbY = 0
     while (mbY < mbH) {
+      e2 = tokenEncs(mbY % tokenPartitions)
       val leftY = new Array[Int](4)
       val leftU = new Array[Int](2)
       val leftV = new Array[Int](2)
@@ -1202,6 +1225,8 @@ private[multimodal] trait Vp8Codec extends Serializable {
           (mp.v == null || mp.v.forall(allZero))
 
         // ---- modes
+        if (segmented)
+          e1.tree(SegTree, segTreeProbs, segmentOf(mbX, mbY))
         e1.bool(if (skip) 1 else 0, probSkipFalse)
         e1.tree(KfYModeTree, KfYModeProb, mp.ymode)
         if (mp.ymode == BPred) {
@@ -1276,7 +1301,7 @@ private[multimodal] trait Vp8Codec extends Serializable {
     }
 
     val part1 = e1.bytes()
-    val part2 = e2.bytes()
+    val tokenBytes = tokenEncs.map(_.bytes())
     val out = new java.io.ByteArrayOutputStream()
     val tag = (1 << 4) | (part1.length << 5) // keyframe, v0, show=1
     out.write(tag & 0xff); out.write((tag >> 8) & 0xff)
@@ -1285,7 +1310,13 @@ private[multimodal] trait Vp8Codec extends Serializable {
     out.write(width & 0xff); out.write((width >> 8) & 0x3f)
     out.write(height & 0xff); out.write((height >> 8) & 0x3f)
     out.write(part1)
-    out.write(part2)
+    // §9.5: sizes of all but the last token partition, 3-byte LE
+    tokenBytes.dropRight(1).foreach { tb =>
+      out.write(tb.length & 0xff)
+      out.write((tb.length >> 8) & 0xff)
+      out.write((tb.length >> 16) & 0xff)
+    }
+    tokenBytes.foreach(out.write)
     out.toByteArray
   }
 

@@ -230,6 +230,63 @@ class Vp8Spec extends AnyFunSuite {
     assert(rgb.forall(b => (b & 0xff) == 128))
   }
 
+  test("multi-partition token streams (2/4/8) decode identically to " +
+    "the single-partition encoding of the same plan") {
+    def plan(mx: Int, my: Int) = {
+      val o = Multimodal.lossyMbOffset(77L, mx, my)
+      val y2 = if (o == 0) null else {
+        val a = new Array[Int](16); a(0) = 8 * o; a
+      }
+      Vp8MbPlan(
+        ymode = if (mx == 0 && my == 0) Vp8Tables.DcPred
+          else if (mx == 0) Vp8Tables.VPred else Vp8Tables.HPred,
+        uvmode = Vp8Tables.DcPred, y2 = y2)
+    }
+    val single = Multimodal.vp8Encode(48, 48, 0, plan)
+    val ref = Multimodal.decodeVp8Frame(single, 0, single.length) match {
+      case Some(f) => f
+      case None    => fail("single-partition decode failed")
+    }
+    Seq(2, 4, 8).foreach { np =>
+      val bytes = Multimodal.vp8Encode(48, 48, 0, plan,
+        tokenPartitions = np)
+      val dec = Multimodal.decodeVp8Frame(bytes, 0, bytes.length)
+      assert(dec.isDefined, s"np=$np")
+      assert(dec.get.y.px.sameElements(ref.y.px), s"np=$np")
+      assert(dec.get.u.px.sameElements(ref.u.px), s"np=$np")
+    }
+  }
+
+  test("segmentation: per-MB segment ids select absolute per-segment " +
+    "quantizers, and the decoded offsets follow each segment's y2dc") {
+    // 2x2 MBs, one segment per MB, absolute qi per segment; each MB
+    // carries Y2 DC level 9 → offset depends on the SEGMENT's y2dc
+    val segQi = Array(0, 10, 20, 30)
+    val level = 9
+    def segOf(mx: Int, my: Int) = my * 2 + mx
+    val bytes = Multimodal.vp8Encode(32, 32, qIndex = 0,
+      plan = { (_, _) =>
+        val y2 = new Array[Int](16); y2(0) = level
+        Vp8MbPlan(ymode = Vp8Tables.DcPred, uvmode = Vp8Tables.DcPred,
+          y2 = y2)
+      },
+      segmentQi = segQi, segmentOf = segOf)
+    val dec = Multimodal.decodeVp8Frame(bytes, 0, bytes.length)
+    assert(dec.isDefined)
+    // expected per-MB flat value: DC-chain prediction + the segment's
+    // exact integer offset ((level*y2dc + 3 >> 3) + 4) >> 3
+    def y2dc(qi: Int) = Multimodal.vp8QuantFactors(qi, 0, 0, 0, 0, 0).y2dc
+    def off(qi: Int) = (((level * y2dc(qi) + 3) >> 3) + 4) >> 3
+    val v00 = 128 + off(segQi(0))
+    assert(dec.get.y.px(0) == v00)
+    // MB(1,0): H-ish? DC pred with left only = v00, plus seg 1 offset
+    val v10 = v00 + off(segQi(1))
+    assert(dec.get.y.px(16) == v10)
+    // MB(0,1): DC pred above-only = v00 + seg 2 offset
+    val v01 = v00 + off(segQi(2))
+    assert(dec.get.y.px(16 * 32) == v01)
+  }
+
   // ------------------------------------------------------- rejection
 
   test("rejects truncation, non-keyframes, bad start codes, and " +
