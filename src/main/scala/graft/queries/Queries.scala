@@ -256,7 +256,8 @@ object Queries
     "q198_warc_http" -> (q198 _),
     "q199_lossy_webp_quality" -> (q199 _),
     "q200_pdf_text" -> (q200 _),
-    "q201_subtitle_cues" -> (q201 _)
+    "q201_subtitle_cues" -> (q201 _),
+    "q202_epub_text" -> (q202 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -644,7 +645,8 @@ object Queries
     "q198_warc_http" -> q198Sql,
     "q199_lossy_webp_quality" -> q199Sql,
     "q200_pdf_text" -> q200Sql,
-    "q201_subtitle_cues" -> q201Sql
+    "q201_subtitle_cues" -> q201Sql,
+    "q202_epub_text" -> q202Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

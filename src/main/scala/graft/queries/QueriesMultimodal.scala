@@ -2238,4 +2238,59 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  CAST(-1 AS BIGINT), '', '', FALSE
       | FROM p WHERE bad)
       |ORDER BY media_id, cue_no""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+  // EPUB chapter text under the oracle — books as the densest
+  // long-form corpus source: each row synthesizes a genuine EPUB
+  // (mimetype stored first, container.xml → OPF manifest+spine,
+  // deflated XHTML chapters whose heads carry a script block the
+  // stripper must drop) and Epub.chapters walks
+  // ZIP → container → OPF → spine back to per-chapter main text.
+  // The oracle replays chapter text closed-form (words re-joined with
+  // single spaces). Every 13th blob truncated mid-archive → ONE
+  // all-sentinel row.
+  private[queries] def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val chapters = (0 until (1 + (id % 3)).toInt).map { c =>
+          (0 until (2 + ((id + c) % 4)).toInt).map(j => s"ep-$id-$c-w$j")
+        }
+        val b = graft.sources.Epub.synthetic(id, chapters)
+        m.MediaBlob(id, "application/epub+zip",
+          if (id % 13 == 0) b.take(b.length / 3) else b)
+      }
+    graft.sources.Epub.chapters(blobs).toDF()
+      .select($"media_id", $"chapter_no", $"href", $"n_chars", $"text",
+        $"ok")
+      .orderBy($"media_id", $"chapter_no")
+  }
+  private[queries] lazy val q202Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 3 AS nc, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |ch AS (
+      | SELECT doc_id, CAST(c AS INT) AS chapter_no,
+      |  2 + (doc_id + c) % 4 AS nw
+      | FROM (SELECT doc_id, unnest(range(nc)) AS c
+      |       FROM p WHERE NOT bad) t),
+      |tx AS (
+      | SELECT doc_id, chapter_no,
+      |  string_agg('ep-' || doc_id || '-' || chapter_no || '-w' || j,
+      |   ' ' ORDER BY j) AS text
+      | FROM (SELECT doc_id, chapter_no, unnest(range(nw)) AS j
+      |       FROM ch) t
+      | GROUP BY doc_id, chapter_no)
+      |SELECT media_id, chapter_no, href, n_chars, text, ok FROM (
+      | SELECT doc_id AS media_id, chapter_no,
+      |  'OEBPS/ch' || chapter_no || '.xhtml' AS href,
+      |  CAST(length(text) AS BIGINT) AS n_chars, text, TRUE AS ok
+      | FROM tx
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), '', CAST(-1 AS BIGINT), '',
+      |  FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id, chapter_no""".stripMargin
 }

@@ -56,7 +56,9 @@ object Zip {
   }
 
   def parse(id: Long, bytes: Array[Byte],
-            maxOut: Int = 1 << 26): Seq[ZipEntry] = {
+            maxOut: Int = 1 << 26,
+            onMember: (String, Array[Byte]) => Unit = null)
+      : Seq[ZipEntry] = {
     def bad = Seq(BadEntry.copy(media_id = id))
     def u(i: Int): Int = bytes(i) & 0xff
     def u16(i: Int): Int = u(i) | (u(i + 1) << 8)
@@ -121,6 +123,7 @@ object Zip {
         }
       out += (extracted match {
         case Some(data) =>
+          if (onMember != null) onMember(name, data)
           val c = new java.util.zip.CRC32()
           c.update(data)
           val md = java.security.MessageDigest.getInstance("MD5")
