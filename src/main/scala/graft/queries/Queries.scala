@@ -257,7 +257,8 @@ object Queries
     "q199_lossy_webp_quality" -> (q199 _),
     "q200_pdf_text" -> (q200 _),
     "q201_subtitle_cues" -> (q201 _),
-    "q202_epub_text" -> (q202 _)
+    "q202_epub_text" -> (q202 _),
+    "q203_docx_text" -> (q203 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -646,7 +647,8 @@ object Queries
     "q199_lossy_webp_quality" -> q199Sql,
     "q200_pdf_text" -> q200Sql,
     "q201_subtitle_cues" -> q201Sql,
-    "q202_epub_text" -> q202Sql
+    "q202_epub_text" -> q202Sql,
+    "q203_docx_text" -> q203Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2293,4 +2293,49 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  FALSE
       | FROM p WHERE bad)
       |ORDER BY media_id, chapter_no""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  // DOCX paragraph text under the oracle — the office-document share
+  // of a crawled corpus: each row synthesizes a genuine
+  // WordprocessingML package (content types, rels, document.xml with
+  // every paragraph FRAGMENTED across two <w:t> runs and XML-escaped
+  // angle/amp characters, the run splitting real writers produce) and
+  // Docx.paragraphRows walks ZIP → word/document.xml → <w:p>/<w:t>
+  // back to per-paragraph text. The oracle replays paragraph text
+  // closed-form. Every 13th blob is non-ZIP junk → ONE all-sentinel
+  // row.
+  private[queries] def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b =
+          if (id % 13 == 0) s"junk-$id".getBytes("UTF-8")
+          else graft.sources.Docx.synthetic(id,
+            (0 until (1 + (id % 4)).toInt).map(p =>
+              s"docx-$id-$p <&> tail"))
+        m.MediaBlob(id, "application/vnd.openxmlformats", b)
+      }
+    graft.sources.Docx.paragraphRows(blobs).toDF()
+      .select($"media_id", $"para_no", $"n_chars", $"text", $"ok")
+      .orderBy($"media_id", $"para_no")
+  }
+  private[queries] lazy val q203Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 4 AS np, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 150),
+      |t AS (
+      | SELECT doc_id, CAST(k AS INT) AS para_no,
+      |  'docx-' || doc_id || '-' || k || ' <&> tail' AS text
+      | FROM (SELECT doc_id, unnest(range(np)) AS k
+      |       FROM p WHERE NOT bad) x)
+      |SELECT media_id, para_no, n_chars, text, ok FROM (
+      | SELECT doc_id AS media_id, para_no,
+      |  CAST(length(text) AS BIGINT) AS n_chars, text, TRUE AS ok
+      | FROM t
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), CAST(-1 AS BIGINT), '', FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id, para_no""".stripMargin
 }
