@@ -258,7 +258,8 @@ object Queries
     "q200_pdf_text" -> (q200 _),
     "q201_subtitle_cues" -> (q201 _),
     "q202_epub_text" -> (q202 _),
-    "q203_docx_text" -> (q203 _)
+    "q203_docx_text" -> (q203 _),
+    "q204_bucketed_join" -> (q204 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -648,7 +649,8 @@ object Queries
     "q200_pdf_text" -> q200Sql,
     "q201_subtitle_cues" -> q201Sql,
     "q202_epub_text" -> q202Sql,
-    "q203_docx_text" -> q203Sql
+    "q203_docx_text" -> q203Sql,
+    "q204_bucketed_join" -> q204Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -824,4 +824,39 @@ private[queries] trait QueriesRelational { this: Queries.type =>
       | CAST(count(CASE WHEN json_extract(js, '$.m.k') IS NULL
       |   THEN 1 END) AS BIGINT) AS n_drifted
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  // Bucketed co-located join under the oracle — the storage-level
+  // shuffle elimination a 100 TB warehouse lives on: customer and
+  // orders are FIRST written as bucketed+sorted external tables
+  // (CLUSTERED BY custkey INTO 8 BUCKETS — the one-time shuffle), then
+  // the equi-join AND the per-customer aggregation read co-located
+  // buckets with ZERO exchanges (BucketedSpec pins the plan; the
+  // orderBy for output determinism is the only exchange in the query).
+  // Money sums go through per-row integer cents (FLOOR(p*100+0.5)) so
+  // the aggregate is order-independent and hash-exact cross-engine.
+  private[queries] def q204(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cDir = java.nio.file.Files.createTempDirectory("q204-c").toString
+    val oDir = java.nio.file.Files.createTempDirectory("q204-o").toString
+    Bucketed.writeBucketed(t(s, dir, "customer"), "graft_q204_cust",
+      cDir, "c_custkey", 8)
+    Bucketed.writeBucketed(t(s, dir, "orders"), "graft_q204_ord",
+      oDir, "o_custkey", 8)
+    Bucketed.cogroupJoin(s, "graft_q204_ord", "o_custkey",
+        "graft_q204_cust", "c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy($"c_custkey")
+  }
+  private[queries] lazy val q204Sql =
+    """SELECT c_custkey, c_name,
+      | CAST(count(*) AS BIGINT) AS n_orders,
+      | CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |  AS BIGINT) AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
 }
