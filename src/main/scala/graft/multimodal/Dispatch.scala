@@ -74,6 +74,12 @@ private[multimodal] trait DispatchCodec extends Serializable
     else if (bytes.length >= 30 && ascii(0, 2) == "PK" &&
       u(2) == 3 && u(3) == 4) "zip"
     else if (bytes.length >= 262 && ascii(257, 5) == "ustar") "tar"
+    // BMP: "BM" is weak 2-byte magic — require a known info-header
+    // size (BITMAPINFOHEADER/V4/V5) before the stronger signatures
+    // below lose their shot
+    else if (bytes.length >= 54 && ascii(0, 2) == "BM" &&
+      (u(14) == 40 || u(14) == 108 || u(14) == 124) && u(15) == 0 &&
+      u(16) == 0 && u(17) == 0) "bmp"
     else if (bytes.length >= 4 && ascii(0, 4) == "fLaC") "flac"
     else if (bytes.length >= 5 && ascii(0, 4) == "OggS" && u(4) == 0)
       "ogg"
@@ -189,6 +195,7 @@ private[multimodal] trait DispatchCodec extends Serializable
       case "jpeg" => decodeJpegRgb(bytes)
       case "gif"  => decodeGifPixels(bytes)
       case "webp" => decodeWebpPixels(bytes)
+      case "bmp"  => decodeBmpPixels(bytes)
       case _      => None
     }
 
@@ -313,6 +320,36 @@ private[multimodal] trait DispatchCodec extends Serializable
     * lossless on the way down, and the resized pixels stay exact.
     * Undecodable bodies return None.
     */
+  /** BMP leg of the resize family: decode (24/32-bit or paletted),
+    * NN floor-map, 24-bit BI_RGB re-encode — exact like its siblings
+    */
+  def resizeBmp(bytes: Array[Byte],
+                maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
+    require(maxEdge >= 1)
+    decodeBmpPixels(bytes).map { case (w, h, px) =>
+      val m = math.max(w, h)
+      if (m <= maxEdge) (w, h, bytes)
+      else {
+        val w2 = math.max(1L, w.toLong * maxEdge / m).toInt
+        val h2 = math.max(1L, h.toLong * maxEdge / m).toInt
+        val out = new Array[Byte](w2 * h2 * 3)
+        var y = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            System.arraycopy(px, (sy * w + sx) * 3, out,
+              (y * w2 + x) * 3, 3)
+            x += 1
+          }
+          y += 1
+        }
+        (w2, h2, bmpEncode(w2, h2, out))
+      }
+    }
+  }
+
   def resizeWebp(bytes: Array[Byte],
                  maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
     require(maxEdge >= 1)
@@ -367,6 +404,7 @@ private[multimodal] trait DispatchCodec extends Serializable
         case "jpeg" => resizeJpeg(b.content, maxEdge).map(_._3)
         case "y4m"  => transcodeY4m(b.content, every, maxEdge)
         case "gif"  => resizeGif(b.content, maxEdge).map(_._3)
+        case "bmp"  => resizeBmp(b.content, maxEdge).map(_._3)
         // lossless AND lossy single-frame WebP resize (the lossy leg
         // decodes through the VP8 keyframe codec and re-encodes as
         // VP8L); VP8X wrappers (possibly animations) pass through

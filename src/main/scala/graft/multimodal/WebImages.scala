@@ -635,4 +635,143 @@ private[multimodal] trait WebImageCodec extends Serializable {
     out.write(0x3b) // trailer
     MediaBlob(id, "image/gif", out.toByteArray)
   }
+
+  // ----------------------------------------------------------- BMP
+
+  /** FULL pixel decode of an uncompressed BMP to RGB triplets — the
+    * no-codec image format scanners, screenshots and legacy archives
+    * still carry: BITMAPINFOHEADER (40) and the V4/V5 (108/124)
+    * extensions, BI_RGB only, 24/32-bit truecolor and 8-bit paletted,
+    * bottom-up (positive height) AND top-down (negative height) row
+    * orders, 4-byte row padding. Anything else (RLE, 1/4-bit, BI_*
+    * compressions) → None — the [[Vp8lCodec.decodeWebpPixels]]
+    * never-fail contract.
+    */
+  def decodeBmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16)).toLong |
+        ((bytes(i + 3) & 0xff).toLong << 24)
+    def s32(i: Int): Int = u32(i).toInt
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return None
+    val dataOff = u32(10)
+    val hdrSize = u32(14)
+    if (hdrSize != 40 && hdrSize != 108 && hdrSize != 124) return None
+    val w = s32(18)
+    val hRaw = s32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val planes = u16(26)
+    val bpp = u16(28)
+    val compression = u32(30)
+    if (w <= 0 || h <= 0 || planes != 1 || compression != 0L) return None
+    if (w.toLong * h * 3 > (1L << 28)) return None
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    val paletteAt = 14 + hdrSize.toInt
+    val paletteN = if (bpp == 8) {
+      val declared = u32(46)
+      if (declared == 0L) 256 else declared.toInt
+    } else 0
+    if (bpp == 8 && paletteAt + paletteN * 4 > dataOff) return None
+    val rowBytes = ((w * bpp / 8) + 3) & ~3
+    if (dataOff + rowBytes.toLong * h > bytes.length) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (topDown) row else h - 1 - row
+      val base = dataOff.toInt + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val o = (row * w + x) * 3
+        bpp match {
+          case 8 =>
+            val idx = bytes(base + x) & 0xff
+            if (idx >= paletteN) return None
+            val p = paletteAt + idx * 4 // BGRA quads
+            rgb(o) = bytes(p + 2); rgb(o + 1) = bytes(p + 1)
+            rgb(o + 2) = bytes(p)
+          case 24 =>
+            val p = base + x * 3 // BGR
+            rgb(o) = bytes(p + 2); rgb(o + 1) = bytes(p + 1)
+            rgb(o + 2) = bytes(p)
+          case 32 =>
+            val p = base + x * 4 // BGRA/BGRX
+            rgb(o) = bytes(p + 2); rgb(o + 1) = bytes(p + 1)
+            rgb(o + 2) = bytes(p)
+        }
+        x += 1
+      }
+      row += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** 24-bit BI_RGB bottom-up BMP writer (any viewer opens it);
+    * `topDown` emits the negative-height top-down variant
+    */
+  def bmpEncode(width: Int, height: Int, rgb: Array[Byte],
+                topDown: Boolean = false): Array[Byte] = {
+    require(rgb.length == width * height * 3)
+    val rowBytes = ((width * 3) + 3) & ~3
+    val dataSize = rowBytes * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(width)
+      .putInt(if (topDown) -height else height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < height) {
+      val srcRow = if (topDown) row else height - 1 - row
+      var x = 0
+      while (x < width) {
+        val p = (srcRow * width + x) * 3
+        bb.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR
+        x += 1
+      }
+      var pad = rowBytes - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      row += 1
+    }
+    bb.array()
+  }
+
+  /** 8-bit paletted BMP writer: `indices` into a ≤256-entry RGB
+    * palette, bottom-up
+    */
+  def bmpEncodePaletted(width: Int, height: Int, indices: Array[Byte],
+                        palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height)
+    require(palette.length % 3 == 0 && palette.length <= 768)
+    val n = palette.length / 3
+    val rowBytes = (width + 3) & ~3
+    val dataOff = 54 + n * 4
+    val dataSize = rowBytes * height
+    val bb = java.nio.ByteBuffer.allocate(dataOff + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(dataOff + dataSize)
+      .putInt(0).putInt(dataOff)
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(8).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(n).putInt(0)
+    var i = 0
+    while (i < n) { // BGRA quads
+      bb.put(palette(i * 3 + 2)).put(palette(i * 3 + 1))
+        .put(palette(i * 3)).put(0.toByte)
+      i += 1
+    }
+    var row = height - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < width) { bb.put(indices(row * width + x)); x += 1 }
+      var pad = rowBytes - width
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    bb.array()
+  }
 }

@@ -259,7 +259,8 @@ object Queries
     "q201_subtitle_cues" -> (q201 _),
     "q202_epub_text" -> (q202 _),
     "q203_docx_text" -> (q203 _),
-    "q204_bucketed_join" -> (q204 _)
+    "q204_bucketed_join" -> (q204 _),
+    "q205_bmp_quality" -> (q205 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -650,7 +651,8 @@ object Queries
     "q201_subtitle_cues" -> q201Sql,
     "q202_epub_text" -> q202Sql,
     "q203_docx_text" -> q203Sql,
-    "q204_bucketed_join" -> q204Sql
+    "q204_bucketed_join" -> q204Sql,
+    "q205_bmp_quality" -> q205Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted
