@@ -85,12 +85,12 @@ private[multimodal] trait WavCodec extends Serializable {
     * walked to a negative offset).
     */
   private def wavChunkWalk(bytes: Array[Byte])
-      : (Option[(Int, Int, Int, Int)], Int, Long) = {
+      : (Option[(Int, Int, Int, Int, Int)], Int, Long) = {
     def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var off = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // +format code
     var dataOff = -1
     var dataLen = -1L
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
@@ -99,7 +99,8 @@ private[multimodal] trait WavCodec extends Serializable {
       val body = off + 8
       cid match {
         case "fmt " if size >= 16 && body + 16 <= bytes.length =>
-          fmt = Some((buf.getShort(body + 2).toInt, buf.getInt(body + 4),
+          fmt = Some((buf.getShort(body).toInt,
+            buf.getShort(body + 2).toInt, buf.getInt(body + 4),
             buf.getInt(body + 8), buf.getShort(body + 14).toInt))
         case "data" if body + size <= bytes.length =>
           dataOff = body; dataLen = size
@@ -127,7 +128,7 @@ private[multimodal] trait WavCodec extends Serializable {
     if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
       return BadWav.copy(media_id = id)
     wavChunkWalk(bytes) match {
-      case (Some((ch, rate, byteRate, bits)), _, dataLen)
+      case (Some((_, ch, rate, byteRate, bits)), _, dataLen)
           if dataLen >= 0 && byteRate > 0 =>
         WavMeta(id, rate, ch, bits, dataLen,
           dataLen * 1000L / byteRate, decode_ok = true)
@@ -173,27 +174,58 @@ private[multimodal] trait WavCodec extends Serializable {
     * a data length that splits a frame — routes to one
     * `decode_ok=false` row, never a task failure.
     */
+  /** ITU-T G.711 µ-law expansion to linear 16-bit — exact integer
+    * arithmetic (BIAS 0x84 segment decode), replayable by any engine
+    */
+  def ulawToPcm(b: Int): Int = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion (0x55 toggle, segment decode) */
+  def alawToPcm(b: Int): Int = {
+    val a = b ^ 0x55
+    val man = (a & 0x0f) << 4
+    val seg = (a >> 4) & 0x07
+    val t =
+      if (seg == 0) man + 8
+      else (man + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   def wavStats(id: Long, bytes: Array[Byte]): Seq[WavStats] = {
     val meta = parseWav(id, bytes)
-    if (!meta.decode_ok || meta.bits_per_sample != 16)
-      return Seq(BadWavStats.copy(media_id = id))
-    val ch = meta.channels
-    if (ch < 1 || meta.data_bytes % (2L * ch) != 0 ||
-        meta.data_bytes > Int.MaxValue)
-      return Seq(BadWavStats.copy(media_id = id))
+    if (!meta.decode_ok) return Seq(BadWavStats.copy(media_id = id))
     // the SAME walk parseWav ran (shared helper) hands back the data
-    // chunk's body offset
-    val (_, dataOff, _) = wavChunkWalk(bytes)
-    if (dataOff < 0) return Seq(BadWavStats.copy(media_id = id))
+    // chunk's body offset and the fmt tag's audio format code
+    val (fmt, dataOff, _) = wavChunkWalk(bytes)
+    val format = fmt.map(_._1).getOrElse(-1)
+    // supported sample layouts: linear PCM16, and the two G.711
+    // companded telephony codings (8-bit µ-law / A-law — real IVR and
+    // call-center corpora ship these), expanded with the exact ITU
+    // integer formulas before the same stats fold
+    val sampleBytes = (format, meta.bits_per_sample) match {
+      case (1, 16) => 2
+      case (6, 8) | (7, 8) => 1
+      case _ => return Seq(BadWavStats.copy(media_id = id))
+    }
+    val ch = meta.channels
+    if (ch < 1 || meta.data_bytes % (sampleBytes.toLong * ch) != 0 ||
+        meta.data_bytes > Int.MaxValue || dataOff < 0)
+      return Seq(BadWavStats.copy(media_id = id))
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val frames = (meta.data_bytes / (2L * ch)).toInt
+    val frames = (meta.data_bytes / (sampleBytes.toLong * ch)).toInt
     val peak = new Array[Int](ch)
     val sAbs = new Array[Long](ch)
     val sSq = new Array[Long](ch)
     var i = 0
     while (i < frames * ch) {
-      val s = buf.getShort(dataOff + i * 2).toInt
+      val s =
+        if (sampleBytes == 2) buf.getShort(dataOff + i * 2).toInt
+        else if (format == 7) ulawToPcm(bytes(dataOff + i) & 0xff)
+        else alawToPcm(bytes(dataOff + i) & 0xff)
       val c = i % ch
       val a = math.abs(s)
       if (a > peak(c)) peak(c) = a
@@ -204,6 +236,24 @@ private[multimodal] trait WavCodec extends Serializable {
     (0 until ch).map(c =>
       WavStats(id, c, frames.toLong, peak(c), sAbs(c), sSq(c),
         decode_ok = true))
+  }
+
+  /** Genuine G.711 WAV: the 44-byte layout with format code 7 (µ-law)
+    * or 6 (A-law), 8-bit samples, byte payload supplied by the caller
+    */
+  def wavG711Bytes(sampleRate: Int, channels: Int, ulaw: Boolean,
+                   payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(if (ulaw) 7 else 6).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels)
+      .putShort(channels.toShort).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(payload.length)
+      .put(payload)
+    bb.array()
   }
 
   /** Partition-wise per-channel stats over a Dataset of blobs — one

@@ -260,7 +260,8 @@ object Queries
     "q202_epub_text" -> (q202 _),
     "q203_docx_text" -> (q203 _),
     "q204_bucketed_join" -> (q204 _),
-    "q205_bmp_quality" -> (q205 _)
+    "q205_bmp_quality" -> (q205 _),
+    "q206_g711_wav" -> (q206 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -652,7 +653,8 @@ object Queries
     "q202_epub_text" -> q202Sql,
     "q203_docx_text" -> q203Sql,
     "q204_bucketed_join" -> q204Sql,
-    "q205_bmp_quality" -> q205Sql
+    "q205_bmp_quality" -> q205Sql,
+    "q206_g711_wav" -> q206Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

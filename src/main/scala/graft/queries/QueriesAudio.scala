@@ -946,4 +946,82 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       | CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
       |FROM p WHERE bad
       |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q206
+  // G.711 companded WAV under the oracle — telephony/IVR corpora ship
+  // 8-bit µ-law (format 7) and A-law (format 6) WAVs, and a
+  // speech-data pipeline that only reads PCM16 drops them. wavStats
+  // now expands companded bytes with the exact ITU integer formulas
+  // (µ-law: complement, BIAS-0x84 segment decode; A-law: 0x55 toggle,
+  // segment decode) before the same per-channel peak/|s|/s² fold —
+  // and the ORACLE REPLAYS THE EXPANSION ITSELF in SQL (bit shifts +
+  // xor over the id-derived payload bytes), so the formulas are
+  // pinned cross-engine, not just round-tripped. Every 13th blob
+  // truncated → one sentinel row per blob.
+  private[queries] def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ch = 1 + (id % 2).toInt
+        val n = (40 + (id % 17).toInt) * ch
+        val payload = Array.tabulate(n)(k =>
+          ((id * 7 + k * 13) % 256).toByte)
+        val bytes = m.wavG711Bytes(8000, ch, ulaw = id % 2 == 0,
+          payload)
+        m.MediaBlob(id, "audio/wav",
+          if (id % 13 == 0) bytes.take(30) else bytes)
+      }
+    m.decodeWavStats(blobs).toDF()
+      .select($"media_id", $"channel", $"n_samples", $"peak",
+        $"sum_abs", $"sum_sq", $"decode_ok")
+      .orderBy($"media_id", $"channel")
+  }
+  private[queries] lazy val q206Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 2 AS ch,
+      |  (40 + doc_id % 17) * (1 + doc_id % 2) AS n,
+      |  doc_id % 2 = 0 AS ulaw, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |b AS (
+      | SELECT doc_id, ch, ulaw, k,
+      |  CAST((doc_id * 7 + k * 13) % 256 AS INT) AS v
+      | FROM (SELECT doc_id, ch, ulaw, unnest(range(n)) AS k
+      |       FROM p WHERE NOT bad) t),
+      |sv AS (
+      | SELECT doc_id, CAST(k % ch AS INT) AS channel,
+      |  CASE WHEN ulaw THEN
+      |   CASE WHEN (255 - v) >= 128
+      |    THEN 132 - ((((255 - v) % 16) * 8 + 132)
+      |          * (1 << (((255 - v) // 16) % 8)))
+      |    ELSE ((((255 - v) % 16) * 8 + 132)
+      |          * (1 << (((255 - v) // 16) % 8))) - 132 END
+      |  ELSE
+      |   CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END *
+      |   CASE WHEN ((xor(v, 85) // 16) % 8) = 0
+      |    THEN (xor(v, 85) % 16) * 16 + 8
+      |    ELSE ((xor(v, 85) % 16) * 16 + 264)
+      |         * (1 << (((xor(v, 85) // 16) % 8) - 1)) END
+      |  END AS s
+      | FROM b),
+      |agg AS (
+      | SELECT doc_id, channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(s * s) AS BIGINT) AS sum_sq
+      | FROM sv GROUP BY doc_id, channel)
+      |SELECT media_id, channel, n_samples, peak, sum_abs, sum_sq,
+      | decode_ok
+      |FROM (
+      | SELECT doc_id AS media_id, channel, n_samples, peak, sum_abs,
+      |  sum_sq, TRUE AS decode_ok
+      | FROM agg
+      | UNION ALL
+      | SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id, channel""".stripMargin
 }
