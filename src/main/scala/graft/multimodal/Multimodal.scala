@@ -30,7 +30,7 @@ case class DecodedMeta(media_id: Long, media_type: String,
   * or library decoder changes one function.
   */
 object Multimodal extends Serializable
-    with WavCodec with PngCodec with Y4mCodec with JpegCodec with WebImageCodec with Vp8lCodec with Vp8Codec with BrotliCodec with CompressionCodec with TextCharsetCodec with Mp4Codec with AudioCodec with FlacPcmCodec with PdfCodec with DispatchCodec {
+    with WavCodec with PngCodec with Y4mCodec with JpegCodec with WebImageCodec with Vp8lCodec with Vp8Codec with BrotliCodec with CompressionCodec with TextCharsetCodec with Mp4Codec with AudioCodec with FlacPcmCodec with PdfCodec with MpegTsCodec with DispatchCodec {
 
 
   val Magic: Int = 0x47524d4d // "GRMM"
@@ -78,6 +78,8 @@ object Multimodal extends Serializable
   val SceneCut: graft.multimodal.SceneCut.type = graft.multimodal.SceneCut
   type TextBlob = graft.multimodal.TextBlob
   val TextBlob: graft.multimodal.TextBlob.type = graft.multimodal.TextBlob
+  type TsStream = graft.multimodal.TsStream
+  val TsStream: graft.multimodal.TsStream.type = graft.multimodal.TsStream
   type VideoFrame = graft.multimodal.VideoFrame
   val VideoFrame: graft.multimodal.VideoFrame.type = graft.multimodal.VideoFrame
   type WavMeta = graft.multimodal.WavMeta

@@ -261,7 +261,8 @@ object Queries
     "q203_docx_text" -> (q203 _),
     "q204_bucketed_join" -> (q204 _),
     "q205_bmp_quality" -> (q205 _),
-    "q206_g711_wav" -> (q206 _)
+    "q206_g711_wav" -> (q206 _),
+    "q207_mpegts_streams" -> (q207 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -654,7 +655,8 @@ object Queries
     "q203_docx_text" -> q203Sql,
     "q204_bucketed_join" -> q204Sql,
     "q205_bmp_quality" -> q205Sql,
-    "q206_g711_wav" -> q206Sql
+    "q206_g711_wav" -> q206Sql,
+    "q207_mpegts_streams" -> q207Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2420,4 +2420,65 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |FROM p LEFT JOIN sums ON p.doc_id = sums.doc_id
       | LEFT JOIN lap ON p.doc_id = lap.doc_id
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+  // MPEG-TS inventory under the oracle — the broadcast/HLS capture
+  // envelope next to q153's MP4: each row synthesizes a genuine
+  // single-program transport stream (CRC-correct PAT/PMT, per-packet
+  // PES with marker-coded 33-bit PTS, adaptation-field stuffing) and
+  // parseMpegTs walks it back to per-stream packet/PES counts, PTS
+  // spans and continuity errors. Every 11th stream drops one video
+  // continuity value (exactly one cc_error, replayed by the oracle);
+  // every 13th blob truncated → ONE all-sentinel row.
+  private[queries] def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 180)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val nv = 4 + (id % 7).toInt
+        val na = if (id % 3 == 0) 0 else 2 + (id % 5).toInt
+        val bytes = m.syntheticMpegTs(id, nv, na,
+          ptsBase = 90000L + id * 100L,
+          ptsDelta = 3000L + (id % 2) * 3L,
+          dropVideoCc = id % 11 == 0)
+        m.MediaBlob(id, "video/mp2t",
+          if (id % 13 == 0) bytes.take(100) else bytes)
+      }
+    m.tsStreams(blobs).toDF()
+      .select($"media_id", $"pid", $"stream_type", $"ts_packets",
+        $"pes_packets", $"first_pts", $"last_pts", $"cc_errors", $"ok")
+      .orderBy($"media_id", $"pid")
+  }
+  private[queries] lazy val q207Sql =
+    """WITH p AS (
+      | SELECT doc_id, 4 + doc_id % 7 AS nv,
+      |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 2 + doc_id % 5 END AS na,
+      |  90000 + doc_id * 100 AS base, 3000 + (doc_id % 2) * 3 AS d,
+      |  doc_id % 11 = 0 AS ccdrop, doc_id % 13 = 0 AS bad
+      | FROM documents WHERE doc_id < 180)
+      |SELECT media_id, pid, stream_type, ts_packets, pes_packets,
+      | first_pts, last_pts, cc_errors, ok
+      |FROM (
+      | SELECT doc_id AS media_id, CAST(257 AS INT) AS pid,
+      |  CAST(27 AS INT) AS stream_type, CAST(nv AS BIGINT) AS ts_packets,
+      |  CAST(nv AS BIGINT) AS pes_packets,
+      |  CAST(base AS BIGINT) AS first_pts,
+      |  CAST(base + (nv - 1) * d AS BIGINT) AS last_pts,
+      |  CAST(CASE WHEN ccdrop THEN 1 ELSE 0 END AS BIGINT)
+      |   AS cc_errors, TRUE AS ok
+      | FROM p WHERE NOT bad
+      | UNION ALL
+      | SELECT doc_id, CAST(258 AS INT), CAST(15 AS INT),
+      |  CAST(na AS BIGINT), CAST(na AS BIGINT),
+      |  CAST(base + 1500 AS BIGINT),
+      |  CAST(base + 1500 + (na - 1) * d AS BIGINT),
+      |  CAST(0 AS BIGINT), TRUE
+      | FROM p WHERE NOT bad AND na > 0
+      | UNION ALL
+      | SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS INT),
+      |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id, pid""".stripMargin
 }
