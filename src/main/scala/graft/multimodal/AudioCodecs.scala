@@ -47,6 +47,14 @@ case class FlacMeta(media_id: Long, sample_rate: Int, channels: Int,
   * rate; -1 when the stream has no data page past the id header or
   * the final granule is the -1 "no packet ends here" sentinel.
   */
+/** ADTS (AAC) stream facts: frames/duration from the header chain —
+  * `duration_ms` counts 1024 samples per raw data block;
+  * `crc_frames` = frames carrying the optional CRC.
+  */
+case class AacMeta(media_id: Long, profile: Int, sample_rate: Int,
+                   channels: Int, frames: Long, duration_ms: Long,
+                   crc_frames: Long, decode_ok: Boolean)
+
 case class OggMeta(media_id: Long, codec: String, channels: Int,
                    sample_rate: Int, pre_skip: Int, duration_ms: Long,
                    decode_ok: Boolean)
@@ -602,4 +610,100 @@ private[multimodal] trait AudioCodec extends Serializable {
     MediaBlob(id, "audio/ogg", out.toByteArray)
   }
 
+  // ------------------------------------------------------------ ADTS
+
+  /** ISO 14496-3 Table 1.16 sampling-frequency indices */
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  private val BadAac =
+    AacMeta(0L, -1, -1, -1, -1L, -1L, -1L, decode_ok = false)
+
+  /** ADTS (AAC) frame walk — the streaming-audio sibling of the MP3
+    * frame walk: HLS/podcast audio ships AAC in self-framing ADTS,
+    * and the header chain alone yields exact duration (1024 PCM
+    * samples per frame per raw-data-block), profile, rate and channel
+    * facts with no decoder. The walk requires every frame: 0xFFF
+    * sync, layer 00, a defined sampling index, and a frame length
+    * covering its own header (7 bytes, 9 with CRC); any violation or
+    * a truncated tail frame routes the BLOB to the sentinel (ADTS has
+    * no container-level recovery point worth trusting for counting).
+    */
+  def parseAdts(id: Long, bytes: Array[Byte]): AacMeta = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    var off = 0
+    var frames = 0L
+    var blocks = 0L
+    var crcFrames = 0L
+    var profile = -1
+    var rateIdx = -1
+    var channels = -1
+    while (off + 7 <= bytes.length) {
+      if (u(off) != 0xff || (u(off + 1) & 0xf6) != 0xf0)
+        return BadAac.copy(media_id = id)
+      val protAbsent = u(off + 1) & 1
+      val pf = (u(off + 2) >> 6) & 3
+      val ri = (u(off + 2) >> 2) & 0xf
+      val ch = ((u(off + 2) & 1) << 2) | ((u(off + 3) >> 6) & 3)
+      val frameLen = ((u(off + 3) & 3) << 11) | (u(off + 4) << 3) |
+        ((u(off + 5) >> 5) & 7)
+      val rdb = (u(off + 6) & 3) + 1
+      val hdr = if (protAbsent == 1) 7 else 9
+      if (ri >= AdtsRates.length || frameLen < hdr ||
+        off + frameLen > bytes.length) return BadAac.copy(media_id = id)
+      if (frames == 0L) { profile = pf; rateIdx = ri; channels = ch }
+      else if (pf != profile || ri != rateIdx || ch != channels)
+        return BadAac.copy(media_id = id) // mid-stream param change
+      if (protAbsent == 0) crcFrames += 1
+      frames += 1
+      blocks += rdb
+      off += frameLen
+    }
+    if (frames == 0L || off != bytes.length)
+      return BadAac.copy(media_id = id)
+    val rate = AdtsRates(rateIdx)
+    AacMeta(id, profile, rate, channels, frames,
+      blocks * 1024L * 1000L / rate, crcFrames, decode_ok = true)
+  }
+
+  /** Partition-wise ADTS walk over the blob column */
+  def decodeAdts(blobs: Dataset[MediaBlob]): Dataset[AacMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseAdts(b.media_id, b.content)))
+  }
+
+  /** Genuine ADTS stream: `frames` headers (profile/rate/channels
+    * encoded exactly as [[parseAdts]] reads them, every third frame
+    * CRC-protected with a placeholder CRC — the 16 bits are not
+    * checked, only counted) each carrying an id-derived payload.
+    */
+  def syntheticAdts(id: Long, frames: Int, profile: Int, rateIdx: Int,
+                    channels: Int): MediaBlob = {
+    require(profile >= 0 && profile <= 3 &&
+      rateIdx >= 0 && rateIdx < AdtsRates.length &&
+      channels >= 1 && channels <= 7)
+    val out = new java.io.ByteArrayOutputStream()
+    var k = 0
+    while (k < frames) {
+      val crc = k % 3 == 0
+      val hdr = if (crc) 9 else 7
+      val payloadLen = 30 + ((id + k) % 11).toInt
+      val frameLen = hdr + payloadLen
+      out.write(0xff)
+      out.write(0xf0 | (if (crc) 0 else 1))
+      out.write((profile << 6) | (rateIdx << 2) | ((channels >> 2) & 1))
+      out.write(((channels & 3) << 6) | ((frameLen >> 11) & 3))
+      out.write((frameLen >> 3) & 0xff)
+      out.write(((frameLen & 7) << 5) | 0x1f)
+      out.write(0xfc) // fullness low bits + rdb count 0 (= 1 block)
+      if (crc) { out.write(0); out.write(0) }
+      var i = 0
+      while (i < payloadLen) {
+        out.write(((id * 31 + k * 7 + i) & 0xff).toInt)
+        i += 1
+      }
+      k += 1
+    }
+    MediaBlob(id, "audio/aac", out.toByteArray)
+  }
 }

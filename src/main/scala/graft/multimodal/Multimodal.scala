@@ -40,6 +40,8 @@ object Multimodal extends Serializable
   // `Multimodal.X` reference and import compiling unchanged.
   type DecodedMeta = graft.multimodal.DecodedMeta
   val DecodedMeta: graft.multimodal.DecodedMeta.type = graft.multimodal.DecodedMeta
+  type AacMeta = graft.multimodal.AacMeta
+  val AacMeta: graft.multimodal.AacMeta.type = graft.multimodal.AacMeta
   type DecompressedText = graft.multimodal.DecompressedText
   val DecompressedText: graft.multimodal.DecompressedText.type = graft.multimodal.DecompressedText
   type DispatchedMeta = graft.multimodal.DispatchedMeta

@@ -262,7 +262,8 @@ object Queries
     "q204_bucketed_join" -> (q204 _),
     "q205_bmp_quality" -> (q205 _),
     "q206_g711_wav" -> (q206 _),
-    "q207_mpegts_streams" -> (q207 _)
+    "q207_mpegts_streams" -> (q207 _),
+    "q208_adts_frames" -> (q208 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -656,7 +657,8 @@ object Queries
     "q204_bucketed_join" -> q204Sql,
     "q205_bmp_quality" -> q205Sql,
     "q206_g711_wav" -> q206Sql,
-    "q207_mpegts_streams" -> q207Sql
+    "q207_mpegts_streams" -> q207Sql,
+    "q208_adts_frames" -> q208Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -1024,4 +1024,59 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |  FALSE
       | FROM p WHERE bad)
       |ORDER BY media_id, channel""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+  // ADTS (AAC) frame walk under the oracle — the streaming-audio
+  // sibling of q168's MP3 frame walk: HLS/podcast audio ships AAC in
+  // self-framing ADTS, and the header chain alone yields exact frame
+  // counts, duration (1024 samples per raw data block) and CRC-frame
+  // tallies. The oracle replays the id-derived parameterization incl.
+  // the 13-entry sampling-frequency table. Every 9th blob gets its
+  // sync byte flipped → sentinel (ADTS rejection is whole-stream).
+  private[queries] def q208(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = m.syntheticAdts(id, frames = 3 + (id % 6).toInt,
+          profile = (id % 4).toInt, rateIdx = (id % 13).toInt,
+          channels = 1 + (id % 7).toInt)
+        if (id % 9 == 0) {
+          val c = b.content.clone(); c(0) = 0x21; b.copy(content = c)
+        } else b
+      }
+    m.decodeAdts(blobs).toDF()
+      .select($"media_id", $"profile", $"sample_rate", $"channels",
+        $"frames", $"duration_ms", $"crc_frames", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q208Sql =
+    """WITH p AS (
+      | SELECT doc_id, 3 + doc_id % 6 AS n, doc_id % 4 AS pf,
+      |  doc_id % 13 AS ri, 1 + doc_id % 7 AS ch,
+      |  doc_id % 9 = 0 AS bad
+      | FROM documents WHERE doc_id < 200),
+      |r AS (
+      | SELECT p.*, CASE ri WHEN 0 THEN 96000 WHEN 1 THEN 88200
+      |  WHEN 2 THEN 64000 WHEN 3 THEN 48000 WHEN 4 THEN 44100
+      |  WHEN 5 THEN 32000 WHEN 6 THEN 24000 WHEN 7 THEN 22050
+      |  WHEN 8 THEN 16000 WHEN 9 THEN 12000 WHEN 10 THEN 11025
+      |  WHEN 11 THEN 8000 ELSE 7350 END AS rate
+      | FROM p)
+      |SELECT media_id, profile, sample_rate, channels, frames,
+      | duration_ms, crc_frames, decode_ok
+      |FROM (
+      | SELECT doc_id AS media_id, CAST(pf AS INT) AS profile,
+      |  CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+      |  CAST(n AS BIGINT) AS frames,
+      |  CAST(n * 1024 * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST((n + 2) // 3 AS BIGINT) AS crc_frames, TRUE AS decode_ok
+      | FROM r WHERE NOT bad
+      | UNION ALL
+      | SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS INT),
+      |  CAST(-1 AS INT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(-1 AS BIGINT), FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id""".stripMargin
 }

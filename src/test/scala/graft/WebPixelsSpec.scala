@@ -487,25 +487,39 @@ class WebPixelsSpec extends AnyFunSuite {
         assert((px((y * w2 + x) * 3) & 0xff) == g, s"($x,$y)")
       }
     }
-    val lossy = Multimodal.syntheticWebp(1L, 64, 64, "VP8")
-    assert(Multimodal.resizeWebp(lossy.content, 12).isEmpty)
-    // dispatchTranscode: VP8L resizes, VP8 passes through, a GIF
-    // resizes, a broken GIF empties
+    // header-only VP8 stubs (no decodable frame) reject — and since
+    // the lossy leg joined the resize family, dispatchTranscode now
+    // EMPTIES such broken bodies like a broken PNG/JPEG, while a REAL
+    // lossy keyframe resizes (transcoded to VP8L on the way down)
+    val lossyStub = Multimodal.syntheticWebp(1L, 64, 64, "VP8")
+    assert(Multimodal.resizeWebp(lossyStub.content, 12).isEmpty)
+    val lossyReal = Multimodal.syntheticWebpLossyFlat(7L, 32, 32)
     import spark.implicits._
     val blobs = Seq(
       b.copy(media_id = 1L),
-      lossy.copy(media_id = 2L),
+      lossyStub.copy(media_id = 2L),
       Multimodal.syntheticGifGradient(3L, 40, 25),
       Multimodal.syntheticGifGradient(4L, 40, 25)
         .copy(content = Multimodal.syntheticGifGradient(4L, 40, 25)
-          .content.take(30))).toDS()
+          .content.take(30)),
+      lossyReal.copy(media_id = 5L)).toDS()
     val outs = Multimodal.dispatchTranscode(blobs, maxEdge = 12,
       targetRate = 8000, mono = true, every = 2)
       .collect().sortBy(_.media_id)
     assert(Multimodal.decodeWebpPixels(outs(0).content).get._1 == 12)
-    assert(java.util.Arrays.equals(outs(1).content, lossy.content))
+    assert(outs(1).content.isEmpty)
     assert(Multimodal.decodeGifPixels(outs(2).content).get._1 == 12)
     assert(outs(3).content.isEmpty)
+    val (rw, rh, rpx) = Multimodal.decodeWebpPixels(outs(4).content).get
+    assert(rw == 12 && rh == 12)
+    // resized lossy pixels follow the closed form through the NN map
+    (0 until rh).foreach { y =>
+      (0 until rw).foreach { x =>
+        val exp = Multimodal.lossyFlatPixel(7L,
+          (x.toLong * 32 / rw).toInt, (y.toLong * 32 / rh).toInt)
+        assert((rpx((y * rw + x) * 3) & 0xff) == exp, s"($x,$y)")
+      }
+    }
   }
 
   // ----------------------------------------- cross-format pixel family
