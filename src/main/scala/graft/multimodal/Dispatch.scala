@@ -33,7 +33,8 @@ case class ImageQuality(media_id: Long, width: Int, height: Int,
 private[multimodal] trait DispatchCodec extends Serializable
     with WavCodec with PngCodec with Y4mCodec with JpegCodec
     with WebImageCodec with Vp8lCodec with Vp8Codec with BrotliCodec
-    with CompressionCodec with Mp4Codec with AudioCodec {
+    with CompressionCodec with Mp4Codec with AudioCodec
+    with MpegTsCodec {
   // HETEROGENEOUS — one blob column carrying WAV next to PNG next to
   // JPEG next to Y4M. Each decode operator above assumes a homogeneous
   // column; dispatchDecode is the missing composition: sniff the magic
@@ -83,10 +84,18 @@ private[multimodal] trait DispatchCodec extends Serializable
     else if (bytes.length >= 4 && ascii(0, 4) == "fLaC") "flac"
     else if (bytes.length >= 5 && ascii(0, 4) == "OggS" && u(4) == 0)
       "ogg"
+    // MPEG-TS: 0x47 sync at two consecutive 188-byte boundaries (one
+    // alone is a weak single byte)
+    else if (bytes.length >= 377 && u(0) == 0x47 && u(188) == 0x47 &&
+      (bytes.length < 565 || u(376) == 0x47)) "mp2t"
     // MPEG audio: an ID3v2 tag, or a bare frame sync with non-reserved
     // version/layer bits (checked LAST — the sync pattern is the
     // weakest magic in the chain; every stronger signature wins first)
     else if (bytes.length >= 3 && ascii(0, 3) == "ID3") "mp3"
+    // ADTS AAC: the same 0xFFF sync family but with LAYER 00 (reserved
+    // for MP3) — must be told apart before the generic MPEG-audio test
+    else if (bytes.length >= 7 && u(0) == 0xff && (u(1) & 0xf6) == 0xf0)
+      "aac"
     else if (bytes.length >= 4 && u(0) == 0xff && (u(1) & 0xe0) == 0xe0 &&
       ((u(1) >> 3) & 0x3) != 1 && ((u(1) >> 1) & 0x3) != 0) "mp3"
     else "unknown"
@@ -151,6 +160,30 @@ private[multimodal] trait DispatchCodec extends Serializable
         val a = parseMp3(id, bytes)
         DispatchedMeta(id, "mp3", a.decode_ok, -1, -1, a.sample_rate,
           a.channels, -1, a.duration_ms)
+      case "aac" =>
+        val a = parseAdts(id, bytes)
+        DispatchedMeta(id, "aac", a.decode_ok, -1, -1, a.sample_rate,
+          a.channels, a.frames.toInt, a.duration_ms)
+      case "bmp" =>
+        decodeBmpPixels(bytes) match {
+          case Some((w, h, _)) =>
+            DispatchedMeta(id, "bmp", decode_ok = true, w, h, -1, -1,
+              -1, -1L)
+          case None =>
+            DispatchedMeta(id, "bmp", decode_ok = false, -1, -1, -1,
+              -1, -1, -1L)
+        }
+      case "mp2t" =>
+        // channels doubles as the elementary-stream count; duration
+        // from the first stream's PTS span (90 kHz → ms)
+        val ts = parseMpegTs(id, bytes)
+        val ok = ts.forall(_.ok)
+        val dur = ts.headOption
+          .filter(s => s.ok && s.first_pts >= 0)
+          .map(s => (s.last_pts - s.first_pts) / 90L).getOrElse(-1L)
+        DispatchedMeta(id, "mp2t", ok, -1, -1, -1,
+          if (ok) ts.length else -1,
+          if (ok) ts.map(_.ts_packets).sum.toInt else -1, dur)
       case "flac" =>
         val fl = parseFlac(id, bytes)
         DispatchedMeta(id, "flac", fl.decode_ok, -1, -1, fl.sample_rate,

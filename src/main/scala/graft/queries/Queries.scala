@@ -263,7 +263,8 @@ object Queries
     "q205_bmp_quality" -> (q205 _),
     "q206_g711_wav" -> (q206 _),
     "q207_mpegts_streams" -> (q207 _),
-    "q208_adts_frames" -> (q208 _)
+    "q208_adts_frames" -> (q208 _),
+    "q209_doc_dispatch" -> (q209 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -658,7 +659,8 @@ object Queries
     "q205_bmp_quality" -> q205Sql,
     "q206_g711_wav" -> q206Sql,
     "q207_mpegts_streams" -> q207Sql,
-    "q208_adts_frames" -> q208Sql
+    "q208_adts_frames" -> q208Sql,
+    "q209_doc_dispatch" -> q209Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2481,4 +2481,103 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
       | FROM p WHERE bad)
       |ORDER BY media_id, pid""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  // Heterogeneous DOCUMENT dispatch under the oracle — the
+  // text-corpus capstone next to q189's envelope dispatch: one column
+  // interleaves PDF, EPUB, DOCX, raw HTML, a non-document ZIP and
+  // junk, and Documents.docTextDispatch routes each blob to its
+  // extractor in one partition-wise pass, emitting (kind, units,
+  // chars). Every leg reuses its own already-oracled extractor
+  // (q200/q202/q203) — this entry pins the ROUTING and the unit/char
+  // roll-ups closed-form.
+  private[queries] def q209(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 180)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val b = (id % 5) match {
+          case 0 =>
+            val pages = (0 until (1 + (id % 2)).toInt).map { p =>
+              (0 until (1 + ((id + p) % 3)).toInt).map(j =>
+                s"pd-$id-$p-$j")
+            }
+            m.syntheticPdf(id, pages)
+          case 1 =>
+            val chapters = (0 until (1 + (id % 2)).toInt).map { c =>
+              (0 until (2 + ((id + c) % 2)).toInt).map(j =>
+                s"eb-$id-$c-w$j")
+            }
+            graft.sources.Epub.synthetic(id, chapters)
+          case 2 =>
+            graft.sources.Docx.synthetic(id,
+              (0 until (1 + (id % 3)).toInt).map(p => s"dx-$id-$p"))
+          case 3 =>
+            (s"<html><head><script>x</script></head><body>" +
+              s"<p>ht-$id-a</p> <p>ht-$id-b</p></body></html>")
+              .getBytes("UTF-8")
+          case _ =>
+            graft.sources.Zip.synthetic(id,
+              Seq(("blob.bin", s"zz-$id".getBytes("UTF-8"), "deflate")))
+        }
+        m.MediaBlob(id, "application/octet-stream",
+          if (id % 13 == 12) s"junk-$id".getBytes("UTF-8") else b)
+      }
+    graft.sources.Documents.docTextDispatch(blobs).toDF()
+      .select($"media_id", $"kind", $"n_units", $"n_chars", $"ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q209Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 5 AS fam, doc_id % 13 = 12 AS junk
+      | FROM documents WHERE doc_id < 180),
+      |pdf AS (
+      | SELECT doc_id,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS u,
+      |  (SELECT SUM(len) FROM (
+      |    SELECT length('pd-' || p.doc_id || '-' || pg || '-' || j) + 1
+      |     AS len
+      |    FROM unnest(generate_series(0, p.doc_id % 2)) tp(pg),
+      |     unnest(generate_series(0, (p.doc_id + pg) % 3)) tj(j))) AS c
+      | FROM p WHERE fam = 0 AND NOT junk),
+      |eb AS (
+      | SELECT doc_id,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS u,
+      |  (SELECT SUM(len) FROM (
+      |    SELECT length('eb-' || p.doc_id || '-' || ch || '-w' || j)
+      |     + CASE WHEN j = 0 THEN 0 ELSE 1 END AS len
+      |    FROM unnest(generate_series(0, p.doc_id % 2)) tc(ch),
+      |     unnest(generate_series(0, 1 + (p.doc_id + ch) % 2)) tj(j)))
+      |   AS c
+      | FROM p WHERE fam = 1 AND NOT junk),
+      |dx AS (
+      | SELECT doc_id,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS u,
+      |  (SELECT SUM(length('dx-' || p.doc_id || '-' || k))
+      |   FROM unnest(generate_series(0, p.doc_id % 3)) tk(k)) AS c
+      | FROM p WHERE fam = 2 AND NOT junk),
+      |ht AS (
+      | SELECT doc_id, CAST(1 AS BIGINT) AS u,
+      |  length('ht-' || doc_id || '-a') +
+      |  length('ht-' || doc_id || '-b') + 1 AS c
+      | FROM p WHERE fam = 3 AND NOT junk)
+      |SELECT media_id, kind, n_units, n_chars, ok FROM (
+      | SELECT doc_id AS media_id, 'pdf' AS kind, u AS n_units,
+      |  CAST(c AS BIGINT) AS n_chars, TRUE AS ok FROM pdf
+      | UNION ALL
+      | SELECT doc_id, 'epub', u, CAST(c AS BIGINT), TRUE FROM eb
+      | UNION ALL
+      | SELECT doc_id, 'docx', u, CAST(c AS BIGINT), TRUE FROM dx
+      | UNION ALL
+      | SELECT doc_id, 'html', u, CAST(c AS BIGINT), TRUE FROM ht
+      | UNION ALL
+      | SELECT doc_id, 'zip', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  FALSE
+      | FROM p WHERE fam = 4 AND NOT junk
+      | UNION ALL
+      | SELECT doc_id, '', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  FALSE
+      | FROM p WHERE junk)
+      |ORDER BY media_id""".stripMargin
 }
