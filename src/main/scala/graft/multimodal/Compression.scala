@@ -142,6 +142,24 @@ private[multimodal] trait CompressionCodec extends Serializable {
     else drainCapped(new net.jpountz.lz4.LZ4FrameInputStream(
       new java.io.ByteArrayInputStream(bytes)), maxBytes)
 
+  /** Framed-snappy (the cross-tool framing format Hadoop-land text
+    * ships in; snappy-java rides Spark's classpath like zstd/lz4)
+    */
+  def unsnappy(bytes: Array[Byte],
+               maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    if (bytes.length < 10 || (bytes(0) & 0xff) != 0xff ||
+      bytes(1) != 0x06 || bytes(2) != 0x00 || bytes(3) != 0x00 ||
+      new String(bytes, 4, 6, "US-ASCII") != "sNaPpY") None
+    else drainCapped(new org.xerial.snappy.SnappyFramedInputStream(
+      new java.io.ByteArrayInputStream(bytes)), maxBytes)
+
+  def snappyBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
   /** Compression sniff by magic bytes (the [[sniffFormat]] doctrine:
     * never trust an extension column). "none" = no known frame.
     */
@@ -152,6 +170,9 @@ private[multimodal] trait CompressionCodec extends Serializable {
       u(2) == 0x2f && u(3) == 0xfd) "zstd"
     else if (bytes.length >= 7 && u(0) == 0x04 && u(1) == 0x22 &&
       u(2) == 0x4d && u(3) == 0x18) "lz4"
+    else if (bytes.length >= 10 && u(0) == 0xff && u(1) == 0x06 &&
+      u(2) == 0x00 && u(3) == 0x00 &&
+      new String(bytes, 4, 6, "US-ASCII") == "sNaPpY") "snappy"
     else if (bytes.length >= 3 && u(0) == 0x78 &&
       (u(1) == 0x01 || u(1) == 0x5e || u(1) == 0x9c || u(1) == 0xda))
       "zlib"
@@ -167,11 +188,12 @@ private[multimodal] trait CompressionCodec extends Serializable {
                      maxBytes: Int = 1 << 26)
       : Option[(String, Array[Byte])] =
     sniffCompression(bytes) match {
-      case "gzip" => gunzip(bytes, maxBytes).map("gzip" -> _)
-      case "zstd" => unzstd(bytes, maxBytes).map("zstd" -> _)
-      case "lz4"  => unlz4(bytes, maxBytes).map("lz4" -> _)
-      case "zlib" => inflateZlib(bytes, maxBytes).map("zlib" -> _)
-      case _      => Some("none" -> bytes)
+      case "gzip"   => gunzip(bytes, maxBytes).map("gzip" -> _)
+      case "zstd"   => unzstd(bytes, maxBytes).map("zstd" -> _)
+      case "lz4"    => unlz4(bytes, maxBytes).map("lz4" -> _)
+      case "snappy" => unsnappy(bytes, maxBytes).map("snappy" -> _)
+      case "zlib"   => inflateZlib(bytes, maxBytes).map("zlib" -> _)
+      case _        => Some("none" -> bytes)
     }
 
 

@@ -1128,7 +1128,8 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // MIXED-CODEC text decompression under the oracle — q156's gzip leg
   // widened to the full crawl compression matrix: gzip, zstandard
   // (the codec CommonCrawl is migrating to; zstd-jni rides Spark's
-  // own classpath), LZ4 frames, raw zlib, and uncompressed
+  // own classpath), LZ4 frames, framed snappy (snappy-java, the
+  // Hadoop-land text framing), raw zlib, and uncompressed
   // pass-through, all routed by MAGIC BYTES in one partition-wise
   // pass. Compressed bytes are encoder-dependent so the contract is
   // the DECODED content (length + md5, both engines hash the same
@@ -1143,18 +1144,21 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       .map { id =>
         val text = ("mix-" + id + ";") * (1 + (id % 30)).toInt
         val raw = text.getBytes("UTF-8")
-        val v = (id % 6).toInt
+        val v = (id % 7).toInt
         val enc = v match {
           case 0 => m.gzipBytes(raw)
           case 1 => m.zstdBytes(raw)
           case 2 => m.lz4Bytes(raw)
           case 3 => m.zlibBytes(raw)
           case 5 => m.brotliBytes(raw)
+          case 6 => m.snappyBytes(raw)
           case _ => raw
         }
         // brotli is headerless (`Content-Encoding: br` is declared,
         // never sniffable) — those rows route by media_type
-        val keepMagic = Array(18, 8, 8, 4, 0, 4)
+        // snappy keeps magic + a partial chunk header (10 alone is a
+        // VALID empty framed stream — truncation must land mid-chunk)
+        val keepMagic = Array(18, 8, 8, 4, 0, 4, 12)
         val content =
           if (id % 13 == 0 && v != 4)
             java.util.Arrays.copyOf(enc, keepMagic(v))
@@ -1169,14 +1173,15 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   }
   private[queries] lazy val q181Sql =
     """WITH p AS (
-      | SELECT doc_id, doc_id % 6 AS v,
-      |  doc_id % 13 = 0 AND doc_id % 6 <> 4 AS bad,
+      | SELECT doc_id, doc_id % 7 AS v,
+      |  doc_id % 13 = 0 AND doc_id % 7 <> 4 AS bad,
       |  repeat('mix-' || doc_id || ';',
       |    CAST(1 + doc_id % 30 AS INT)) AS t
       | FROM documents WHERE doc_id < 250)
       |SELECT doc_id AS media_id,
       | CASE v WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'lz4'
-      |  WHEN 3 THEN 'zlib' WHEN 5 THEN 'br' ELSE 'none' END AS codec,
+      |  WHEN 3 THEN 'zlib' WHEN 5 THEN 'br' WHEN 6 THEN 'snappy'
+      |  ELSE 'none' END AS codec,
       | CAST(CASE WHEN bad THEN -1 ELSE length(t) END AS BIGINT)
       |  AS n_chars,
       | CASE WHEN bad THEN '' ELSE md5(t) END AS digest,
