@@ -81,6 +81,10 @@ private[multimodal] trait DispatchCodec extends Serializable
     else if (bytes.length >= 54 && ascii(0, 2) == "BM" &&
       (u(14) == 40 || u(14) == 108 || u(14) == 124) && u(15) == 0 &&
       u(16) == 0 && u(17) == 0) "bmp"
+    // TIFF: both byte orders' 4-byte signatures
+    else if (bytes.length >= 8 &&
+      ((ascii(0, 2) == "II" && u(2) == 42 && u(3) == 0) ||
+        (ascii(0, 2) == "MM" && u(2) == 0 && u(3) == 42))) "tiff"
     else if (bytes.length >= 4 && ascii(0, 4) == "fLaC") "flac"
     else if (bytes.length >= 5 && ascii(0, 4) == "OggS" && u(4) == 0)
       "ogg"
@@ -173,6 +177,15 @@ private[multimodal] trait DispatchCodec extends Serializable
             DispatchedMeta(id, "bmp", decode_ok = false, -1, -1, -1,
               -1, -1, -1L)
         }
+      case "tiff" =>
+        decodeTiffPixels(bytes) match {
+          case Some((w, h, _)) =>
+            DispatchedMeta(id, "tiff", decode_ok = true, w, h, -1, -1,
+              -1, -1L)
+          case None =>
+            DispatchedMeta(id, "tiff", decode_ok = false, -1, -1, -1,
+              -1, -1, -1L)
+        }
       case "mp2t" =>
         // channels doubles as the elementary-stream count; duration
         // from the first stream's PTS span (90 kHz → ms)
@@ -229,6 +242,7 @@ private[multimodal] trait DispatchCodec extends Serializable
       case "gif"  => decodeGifPixels(bytes)
       case "webp" => decodeWebpPixels(bytes)
       case "bmp"  => decodeBmpPixels(bytes)
+      case "tiff" => decodeTiffPixels(bytes)
       case _      => None
     }
 
@@ -383,6 +397,36 @@ private[multimodal] trait DispatchCodec extends Serializable
     }
   }
 
+  /** TIFF leg of the resize family: baseline decode, NN floor-map,
+    * single-strip RGB re-encode — exact like its siblings
+    */
+  def resizeTiff(bytes: Array[Byte],
+                 maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
+    require(maxEdge >= 1)
+    decodeTiffPixels(bytes).map { case (w, h, px) =>
+      val m = math.max(w, h)
+      if (m <= maxEdge) (w, h, bytes)
+      else {
+        val w2 = math.max(1L, w.toLong * maxEdge / m).toInt
+        val h2 = math.max(1L, h.toLong * maxEdge / m).toInt
+        val out = new Array[Byte](w2 * h2 * 3)
+        var y = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            System.arraycopy(px, (sy * w + sx) * 3, out,
+              (y * w2 + x) * 3, 3)
+            x += 1
+          }
+          y += 1
+        }
+        (w2, h2, tiffEncode(w2, h2, out))
+      }
+    }
+  }
+
   def resizeWebp(bytes: Array[Byte],
                  maxEdge: Int): Option[(Int, Int, Array[Byte])] = {
     require(maxEdge >= 1)
@@ -438,6 +482,7 @@ private[multimodal] trait DispatchCodec extends Serializable
         case "y4m"  => transcodeY4m(b.content, every, maxEdge)
         case "gif"  => resizeGif(b.content, maxEdge).map(_._3)
         case "bmp"  => resizeBmp(b.content, maxEdge).map(_._3)
+        case "tiff" => resizeTiff(b.content, maxEdge).map(_._3)
         // lossless AND lossy single-frame WebP resize (the lossy leg
         // decodes through the VP8 keyframe codec and re-encodes as
         // VP8L); VP8X wrappers (possibly animations) pass through

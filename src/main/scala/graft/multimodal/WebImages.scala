@@ -740,6 +740,197 @@ private[multimodal] trait WebImageCodec extends Serializable {
     bb.array()
   }
 
+  // ---------------------------------------------------------- TIFF
+
+  /** FULL pixel decode of a baseline TIFF to RGB triplets — the
+    * scanner/archival format (and the container EXIF borrowed its IFD
+    * grammar from): both byte orders (II/MM), IFD0's required tags,
+    * Compression=1 (none) only, 8-bit grayscale (PhotometricInterp 1,
+    * and 0 = WhiteIsZero inverted) and 8-bit-per-sample RGB, multiple
+    * strips via StripOffsets/StripByteCounts/RowsPerStrip. Anything
+    * else (LZW/packbits, tiles, 16-bit, palettes) → None — the
+    * never-fail contract of the pixel family.
+    */
+  def decodeTiffPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 8) return None
+    val le =
+      if (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 &&
+        bytes(3) == 0) true
+      else if (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+        bytes(3) == 42) false
+      else return None
+    def u16(i: Int): Int =
+      if (i + 2 > bytes.length) -1
+      else if (le) (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      else ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (i + 4 > bytes.length) -1L
+      else if (le) ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16)).toLong |
+        ((bytes(i + 3) & 0xff).toLong << 24)
+      else ((bytes(i) & 0xff).toLong << 24) |
+        (((bytes(i + 1) & 0xff) << 16) | ((bytes(i + 2) & 0xff) << 8) |
+          (bytes(i + 3) & 0xff)).toLong
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + n * 12 > bytes.length) return None
+    // tag → (type, count, value-or-offset slot position)
+    var width = -1; var height = -1; var compression = 1
+    var photometric = -1; var spp = 1; var bps = 8
+    var rowsPerStrip = Int.MaxValue
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    def values(entry: Int): Array[Long] = {
+      val typ = u16(entry + 2)
+      val count = u32(entry + 4).toInt
+      val size = typ match {
+        case 1 => 1; case 3 => 2; case 4 => 4; case _ => -1
+      }
+      if (size < 0 || count <= 0 || count > (1 << 20)) return null
+      val at =
+        if (size * count <= 4) entry + 8 else u32(entry + 8).toInt
+      if (at < 0 || at + size * count > bytes.length) return null
+      Array.tabulate(count) { k =>
+        size match {
+          case 1 => (bytes(at + k) & 0xff).toLong
+          case 2 => u16(at + k * 2).toLong
+          case _ => u32(at + k * 4)
+        }
+      }
+    }
+    var e = 0
+    while (e < n) {
+      val entry = ifd.toInt + 2 + e * 12
+      val tag = u16(entry)
+      lazy val v = values(entry)
+      tag match {
+        case 256 => if (v == null) return None else width = v(0).toInt
+        case 257 => if (v == null) return None else height = v(0).toInt
+        case 258 => if (v == null) return None
+          else if (v.exists(_ != 8L)) return None
+        case 259 => if (v == null) return None
+          else compression = v(0).toInt
+        case 262 => if (v == null) return None
+          else photometric = v(0).toInt
+        case 273 => if (v == null) return None else stripOffsets = v
+        case 277 => if (v == null) return None else spp = v(0).toInt
+        case 278 => if (v == null) return None
+          else rowsPerStrip = v(0).toInt
+        case 279 => if (v == null) return None else stripCounts = v
+        case _ => // orientation, resolution, software, ...: ignored
+      }
+      e += 1
+    }
+    if (width <= 0 || height <= 0 || compression != 1 ||
+      stripOffsets == null || stripCounts == null ||
+      stripOffsets.length != stripCounts.length) return None
+    if (width.toLong * height * 3 > (1L << 28)) return None
+    val gray = photometric == 0 || photometric == 1
+    if (!(gray && spp == 1) && !(photometric == 2 && spp == 3))
+      return None
+    val rowBytes = width * spp
+    val rgb = new Array[Byte](width * height * 3)
+    var row = 0
+    var strip = 0
+    var inStrip = 0
+    while (row < height) {
+      if (strip >= stripOffsets.length) return None
+      val base = stripOffsets(strip)
+      if (base + (inStrip + 1).toLong * rowBytes >
+        base + stripCounts(strip)) return None
+      val at = (base + inStrip.toLong * rowBytes).toInt
+      if (at < 0 || at + rowBytes > bytes.length) return None
+      var x = 0
+      while (x < width) {
+        val o = (row * width + x) * 3
+        if (gray) {
+          val g0 = bytes(at + x) & 0xff
+          val g = if (photometric == 0) 255 - g0 else g0
+          rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
+        } else {
+          rgb(o) = bytes(at + x * 3)
+          rgb(o + 1) = bytes(at + x * 3 + 1)
+          rgb(o + 2) = bytes(at + x * 3 + 2)
+        }
+        x += 1
+      }
+      row += 1
+      inStrip += 1
+      if (inStrip >= rowsPerStrip) { inStrip = 0; strip += 1 }
+    }
+    Some((width, height, rgb))
+  }
+
+  /** Baseline TIFF writer: II byte order, 8-bit grayscale (spp 1,
+    * PhotometricInterp 1) or RGB (spp 3), uncompressed, strips of
+    * `rowsPerStrip` rows. Any TIFF reader opens it.
+    */
+  def tiffEncode(width: Int, height: Int, rgb: Array[Byte],
+                 grayscale: Boolean = false,
+                 rowsPerStrip: Int = Int.MaxValue): Array[Byte] = {
+    require(rgb.length == width * height * 3)
+    val rps = math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val spp = if (grayscale) 1 else 3
+    val rowBytes = width * spp
+    val nTags = 9
+    val ifdAt = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    // external value areas: RGB BitsPerSample needs a 3-SHORT array
+    // (6 bytes, padded even), multi-strip needs offset/count LONGs
+    val bpsAt = ifdAt + ifdSize
+    val bpsSize = if (grayscale) 0 else 8
+    val stripsAt = bpsAt + bpsSize
+    val stripsSize = if (nStrips > 1) nStrips * 8 else 0
+    val dataAt = stripsAt + stripsSize
+    val out = java.nio.ByteBuffer
+      .allocate(dataAt + rowBytes * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdAt)
+    out.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Long): Unit =
+      out.putShort(id.toShort).putShort(typ.toShort).putInt(count)
+        .putInt(value.toInt)
+    tag(256, 4, 1, width)
+    tag(257, 4, 1, height)
+    if (grayscale) tag(258, 3, 1, 8)
+    else tag(258, 3, 3, bpsAt) // {8,8,8} external array
+    tag(259, 3, 1, 1) // no compression
+    tag(262, 3, 1, if (grayscale) 1 else 2)
+    if (nStrips > 1) tag(273, 4, nStrips, stripsAt)
+    else tag(273, 4, 1, dataAt)
+    tag(277, 3, 1, spp)
+    tag(278, 4, 1, rps)
+    if (nStrips > 1) tag(279, 4, nStrips, stripsAt + nStrips * 4)
+    else tag(279, 4, 1, rowBytes * height)
+    out.putInt(0) // next IFD
+    if (!grayscale) {
+      out.putShort(8).putShort(8).putShort(8).putShort(0) // + pad
+    }
+    if (nStrips > 1) {
+      var s = 0
+      while (s < nStrips) {
+        out.putInt(dataAt + s * rps * rowBytes); s += 1
+      }
+      s = 0
+      while (s < nStrips) {
+        val rows = math.min(rps, height - s * rps)
+        out.putInt(rows * rowBytes); s += 1
+      }
+    }
+    var i = 0
+    while (i < width * height) {
+      if (grayscale) out.put(rgb(i * 3)) // r==g==b by contract
+      else {
+        out.put(rgb(i * 3)); out.put(rgb(i * 3 + 1))
+        out.put(rgb(i * 3 + 2))
+      }
+      i += 1
+    }
+    out.array()
+  }
+
   /** 8-bit paletted BMP writer: `indices` into a ≤256-entry RGB
     * palette, bottom-up
     */

@@ -264,7 +264,8 @@ object Queries
     "q206_g711_wav" -> (q206 _),
     "q207_mpegts_streams" -> (q207 _),
     "q208_adts_frames" -> (q208 _),
-    "q209_doc_dispatch" -> (q209 _)
+    "q209_doc_dispatch" -> (q209 _),
+    "q210_tiff_quality" -> (q210 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -660,7 +661,8 @@ object Queries
     "q206_g711_wav" -> q206Sql,
     "q207_mpegts_streams" -> q207Sql,
     "q208_adts_frames" -> q208Sql,
-    "q209_doc_dispatch" -> q209Sql
+    "q209_doc_dispatch" -> q209Sql,
+    "q210_tiff_quality" -> q210Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2585,4 +2585,77 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  FALSE
       | FROM p WHERE junk)
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  // Baseline TIFF pixels under the oracle — the seventh pixel
+  // container: quality stats over a column rotating grayscale/RGB ×
+  // single/multi-strip encodings of the same gray gradient, so the
+  // IFD walk, strip assembly and photometric paths all sit under the
+  // DuckDB oracle (generator-formula replay, the q192/q205 pattern).
+  // TiffSpec proves decode writer-independent against JDK ImageIO in
+  // both directions. Every 7th blob truncated → all-sentinel row.
+  private[queries] def q210(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 160)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val (w, h) = (10 + (id % 9).toInt, 7 + (id % 6).toInt)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val g = ((id * 31 + (i % w) * 7 + (i / w) * 13) % 256).toByte
+          rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+          i += 1
+        }
+        val content = m.tiffEncode(w, h, rgb,
+          grayscale = id % 2 == 0,
+          rowsPerStrip = if (id % 4 < 2) Int.MaxValue
+            else 2 + (id % 3).toInt)
+        val b = m.MediaBlob(id, "image/tiff", content)
+        if (id % 7 == 0) b.copy(content = b.content.take(12)) else b
+      }
+    m.imageQualityStats(blobs).toDF()
+      .select($"media_id", $"width", $"height", $"sum_luma",
+        $"sum_luma_sq", $"lap_sq_sum", $"decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q210Sql =
+    """WITH p AS (
+      | SELECT doc_id, 10 + doc_id % 9 AS w, 7 + doc_id % 6 AS h,
+      |  doc_id % 7 = 0 AS bad
+      | FROM documents WHERE doc_id < 160),
+      |px AS (
+      | SELECT doc_id, w, h, x, y,
+      |  (doc_id * 31 + x * 7 + y * 13) % 256 AS g
+      | FROM p, unnest(generate_series(0, CAST(w - 1 AS BIGINT))) ux(x),
+      |  unnest(generate_series(0, CAST(h - 1 AS BIGINT))) uy(y)
+      | WHERE NOT bad),
+      |sums AS (
+      | SELECT doc_id, CAST(sum(g) AS BIGINT) AS s,
+      |  CAST(sum(g * g) AS BIGINT) AS s2
+      | FROM px GROUP BY doc_id),
+      |lap AS (
+      | SELECT c.doc_id, CAST(sum(
+      |   (4 * c.g - l.g - r.g - u.g - d.g) *
+      |   (4 * c.g - l.g - r.g - u.g - d.g)) AS BIGINT) AS lap2
+      | FROM px c
+      | JOIN px l ON l.doc_id = c.doc_id AND l.y = c.y AND l.x = c.x - 1
+      | JOIN px r ON r.doc_id = c.doc_id AND r.y = c.y AND r.x = c.x + 1
+      | JOIN px u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+      | JOIN px d ON d.doc_id = c.doc_id AND d.x = c.x AND d.y = c.y + 1
+      | WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2
+      | GROUP BY c.doc_id)
+      |SELECT p.doc_id AS media_id,
+      | CAST(CASE WHEN bad THEN -1 ELSE w END AS INT) AS width,
+      | CAST(CASE WHEN bad THEN -1 ELSE h END AS INT) AS height,
+      | CAST(CASE WHEN bad THEN -1 ELSE s END AS BIGINT) AS sum_luma,
+      | CAST(CASE WHEN bad THEN -1 ELSE s2 END AS BIGINT)
+      |  AS sum_luma_sq,
+      | CAST(CASE WHEN bad THEN -1 ELSE lap2 END AS BIGINT)
+      |  AS lap_sq_sum,
+      | NOT bad AS decode_ok
+      |FROM p LEFT JOIN sums ON p.doc_id = sums.doc_id
+      | LEFT JOIN lap ON p.doc_id = lap.doc_id
+      |ORDER BY media_id""".stripMargin
 }
