@@ -53,50 +53,155 @@ object Bench {
     // SCALE.md's shuffle-bytes claims (a plan can look right and still
     // shuffle 10× what it should; this makes that visible per round)
     val tally = ShuffleTally.install(spark.sparkContext)
+    // per-micro-batch wall times: each completed trigger's
+    // triggerExecution lands in BenchProbe under the active entry, so
+    // a divergent streaming scalar (r16/r18: q180 inflated 13.8× on
+    // the driver host) decomposes into WHICH batch ate the time
+    // instead of forcing another host-noise debate
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          val p = e.progress
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.doubleValue).getOrElse(0.0)
+          BenchProbe.record(s"batch${p.batchId}", ms / 1000.0)
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+      })
+    // q180 runs real micro-batches but stays OUT of streamingQueries
+    // (the floor subtotal's membership is a round-over-round contract);
+    // it still needs the listener settle + state-store unload
+    val usesMicroBatches: Set[String] =
+      graft.queries.Queries.streamingQueries + "q180_stream_frontier"
+    // the min-of-2 family: every micro-batch entry (scheduler-latency-
+    // dominated, the noisiest on a contended host) plus the two
+    // iterative entries the r18 driver run inflated with them
+    val minOf2: Set[String] =
+      usesMicroBatches ++ Set("q179_quality_lr", "q186_weighted_linkrank")
+    // one timed execution of one entry: wall seconds + shuffle-delta
+    // JSON + drained probe records (iteration / micro-batch phases)
+    def runOnce(name: String,
+                fn: (SparkSession, String) => DataFrame):
+        Either[String, (Double, String, Seq[(String, Double)])] = {
+      val s0 = tally.snapshot(spark.sparkContext)
+      BenchProbe.start(name)
+      val t0 = System.nanoTime()
+      // a failing query must NOT report a success-looking wall-time:
+      // it becomes an explicit "err:" marker and an err_count bump
+      val out = try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val d = tally.snapshot(spark.sparkContext) - s0
+        Right((sec,
+          s"""{"w":${d.write},"r":${d.read},"sp":${d.spilled}}"""))
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString.take(160)
+          Left(s"err: ${e.getClass.getSimpleName}: $msg")
+      }
+      // listener-bus delivery is async: give in-flight progress
+      // events a moment to land before draining, streaming only
+      if (usesMicroBatches(name)) Thread.sleep(300)
+      BenchProbe.stop()
+      val probes = BenchProbe.drain()
+        .collect { case (e, l, s) if e == name => (l, s) }
+      // post-consume hygiene, in all paths: drop stranded iterCut
+      // frames, delete the entry's temp dirs (persisted indexes,
+      // checkpoints, state stores), and unload cached state-store
+      // providers — so no entry rides as block-manager/disk/state
+      // pressure into later entries (the r18 1.4-1.7× drift suspect)
+      try graft.operators.Materialize.releaseAll(spark)
+      catch { case _: Throwable => () }
+      try TempDirs.cleanAll() catch { case _: Throwable => () }
+      if (usesMicroBatches(name)) {
+        // StateStore.unloadAll() drops the provider cache (loaded
+        // HDFSBackedStateStoreProvider maps stay keyed per checkpoint
+        // otherwise — dead weight once the checkpoint dir is deleted).
+        // private[sql], so reached reflectively; best-effort.
+        try {
+          val cls = Class.forName(
+            "org.apache.spark.sql.execution.streaming.state.StateStore$")
+          val mod = cls.getField("MODULE$").get(null)
+          cls.getMethod("unloadAll").invoke(mod)
+        } catch { case _: Throwable => () }
+      }
+      out.map { case (sec, sh) => (sec, sh, probes) }
+    }
+    // streaming entries run min-of-2 IN the harness: their scalar is
+    // scheduler-latency-dominated (~3-5 s floor × micro-batch count),
+    // the noisiest family on a contended host — a single inflated run
+    // must not be the round's number when a second run refutes it.
+    // SPARK_GRAFT_BENCH_REPEAT=n extends min-of-n to every entry
+    // (builder dev loop; the driver default keeps non-streaming at 1).
+    val baseReps = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     // run in name order so residual warmup always lands on q01 and
     // per-query numbers stay comparable across rounds
-    val results: Seq[(String, Either[String, (Double, String)])] =
+    val results: Seq[(String, Either[String, (Double, String)],
+                      Seq[(Double, Seq[(String, Double)])])] =
       (SparkEntry.queries.toSeq ++ SparkEntry.benchOnly.toSeq ++ selftest)
         .sortBy(_._1)
         .filter(p => selected(p._1)).map {
         case (name, fn) =>
-          val s0 = tally.snapshot(spark.sparkContext)
-          val t0 = System.nanoTime()
-          // a failing query must NOT report a success-looking wall-time:
-          // it becomes an explicit "err:" marker and an err_count bump
-          try {
-            fn(spark, sfDir).count()
-            val sec = (System.nanoTime() - t0) / 1e9
-            // post-consume: drop any iterative final frames (iterCut
-            // blocks) this query stranded, so they never ride as
-            // block-manager eviction pressure into later queries
-            graft.operators.Materialize.releaseAll(spark)
-            val d = tally.snapshot(spark.sparkContext) - s0
-            name -> Right((sec,
-              s"""{"w":${d.write},"r":${d.read},"sp":${d.spilled}}"""))
-          } catch {
-            case e: Throwable =>
-              try graft.operators.Materialize.releaseAll(spark)
-              catch { case _: Throwable => () }
-              val msg = Option(e.getMessage).getOrElse("").linesIterator
-                .take(1).mkString.take(160)
-              name -> Left(s"err: ${e.getClass.getSimpleName}: $msg")
+          val reps = if (minOf2(name)) baseReps.max(2) else baseReps
+          val runs = (0 until reps).map(_ => runOnce(name, fn))
+          val oks = runs.zipWithIndex.collect {
+            case (Right(r), i) => (r, i)
+          }
+          if (oks.isEmpty) {
+            val Left(err) = runs.head: @unchecked
+            (name, Left(err), Nil)
+          } else {
+            val ((sec, sh, _), _) = oks.minBy(_._1._1)
+            // keep EVERY successful run's scalar + probe detail —
+            // min-of-n must stay auditable, not silently pick a number
+            val detail = oks.map { case ((s, _, p), _) => (s, p) }
+            (name, Right((sec, sh)), detail)
           }
       }
     val qs = results.map {
-      case (k, Right((sec, _))) => s"\"" + k + "\":" + sec
-      case (k, Left(err)) => s"\"" + k + "\":\"" + jsonEscape(err) + "\""
+      case (k, Right((sec, _)), _) => s"\"" + k + "\":" + sec
+      case (k, Left(err), _) => s"\"" + k + "\":\"" + jsonEscape(err) + "\""
     }.mkString("{", ",", "}")
     val sh = results.collect {
-      case (k, Right((_, j))) => s"\"" + k + "\":" + j
+      case (k, Right((_, j)), _) => s"\"" + k + "\":" + j
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right((sec, _))) => sec }.sum
+    // per-entry decomposition for every entry that has one: each
+    // successful run's scalar plus its per-iteration / per-micro-batch
+    // phases, e.g. {"runs":[{"sec":6.1,"batch0":2.0,"batch1":1.4}, ...]}
+    def f3p(d: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val probe = results.collect {
+      case (k, Right(_), detail)
+          if detail.exists(_._2.nonEmpty) || detail.size > 1 =>
+        val runs = detail.map { case (sec, ps) =>
+          // a run that re-enters the same operator repeats labels
+          // (q149x: 9 pageRank calls → 9 "pr_iter0"s); suffix repeats
+          // so the JSON object keys stay unique and lossless
+          val seen = scala.collection.mutable.Map.empty[String, Int]
+          (s"\"sec\":${f3p(sec)}" +: ps.map { case (l, s) =>
+            val n = seen.getOrElse(l, 0); seen(l) = n + 1
+            val lab = if (n == 0) l else s"$l#$n"
+            s"\"${jsonEscape(lab)}\":${f3p(s)}"
+          }).mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+        s"\"" + k + "\":{\"runs\":" + runs + "}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right((sec, _)), _) => sec }.sum
     // the five Structured-Streaming queries carry a fixed per-query
     // overhead floor (~3-5 s each: checkpoint init + micro-batch
     // planning) that dominates the suite total at sf0.1; subtotaling it
     // lets round-over-round comparison exclude the floor mechanically
     val streamFloor = results.collect {
-      case (k, Right((sec, _)))
+      case (k, Right((sec, _)), _)
         if graft.queries.Queries.streamingQueries(k) => sec
     }.sum
     val errs = results.count(_._2.isLeft)
@@ -113,6 +218,7 @@ object Bench {
     //      always present; "queries" carries every error marker plus
     //      the slowest wall times (3-decimal) until the budget is hit.
     println(s"""{"detail":"shuffle_bytes","sf":"$sfDir","shuffle_bytes":$sh}""")
+    println(s"""{"detail":"probe_times","sf":"$sfDir","probe":$probe}""")
     println(s"""{"detail":"wall_times_full","sf":"$sfDir","queries":$qs}""")
     // n_queries + the active restriction (if any) make a
     // SPARK_GRAFT_ONLY dev run self-describing — a 5-query subset can
@@ -120,7 +226,7 @@ object Bench {
     val restricted = only.map(p =>
       s""","only":"${jsonEscape(p.mkString(","))}"""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","unit":"sec","err_count":$errs,"n_queries":${results.size}$restricted,"sf":"$sfDir","streaming_floor_sec":$streamFloor,"nonstreaming_sec":${total - streamFloor},"queries":$qs,"shuffle_bytes":$sh,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","err_count":$errs,"n_queries":${results.size}$restricted,"sf":"$sfDir","streaming_floor_sec":$streamFloor,"nonstreaming_sec":${total - streamFloor},"queries":$qs,"shuffle_bytes":$sh,"probe":$probe,"value":$total}"""
     // resolve against an explicit root (or the CWD, made absolute so
     // the destination is unambiguous) and WARN on failure — a silently
     // missing bench_full.json previously read as "no run happened"
@@ -133,9 +239,11 @@ object Bench {
       System.err.println(
         s"warn: bench_full.json write failed at $fullPath: $e") }
     val errEntries = results.collect {
-      case (k, Left(err)) => s"\"" + k + "\":\"" + jsonEscape(err) + "\""
+      case (k, Left(err), _) => s"\"" + k + "\":\"" + jsonEscape(err) + "\""
     }
-    val slowFirst = results.collect { case (k, Right((sec, _))) => (k, sec) }
+    val slowFirst = results.collect {
+      case (k, Right((sec, _)), _) => (k, sec)
+    }
       .sortBy(-_._2)
       .map { case (k, sec) => s"\"" + k + "\":" + f3(sec) }
     def compactLine(entries: Seq[String]): String =

@@ -35,6 +35,8 @@ object Verify {
         // drop any iterCut frames the query stranded (the Bench hook)
         try graft.operators.Materialize.releaseAll(spark)
         catch { case _: Throwable => () }
+        // and its temp dirs — output is already written at this point
+        try TempDirs.cleanAll() catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -742,14 +742,195 @@ private[multimodal] trait WebImageCodec extends Serializable {
 
   // ---------------------------------------------------------- TIFF
 
-  /** FULL pixel decode of a baseline TIFF to RGB triplets — the
-    * scanner/archival format (and the container EXIF borrowed its IFD
-    * grammar from): both byte orders (II/MM), IFD0's required tags,
-    * Compression=1 (none) only, 8-bit grayscale (PhotometricInterp 1,
-    * and 0 = WhiteIsZero inverted) and 8-bit-per-sample RGB, multiple
-    * strips via StripOffsets/StripByteCounts/RowsPerStrip. Anything
-    * else (LZW/packbits, tiles, 16-bit, palettes) → None — the
-    * never-fail contract of the pixel family.
+  /** TIFF-variant LZW compress (TIFF 6 §13): MSB-first bit packing,
+    * fixed 256-symbol alphabet, ClearCode 256 / EOI 257, initial code
+    * width 9, and the spec's EARLY CHANGE — the width bumps when the
+    * next free slot reaches 2^w - 1 (511/1023/2047), one code sooner
+    * than GIF's variant (gifLzwEncode). Table resets via ClearCode
+    * just before slot 4094 so width never exceeds 12 bits.
+    */
+  def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0; var width = 9
+    def put(code: Int): Unit = {
+      cur = (cur << width) | code; nbits += width
+      while (nbits >= 8) {
+        out.write(((cur >>> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    // (prefixCode << 8 | byte) → code, like gifLzwEncode's dict
+    var dict = new java.util.HashMap[Integer, Integer](4096)
+    var next = 258
+    put(256)
+    var omega = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val key = (omega << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          put(omega)
+          dict.put(key, next); next += 1
+          // the decoder's table lags this one by one entry, so its
+          // early-change bump (next == 2^w - 1, mirrored below in
+          // tiffLzwDecode) corresponds to next == 2^w here — the same
+          // ±1 pairing gifLzwEncode documents for the GIF variant
+          if (next == (1 << width) && width < 12) width += 1
+          omega = k
+          if (next >= 4094) { // reset before a 13-bit slot could exist
+            put(omega); put(256)
+            dict = new java.util.HashMap[Integer, Integer](4096)
+            next = 258; width = 9; omega = -1
+          }
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) put(omega)
+    put(257)
+    if (nbits > 0) out.write(((cur << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** TIFF-variant LZW decompress to exactly `expected` bytes; None on
+    * any malformed stream (bad first code, out-of-range code, early
+    * end). Mirrors [[tiffLzwEncode]]'s early-change width schedule.
+    */
+  def tiffLzwDecode(data: Array[Byte], expected: Int):
+      Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var produced = 0
+    var cur = 0L; var nbits = 0; var pos = 0; var width = 9
+    def code(): Int = {
+      while (nbits < width && pos < data.length) {
+        cur = (cur << 8) | (data(pos) & 0xff); nbits += 8; pos += 1
+      }
+      if (nbits < width) -1
+      else {
+        val c = ((cur >>> (nbits - width)) & ((1 << width) - 1)).toInt
+        nbits -= width; c
+      }
+    }
+    // parallel prefix/suffix arrays, entries 0-255 implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258
+    var prev = -1
+    def emit(c: Int): Boolean = { // expand code c into out
+      var top = 0; var x = c
+      while (x >= 258) {
+        if (top >= stack.length || x >= next) return false
+        stack(top) = suffix(x); top += 1; x = prefix(x)
+      }
+      if (x >= 256) return false
+      stack(top) = x.toByte; top += 1
+      if (produced + top > expected) return false
+      while (top > 0) {
+        top -= 1; out(produced) = stack(top); produced += 1
+      }
+      true
+    }
+    def firstByte(c: Int): Byte = {
+      var x = c
+      while (x >= 258) x = prefix(x)
+      x.toByte
+    }
+    var done = false
+    while (!done && produced < expected) {
+      val c = code()
+      if (c < 0 || c == 257) done = true
+      else if (c == 256) { next = 258; width = 9; prev = -1 }
+      else if (prev < 0) {
+        if (c >= 256 || !emit(c)) return None
+        prev = c
+      } else {
+        if (c < next) {
+          if (!emit(c)) return None
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstByte(c); next += 1
+          }
+        } else if (c == next && next < 4096) {
+          prefix(next) = prev; suffix(next) = firstByte(prev); next += 1
+          if (!emit(next - 1)) return None
+        } else return None
+        if (next == (1 << width) - 1 && width < 12) width += 1
+        prev = c
+      }
+    }
+    if (produced == expected) Some(out) else None
+  }
+
+  /** PackBits (TIFF 6 §9) run-length compress: literal runs up to 128,
+    * repeat runs of ≥2 (≥3 when breaking a literal, per the spec's
+    * recommendation) up to 128.
+    */
+  def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(data(i) & 0xff); i += run
+      } else {
+        // literal run: until a ≥3 repeat starts (a 2-repeat is
+        // cheaper carried inside the literal) or 128 bytes
+        var lit = 1
+        var stop = false
+        while (!stop && i + lit < data.length && lit < 128) {
+          if (i + lit + 2 < data.length &&
+            data(i + lit) == data(i + lit + 1) &&
+            data(i + lit) == data(i + lit + 2)) stop = true
+          else lit += 1
+        }
+        out.write(lit - 1)
+        out.write(data, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits decompress to exactly `expected` bytes; None on
+    * truncation or overrun. The -128 control byte is a no-op per spec.
+    */
+  def packBitsDecode(data: Array[Byte], expected: Int):
+      Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var produced = 0; var i = 0
+    while (i < data.length && produced < expected) {
+      val n = data(i); i += 1
+      if (n >= 0) {
+        val len = n + 1
+        if (i + len > data.length || produced + len > expected)
+          return None
+        System.arraycopy(data, i, out, produced, len)
+        i += len; produced += len
+      } else if (n != -128) {
+        val len = 1 - n
+        if (i >= data.length || produced + len > expected) return None
+        java.util.Arrays.fill(out, produced, produced + len, data(i))
+        i += 1; produced += len
+      }
+    }
+    if (produced == expected) Some(out) else None
+  }
+
+  /** FULL pixel decode of a TIFF to RGB triplets — the scanner/
+    * archival format (and the container EXIF borrowed its IFD grammar
+    * from): both byte orders (II/MM), IFD0's required tags,
+    * Compression 1 (none), 5 (LZW, with Predictor 2 horizontal
+    * differencing — the libtiff default for LZW) and 32773 (PackBits),
+    * 8-bit grayscale (PhotometricInterp 1, and 0 = WhiteIsZero
+    * inverted) and 8-bit-per-sample RGB, multiple strips via
+    * StripOffsets/StripByteCounts/RowsPerStrip. Anything else (tiles,
+    * 16-bit, palettes, JPEG-in-TIFF) → None — the never-fail contract
+    * of the pixel family.
     */
   def decodeTiffPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 8) return None
@@ -779,6 +960,7 @@ private[multimodal] trait WebImageCodec extends Serializable {
     var width = -1; var height = -1; var compression = 1
     var photometric = -1; var spp = 1; var bps = 8
     var rowsPerStrip = Int.MaxValue
+    var predictor = 1
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
     def values(entry: Int): Array[Long] = {
@@ -818,11 +1000,15 @@ private[multimodal] trait WebImageCodec extends Serializable {
         case 278 => if (v == null) return None
           else rowsPerStrip = v(0).toInt
         case 279 => if (v == null) return None else stripCounts = v
+        case 317 => if (v == null) return None
+          else predictor = v(0).toInt
         case _ => // orientation, resolution, software, ...: ignored
       }
       e += 1
     }
-    if (width <= 0 || height <= 0 || compression != 1 ||
+    if (width <= 0 || height <= 0 ||
+      (compression != 1 && compression != 5 && compression != 32773) ||
+      (predictor != 1 && predictor != 2) ||
       stripOffsets == null || stripCounts == null ||
       stripOffsets.length != stripCounts.length) return None
     if (width.toLong * height * 3 > (1L << 28)) return None
@@ -830,51 +1016,135 @@ private[multimodal] trait WebImageCodec extends Serializable {
     if (!(gray && spp == 1) && !(photometric == 2 && spp == 3))
       return None
     val rowBytes = width * spp
+    if (rowsPerStrip <= 0) return None
+    // assemble the full raster strip by strip: slice, decompress
+    // (identity / LZW / PackBits) to the strip's exact raster size,
+    // then undo Predictor 2's per-row horizontal differencing
+    val raster = new Array[Byte](rowBytes * height)
+    val nStrips = stripOffsets.length
+    var strip = 0
+    var rasterAt = 0
+    while (strip < nStrips && rasterAt < raster.length) {
+      val rowsHere = math.min(rowsPerStrip.toLong,
+        height.toLong - strip.toLong * rowsPerStrip).toInt
+      if (rowsHere <= 0) return None
+      val want = rowsHere * rowBytes
+      val off = stripOffsets(strip); val cnt = stripCounts(strip)
+      if (off < 0 || cnt < 0 || off + cnt > bytes.length) return None
+      val data = compression match {
+        case 1 =>
+          if (cnt < want) return None
+          val a = new Array[Byte](want)
+          System.arraycopy(bytes, off.toInt, a, 0, want)
+          Some(a)
+        case 5 =>
+          val s = new Array[Byte](cnt.toInt)
+          System.arraycopy(bytes, off.toInt, s, 0, cnt.toInt)
+          tiffLzwDecode(s, want)
+        case _ =>
+          val s = new Array[Byte](cnt.toInt)
+          System.arraycopy(bytes, off.toInt, s, 0, cnt.toInt)
+          packBitsDecode(s, want)
+      }
+      data match {
+        case None => return None
+        case Some(d) =>
+          if (predictor == 2) {
+            var r = 0
+            while (r < rowsHere) {
+              var x = spp
+              while (x < rowBytes) {
+                d(r * rowBytes + x) =
+                  (d(r * rowBytes + x) + d(r * rowBytes + x - spp)).toByte
+                x += 1
+              }
+              r += 1
+            }
+          }
+          System.arraycopy(d, 0, raster, rasterAt, want)
+          rasterAt += want
+      }
+      strip += 1
+    }
+    if (rasterAt != raster.length) return None
     val rgb = new Array[Byte](width * height * 3)
     var row = 0
-    var strip = 0
-    var inStrip = 0
     while (row < height) {
-      if (strip >= stripOffsets.length) return None
-      val base = stripOffsets(strip)
-      if (base + (inStrip + 1).toLong * rowBytes >
-        base + stripCounts(strip)) return None
-      val at = (base + inStrip.toLong * rowBytes).toInt
-      if (at < 0 || at + rowBytes > bytes.length) return None
+      val at = row * rowBytes
       var x = 0
       while (x < width) {
         val o = (row * width + x) * 3
         if (gray) {
-          val g0 = bytes(at + x) & 0xff
+          val g0 = raster(at + x) & 0xff
           val g = if (photometric == 0) 255 - g0 else g0
           rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
         } else {
-          rgb(o) = bytes(at + x * 3)
-          rgb(o + 1) = bytes(at + x * 3 + 1)
-          rgb(o + 2) = bytes(at + x * 3 + 2)
+          rgb(o) = raster(at + x * 3)
+          rgb(o + 1) = raster(at + x * 3 + 1)
+          rgb(o + 2) = raster(at + x * 3 + 2)
         }
         x += 1
       }
       row += 1
-      inStrip += 1
-      if (inStrip >= rowsPerStrip) { inStrip = 0; strip += 1 }
     }
     Some((width, height, rgb))
   }
 
-  /** Baseline TIFF writer: II byte order, 8-bit grayscale (spp 1,
-    * PhotometricInterp 1) or RGB (spp 3), uncompressed, strips of
-    * `rowsPerStrip` rows. Any TIFF reader opens it.
+  /** TIFF writer: II byte order, 8-bit grayscale (spp 1,
+    * PhotometricInterp 1) or RGB (spp 3), strips of `rowsPerStrip`
+    * rows, Compression 1 (none), 5 (LZW, optionally with Predictor 2
+    * horizontal differencing) or 32773 (PackBits). Any TIFF reader
+    * opens it (TiffSpec proves LZW/PackBits output through JDK
+    * ImageIO).
     */
   def tiffEncode(width: Int, height: Int, rgb: Array[Byte],
                  grayscale: Boolean = false,
-                 rowsPerStrip: Int = Int.MaxValue): Array[Byte] = {
+                 rowsPerStrip: Int = Int.MaxValue,
+                 compression: Int = 1,
+                 predictor: Int = 1): Array[Byte] = {
     require(rgb.length == width * height * 3)
+    require(compression == 1 || compression == 5 || compression == 32773)
+    require(predictor == 1 || (predictor == 2 && compression == 5))
     val rps = math.min(rowsPerStrip, height)
     val nStrips = (height + rps - 1) / rps
     val spp = if (grayscale) 1 else 3
     val rowBytes = width * spp
-    val nTags = 9
+    // raster in sample order (gray takes R of each triplet — r==g==b
+    // by contract), differenced per row when predictor 2 is on
+    val raster = new Array[Byte](rowBytes * height)
+    var i = 0
+    while (i < width * height) {
+      if (grayscale) raster(i) = rgb(i * 3)
+      else {
+        raster(i * 3) = rgb(i * 3); raster(i * 3 + 1) = rgb(i * 3 + 1)
+        raster(i * 3 + 2) = rgb(i * 3 + 2)
+      }
+      i += 1
+    }
+    if (predictor == 2) {
+      var row = 0
+      while (row < height) {
+        var x = rowBytes - 1
+        while (x >= spp) {
+          raster(row * rowBytes + x) =
+            (raster(row * rowBytes + x) -
+              raster(row * rowBytes + x - spp)).toByte
+          x -= 1
+        }
+        row += 1
+      }
+    }
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, height - s * rps)
+      val raw = new Array[Byte](rows * rowBytes)
+      System.arraycopy(raster, s * rps * rowBytes, raw, 0, raw.length)
+      compression match {
+        case 1 => raw
+        case 5 => tiffLzwEncode(raw)
+        case _ => packBitsEncode(raw)
+      }
+    }
+    val nTags = if (predictor == 2) 10 else 9
     val ifdAt = 8
     val ifdSize = 2 + nTags * 12 + 4
     // external value areas: RGB BitsPerSample needs a 3-SHORT array
@@ -884,8 +1154,9 @@ private[multimodal] trait WebImageCodec extends Serializable {
     val stripsAt = bpsAt + bpsSize
     val stripsSize = if (nStrips > 1) nStrips * 8 else 0
     val dataAt = stripsAt + stripsSize
+    val dataSize = strips.iterator.map(_.length).sum
     val out = java.nio.ByteBuffer
-      .allocate(dataAt + rowBytes * height)
+      .allocate(dataAt + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdAt)
     out.putShort(nTags.toShort)
@@ -896,38 +1167,29 @@ private[multimodal] trait WebImageCodec extends Serializable {
     tag(257, 4, 1, height)
     if (grayscale) tag(258, 3, 1, 8)
     else tag(258, 3, 3, bpsAt) // {8,8,8} external array
-    tag(259, 3, 1, 1) // no compression
+    tag(259, 3, 1, compression)
     tag(262, 3, 1, if (grayscale) 1 else 2)
     if (nStrips > 1) tag(273, 4, nStrips, stripsAt)
     else tag(273, 4, 1, dataAt)
     tag(277, 3, 1, spp)
     tag(278, 4, 1, rps)
     if (nStrips > 1) tag(279, 4, nStrips, stripsAt + nStrips * 4)
-    else tag(279, 4, 1, rowBytes * height)
+    else tag(279, 4, 1, strips(0).length)
+    if (predictor == 2) tag(317, 3, 1, 2)
     out.putInt(0) // next IFD
     if (!grayscale) {
       out.putShort(8).putShort(8).putShort(8).putShort(0) // + pad
     }
     if (nStrips > 1) {
+      var at = dataAt
       var s = 0
       while (s < nStrips) {
-        out.putInt(dataAt + s * rps * rowBytes); s += 1
+        out.putInt(at); at += strips(s).length; s += 1
       }
       s = 0
-      while (s < nStrips) {
-        val rows = math.min(rps, height - s * rps)
-        out.putInt(rows * rowBytes); s += 1
-      }
+      while (s < nStrips) { out.putInt(strips(s).length); s += 1 }
     }
-    var i = 0
-    while (i < width * height) {
-      if (grayscale) out.put(rgb(i * 3)) // r==g==b by contract
-      else {
-        out.put(rgb(i * 3)); out.put(rgb(i * 3 + 1))
-        out.put(rgb(i * 3 + 2))
-      }
-      i += 1
-    }
+    strips.foreach(out.put)
     out.array()
   }
 

@@ -247,7 +247,7 @@ object Graph {
     var ranks = Materialize.iterCut(seed)
 
     var i = 0
-    while (i < iterations) {
+    while (i < iterations) graft.BenchProbe.time(s"pr_iter$i") {
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // mass parked on dangling nodes, as a broadcast one-row agg
       val dangling = withDeg.filter(col("out_deg").isNull)
@@ -340,7 +340,7 @@ object Graph {
       .select(col("node"), (lit(1.0) / col("n")).as("hub")))
     var auth: DataFrame = null
     var i = 0
-    while (i < iterations) {
+    while (i < iterations) graft.BenchProbe.time(s"hits_iter$i") {
       val aRaw = universe.join(
         hub.select(col("node").as("src"), col("hub"))
           .join(e, Seq("src"))
@@ -428,7 +428,7 @@ object Graph {
     var labels = Materialize.iterCut(
       universe.select(col("node"), col("node").as("label")))
     var i = 0
-    while (i < iterations) {
+    while (i < iterations) graft.BenchProbe.time(s"lp_iter$i") {
       val counts = und.withColumnRenamed("src", "node")
         .join(labels, Seq("node"))
         .select(col("dst").as("node"), col("label"), col("ew"))

@@ -60,7 +60,9 @@ object QualityModel {
         .as("features"))
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
-    val m = lr.fit(assembled)
+    // probe-phased (q179's bench scalar hides fit vs score): the LR
+    // fit is the driver-side phase; scoring is a codegen'd scan
+    val m = graft.BenchProbe.time("lr_fit") { lr.fit(assembled) }
     LrModel(m.coefficients.toArray, m.intercept)
   }
 

@@ -410,8 +410,7 @@ object Queries
       // 100 TB" claim rests on. Oracle unchanged: pruned ≡ recompute
       // is q190's green entry; this twin only exposes the timing.
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q190x").toString
+      val tmp = graft.TempDirs.create("graft-q190x")
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
       val index = docs.filter($"doc_id" % 5 =!= 0)
       Layout.byKey(Dedup.bandBuckets(

@@ -623,8 +623,7 @@ private[queries] trait QueriesDedup { this: Queries.type =>
   // the band keys DuckDB-replayable strings.
   private[queries] def q190(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-q190").toString
+    val tmp = graft.TempDirs.create("graft-q190")
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val index = docs.filter($"doc_id" % 5 =!= 0)
     val delta = docs.filter($"doc_id" % 5 === 0)

@@ -386,7 +386,7 @@ private[queries] trait QueriesLifecycle { this: Queries.type =>
   // additive IVM, under the cross-engine hash compare.
   private[queries] def q103(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q103").toString
+    val tmp = graft.TempDirs.create("graft-q103")
     val path = s"$tmp/rollup"
     val docs = t(s, dir, "documents")
     def slice(a: Long, b: Long) =
@@ -447,8 +447,7 @@ private[queries] trait QueriesLifecycle { this: Queries.type =>
   // (same rows by definition — a round-trip fidelity check).
   private[queries] def q174(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q174")
-      .toString
+    val tmp = graft.TempDirs.create("graft-q174")
     t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey", $"l_quantity",
         $"l_extendedprice", $"l_returnflag")

@@ -2587,13 +2587,16 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q210
-  // Baseline TIFF pixels under the oracle — the seventh pixel
-  // container: quality stats over a column rotating grayscale/RGB ×
-  // single/multi-strip encodings of the same gray gradient, so the
-  // IFD walk, strip assembly and photometric paths all sit under the
-  // DuckDB oracle (generator-formula replay, the q192/q205 pattern).
-  // TiffSpec proves decode writer-independent against JDK ImageIO in
-  // both directions. Every 7th blob truncated → all-sentinel row.
+  // TIFF pixels under the oracle — the seventh pixel container:
+  // quality stats over a column rotating grayscale/RGB ×
+  // single/multi-strip × Compression none/LZW(±Predictor-2)/PackBits
+  // encodings of the same gray gradient, so the IFD walk, strip
+  // decompression (TIFF-variant LZW early-change, PackBits RLE,
+  // horizontal-differencing undo) and photometric paths all sit under
+  // the DuckDB oracle (generator-formula replay, the q192/q205
+  // pattern). TiffSpec proves decode writer-independent against JDK
+  // ImageIO in both directions, compressed legs included. Every 7th
+  // blob truncated → all-sentinel row.
   private[queries] def q210(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
@@ -2608,10 +2611,15 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
           rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
           i += 1
         }
+        val comp = (id % 3).toInt match {
+          case 0 => 1; case 1 => 5; case _ => 32773
+        }
         val content = m.tiffEncode(w, h, rgb,
           grayscale = id % 2 == 0,
           rowsPerStrip = if (id % 4 < 2) Int.MaxValue
-            else 2 + (id % 3).toInt)
+            else 2 + (id % 3).toInt,
+          compression = comp,
+          predictor = if (comp == 5 && id % 2 == 1) 2 else 1)
         val b = m.MediaBlob(id, "image/tiff", content)
         if (id % 7 == 0) b.copy(content = b.content.take(12)) else b
       }

@@ -837,8 +837,8 @@ private[queries] trait QueriesRelational { this: Queries.type =>
   // the aggregate is order-independent and hash-exact cross-engine.
   private[queries] def q204(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cDir = java.nio.file.Files.createTempDirectory("q204-c").toString
-    val oDir = java.nio.file.Files.createTempDirectory("q204-o").toString
+    val cDir = graft.TempDirs.create("q204-c")
+    val oDir = graft.TempDirs.create("q204-o")
     Bucketed.writeBucketed(t(s, dir, "customer"), "graft_q204_cust",
       cDir, "c_custkey", 8)
     Bucketed.writeBucketed(t(s, dir, "orders"), "graft_q204_ord",

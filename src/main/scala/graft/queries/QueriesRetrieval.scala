@@ -399,7 +399,7 @@ private[queries] trait QueriesRetrieval { this: Queries.type =>
   // must together be value-identical to direct evaluation.
   private[queries] def q116(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q116").toString
+    val tmp = graft.TempDirs.create("graft-q116")
     val (post, stats) = Retrieval.buildBm25Index(
       t(s, dir, "documents"), "doc_id", "text")
     Layout.byKey(post, "term", 4, "doc_id")
@@ -453,7 +453,7 @@ private[queries] trait QueriesRetrieval { this: Queries.type =>
   // — the lexical twin of the ANN index's append/delete lifecycle.
   private[queries] def q117(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    val tmp = graft.TempDirs.create("graft-q117")
     val docs = t(s, dir, "documents")
     val (post, stats) = Retrieval.buildBm25Index(docs, "doc_id", "text")
     Layout.byKey(post, "term", 4, "doc_id")
@@ -528,7 +528,7 @@ private[queries] trait QueriesRetrieval { this: Queries.type =>
   // both arms AND the fusion arithmetic value-for-value.
   private[queries] def q118(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q118").toString
+    val tmp = graft.TempDirs.create("graft-q118")
     val docs = t(s, dir, "documents")
     val (post, stats) = Retrieval.buildBm25Index(docs, "doc_id", "text")
     Layout.byKey(post, "term", 4, "doc_id")

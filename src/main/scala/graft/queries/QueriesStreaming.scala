@@ -41,7 +41,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // the bench.
   private[queries] def q93(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q93").toString
+    val tmp = graft.TempDirs.create("graft-q93")
     val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
     val table = s"$tmp/state"
     docs.select($"doc_id", $"lang", $"text",
@@ -86,7 +86,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // recovery contract exercised under the hash compare.
   private[queries] def q100(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q100").toString
+    val tmp = graft.TempDirs.create("graft-q100")
     // a deterministic 20% slice of the stream: the semantics under
     // test (watermark emission, append exactness, restart-recovery)
     // are volume-independent, and the q13 batch twin already covers
@@ -163,7 +163,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // needed. DuckDB folds the batch twin: a plain interval self-join.
   private[queries] def q107(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q107").toString
+    val tmp = graft.TempDirs.create("graft-q107")
     val ev = t(s, dir, "events").filter($"user_id" < 30 &&
         ($"event_type" === "click" || $"event_type" === "purchase"))
       .select($"event_id", $"ts", $"user_id", $"event_type")
@@ -224,7 +224,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // the batch twin: lag-gap breaks → running session ids → group.
   private[queries] def q108(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q108").toString
+    val tmp = graft.TempDirs.create("graft-q108")
     val ev = t(s, dir, "events").filter($"user_id" < 25)
       .select($"user_id", date_trunc("second", $"ts").as("ts"), $"event_id")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
@@ -291,7 +291,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // stream: global first-occurrence dedup → gate → group-by.
   private[queries] def q111(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q111").toString
+    val tmp = graft.TempDirs.create("graft-q111")
     val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
     val dups = base.filter($"doc_id" < 100)
       .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"lang")
@@ -392,7 +392,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // Oracle: the batch LEFT JOIN with the same interval condition.
   private[queries] def q132(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q132").toString
+    val tmp = graft.TempDirs.create("graft-q132")
     val ev = t(s, dir, "events").filter($"user_id" < 30 &&
         ($"event_type" === "click" || $"event_type" === "purchase"))
       .select($"event_id", $"ts", $"user_id", $"event_type")
@@ -461,7 +461,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // arrival (dedup state needs no window close), so no sentinel run.
   private[queries] def q133(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q133").toString
+    val tmp = graft.TempDirs.create("graft-q133")
     val ev = t(s, dir, "events").filter($"user_id" < 40)
       .select($"event_id", $"ts", $"user_id", $"event_type")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
@@ -509,7 +509,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // the pre-filtered sides with the same interval condition.
   private[queries] def q137(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q137").toString
+    val tmp = graft.TempDirs.create("graft-q137")
     val ev = t(s, dir, "events").filter($"user_id" < 30 &&
         ($"event_type" === "click" || $"event_type" === "purchase"))
       .select($"event_id", $"ts", $"user_id", $"event_type")
@@ -581,7 +581,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // arms. Oracle: batch RIGHT JOIN with the same condition.
   private[queries] def q142(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q142").toString
+    val tmp = graft.TempDirs.create("graft-q142")
     val ev = t(s, dir, "events").filter($"user_id" < 30 &&
         ($"event_type" === "click" || $"event_type" === "purchase"))
       .select($"event_id", $"ts", $"user_id", $"event_type")
@@ -657,8 +657,7 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
   // cross-engine.
   private[queries] def q180(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q180")
-      .toString
+    val tmp = graft.TempDirs.create("graft-q180")
     val inDir = s"$tmp/in"; val seen = s"$tmp/seen"
     val counts = s"$tmp/counts"; val adm = s"$tmp/admitted"
     val cp = s"$tmp/cp"

@@ -114,6 +114,105 @@ class TiffSpec extends AnyFunSuite {
     assert(Multimodal.decodeTiffPixels(t.take(20)).isEmpty)
   }
 
+  test("LZW and PackBits round-trip raw buffers, across width bumps " +
+    "and the 4094-entry table reset") {
+    // deterministic LCG buffer large enough to push the LZW table
+    // through 511/1023/2047 width bumps and past the 4094 reset
+    var s = 12345L
+    val big = Array.fill(300000) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 7).toByte // small alphabet → deep table
+    }
+    Seq(big, big.take(40000), Array.fill(5000)(42.toByte),
+      Array[Byte](1), Array.tabulate(256)(_.toByte)).foreach { buf =>
+      val lz = Multimodal.tiffLzwEncode(buf)
+      val back = Multimodal.tiffLzwDecode(lz, buf.length)
+      assert(back.isDefined && java.util.Arrays.equals(back.get, buf),
+        s"lzw len=${buf.length}")
+      val pb = Multimodal.packBitsEncode(buf)
+      val pback = Multimodal.packBitsDecode(pb, buf.length)
+      assert(pback.isDefined && java.util.Arrays.equals(pback.get, buf),
+        s"packbits len=${buf.length}")
+      // runs compress: the constant buffer must shrink hard
+      if (buf.length == 5000) {
+        assert(pb.length < 100 && lz.length < 400)
+      }
+    }
+    // truncated streams reject, never mis-size
+    val lz = Multimodal.tiffLzwEncode(big.take(1000))
+    assert(Multimodal.tiffLzwDecode(lz.take(lz.length / 2), 1000).isEmpty)
+    assert(Multimodal.packBitsDecode(Array[Byte](5, 1, 2), 6).isEmpty)
+  }
+
+  test("compressed-strip TIFFs round-trip: LZW (± predictor 2) and " +
+    "PackBits, gray and RGB, single and multi-strip") {
+    for {
+      (comp, pred) <- Seq((5, 1), (5, 2), (32773, 1))
+      gray <- Seq(true, false)
+      rps <- Seq(Int.MaxValue, 3)
+    } {
+      val w = 19; val h = 11
+      val rgb = gradientRgb(4L, w, h)
+      val t = Multimodal.tiffEncode(w, h, rgb, grayscale = gray,
+        rowsPerStrip = rps, compression = comp, predictor = pred)
+      val dec = Multimodal.decodeTiffPixels(t)
+      assert(dec.isDefined, s"comp=$comp pred=$pred gray=$gray rps=$rps")
+      assert(dec.get._1 == w && dec.get._2 == h)
+      assert(java.util.Arrays.equals(dec.get._3, rgb),
+        s"comp=$comp pred=$pred gray=$gray rps=$rps")
+    }
+  }
+
+  test("writer-independent compressed: ImageIO LZW/PackBits TIFFs " +
+    "decode exact, and ours read back through ImageIO") {
+    val w = 23; val h = 17
+    val rgb = gradientRgb(9L, w, h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) |
+          ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+      }
+    }
+    Seq("LZW", "PackBits").foreach { ctype =>
+      val wr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val param = wr.getDefaultWriteParam
+      param.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(ctype)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); wr.dispose()
+      val theirs = bos.toByteArray
+      val dec = Multimodal.decodeTiffPixels(theirs)
+      assert(dec.isDefined, s"ImageIO $ctype stream must decode")
+      assert(dec.get._1 == w && dec.get._2 == h)
+      assert(java.util.Arrays.equals(dec.get._3, rgb), s"ImageIO $ctype")
+    }
+    // and the reverse: our compressed output reads back via ImageIO
+    Seq(Multimodal.tiffEncode(w, h, rgb, compression = 5),
+      Multimodal.tiffEncode(w, h, rgb, compression = 5, predictor = 2),
+      Multimodal.tiffEncode(w, h, rgb, compression = 32773,
+        rowsPerStrip = 4)).foreach { mine =>
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(mine))
+      assert(back != null && back.getWidth == w && back.getHeight == h)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val p = (y * w + x) * 3
+          val expect = ((rgb(p) & 0xff) << 16) |
+            ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff)
+          assert((back.getRGB(x, y) & 0xffffff) == expect, s"($x,$y)")
+        }
+      }
+    }
+  }
+
   test("resizeTiff floor-maps; hashes agree with a PNG of the same " +
     "pixels") {
     val w = 32; val h = 16
