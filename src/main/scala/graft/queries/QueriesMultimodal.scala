@@ -2490,10 +2490,14 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // ---------------------------------------------------------------- q209
   // Heterogeneous DOCUMENT dispatch under the oracle — the
   // text-corpus capstone next to q189's envelope dispatch: one column
-  // interleaves PDF, EPUB, DOCX, raw HTML, a non-document ZIP and
-  // junk, and Documents.docTextDispatch routes each blob to its
-  // extractor in one partition-wise pass, emitting (kind, units,
-  // chars). Every leg reuses its own already-oracled extractor
+  // interleaves PDF, EPUB, DOCX, raw HTML, RTF, Markdown/plain text,
+  // a non-document ZIP and true binary junk, and
+  // Documents.docTextDispatch routes each blob to its extractor in
+  // one partition-wise pass, emitting (kind, units, chars). The RTF
+  // leg pins the control-word walk (skipped fonttbl + {\*\generator}
+  // destinations, \'hh hex escapes, \par splits); the md leg pins the
+  // printable-ratio text gate and the heading/bullet/emphasis/link
+  // strip. Container legs reuse their own already-oracled extractors
   // (q200/q202/q203) — this entry pins the ROUTING and the unit/char
   // roll-ups closed-form.
   private[queries] def q209(s: SparkSession, dir: String): DataFrame = {
@@ -2502,7 +2506,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
     val blobs = t(s, dir, "documents").filter($"doc_id" < 180)
       .select($"doc_id").as[Long]
       .map { id =>
-        val b = (id % 5) match {
+        val b = (id % 7) match {
           case 0 =>
             val pages = (0 until (1 + (id % 2)).toInt).map { p =>
               (0 until (1 + ((id + p) % 3)).toInt).map(j =>
@@ -2522,12 +2526,19 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
             (s"<html><head><script>x</script></head><body>" +
               s"<p>ht-$id-a</p> <p>ht-$id-b</p></body></html>")
               .getBytes("UTF-8")
-          case _ =>
+          case 4 =>
             graft.sources.Zip.synthetic(id,
               Seq(("blob.bin", s"zz-$id".getBytes("UTF-8"), "deflate")))
+          case 5 =>
+            graft.sources.Rtf.synthetic(
+              (0 until (1 + (id % 3)).toInt).map(j => s"rt-$id-$j"))
+          case _ =>
+            (s"# md-$id\n\n- item **$id** one\n" +
+              s"plain [x$id](http://e/$id) two").getBytes("UTF-8")
         }
         m.MediaBlob(id, "application/octet-stream",
-          if (id % 13 == 12) s"junk-$id".getBytes("UTF-8") else b)
+          if (id % 13 == 12) Array.tabulate(8)(k => ((id + k) % 7).toByte)
+          else b)
       }
     graft.sources.Documents.docTextDispatch(blobs).toDF()
       .select($"media_id", $"kind", $"n_units", $"n_chars", $"ok")
@@ -2535,7 +2546,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   }
   private[queries] lazy val q209Sql =
     """WITH p AS (
-      | SELECT doc_id, doc_id % 5 AS fam, doc_id % 13 = 12 AS junk
+      | SELECT doc_id, doc_id % 7 AS fam, doc_id % 13 = 12 AS junk
       | FROM documents WHERE doc_id < 180),
       |pdf AS (
       | SELECT doc_id,
@@ -2566,7 +2577,18 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | SELECT doc_id, CAST(1 AS BIGINT) AS u,
       |  length('ht-' || doc_id || '-a') +
       |  length('ht-' || doc_id || '-b') + 1 AS c
-      | FROM p WHERE fam = 3 AND NOT junk)
+      | FROM p WHERE fam = 3 AND NOT junk),
+      |rt AS (
+      | SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS u,
+      |  (SELECT SUM(length('rt-' || p.doc_id || '-' || j))
+      |   FROM unnest(generate_series(0, p.doc_id % 3)) tj(j))
+      |   + doc_id % 3 AS c
+      | FROM p WHERE fam = 5 AND NOT junk),
+      |md AS (
+      | SELECT doc_id, CAST(3 AS BIGINT) AS u,
+      |  length('md-' || doc_id) + length('item ' || doc_id || ' one')
+      |   + length('plain x' || doc_id || ' two') + 2 AS c
+      | FROM p WHERE fam = 6 AND NOT junk)
       |SELECT media_id, kind, n_units, n_chars, ok FROM (
       | SELECT doc_id AS media_id, 'pdf' AS kind, u AS n_units,
       |  CAST(c AS BIGINT) AS n_chars, TRUE AS ok FROM pdf
@@ -2576,6 +2598,10 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | SELECT doc_id, 'docx', u, CAST(c AS BIGINT), TRUE FROM dx
       | UNION ALL
       | SELECT doc_id, 'html', u, CAST(c AS BIGINT), TRUE FROM ht
+      | UNION ALL
+      | SELECT doc_id, 'rtf', u, CAST(c AS BIGINT), TRUE FROM rt
+      | UNION ALL
+      | SELECT doc_id, 'md', u, CAST(c AS BIGINT), TRUE FROM md
       | UNION ALL
       | SELECT doc_id, 'zip', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
       |  FALSE

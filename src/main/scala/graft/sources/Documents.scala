@@ -5,10 +5,11 @@ import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaBlob
 
 /** One document-column row: `kind` ∈ {"pdf", "epub", "docx", "html",
-  * "zip", ""}; `n_units` counts the format's natural text unit
-  * (pages / chapters / paragraphs / 1), `n_chars` total extracted
-  * characters. A recognized container whose body fails keeps its kind
-  * with ok=false; an unrecognized blob is the "" sentinel.
+  * "rtf", "md", "zip", ""}; `n_units` counts the format's natural
+  * text unit (pages / chapters / paragraphs / lines / 1), `n_chars`
+  * total extracted characters. A recognized container whose body
+  * fails keeps its kind with ok=false; an unrecognized blob is the
+  * "" sentinel.
   */
 case class DocText(media_id: Long, kind: String, n_units: Long,
                    n_chars: Long, ok: Boolean)
@@ -21,7 +22,11 @@ case class DocText(media_id: Long, kind: String, n_units: Long,
   * extractor; `PK..` → ZIP, then `word/document.xml` claims DOCX and
   * `META-INF/container.xml` claims EPUB (a ZIP that is neither stays
   * `kind=zip, ok=false` — an archive, not a document); a leading `<`
-  * (after whitespace/BOM) → HTML main-text. Each leg reuses its
+  * (after whitespace/BOM) → HTML main-text; `{\rtf` → the RTF
+  * paragraph extractor; any OTHER blob that decodes as ≥90%-printable
+  * UTF-8 text routes to the Markdown/plain-text leg ([[mdStripLine]]
+  * per line) instead of the junk sentinel — on a real crawl column
+  * the text long-tail dwarfs true junk. Each container leg reuses its
   * dedicated extractor verbatim — this operator adds only the
   * routing, so every format fact here is already under its own
   * oracle (q200/q202/q203).
@@ -61,11 +66,60 @@ object Documents {
     } else {
       val text = new String(bytes, "UTF-8")
       val trimmed = text.dropWhile(c => c.isWhitespace || c == '\ufeff')
-      if (trimmed.startsWith("<")) {
+      if (trimmed.startsWith("{\\rtf")) {
+        Rtf.extractParagraphs(bytes) match {
+          case Some(paras) if paras.nonEmpty =>
+            DocText(id, "rtf", paras.length.toLong,
+              paras.map(_.length.toLong).sum + (paras.length - 1),
+              ok = true)
+          case _ => DocText(id, "rtf", -1L, -1L, ok = false)
+        }
+      } else if (trimmed.startsWith("<")) {
         val main = Epub.stripHtml(trimmed)
         DocText(id, "html", 1L, main.length.toLong, ok = true)
+      } else if (trimmed.nonEmpty && printableRatio(text) >= 0.9) {
+        val lines = trimmed.linesIterator.map(mdStripLine)
+          .filter(_.nonEmpty).toSeq
+        if (lines.isEmpty) Bad.copy(media_id = id)
+        else DocText(id, "md", lines.length.toLong,
+          lines.map(_.length.toLong).sum + (lines.length - 1),
+          ok = true)
       } else Bad.copy(media_id = id)
     }
+  }
+
+  /** Printable fraction of a decoded string: tab/newline and
+    * non-control chars count; U+FFFD (invalid UTF-8) and other
+    * controls don't \u2014 the binary-vs-text gate for the fallback leg.
+    */
+  private[graft] def printableRatio(text: String): Double = {
+    if (text.isEmpty) return 0.0
+    var ok = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if ((!c.isControl || c == '\n' || c == '\r' || c == '\t') &&
+        c != '\ufffd') ok += 1
+      i += 1
+    }
+    ok.toDouble / text.length
+  }
+
+  /** Light Markdown-to-plain strip, one line at a time: heading
+    * markers (`#{1,6} `), list bullets (`- `, `* `, `+ `, `N. `),
+    * emphasis runs (`**`, `__`), inline code backticks, and
+    * link/image syntax (`[text](url)` / `![alt](url)` \u2192 text) are
+    * removed; everything else passes through. Deliberately a SUBSET
+    * (single-`*` emphasis stays \u2014 it collides with arithmetic), so
+    * the transform is closed-form replayable by the q209 oracle.
+    */
+  private[graft] def mdStripLine(line: String): String = {
+    var s = line.trim
+    s = s.replaceFirst("^#{1,6} ", "")
+    s = s.replaceFirst("^([-*+]|\\d{1,3}\\.) ", "")
+    s = s.replaceAll("!?\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    s = s.replace("**", "").replace("__", "").replace("`", "")
+    s.trim
   }
 
   /** Partition-wise document dispatch — the [[Tar.entries]] contract */

@@ -38,11 +38,52 @@ class DocumentsSpec extends AnyFunSuite {
     val r5 = Documents.docTextOne(5L, zip)
     assert(r5.kind == "zip" && !r5.ok)
 
+    // plain text is a DOCUMENT now (the md leg), not junk
     val r6 = Documents.docTextOne(6L, "plain words".getBytes("UTF-8"))
-    assert(r6.kind == "" && !r6.ok)
+    assert(r6.kind == "md" && r6.ok && r6.n_units == 1 &&
+      r6.n_chars == 11)
 
     val r7 = Documents.docTextOne(7L, pdf.take(pdf.length / 2))
     assert(r7.kind == "pdf" && !r7.ok)
+
+    // true binary junk still takes the "" sentinel
+    val r8 = Documents.docTextOne(8L,
+      Array[Byte](0, 1, 2, 3, 4, 5, 6, 0))
+    assert(r8.kind == "" && !r8.ok)
+  }
+
+  test("rtf: control words drop, destinations skip, escapes decode") {
+    val rtf = graft.sources.Rtf.synthetic(Seq("rt-9-0", "rt-9-1"))
+    val r = Documents.docTextOne(9L, rtf)
+    assert(r.kind == "rtf" && r.ok && r.n_units == 2)
+    assert(r.n_chars == 6 + 6 + 1)
+    val paras = graft.sources.Rtf.extractParagraphs(rtf).get
+    assert(paras == Seq("rt-9-0", "rt-9-1"))
+    // \uN with \uc1 fallback skip, \tab, literal escapes
+    val uni = ("{\\rtf1\\uc1 a\\u233 e b\\tab c\\{d\\}" +
+      "{\\*\\unknowndest zap}\\par}").getBytes("ISO-8859-1")
+    val p2 = graft.sources.Rtf.extractParagraphs(uni).get
+    assert(p2 == Seq("aé b\tc{d}"))
+    // broken: unbalanced groups reject; non-RTF rejects
+    assert(graft.sources.Rtf
+      .extractParagraphs("{\\rtf1 x}}".getBytes("ISO-8859-1")).isEmpty)
+    assert(graft.sources.Rtf
+      .extractParagraphs("hello".getBytes("UTF-8")).isEmpty)
+    val rb = Documents.docTextOne(10L,
+      "{\\rtf1 }".getBytes("ISO-8859-1"))
+    assert(rb.kind == "rtf" && !rb.ok) // parses but has no text
+  }
+
+  test("md: heading/bullet/emphasis/link strip, line units") {
+    val md = "# Title\n\n- item **bold** one\nplain [x](http://e) two\n"
+    val r = Documents.docTextOne(11L, md.getBytes("UTF-8"))
+    assert(r.kind == "md" && r.ok && r.n_units == 3)
+    assert(r.n_chars == "Title".length + "item bold one".length +
+      "plain x two".length + 2)
+    assert(Documents.mdStripLine("## h `c` __b__") == "h c b")
+    assert(Documents.mdStripLine("3. ![alt](u) t") == "alt t")
+    // single-* emphasis deliberately passes through (arithmetic)
+    assert(Documents.mdStripLine("2 * 3") == "2 * 3")
   }
 
   test("docTextDispatch over a mixed blob column") {
