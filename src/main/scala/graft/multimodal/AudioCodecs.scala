@@ -59,6 +59,25 @@ case class OggMeta(media_id: Long, codec: String, channels: Int,
                    sample_rate: Int, pre_skip: Int, duration_ms: Long,
                    decode_ok: Boolean)
 
+/** Comment-header tags from a PACKET-reassembled Ogg stream (the
+  * second logical packet: VorbisComment per Vorbis I §5 /
+  * `OpusTags` per RFC 7845 §5.2 — same vendor + length-prefixed
+  * `KEY=value` layout). `title`/`artist` are the first TITLE=/ARTIST=
+  * comments (keys case-insensitive), "" when absent; `n_comments`
+  * the declared comment count. decode_ok=false when the stream has
+  * no parseable second packet.
+  */
+case class OggTags(media_id: Long, codec: String, vendor: String,
+                   title: String, artist: String, n_comments: Int,
+                   decode_ok: Boolean)
+
+/** Container-agnostic audio tag identity: (artist, title) from ID3v2
+  * for MP3 blobs or the VorbisComment/OpusTags packet for Ogg blobs —
+  * the ONE key audio dedup groups on across a mixed crawl column.
+  */
+case class AudioTagKey(media_id: Long, container: String, title: String,
+                       artist: String, decode_ok: Boolean)
+
 /** Compressed audio: MP3 header/ID3v2 tags, FLAC STREAMINFO, Ogg (Opus/Vorbis) identification headers.
   *
   * One slice of [[Multimodal]] (mixed in there; call sites use
@@ -554,6 +573,141 @@ private[multimodal] trait AudioCodec extends Serializable {
     blobs.mapPartitions(_.map(b => parseOgg(b.media_id, b.content)))
   }
 
+  /** Reassemble the first `maxPackets` LOGICAL packets of an Ogg
+    * stream — the RFC 3533 §5 lacing walk the identification-header
+    * parse skips: each page's segment table partitions its payload
+    * into segments; a lacing value < 255 ENDS a packet, 255 continues
+    * it (possibly onto the next page, whose header sets the
+    * continued-packet flag 0x01). A page that claims no continuation
+    * while a partial packet is open (or vice versa) aborts the walk —
+    * packets reassembled across a desync would be garbage.
+    */
+  def oggPackets(bytes: Array[Byte],
+                 maxPackets: Int = 8): Seq[Array[Byte]] = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    val out = mutable.ListBuffer.empty[Array[Byte]]
+    var cur = new java.io.ByteArrayOutputStream()
+    var open = false
+    var off = 0
+    while (out.size < maxPackets && off + 27 <= bytes.length &&
+      bytes(off) == 'O' && bytes(off + 1) == 'g' &&
+      bytes(off + 2) == 'g' && bytes(off + 3) == 'S' &&
+      u(off + 4) == 0) {
+      val continued = (u(off + 5) & 0x01) != 0
+      if (continued != open) return out.toList
+      val ns = u(off + 26)
+      if (off + 27 + ns > bytes.length) return out.toList
+      var pl = 0
+      var k = 0
+      while (k < ns) { pl += u(off + 27 + k); k += 1 }
+      if (off + 27 + ns + pl > bytes.length) return out.toList
+      var p = off + 27 + ns
+      k = 0
+      while (k < ns) {
+        val seg = u(off + 27 + k)
+        cur.write(bytes, p, seg)
+        p += seg
+        if (seg < 255) {
+          if (out.size < maxPackets) out += cur.toByteArray
+          cur = new java.io.ByteArrayOutputStream()
+          open = false
+        } else open = true
+        k += 1
+      }
+      off += 27 + ns + pl
+    }
+    out.toList
+  }
+
+  private val BadOggTags = OggTags(0L, "", "", "", "", -1,
+    decode_ok = false)
+
+  /** VorbisComment / OpusTags from the reassembled SECOND packet —
+    * the tag-identity read ([[parseOgg]] stops at the first packet;
+    * this is the one-packet-deeper walk dedup needs). Layout (both
+    * codecs, after their magic): vendor_len u32le + vendor, then
+    * count u32le × (len u32le + UTF-8 `KEY=value`). First
+    * TITLE=/ARTIST= (case-insensitive keys) win; malformed lengths
+    * or a wrong second-packet magic → sentinel.
+    */
+  def parseOggTags(id: Long, bytes: Array[Byte]): OggTags = {
+    val pkts = oggPackets(bytes, 2)
+    if (pkts.size < 2) return BadOggTags.copy(media_id = id)
+    val p0 = pkts.head
+    val p1 = pkts(1)
+    def ascii(a: Array[Byte], o: Int, n: Int): String =
+      if (o + n <= a.length) new String(a, o, n, "US-ASCII") else ""
+    val (codec, tagAt) =
+      if (ascii(p0, 0, 8) == "OpusHead" && ascii(p1, 0, 8) == "OpusTags")
+        ("opus", 8)
+      else if (p0.length > 7 && p0(0) == 1 &&
+        ascii(p0, 1, 6) == "vorbis" && p1.length > 7 && p1(0) == 3 &&
+        ascii(p1, 1, 6) == "vorbis")
+        ("vorbis", 7)
+      else return BadOggTags.copy(media_id = id)
+    def le32(a: Array[Byte], i: Int): Long =
+      (a(i) & 0xff).toLong | ((a(i + 1) & 0xff).toLong << 8) |
+        ((a(i + 2) & 0xff).toLong << 16) |
+        ((a(i + 3) & 0xff).toLong << 24)
+    if (p1.length < tagAt + 4) return BadOggTags.copy(media_id = id)
+    val vlen = le32(p1, tagAt)
+    if (vlen < 0 || tagAt + 4 + vlen + 4 > p1.length)
+      return BadOggTags.copy(media_id = id)
+    val vendor = new String(p1, tagAt + 4, vlen.toInt, "UTF-8")
+    var at = tagAt + 4 + vlen.toInt
+    val n = le32(p1, at)
+    at += 4
+    if (n < 0 || n > 10000) return BadOggTags.copy(media_id = id)
+    var title = ""; var artist = ""
+    var i = 0L
+    while (i < n) {
+      if (at + 4 > p1.length) return BadOggTags.copy(media_id = id)
+      val len = le32(p1, at)
+      at += 4
+      if (len < 0 || at + len > p1.length)
+        return BadOggTags.copy(media_id = id)
+      val c = new String(p1, at, len.toInt, "UTF-8")
+      at += len.toInt
+      val eq = c.indexOf('=')
+      if (eq > 0) {
+        val key = c.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+        val v = c.substring(eq + 1)
+        if (key == "TITLE" && title.isEmpty) title = v
+        else if (key == "ARTIST" && artist.isEmpty) artist = v
+      }
+      i += 1
+    }
+    OggTags(id, codec, vendor, title, artist, n.toInt,
+      decode_ok = true)
+  }
+
+  /** Partition-wise Ogg tag decode — the [[decodeWav]] contract. */
+  def decodeOggTags(blobs: Dataset[MediaBlob]): Dataset[OggTags] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseOggTags(b.media_id, b.content)))
+  }
+
+  /** Container-agnostic tag identity over a MIXED audio column: MP3
+    * blobs (ID3v2 tag or MPEG sync first) read ID3 TIT2/TPE1, Ogg
+    * blobs the reassembled VorbisComment/OpusTags — one partition-wise
+    * pass, one (artist, title) key space, so cross-container copies of
+    * the same recording dedup together.
+    */
+  def audioTagKeys(blobs: Dataset[MediaBlob]): Dataset[AudioTagKey] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val bs = b.content
+      if (bs.length >= 4 && bs(0) == 'O' && bs(1) == 'g' &&
+        bs(2) == 'g' && bs(3) == 'S') {
+        val t = parseOggTags(b.media_id, bs)
+        AudioTagKey(b.media_id, "ogg", t.title, t.artist, t.decode_ok)
+      } else {
+        val t = parseId3(b.media_id, bs)
+        AudioTagKey(b.media_id, "mp3", t.title, t.artist, t.decode_ok)
+      }
+    })
+  }
+
   /** Genuine Ogg stream wrapping an Opus or Vorbis identification
     * header (codec = "opus" | "vorbis" | anything else for an
     * unknown-first-packet page), optionally followed by `dataPages`
@@ -565,7 +719,10 @@ private[multimodal] trait AudioCodec extends Serializable {
     */
   def syntheticOgg(id: Long, codec: String, channels: Int, rate: Int,
                    preSkip: Int = 312, dataPages: Int = 0,
-                   lastGranule: Long = 0L): MediaBlob = {
+                   lastGranule: Long = 0L,
+                   tags: Seq[(String, String)] = null,
+                   vendor: String = "graft",
+                   splitTags: Boolean = false): MediaBlob = {
     val payload: Array[Byte] = codec match {
       case "opus" =>
         "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1.toByte,
@@ -583,29 +740,59 @@ private[multimodal] trait AudioCodec extends Serializable {
       case _ => ("JUNK" + codec).getBytes("US-ASCII")
     }
     val out = new java.io.ByteArrayOutputStream()
-    def page(flags: Int, granule: Long, seq: Int,
-             body: Array[Byte]): Unit = {
+    def rawPage(flags: Int, granule: Long, seq: Int,
+                lacing: Seq[Int], body: Array[Byte]): Unit = {
       out.write('O'); out.write('g'); out.write('g'); out.write('S')
       out.write(0); out.write(flags) // version, header-type flags
       for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
       for (i <- 0 until 4) out.write(((id >> (8 * i)) & 0xff).toInt)
       for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
       for (_ <- 0 until 4) out.write(0) // crc (unverified)
-      // segment lacing: 255-byte segments + remainder
-      val full = body.length / 255
-      out.write(full + 1)
-      for (_ <- 0 until full) out.write(255)
-      out.write(body.length % 255)
+      out.write(lacing.length)
+      lacing.foreach(out.write)
       out.write(body)
     }
+    // segment lacing: 255-byte segments + remainder (ends the packet)
+    def page(flags: Int, granule: Long, seq: Int,
+             body: Array[Byte]): Unit =
+      rawPage(flags, granule, seq,
+        Seq.fill(body.length / 255)(255) :+ body.length % 255, body)
     page(0x02, 0L, 0, payload) // BOS identification page
+    var seq = 1
+    if (tags != null) {
+      // comment-header packet (VorbisComment / OpusTags), its own
+      // page(s) per both specs; splitTags lays it across TWO pages
+      // (an all-255 open page + a continued-flag closer) to exercise
+      // the packet-reassembly walk
+      val cb = new java.io.ByteArrayOutputStream()
+      if (codec == "opus") cb.write("OpusTags".getBytes("US-ASCII"))
+      else { cb.write(3); cb.write("vorbis".getBytes("US-ASCII")) }
+      def w32(v: Int): Unit =
+        for (i <- 0 until 4) cb.write((v >> (8 * i)) & 0xff)
+      val vend = vendor.getBytes("UTF-8")
+      w32(vend.length); cb.write(vend)
+      w32(tags.size)
+      tags.foreach { case (k, v) =>
+        val c = (k + "=" + v).getBytes("UTF-8")
+        w32(c.length); cb.write(c)
+      }
+      if (codec == "vorbis") cb.write(1) // framing bit
+      val body = cb.toByteArray
+      if (splitTags && body.length > 255) {
+        rawPage(0x00, -1L, seq, Seq(255), body.take(255))
+        seq += 1
+        page(0x01, 0L, seq, body.drop(255))
+      } else page(0x00, 0L, seq, body)
+      seq += 1
+    }
     for (k <- 0 until dataPages) {
       val body = Array.tabulate(20 + (k % 7))(i =>
         ((id * 131 + k * 17 + i) & 0xff).toByte)
       val granule =
         if (k == dataPages - 1) lastGranule
         else lastGranule * (k + 1) / dataPages
-      page(if (k == dataPages - 1) 0x04 else 0x00, granule, k + 1, body)
+      page(if (k == dataPages - 1) 0x04 else 0x00, granule, seq + k,
+        body)
     }
     MediaBlob(id, "audio/ogg", out.toByteArray)
   }

@@ -758,44 +758,65 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |FROM p ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q187
-  // Audio dedup keyed on ID3 tags — WHY q175's frames matter: the
-  // same recording recurs across a crawl under different byte
-  // streams (bitrates, tag paddings), so byte hashes miss it; the
-  // (artist, title) tag key is the dedup identity audio curation
-  // actually uses. Tagged blobs with id-derived keys (~3-4 copies
-  // per key across version/encoding variants) reduce to the
-  // first-occurrence survivor with a copy count; undecodable tags
-  // (truncated every 13th) stay OUT of the grouping rather than
-  // forming a garbage '' key. Oracle replays key derivation and the
-  // min/count closed-form.
+  // Audio dedup keyed on tags across a MIXED MP3/Ogg column — WHY
+  // q175's frames and the Ogg packet walk matter: the same recording
+  // recurs across a crawl under different byte streams AND different
+  // containers (an MP3 rip next to an Opus/Vorbis rip), so byte
+  // hashes miss it; the (artist, title) tag key — ID3 TIT2/TPE1 for
+  // MP3, the PACKET-REASSEMBLED VorbisComment/OpusTags second packet
+  // for Ogg (Multimodal.audioTagKeys) — is the dedup identity audio
+  // curation actually uses, and the id-derived keys collide across
+  // containers so cross-container grouping is pinned (n_containers=2
+  // rows exist). Every 8th-ish Opus row splits its tags packet across
+  // two pages (255-lacing + continued flag), putting the lacing
+  // reassembly itself under the oracle. Undecodable tags (truncated
+  // every 13th) stay OUT of the grouping rather than forming a
+  // garbage '' key. Oracle replays key derivation and the
+  // min/count/distinct closed-form.
   private[queries] def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
     val blobs = t(s, dir, "documents").filter($"doc_id" < 200)
       .select($"doc_id").as[Long]
       .map { id =>
-        val v = (id % 3).toInt
-        val b = m.syntheticTaggedMp3(id,
-          s"Title-${id % 60}", s"Artést-${id % 30}",
-          s"Album-${id % 7}", v4 = v == 2, enc = Array(0, 1, 3)(v))
+        val title = s"Title-${id % 45}"
+        val artist = s"Artést-${id % 15}"
+        val b =
+          if (id % 2 == 0) {
+            val v = (id % 3).toInt
+            m.syntheticTaggedMp3(id, title, artist,
+              s"Album-${id % 7}", v4 = v == 2, enc = Array(0, 1, 3)(v))
+          } else {
+            val split = id % 8 == 1
+            m.syntheticOgg(id,
+              codec = if (id % 4 == 1) "opus" else "vorbis",
+              channels = 2, rate = 48000,
+              tags = Seq("ARTIST" -> artist, "TITLE" -> title),
+              vendor = if (split) "graft-" + "v" * 300 else "graft",
+              splitTags = split)
+          }
         if (id % 13 == 0) b.copy(content = b.content.take(24)) else b
       }
-    m.decodeId3(blobs).toDF()
+    m.audioTagKeys(blobs).toDF()
       .filter($"decode_ok")
       .groupBy($"artist", $"title")
       .agg(min($"media_id").as("media_id"),
-        count(lit(1)).as("n_copies"))
-      .select($"media_id", $"artist", $"title", $"n_copies")
+        count(lit(1)).as("n_copies"),
+        countDistinct($"container").as("n_containers"))
+      .select($"media_id", $"artist", $"title", $"n_copies",
+        $"n_containers")
       .orderBy($"media_id")
   }
   private[queries] lazy val q187Sql =
     """WITH p AS (
-      | SELECT doc_id, doc_id % 60 AS tk, doc_id % 30 AS ak
+      | SELECT doc_id, doc_id % 45 AS tk, doc_id % 15 AS ak,
+      |  doc_id % 2 AS par
       | FROM documents WHERE doc_id < 200 AND doc_id % 13 <> 0)
       |SELECT min(doc_id) AS media_id,
       | 'Art' || chr(233) || 'st-' || ak AS artist,
       | 'Title-' || tk AS title,
-      | CAST(count(*) AS BIGINT) AS n_copies
+      | CAST(count(*) AS BIGINT) AS n_copies,
+      | CAST(count(DISTINCT par) AS BIGINT) AS n_containers
       |FROM p GROUP BY tk, ak
       |ORDER BY media_id""".stripMargin
 
