@@ -28,19 +28,15 @@ package graft.multimodal
   *  - the §15 loop filter, both simple and normal profiles, with
   *    interior-limit/HEV thresholds and sharpness scaling.
   *
-  * Two published-constant caveats, both documented inline: the DEFAULT
-  * probability tables (coefficient tokens, their update gates, and the
-  * keyframe B-mode table) are repo-defined deterministic seams, not
-  * RFC 6386's literal data tables (Section 13.5's 1056-entry arrays
-  * are not reproducible from the prose spec); and the quantizer
-  * lookup tables use a documented monotone formula. Encoder and
-  * decoder share the seam tables, so every stream produced here
-  * decodes exactly; a foreign stream (whose encoder assumed the RFC
-  * literals) would desynchronize and routes to None like any other
-  * malformation — the same self-consistency contract as
-  * [[Vp8lCodec]]'s fixture encoder. All of the surrounding machinery
-  * (bool coder, trees, scan order, transforms, prediction, filters)
-  * is spec-exact.
+  * The probability and quantizer data tables are RFC 6386's literal
+  * arrays ([[Vp8DefaultProbs]]: §13.5 default token probabilities,
+  * §13.4 update gates, §11.5 keyframe B-mode table, §14.1 dc/ac
+  * quantizer lookups), so FOREIGN streams — real-web lossy WebP from
+  * independent encoders — decode bit-exactly (Vp8Spec pins three
+  * independently-encoded fixtures to their reference Y/U/V planes),
+  * and streams the encoder here produces are interoperable in the
+  * other direction. All of the surrounding machinery (bool coder,
+  * trees, scan order, transforms, prediction, filters) is spec-exact.
   *
   * YUV→RGB matches [[JpegCodec.decodeJpegRgb]]'s full-range BT.601
   * (chroma-neutral planes decode to r=g=b=y exactly) with
@@ -637,7 +633,7 @@ private[multimodal] trait Vp8Codec extends Serializable {
         while (c3 < 3) {
           var i11 = 0
           while (i11 < 11) {
-            if (d.bool(CoefUpdateProb) == 1)
+            if (d.bool(CoefUpdateProb(p4)(b8)(c3)(i11)) == 1)
               probs(p4)(b8)(c3)(i11) = d.literal(8)
             i11 += 1
           }
@@ -744,6 +740,7 @@ private[multimodal] trait Vp8Codec extends Serializable {
             anyCoeffs ||= nz
             sb += 1
           }
+          // §13.1 block order: all four U subblocks, then all four V
           var cb = 0
           while (cb < 4) {
             val r = cb / 2; val c = cb % 2
@@ -752,12 +749,18 @@ private[multimodal] trait Vp8Codec extends Serializable {
               coeffs(17 + cb))
             aboveU(mbX * 2 + c) = if (nzU) 1 else 0
             leftU(r) = aboveU(mbX * 2 + c)
+            anyCoeffs ||= nzU
+            cb += 1
+          }
+          cb = 0
+          while (cb < 4) {
+            val r = cb / 2; val c = cb % 2
             val nzV = vp8DecodeCoeffs(td, probs, 2,
               aboveV(mbX * 2 + c) + leftV(r), 0, q.uvdc, q.uvac,
               coeffs(21 + cb))
             aboveV(mbX * 2 + c) = if (nzV) 1 else 0
             leftV(r) = aboveV(mbX * 2 + c)
-            anyCoeffs ||= nzU || nzV
+            anyCoeffs ||= nzV
             cb += 1
           }
         } else {
@@ -1137,7 +1140,9 @@ private[multimodal] trait Vp8Codec extends Serializable {
     while (i < 5) { e1.literal(0, 1); i += 1 } // no quant deltas
     e1.literal(1, 1) // refresh entropy
     i = 0
-    while (i < 4 * 8 * 3 * 11) { e1.bool(0, CoefUpdateProb); i += 1 }
+    while (i < 4 * 8 * 3 * 11) {
+      e1.bool(0, Vp8DefaultProbs.CoefUpdateProbsFlat(i)); i += 1
+    }
     val probSkipFalse = 128
     e1.literal(1, 1) // mb_no_coeff_skip
     e1.literal(probSkipFalse, 8)
@@ -1273,12 +1278,18 @@ private[multimodal] trait Vp8Codec extends Serializable {
             aboveY(mbX * 4 + c) = nz; leftY(r) = nz
             sb += 1
           }
+          // §13.1 block order: all four U subblocks, then all four V
           var cb = 0
           while (cb < 4) {
             val r = cb / 2; val c = cb % 2
             val lu = if (mp.u == null) null else mp.u(cb)
             val nzU = writeBlock(2, aboveU(mbX * 2 + c) + leftU(r), 0, lu)
             aboveU(mbX * 2 + c) = nzU; leftU(r) = nzU
+            cb += 1
+          }
+          cb = 0
+          while (cb < 4) {
+            val r = cb / 2; val c = cb % 2
             val lv = if (mp.v == null) null else mp.v(cb)
             val nzV = writeBlock(2, aboveV(mbX * 2 + c) + leftV(r), 0, lv)
             aboveV(mbX * 2 + c) = nzV; leftV(r) = nzV
@@ -1407,15 +1418,22 @@ object Vp8Tables {
     -BVl, 16,
     -BHd, -BHu)
 
-  /** SEAM: keyframe B-mode probabilities, indexed [above][left][9].
-    * RFC 6386's literal 10×10×9 table is a data appendix this
-    * clean-room build does not reproduce; this deterministic spread
-    * keeps every tree path reachable and non-degenerate. Encoder and
-    * decoder share it.
+  /** §11.5 keyframe B-mode probabilities, indexed [above][left][9] —
+    * RFC 6386's literal 10×10×9 table ([[Vp8DefaultProbs]]). The flat
+    * storage carries rows in the source's B-mode numbering, which
+    * renumbers the four diagonal modes relative to the spec's enum
+    * (RD=4, VR=5, LD=6 vs the spec's LD=4, RD=5, VR=6); [[BModeRowIdx]]
+    * converts spec indices to storage rows. The 9 node probabilities
+    * per row are tree-positional and identical in both numberings
+    * (same tree shape), so only the row lookup is remapped — pinned
+    * end-to-end by Vp8Spec's foreign fixtures.
     */
+  private val BModeRowIdx: Array[Int] =
+    Array(0, 1, 2, 3, 6, 4, 5, 7, 8, 9)
   val KfBModeProb: Array[Array[Array[Int]]] =
     Array.tabulate(10, 10, 9) { (a, l, i) =>
-      40 + ((a * 37 + l * 17 + i * 29) % 176)
+      Vp8DefaultProbs.KfBModeProbFlat(
+        (BModeRowIdx(a) * 10 + BModeRowIdx(l)) * 9 + i)
     }
 
   // §13.2 coefficient token tree: EOB, 0..4, cat1..cat6
@@ -1451,29 +1469,34 @@ object Vp8Tables {
   val Zigzag: Array[Int] =
     Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
 
-  /** SEAM: default token probabilities [plane 4][band 8][ctx 3][11]
-    * (RFC 13.5's literal 1056-entry table). Deterministic, varied,
-    * clamped to (1, 254) so the arithmetic coder stays efficient and
-    * every branch keeps nonzero mass. Shared by encoder and decoder.
+  /** §13.5 default token probabilities [plane 4][band 8][ctx 3][11] —
+    * RFC 6386's literal 1056-entry table ([[Vp8DefaultProbs]]).
+    * Shared by encoder and decoder, so repo-encoded streams remain
+    * self-consistent AND interoperable with foreign decoders.
     */
   val DefaultCoefProbs: Array[Array[Array[Array[Int]]]] =
     Array.tabulate(4, 8, 3, 11) { (p, b, c, i) =>
-      1 + ((p * 53 + b * 13 + c * 37 + i * i * 11) % 253)
+      Vp8DefaultProbs.CoefProbsFlat(((p * 8 + b) * 3 + c) * 11 + i)
     }
 
-  /** SEAM: update gates for the per-position probability rewrite
-    * (RFC 13.4's second 1056-entry table). A high constant keeps the
-    * common no-update flag cheap (~0.02 bits) while leaving the
-    * update path fully decodable.
+  /** §13.4 update gates for the per-position probability rewrite —
+    * RFC 6386's literal second 1056-entry table, same shape and
+    * iteration order as [[DefaultCoefProbs]]. Every one of the 1056
+    * flags is arithmetic-decoded with its own gate probability, so a
+    * single wrong entry desynchronizes the whole first partition —
+    * Vp8Spec's foreign fixtures pin all of them.
     */
-  val CoefUpdateProb: Int = 252
+  val CoefUpdateProb: Array[Array[Array[Array[Int]]]] =
+    Array.tabulate(4, 8, 3, 11) { (p, b, c, i) =>
+      Vp8DefaultProbs.CoefUpdateProbsFlat(((p * 8 + b) * 3 + c) * 11 + i)
+    }
 
-  /** SEAM: quantizer lookups (RFC 14.1's 128-entry dc/ac tables) as
-    * documented monotone formulas over index 0..127; the ×2 / ×155/100
-    * (floor 8) / cap-132 second-stage factors below ARE the spec's.
+  /** §14.1 quantizer lookups — RFC 6386's literal 128-entry dc/ac
+    * tables (dc ends 157, ac ends 284); the ×2 / ×155/100 (floor 8) /
+    * cap-132 second-stage factors at the call site ARE the spec's.
     */
-  def dcQ(index: Int): Int = { val i = clampQ(index); 4 + (i * 5) / 4 }
-  def acQ(index: Int): Int = { val i = clampQ(index); 4 + (i * 11) / 5 }
+  def dcQ(index: Int): Int = Vp8DefaultProbs.DcQLookup(clampQ(index))
+  def acQ(index: Int): Int = Vp8DefaultProbs.AcQLookup(clampQ(index))
   private def clampQ(i: Int): Int = if (i < 0) 0 else if (i > 127) 127 else i
 
   /** root→leaf branch list for the encoder's tree writer */

@@ -265,7 +265,8 @@ object Queries
     "q207_mpegts_streams" -> (q207 _),
     "q208_adts_frames" -> (q208 _),
     "q209_doc_dispatch" -> (q209 _),
-    "q210_tiff_quality" -> (q210 _)
+    "q210_tiff_quality" -> (q210 _),
+    "q211_vp8_foreign" -> (q211 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -661,7 +662,8 @@ object Queries
     "q207_mpegts_streams" -> q207Sql,
     "q208_adts_frames" -> q208Sql,
     "q209_doc_dispatch" -> q209Sql,
-    "q210_tiff_quality" -> q210Sql
+    "q210_tiff_quality" -> q210Sql,
+    "q211_vp8_foreign" -> q211Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -372,4 +372,55 @@ class Vp8Spec extends AnyFunSuite {
     assert(ap.get.sameElements(aw.get))
     assert(dp.get.sameElements(dw.get))
   }
+
+  // ------------------------------------------- foreign conformance
+
+  test("FOREIGN lossy VP8: three independently-encoded WebP streams " +
+    "decode to bit-exact Y/U/V reconstruction planes (pins RFC 6386's " +
+    "literal probability/update/B-mode/quantizer tables end-to-end)") {
+    def b64(s: String): Array[Byte] =
+      java.util.Base64.getDecoder.decode(s)
+    Vp8ForeignFixtures.all.foreach { fx =>
+      val webp = b64(fx.webpB64)
+      // RIFF walk to the VP8 chunk payload
+      def ascii(o: Int) = new String(webp, o, 4, "US-ASCII")
+      var off = 12
+      var vp8At = -1; var vp8Len = -1
+      while (vp8At < 0 && off + 8 <= webp.length) {
+        val size = (webp(off + 4) & 0xff) | ((webp(off + 5) & 0xff) << 8) |
+          ((webp(off + 6) & 0xff) << 16) | ((webp(off + 7) & 0xff) << 24)
+        if (ascii(off) == "VP8 ") { vp8At = off + 8; vp8Len = size }
+        off += 8 + size + (size & 1)
+      }
+      assert(vp8At > 0, s"${fx.w}x${fx.h}: no VP8 chunk")
+      val dec = Multimodal.decodeVp8Frame(webp, vp8At, vp8Len)
+      assert(dec.isDefined, s"${fx.w}x${fx.h}: foreign stream rejected")
+      val f = dec.get
+      assert(f.w == fx.w && f.h == fx.h)
+      val cw = (fx.w + 1) / 2; val ch = (fx.h + 1) / 2
+      val expY = b64(fx.yB64); val expU = b64(fx.uB64)
+      val expV = b64(fx.vB64)
+      def comparePlane(name: String, p: Multimodal.Vp8Plane,
+          exp: Array[Byte], pw: Int, ph: Int): Unit = {
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            val got = p.px(r * p.w + c)
+            val want = exp(r * pw + c) & 0xff
+            assert(got == want,
+              s"${fx.w}x${fx.h} $name plane ($c,$r): got $got want $want")
+            c += 1
+          }
+          r += 1
+        }
+      }
+      comparePlane("Y", f.y, expY, fx.w, fx.h)
+      comparePlane("U", f.u, expU, cw, ch)
+      comparePlane("V", f.v, expV, cw, ch)
+      // and the public RGB seam accepts the same container
+      val rgb = Multimodal.decodeWebpLossy(webp)
+      assert(rgb.exists(t => t._1 == fx.w && t._2 == fx.h))
+    }
+  }
 }
