@@ -582,6 +582,38 @@ private[multimodal] trait AudioCodec extends Serializable {
     * while a partial packet is open (or vice versa) aborts the walk —
     * packets reassembled across a desync would be garbage.
     */
+  /** RFC 3533 §6 page-CRC table: CRC-32, generator 0x04c11db7,
+    * unreflected, init 0, no final xor (NOT the zlib CRC and NOT
+    * MpegTs's init-0xFFFFFFFF PSI variant).
+    */
+  private[multimodal] val OggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n << 24
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x80000000) != 0) (c << 1) ^ 0x04c11db7 else c << 1
+        k += 1
+      }
+      t(n) = c
+      n += 1
+    }
+    t
+  }
+
+  /** CRC of one assembled page (bytes 22-25 treated as zero). */
+  private def oggPageCrc(page: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      val byt = if (i >= 22 && i < 26) 0 else page(off + i) & 0xff
+      crc = (crc << 8) ^ OggCrcTable(((crc >>> 24) ^ byt) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
   def oggPackets(bytes: Array[Byte],
                  maxPackets: Int = 8): Seq[Array[Byte]] = {
     def u(i: Int): Int = bytes(i) & 0xff
@@ -601,6 +633,13 @@ private[multimodal] trait AudioCodec extends Serializable {
       var k = 0
       while (k < ns) { pl += u(off + 27 + k); k += 1 }
       if (off + 27 + ns + pl > bytes.length) return out.toList
+      // RFC 3533 §6: page CRC (offset 22, LE). Gate the lacing on
+      // it, mirroring MpegTs's CRC-gated PSI: a bit-flipped page
+      // must abort (decode_ok false upstream), never garbage tags.
+      val storedCrc = u(off + 22) | (u(off + 23) << 8) |
+        (u(off + 24) << 16) | (u(off + 25) << 24)
+      if (oggPageCrc(bytes, off, 27 + ns + pl) != storedCrc)
+        return out.toList
       var p = off + 27 + ns
       k = 0
       while (k < ns) {
@@ -742,15 +781,23 @@ private[multimodal] trait AudioCodec extends Serializable {
     val out = new java.io.ByteArrayOutputStream()
     def rawPage(flags: Int, granule: Long, seq: Int,
                 lacing: Seq[Int], body: Array[Byte]): Unit = {
-      out.write('O'); out.write('g'); out.write('g'); out.write('S')
-      out.write(0); out.write(flags) // version, header-type flags
-      for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
-      for (i <- 0 until 4) out.write(((id >> (8 * i)) & 0xff).toInt)
-      for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
-      for (_ <- 0 until 4) out.write(0) // crc (unverified)
-      out.write(lacing.length)
-      lacing.foreach(out.write)
-      out.write(body)
+      val pg = new java.io.ByteArrayOutputStream()
+      pg.write('O'); pg.write('g'); pg.write('g'); pg.write('S')
+      pg.write(0); pg.write(flags) // version, header-type flags
+      for (i <- 0 until 8) pg.write(((granule >> (8 * i)) & 0xff).toInt)
+      for (i <- 0 until 4) pg.write(((id >> (8 * i)) & 0xff).toInt)
+      for (i <- 0 until 4) pg.write((seq >> (8 * i)) & 0xff)
+      for (_ <- 0 until 4) pg.write(0) // crc, patched below
+      pg.write(lacing.length)
+      lacing.foreach(pg.write)
+      pg.write(body)
+      val page = pg.toByteArray
+      val crc = oggPageCrc(page, 0, page.length)
+      page(22) = (crc & 0xff).toByte
+      page(23) = ((crc >> 8) & 0xff).toByte
+      page(24) = ((crc >> 16) & 0xff).toByte
+      page(25) = ((crc >> 24) & 0xff).toByte
+      out.write(page, 0, page.length)
     }
     // segment lacing: 255-byte segments + remainder (ends the packet)
     def page(flags: Int, granule: Long, seq: Int,

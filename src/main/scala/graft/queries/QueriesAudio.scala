@@ -770,9 +770,11 @@ private[queries] trait QueriesAudio { this: Queries.type =>
   // rows exist). Every 8th-ish Opus row splits its tags packet across
   // two pages (255-lacing + continued flag), putting the lacing
   // reassembly itself under the oracle. Undecodable tags (truncated
-  // every 13th) stay OUT of the grouping rather than forming a
-  // garbage '' key. Oracle replays key derivation and the
-  // min/count/distinct closed-form.
+  // every 13th; every 11th odd row gets ONE BIT FLIPPED inside a
+  // page, which the RFC 3533 page CRC must catch — the CRC gate
+  // itself is under the oracle) stay OUT of the grouping rather
+  // than forming a garbage '' key. Oracle replays key derivation
+  // and the min/count/distinct closed-form.
   private[queries] def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
@@ -795,7 +797,14 @@ private[queries] trait QueriesAudio { this: Queries.type =>
               vendor = if (split) "graft-" + "v" * 300 else "graft",
               splitTags = split)
           }
-        if (id % 13 == 0) b.copy(content = b.content.take(24)) else b
+        if (id % 13 == 0) b.copy(content = b.content.take(24))
+        else if (id % 2 == 1 && id % 11 == 0) {
+          // bit-flip inside the first page: the CRC gate, not a
+          // parse failure, must route this row to decode_ok=false
+          val c = b.content.clone()
+          c(40) = (c(40) ^ 0x40).toByte
+          b.copy(content = c)
+        } else b
       }
     m.audioTagKeys(blobs).toDF()
       .filter($"decode_ok")
@@ -811,7 +820,8 @@ private[queries] trait QueriesAudio { this: Queries.type =>
     """WITH p AS (
       | SELECT doc_id, doc_id % 45 AS tk, doc_id % 15 AS ak,
       |  doc_id % 2 AS par
-      | FROM documents WHERE doc_id < 200 AND doc_id % 13 <> 0)
+      | FROM documents WHERE doc_id < 200 AND doc_id % 13 <> 0
+      |  AND NOT (doc_id % 2 = 1 AND doc_id % 11 = 0))
       |SELECT min(doc_id) AS media_id,
       | 'Art' || chr(233) || 'st-' || ak AS artist,
       | 'Title-' || tk AS title,

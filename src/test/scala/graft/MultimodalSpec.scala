@@ -2029,6 +2029,35 @@ class MultimodalSpec extends AnyFunSuite {
       cut.duration_ms == (22050L * 3 * 2 / 3) * 1000L / 22050L)
   }
 
+  test("Ogg page CRC gate (RFC 3533 §6): written pages carry valid " +
+    "CRCs, a single flipped bit anywhere in a page aborts the packet " +
+    "walk (BadOggTags), and a flip in page 2 keeps page-1 packets") {
+    val good = Multimodal.syntheticOgg(7L, "opus", 2, 48000,
+      tags = Seq("ARTIST" -> "A", "TITLE" -> "T")).content
+    val tagsOk = Multimodal.parseOggTags(7L, good)
+    assert(tagsOk.decode_ok && tagsOk.artist == "A" &&
+      tagsOk.title == "T")
+    // flip one bit in the BOS page payload → zero packets survive
+    val flip0 = good.clone(); flip0(40) = (flip0(40) ^ 0x40).toByte
+    assert(Multimodal.oggPackets(flip0).isEmpty)
+    assert(!Multimodal.parseOggTags(7L, flip0).decode_ok)
+    // flip one bit in the page CRC FIELD itself → same abort
+    val flipC = good.clone(); flipC(22) = (flipC(22) ^ 0x01).toByte
+    assert(Multimodal.oggPackets(flipC).isEmpty)
+    // flip a bit beyond page 1 (the tags page): packet 1 survives,
+    // the tags packet does not
+    val page1Len = {
+      val ns = good(26) & 0xff
+      var pl = 0; var k = 0
+      while (k < ns) { pl += good(27 + k) & 0xff; k += 1 }
+      27 + ns + pl
+    }
+    val flip2 = good.clone()
+    flip2(page1Len + 30) = (flip2(page1Len + 30) ^ 0x40).toByte
+    assert(Multimodal.oggPackets(flip2).size == 1)
+    assert(!Multimodal.parseOggTags(7L, flip2).decode_ok)
+  }
+
   test("audio sniffing: fLaC and ID3/frame-sync magics route, JPEG's " +
     "0xFFD8 does NOT collide with the MPEG sync mask") {
     assert(Multimodal.sniffFormat(
