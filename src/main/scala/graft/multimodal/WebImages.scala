@@ -928,9 +928,14 @@ private[multimodal] trait WebImageCodec extends Serializable {
     * differencing — the libtiff default for LZW) and 32773 (PackBits),
     * 8-bit grayscale (PhotometricInterp 1, and 0 = WhiteIsZero
     * inverted) and 8-bit-per-sample RGB, multiple strips via
-    * StripOffsets/StripByteCounts/RowsPerStrip. Anything else (tiles,
-    * 16-bit, palettes, JPEG-in-TIFF) → None — the never-fail contract
-    * of the pixel family.
+    * StripOffsets/StripByteCounts/RowsPerStrip, AND the §15 tiled
+    * layout (TileWidth/TileLength/TileOffsets/TileByteCounts — how
+    * real-web compressed TIFFs commonly ship): each tile decompresses
+    * through the same LZW/PackBits/Predictor-2 path to a full
+    * tileW×tileH raster (edge tiles padded per spec), then the
+    * in-bounds region lands in the frame. Anything else (16-bit,
+    * palettes, JPEG-in-TIFF) → None — the never-fail contract of the
+    * pixel family.
     */
   def decodeTiffPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 8) return None
@@ -963,6 +968,9 @@ private[multimodal] trait WebImageCodec extends Serializable {
     var predictor = 1
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
+    var tileW = -1; var tileH = -1
+    var tileOffsets: Array[Long] = null
+    var tileCounts: Array[Long] = null
     def values(entry: Int): Array[Long] = {
       val typ = u16(entry + 2)
       val count = u32(entry + 4).toInt
@@ -1002,41 +1010,46 @@ private[multimodal] trait WebImageCodec extends Serializable {
         case 279 => if (v == null) return None else stripCounts = v
         case 317 => if (v == null) return None
           else predictor = v(0).toInt
+        case 322 => if (v == null) return None else tileW = v(0).toInt
+        case 323 => if (v == null) return None else tileH = v(0).toInt
+        case 324 => if (v == null) return None else tileOffsets = v
+        case 325 => if (v == null) return None else tileCounts = v
         case _ => // orientation, resolution, software, ...: ignored
       }
       e += 1
     }
+    val tiled = tileOffsets != null || tileCounts != null ||
+      tileW > 0 || tileH > 0
     if (width <= 0 || height <= 0 ||
       (compression != 1 && compression != 5 && compression != 32773) ||
-      (predictor != 1 && predictor != 2) ||
-      stripOffsets == null || stripCounts == null ||
+      (predictor != 1 && predictor != 2)) return None
+    if (tiled) {
+      if (stripOffsets != null || stripCounts != null) return None
+      if (tileW <= 0 || tileH <= 0 || tileOffsets == null ||
+        tileCounts == null ||
+        tileOffsets.length != tileCounts.length) return None
+    } else if (stripOffsets == null || stripCounts == null ||
       stripOffsets.length != stripCounts.length) return None
     if (width.toLong * height * 3 > (1L << 28)) return None
     val gray = photometric == 0 || photometric == 1
     if (!(gray && spp == 1) && !(photometric == 2 && spp == 3))
       return None
     val rowBytes = width * spp
-    if (rowsPerStrip <= 0) return None
-    // assemble the full raster strip by strip: slice, decompress
-    // (identity / LZW / PackBits) to the strip's exact raster size,
-    // then undo Predictor 2's per-row horizontal differencing
-    val raster = new Array[Byte](rowBytes * height)
-    val nStrips = stripOffsets.length
-    var strip = 0
-    var rasterAt = 0
-    while (strip < nStrips && rasterAt < raster.length) {
-      val rowsHere = math.min(rowsPerStrip.toLong,
-        height.toLong - strip.toLong * rowsPerStrip).toInt
-      if (rowsHere <= 0) return None
-      val want = rowsHere * rowBytes
-      val off = stripOffsets(strip); val cnt = stripCounts(strip)
-      if (off < 0 || cnt < 0 || off + cnt > bytes.length) return None
+    if (!tiled && rowsPerStrip <= 0) return None
+    // slice one compressed chunk (strip or tile), decompress
+    // (identity / LZW / PackBits) to its exact raster size, then undo
+    // Predictor 2's horizontal differencing over rows of `chunkRow`
+    def chunk(off: Long, cnt: Long, want: Int,
+        chunkRow: Int): Array[Byte] = {
+      if (off < 0 || cnt < 0 || off + cnt > bytes.length) return null
       val data = compression match {
         case 1 =>
-          if (cnt < want) return None
-          val a = new Array[Byte](want)
-          System.arraycopy(bytes, off.toInt, a, 0, want)
-          Some(a)
+          if (cnt < want) None
+          else {
+            val a = new Array[Byte](want)
+            System.arraycopy(bytes, off.toInt, a, 0, want)
+            Some(a)
+          }
         case 5 =>
           val s = new Array[Byte](cnt.toInt)
           System.arraycopy(bytes, off.toInt, s, 0, cnt.toInt)
@@ -1047,26 +1060,68 @@ private[multimodal] trait WebImageCodec extends Serializable {
           packBitsDecode(s, want)
       }
       data match {
-        case None => return None
+        case None => null
         case Some(d) =>
           if (predictor == 2) {
+            val rows = want / chunkRow
             var r = 0
-            while (r < rowsHere) {
+            while (r < rows) {
               var x = spp
-              while (x < rowBytes) {
-                d(r * rowBytes + x) =
-                  (d(r * rowBytes + x) + d(r * rowBytes + x - spp)).toByte
+              while (x < chunkRow) {
+                d(r * chunkRow + x) =
+                  (d(r * chunkRow + x) + d(r * chunkRow + x - spp)).toByte
                 x += 1
               }
               r += 1
             }
           }
-          System.arraycopy(d, 0, raster, rasterAt, want)
-          rasterAt += want
+          d
       }
-      strip += 1
     }
-    if (rasterAt != raster.length) return None
+    val raster = new Array[Byte](rowBytes * height)
+    if (tiled) {
+      // §15: tiles are full tileW×tileH rasters laid out left-to-
+      // right, top-to-bottom; edge tiles carry padding that never
+      // reaches the frame
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileH - 1) / tileH
+      if (tileOffsets.length != across * down) return None
+      val tileRow = tileW * spp
+      var t = 0
+      while (t < across * down) {
+        val d = chunk(tileOffsets(t), tileCounts(t),
+          tileRow * tileH, tileRow)
+        if (d == null) return None
+        val x0 = (t % across) * tileW
+        val y0 = (t / across) * tileH
+        val copyW = math.min(tileW, width - x0) * spp
+        val copyH = math.min(tileH, height - y0)
+        var r = 0
+        while (r < copyH) {
+          System.arraycopy(d, r * tileRow,
+            raster, (y0 + r) * rowBytes + x0 * spp, copyW)
+          r += 1
+        }
+        t += 1
+      }
+    } else {
+      val nStrips = stripOffsets.length
+      var strip = 0
+      var rasterAt = 0
+      while (strip < nStrips && rasterAt < raster.length) {
+        val rowsHere = math.min(rowsPerStrip.toLong,
+          height.toLong - strip.toLong * rowsPerStrip).toInt
+        if (rowsHere <= 0) return None
+        val want = rowsHere * rowBytes
+        val d = chunk(stripOffsets(strip), stripCounts(strip), want,
+          rowBytes)
+        if (d == null) return None
+        System.arraycopy(d, 0, raster, rasterAt, want)
+        rasterAt += want
+        strip += 1
+      }
+      if (rasterAt != raster.length) return None
+    }
     val rgb = new Array[Byte](width * height * 3)
     var row = 0
     while (row < height) {
@@ -1092,25 +1147,31 @@ private[multimodal] trait WebImageCodec extends Serializable {
 
   /** TIFF writer: II byte order, 8-bit grayscale (spp 1,
     * PhotometricInterp 1) or RGB (spp 3), strips of `rowsPerStrip`
-    * rows, Compression 1 (none), 5 (LZW, optionally with Predictor 2
-    * horizontal differencing) or 32773 (PackBits). Any TIFF reader
-    * opens it (TiffSpec proves LZW/PackBits output through JDK
-    * ImageIO).
+    * rows OR (tileSize > 0, a multiple of 16 per §15) square tiles
+    * with zero-padded edges, Compression 1 (none), 5 (LZW, optionally
+    * with Predictor 2 horizontal differencing — per tile row in tiled
+    * mode) or 32773 (PackBits). Any TIFF reader opens it (TiffSpec
+    * proves LZW/PackBits and tiled output through JDK ImageIO).
     */
   def tiffEncode(width: Int, height: Int, rgb: Array[Byte],
                  grayscale: Boolean = false,
                  rowsPerStrip: Int = Int.MaxValue,
                  compression: Int = 1,
-                 predictor: Int = 1): Array[Byte] = {
+                 predictor: Int = 1,
+                 tileSize: Int = 0): Array[Byte] = {
     require(rgb.length == width * height * 3)
     require(compression == 1 || compression == 5 || compression == 32773)
     require(predictor == 1 || (predictor == 2 && compression == 5))
+    // §15: tile dims must be multiples of 16
+    require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0))
+    val tiledOut = tileSize > 0
     val rps = math.min(rowsPerStrip, height)
     val nStrips = (height + rps - 1) / rps
     val spp = if (grayscale) 1 else 3
     val rowBytes = width * spp
     // raster in sample order (gray takes R of each triplet — r==g==b
-    // by contract), differenced per row when predictor 2 is on
+    // by contract); predictor differencing happens per chunk below
+    // (a tile's rows difference within the tile, not the frame row)
     val raster = new Array[Byte](rowBytes * height)
     var i = 0
     while (i < width * height) {
@@ -1121,40 +1182,65 @@ private[multimodal] trait WebImageCodec extends Serializable {
       }
       i += 1
     }
-    if (predictor == 2) {
-      var row = 0
-      while (row < height) {
-        var x = rowBytes - 1
-        while (x >= spp) {
-          raster(row * rowBytes + x) =
-            (raster(row * rowBytes + x) -
-              raster(row * rowBytes + x - spp)).toByte
-          x -= 1
+    def diffRows(d: Array[Byte], chunkRow: Int): Array[Byte] = {
+      if (predictor == 2) {
+        val rows = d.length / chunkRow
+        var row = 0
+        while (row < rows) {
+          var x = chunkRow - 1
+          while (x >= spp) {
+            d(row * chunkRow + x) =
+              (d(row * chunkRow + x) - d(row * chunkRow + x - spp)).toByte
+            x -= 1
+          }
+          row += 1
         }
-        row += 1
       }
+      d
     }
-    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
-      val rows = math.min(rps, height - s * rps)
-      val raw = new Array[Byte](rows * rowBytes)
-      System.arraycopy(raster, s * rps * rowBytes, raw, 0, raw.length)
-      compression match {
-        case 1 => raw
-        case 5 => tiffLzwEncode(raw)
-        case _ => packBitsEncode(raw)
+    def compress(raw: Array[Byte]): Array[Byte] = compression match {
+      case 1 => raw
+      case 5 => tiffLzwEncode(raw)
+      case _ => packBitsEncode(raw)
+    }
+    val across = if (tiledOut) (width + tileSize - 1) / tileSize else 0
+    val down = if (tiledOut) (height + tileSize - 1) / tileSize else 0
+    val chunks: Array[Array[Byte]] =
+      if (tiledOut) Array.tabulate(across * down) { t =>
+        // full tileSize×tileSize raster; edge tiles zero-padded
+        val tileRow = tileSize * spp
+        val raw = new Array[Byte](tileRow * tileSize)
+        val x0 = (t % across) * tileSize
+        val y0 = (t / across) * tileSize
+        val copyW = math.min(tileSize, width - x0) * spp
+        val copyH = math.min(tileSize, height - y0)
+        var r = 0
+        while (r < copyH) {
+          System.arraycopy(raster, (y0 + r) * rowBytes + x0 * spp,
+            raw, r * tileRow, copyW)
+          r += 1
+        }
+        compress(diffRows(raw, tileRow))
       }
-    }
-    val nTags = if (predictor == 2) 10 else 9
+      else Array.tabulate(nStrips) { s =>
+        val rows = math.min(rps, height - s * rps)
+        val raw = new Array[Byte](rows * rowBytes)
+        System.arraycopy(raster, s * rps * rowBytes, raw, 0, raw.length)
+        compress(diffRows(raw, rowBytes))
+      }
+    val nChunks = chunks.length
+    val multi = nChunks > 1 // count-1 LONG values live inline
+    val nTags = (if (tiledOut) 10 else 9) + (if (predictor == 2) 1 else 0)
     val ifdAt = 8
     val ifdSize = 2 + nTags * 12 + 4
     // external value areas: RGB BitsPerSample needs a 3-SHORT array
-    // (6 bytes, padded even), multi-strip needs offset/count LONGs
+    // (6 bytes, padded even), multi-chunk needs offset/count LONGs
     val bpsAt = ifdAt + ifdSize
     val bpsSize = if (grayscale) 0 else 8
-    val stripsAt = bpsAt + bpsSize
-    val stripsSize = if (nStrips > 1) nStrips * 8 else 0
-    val dataAt = stripsAt + stripsSize
-    val dataSize = strips.iterator.map(_.length).sum
+    val chunksAt = bpsAt + bpsSize
+    val chunksSize = if (multi) nChunks * 8 else 0
+    val dataAt = chunksAt + chunksSize
+    val dataSize = chunks.iterator.map(_.length).sum
     val out = java.nio.ByteBuffer
       .allocate(dataAt + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1169,27 +1255,42 @@ private[multimodal] trait WebImageCodec extends Serializable {
     else tag(258, 3, 3, bpsAt) // {8,8,8} external array
     tag(259, 3, 1, compression)
     tag(262, 3, 1, if (grayscale) 1 else 2)
-    if (nStrips > 1) tag(273, 4, nStrips, stripsAt)
-    else tag(273, 4, 1, dataAt)
+    if (!tiledOut) {
+      if (multi) tag(273, 4, nChunks, chunksAt)
+      else tag(273, 4, 1, dataAt)
+    }
     tag(277, 3, 1, spp)
-    tag(278, 4, 1, rps)
-    if (nStrips > 1) tag(279, 4, nStrips, stripsAt + nStrips * 4)
-    else tag(279, 4, 1, strips(0).length)
+    if (!tiledOut) {
+      tag(278, 4, 1, rps)
+      if (multi) tag(279, 4, nChunks, chunksAt + nChunks * 4)
+      else tag(279, 4, 1, chunks(0).length)
+    }
     if (predictor == 2) tag(317, 3, 1, 2)
+    if (tiledOut) {
+      tag(322, 4, 1, tileSize)
+      tag(323, 4, 1, tileSize)
+      if (multi) {
+        tag(324, 4, nChunks, chunksAt)
+        tag(325, 4, nChunks, chunksAt + nChunks * 4)
+      } else {
+        tag(324, 4, 1, dataAt)
+        tag(325, 4, 1, chunks(0).length)
+      }
+    }
     out.putInt(0) // next IFD
     if (!grayscale) {
       out.putShort(8).putShort(8).putShort(8).putShort(0) // + pad
     }
-    if (nStrips > 1) {
+    if (multi) {
       var at = dataAt
       var s = 0
-      while (s < nStrips) {
-        out.putInt(at); at += strips(s).length; s += 1
+      while (s < nChunks) {
+        out.putInt(at); at += chunks(s).length; s += 1
       }
       s = 0
-      while (s < nStrips) { out.putInt(strips(s).length); s += 1 }
+      while (s < nChunks) { out.putInt(chunks(s).length); s += 1 }
     }
-    strips.foreach(out.put)
+    chunks.foreach(out.put)
     out.array()
   }
 

@@ -2615,12 +2615,14 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // ---------------------------------------------------------------- q210
   // TIFF pixels under the oracle — the seventh pixel container:
   // quality stats over a column rotating grayscale/RGB ×
-  // single/multi-strip × Compression none/LZW(±Predictor-2)/PackBits
-  // encodings of the same gray gradient, so the IFD walk, strip
-  // decompression (TIFF-variant LZW early-change, PackBits RLE,
-  // horizontal-differencing undo) and photometric paths all sit under
-  // the DuckDB oracle (generator-formula replay, the q192/q205
-  // pattern). TiffSpec proves decode writer-independent against JDK
+  // single/multi-strip × TILED (§15, every 5th-ish row: 16×16 tiles
+  // with padded edges) × Compression none/LZW(±Predictor-2)/PackBits
+  // encodings of the same gray gradient, so the IFD walk, strip AND
+  // tile decompression (TIFF-variant LZW early-change, PackBits RLE,
+  // horizontal-differencing undo, tile assembly) and photometric
+  // paths all sit under the DuckDB oracle (generator-formula replay,
+  // the q192/q205 pattern) — the layout never changes the pixels, so
+  // one oracle covers every layout. TiffSpec proves decode writer-independent against JDK
   // ImageIO in both directions, compressed legs included. Every 7th
   // blob truncated → all-sentinel row.
   private[queries] def q210(s: SparkSession, dir: String): DataFrame = {
@@ -2645,7 +2647,11 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
           rowsPerStrip = if (id % 4 < 2) Int.MaxValue
             else 2 + (id % 3).toInt,
           compression = comp,
-          predictor = if (comp == 5 && id % 2 == 1) 2 else 1)
+          predictor = if (comp == 5 && id % 2 == 1) 2 else 1,
+          // every 5th-ish row ships the §15 TILED layout (16×16
+          // tiles, padded edges) through the same decompressors —
+          // identical pixels, so the oracle is layout-invariant
+          tileSize = if (id % 5 == 4) 16 else 0)
         val b = m.MediaBlob(id, "image/tiff", content)
         if (id % 7 == 0) b.copy(content = b.content.take(12)) else b
       }

@@ -213,6 +213,78 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("tiled TIFFs round-trip: none/LZW(±predictor 2)/PackBits, " +
+    "gray and RGB, edge tiles padded (dims not multiples of 16)") {
+    for {
+      (comp, pred) <- Seq((1, 1), (5, 1), (5, 2), (32773, 1))
+      gray <- Seq(true, false)
+      (w, h) <- Seq((19, 11), (33, 32), (16, 16))
+    } {
+      val rgb = gradientRgb(12L, w, h)
+      val t = Multimodal.tiffEncode(w, h, rgb, grayscale = gray,
+        compression = comp, predictor = pred, tileSize = 16)
+      val dec = Multimodal.decodeTiffPixels(t)
+      assert(dec.isDefined, s"comp=$comp pred=$pred gray=$gray $w x$h")
+      assert(dec.get._1 == w && dec.get._2 == h)
+      assert(java.util.Arrays.equals(dec.get._3, rgb),
+        s"comp=$comp pred=$pred gray=$gray $w x$h")
+    }
+  }
+
+  test("writer-independent tiled: ImageIO tiled LZW/PackBits TIFFs " +
+    "decode exact, and our tiled output reads back through ImageIO") {
+    val w = 37; val h = 29 // 3×2 tiles of 16, both edges padded
+    val rgb = gradientRgb(15L, w, h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) |
+          ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+      }
+    }
+    Seq("LZW", "PackBits").foreach { ctype =>
+      val wr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val param = wr.getDefaultWriteParam
+      param.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(ctype)
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(16, 16, 0, 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); wr.dispose()
+      val theirs = bos.toByteArray
+      val dec = Multimodal.decodeTiffPixels(theirs)
+      assert(dec.isDefined, s"ImageIO tiled $ctype stream must decode")
+      assert(dec.get._1 == w && dec.get._2 == h)
+      assert(java.util.Arrays.equals(dec.get._3, rgb),
+        s"ImageIO tiled $ctype")
+    }
+    Seq(Multimodal.tiffEncode(w, h, rgb, compression = 5,
+      tileSize = 16),
+      Multimodal.tiffEncode(w, h, rgb, compression = 5, predictor = 2,
+        tileSize = 16),
+      Multimodal.tiffEncode(w, h, rgb, compression = 32773,
+        tileSize = 32)).foreach { mine =>
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(mine))
+      assert(back != null && back.getWidth == w && back.getHeight == h)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val p = (y * w + x) * 3
+          val expect = ((rgb(p) & 0xff) << 16) |
+            ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff)
+          assert((back.getRGB(x, y) & 0xffffff) == expect, s"($x,$y)")
+        }
+      }
+    }
+  }
+
   test("resizeTiff floor-maps; hashes agree with a PNG of the same " +
     "pixels") {
     val w = 32; val h = 16
