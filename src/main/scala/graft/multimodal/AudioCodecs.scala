@@ -846,9 +846,11 @@ private[multimodal] trait AudioCodec extends Serializable {
 
   // ------------------------------------------------------------ ADTS
 
-  /** ISO 14496-3 Table 1.16 sampling-frequency indices */
-  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100,
-    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+  /** ISO 14496-3 Table 1.16 sampling-frequency indices (shared with
+    * the MP4 esds/AudioSpecificConfig read — same table, same spec)
+    */
+  private[multimodal] val AdtsRates = Array(96000, 88200, 64000,
+    48000, 44100, 32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
 
   private val BadAac =
     AacMeta(0L, -1, -1, -1, -1L, -1L, -1L, decode_ok = false)

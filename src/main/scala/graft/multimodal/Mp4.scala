@@ -21,6 +21,16 @@ case class Mp4Sample(media_id: Long, track_id: Int, sample_no: Int,
                      chunk_no: Int, offset: Long, size: Long,
                      keyframe: Boolean)
 
+/** Codec-layer audio facts for an `mp4a` track: the esds
+  * AudioSpecificConfig (object type / rate / channels) plus the
+  * sample table composed down to sliced access-unit payloads
+  * (`payload_sum` over the actual mdat bytes; one AU = 1024 PCM
+  * samples → exact duration).
+  */
+case class Mp4Aac(media_id: Long, object_type: Int, sample_rate: Int,
+                  channels: Int, n_frames: Long, payload_sum: Long,
+                  duration_ms: Long, decode_ok: Boolean)
+
 /** MP4 / ISO-BMFF: box walk (ftyp/mvhd/tkhd/stsd) and a genuine minimal writer.
   *
   * One slice of [[Multimodal]] (mixed in there; call sites use
@@ -28,6 +38,8 @@ case class Mp4Sample(media_id: Long, track_id: Int, sample_no: Int,
   * change.
   */
 private[multimodal] trait Mp4Codec extends Serializable {
+  this: AudioCodec => // esds AudioSpecificConfig shares the ISO
+  //                     14496-3 rate table with the ADTS walk
   // MP4 / ISO-BMFF: the metadata video leg. Y4M is an interchange
   // format; 100 TB crawl video is MP4/MOV. A box walk (ftyp brand,
   // moov/mvhd timescale+duration, trak/tkhd dims, stsd sample-entry
@@ -485,6 +497,255 @@ private[multimodal] trait Mp4Codec extends Serializable {
     }
     val all = ftyp ++ moovOf(mdatBase) ++ box("mdat", payload)
     MediaBlob(id, "video/mp4", all)
+  }
+
+  // ------------------------------------------------- mp4a composition
+
+  /** MP4 audio facts composed DOWN TO THE CODEC LAYER: the stsd
+    * `mp4a` AudioSampleEntry + its `esds` AudioSpecificConfig
+    * (ISO 14496-1 descriptor walk: base-128 expandable lengths,
+    * ES_Descriptor 0x03 → DecoderConfig 0x04 → DecSpecificInfo 0x05;
+    * the 2-byte ASC carries object type / rate index / channels —
+    * raw MP4 AAC samples are headerless, so this config IS the codec
+    * header ADTS would otherwise repeat per frame), joined with the
+    * [[parseMp4Samples]] sample table: each stsz/stsc/stco sample is
+    * one AAC access unit (1024 PCM samples), its payload SLICED from
+    * mdat and byte-summed so the oracle pins that the (offset, size)
+    * table reaches the actual bytes. duration = frames·1024/rate.
+    * Any malformation (no mp4a track, bad descriptor, sample past
+    * the buffer, rate index ≥ 13) → the sentinel row property.
+    */
+  def parseMp4Aac(id: Long, bytes: Array[Byte]): Mp4Aac = {
+    val n = bytes.length.toLong
+    val sentinel = Mp4Aac(id, -1, -1, -1, -1L, -1L, -1L,
+      decode_ok = false)
+    if (n < 8) return sentinel
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def u16(i: Int): Int =
+      ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def ascii(i: Int, len: Int): String =
+      new String(bytes, i, len, "US-ASCII")
+    var bad = false
+    def walk(start: Long, end: Long)(
+        f: (String, Long, Long) => Unit): Unit = {
+      var off = start
+      while (off < end && !bad) {
+        if (off + 8 > end) { bad = true; return }
+        var size = u32(off.toInt)
+        val typ = ascii(off.toInt + 4, 4)
+        var hdr = 8L
+        if (size == 1L) {
+          if (off + 16 > end) { bad = true; return }
+          size = u64(off.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = end - off
+        if (size < hdr || size > end - off) { bad = true; return }
+        f(typ, off + hdr, off + size)
+        off += size
+      }
+    }
+    // stsd → first mp4a entry → esds → AudioSpecificConfig
+    var ascAot = -1; var ascRateIdx = -1; var ascChannels = -1
+    def parseEsds(s: Long, e: Long): Unit = {
+      // full box: version/flags, then the descriptor chain
+      var p = s + 4
+      def tagLen(): (Int, Long) = { // (tag, payload length)
+        if (p + 2 > e) { bad = true; return (-1, 0L) }
+        val tag = bytes(p.toInt) & 0xff
+        p += 1
+        var len = 0L
+        var more = true
+        var k = 0
+        while (more && k < 4 && p < e) {
+          val b = bytes(p.toInt) & 0xff
+          len = (len << 7) | (b & 0x7f)
+          more = (b & 0x80) != 0
+          p += 1; k += 1
+        }
+        (tag, len)
+      }
+      val (t3, _) = tagLen()
+      if (bad || t3 != 0x03 || p + 3 > e) { bad = true; return }
+      val esFlags = bytes(p.toInt + 2) & 0xff
+      p += 3 // ES_ID + streamDependence/URL/OCR flags
+      if ((esFlags & 0x80) != 0) p += 2 // dependsOn_ES_ID
+      if ((esFlags & 0x40) != 0) {
+        if (p >= e) { bad = true; return }
+        p += 1 + (bytes(p.toInt) & 0xff) // URL
+      }
+      if ((esFlags & 0x20) != 0) p += 2 // OCR_ES_ID
+      val (t4, _) = tagLen()
+      if (bad || t4 != 0x04 || p + 13 > e) { bad = true; return }
+      p += 13 // objectTypeIndication..avgBitrate
+      val (t5, l5) = tagLen()
+      if (bad || t5 != 0x05 || l5 < 2 || p + 2 > e) { bad = true; return }
+      val b0 = bytes(p.toInt) & 0xff
+      val b1 = bytes(p.toInt + 1) & 0xff
+      ascAot = b0 >> 3
+      ascRateIdx = ((b0 & 7) << 1) | (b1 >> 7)
+      ascChannels = (b1 >> 3) & 0xf
+    }
+    walk(0L, n) { (t, s, e) =>
+      if (t == "moov") walk(s, e) { (t2, s2, e2) =>
+        if (t2 == "trak" && ascAot < 0) walk(s2, e2) { (t3, s3, e3) =>
+          if (t3 == "mdia") walk(s3, e3) { (t4, s4, e4) =>
+            if (t4 == "minf") walk(s4, e4) { (t5, s5, e5) =>
+              if (t5 == "stbl") walk(s5, e5) { (t6, s6, e6) =>
+                if (t6 == "stsd" && e6 - s6 >= 8 &&
+                  u32(s6.toInt + 4) >= 1L) {
+                  // first sample entry
+                  val entAt = s6 + 8
+                  if (entAt + 8 <= e6 &&
+                    ascii(entAt.toInt + 4, 4) == "mp4a") {
+                    val entEnd = entAt + u32(entAt.toInt)
+                    // AudioSampleEntry: 8 hdr + 28 fixed fields
+                    if (entEnd <= e6 && entAt + 36 <= entEnd) {
+                      walk(entAt + 36, entEnd) { (t7, s7, e7) =>
+                        if (t7 == "esds" && ascAot < 0)
+                          parseEsds(s7, e7)
+                      }
+                    } else bad = true
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (bad || ascAot < 0 || ascRateIdx < 0 ||
+      ascRateIdx >= AdtsRates.length || ascChannels <= 0)
+      return sentinel
+    val samples = parseMp4Samples(id, bytes)
+    if (samples.isEmpty) return sentinel
+    var paySum = 0L
+    var frames = 0L
+    samples.foreach { sm =>
+      if (sm.offset < 0 || sm.size < 0 || sm.offset + sm.size > n)
+        return sentinel
+      var i = sm.offset.toInt
+      val end = (sm.offset + sm.size).toInt
+      while (i < end) { paySum += bytes(i) & 0xff; i += 1 }
+      frames += 1
+    }
+    val rate = AdtsRates(ascRateIdx)
+    Mp4Aac(id, ascAot, rate, ascChannels, frames, paySum,
+      frames * 1024L * 1000L / rate, decode_ok = true)
+  }
+
+  /** Partition-wise mp4a composition over the blob column */
+  def mp4AacFacts(blobs: Dataset[MediaBlob]): Dataset[Mp4Aac] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseMp4Aac(b.media_id, b.content)))
+  }
+
+  /** Minimal but real MP4/AAC: an `mp4a` track whose esds carries the
+    * 2-byte AudioSpecificConfig and whose stsz/stsc/stco table lays
+    * `nFrames` id-derived raw AAC access units into mdat (4 samples
+    * per chunk). Same self-consistency contract as
+    * [[syntheticMp4WithSamples]].
+    */
+  def syntheticMp4Aac(id: Long, nFrames: Int, aot: Int, rateIdx: Int,
+                      channels: Int): MediaBlob = {
+    require(nFrames >= 1 && aot >= 1 && aot <= 31 &&
+      rateIdx >= 0 && rateIdx < AdtsRates.length &&
+      channels >= 1 && channels <= 7)
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val len = 8 + parts.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      parts.foreach(bb.put)
+      bb.array()
+    }
+    val sizes = Array.tabulate(nFrames)(k =>
+      24 + ((id * 11 + k * 17) % 48).toInt)
+    val spc = 4
+    val nChunks = (nFrames + spc - 1) / spc
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(12)
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("M4A ".getBytes("US-ASCII")).array())
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 80)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(1000).putInt(
+        (nFrames * 1024L * 1000L / AdtsRates(rateIdx)).toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort)
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte).put(7.toByte)
+      bb.putInt(0).putInt(0).putInt(1).putInt(0)
+      bb.putInt(0)
+      box("tkhd", bb.array())
+    }
+    val esds = box("esds", {
+      val asc0 = ((aot << 3) | (rateIdx >> 1)) & 0xff
+      val asc1 = (((rateIdx & 1) << 7) | (channels << 3)) & 0xff
+      java.nio.ByteBuffer.allocate(4 + 24)
+        .putInt(0) // version/flags
+        .put(0x03.toByte).put(22.toByte)          // ES_Descriptor
+        .putShort(1).put(0.toByte)                // ES_ID, flags
+        .put(0x04.toByte).put(17.toByte)          // DecoderConfig
+        //   (covers the nested DecSpecificInfo per 14496-1)
+        .put(0x40.toByte)                         // MPEG-4 Audio
+        .put(0x15.toByte)                         // audio stream
+        .put(0.toByte).put(0.toByte).put(0.toByte) // bufferSizeDB
+        .putInt(0).putInt(0)                      // max/avg bitrate
+        .put(0x05.toByte).put(2.toByte)           // DecSpecificInfo
+        .put(asc0.toByte).put(asc1.toByte)
+        .array()
+    })
+    val mp4aEntry = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 28 + esds.length)
+      bb.putInt(8 + 28 + esds.length)
+      bb.put("mp4a".getBytes("US-ASCII"))
+      bb.putInt(0).putShort(0)          // 6 reserved bytes
+      bb.putShort(1)                    // data_ref_index
+      bb.putLong(0L)                    // version/revision/vendor
+      bb.putShort(channels.toShort).putShort(16)
+      bb.putInt(0)                      // pre_defined + reserved
+      bb.putInt(AdtsRates(rateIdx) << 16)
+      bb.put(esds)
+      bb.array()
+    }
+    val stsd = box("stsd", java.nio.ByteBuffer.allocate(8)
+      .putInt(0).putInt(1).array(), mp4aEntry)
+    val stts = box("stts", java.nio.ByteBuffer.allocate(16)
+      .putInt(0).putInt(1).putInt(nFrames).putInt(1024).array())
+    val stsc = box("stsc", java.nio.ByteBuffer.allocate(8 + 12)
+      .putInt(0).putInt(1).putInt(1).putInt(spc).putInt(1).array())
+    val stsz = box("stsz", {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+      bb.putInt(0).putInt(0).putInt(nFrames)
+      sizes.foreach(bb.putInt)
+      bb.array()
+    })
+    def chunkOffsets(base: Long): Array[Long] =
+      Array.tabulate(nChunks)(c =>
+        base + sizes.take(c * spc).map(_.toLong).sum)
+    def stcoBox(base: Long): Array[Byte] = box("stco", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * nChunks)
+      bb.putInt(0).putInt(nChunks)
+      chunkOffsets(base).foreach(o => bb.putInt(o.toInt))
+      bb.array()
+    })
+    def moovOf(base: Long): Array[Byte] =
+      box("moov", box("mvhd", mvhd),
+        box("trak", tkhd, box("mdia", box("minf", box("stbl",
+          stsd, stts, stsc, stsz, stcoBox(base))))))
+    val mdatBase = ftyp.length + moovOf(0L).length + 8L
+    val payload = new Array[Byte](sizes.sum)
+    var p = 0
+    sizes.indices.foreach { k =>
+      (0 until sizes(k)).foreach { i =>
+        payload(p) = ((id * 37 + k * 13 + i) & 0xff).toByte; p += 1
+      }
+    }
+    val all = ftyp ++ moovOf(mdatBase) ++ box("mdat", payload)
+    MediaBlob(id, "audio/mp4", all)
   }
 
 }

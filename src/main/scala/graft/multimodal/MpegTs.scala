@@ -28,6 +28,7 @@ case class TsStream(media_id: Long, pid: Int, stream_type: Int,
   * Partition-wise over the blob column — blobs never shuffle.
   */
 private[multimodal] trait MpegTsCodec extends Serializable {
+  this: AudioCodec => // TS→ADTS composition reuses the parseAdts walk
 
   private val TsBad =
     TsStream(0L, -1, -1, -1L, -1L, -1L, -1L, -1L, ok = false)
@@ -52,13 +53,13 @@ private[multimodal] trait MpegTsCodec extends Serializable {
     crc
   }
 
-  def parseMpegTs(id: Long, bytes: Array[Byte]): Seq[TsStream] = {
-    def bad = Seq(TsBad.copy(media_id = id))
-    if (bytes.length < 188 || bytes(0) != 0x47) return bad
+  /** PSI pass shared by the inventory and the codec composition:
+    * PAT (PID 0) → PMT → (elementary PID → stream_type), CRC-gated.
+    * Empty map = structurally unusable.
+    */
+  private def tsEsTypes(bytes: Array[Byte])
+      : scala.collection.mutable.LinkedHashMap[Int, Int] = {
     val nPackets = bytes.length / 188
-
-    // pass 1: PSI — PAT then PMT (single-packet sections, the common
-    // segment layout; multi-packet PSI routes to the sentinel)
     var pmtPid = -1
     val esType = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
     def section(pkt: Int): Option[(Int, Int, Int)] = {
@@ -120,6 +121,14 @@ private[multimodal] trait MpegTsCodec extends Serializable {
       }
       k += 1
     }
+    esType
+  }
+
+  def parseMpegTs(id: Long, bytes: Array[Byte]): Seq[TsStream] = {
+    def bad = Seq(TsBad.copy(media_id = id))
+    if (bytes.length < 188 || bytes(0) != 0x47) return bad
+    val nPackets = bytes.length / 188
+    val esType = tsEsTypes(bytes)
     if (esType.isEmpty) return bad
 
     // pass 2: per-ES packet/PES/PTS/continuity sweep
@@ -127,7 +136,7 @@ private[multimodal] trait MpegTsCodec extends Serializable {
         var firstPts: Long = -1L, var lastPts: Long = -1L,
         var ccErr: Long = 0L, var lastCc: Int = -1)
     val acc = esType.map { case (pid, _) => pid -> new Acc() }
-    k = 0
+    var k = 0
     while (k < nPackets) {
       val base = k * 188
       if (bytes(base) == 0x47) {
@@ -277,6 +286,165 @@ private[multimodal] trait MpegTsCodec extends Serializable {
         pes(0xc0, ptsBase + k * ptsDelta + 1500))
       acc2 = (acc2 + 1) & 0x0f
       k += 1
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------ PES → ADTS/AAC
+
+  /** TS composed DOWN TO THE CODEC LAYER: find the ADTS-AAC
+    * elementary stream (PMT stream_type 0x0f), REASSEMBLE its PES
+    * payloads across TS packets (PES header stripped on each
+    * unit-start packet — 9 fixed bytes + header_data_length;
+    * continuation packets appended whole after adaptation-field
+    * skip), and run the [[parseAdts]] frame walk over the
+    * reconstructed elementary stream — frames, exact duration,
+    * profile/rate/channels, CRC-frame counts, all end-to-end from
+    * container bytes. The strict whole-stream ADTS contract applies
+    * unchanged: a byte lost anywhere in reassembly breaks the frame
+    * chain and routes to the sentinel.
+    */
+  def tsAudioAac(id: Long, bytes: Array[Byte]): AacMeta = {
+    val sentinel = AacMeta(id, -1, -1, -1, -1L, -1L, -1L,
+      decode_ok = false)
+    if (bytes.length < 188 || bytes(0) != 0x47) return sentinel
+    val esType = tsEsTypes(bytes)
+    val aacPid = esType.collectFirst { case (pid, 0x0f) => pid }
+      .getOrElse(return sentinel)
+    val nPackets = bytes.length / 188
+    val es = new java.io.ByteArrayOutputStream()
+    var sawPes = false
+    var k = 0
+    while (k < nPackets) {
+      val base = k * 188
+      if (bytes(base) != 0x47) return sentinel
+      val pid = ((bytes(base + 1) & 0x1f) << 8) | (bytes(base + 2) & 0xff)
+      if (pid == aacPid) {
+        val pusi = (bytes(base + 1) & 0x40) != 0
+        val afc = (bytes(base + 3) >> 4) & 3
+        if (afc == 1 || afc == 3) {
+          var p = base + 4
+          if (afc == 3) p += 1 + (bytes(p) & 0xff)
+          if (p > base + 188) return sentinel
+          if (pusi) {
+            // PES header: start code + stream_id + length + '10'
+            // flags + header_data_length, then the payload
+            if (p + 9 > base + 188 || bytes(p) != 0 ||
+              bytes(p + 1) != 0 || bytes(p + 2) != 1) return sentinel
+            val hdl = bytes(p + 8) & 0xff
+            p += 9 + hdl
+            if (p > base + 188) return sentinel
+            sawPes = true
+          }
+          if (sawPes) es.write(bytes, p, base + 188 - p)
+        }
+      }
+      k += 1
+    }
+    if (!sawPes) return sentinel
+    parseAdts(id, es.toByteArray)
+  }
+
+  /** Partition-wise TS→AAC composition over the blob column */
+  def tsAudioFrames(blobs: Dataset[MediaBlob]): Dataset[AacMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => tsAudioAac(b.media_id, b.content)))
+  }
+
+  /** TS capture whose audio PID carries a REAL ADTS stream
+    * ([[syntheticAdts]]'s, so the same frames/duration closed form
+    * holds after reassembly): the elementary stream is chopped into
+    * `pesChunk`-byte PES packets at arbitrary offsets (deliberately
+    * NOT frame-aligned) and each PES spans multiple TS packets via
+    * continuation (non-PUSI) packets — the reassembly itself is what
+    * a q-entry oracles. PAT/PMT CRC-correct as in [[syntheticMpegTs]];
+    * one H.264 PID keeps the PMT heterogeneous.
+    */
+  def syntheticMpegTsAac(id: Long, frames: Int, profile: Int,
+                         rateIdx: Int, channels: Int,
+                         pesChunk: Int = 300): Array[Byte] = {
+    val adts = syntheticAdts(id, frames, profile, rateIdx,
+      channels).content
+    val out = new java.io.ByteArrayOutputStream()
+    def packet(pid: Int, cc: Int, pusi: Boolean,
+               payload: Array[Byte], off: Int, len: Int): Unit = {
+      val pkt = new Array[Byte](188)
+      pkt(0) = 0x47
+      pkt(1) = (((if (pusi) 0x40 else 0) | (pid >> 8)) & 0xff).toByte
+      pkt(2) = (pid & 0xff).toByte
+      if (len < 184) {
+        val afLen = 184 - len - 1
+        pkt(3) = (0x30 | cc).toByte
+        pkt(4) = afLen.toByte
+        if (afLen > 0) {
+          pkt(5) = 0
+          java.util.Arrays.fill(pkt, 6, 6 + afLen - 1, 0xff.toByte)
+        }
+        System.arraycopy(payload, off, pkt, 188 - len, len)
+      } else {
+        pkt(3) = (0x10 | cc).toByte
+        System.arraycopy(payload, off, pkt, 4, 184)
+      }
+      out.write(pkt)
+    }
+    def psi(tableId: Int, body: Array[Byte]): Array[Byte] = {
+      val secLen = 5 + body.length + 4
+      val sec = new Array[Byte](3 + secLen)
+      sec(0) = tableId.toByte
+      sec(1) = (0xb0 | ((secLen >> 8) & 0x0f)).toByte
+      sec(2) = (secLen & 0xff).toByte
+      sec(3) = 0; sec(4) = 1
+      sec(5) = 0xc1.toByte
+      sec(6) = 0; sec(7) = 0
+      System.arraycopy(body, 0, sec, 8, body.length)
+      val crc = crc32Mpeg(sec, 0, sec.length - 4)
+      sec(sec.length - 4) = ((crc >> 24) & 0xff).toByte
+      sec(sec.length - 3) = ((crc >> 16) & 0xff).toByte
+      sec(sec.length - 2) = ((crc >> 8) & 0xff).toByte
+      sec(sec.length - 1) = (crc & 0xff).toByte
+      Array[Byte](0) ++ sec
+    }
+    def psiPacket(pid: Int, sec: Array[Byte]): Unit =
+      packet(pid, 0, pusi = true, sec, 0, sec.length)
+    psiPacket(0, psi(0, Array[Byte](0, 1, (0xe0 | 1).toByte, 0x00)))
+    psiPacket(0x100,
+      psi(2, Array[Byte]((0xe0 | 1).toByte, 0x01, 0xf0.toByte, 0) ++
+        Array[Byte](0x1b, (0xe0 | 1).toByte, 0x01, 0xf0.toByte, 0) ++
+        Array[Byte](0x0f, (0xe0 | 1).toByte, 0x02, 0xf0.toByte, 0)))
+    // one token video PES keeps PID 0x101 alive in the inventory
+    val vPes = Array[Byte](0, 0, 1, 0xe0.toByte, 0, 8,
+      0x80.toByte, 0x00, 0x00, 1, 2, 3, 4, 5)
+    packet(0x101, 0, pusi = true, vPes, 0, vPes.length)
+    // audio: ADTS chopped into PES units at arbitrary offsets
+    var cc = 0
+    var at = 0
+    var pts = 90000L
+    while (at < adts.length) {
+      val chunk = math.min(pesChunk, adts.length - at)
+      val pes = new Array[Byte](14 + chunk)
+      pes(0) = 0; pes(1) = 0; pes(2) = 1; pes(3) = 0xc0.toByte
+      val len = pes.length - 6
+      pes(4) = ((len >> 8) & 0xff).toByte; pes(5) = (len & 0xff).toByte
+      pes(6) = 0x80.toByte
+      pes(7) = 0x80.toByte
+      pes(8) = 5
+      pes(9) = (0x21 | (((pts >> 30) & 7) << 1)).toByte
+      pes(10) = ((pts >> 22) & 0xff).toByte
+      pes(11) = (0x01 | (((pts >> 15) & 0x7f) << 1)).toByte
+      pes(12) = ((pts >> 7) & 0xff).toByte
+      pes(13) = (0x01 | ((pts & 0x7f) << 1)).toByte
+      System.arraycopy(adts, at, pes, 14, chunk)
+      var o = 0
+      var first = true
+      while (o < pes.length) {
+        val n = math.min(184, pes.length - o)
+        packet(0x102, cc, pusi = first, pes, o, n)
+        cc = (cc + 1) & 0x0f
+        first = false
+        o += n
+      }
+      at += chunk
+      pts += 1920 // ~21ms at 90 kHz, inert for the walk
     }
     out.toByteArray
   }

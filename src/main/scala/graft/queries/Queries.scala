@@ -266,7 +266,8 @@ object Queries
     "q208_adts_frames" -> (q208 _),
     "q209_doc_dispatch" -> (q209 _),
     "q210_tiff_quality" -> (q210 _),
-    "q211_vp8_foreign" -> (q211 _)
+    "q211_vp8_foreign" -> (q211 _),
+    "q212_container_audio" -> (q212 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -663,7 +664,8 @@ object Queries
     "q208_adts_frames" -> q208Sql,
     "q209_doc_dispatch" -> q209Sql,
     "q210_tiff_quality" -> q210Sql,
-    "q211_vp8_foreign" -> q211Sql
+    "q211_vp8_foreign" -> q211Sql,
+    "q212_container_audio" -> q212Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

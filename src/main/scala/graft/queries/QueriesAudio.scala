@@ -1110,4 +1110,99 @@ private[queries] trait QueriesAudio { this: Queries.type =>
       |  CAST(-1 AS BIGINT), FALSE
       | FROM p WHERE bad)
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q212
+  // CONTAINER → CODEC composition under the oracle: q195/q207 stop at
+  // the container layer (sample tables, PES counts); this drives both
+  // containers down to codec rows in one mixed column. Even ids are
+  // MP4/mp4a — the esds AudioSpecificConfig is read (object type,
+  // rate index split across the 2-byte ASC, channels) and every
+  // stsz/stsc/stco sample payload is SLICED from mdat and byte-summed
+  // (the oracle replays the id-derived byte formula, proving the
+  // (offset, size) table reaches the actual bytes). Odd ids are
+  // MPEG-TS whose audio PID carries a REAL ADTS stream chopped into
+  // non-frame-aligned PES units spanning continuation TS packets —
+  // tsAudioAac reassembles the elementary stream and q208's frame
+  // walk must recover the exact frames/duration/CRC tallies of the
+  // bare stream. Every 9th blob truncated → sentinel row property.
+  private[queries] def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    t(s, dir, "documents").filter($"doc_id" < 200)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        if (id % 2 == 0) {
+          val blob = m.syntheticMp4Aac(id, nFrames = 4 + (id % 7).toInt,
+            aot = 2, rateIdx = (id % 13).toInt,
+            channels = 1 + (id % 3).toInt)
+          val bytes =
+            if (id % 9 == 0) blob.content.take(60) else blob.content
+          val a = m.parseMp4Aac(id, bytes)
+          (id, "mp4", a.object_type, a.sample_rate, a.channels,
+            a.n_frames, a.duration_ms, a.payload_sum, a.decode_ok)
+        } else {
+          val full = m.syntheticMpegTsAac(id, frames = 3 + (id % 6).toInt,
+            profile = (id % 4).toInt, rateIdx = (id % 13).toInt,
+            channels = 1 + (id % 7).toInt,
+            pesChunk = 97 + (id % 5).toInt * 73)
+          val bytes = if (id % 9 == 0) full.take(100) else full
+          val a = m.tsAudioAac(id, bytes)
+          (id, "ts", a.profile, a.sample_rate, a.channels, a.frames,
+            a.duration_ms, a.crc_frames, a.decode_ok)
+        }
+      }
+      .toDF("media_id", "container", "profile", "sample_rate",
+        "channels", "frames", "duration_ms", "extra", "decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q212Sql =
+    """WITH p AS (
+      | SELECT doc_id, doc_id % 2 = 0 AS mp4, doc_id % 9 = 0 AS bad,
+      |  CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 7
+      |       ELSE 3 + doc_id % 6 END AS n,
+      |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE doc_id % 4 END AS pf,
+      |  doc_id % 13 AS ri,
+      |  CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+      |       ELSE 1 + doc_id % 7 END AS ch
+      | FROM documents WHERE doc_id < 200),
+      |r AS (
+      | SELECT p.*, CASE ri WHEN 0 THEN 96000 WHEN 1 THEN 88200
+      |  WHEN 2 THEN 64000 WHEN 3 THEN 48000 WHEN 4 THEN 44100
+      |  WHEN 5 THEN 32000 WHEN 6 THEN 24000 WHEN 7 THEN 22050
+      |  WHEN 8 THEN 16000 WHEN 9 THEN 12000 WHEN 10 THEN 11025
+      |  WHEN 11 THEN 8000 ELSE 7350 END AS rate
+      | FROM p),
+      |mp4sum AS (
+      | SELECT r.doc_id, SUM((r.doc_id * 37 + k.k * 13 + i.i) % 256)
+      |  AS psum
+      | FROM r,
+      |  unnest(generate_series(0, CAST(r.n - 1 AS BIGINT))) k(k),
+      |  unnest(generate_series(0,
+      |    CAST(24 + (r.doc_id * 11 + k.k * 17) % 48 - 1 AS BIGINT)))
+      |    i(i)
+      | WHERE r.mp4 AND NOT r.bad
+      | GROUP BY r.doc_id)
+      |SELECT media_id, container, profile, sample_rate, channels,
+      | frames, duration_ms, extra, decode_ok
+      |FROM (
+      | SELECT r.doc_id AS media_id,
+      |  CASE WHEN r.mp4 THEN 'mp4' ELSE 'ts' END AS container,
+      |  CAST(r.pf AS INT) AS profile,
+      |  CAST(r.rate AS INT) AS sample_rate,
+      |  CAST(r.ch AS INT) AS channels,
+      |  CAST(r.n AS BIGINT) AS frames,
+      |  CAST(r.n * 1024 * 1000 // r.rate AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN r.mp4 THEN m.psum
+      |       ELSE (r.n + 2) // 3 END AS BIGINT) AS extra,
+      |  TRUE AS decode_ok
+      | FROM r LEFT JOIN mp4sum m ON r.doc_id = m.doc_id
+      | WHERE NOT r.bad
+      | UNION ALL
+      | SELECT doc_id,
+      |  CASE WHEN mp4 THEN 'mp4' ELSE 'ts' END,
+      |  CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS INT),
+      |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  FALSE
+      | FROM p WHERE bad)
+      |ORDER BY media_id""".stripMargin
 }

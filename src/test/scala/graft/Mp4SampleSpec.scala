@@ -118,4 +118,40 @@ class Mp4SampleSpec extends AnyFunSuite {
     assert(rows.length == 5 * 12)
     assert(!rows.exists(_.media_id == 4L))
   }
+
+  test("parseMp4Aac composes esds AudioSpecificConfig + sample table " +
+    "down to codec rows: frames, exact duration, sliced payload sum") {
+    val id = 9L
+    val blob = Multimodal.syntheticMp4Aac(id, nFrames = 10, aot = 2,
+      rateIdx = 4, channels = 2) // 44100
+    val a = Multimodal.parseMp4Aac(id, blob.content)
+    assert(a.decode_ok)
+    assert(a.object_type == 2 && a.sample_rate == 44100 &&
+      a.channels == 2 && a.n_frames == 10L)
+    assert(a.duration_ms == 10L * 1024 * 1000 / 44100)
+    // payload sum replays the writer's id-derived byte formula
+    var expect = 0L
+    (0 until 10).foreach { k =>
+      val sz = 24 + ((id * 11 + k * 17) % 48).toInt
+      (0 until sz).foreach(i => expect += (id * 37 + k * 13 + i) & 0xff)
+    }
+    assert(a.payload_sum == expect)
+    // odd rate index exercises the ASC bit split across bytes
+    val b7 = Multimodal.syntheticMp4Aac(3L, 5, aot = 2, rateIdx = 7,
+      channels = 1) // 22050
+    val a7 = Multimodal.parseMp4Aac(3L, b7.content)
+    assert(a7.decode_ok && a7.sample_rate == 22050 && a7.channels == 1)
+    // malformations: truncation, a video-only MP4, a bad rate index
+    assert(!Multimodal.parseMp4Aac(id,
+      blob.content.take(60)).decode_ok)
+    assert(!Multimodal.parseMp4Aac(id,
+      Multimodal.syntheticMp4WithSamples(id).content).decode_ok)
+    val badRate = blob.content.clone()
+    // find the 2-byte ASC right after the 0x05 0x02 descriptor header
+    val at = (0 until badRate.length - 4).find(i =>
+      badRate(i) == 0x05 && badRate(i + 1) == 0x02).get
+    badRate(at + 2) = ((2 << 3) | (14 >> 1)).toByte // rateIdx 14
+    badRate(at + 3) = (((14 & 1) << 7) | (2 << 3)).toByte
+    assert(!Multimodal.parseMp4Aac(id, badRate).decode_ok)
+  }
 }

@@ -59,4 +59,39 @@ class MpegTsSpec extends AnyFunSuite {
     assert(bad.length == 1 && !bad.head.ok)
     assert(Multimodal.parseMpegTs(4L, ts.take(100)).head.ok == false)
   }
+
+  test("tsAudioAac reassembles PES payloads into the elementary " +
+    "stream and the ADTS walk yields the same facts as the bare " +
+    "stream — PES chunks deliberately not frame-aligned") {
+    val id = 6L
+    Seq(97, 300, 184, 1000).foreach { pesChunk =>
+      val ts = Multimodal.syntheticMpegTsAac(id, frames = 9,
+        profile = 1, rateIdx = 3, channels = 2, pesChunk = pesChunk)
+      val a = Multimodal.tsAudioAac(id, ts)
+      assert(a.decode_ok, s"pesChunk=$pesChunk")
+      val bare = Multimodal.parseAdts(id,
+        Multimodal.syntheticAdts(id, 9, 1, 3, 2).content)
+      assert(a == bare.copy(media_id = id), s"pesChunk=$pesChunk")
+      assert(a.frames == 9L && a.sample_rate == 48000)
+    }
+    // the inventory still sees both PIDs on the same capture
+    val ts = Multimodal.syntheticMpegTsAac(id, 9, 1, 3, 2)
+    val inv = Multimodal.parseMpegTs(id, ts)
+    assert(inv.map(_.stream_type).toSet == Set(0x1b, 0x0f))
+    // malformations route to the sentinel: a lost audio TS packet
+    // breaks the ADTS chain; a video-only capture has no AAC PID
+    val dropped = {
+      val nPkts = ts.length / 188
+      val audioPkts = (0 until nPkts).filter { k =>
+        val pid = ((ts(k * 188 + 1) & 0x1f) << 8) | (ts(k * 188 + 2) & 0xff)
+        pid == 0x102
+      }
+      val cut = audioPkts(audioPkts.length / 2)
+      ts.take(cut * 188) ++ ts.drop((cut + 1) * 188)
+    }
+    assert(!Multimodal.tsAudioAac(id, dropped).decode_ok)
+    val videoOnly = Multimodal.syntheticMpegTs(id, videoPes = 3,
+      audioPes = 0, ptsBase = 0L, ptsDelta = 3000L)
+    assert(!Multimodal.tsAudioAac(id, videoOnly).decode_ok)
+  }
 }
