@@ -429,8 +429,8 @@ private[multimodal] trait Vp8Codec extends Serializable {
   // ------------------------------------------------------ token layer
 
   /** §14.1 per-segment dequantization factors (the second-stage
-    * factors are the spec's; the base lookups are [[Vp8Tables]]'
-    * documented seam formulas)
+    * factors are the spec's; the base lookups are RFC 6386 §14.1's
+    * literal tables via [[Vp8Tables]])
     */
   final case class Vp8Quant(
       y1dc: Int, y1ac: Int, y2dc: Int, y2ac: Int, uvdc: Int, uvac: Int)
@@ -622,7 +622,7 @@ private[multimodal] trait Vp8Codec extends Serializable {
 
     d.literal(1) // refresh entropy probs (keyframe: state is per-frame)
 
-    // §13.4 coefficient probability updates over the seam defaults
+    // §13.4 coefficient probability updates over the §13.5 defaults
     val probs = Array.tabulate(4, 8, 3, 11)((p, b, c, i) =>
       DefaultCoefProbs(p)(b)(c)(i))
     var p4 = 0
@@ -1351,8 +1351,8 @@ private[multimodal] trait Vp8Codec extends Serializable {
 
   /** Deterministic lossy-WebP fixture with EXACTLY replayable pixels:
     * flat macroblocks whose values chain through DC/V/H prediction
-    * plus a per-MB Y2-DC offset. At qIndex 0 the seam quantizers give
-    * y2dc = 8, and a Y2 DC level of 8·o reconstructs (per §14.4 then
+    * plus a per-MB Y2-DC offset. At qIndex 0 the §14.1 quantizers give
+    * y2dc = 8 (dc_qlookup(0) = 4, doubled), and a Y2 DC level of 8·o reconstructs (per §14.4 then
     * §14.3 DC paths) to a uniform luma offset of exactly o — so the
     * decoded image is `y(x,y) = 128 + Σ offsets along the (0,0)→
     * (0,my)→(mx,my) prediction path`, chroma exactly 128 (r=g=b=y),

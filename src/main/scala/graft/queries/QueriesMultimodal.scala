@@ -2032,7 +2032,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // through the full RFC 6386 keyframe decoder (bool coder, mode
   // trees, token trees, WHT+IDCT, DC/V/H prediction chains). The
   // fixture's per-MB Y2-DC offsets reconstruct to EXACT closed-form
-  // flat macroblocks (Vp8.scala syntheticWebpLossyFlat: at seam qi=0,
+  // flat macroblocks (Vp8.scala syntheticWebpLossyFlat: at qi=0,
   // a Y2 level of 8·o is a uniform luma offset of exactly o), and
   // every even id is a PNG of the SAME closed-form pixels — so one
   // generator formula oracles both containers and any lossy-decode
