@@ -546,8 +546,11 @@ private[multimodal] trait Mp4Codec extends Serializable {
         off += size
       }
     }
-    // stsd → first mp4a entry → esds → AudioSpecificConfig
+    // stsd → first mp4a entry → esds → AudioSpecificConfig; the
+    // owning trak's tkhd id scopes the sample table to the AUDIO
+    // track (a real capture carries a video trak in the same moov)
     var ascAot = -1; var ascRateIdx = -1; var ascChannels = -1
+    var audioTrackId = -1
     def parseEsds(s: Long, e: Long): Unit = {
       // full box: version/flags, then the descriptor chain
       var p = s + 4
@@ -589,36 +592,51 @@ private[multimodal] trait Mp4Codec extends Serializable {
     }
     walk(0L, n) { (t, s, e) =>
       if (t == "moov") walk(s, e) { (t2, s2, e2) =>
-        if (t2 == "trak" && ascAot < 0) walk(s2, e2) { (t3, s3, e3) =>
-          if (t3 == "mdia") walk(s3, e3) { (t4, s4, e4) =>
-            if (t4 == "minf") walk(s4, e4) { (t5, s5, e5) =>
-              if (t5 == "stbl") walk(s5, e5) { (t6, s6, e6) =>
-                if (t6 == "stsd" && e6 - s6 >= 8 &&
-                  u32(s6.toInt + 4) >= 1L) {
-                  // first sample entry
-                  val entAt = s6 + 8
-                  if (entAt + 8 <= e6 &&
-                    ascii(entAt.toInt + 4, 4) == "mp4a") {
-                    val entEnd = entAt + u32(entAt.toInt)
-                    // AudioSampleEntry: 8 hdr + 28 fixed fields
-                    if (entEnd <= e6 && entAt + 36 <= entEnd) {
-                      walk(entAt + 36, entEnd) { (t7, s7, e7) =>
-                        if (t7 == "esds" && ascAot < 0)
-                          parseEsds(s7, e7)
+        if (t2 == "trak" && ascAot < 0) {
+          var trakId = -1
+          var sawMp4a = false
+          walk(s2, e2) { (t3, s3, e3) =>
+            t3 match {
+              case "tkhd" if e3 - s3 >= 24 =>
+                val ver = bytes(s3.toInt) & 0xff
+                val at = if (ver == 1) s3 + 20 else s3 + 12
+                if (at + 4 <= e3) trakId = u32(at.toInt).toInt
+              case "mdia" => walk(s3, e3) { (t4, s4, e4) =>
+                if (t4 == "minf") walk(s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walk(s5, e5) { (t6, s6, e6) =>
+                    if (t6 == "stsd" && e6 - s6 >= 8 &&
+                      u32(s6.toInt + 4) >= 1L) {
+                      // first sample entry
+                      val entAt = s6 + 8
+                      if (entAt + 8 <= e6 &&
+                        ascii(entAt.toInt + 4, 4) == "mp4a") {
+                        sawMp4a = true
+                        val entEnd = entAt + u32(entAt.toInt)
+                        // AudioSampleEntry: 8 hdr + 28 fixed fields
+                        if (entEnd <= e6 && entAt + 36 <= entEnd) {
+                          walk(entAt + 36, entEnd) { (t7, s7, e7) =>
+                            if (t7 == "esds" && ascAot < 0)
+                              parseEsds(s7, e7)
+                          }
+                        } else bad = true
                       }
-                    } else bad = true
+                    }
                   }
                 }
               }
+              case _ =>
             }
           }
+          if (sawMp4a && ascAot >= 0) audioTrackId = trakId
         }
       }
     }
     if (bad || ascAot < 0 || ascRateIdx < 0 ||
-      ascRateIdx >= AdtsRates.length || ascChannels <= 0)
+      ascRateIdx >= AdtsRates.length || ascChannels <= 0 ||
+      audioTrackId < 0)
       return sentinel
     val samples = parseMp4Samples(id, bytes)
+      .filter(_.track_id == audioTrackId)
     if (samples.isEmpty) return sentinel
     var paySum = 0L
     var frames = 0L
@@ -644,11 +662,15 @@ private[multimodal] trait Mp4Codec extends Serializable {
   /** Minimal but real MP4/AAC: an `mp4a` track whose esds carries the
     * 2-byte AudioSpecificConfig and whose stsz/stsc/stco table lays
     * `nFrames` id-derived raw AAC access units into mdat (4 samples
-    * per chunk). Same self-consistency contract as
+    * per chunk). With `withVideoTrack` a second avc1 trak (id 2) and
+    * its own sample table share the mdat — the real-capture shape
+    * whose video samples [[parseMp4Aac]] must NOT count as AAC
+    * frames. Same self-consistency contract as
     * [[syntheticMp4WithSamples]].
     */
   def syntheticMp4Aac(id: Long, nFrames: Int, aot: Int, rateIdx: Int,
-                      channels: Int): MediaBlob = {
+                      channels: Int,
+                      withVideoTrack: Boolean = false): MediaBlob = {
     require(nFrames >= 1 && aot >= 1 && aot <= 31 &&
       rateIdx >= 0 && rateIdx < AdtsRates.length &&
       channels >= 1 && channels <= 7)
@@ -732,17 +754,65 @@ private[multimodal] trait Mp4Codec extends Serializable {
       chunkOffsets(base).foreach(o => bb.putInt(o.toInt))
       bb.array()
     })
-    def moovOf(base: Long): Array[Byte] =
-      box("moov", box("mvhd", mvhd),
+    // optional avc1 trak (id 2): its samples land AFTER the audio
+    // payload in the shared mdat
+    val vSizes = Array.tabulate(6)(k => 10 + ((id + k) % 9).toInt)
+    def videoTrak(base: Long): Array[Byte] = {
+      val vtkhd = {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.put(0.toByte).put(0.toByte).put(0.toByte).put(7.toByte)
+        bb.putInt(0).putInt(0).putInt(2).putInt(0)
+        bb.putInt(0)
+        bb.position(bb.position() + 48)
+        bb.putInt(32 << 16).putInt(16 << 16)
+        box("tkhd", bb.array())
+      }
+      val vstsd = box("stsd", java.nio.ByteBuffer.allocate(8)
+        .putInt(0).putInt(1).array(),
+        java.nio.ByteBuffer.allocate(16).putInt(16)
+          .put("avc1".getBytes("US-ASCII")).putInt(0).putInt(0)
+          .array())
+      val vstts = box("stts", java.nio.ByteBuffer.allocate(16)
+        .putInt(0).putInt(1).putInt(vSizes.length).putInt(100).array())
+      val vstsc = box("stsc", java.nio.ByteBuffer.allocate(8 + 12)
+        .putInt(0).putInt(1).putInt(1).putInt(3).putInt(1).array())
+      val vstsz = box("stsz", {
+        val bb = java.nio.ByteBuffer.allocate(12 + 4 * vSizes.length)
+        bb.putInt(0).putInt(0).putInt(vSizes.length)
+        vSizes.foreach(bb.putInt)
+        bb.array()
+      })
+      val vChunks = (vSizes.length + 2) / 3
+      val vstco = box("stco", {
+        val bb = java.nio.ByteBuffer.allocate(8 + 4 * vChunks)
+        bb.putInt(0).putInt(vChunks)
+        (0 until vChunks).foreach(c => bb.putInt(
+          (base + vSizes.take(c * 3).map(_.toLong).sum).toInt))
+        bb.array()
+      })
+      box("trak", vtkhd, box("mdia", box("minf", box("stbl",
+        vstsd, vstts, vstsc, vstsz, vstco))))
+    }
+    def moovOf(base: Long): Array[Byte] = {
+      val audioTrak =
         box("trak", tkhd, box("mdia", box("minf", box("stbl",
-          stsd, stts, stsc, stsz, stcoBox(base))))))
+          stsd, stts, stsc, stsz, stcoBox(base)))))
+      if (withVideoTrack)
+        box("moov", box("mvhd", mvhd), audioTrak,
+          videoTrak(base + sizes.map(_.toLong).sum))
+      else box("moov", box("mvhd", mvhd), audioTrak)
+    }
     val mdatBase = ftyp.length + moovOf(0L).length + 8L
-    val payload = new Array[Byte](sizes.sum)
+    val vTotal = if (withVideoTrack) vSizes.sum else 0
+    val payload = new Array[Byte](sizes.sum + vTotal)
     var p = 0
     sizes.indices.foreach { k =>
       (0 until sizes(k)).foreach { i =>
         payload(p) = ((id * 37 + k * 13 + i) & 0xff).toByte; p += 1
       }
+    }
+    while (p < payload.length) {
+      payload(p) = ((id * 5 + p) & 0xff).toByte; p += 1
     }
     val all = ftyp ++ moovOf(mdatBase) ++ box("mdat", payload)
     MediaBlob(id, "audio/mp4", all)

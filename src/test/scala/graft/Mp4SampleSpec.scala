@@ -141,6 +141,16 @@ class Mp4SampleSpec extends AnyFunSuite {
       channels = 1) // 22050
     val a7 = Multimodal.parseMp4Aac(3L, b7.content)
     assert(a7.decode_ok && a7.sample_rate == 22050 && a7.channels == 1)
+    // a video trak in the same moov must NOT leak into the AAC
+    // facts: identical rows with and without it (track-id scoping)
+    val mixed = Multimodal.syntheticMp4Aac(id, 10, 2, 4, 2,
+      withVideoTrack = true)
+    val am = Multimodal.parseMp4Aac(id, mixed.content)
+    assert(am == a)
+    // ...and the sample table does see both tracks
+    val tracks = Multimodal.parseMp4Samples(id, mixed.content)
+      .map(_.track_id).toSet
+    assert(tracks == Set(1, 2))
     // malformations: truncation, a video-only MP4, a bad rate index
     assert(!Multimodal.parseMp4Aac(id,
       blob.content.take(60)).decode_ok)
