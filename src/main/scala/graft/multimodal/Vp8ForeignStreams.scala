@@ -66,4 +66,78 @@ object Vp8ForeignStreams {
       86359L, "80e08bc3ea7e9b15b6896375f35b208c",
       "b2732fae0080fd25aea00192470a19ba", "ea7919ea74021487b8e578467d956c75")
   )
+
+  /** Foreign LOSSLESS (VP8L) conformance streams — the second half of
+    * the WebP story: independent-encoder lossless output exercises
+    * the predictor/color/subtract-green transforms, meta prefix
+    * groups, color cache, LZ77 and normal (code-length-coded) prefix
+    * codes — including the kCodeLengthCodeOrder placement of the
+    * repeat-previous symbol that only foreign streams can catch
+    * (self-consistent encoders mask it). Lossless decode is
+    * bit-exact RGB, so each fixture carries the source RGB's sum and
+    * MD5 (the encode input IS the expected decode output).
+    */
+  final case class LosslessFx(w: Int, h: Int, webpB64: String,
+      rgbSum: Long, rgbMd5: String)
+
+  val lossless: IndexedSeq[LosslessFx] = IndexedSeq(
+    LosslessFx(64, 48,
+      "UklGRs4EAABXRUJQVlA4TMIEAAAvP8ALAE2ISRP22z+0CSL6n7oXZtq2MYSeO8sf3TQIQ6Go" +
+      "kaSoBHD0iyAC/8oQwKiNJEe1OV2CEPmjOQSnATDa175W/U9lLfKqwjmEn49Q0bk+b4EMX/0I" +
+      "Lx+DlxOPGoI+nYEuASADMFn0A0BNALKHjrZtyx7lmf9PgsNohWvLX45blZJd0LKUWQ7u7u7u" +
+      "7hL3ZP583wbOCvuKr8JhXBYwpMoiHnwBaTncISngWNueWHkn+XMv7u7uVjkd+2BLrAP2QOdU" +
+      "7lC6uyT5Z+DItm3amucWv23bjGy25vft/8i2zch4ti+CgdtGiqZ70MHlRxxtS0PIfMI4MnOt" +
+      "6c/M55w/Mx/Qz8w8urgkHJkdImfmCpeXmc+rPzOPLivJzMvLbnN3riA3M0+uqM7MJ7wjMweE" +
+      "ELmqnhNvVYWTOz2TBAAEAgAAAhsAAELp9KI9qQCFDKbrn8lSGk7T8sx8TnyZebY9QB9JrKzs" +
+      "Qp8ma67mFl1GQ48m8T1WxQGVLlSce3eALlGxUsbRl8Wov5wkSsPCuJSq/mlcygyrb1xdQmt6" +
+      "WvxiMblo2X5cvLOFm8/vcGajHzd/gVYmcLMBLwc/bn69wsaycrQK87BlBbR6JXQiABGQJZEu" +
+      "ADAXBqWgEwCISBRSivrU3k70+WpczQm6/krst3piBF0i4+x30IeEgwFdGVhZNYA+DFz55UAf" +
+      "oHsadImFDzClMhKKV78tkAAgAlFE4WSHwKqVioOMjI6cip5cHANi4J+wMPBvVBwsOv5Bj4vj" +
+      "QxwcdLUOlTGAgQ5k9Pg4BtSg2kFgBuVb9YmM3SUlAsyajUxkoWoAfhJIJezhR4+vMaQudG+y" +
+      "jQayoMmFSxtoSKISn6zsGsCQGjjY6/gdZ0+sqA1hYHP5DBZw9e4JGiJTvQ3YSsVaKeQnQSUA" +
+      "ImVeQfgAAFBtQ4W5/QXt+/ULvbh504+XP/24+eQKGyfVQKM10I0tywFxh9Zgv2/dfHqDVn8T" +
+      "FpfkotXfj4tPt3DzzR3OWlzEzUdX6MSe5hGLAN9OO1F7BADCY77gfVtto9rKXpyLIqalfvrq" +
+      "Dw0DVo4N1AzhxaU7z4I3Q1DTPZ+JBh3o8aWCijAMlYCrj09UGoD1/ROYwdlrK9g2NfnJ1vMA" +
+      "zEYBRZEqcJZ8bwOANm7DWbu1h+Pam3BkZREuuj7H0lw+1teO4dWgBIKbowMvEsdil4tXgxov" +
+      "cIZrE6W2F70Xl9/t4UiXjVbai6XkU0/zVcg5+gCmvfeqbQglrGj73i6uhdr7AQBQP7J/goYo" +
+      "6G5YwFBq4NbnKxwQvFvpEmgkGTjY6jggqHXD3Qr/NkwG8+ure9EQGffGEwxlxtZJAYnMRTFt" +
+      "J3ob/QAAWAQYAHQA7oJCzt2neASgBmAGP4AKvB0CgwBAfVx7EQ6ryMRTN8tY7PKxuHYML4cg" +
+      "bn57xmP+CYtz4OUo4bCmErz8X4xHX/biXfC8zU5a0osjJb8MNQs1kTLfXqLC7u2fBOlTXKrq" +
+      "HUrCbBQCePbKiQ4HVlYNYAbDjzuYqTi1YQFDCehRmW0NEmzrePap9Sfg2JoyDCWtzL/lV8gZ" +
+      "qh04pBAA7MAQAAALQYKFwIMZnARAROID5najPfWPgeB0mPZiNrFqDlOyRDU/CSRz+wE=",
+      1219298L, "a0468f6e39ff7f33e3065e2d528e98ba"),
+    LosslessFx(48, 40,
+      "UklGRugDAABXRUJQVlA4TNsDAAAvL8AJAE2ISRP227+zDSL6n3oLRpEkKSoJS08q/+qWDqSw" +
+      "aSTJUUEYXWwhHH9YF91bsW0kSdEc360uCMw/JjTh13q7/0GIcA1zmPITzLeDq8RqbCIpzC74" +
+      "H5Egf3V1Xw90EbHU/SMAgJbW0HW1bZHkvEPVvbuGjsyMGbMjR9aEc6kTbmRmZg6Zl2Eoaqiq" +
+      "K3iSV2/mUZlrzI68kRl/yYJkW3va5v2yReHSnJk20FG30x12AzjkjjItM0n+I8O1bdvYs/b5" +
+      "/9i2bVSu8ip5wL9Pazulbfv+94TCtm2buFNAk+4jrjcDsshKjuP2t/Tda2+3femO8tt35cJ5" +
+      "SlcGPXWlf/X+SDYplyGbsauX/8PfPxwqX6XvBr3MvnTnDKv7ruwKWaUrVWLCaEXKCQkw+KPv" +
+      "ynH7V7oe4QjhNPWklIxs3Jm0tqSi137Pu74ctb+l75b3R4PnUczt5xmYH01u2ps22QLC0GUS" +
+      "/xi8934+ZgthdiaMljSOj9q/9jBhZ8I09dNacf58l0Ulo7k+0R4ZVi9SEuHRsDTm1ssszL6e" +
+      "TJ5cuTPZ1/sijCgl3ievwSvnMzH74jumAgBQg35R5kRLxQBigoOViCJt4MkCC2sLv3O36wjm" +
+      "6wzim/bGRD3e0hDh3L0VMFu4yfJxu8k8EI7xJYi3CMEPruzGzJPEEx0RIqpMpMh4i50J9204" +
+      "GCAHExNMlJzIYGJCbU+LxYGNDDA0AIsGYEP55lcWrYBjArABwLACWATgGAB/THc0xZOSUEV7" +
+      "GACQIqP2sAkmyv5rA3z5dhZQeYC9913AGgbcdgCwpgY82CKAiggcmwD8BCw7gI8msEhn9hZJ" +
+      "+aQh/guRYJbUAHI0wyKKwxpbpIJq1cMfjI+AfS8PwMohCGPffYTP79QuYIRDrho1ASNfCuwT" +
+      "B0bFgdUqBXwLDPAp5/5XcCyuCA4iiPqgiSuoFh7AFEf8LD5igmnmqQKaqN5Tv2yzL2bt9xvn" +
+      "0aOESRXN4RYL21TGgu+5fw1eU+kJM4QTTiUJk5vKmMMa36RWIeI2AMBfAZRhxp/4jWvszV+i" +
+      "wAQT/5zPTf5WoDGeJwLPAQCYMEPvjUPMkR/hrMisyTtcOrz0vEp4v74LPjD6C8JOC1WYffoq" +
+      "qp1TqlzhZPUNh9Osk2bDRPwEAKiPF1DM62jmLlY48Vl/pFgaZawJngMA4HwAAEAtHWqiRABc" +
+      "sacIZy0bzsL9nMkHHoeTZicJl5HIth98XQ4etu+Yd/nFGUi20YeWv5C4bBtrqAH+P3UuGaX2" +
+      "uRMj0mKjzmRUUFd46rsgC8jhfJzg4G+Cz0aY4PyFSAQHEwAA",
+      778556L, "a8014f2ae8a949309a0cd785fb829c6e"),
+    LosslessFx(33, 21,
+      "UklGRuABAABXRUJQVlA4TNMBAAAvIAAFAE2ISRP227+yFSL6n5rFeAgEkhD2pxtFQdtGTm7+" +
+      "fv7wDsHrIfQ/hFJ/Cirg0pkqMEyeQm5t26q2rN/d8j/7U3dCBtFfLjEFMAi1BTJ3dz7rYH7g" +
+      "NrZtVVnf3ZASCBlC+o/ogBYkcle4tW2rVuZ3d3cHSvgZVdAnIR1ASE5mqUbPXyhs27ZRRpv9" +
+      "x353U6actaqBx9FbORbKSjn2ZptyvBPgaVTCl0w55ov6+sUAMbb0tHFWVpgUG+fCxM7Tzedv" +
+      "t1BVcF3eBYvKuLN6xmJcxo0+xmclLEf19YsB6oPJgv+TBRtnA65rNUrTcblYHpOHl9t/0r9/" +
+      "eNWel/7LhZv3K7YNcfv5iG3d4KXfdaQk2ZREpvRWbBy3QQpJxO/IX33dRJ3RbCgkj4T5N5Xv" +
+      "MCXFcdzz9VcKYbGo4cb4is+fQEZxN35JWZHP/wDX2X2wGNbxUbBOjJSkKXYT5UYFINHATf5J" +
+      "rZciw1sCMHgTulIPYO2bJw9fPwmWwzqJPweB5Cl//cfBfCBlPgqC7xIsZ/Xh6SVI+sT73wMx" +
+      "dxWlRgcAkFjmeigwpOXL20hWwO4DnUUZHC+2KYTDeSHY2T3hO8Gt6QOOg3Jw7/8dzP5r7fFR" +
+      "AAA=",
+      272195L, "e7a5583c89a942f847e4bf5beaa254c2")
+  )
 }

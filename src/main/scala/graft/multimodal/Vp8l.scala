@@ -127,10 +127,15 @@ private[multimodal] trait Vp8lCodec extends Serializable {
   }
 
   /** kCodeLengthCodeOrder — the fixed transmission order of the
-    * code-length code's own lengths.
+    * code-length code's own lengths. NOTE the published order places
+    * the repeat-previous symbol 16 BETWEEN literals 5 and 6 (unlike
+    * DEFLATE's order): getting this wrong desynchronizes every
+    * normal-coded foreign stream at its first literal >= 6 while
+    * remaining perfectly self-consistent — found and pinned by the
+    * foreign-stream fixtures in WebPixelsSpec.
     */
   private val ClcOrder =
-    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** Read one prefix code over `alphabetSize` symbols: the 1-bit
     * simple/normal selector, then either 1-2 explicit symbols or the

@@ -2700,91 +2700,118 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q211
-  // FOREIGN lossy VP8 under the oracle — q199 proves the decoder on
-  // OUR encoder's streams (the q135 self-consistency pattern); this
-  // drives it on an INDEPENDENT encoder's (the q138 pattern, but the
-  // JVM ships no WebP writer, so the foreign streams are embedded
-  // conformance fixtures: real libwebp output carrying per-position
-  // coefficient probability updates, B_PRED mode spreads, and token
-  // streams under RFC 6386's literal default tables). Each row
-  // decodes one stream executor-side and compares the reconstruction
-  // Y/U/V planes BIT-FOR-BIT against the reference decoder's MD5s
-  // carried in Vp8ForeignStreams (computed from libwebp's own YUV
-  // output, not from this repo). The oracle pins dims, the reference
-  // Y-plane sum, plane exactness, and decode_ok; every 11th row's
-  // bytes truncated post-wrap → undecodable row property.
+  // FOREIGN WebP under the oracle, BOTH codecs — q199 proves the
+  // decoders on OUR encoders' streams (the q135 self-consistency
+  // pattern); this drives them on an INDEPENDENT encoder's (the q138
+  // pattern, but the JVM ships no WebP writer, so the foreign streams
+  // are embedded conformance fixtures). Rows rotate id%6: 0-2 are
+  // LOSSY VP8 (real per-position coefficient probability updates,
+  // B_PRED spreads, token streams under RFC 6386's literal tables —
+  // reconstruction Y/U/V planes compared BIT-FOR-BIT against the
+  // reference decoder's MD5s); 3-5 are LOSSLESS VP8L (predictor/
+  // color/subtract-green transforms, meta groups, color cache, LZ77,
+  // normal prefix codes incl. the kCodeLengthCodeOrder repeat-symbol
+  // placement only foreign streams catch — decode is bit-exact, so
+  // the source RGB's sum and MD5 ARE the expected output). The
+  // oracle pins dims, the reference sums, exactness, and decode_ok;
+  // every 11th row's bytes truncated post-wrap → undecodable row.
   private[queries] def q211(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
     t(s, dir, "documents").filter($"doc_id" < 120)
       .select($"doc_id").as[Long]
       .map { id =>
-        val fx = graft.multimodal.Vp8ForeignStreams.all((id % 3).toInt)
-        val full = java.util.Base64.getDecoder.decode(fx.webpB64)
-        val webp =
-          if (id % 11 == 0) java.util.Arrays.copyOf(full, 24) else full
-        // RIFF walk to the VP8 chunk (bounds-checked: truncated rows
-        // must fall out as a row property)
-        var off = 12
-        var vp8At = -1; var vp8Len = -1
-        while (vp8At < 0 && off + 8 <= webp.length) {
-          val size = (webp(off + 4) & 0xff) |
-            ((webp(off + 5) & 0xff) << 8) |
-            ((webp(off + 6) & 0xff) << 16) |
-            ((webp(off + 7) & 0xff) << 24)
-          if (size >= 0 && off + 8 + size <= webp.length &&
-            new String(webp, off, 4, "US-ASCII") == "VP8 ") {
-            vp8At = off + 8; vp8Len = size
-          }
-          off += 8 + math.max(size, 0) + (size & 1)
+        def md5(b: Array[Byte]): String =
+          java.security.MessageDigest.getInstance("MD5").digest(b)
+            .map("%02x".format(_)).mkString
+        def byteSum(b: Array[Byte]): Long = {
+          var s = 0L; var i = 0
+          while (i < b.length) { s += b(i) & 0xff; i += 1 }
+          s
         }
-        val dec =
-          if (vp8At < 0) None else m.decodeVp8Frame(webp, vp8At, vp8Len)
-        dec match {
-          case Some(f) =>
-            val cw = (f.w + 1) / 2; val ch = (f.h + 1) / 2
-            def cropped(p: m.Vp8Plane, pw: Int, ph: Int): Array[Byte] = {
-              val out = new Array[Byte](pw * ph)
-              var r = 0
-              while (r < ph) {
-                var c = 0
-                while (c < pw) {
-                  out(r * pw + c) = p.px(r * p.w + c).toByte; c += 1
-                }
-                r += 1
-              }
-              out
+        val fam = (id % 6).toInt
+        if (fam < 3) {
+          val fx = graft.multimodal.Vp8ForeignStreams.all(fam)
+          val full = java.util.Base64.getDecoder.decode(fx.webpB64)
+          val webp =
+            if (id % 11 == 0) java.util.Arrays.copyOf(full, 24) else full
+          // RIFF walk to the VP8 chunk (bounds-checked: truncated
+          // rows must fall out as a row property)
+          var off = 12
+          var vp8At = -1; var vp8Len = -1
+          while (vp8At < 0 && off + 8 <= webp.length) {
+            val size = (webp(off + 4) & 0xff) |
+              ((webp(off + 5) & 0xff) << 8) |
+              ((webp(off + 6) & 0xff) << 16) |
+              ((webp(off + 7) & 0xff) << 24)
+            if (size >= 0 && off + 8 + size <= webp.length &&
+              new String(webp, off, 4, "US-ASCII") == "VP8 ") {
+              vp8At = off + 8; vp8Len = size
             }
-            def md5(b: Array[Byte]): String =
-              java.security.MessageDigest.getInstance("MD5").digest(b)
-                .map("%02x".format(_)).mkString
-            val y = cropped(f.y, f.w, f.h)
-            var ySum = 0L
-            var i = 0
-            while (i < y.length) { ySum += y(i) & 0xff; i += 1 }
-            val exact = md5(y) == fx.yMd5 &&
-              md5(cropped(f.u, cw, ch)) == fx.uMd5 &&
-              md5(cropped(f.v, cw, ch)) == fx.vMd5
-            (id, f.w, f.h, ySum, exact, true)
-          case None => (id, -1, -1, -1L, false, false)
+            off += 8 + math.max(size, 0) + (size & 1)
+          }
+          val dec =
+            if (vp8At < 0) None
+            else m.decodeVp8Frame(webp, vp8At, vp8Len)
+          dec match {
+            case Some(f) =>
+              val cw = (f.w + 1) / 2; val ch = (f.h + 1) / 2
+              def cropped(p: m.Vp8Plane, pw: Int, ph: Int)
+                  : Array[Byte] = {
+                val out = new Array[Byte](pw * ph)
+                var r = 0
+                while (r < ph) {
+                  var c = 0
+                  while (c < pw) {
+                    out(r * pw + c) = p.px(r * p.w + c).toByte; c += 1
+                  }
+                  r += 1
+                }
+                out
+              }
+              val y = cropped(f.y, f.w, f.h)
+              val exact = md5(y) == fx.yMd5 &&
+                md5(cropped(f.u, cw, ch)) == fx.uMd5 &&
+                md5(cropped(f.v, cw, ch)) == fx.vMd5
+              (id, f.w, f.h, byteSum(y), exact, true)
+            case None => (id, -1, -1, -1L, false, false)
+          }
+        } else {
+          val fx = graft.multimodal.Vp8ForeignStreams.lossless(fam - 3)
+          val full = java.util.Base64.getDecoder.decode(fx.webpB64)
+          val webp =
+            if (id % 11 == 0) java.util.Arrays.copyOf(full, 24) else full
+          m.decodeWebpPixels(webp) match {
+            case Some((w, h, rgb)) =>
+              (id, w, h, byteSum(rgb),
+                md5(rgb) == fx.rgbMd5 && byteSum(rgb) == fx.rgbSum,
+                true)
+            case None => (id, -1, -1, -1L, false, false)
+          }
         }
       }
-      .toDF("media_id", "width", "height", "y_sum", "yuv_exact",
+      .toDF("media_id", "width", "height", "ref_sum", "bit_exact",
         "decode_ok")
       .orderBy($"media_id")
   }
   private[queries] lazy val q211Sql =
     """SELECT doc_id AS media_id,
       | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
-      |  WHEN doc_id % 3 = 0 THEN 64 WHEN doc_id % 3 = 1 THEN 48
+      |  WHEN doc_id % 6 IN (0, 3) THEN 64
+      |  WHEN doc_id % 6 IN (1, 4) THEN 48
       |  ELSE 33 END AS INT) AS width,
       | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
-      |  WHEN doc_id % 3 = 0 THEN 48 WHEN doc_id % 3 = 1 THEN 40
+      |  WHEN doc_id % 6 IN (0, 3) THEN 48
+      |  WHEN doc_id % 6 IN (1, 4) THEN 40
       |  ELSE 21 END AS INT) AS height,
       | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
-      |  WHEN doc_id % 3 = 0 THEN 389209 WHEN doc_id % 3 = 1 THEN 239542
-      |  ELSE 86359 END AS BIGINT) AS y_sum,
-      | doc_id % 11 <> 0 AS yuv_exact,
+      |  WHEN doc_id % 6 = 0 THEN 389209
+      |  WHEN doc_id % 6 = 1 THEN 239542
+      |  WHEN doc_id % 6 = 2 THEN 86359
+      |  WHEN doc_id % 6 = 3 THEN 1219298
+      |  WHEN doc_id % 6 = 4 THEN 778556
+      |  ELSE 272195 END AS BIGINT) AS ref_sum,
+      | doc_id % 11 <> 0 AS bit_exact,
       | doc_id % 11 <> 0 AS decode_ok
       |FROM documents WHERE doc_id < 120
       |ORDER BY media_id""".stripMargin

@@ -562,4 +562,24 @@ class WebPixelsSpec extends AnyFunSuite {
       assert(pairs.contains((1000 + id, 2000 + id)), s"gif-webp $id")
     }
   }
+
+  test("FOREIGN lossless VP8L: three independently-encoded WebP " +
+    "streams decode to BIT-EXACT RGB (pins canonical prefix codes, " +
+    "the kCodeLengthCodeOrder repeat-symbol placement, transforms, " +
+    "meta groups, color cache and LZ77 against a real encoder)") {
+    graft.multimodal.Vp8ForeignStreams.lossless.foreach { fx =>
+      val webp = java.util.Base64.getDecoder.decode(fx.webpB64)
+      val dec = Multimodal.decodeWebpPixels(webp)
+      assert(dec.isDefined, s"${fx.w}x${fx.h}: foreign VP8L rejected")
+      val (w, h, rgb) = dec.get
+      assert(w == fx.w && h == fx.h)
+      var sum = 0L
+      var i = 0
+      while (i < rgb.length) { sum += rgb(i) & 0xff; i += 1 }
+      assert(sum == fx.rgbSum, s"${fx.w}x${fx.h} sum")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(rgb).map("%02x".format(_)).mkString
+      assert(md5 == fx.rgbMd5, s"${fx.w}x${fx.h} md5")
+    }
+  }
 }
