@@ -67,8 +67,16 @@ private[multimodal] trait DispatchCodec extends Serializable
     else if (bytes.length >= 6 &&
       (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a")) "gif"
     else if (bytes.length >= 9 && ascii(0, 9) == "YUV4MPEG2") "y4m"
-    // ISO-BMFF: the ftyp box type at offset 4 (its 4-byte size varies)
-    else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
+    // ISO-BMFF: the ftyp box type at offset 4 (its 4-byte size
+    // varies); AVIF/HEIF images are the same container discriminated
+    // by major brand
+    else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") {
+      val brand = if (bytes.length >= 16) ascii(8, 4) else ""
+      if (brand == "avif" || brand == "avis") "avif"
+      else if (brand == "heic" || brand == "heix" || brand == "mif1")
+        "heif"
+      else "mp4"
+    }
     else if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
     // archive envelopes: ZIP local-header magic; USTAR's magic sits
     // at offset 257 (tar has no leading signature at all)
@@ -143,6 +151,14 @@ private[multimodal] trait DispatchCodec extends Serializable
         // many interleaved streams" (the DispatchedMeta contract)
         DispatchedMeta(id, "mp4", v.decode_ok, v.width, v.height, -1,
           if (v.decode_ok) v.n_tracks else -1, -1, v.duration_ms)
+      case k @ ("avif" | "heif") =>
+        // image sibling of the mp4 metadata leg: HEIF item walk;
+        // channels doubles as the iinf item count, frames as bit
+        // depth (AV1 payload decode is out of scope, like H.264)
+        val a = parseAvif(id, bytes)
+        DispatchedMeta(id, k, a.decode_ok, a.width, a.height, -1,
+          if (a.decode_ok) a.n_items else -1,
+          if (a.decode_ok) a.depth else -1, -1L)
       case "gzip" =>
         // container-only leg: decode_ok = the member inflates clean
         DispatchedMeta(id, "gzip", gunzip(bytes).isDefined, -1, -1,

@@ -31,6 +31,17 @@ case class Mp4Aac(media_id: Long, object_type: Int, sample_rate: Int,
                   channels: Int, n_frames: Long, payload_sum: Long,
                   duration_ms: Long, decode_ok: Boolean)
 
+/** AVIF/HEIF image facts from the ISO-BMFF metadata layer — the
+  * modern-web image format whose payload is AV1 (out of decode
+  * scope, like MP4's H.264); brand, ispe dims, pixi bit depth,
+  * av1C presence, iinf item count and still/animated discrimination
+  * are what a crawl inventory needs without a codec.
+  */
+case class AvifMeta(media_id: Long, brand: String, width: Int,
+                    height: Int, depth: Int, n_items: Int,
+                    has_av1c: Boolean, animated: Boolean,
+                    decode_ok: Boolean)
+
 /** MP4 / ISO-BMFF: box walk (ftyp/mvhd/tkhd/stsd) and a genuine minimal writer.
   *
   * One slice of [[Multimodal]] (mixed in there; call sites use
@@ -816,6 +827,104 @@ private[multimodal] trait Mp4Codec extends Serializable {
     }
     val all = ftyp ++ moovOf(mdatBase) ++ box("mdat", payload)
     MediaBlob(id, "audio/mp4", all)
+  }
+
+  // ------------------------------------------------------- AVIF/HEIF
+
+  private val BadAvif =
+    AvifMeta(0L, "", -1, -1, -1, -1, has_av1c = false,
+      animated = false, decode_ok = false)
+
+  /** AVIF/HEIF metadata walk (ISO-BMFF + HEIF item layer): ftyp major
+    * brand (avif still / avis sequence / heic), `meta` is a FULL box
+    * (4 version/flags bytes after the header, unlike moov), then
+    * iinf's entry count (16-bit in version 0, 32-bit after) and the
+    * iprp→ipco property walk for ispe dims, pixi plane bit depths
+    * and the av1C codec-config presence. Bounds-checked like
+    * [[parseMp4]]: truncation or impossible sizes route the row to
+    * the sentinel, never a task failure. Payload (AV1) decode is out
+    * of scope, exactly like MP4's H.264 leg — the inventory facts
+    * are the dispatch-honesty contract.
+    */
+  def parseAvif(id: Long, bytes: Array[Byte]): AvifMeta = {
+    val n = bytes.length.toLong
+    if (n < 16) return BadAvif.copy(media_id = id)
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def u16(i: Int): Int =
+      ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def ascii(i: Int, len: Int): String =
+      new String(bytes, i, len, "US-ASCII")
+    var bad = false
+    def walk(start: Long, end: Long)(
+        f: (String, Long, Long) => Unit): Unit = {
+      var off = start
+      while (off < end && !bad) {
+        if (off + 8 > end) { bad = true; return }
+        var size = u32(off.toInt)
+        val typ = ascii(off.toInt + 4, 4)
+        var hdr = 8L
+        if (size == 1L) {
+          if (off + 16 > end) { bad = true; return }
+          size = u64(off.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = end - off
+        if (size < hdr || size > end - off) { bad = true; return }
+        f(typ, off + hdr, off + size)
+        off += size
+      }
+    }
+    var brand = ""
+    var width = -1; var height = -1; var depth = -1
+    var nItems = -1
+    var av1c = false
+    var animated = false
+    walk(0L, n) { (t, s, e) =>
+      t match {
+        case "ftyp" =>
+          if (e - s >= 4) brand = ascii(s.toInt, 4) else bad = true
+        case "moov" => animated = true
+        case "meta" if e - s >= 4 =>
+          // FULL box: skip version/flags
+          walk(s + 4, e) { (t2, s2, e2) =>
+            t2 match {
+              case "iinf" if e2 - s2 >= 6 =>
+                val ver = bytes(s2.toInt) & 0xff
+                nItems =
+                  if (ver == 0) u16(s2.toInt + 4)
+                  else if (s2 + 8 <= e2) u32(s2.toInt + 4).toInt
+                  else { bad = true; -1 }
+              case "iprp" => walk(s2, e2) { (t3, s3, e3) =>
+                if (t3 == "ipco") walk(s3, e3) { (t4, s4, e4) =>
+                  t4 match {
+                    case "ispe" if e4 - s4 >= 12 =>
+                      width = u32(s4.toInt + 4).toInt
+                      height = u32(s4.toInt + 8).toInt
+                    case "pixi" if e4 - s4 >= 6 =>
+                      depth = bytes(s4.toInt + 5) & 0xff
+                    case "av1C" => av1c = true
+                    case _ =>
+                  }
+                }
+              }
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+    }
+    if (bad || brand.isEmpty || width <= 0 || height <= 0)
+      return BadAvif.copy(media_id = id)
+    if (brand == "avis") animated = true
+    AvifMeta(id, brand, width, height, depth, nItems, av1c, animated,
+      decode_ok = true)
+  }
+
+  /** Partition-wise AVIF metadata walk over the blob column */
+  def avifFacts(blobs: Dataset[MediaBlob]): Dataset[AvifMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => parseAvif(b.media_id, b.content)))
   }
 
 }

@@ -267,7 +267,8 @@ object Queries
     "q209_doc_dispatch" -> (q209 _),
     "q210_tiff_quality" -> (q210 _),
     "q211_vp8_foreign" -> (q211 _),
-    "q212_container_audio" -> (q212 _)
+    "q212_container_audio" -> (q212 _),
+    "q213_avif_meta" -> (q213 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -665,7 +666,8 @@ object Queries
     "q209_doc_dispatch" -> q209Sql,
     "q210_tiff_quality" -> q210Sql,
     "q211_vp8_foreign" -> q211Sql,
-    "q212_container_audio" -> q212Sql
+    "q212_container_audio" -> q212Sql,
+    "q213_avif_meta" -> q213Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2815,4 +2815,50 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | doc_id % 11 <> 0 AS decode_ok
       |FROM documents WHERE doc_id < 120
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+  // FOREIGN AVIF metadata under the oracle — the modern-web image
+  // format (HEIF/ISO-BMFF over AV1): each row parses one of three
+  // independent-encoder files (4:4:4 / 4:2:0 / odd dims / 10-bit)
+  // executor-side, recovering brand, ispe dims, pixi depth, item
+  // count and av1C presence from the HEIF item layer; the oracle
+  // pins the known encode parameters, so the metadata walk is
+  // validated against a real encoder's box layout (AV1 payload
+  // decode is out of scope, the MP4/H.264 contract). Every 11th
+  // row's bytes truncated -> sentinel row property.
+  private[queries] def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    t(s, dir, "documents").filter($"doc_id" < 120)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val fx = graft.multimodal.AvifForeignStreams.all((id % 3).toInt)
+        val full = java.util.Base64.getDecoder.decode(fx.webpB64)
+        val bytes =
+          if (id % 11 == 0) java.util.Arrays.copyOf(full, 40) else full
+        val a = m.parseAvif(id, bytes)
+        (id, a.brand, a.width, a.height, a.depth, a.n_items,
+          a.has_av1c, a.decode_ok)
+      }
+      .toDF("media_id", "brand", "width", "height", "depth",
+        "n_items", "has_av1c", "decode_ok")
+      .orderBy($"media_id")
+  }
+  private[queries] lazy val q213Sql =
+    """SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'avif' END AS brand,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+      |  WHEN doc_id % 3 = 0 THEN 64 WHEN doc_id % 3 = 1 THEN 33
+      |  ELSE 16 END AS INT) AS width,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+      |  WHEN doc_id % 3 = 0 THEN 48 WHEN doc_id % 3 = 1 THEN 21
+      |  ELSE 16 END AS INT) AS height,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+      |  WHEN doc_id % 3 = 2 THEN 10 ELSE 8 END AS INT) AS depth,
+      | CAST(CASE WHEN doc_id % 11 = 0 THEN -1 ELSE 1 END AS INT)
+      |  AS n_items,
+      | doc_id % 11 <> 0 AS has_av1c,
+      | doc_id % 11 <> 0 AS decode_ok
+      |FROM documents WHERE doc_id < 120
+      |ORDER BY media_id""".stripMargin
 }

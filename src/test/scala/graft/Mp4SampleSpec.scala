@@ -164,4 +164,32 @@ class Mp4SampleSpec extends AnyFunSuite {
     badRate(at + 3) = (((14 & 1) << 7) | (2 << 3)).toByte
     assert(!Multimodal.parseMp4Aac(id, badRate).decode_ok)
   }
+
+
+  test("parseAvif recovers brand/dims/depth/items/av1C from FOREIGN " +
+    "AVIF files (independent encoder stack; 4:4:4, 4:2:0, odd dims, " +
+    "10-bit), and malformation routes to the sentinel") {
+    val fx = graft.multimodal.AvifForeignStreams.all
+    val expect = Seq((64, 48, 8), (33, 21, 8), (16, 16, 10))
+    fx.zip(expect).foreach { case (f, (w, h, d)) =>
+      val bytes = java.util.Base64.getDecoder.decode(f.webpB64)
+      assert(Multimodal.sniffFormat(bytes) == "avif")
+      val a = Multimodal.parseAvif(9L, bytes)
+      assert(a.decode_ok, s"$w x$h rejected")
+      assert(a.brand == "avif" && a.width == w && a.height == h)
+      assert(a.depth == d && a.n_items == 1 && a.has_av1c)
+      assert(!a.animated)
+      // dispatch integration: the avif leg carries the same facts
+      val dm = Multimodal.dispatchOne(9L, bytes)
+      assert(dm.format == "avif" && dm.decode_ok &&
+        dm.width == w && dm.height == h && dm.channels == 1 &&
+        dm.frames == d)
+      // truncation is a row property
+      assert(!Multimodal.parseAvif(9L, bytes.take(40)).decode_ok)
+    }
+    // a plain MP4 must NOT sniff as avif, and parseAvif rejects it
+    val mp4 = Multimodal.syntheticMp4WithSamples(1L).content
+    assert(Multimodal.sniffFormat(mp4) == "mp4")
+    assert(!Multimodal.parseAvif(1L, mp4).decode_ok)
+  }
 }
