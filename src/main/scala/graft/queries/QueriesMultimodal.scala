@@ -2490,8 +2490,8 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // ---------------------------------------------------------------- q209
   // Heterogeneous DOCUMENT dispatch under the oracle — the
   // text-corpus capstone next to q189's envelope dispatch: one column
-  // interleaves PDF, EPUB, DOCX, raw HTML, RTF, Markdown/plain text,
-  // a non-document ZIP and true binary junk, and
+  // interleaves PDF, EPUB, DOCX, ODT, raw HTML, RTF, Markdown/plain
+  // text, a non-document ZIP and true binary junk, and
   // Documents.docTextDispatch routes each blob to its extractor in
   // one partition-wise pass, emitting (kind, units, chars). The RTF
   // leg pins the control-word walk (skipped fonttbl + {\*\generator}
@@ -2506,7 +2506,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
     val blobs = t(s, dir, "documents").filter($"doc_id" < 180)
       .select($"doc_id").as[Long]
       .map { id =>
-        val b = (id % 7) match {
+        val b = (id % 8) match {
           case 0 =>
             val pages = (0 until (1 + (id % 2)).toInt).map { p =>
               (0 until (1 + ((id + p) % 3)).toInt).map(j =>
@@ -2532,9 +2532,15 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
           case 5 =>
             graft.sources.Rtf.synthetic(
               (0 until (1 + (id % 3)).toInt).map(j => s"rt-$id-$j"))
-          case _ =>
+          case 6 =>
             (s"# md-$id\n\n- item **$id** one\n" +
               s"plain [x$id](http://e/$id) two").getBytes("UTF-8")
+          case _ =>
+            // ODT: a heading + span-fragmented paragraphs behind the
+            // stored-mimetype + content.xml ZIP shape
+            graft.sources.Odt.synthetic(id,
+              (0 until (1 + (id % 3)).toInt).map(p => s"od-$id-$p"),
+              heading = s"oh-$id")
         }
         m.MediaBlob(id, "application/octet-stream",
           if (id % 13 == 12) Array.tabulate(8)(k => ((id + k) % 7).toByte)
@@ -2546,7 +2552,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   }
   private[queries] lazy val q209Sql =
     """WITH p AS (
-      | SELECT doc_id, doc_id % 7 AS fam, doc_id % 13 = 12 AS junk
+      | SELECT doc_id, doc_id % 8 AS fam, doc_id % 13 = 12 AS junk
       | FROM documents WHERE doc_id < 180),
       |pdf AS (
       | SELECT doc_id,
@@ -2588,7 +2594,13 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | SELECT doc_id, CAST(3 AS BIGINT) AS u,
       |  length('md-' || doc_id) + length('item ' || doc_id || ' one')
       |   + length('plain x' || doc_id || ' two') + 2 AS c
-      | FROM p WHERE fam = 6 AND NOT junk)
+      | FROM p WHERE fam = 6 AND NOT junk),
+      |od AS (
+      | SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS u,
+      |  length('oh-' || doc_id) +
+      |  (SELECT SUM(length('od-' || p.doc_id || '-' || k))
+      |   FROM unnest(generate_series(0, p.doc_id % 3)) tk(k)) AS c
+      | FROM p WHERE fam = 7 AND NOT junk)
       |SELECT media_id, kind, n_units, n_chars, ok FROM (
       | SELECT doc_id AS media_id, 'pdf' AS kind, u AS n_units,
       |  CAST(c AS BIGINT) AS n_chars, TRUE AS ok FROM pdf
@@ -2602,6 +2614,8 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | SELECT doc_id, 'rtf', u, CAST(c AS BIGINT), TRUE FROM rt
       | UNION ALL
       | SELECT doc_id, 'md', u, CAST(c AS BIGINT), TRUE FROM md
+      | UNION ALL
+      | SELECT doc_id, 'odt', u, CAST(c AS BIGINT), TRUE FROM od
       | UNION ALL
       | SELECT doc_id, 'zip', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
       |  FALSE

@@ -4,8 +4,8 @@ import org.apache.spark.sql.Dataset
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaBlob
 
-/** One document-column row: `kind` ∈ {"pdf", "epub", "docx", "html",
-  * "rtf", "md", "zip", ""}; `n_units` counts the format's natural
+/** One document-column row: `kind` ∈ {"pdf", "epub", "docx", "odt",
+  * "html", "rtf", "md", "zip", ""}; `n_units` counts the format's natural
   * text unit (pages / chapters / paragraphs / lines / 1), `n_chars`
   * total extracted characters. A recognized container whose body
   * fails keeps its kind with ok=false; an unrecognized blob is the
@@ -19,9 +19,11 @@ case class DocText(media_id: Long, kind: String, n_units: Long,
   * PDFs next to EPUBs next to DOCX next to raw HTML, and the curation
   * funnel wants (kind, units, chars) per blob in ONE partition-wise
   * pass. Routing is sniff-shaped: `%PDF-` → the scan-based page
-  * extractor; `PK..` → ZIP, then `word/document.xml` claims DOCX and
-  * `META-INF/container.xml` claims EPUB (a ZIP that is neither stays
-  * `kind=zip, ok=false` — an archive, not a document); a leading `<`
+  * extractor; `PK..` → ZIP, then `word/document.xml` claims DOCX,
+  * `content.xml` + the OpenDocument-text mimetype member claims ODT,
+  * and `META-INF/container.xml` claims EPUB (a ZIP that is none of
+  * these stays `kind=zip, ok=false` — an archive, not a document);
+  * a leading `<`
   * (after whitespace/BOM) → HTML main-text; `{\rtf` → the RTF
   * paragraph extractor; any OTHER blob that decodes as ≥90%-printable
   * UTF-8 text routes to the Markdown/plain-text leg ([[mdStripLine]]
@@ -47,7 +49,11 @@ object Documents {
     } else if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 3 && bytes(3) == 4) {
       val names = scala.collection.mutable.Set.empty[String]
-      val entries = Zip.parse(id, bytes, onMember = (n, _) => names += n)
+      var mimetype = ""
+      val entries = Zip.parse(id, bytes, onMember = (n, d) => {
+        names += n
+        if (n == "mimetype") mimetype = new String(d, "UTF-8").trim
+      })
       if (entries.length == 1 && !entries.head.ok)
         DocText(id, "zip", -1L, -1L, ok = false)
       else if (names("word/document.xml")) {
@@ -56,6 +62,13 @@ object Documents {
           DocText(id, "docx", paras.length.toLong,
             paras.map(_.n_chars).sum, ok = true)
         else DocText(id, "docx", -1L, -1L, ok = false)
+      } else if (names("content.xml") &&
+        mimetype == "application/vnd.oasis.opendocument.text") {
+        val paras = Odt.parse(id, bytes)
+        if (paras.forall(_.ok))
+          DocText(id, "odt", paras.length.toLong,
+            paras.map(_.n_chars).sum, ok = true)
+        else DocText(id, "odt", -1L, -1L, ok = false)
       } else if (names("META-INF/container.xml")) {
         val chapters = Epub.parse(id, bytes)
         if (chapters.forall(_.ok))

@@ -105,4 +105,43 @@ class DocumentsSpec extends AnyFunSuite {
       assert(rows(id.toInt).n_units == 1)
     }
   }
+
+
+  test("odt: mimetype-gated routing, span flattening, tab/line-break " +
+    "controls, headings as units, and sentinel contracts") {
+    import graft.sources.{Documents, Odt, Zip}
+    val odt = Odt.synthetic(7L, Seq("alpha & beta", "g<a>mma"),
+      heading = "Head 7")
+    val d = Documents.docTextOne(7L, odt)
+    assert(d.kind == "odt" && d.ok)
+    assert(d.n_units == 3L) // heading + 2 paragraphs
+    assert(d.n_chars ==
+      "Head 7".length + "alpha & beta".length + "g<a>mma".length)
+    // paragraph-level rows: span fragmentation flattens away and
+    // entities round-trip
+    val rows = Odt.parse(7L, odt)
+    assert(rows.map(_.text) ==
+      Seq("Head 7", "alpha & beta", "g<a>mma"))
+    // tabs and line-breaks inside a paragraph become controls
+    val xml = "<office:text><text:p>a<text:tab/>b" +
+      "<text:line-break/>c</text:p></office:text>"
+    assert(Odt.paragraphs(xml) == Vector("a\tb\nc"))
+    // a content.xml ZIP WITHOUT the OpenDocument mimetype is NOT odt
+    val fake = Zip.synthetic(8L, Seq(
+      ("content.xml", "<text:p>x</text:p>".getBytes("UTF-8"),
+        "deflate")))
+    assert(Documents.docTextOne(8L, fake).kind == "zip")
+    // truncation: the odt kind survives with ok=false? (the archive
+    // itself breaks -> zip sentinel path)
+    assert(!Documents.docTextOne(7L, odt.take(30)).ok)
+    // empty-body odt collapses to the sentinel row
+    val empty = Zip.synthetic(9L, Seq(
+      ("mimetype",
+        "application/vnd.oasis.opendocument.text".getBytes("UTF-8"),
+        "store"),
+      ("content.xml",
+        "<office:text></office:text>".getBytes("UTF-8"), "deflate")))
+    val de = Documents.docTextOne(9L, empty)
+    assert(de.kind == "odt" && !de.ok)
+  }
 }
