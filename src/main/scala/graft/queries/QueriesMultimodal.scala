@@ -1494,10 +1494,16 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // fields, spaced-checksum arithmetic, 512-byte padding, zero-block
   // terminator; a leading directory entry every 4th row) and
   // Tar.entries inventories it back — names, sizes, md5 digests —
-  // without untarring to a filesystem. The oracle replays the member
-  // construction closed-form (DuckDB md5 over the same generated
-  // content). Every 13th blob truncated mid-member → ONE all-sentinel
-  // row.
+  // without untarring to a filesystem. Rows rotate the REAL-corpus
+  // long-name layouts: every 5th-ish row carries >100-char member
+  // paths via GNU 'L' metadata members (id%5=1) or PAX 'x' path
+  // records (id%5=2) — the full path, not the 100-byte header
+  // prefix, must come back — and id%6=3 rows encode sizes in GNU
+  // base-256 (the >=8 GiB form, value-independent). Metadata headers
+  // are NOT entries, so numbering is unchanged. The oracle replays
+  // the member construction closed-form (DuckDB md5 over the same
+  // generated content). Every 13th blob truncated mid-member → ONE
+  // all-sentinel row.
   private[queries] def q177(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
@@ -1507,12 +1513,19 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
         val dirs: Seq[(String, Array[Byte])] =
           if (id % 4 == 0) Seq("docs/" -> Array.emptyByteArray)
           else Seq.empty
+        val longMode =
+          if (id % 5 == 1) "gnu" else if (id % 5 == 2) "pax"
+          else "truncate"
+        val prefix =
+          if (longMode == "truncate") "docs/"
+          else "deep/" + ("sub/" * 30)
         val files = (0 until (1 + (id % 3)).toInt).map { j =>
           val c = (s"tar-$id-$j;" * (1 + ((id + j) % 4).toInt))
             .getBytes("UTF-8")
-          s"docs/f${id}_$j.txt" -> c
+          s"${prefix}f${id}_$j.txt" -> c
         }
-        val bytes = graft.sources.Tar.synthetic(id, dirs ++ files)
+        val bytes = graft.sources.Tar.synthetic(id, dirs ++ files,
+          longNameMode = longMode, base256Size = id % 6 == 3)
         m.MediaBlob(id, "application/x-tar",
           if (id % 13 == 0) bytes.take(700) else bytes)
       }
@@ -1530,7 +1543,10 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | SELECT doc_id, j,
       |  CAST(j + CASE WHEN hasdir THEN 1 ELSE 0 END AS INT)
       |   AS entry_no,
-      |  'docs/f' || doc_id || '_' || j || '.txt' AS name,
+      |  CASE WHEN doc_id % 5 IN (1, 2)
+      |   THEN 'deep/' || repeat('sub/', 30)
+      |   ELSE 'docs/' END || 'f' || doc_id || '_' || j || '.txt'
+      |   AS name,
       |  repeat('tar-' || doc_id || '-' || j || ';',
       |   1 + (doc_id + j) % 4) AS c
       | FROM (SELECT doc_id, hasdir, unnest(range(n)) AS j

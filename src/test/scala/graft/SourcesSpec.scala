@@ -246,4 +246,80 @@ class SourcesSpec extends AnyFunSuite {
     assert(esCap(0).ok && !esCap(1).ok)
     assert(lho > 0)
   }
+
+
+  test("tar long names: FOREIGN GNU ('L') and PAX ('x' path) archives " +
+    "resolve the full 206-char member path; our gnu/pax/base-256 " +
+    "writers round-trip; PAX size records override the header field") {
+    import graft.sources.Tar
+    def b64(x: String) = java.util.Base64.getDecoder.decode(x)
+    val want = TarForeignFixtures.longPath
+    Seq("gnu" -> TarForeignFixtures.gnuLongB64,
+        "pax" -> TarForeignFixtures.paxLongB64).foreach { case (m, fx) =>
+      val rows = Tar.parse(1L, b64(fx))
+      assert(rows.forall(_.ok), m)
+      assert(rows.length == 2, m) // metadata headers are NOT entries
+      assert(rows.map(_.name) == Seq("short.txt", want), m)
+      assert(rows(1).size == 11L, m)
+      assert(rows.map(_.entry_no) == Seq(0, 1), m)
+    }
+    // our writers: gnu + pax long-name modes and base-256 sizes all
+    // round-trip through our parser with full names
+    val long = "d/" + ("sub/" * 30) + "leaf.txt" // 130 chars
+    Seq(("gnu", false), ("pax", false), ("truncate", true)).foreach {
+      case (mode, b256) =>
+        val bytes = Tar.synthetic(2L,
+          Seq("a.txt" -> "abc".getBytes,
+            (if (mode == "truncate") "b.txt" else long) ->
+              "defg".getBytes),
+          longNameMode = mode, base256Size = b256)
+        val rows = Tar.parse(2L, bytes)
+        assert(rows.forall(_.ok), s"$mode b256=$b256")
+        assert(rows.map(_.size) == Seq(3L, 4L), s"$mode b256=$b256")
+        if (mode != "truncate") assert(rows(1).name == long, mode)
+    }
+    // PAX size override: hand-patch a pax record with size=3 before a
+    // member whose header claims 4 — the record wins for BOTH the
+    // digest span and the data advance
+    val base = Tar.synthetic(3L, Seq("x.bin" -> "abcd".getBytes))
+    val rec = "16 size=3\n".getBytes("US-ASCII") // 10 chars -> len 16? no: compute
+    val recStr = {
+      var total = " size=3\n".length + 1
+      while (total.toString.length + " size=3\n".length != total)
+        total = total.toString.length + " size=3\n".length
+      s"$total size=3\n"
+    }
+    val paxData = recStr.getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    // reuse the writer for a wellformed 'x' header by crafting via
+    // synthetic is not exposed; emit header bytes by hand off a
+    // template: take base's first header and rewrite
+    val hdrTemplate = java.util.Arrays.copyOf(base, 512)
+    def put(hdr: Array[Byte], at: Int, str: String): Unit = {
+      java.util.Arrays.fill(hdr, at, math.min(at + 12, 148), 0.toByte)
+      val b = str.getBytes("US-ASCII")
+      System.arraycopy(b, 0, hdr, at, b.length)
+    }
+    val xhdr = hdrTemplate.clone()
+    java.util.Arrays.fill(xhdr, 0, 100, 0.toByte)
+    System.arraycopy("PaxHdr".getBytes, 0, xhdr, 0, 6)
+    put(xhdr, 124, f"${paxData.length}%011o")
+    xhdr(156) = 'x'
+    java.util.Arrays.fill(xhdr, 148, 156, 0x20.toByte)
+    var sum = 0L
+    xhdr.foreach(b => sum += b & 0xff)
+    put(xhdr, 148, f"$sum%06o")
+    xhdr(154) = 0; xhdr(155) = 0x20
+    out.write(xhdr)
+    out.write(paxData)
+    out.write(new Array[Byte](512 - paxData.length))
+    out.write(base) // the original member + terminator
+    val rows = Tar.parse(4L, out.toByteArray)
+    assert(rows.length == 1 && rows.head.ok)
+    assert(rows.head.size == 3L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update("abc".getBytes)
+    assert(rows.head.digest ==
+      md.digest().map("%02x".format(_)).mkString)
+  }
 }
