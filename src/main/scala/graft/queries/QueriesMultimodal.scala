@@ -1573,12 +1573,15 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // archive (local headers, central directory, EOCD; members
   // alternating stored/deflate), Zip.entries walks the central
   // directory, extracts each member through its local header and
-  // verifies its CRC-32. Every 11th archive carries one member whose
-  // stored CRC is off by one (crc_ok=false row property, digest
-  // still computed — the data is fine, the checksum lies); every
-  // 13th is truncated mid-directory (one all-sentinel row). The
-  // oracle replays names, sizes, methods and md5 digests closed-form
-  // from the same member strings.
+  // verifies its CRC-32. Every 5th-ish archive ships in the ZIP64
+  // layout (saturated EOCD + locator + 0x0001 extras — how >4 GiB
+  // corpus dumps arrive; the structures are value-independent, so
+  // the oracle is layout-invariant). Every 11th archive carries one
+  // member whose stored CRC is off by one (crc_ok=false row
+  // property, digest still computed — the data is fine, the checksum
+  // lies); every 13th is truncated mid-directory (one all-sentinel
+  // row). The oracle replays names, sizes, methods and md5 digests
+  // closed-form from the same member strings.
   private[queries] def q188(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal
@@ -1592,7 +1595,8 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
             if ((id + j) % 2 == 0) "stored" else "deflate")
         }
         val corrupt: Set[Int] = if (id % 11 == 0) Set(0) else Set.empty
-        val bytes = graft.sources.Zip.synthetic(id, members, corrupt)
+        val bytes = graft.sources.Zip.synthetic(id, members, corrupt,
+          zip64 = id % 5 == 4)
         m.MediaBlob(id, "application/zip",
           if (id % 13 == 0) bytes.take(bytes.length - 30) else bytes)
       }

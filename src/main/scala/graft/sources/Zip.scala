@@ -65,6 +65,7 @@ object Zip {
     def u32(i: Int): Long =
       (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong |
         (u(i + 3).toLong << 24)
+    def u64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
     // EOCD: PK\5\6 + 18 fixed bytes + comment; scan back ≤64 KiB
     if (bytes.length < 22) return bad
     var eocd = -1
@@ -76,8 +77,23 @@ object Zip {
       i -= 1
     }
     if (eocd < 0) return bad
-    val nEntries = u16(eocd + 10)
-    val cdOff = u32(eocd + 16)
+    var nEntries: Long = u16(eocd + 10)
+    var cdOff = u32(eocd + 16)
+    // ZIP64 (>4 GiB archives / >65535 members — how big corpus dumps
+    // actually ship): saturated EOCD fields defer to the ZIP64 EOCD
+    // record, found through the 20-byte locator just before the EOCD
+    if ((nEntries == 0xffff || cdOff == 0xffffffffL) && eocd >= 20 &&
+      bytes(eocd - 20) == 'P' && bytes(eocd - 19) == 'K' &&
+      bytes(eocd - 18) == 6 && bytes(eocd - 17) == 7) {
+      val z64At = u64(eocd - 12)
+      if (z64At < 0 || z64At + 56 > bytes.length) return bad
+      val z = z64At.toInt
+      if (!(bytes(z) == 'P' && bytes(z + 1) == 'K' &&
+        bytes(z + 2) == 6 && bytes(z + 3) == 6)) return bad
+      nEntries = u64(z + 32)
+      cdOff = u64(z + 48)
+      if (nEntries < 0 || nEntries > (1 << 22)) return bad
+    }
     if (cdOff + 46 > bytes.length && nEntries > 0) return bad
     val out = Seq.newBuilder[ZipEntry]
     var off = cdOff
@@ -89,14 +105,41 @@ object Zip {
         bytes(o + 2) == 1 && bytes(o + 3) == 2)) return bad
       val method = u16(o + 10)
       val crc = u32(o + 16)
-      val compSize = u32(o + 20)
-      val size = u32(o + 24)
+      var compSize = u32(o + 20)
+      var size = u32(o + 24)
       val nameLen = u16(o + 28)
       val extraLen = u16(o + 30)
       val commentLen = u16(o + 32)
-      val lho = u32(o + 42)
-      if (off + 46 + nameLen > bytes.length) return bad
+      var lho = u32(o + 42)
+      if (off + 46 + nameLen + extraLen > bytes.length) return bad
       val name = new String(bytes, o + 46, nameLen, "UTF-8")
+      // ZIP64 extra (tag 0x0001): 8-byte values replace exactly the
+      // saturated 32-bit fields, in uncompressed/compressed/offset
+      // order
+      if (size == 0xffffffffL || compSize == 0xffffffffL ||
+        lho == 0xffffffffL) {
+        var x = o + 46 + nameLen
+        val xEnd = x + extraLen
+        while (x + 4 <= xEnd) {
+          val tag = u16(x)
+          val tlen = u16(x + 2)
+          if (tag == 1 && x + 4 + tlen <= xEnd) {
+            var p = x + 4
+            if (size == 0xffffffffL && p + 8 <= x + 4 + tlen) {
+              size = u64(p); p += 8
+            }
+            if (compSize == 0xffffffffL && p + 8 <= x + 4 + tlen) {
+              compSize = u64(p); p += 8
+            }
+            if (lho == 0xffffffffL && p + 8 <= x + 4 + tlen) {
+              lho = u64(p); p += 8
+            }
+          }
+          x += 4 + tlen
+        }
+        if (size == 0xffffffffL || compSize == 0xffffffffL ||
+          lho == 0xffffffffL) return bad
+      }
       val methodName = method match {
         case 0 => "stored"
         case 8 => "deflate"
@@ -113,7 +156,8 @@ object Zip {
         else {
           val l = lho.toInt
           val dataOff = lho + 30 + u16(l + 26) + u16(l + 28)
-          if (dataOff + compSize > bytes.length) None
+          if (dataOff + compSize > bytes.length ||
+            compSize > Int.MaxValue) None
           else if (method == 0) {
             if (compSize > maxOut) None
             else Some(java.util.Arrays.copyOfRange(bytes,
@@ -157,7 +201,8 @@ object Zip {
     * row property without touching the data bytes.
     */
   def synthetic(id: Long, members: Seq[(String, Array[Byte], String)],
-                corruptCrc: Set[Int] = Set.empty): Array[Byte] = {
+                corruptCrc: Set[Int] = Set.empty,
+                zip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = {
@@ -165,6 +210,7 @@ object Zip {
       out.write(((v >> 16) & 0xff).toInt)
       out.write(((v >> 24) & 0xff).toInt)
     }
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32(v >>> 32) }
     case class Central(name: Array[Byte], method: Int, crc: Long,
                        comp: Long, size: Long, lho: Long)
     val centrals = members.zipWithIndex.map {
@@ -198,16 +244,41 @@ object Zip {
     val cdStart = out.size().toLong
     centrals.foreach { e =>
       out.write('P'); out.write('K'); out.write(1); out.write(2)
-      w16(20); w16(20); w16(0); w16(e.method); w16(0); w16(0)
-      w32(e.crc); w32(e.comp); w32(e.size)
-      w16(e.name.length); w16(0); w16(0); w16(0); w16(0)
-      w32(0L); w32(e.lho)
-      out.write(e.name)
+      w16(if (zip64) 45 else 20); w16(if (zip64) 45 else 20)
+      w16(0); w16(e.method); w16(0); w16(0)
+      if (zip64) {
+        // saturate size/comp/lho into the 0x0001 extra — the layout
+        // real zip64 writers emit even for small values when forced
+        w32(e.crc); w32(0xffffffffL); w32(0xffffffffL)
+        w16(e.name.length); w16(4 + 24); w16(0); w16(0); w16(0)
+        w32(0L); w32(0xffffffffL)
+        out.write(e.name)
+        w16(1); w16(24); w64(e.size); w64(e.comp); w64(e.lho)
+      } else {
+        w32(e.crc); w32(e.comp); w32(e.size)
+        w16(e.name.length); w16(0); w16(0); w16(0); w16(0)
+        w32(0L); w32(e.lho)
+        out.write(e.name)
+      }
     }
     val cdSize = out.size().toLong - cdStart
-    out.write('P'); out.write('K'); out.write(5); out.write(6)
-    w16(0); w16(0); w16(centrals.length); w16(centrals.length)
-    w32(cdSize); w32(cdStart); w16(0)
+    if (zip64) {
+      val z64At = out.size().toLong
+      out.write('P'); out.write('K'); out.write(6); out.write(6)
+      w64(44L) // record size after this field
+      w16(45); w16(45); w32(0L); w32(0L)
+      w64(centrals.length.toLong); w64(centrals.length.toLong)
+      w64(cdSize); w64(cdStart)
+      out.write('P'); out.write('K'); out.write(6); out.write(7)
+      w32(0L); w64(z64At); w32(1L)
+      out.write('P'); out.write('K'); out.write(5); out.write(6)
+      w16(0); w16(0); w16(0xffff); w16(0xffff)
+      w32(0xffffffffL); w32(0xffffffffL); w16(0)
+    } else {
+      out.write('P'); out.write('K'); out.write(5); out.write(6)
+      w16(0); w16(0); w16(centrals.length); w16(centrals.length)
+      w32(cdSize); w32(cdStart); w16(0)
+    }
     out.toByteArray
   }
 }

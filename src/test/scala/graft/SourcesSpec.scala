@@ -322,4 +322,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.head.digest ==
       md.digest().map("%02x".format(_)).mkString)
   }
+
+
+  test("ZIP64: a FOREIGN forced-zip64 archive (saturated EOCD + " +
+    "0x0001 extras) inventories fully, and our zip64 writer " +
+    "round-trips with correct digests") {
+    import graft.sources.Zip
+    val rows = Zip.parse(1L, java.util.Base64.getDecoder
+      .decode(ZipForeignFixtures.forced64B64))
+    assert(rows.forall(_.ok) && rows.forall(_.crc_ok))
+    assert(rows.map(_.name) == Seq("m1.txt", "m2.txt"))
+    assert(rows.map(_.size) == Seq(19L, 24L))
+    val mine = Zip.synthetic(2L, Seq(
+      ("a.txt", "alpha-bytes".getBytes, "deflate"),
+      ("b.bin", Array.tabulate(500)(i => (i * 7).toByte), "stored")),
+      zip64 = true)
+    val r2 = Zip.parse(2L, mine)
+    assert(r2.forall(e => e.ok && e.crc_ok))
+    assert(r2.map(_.size) == Seq(11L, 500L))
+    // layout-invariance: same members, zip64 off, same inventory
+    val plain = Zip.parse(2L, Zip.synthetic(2L, Seq(
+      ("a.txt", "alpha-bytes".getBytes, "deflate"),
+      ("b.bin", Array.tabulate(500)(i => (i * 7).toByte), "stored"))))
+    assert(r2.map(e => (e.name, e.size, e.digest)) ==
+      plain.map(e => (e.name, e.size, e.digest)))
+  }
 }
