@@ -142,6 +142,52 @@ private[multimodal] trait CompressionCodec extends Serializable {
     else drainCapped(new net.jpountz.lz4.LZ4FrameInputStream(
       new java.io.ByteArrayInputStream(bytes)), maxBytes)
 
+  /** Decompress an XZ stream (magic FD '7zXZ' 00 — how .tar.xz
+    * corpus and model-data drops ship). Streamed through the tukaani
+    * XZ library on Spark's classpath, same bomb cap.
+    */
+  def unxz(bytes: Array[Byte],
+           maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    if (bytes.length < 12 || (bytes(0) & 0xff) != 0xfd ||
+      bytes(1) != '7' || bytes(2) != 'z' || bytes(3) != 'X' ||
+      bytes(4) != 'Z' || bytes(5) != 0) None
+    else drainCapped(new org.tukaani.xz.XZInputStream(
+      // decoder-memory cap (KiB): xz -9 needs a 64 MiB dictionary;
+      // 256 MiB admits every standard preset while keeping a header
+      // that lies about a multi-GiB dictionary a row property
+      new java.io.ByteArrayInputStream(bytes), 256 * 1024),
+      maxBytes)
+
+  def xzBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new org.tukaani.xz.XZOutputStream(bos,
+      new org.tukaani.xz.LZMA2Options(6))
+    out.write(data); out.finish(); out.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a bzip2 stream ('BZh' + level digit — the other
+    * classic dump codec, e.g. Wikipedia exports). Streamed through
+    * commons-compress on Spark's classpath, same bomb cap.
+    */
+  def unbzip2(bytes: Array[Byte],
+              maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    if (bytes.length < 10 || bytes(0) != 'B' || bytes(1) != 'Z' ||
+      bytes(2) != 'h' || bytes(3) < '1' || bytes(3) > '9') None
+    else drainCapped(
+      new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(bytes), true),
+      maxBytes)
+
+  def bzip2Bytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos)
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
   /** Framed-snappy (the cross-tool framing format Hadoop-land text
     * ships in; snappy-java rides Spark's classpath like zstd/lz4)
     */

@@ -78,6 +78,12 @@ private[multimodal] trait DispatchCodec extends Serializable
       else "mp4"
     }
     else if (bytes.length >= 18 && u(0) == 0x1f && u(1) == 0x8b) "gzip"
+    // the other dump codecs: XZ (.tar.xz drops) and bzip2 (classic
+    // wiki/corpus exports) — 6- and 4-byte leading magics
+    else if (bytes.length >= 12 && u(0) == 0xfd && ascii(1, 4) == "7zXZ" &&
+      u(5) == 0) "xz"
+    else if (bytes.length >= 10 && ascii(0, 3) == "BZh" &&
+      bytes(3) >= '1' && bytes(3) <= '9') "bzip2"
     // archive envelopes: ZIP local-header magic; USTAR's magic sits
     // at offset 257 (tar has no leading signature at all)
     else if (bytes.length >= 30 && ascii(0, 2) == "PK" &&
@@ -162,6 +168,12 @@ private[multimodal] trait DispatchCodec extends Serializable
       case "gzip" =>
         // container-only leg: decode_ok = the member inflates clean
         DispatchedMeta(id, "gzip", gunzip(bytes).isDefined, -1, -1,
+          -1, -1, -1, -1L)
+      case "xz" =>
+        DispatchedMeta(id, "xz", unxz(bytes).isDefined, -1, -1,
+          -1, -1, -1, -1L)
+      case "bzip2" =>
+        DispatchedMeta(id, "bzip2", unbzip2(bytes).isDefined, -1, -1,
           -1, -1, -1, -1L)
       case "zip" =>
         // envelope leg: decode_ok = every member extracts and

@@ -1637,8 +1637,9 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // Heterogeneous ENVELOPE dispatch under the oracle — q136's
   // pattern over the container family a crawl's raw zone actually
   // holds: one blob column carrying WAV next to gzip next to ZIP
-  // next to USTAR, routed by magic bytes (tar's magic lives at
-  // offset 257 — no leading signature exists). Envelope rows carry
+  // next to USTAR next to XZ next to BZIP2, routed by magic bytes
+  // (tar's magic lives at offset 257 — no leading signature exists).
+  // Envelope rows carry
   // the member count in `frames` ("how many things inside") and
   // decode_ok = every member extracts and checksums clean: every
   // 11th zip lies about one CRC (clean=false), every 9th blob has
@@ -1650,8 +1651,8 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
     val blobs = t(s, dir, "documents").filter($"doc_id" < 160)
       .select($"doc_id").as[Long]
       .map { id =>
-        val j = id / 4
-        val b = (id % 4) match {
+        val j = id / 6
+        val b = (id % 6) match {
           case 0 =>
             val rate = Array(8000, 16000, 44100)((j % 3).toInt)
             m.syntheticWav(id, rate, 1 + (j % 2).toInt, 16,
@@ -1667,15 +1668,21 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
             m.MediaBlob(id, "application/zip",
               graft.sources.Zip.synthetic(id, members,
                 if (id % 11 == 0) Set(0) else Set.empty[Int]))
-          case _ =>
+          case 3 =>
             val files = (0 until (1 + (j % 2)).toInt).map { k =>
               (s"f$k.txt", s"tar-$id-$k".getBytes("UTF-8"))
             }
             m.MediaBlob(id, "application/x-tar",
               graft.sources.Tar.synthetic(id, files))
+          case 4 =>
+            m.MediaBlob(id, "application/x-xz",
+              m.xzBytes(s"xz-payload-$id".getBytes("UTF-8")))
+          case _ =>
+            m.MediaBlob(id, "application/x-bzip2",
+              m.bzip2Bytes(s"bz-payload-$id".getBytes("UTF-8")))
         }
         if (id % 9 == 0) {
-          b.content(if (id % 4 == 3) 257 else 0) = 0; b
+          b.content(if (id % 6 == 3) 257 else 0) = 0; b
         } else b
       }
     m.dispatchDecode(blobs).toDF()
@@ -1685,7 +1692,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   }
   private[queries] lazy val q189Sql =
     """WITH p AS (
-      | SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS j,
+      | SELECT doc_id, doc_id % 6 AS fam, doc_id // 6 AS j,
       |  doc_id % 9 = 0 AS bad, doc_id % 11 = 0 AS lied
       | FROM documents WHERE doc_id < 160),
       |d AS (
@@ -1698,7 +1705,8 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |SELECT doc_id AS media_id,
       | CASE WHEN bad THEN 'unknown'
       |  WHEN fam = 0 THEN 'wav' WHEN fam = 1 THEN 'gzip'
-      |  WHEN fam = 2 THEN 'zip' ELSE 'tar' END AS format,
+      |  WHEN fam = 2 THEN 'zip' WHEN fam = 3 THEN 'tar'
+      |  WHEN fam = 4 THEN 'xz' ELSE 'bzip2' END AS format,
       | NOT bad AND NOT (fam = 2 AND lied) AS decode_ok,
       | CAST(CASE WHEN bad THEN -1
       |  WHEN fam = 2 THEN (CASE WHEN lied THEN -1 ELSE zip_n END)

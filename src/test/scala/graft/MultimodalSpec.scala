@@ -2078,4 +2078,43 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0xff.toByte, 0xe9.toByte, 0x44.toByte, 0x00.toByte)) ==
       "unknown")
   }
+
+
+  test("xz and bzip2 legs: FOREIGN CLI-compressed fixtures decode " +
+    "byte-exact, our writers round-trip, sniff+dispatch route, and " +
+    "bombs/corruption stay row properties") {
+    def b64(x: String) = java.util.Base64.getDecoder.decode(x)
+    // fixtures produced by the xz and bzip2 command-line tools at -9
+    val xzForeign = b64(
+      "/Td6WFoAAATm1rRGBMAmIiEBHAAAAAAAAAAAAPVo+iUBACF4eiBmb3JlaWduIHBheWxv" +
+      "YWQgZm9yIGNvbmZvcm1hbmNlAAAABqL4FISzRKcAAUIiSNmpNx+2830BAAAAAARZWg==")
+    val bzForeign = b64(
+      "QlpoOTFBWSZTWZhSwdsAAAQZgEAAEAA/p9AwIAAitGTRhGnqFNMjExMSlPlVWITbQ52T" +
+      "qgL5pEAnnJKPi7kinChITClg7YA=")
+    assert(Multimodal.unxz(xzForeign).map(new String(_, "UTF-8"))
+      .contains("xz foreign payload for conformance"))
+    assert(Multimodal.unbzip2(bzForeign).map(new String(_, "UTF-8"))
+      .contains("bzip2 foreign payload for conformance"))
+    // round-trip through our library-backed writers
+    val data = ("envelope " * 100).getBytes("UTF-8")
+    assert(Multimodal.unxz(Multimodal.xzBytes(data))
+      .exists(java.util.Arrays.equals(_, data)))
+    assert(Multimodal.unbzip2(Multimodal.bzip2Bytes(data))
+      .exists(java.util.Arrays.equals(_, data)))
+    // sniff + dispatch
+    assert(Multimodal.sniffFormat(xzForeign) == "xz")
+    assert(Multimodal.sniffFormat(bzForeign) == "bzip2")
+    val dx = Multimodal.dispatchOne(1L, xzForeign)
+    assert(dx.format == "xz" && dx.decode_ok)
+    val db = Multimodal.dispatchOne(2L, bzForeign)
+    assert(db.format == "bzip2" && db.decode_ok)
+    // corruption and the bomb cap are row properties
+    val bad = xzForeign.clone(); bad(20) = (bad(20) ^ 0x40).toByte
+    assert(Multimodal.unxz(bad).isEmpty)
+    val big = Multimodal.xzBytes(new Array[Byte](1 << 20))
+    assert(Multimodal.unxz(big, maxBytes = 1 << 10).isEmpty)
+    assert(Multimodal.unbzip2(
+      Multimodal.bzip2Bytes(new Array[Byte](1 << 20)),
+      maxBytes = 1 << 10).isEmpty)
+  }
 }
