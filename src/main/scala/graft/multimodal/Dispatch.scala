@@ -88,6 +88,9 @@ private[multimodal] trait DispatchCodec extends Serializable
     // at offset 257 (tar has no leading signature at all)
     else if (bytes.length >= 30 && ascii(0, 2) == "PK" &&
       u(2) == 3 && u(3) == 4) "zip"
+    else if (bytes.length >= 32 && ascii(0, 2) == "7z" &&
+      u(2) == 0xbc && u(3) == 0xaf && u(4) == 0x27 && u(5) == 0x1c)
+      "7z"
     else if (bytes.length >= 262 && ascii(257, 5) == "ustar") "tar"
     // BMP: "BM" is weak 2-byte magic — require a known info-header
     // size (BITMAPINFOHEADER/V4/V5) before the stronger signatures
@@ -172,6 +175,10 @@ private[multimodal] trait DispatchCodec extends Serializable
       case "xz" =>
         DispatchedMeta(id, "xz", unxz(bytes).isDefined, -1, -1,
           -1, -1, -1, -1L)
+      case "7z" =>
+        val rows = graft.sources.SevenZip.parse(id, bytes)
+        DispatchedMeta(id, "7z", rows.forall(_.ok), -1, -1, -1, -1,
+          if (rows.forall(_.ok)) rows.length else -1, -1L)
       case "bzip2" =>
         DispatchedMeta(id, "bzip2", unbzip2(bytes).isDefined, -1, -1,
           -1, -1, -1, -1L)

@@ -268,7 +268,8 @@ object Queries
     "q210_tiff_quality" -> (q210 _),
     "q211_vp8_foreign" -> (q211 _),
     "q212_container_audio" -> (q212 _),
-    "q213_avif_meta" -> (q213 _)
+    "q213_avif_meta" -> (q213 _),
+    "q214_7z_members" -> (q214 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -667,7 +668,8 @@ object Queries
     "q210_tiff_quality" -> q210Sql,
     "q211_vp8_foreign" -> q211Sql,
     "q212_container_audio" -> q212Sql,
-    "q213_avif_meta" -> q213Sql
+    "q213_avif_meta" -> q213Sql,
+    "q214_7z_members" -> q214Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2903,4 +2903,65 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       | doc_id % 11 <> 0 AS decode_ok
       |FROM documents WHERE doc_id < 120
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  // 7z member inventory under the oracle — the FOURTH crawl envelope
+  // (software/dataset dumps ship .7z as often as .tar.xz): each row
+  // builds a genuine LZMA2 archive and SevenZip.entries inventories
+  // it back (names, sizes, md5 digests of decompressed members, the
+  // q177/q188 contract) through the reference LZMA2 decoder on the
+  // classpath. Every 4th row leads with a directory member; every
+  // 13th blob truncated mid-archive -> ONE all-sentinel row.
+  private[queries] def q214(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val dirs: Seq[(String, Array[Byte])] =
+          if (id % 4 == 0) Seq("docs/" -> Array.emptyByteArray)
+          else Seq.empty
+        val files = (0 until (1 + (id % 3)).toInt).map { j =>
+          val c = (s"7z-$id-$j;" * (1 + ((id + j) % 4).toInt))
+            .getBytes("UTF-8")
+          s"docs/s${id}_$j.txt" -> c
+        }
+        val bytes = graft.sources.SevenZip.synthetic(id, dirs ++ files)
+        m.MediaBlob(id, "application/x-7z-compressed",
+          if (id % 13 == 0) bytes.take(40) else bytes)
+      }
+    graft.sources.SevenZip.entries(blobs).toDF()
+      .select($"media_id", $"entry_no", $"name", $"size", $"digest",
+        $"ok")
+      .orderBy($"media_id", $"entry_no")
+  }
+  private[queries] lazy val q214Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 13 = 0 AS bad,
+      |  doc_id % 4 = 0 AS hasdir
+      | FROM documents WHERE doc_id < 150),
+      |f AS (
+      | SELECT doc_id, j,
+      |  CAST(j + CASE WHEN hasdir THEN 1 ELSE 0 END AS INT)
+      |   AS entry_no,
+      |  'docs/s' || doc_id || '_' || j || '.txt' AS name,
+      |  repeat('7z-' || doc_id || '-' || j || ';',
+      |   1 + (doc_id + j) % 4) AS c
+      | FROM (SELECT doc_id, hasdir, unnest(range(n)) AS j
+      |       FROM p WHERE NOT bad) t)
+      |SELECT media_id, entry_no, name, size, digest, ok
+      |FROM (
+      | SELECT doc_id AS media_id, entry_no, name,
+      |  CAST(length(c) AS BIGINT) AS size, md5(c) AS digest,
+      |  true AS ok
+      | FROM f
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), 'docs/', CAST(0 AS BIGINT), '',
+      |  true
+      | FROM p WHERE hasdir AND NOT bad
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), '', CAST(-1 AS BIGINT), '',
+      |  false
+      | FROM p WHERE bad)
+      |ORDER BY media_id, entry_no""".stripMargin
 }

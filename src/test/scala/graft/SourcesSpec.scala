@@ -347,4 +347,93 @@ class SourcesSpec extends AnyFunSuite {
     assert(r2.map(e => (e.name, e.size, e.digest)) ==
       plain.map(e => (e.name, e.size, e.digest)))
   }
+
+
+  test("cross-library conformance: commons-compress reads our tar " +
+    "(gnu/pax long names, base-256 sizes) and zip (incl. zip64), and " +
+    "our walks read ITS archives — both directions, permanently") {
+    import graft.sources.{Tar, Zip}
+    import org.apache.commons.compress.archivers.tar.{
+      TarArchiveInputStream, TarArchiveOutputStream, TarArchiveEntry}
+    import org.apache.commons.compress.archivers.zip.{
+      ZipArchiveInputStream, ZipArchiveOutputStream, ZipArchiveEntry}
+    val long = "d/" + ("sub/" * 30) + "leaf.txt"
+    // ours -> commons-compress
+    Seq(("gnu", false), ("pax", false), ("truncate", true)).foreach {
+      case (mode, b256) =>
+        val mine = Tar.synthetic(1L,
+          Seq("a.txt" -> "abc".getBytes,
+            (if (mode == "truncate") "b.txt" else long) ->
+              "defg".getBytes),
+          longNameMode = mode, base256Size = b256)
+        val in = new TarArchiveInputStream(
+          new java.io.ByteArrayInputStream(mine))
+        val names = Iterator.continually(in.getNextEntry)
+          .takeWhile(_ != null).map(_.getName).toList
+        assert(names.head == "a.txt", s"$mode b256=$b256")
+        assert(names(1) ==
+          (if (mode == "truncate") "b.txt" else long),
+          s"$mode b256=$b256")
+    }
+    val myZip = Zip.synthetic(2L, Seq(
+      ("x.txt", "hello x".getBytes, "deflate"),
+      ("y.bin", Array.tabulate(64)(_.toByte), "stored")), zip64 = true)
+    val zin = new ZipArchiveInputStream(
+      new java.io.ByteArrayInputStream(myZip))
+    val zn = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toList
+    assert(zn == List("x.txt", "y.bin"))
+    // commons-compress -> ours
+    val tbos = new java.io.ByteArrayOutputStream()
+    val tout = new TarArchiveOutputStream(tbos)
+    tout.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    Seq("first.txt" -> "one", long -> "two").foreach { case (n, c) =>
+      val e = new TarArchiveEntry(n)
+      e.setSize(c.length)
+      tout.putArchiveEntry(e)
+      tout.write(c.getBytes)
+      tout.closeArchiveEntry()
+    }
+    tout.close()
+    val trows = Tar.parse(3L, tbos.toByteArray)
+    assert(trows.forall(_.ok))
+    assert(trows.map(_.name) == Seq("first.txt", long))
+    val zbos = new java.io.ByteArrayOutputStream()
+    val zout = new ZipArchiveOutputStream(zbos)
+    Seq("m.txt" -> "em", "n.txt" -> "en").foreach { case (n, c) =>
+      zout.putArchiveEntry(new ZipArchiveEntry(n))
+      zout.write(c.getBytes)
+      zout.closeArchiveEntry()
+    }
+    zout.close()
+    val zrows = Zip.parse(4L, zbos.toByteArray)
+    assert(zrows.forall(e => e.ok && e.crc_ok))
+    assert(zrows.map(_.name) == Seq("m.txt", "n.txt"))
+  }
+
+
+  test("7z member inventory: names/sizes/digests through the " +
+    "reference LZMA2 decoder; dirs, sniff+dispatch, truncation and " +
+    "bomb-cap row properties") {
+    import graft.sources.SevenZip
+    val data = Seq("docs/" -> Array.emptyByteArray,
+      "docs/a.txt" -> "alpha body".getBytes,
+      "docs/b.txt" -> ("bee " * 50).getBytes)
+    val bytes = SevenZip.synthetic(9L, data)
+    val rows = SevenZip.parse(9L, bytes)
+    assert(rows.map(_.name) == Seq("docs/", "docs/a.txt", "docs/b.txt"))
+    assert(rows.forall(_.ok))
+    assert(rows(1).size == 10L && rows(2).size == 200L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(rows(1).digest ==
+      md.digest("alpha body".getBytes).map("%02x".format(_)).mkString)
+    assert(rows(1).method == "lzma2")
+    assert(Multimodal.sniffFormat(bytes) == "7z")
+    val dm = Multimodal.dispatchOne(9L, bytes)
+    assert(dm.format == "7z" && dm.decode_ok && dm.frames == 3)
+    // truncation and bomb cap are row properties
+    assert(SevenZip.parse(9L, bytes.take(40)).forall(!_.ok))
+    val capped = SevenZip.parse(9L, bytes, maxOut = 16)
+    assert(capped.exists(!_.ok) && capped.exists(_.ok))
+  }
 }
