@@ -105,6 +105,16 @@ object SevenZip {
       .SeekableInMemoryByteChannel()
     val out = new org.apache.commons.compress.archivers.sevenz
       .SevenZOutputFile(ch)
+    // small LZMA2 dictionary: the default 8 MiB preset allocates
+    // ~100 MB of encoder state PER ARCHIVE — a 25 s/150-blob bench
+    // outlier for KB-sized members; 64 KiB is plenty and the
+    // declared dict also keeps the decode side allocation-light
+    out.setContentMethods(java.util.Collections.singletonList(
+      new org.apache.commons.compress.archivers.sevenz
+        .SevenZMethodConfiguration(
+          org.apache.commons.compress.archivers.sevenz.SevenZMethod
+            .LZMA2,
+          Integer.valueOf(1 << 16))))
     members.foreach { case (name, data) =>
       val e = new org.apache.commons.compress.archivers.sevenz
         .SevenZArchiveEntry()
