@@ -269,7 +269,8 @@ object Queries
     "q211_vp8_foreign" -> (q211 _),
     "q212_container_audio" -> (q212 _),
     "q213_avif_meta" -> (q213 _),
-    "q214_7z_members" -> (q214 _)
+    "q214_7z_members" -> (q214 _),
+    "q215_tarxz_ingest" -> (q215 _)
   )
 
   /** Queries that run real Structured Streaming micro-batches. Each
@@ -669,7 +670,8 @@ object Queries
     "q211_vp8_foreign" -> q211Sql,
     "q212_container_audio" -> q212Sql,
     "q213_avif_meta" -> q213Sql,
-    "q214_7z_members" -> q214Sql
+    "q214_7z_members" -> q214Sql,
+    "q215_tarxz_ingest" -> q215Sql
   )
 
   /** The full oracle map, INCLUDING oracles generated from fitted

@@ -2964,4 +2964,70 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       |  false
       | FROM p WHERE bad)
       |ORDER BY media_id, entry_no""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  // .tar.xz ingest capstone — the composition model-data drops
+  // actually arrive in (the q161 gzip->WARC pattern, over the two
+  // round-20 envelope legs): decompress the XZ stream (bomb-capped),
+  // walk the USTAR members inside — INCLUDING PAX long names, since
+  // dataset tars carry deep paths — and inventory (name, size, md5)
+  // per member, all in one partition-wise pass. A corrupt XZ byte or
+  // a truncated inner tar collapses to the single sentinel row
+  // (every 13th / every 9th-ish row respectively).
+  private[queries] def q215(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.multimodal.Multimodal
+    val blobs = t(s, dir, "documents").filter($"doc_id" < 150)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val longName = id % 9 == 1
+        val prefix =
+          if (longName) "data/" + ("shard/" * 25) else "data/"
+        val files = (0 until (1 + (id % 3)).toInt).map { j =>
+          val c = (s"tx-$id-$j;" * (1 + ((id + j) % 4).toInt))
+            .getBytes("UTF-8")
+          s"${prefix}p${id}_$j.jsonl" -> c
+        }
+        val tar = graft.sources.Tar.synthetic(id, files,
+          longNameMode = if (longName) "pax" else "truncate")
+        val xz = m.xzBytes(tar)
+        if (id % 13 == 0) xz(20) = (xz(20) ^ 0x40).toByte
+        m.MediaBlob(id, "application/x-xz", xz)
+      }
+    blobs.mapPartitions(_.flatMap { b =>
+      m.unxz(b.content) match {
+        case Some(tar) => graft.sources.Tar.parse(b.media_id, tar)
+        case None => Seq(graft.sources.TarEntry(b.media_id, 0, "",
+          -1L, "", "", ok = false))
+      }
+    }).toDF()
+      .select($"media_id", $"entry_no", $"name", $"size", $"digest",
+        $"ok")
+      .orderBy($"media_id", $"entry_no")
+  }
+  private[queries] lazy val q215Sql =
+    """WITH p AS (
+      | SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 13 = 0 AS bad,
+      |  doc_id % 9 = 1 AS longname
+      | FROM documents WHERE doc_id < 150),
+      |f AS (
+      | SELECT doc_id, j, CAST(j AS INT) AS entry_no,
+      |  CASE WHEN longname THEN 'data/' || repeat('shard/', 25)
+      |   ELSE 'data/' END || 'p' || doc_id || '_' || j || '.jsonl'
+      |   AS name,
+      |  repeat('tx-' || doc_id || '-' || j || ';',
+      |   1 + (doc_id + j) % 4) AS c
+      | FROM (SELECT doc_id, longname, unnest(range(n)) AS j
+      |       FROM p WHERE NOT bad) t)
+      |SELECT media_id, entry_no, name, size, digest, ok
+      |FROM (
+      | SELECT doc_id AS media_id, entry_no, name,
+      |  CAST(length(c) AS BIGINT) AS size, md5(c) AS digest,
+      |  true AS ok
+      | FROM f
+      | UNION ALL
+      | SELECT doc_id, CAST(0 AS INT), '', CAST(-1 AS BIGINT), '',
+      |  false
+      | FROM p WHERE bad)
+      |ORDER BY media_id, entry_no""".stripMargin
 }
