@@ -160,8 +160,13 @@ private[multimodal] trait CompressionCodec extends Serializable {
 
   def xzBytes(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val out = new org.tukaani.xz.XZOutputStream(bos,
-      new org.tukaani.xz.LZMA2Options(6))
+    val opts = new org.tukaani.xz.LZMA2Options(6)
+    // preset 6's 8 MiB dictionary allocates ~90 MB of encoder state
+    // per call — size it to the payload (fixtures are KBs), floor
+    // 64 KiB (the format minimum)
+    opts.setDictSize(math.max(1 << 16,
+      Integer.highestOneBit(math.max(1, data.length - 1)) * 2))
+    val out = new org.tukaani.xz.XZOutputStream(bos, opts)
     out.write(data); out.finish(); out.close()
     bos.toByteArray
   }
