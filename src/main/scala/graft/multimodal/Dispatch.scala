@@ -529,8 +529,11 @@ private[multimodal] trait DispatchCodec extends Serializable
           else Some(b.content)
         // metadata-only legs: no byte-level transform exists, so a
         // valid stream passes through (dropping it would silently
-        // empty every MP4/MP3/FLAC in a mixed crawl column)
-        case "mp4" | "mp3" | "flac" | "ogg" =>
+        // empty every MP4/MP3/FLAC/AVIF/archive in a mixed crawl
+        // column)
+        case "mp4" | "mp3" | "flac" | "ogg" | "avif" | "heif" |
+          "xz" | "bzip2" | "7z" | "zip" | "tar" | "gzip" | "mp2t" |
+          "aac" =>
           Some(b.content)
         case _      => None
       }
