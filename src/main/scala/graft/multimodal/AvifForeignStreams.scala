@@ -10,7 +10,7 @@ package graft.multimodal
   * encoder's box layout, not this repo's own writer.
   */
 object AvifForeignStreams {
-  final case class AvifFx(w: Int, h: Int, depth: Int, webpB64: String)
+  final case class AvifFx(w: Int, h: Int, depth: Int, avifB64: String)
 
   val all: IndexedSeq[AvifFx] = IndexedSeq(
     AvifFx(64, 48, 8,

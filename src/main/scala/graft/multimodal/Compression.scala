@@ -94,11 +94,19 @@ private[multimodal] trait CompressionCodec extends Serializable {
   }
 
   /** Bounded copy of a decompression stream — the [[gunzip]]
-    * bomb-cap contract shared by every codec leg below.
+    * bomb-cap contract shared by every codec leg below. Takes the
+    * stream as a THUNK so constructor-time validation failures (XZ
+    * stream-flags CRC, bzip2 first block magic, zstd/LZ4 frame
+    * headers — all eagerly checked past the sniffed magic) land in
+    * the same catch as drain-time corruption: a blob with a valid
+    * magic but garbage right after must be decode_ok=false, never a
+    * task-killing IOException (the dispatchDecode never-fail
+    * contract).
     */
-  private def drainCapped(in: java.io.InputStream,
+  private def drainCapped(mkIn: () => java.io.InputStream,
                           maxBytes: Int): Option[Array[Byte]] =
     try {
+      val in = mkIn()
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
@@ -118,7 +126,7 @@ private[multimodal] trait CompressionCodec extends Serializable {
   def inflateZlib(bytes: Array[Byte],
                   maxBytes: Int = 1 << 26): Option[Array[Byte]] =
     if (bytes.length < 3 || (bytes(0) & 0xff) != 0x78) None
-    else drainCapped(new java.util.zip.InflaterInputStream(
+    else drainCapped(() => new java.util.zip.InflaterInputStream(
       new java.io.ByteArrayInputStream(bytes)), maxBytes)
 
   /** Decompress a zstandard frame (magic 28 B5 2F FD — the codec
@@ -130,7 +138,7 @@ private[multimodal] trait CompressionCodec extends Serializable {
     if (bytes.length < 5 || (bytes(0) & 0xff) != 0x28 ||
       (bytes(1) & 0xff) != 0xb5 || (bytes(2) & 0xff) != 0x2f ||
       (bytes(3) & 0xff) != 0xfd) None
-    else drainCapped(new com.github.luben.zstd.ZstdInputStream(
+    else drainCapped(() => new com.github.luben.zstd.ZstdInputStream(
       new java.io.ByteArrayInputStream(bytes)), maxBytes)
 
   /** Decompress an LZ4 FRAME (magic 04 22 4D 18). */
@@ -139,7 +147,7 @@ private[multimodal] trait CompressionCodec extends Serializable {
     if (bytes.length < 7 || (bytes(0) & 0xff) != 0x04 ||
       (bytes(1) & 0xff) != 0x22 || (bytes(2) & 0xff) != 0x4d ||
       (bytes(3) & 0xff) != 0x18) None
-    else drainCapped(new net.jpountz.lz4.LZ4FrameInputStream(
+    else drainCapped(() => new net.jpountz.lz4.LZ4FrameInputStream(
       new java.io.ByteArrayInputStream(bytes)), maxBytes)
 
   /** Decompress an XZ stream (magic FD '7zXZ' 00 — how .tar.xz
@@ -151,7 +159,7 @@ private[multimodal] trait CompressionCodec extends Serializable {
     if (bytes.length < 12 || (bytes(0) & 0xff) != 0xfd ||
       bytes(1) != '7' || bytes(2) != 'z' || bytes(3) != 'X' ||
       bytes(4) != 'Z' || bytes(5) != 0) None
-    else drainCapped(new org.tukaani.xz.XZInputStream(
+    else drainCapped(() => new org.tukaani.xz.XZInputStream(
       // decoder-memory cap (KiB): xz -9 needs a 64 MiB dictionary;
       // 256 MiB admits every standard preset while keeping a header
       // that lies about a multi-GiB dictionary a row property
@@ -180,7 +188,7 @@ private[multimodal] trait CompressionCodec extends Serializable {
     if (bytes.length < 10 || bytes(0) != 'B' || bytes(1) != 'Z' ||
       bytes(2) != 'h' || bytes(3) < '1' || bytes(3) > '9') None
     else drainCapped(
-      new org.apache.commons.compress.compressors.bzip2
+      () => new org.apache.commons.compress.compressors.bzip2
         .BZip2CompressorInputStream(
           new java.io.ByteArrayInputStream(bytes), true),
       maxBytes)
@@ -201,7 +209,7 @@ private[multimodal] trait CompressionCodec extends Serializable {
     if (bytes.length < 10 || (bytes(0) & 0xff) != 0xff ||
       bytes(1) != 0x06 || bytes(2) != 0x00 || bytes(3) != 0x00 ||
       new String(bytes, 4, 6, "US-ASCII") != "sNaPpY") None
-    else drainCapped(new org.xerial.snappy.SnappyFramedInputStream(
+    else drainCapped(() => new org.xerial.snappy.SnappyFramedInputStream(
       new java.io.ByteArrayInputStream(bytes)), maxBytes)
 
   def snappyBytes(data: Array[Byte]): Array[Byte] = {

@@ -2875,7 +2875,7 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
       .select($"doc_id").as[Long]
       .map { id =>
         val fx = graft.multimodal.AvifForeignStreams.all((id % 3).toInt)
-        val full = java.util.Base64.getDecoder.decode(fx.webpB64)
+        val full = java.util.Base64.getDecoder.decode(fx.avifB64)
         val bytes =
           if (id % 11 == 0) java.util.Arrays.copyOf(full, 40) else full
         val a = m.parseAvif(id, bytes)
@@ -2971,9 +2971,10 @@ private[queries] trait QueriesMultimodal { this: Queries.type =>
   // round-20 envelope legs): decompress the XZ stream (bomb-capped),
   // walk the USTAR members inside — INCLUDING PAX long names, since
   // dataset tars carry deep paths — and inventory (name, size, md5)
-  // per member, all in one partition-wise pass. A corrupt XZ byte or
-  // a truncated inner tar collapses to the single sentinel row
-  // (every 13th / every 9th-ish row respectively).
+  // per member, all in one partition-wise pass. A corrupt XZ byte
+  // (every 13th row, a bit flip inside the compressed stream)
+  // collapses to the single sentinel row; the id % 9 == 1 leg
+  // rotates PAX long names, not truncation.
   private[queries] def q215(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = graft.multimodal.Multimodal

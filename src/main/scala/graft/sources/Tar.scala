@@ -61,6 +61,11 @@ object Tar {
             var v = (bytes(off + at) & 0x7f).toLong
             var k = 1
             while (k < len) {
+              // a 12-byte field folds up to 95 bits; reject anything
+              // wider than 63 so a crafted header (the checksum is
+              // attacker-computable) cannot overflow v negative and
+              // slip past the size bounds checks below
+              if (v > (Long.MaxValue >> 8)) return -1L
               v = (v << 8) | (bytes(off + at + k) & 0xff); k += 1
             }
             v
@@ -88,7 +93,9 @@ object Tar {
         // header field for the next member (and governs the block
         // advance), per POSIX
         var advance = rawSize
-        if (rawSize > 0 && dataStart + rawSize > bytes.length) return bad
+        // overflow-safe form: dataStart + rawSize can wrap negative
+        // for a near-Long.MaxValue size and bypass the check
+        if (rawSize > 0 && rawSize > bytes.length - dataStart) return bad
         if (flag == 'L') {
           // GNU long name: the data IS the next member's name
           var end = dataStart
@@ -119,6 +126,7 @@ object Tar {
               else if (key == "size") {
                 try pendingSize = value.toLong
                 catch { case _: NumberFormatException => return bad }
+                if (pendingSize < 0) return bad
               }
             }
             p += recLen
@@ -130,7 +138,7 @@ object Tar {
             if (pendingSize >= 0) pendingSize else rawSize
           pendingName = null; pendingSize = -1L
           advance = size
-          if (size > 0 && dataStart + size > bytes.length) return bad
+          if (size > 0 && size > bytes.length - dataStart) return bad
           if (flag == '5') {
             out += TarEntry(id, no, name, 0L, "dir", "", ok = true)
             no += 1

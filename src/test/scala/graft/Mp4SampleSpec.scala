@@ -172,7 +172,7 @@ class Mp4SampleSpec extends AnyFunSuite {
     val fx = graft.multimodal.AvifForeignStreams.all
     val expect = Seq((64, 48, 8), (33, 21, 8), (16, 16, 10))
     fx.zip(expect).foreach { case (f, (w, h, d)) =>
-      val bytes = java.util.Base64.getDecoder.decode(f.webpB64)
+      val bytes = java.util.Base64.getDecoder.decode(f.avifB64)
       assert(Multimodal.sniffFormat(bytes) == "avif")
       val a = Multimodal.parseAvif(9L, bytes)
       assert(a.decode_ok, s"$w x$h rejected")
