@@ -158,8 +158,6 @@ object Graph {
 
     val universe = nodes.select(col(nodes.columns.head).as("node"))
       .distinct()
-    // one-row dimension: N as a broadcastable scalar kept in-plan
-    val nDf = universe.agg(count(lit(1)).cast("double").as("n"))
 
     val eRaw = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -187,12 +185,9 @@ object Graph {
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(sum(col("ew")).as("out_deg"))
       .filter(col("out_deg") > 0.0)
-      .persist()
 
-    // teleport vector t: uniform 1/N, or normalized over the seed set.
-    // Kept as an optional (node, t) frame joined per iteration; the
-    // uniform case stays a pure scalar (1/n) so classic pageRank's
-    // plan is unchanged.
+    // teleport vector t: uniform 1/N, or normalized over the seed set
+    // — folded into `base` below so no per-iteration join needs it.
     val tele = seeds.map { s =>
       val sc = s.columns
       val sw = if (sc.length >= 2) col(sc(1)).cast("double") else lit(1.0)
@@ -202,66 +197,105 @@ object Graph {
       val tot = inU.agg(sum(col("tw")).as("tot"))
       inU.crossJoin(broadcast(tot))
         .select(col("node"), (col("tw") / col("tot")).as("t"))
-        .persist()
     }
-    tele.foreach { t =>
-      require(t.limit(1).count() > 0,
+
+    // ONE loop-invariant node frame, materialized once: the node
+    // universe with its out-degree (and teleport weight, when
+    // personalized) attached. Every iteration's rank frame CARRIES
+    // out_deg/t through the lineage cut, so the former per-iteration
+    // ranks⋈outDeg join (a full shuffle/broadcast of the rank table
+    // per power step at scale) and the per-iteration teleport join
+    // disappear — each iteration is now exactly one rank⋈edges join,
+    // one contribution aggregate, one base⋈contribs fill-in, and the
+    // one-row dangling broadcast (guide §2.4: remove shuffles
+    // outright).
+    // iterCut (localCheckpoint), NOT cacheManager persist: a cached
+    // plan freezes its pre-AQE output partitioning (AQE may not
+    // change cached partitioning), so every later probe would rescan
+    // the frame at the full configured shuffle-partition count; the
+    // checkpointed RDD keeps the AQE-coalesced layout.
+    val base = Materialize.iterCut(tele.foldLeft(
+      universe.join(outDeg, Seq("node"), "left")) { (u, t) =>
+      u.join(t, Seq("node"), "left")
+        .withColumn("t", coalesce(col("t"), lit(0.0)))
+    })
+    // N once, as a driver scalar: replaces the former per-iteration
+    // one-row broadcast (same double arithmetic — count cast to
+    // double either way).
+    val nD = base.count().toDouble
+    val nLit = lit(nD)
+    tele.foreach { _ =>
+      require(base.filter(col("t") > 0.0).limit(1).count() > 0,
         "personalizedPageRank: no seed lies in the node universe")
     }
+    // columns the iteration state carries alongside (node, rank)
+    val carry = col("out_deg") +: tele.map(_ => col("t")).toSeq
+
     // uniform path keeps the r14 expression verbatim ((1-d)/n, D/n):
     // rewriting it as (1-d)·t with t=1/n changes the fp rounding by an
-    // ulp, enough to flip a 6dp oracle hash on a boundary value
-    def update(df: DataFrame): DataFrame = tele match {
-      case Some(t) => df.join(t, Seq("node"), "left")
-        .withColumn("t", coalesce(col("t"), lit(0.0)))
-        .select(col("node"),
-          (lit(1.0 - damping) * col("t") + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) +
-              col("dangling") * col("t"))).as("rank"))
-      case None => df
-        .select(col("node"),
-          (lit(1.0 - damping) / col("n") + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) +
-              col("dangling") / col("n"))).as("rank"))
+    // ulp, enough to flip a 6dp oracle hash on a boundary value.
+    // `withCarry=false` on the LAST iteration drops the carried
+    // iteration state so the returned frame is the tracked checkpoint
+    // itself with the (node, rank) contract — returning a projection
+    // instead would leave the final frame only weakly referenced and
+    // its blocks invisible to Materialize.releaseAll.
+    def update(df: DataFrame, withCarry: Boolean): DataFrame = {
+      val c = if (withCarry) carry else Nil
+      tele match {
+        case Some(_) => df
+          .select(col("node") +:
+            (lit(1.0 - damping) * col("t") + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) +
+                col("dangling") * col("t"))).as("rank") +: c: _*)
+        case None => df
+          .select(col("node") +:
+            (lit(1.0 - damping) / nLit + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) +
+                col("dangling") / nLit)).as("rank") +: c: _*)
+      }
     }
 
     val seed = (prior, tele) match {
       case (None, None) =>
-        universe.crossJoin(broadcast(nDf))
-          .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-      case (None, Some(t)) =>
-        universe.join(t, Seq("node"), "left")
-          .select(col("node"), coalesce(col("t"), lit(0.0)).as("rank"))
+        base.select(col("node") +:
+          (lit(1.0) / nLit).as("rank") +: carry: _*)
+      case (None, Some(_)) =>
+        base.select(col("node") +: col("t").as("rank") +: carry: _*)
       case (Some(p), _) =>
         val cols = p.columns
-        val projected = universe
+        val projected = base
           .join(p.select(col(cols(0)).as("node"),
             col(cols(1)).as("prior_rank")), Seq("node"), "left")
-          .crossJoin(broadcast(nDf))
-          .select(col("node"),
-            coalesce(col("prior_rank"), lit(1.0) / col("n")).as("rank"))
+          .select(col("node") +:
+            coalesce(col("prior_rank"), lit(1.0) / nLit).as("rank") +:
+            carry: _*)
         val mass = projected.agg(sum(col("rank")).as("mass"))
         projected.crossJoin(broadcast(mass))
-          .select(col("node"), (col("rank") / col("mass")).as("rank"))
+          .select(col("node") +:
+            (col("rank") / col("mass")).as("rank") +: carry: _*)
     }
     var ranks = Materialize.iterCut(seed)
 
     var i = 0
     while (i < iterations) graft.BenchProbe.time(s"pr_iter$i") {
-      val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // mass parked on dangling nodes, as a broadcast one-row agg
-      val dangling = withDeg.filter(col("out_deg").isNull)
+      // (out_deg rides IN the rank frame — no join needed)
+      val dangling = ranks.filter(col("out_deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling"))
-      val contribs = withDeg.filter(col("out_deg").isNotNull)
+      val contribs = ranks.filter(col("out_deg").isNotNull)
         .select(col("node").as("src"),
           (col("rank") / col("out_deg")).as("w"))
         .join(e, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w") * col("ew")).as("contrib"))
-      val next = update(universe
+      val next = update(base
         .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(nDf)))
+        .crossJoin(broadcast(dangling)), withCarry = i < iterations - 1)
+      // measurement hook (guide §1): dump the ITERATION body's plan —
+      // the final frame's explain only shows checkpoint-truncated
+      // lineage, so per-iteration plan claims need this
+      if (i <= 1 && sys.env.contains("GRAFT_EXPLAIN_ITER"))
+        next.explain("formatted")
       // eager lineage cut, not persist: each iteration's plan embeds
       // the previous one ~4× (contribs, dangling, the node join), so
       // lineage grows 4^k — the ANALYZER chokes long before the
@@ -290,8 +324,7 @@ object Graph {
       i += 1
     }
     e.unpersist()
-    outDeg.unpersist()
-    tele.foreach(_.unpersist())
+    Materialize.release(base)
     // the FINAL frame stays persisted for the caller; harnesses drop
     // it post-consume via Materialize.releaseAll (the bench hook)
     ranks
@@ -324,8 +357,12 @@ object Graph {
            srcCol: String, dstCol: String,
            iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
-    val universe = nodes.select(col(nodes.columns.head).as("node"))
-      .distinct()
+    // the universe is probed twice per iteration (authority and hub
+    // zero-fill); materialize the distinct once (iterCut, so the
+    // AQE-coalesced layout is kept — see pageRankImpl's base note)
+    // instead of paying its shuffle 2×iterations times
+    val universe = Materialize.iterCut(
+      nodes.select(col(nodes.columns.head).as("node")).distinct())
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .join(universe.select(col("node").as("src")), Seq("src"),
@@ -335,9 +372,11 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist()
-    val nDf = universe.agg(count(lit(1)).cast("double").as("n"))
-    var hub = Materialize.iterCut(universe.crossJoin(broadcast(nDf))
-      .select(col("node"), (lit(1.0) / col("n")).as("hub")))
+    // N once as a driver scalar (fills universe's cache); same double
+    // arithmetic as the former one-row broadcast
+    val nD = universe.count().toDouble
+    var hub = Materialize.iterCut(universe
+      .select(col("node"), (lit(1.0) / lit(nD)).as("hub")))
     var auth: DataFrame = null
     var i = 0
     while (i < iterations) graft.BenchProbe.time(s"hits_iter$i") {
@@ -368,6 +407,7 @@ object Graph {
       i += 1
     }
     e.unpersist()
+    Materialize.release(universe)
     hub.join(auth, Seq("node"))
   }
 
@@ -400,8 +440,11 @@ object Graph {
                        iterations: Int = 4,
                        weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "labelPropagation needs >= 1 iteration")
-    val universe = nodes.select(col(nodes.columns.head).as("node"))
-      .distinct()
+    // probed three times (label init + the two und semi-joins);
+    // materialize the distinct once (iterCut — see pageRankImpl's
+    // base note on cached-plan partitioning)
+    val universe = Materialize.iterCut(
+      nodes.select(col(nodes.columns.head).as("node")).distinct())
     val directed = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         weightCol.map(w => col(w).cast("double"))
@@ -435,13 +478,16 @@ object Graph {
         .groupBy(col("node"), col("label"))
         .agg(weightCol.map(_ => sum(col("ew")).as("cnt"))
           .getOrElse(count(lit(1)).as("cnt")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("label").asc)
+      // the vote (max cnt, ties → smallest label) as a HASH AGGREGATE
+      // instead of a rank window: min(struct(-cnt, label)) picks the
+      // identical winner, but the aggregate partial-combines map-side
+      // and needs no per-node sort (guide §2.3 — aggregate before you
+      // shuffle); exact integer/double comparison, no fp change
       val winners = counts
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label").as("new_label"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"),
+          col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("new_label"))
       // lineage cut per round — see pageRankImpl's note
       val next = Materialize.iterCut(labels
         .join(winners, Seq("node"), "left")
@@ -452,6 +498,7 @@ object Graph {
       i += 1
     }
     und.unpersist()
+    Materialize.release(universe)
     labels
   }
 
