@@ -55,7 +55,7 @@ object Text {
     */
   def aliasFromTopic(c: Column): Column =
     lower(concat_ws("", transform(
-      filter(split(c, "\\s+"), w => length(w) > 0),
+      array_remove(split(c, "\\s+"), ""),
       w => substring(w, 1, 1))))
 
   /** Minimal HTML entity map (the entities RSS titles actually carry).

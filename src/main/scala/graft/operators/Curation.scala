@@ -20,7 +20,7 @@ object Curation {
 
   /** Non-empty whitespace tokens of `text`, as an array column. */
   private def wordArr(text: Column): Column =
-    filter(split(text, "\\s+"), w => length(w) > 0)
+    array_remove(split(text, "\\s+"), "")
 
   /** Per-document repetition metrics:
     * `n_words`, `dup_word_frac` = 1 − distinct/total words, and

@@ -69,7 +69,7 @@ object Dedup {
     * element_at — O(words²) per doc.
     */
   def shingles(text: Column, n: Int = 3): Column =
-    bound(filter(split(lower(text), "\\s+"), w => length(w) > 0)) { words =>
+    bound(array_remove(split(lower(text), "\\s+"), "")) { words =>
       val count = size(words) - (n - 1)
       when(count > 0,
         array_distinct(transform(sequence(lit(1), count), i =>
@@ -88,7 +88,7 @@ object Dedup {
     * shingle values themselves.
     */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    bound(filter(split(lower(text), "\\s+"), w => length(w) > 0)) { words =>
+    bound(array_remove(split(lower(text), "\\s+"), "")) { words =>
       val count = size(words) - (n - 1)
       when(count > 0,
         array_distinct(transform(sequence(lit(1), count), i =>

@@ -36,7 +36,7 @@ object Retrieval {
     * stay sane for null-text rows.
     */
   def tokens(text: Column): Column =
-    coalesce(filter(split(lower(text), "\\s+"), t => length(t) > 0),
+    coalesce(array_remove(split(lower(text), "\\s+"), ""),
       array().cast("array<string>"))
 
   /** Top-`k` documents for `queryTerms` by BM25. Output:

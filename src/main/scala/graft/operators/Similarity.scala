@@ -908,7 +908,7 @@ object Similarity {
     * computed scan-side, codegen'd, reproducible across engines/runs.
     */
   def hashEmbedding(text: Column, dim: Int = 64): Column = {
-    val tokens = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val tokens = array_remove(split(lower(text), "\\s+"), "")
     // hash every token ONCE into (bucket, ±1), then one cheap filtered
     // sum per bucket — O(dim·tokens) integer compares, instead of
     // rebuilding a dim-wide accumulator array per token
@@ -942,8 +942,8 @@ object Similarity {
                          textCol: String, dim: Int,
                          hash: Dedup.SigHash = Dedup.Xx64): DataFrame = {
     val tokRaw = df.select(col(idCol).as("id"), col(keyCol).as("key"),
-      explode(filter(split(lower(col(textCol)), "\\s+"),
-        t => length(t) > 0)).as("tk"))
+      explode(array_remove(split(lower(col(textCol)), "\\s+"), ""))
+        .as("tk"))
     val tok = hash match {
       case Dedup.Xx64 => tokRaw.select(col("id"), col("key"),
         pmod(xxhash64(col("tk")), lit(dim)).cast("int").as("idx"),

@@ -14,7 +14,7 @@ object Summarize {
 
   /** Words of a text (Unicode-aware split, empties dropped). */
   def words(text: Column): Column =
-    filter(split(text, "\\s+"), w => length(w) > 0)
+    array_remove(split(text, "\\s+"), "")
 
   /** Extractive "sentences": the first `n` groups of `width` words.
     * Stands in for M1's LLM bullet summary — deterministic and

@@ -12,7 +12,7 @@ object TextAnalysis {
 
   /** Whitespace-token count. */
   def wsTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0))
+    size(array_remove(split(text, "\\s+"), ""))
 
   /** BPE-ish subword proxy: alphanumeric runs split into ≤4-char pieces
     * (a deterministic stand-in for a real tokenizer's piece count).
@@ -256,7 +256,7 @@ object TextAnalysis {
 
   /** Distinct whitespace tokens. */
   def distinctTokenCount(text: Column): Column =
-    size(array_distinct(filter(split(text, "\\s+"), t => length(t) > 0)))
+    size(array_distinct(array_remove(split(text, "\\s+"), "")))
 
   /** English-ish stopwords used by the quality heuristic. Kept tiny and
     * public so the DuckDB oracle can mirror it exactly.
