@@ -133,19 +133,27 @@ private[queries] trait QueriesRelational { this: Queries.type =>
       |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
   // ---------------------------------------------------------------- q06
-  // T2: weighted-score top-k per group (0.7/0.3 formula)
+  // T2: weighted-score top-k per group (0.7/0.3 formula). Routed
+  // through Skew.topKAgg (round 21): n_name has 25 values, so the
+  // previous row_number window sent every nation's orders to ONE
+  // task — the exact low-cardinality-group skew q05 was rewritten
+  // for in round 5 (at 100 TB: 25 tasks each sorting 1/25 of the
+  // joined fact table). The bounded (score desc, id asc) aggregator
+  // ships ≤ k rows per group per map task and sorts nothing
+  // globally; ordering and tie-break are identical to the window
+  // (TopKAgg.better IS (combined desc, o_orderkey asc)), so ranks
+  // and values are unchanged and the oracle SQL stays the window
+  // formulation.
   private[queries] def q06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val combined = $"o_totalprice" / 1000.0 * 0.7 + $"c_acctbal" * 0.3
-    val w = Window.partitionBy($"n_name")
-      .orderBy(combined.desc, $"o_orderkey".asc)
-    t(s, dir, "orders")
+    val joined = t(s, dir, "orders")
       .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter($"rn" <= 5)
+      .select($"n_name", $"o_orderkey", combined.as("__c"))
+    Skew.topKAgg(joined, "n_name", "o_orderkey", "__c", k = 5)
       .select($"n_name", $"rn", $"o_orderkey",
-        round(combined, 4).as("combined"))
+        round($"__c", 4).as("combined"))
       .orderBy($"n_name", $"rn")
   }
   private[queries] lazy val q06Sql =
