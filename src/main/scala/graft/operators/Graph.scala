@@ -172,16 +172,24 @@ object Graph {
       // list covers more hosts than the curated node table)
       .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
-    val e = (weightCol match {
+    val ePart = (weightCol match {
       // weighted: parallel edges SUM (each endorsement counts);
       // unweighted: collapse to one (the classic formulation)
       case Some(_) => eRaw.groupBy(col("src"), col("dst"))
         .agg(sum(col("ew")).as("ew"))
       case None => eRaw.distinct()
     })
-      // co-locate every iteration's rank⋈edges probe on src once
+      // co-locate every iteration's rank⋈edges probe on src once;
+      // iterCut (localCheckpoint) rather than persist for the same
+      // reason as `base` below: the checkpointed RDD keeps the
+      // AQE-coalesced hash layout (its outputPartitioning survives in
+      // the LogicalRDD, so the per-iteration join still reuses the
+      // co-location), where a cached plan would freeze the pre-AQE
+      // partition count AND auto-broadcast a tiny cached e every
+      // iteration — rebuilding the broadcast per power step is
+      // exactly what the one-time co-location was designed to avoid
       .repartition(col("src"))
-      .persist()
+    val e = Materialize.iterCut(ePart)
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(sum(col("ew")).as("out_deg"))
       .filter(col("out_deg") > 0.0)
@@ -323,7 +331,7 @@ object Graph {
       ranks = cut
       i += 1
     }
-    e.unpersist()
+    Materialize.release(e)
     Materialize.release(base)
     // the FINAL frame stays persisted for the caller; harnesses drop
     // it post-consume via Materialize.releaseAll (the bench hook)
@@ -363,17 +371,19 @@ object Graph {
     // instead of paying its shuffle 2×iterations times
     val universe = Materialize.iterCut(
       nodes.select(col(nodes.columns.head).as("node")).distinct())
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .join(universe.select(col("node").as("src")), Seq("src"),
-        "left_semi")
-      .join(universe.select(col("node").as("dst")), Seq("dst"),
-        "left_semi")
-      .distinct()
-      .repartition(col("src"))
-      .persist()
-    // N once as a driver scalar (fills universe's cache); same double
-    // arithmetic as the former one-row broadcast
+    // iterCut for the same cached-plan-partitioning reason as
+    // pageRankImpl's e
+    val e = Materialize.iterCut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(universe.select(col("node").as("src")), Seq("src"),
+          "left_semi")
+        .join(universe.select(col("node").as("dst")), Seq("dst"),
+          "left_semi")
+        .distinct()
+        .repartition(col("src")))
+    // N once as a driver scalar; same double arithmetic as the
+    // former one-row broadcast
     val nD = universe.count().toDouble
     var hub = Materialize.iterCut(universe
       .select(col("node"), (lit(1.0) / lit(nD)).as("hub")))
@@ -406,7 +416,7 @@ object Graph {
       hub = hN
       i += 1
     }
-    e.unpersist()
+    Materialize.release(e)
     Materialize.release(universe)
     hub.join(auth, Seq("node"))
   }
@@ -457,7 +467,9 @@ object Graph {
       // endpoints must not shape neighbor-label counts
       .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
-    val und = (weightCol match {
+    // iterCut for the same cached-plan-partitioning reason as
+    // pageRankImpl's e
+    val und = Materialize.iterCut((weightCol match {
       // weighted: parallel/bidirectional duplicates SUM (a doubly-
       // listed link is a stronger tie); unweighted keeps the classic
       // deduped-edge vote, bit-identical to the r14 plan
@@ -465,8 +477,7 @@ object Graph {
         .agg(sum(col("ew")).as("ew"))
       case None => undRaw.distinct()
     })
-      .repartition(col("src"))
-      .persist()
+      .repartition(col("src")))
 
     var labels = Materialize.iterCut(
       universe.select(col("node"), col("node").as("label")))
@@ -497,7 +508,7 @@ object Graph {
       labels = next
       i += 1
     }
-    und.unpersist()
+    Materialize.release(und)
     Materialize.release(universe)
     labels
   }
