@@ -104,9 +104,14 @@ private[multimodal] trait CompressionCodec extends Serializable {
     * contract).
     */
   private def drainCapped(mkIn: () => java.io.InputStream,
-                          maxBytes: Int): Option[Array[Byte]] =
+                          maxBytes: Int): Option[Array[Byte]] = {
+    // the stream is closed on EVERY exit (bomb-cap early return,
+    // corruption exception): zstd/xz streams hold native/off-heap
+    // buffers until finalization, and the bomb/corruption paths are
+    // exactly where many such streams would otherwise pile up per task
+    var in: java.io.InputStream = null
     try {
-      val in = mkIn()
+      in = mkIn()
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
@@ -115,10 +120,13 @@ private[multimodal] trait CompressionCodec extends Serializable {
         if (out.size() > maxBytes) return None
         n = in.read(buf)
       }
-      in.close()
       Some(out.toByteArray)
     } catch { case _: java.io.IOException => None
-      case _: RuntimeException => None }
+      case _: RuntimeException => None
+    } finally if (in != null) {
+      try in.close() catch { case _: Throwable => () }
+    }
+  }
 
   /** Inflate a raw zlib stream (0x78 CMF — html/http payloads show up
     * deflate-framed); None on corruption or past the bomb cap.

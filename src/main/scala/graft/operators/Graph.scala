@@ -153,11 +153,15 @@ object Graph {
                            seeds: Option[DataFrame] = None,
                            weightCol: Option[String] = None,
                            residuals: Option[scala.collection.mutable
-                             .Buffer[(Int, Double)]] = None): DataFrame = {
+                             .Buffer[(Int, Double)]] = None,
+                           withDegrees: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
 
-    val universe = nodes.select(col(nodes.columns.head).as("node"))
-      .distinct()
+    // probed three times before the loop (the two endpoint semi-joins
+    // and base); materialize the distinct once — the hits/LPA pattern
+    // (iterCut so the AQE-coalesced layout is kept, see `base` below)
+    val universe = Materialize.iterCut(
+      nodes.select(col(nodes.columns.head).as("node")).distinct())
 
     val eRaw = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -172,14 +176,13 @@ object Graph {
       // list covers more hosts than the curated node table)
       .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
-    val ePart = (weightCol match {
-      // weighted: parallel edges SUM (each endorsement counts);
-      // unweighted: collapse to one (the classic formulation)
-      case Some(_) => eRaw.groupBy(col("src"), col("dst"))
-        .agg(sum(col("ew")).as("ew"))
-      case None => eRaw.distinct()
-    })
-      // co-locate every iteration's rank⋈edges probe on src once;
+      // co-locate every iteration's rank⋈edges probe on src FIRST,
+      // then dedup/weight-sum grouped by (src, dst): HashPartitioning
+      // on src satisfies the (src, dst) clustering requirement, so the
+      // collapse rides the SAME exchange instead of paying its own
+      // (src, dst) shuffle first — one exchange of the edge relation
+      // per call, not two (at 100 TB the saved one is a full shuffle
+      // of the edge table).
       // iterCut (localCheckpoint) rather than persist for the same
       // reason as `base` below: the checkpointed RDD keeps the
       // AQE-coalesced hash layout (its outputPartitioning survives in
@@ -189,6 +192,14 @@ object Graph {
       // iteration — rebuilding the broadcast per power step is
       // exactly what the one-time co-location was designed to avoid
       .repartition(col("src"))
+    val ePart = weightCol match {
+      // weighted: parallel edges SUM (each endorsement counts);
+      // unweighted: collapse to one (the classic formulation — ew is
+      // the constant 1.0, so deduping on the endpoints ≡ distinct())
+      case Some(_) => eRaw.groupBy(col("src"), col("dst"))
+        .agg(sum(col("ew")).as("ew"))
+      case None => eRaw.dropDuplicates(Seq("src", "dst"))
+    }
     val e = Materialize.iterCut(ePart)
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(sum(col("ew")).as("out_deg"))
@@ -233,8 +244,21 @@ object Graph {
     val nD = base.count().toDouble
     val nLit = lit(nD)
     tele.foreach { _ =>
-      require(base.filter(col("t") > 0.0).limit(1).count() > 0,
+      // one bounded aggregate over the materialized base distinguishes
+      // the two failure modes: no seed in the universe (every t is the
+      // coalesced 0.0) vs degenerate weights (tot <= 0 turns t into
+      // NaN/negative through the tw/tot division) — the latter used to
+      // fail with the misleading no-seed message
+      val chk = base.agg(
+        coalesce(sum(when(isnan(col("t")) || col("t") =!= 0.0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_seed"),
+        coalesce(max(when(!isnan(col("t")), col("t"))), lit(0.0))
+          .as("mx")).collect()(0)
+      require(chk.getLong(0) > 0,
         "personalizedPageRank: no seed lies in the node universe")
+      require(chk.getDouble(1) > 0.0,
+        "personalizedPageRank: seed teleport weights sum to " +
+          "zero/negative — the teleport vector is undefined")
     }
     // columns the iteration state carries alongside (node, rank)
     val carry = col("out_deg") +: tele.map(_ => col("t")).toSeq
@@ -263,31 +287,56 @@ object Graph {
       }
     }
 
-    val seed = (prior, tele) match {
-      case (None, None) =>
-        base.select(col("node") +:
-          (lit(1.0) / nLit).as("rank") +: carry: _*)
-      case (None, Some(_)) =>
-        base.select(col("node") +: col("t").as("rank") +: carry: _*)
-      case (Some(p), _) =>
-        val cols = p.columns
-        val projected = base
-          .join(p.select(col(cols(0)).as("node"),
-            col(cols(1)).as("prior_rank")), Seq("node"), "left")
-          .select(col("node") +:
-            coalesce(col("prior_rank"), lit(1.0) / nLit).as("rank") +:
-            carry: _*)
-        val mass = projected.agg(sum(col("rank")).as("mass"))
-        projected.crossJoin(broadcast(mass))
-          .select(col("node") +:
-            (col("rank") / col("mass")).as("rank") +: carry: _*)
-    }
-    var ranks = Materialize.iterCut(seed)
+    // The seed rides as a cheap PROJECTION over an already-materialized
+    // frame (base, or the prior-join cut below) instead of paying its
+    // own eager checkpoint job: iteration 0's two probes (dangling +
+    // contribs) re-scan checkpointed blocks plus a projection, cheaper
+    // than one more materialization per call — q149x enters here nine
+    // times per entry. `seedCut` is the frame backing the projection
+    // that may be RELEASED once iteration 0 is cut (None when the seed
+    // rides on `base`, which every iteration's fill-in join still
+    // probes).
+    val (seed, seedCut): (DataFrame, Option[DataFrame]) =
+      (prior, tele) match {
+        case (None, None) =>
+          (base.select(col("node") +:
+            (lit(1.0) / nLit).as("rank") +: carry: _*), None)
+        case (None, Some(_)) =>
+          (base.select(col("node") +: col("t").as("rank") +: carry: _*),
+            None)
+        case (Some(p), _) =>
+          val cols = p.columns
+          // the prior join is materialized ONCE: the former lazy form
+          // was computed twice per call (once building the broadcast
+          // normalizer, once in the seed plan). The mass is the same
+          // one-row Spark aggregate, collected to a driver scalar —
+          // identical double, no BroadcastExchange/CrossJoin
+          val projected = Materialize.iterCut(base
+            .join(p.select(col(cols(0)).as("node"),
+              col(cols(1)).as("prior_rank")), Seq("node"), "left")
+            .select(col("node") +:
+              coalesce(col("prior_rank"), lit(1.0) / nLit).as("rank") +:
+              carry: _*))
+          // the mass normalizer broadcast now builds over the
+          // CHECKPOINTED blocks (a cheap sub-job of iteration 0's
+          // materialization) instead of re-running the prior join
+          val mass = projected.agg(sum(col("rank")).as("mass"))
+          (projected.crossJoin(broadcast(mass))
+            .select(col("node") +:
+              (col("rank") / col("mass")).as("rank") +: carry: _*),
+            Some(projected))
+      }
+    var ranks = seed
+    var ranksCut: Option[DataFrame] = seedCut
 
     var i = 0
     while (i < iterations) graft.BenchProbe.time(s"pr_iter$i") {
       // mass parked on dangling nodes, as a broadcast one-row agg
-      // (out_deg rides IN the rank frame — no join needed)
+      // (out_deg rides IN the rank frame — no join needed). Broadcast,
+      // NOT a collected scalar: the broadcast builds as a sub-job of
+      // the iteration's one materialization, where a collect would be
+      // a second blocking job round-trip per power step (measured
+      // +0.1 s/iteration at sf0.1 — tried and reverted this round).
       val dangling = ranks.filter(col("out_deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling"))
       val contribs = ranks.filter(col("out_deg").isNotNull)
@@ -298,7 +347,8 @@ object Graph {
         .agg(sum(col("w") * col("ew")).as("contrib"))
       val next = update(base
         .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangling)), withCarry = i < iterations - 1)
+        .crossJoin(broadcast(dangling)),
+        withCarry = i < iterations - 1)
       // measurement hook (guide §1): dump the ITERATION body's plan —
       // the final frame's explain only shows checkpoint-truncated
       // lineage, so per-iteration plan claims need this
@@ -327,16 +377,50 @@ object Graph {
       }
       // release, not unpersist: iterCut frames persist at the RDD
       // layer, where Dataset.unpersist is a silent no-op
-      Materialize.release(ranks)
+      ranksCut.foreach(Materialize.release)
+      ranksCut = Some(cut)
       ranks = cut
       i += 1
     }
-    Materialize.release(e)
     Materialize.release(base)
-    // the FINAL frame stays persisted for the caller; harnesses drop
-    // it post-consume via Materialize.releaseAll (the bench hook)
-    ranks
+    if (withDegrees) {
+      // the companion degree counts over the SAME deduped,
+      // universe-restricted, checkpointed edge frame the rank loop
+      // probed — [[degrees]]'s exact row set, minus its rebuild of the
+      // edge dedup pipeline (one fewer scan+dedup of the edge relation
+      // in q144/q178's final frame). e and universe stay tracked for
+      // the returned plan; harnesses drop them via releaseAll.
+      val degs = universe
+        .join(e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("out_deg")), Seq("node"), "left")
+        .join(e.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).as("in_deg")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      ranks.join(degs, Seq("node"))
+    } else {
+      Materialize.release(e)
+      Materialize.release(universe)
+      // the FINAL frame stays persisted for the caller; harnesses drop
+      // it post-consume via Materialize.releaseAll (the bench hook)
+      ranks
+    }
   }
+
+  /** [[pageRank]] plus [[degrees]] in one call, sharing ONE
+    * materialization of the deduped universe-restricted edge frame —
+    * the authority-report shape (rank next to degree, q144/q178)
+    * without degrees' second scan+dedup of the edge relation. Returns
+    * `(node, rank, out_deg, in_deg)`; values are exactly
+    * `pageRank(...).join(degrees(...), "node")`.
+    */
+  def pageRankWithDegrees(edges: DataFrame, nodes: DataFrame,
+                          srcCol: String, dstCol: String,
+                          iterations: Int = 5,
+                          damping: Double = 0.85): DataFrame =
+    pageRankImpl(edges, nodes, srcCol, dstCol, None, iterations, damping,
+      withDegrees = true)
 
   /** HITS hubs-and-authorities (Kleinberg, JACM 1999) — the OTHER
     * authority model next to the PageRank family: PageRank measures
@@ -380,40 +464,61 @@ object Graph {
           "left_semi")
         .join(universe.select(col("node").as("dst")), Seq("dst"),
           "left_semi")
-        .distinct()
-        .repartition(col("src")))
+        // co-locate FIRST, dedup after: HashPartitioning(src)
+        // satisfies the all-column dedup's clustering requirement, so
+        // one exchange of the edge relation replaces the former
+        // distinct-then-repartition pair (pageRankImpl's ePart note)
+        .repartition(col("src"))
+        .dropDuplicates(Seq("src", "dst")))
     // N once as a driver scalar; same double arithmetic as the
     // former one-row broadcast
     val nD = universe.count().toDouble
     var hub = Materialize.iterCut(universe
       .select(col("node"), (lit(1.0) / lit(nD)).as("hub")))
+    // the tracked cuts backing the current hub/auth views — released
+    // one iteration behind, exactly like the former normalized cuts
+    var hubCut: DataFrame = hub
     var auth: DataFrame = null
+    var authCut: DataFrame = null
+    // per half-step, the RAW (pre-normalization) frame is what gets
+    // materialized: the former form checkpointed the NORMALIZED frame,
+    // whose plan computed the join+aggregate TWICE per half-step (once
+    // building the broadcast normalizer, once in the main plan). The
+    // normalized scores now ride as lazy broadcast-normalized
+    // projections over the checkpointed raw blocks — identical doubles
+    // (same aggregate, same division, 0/0 on an edgeless graph still
+    // yields loud NaNs), half the join work per half-step. The
+    // normalizer stays a BROADCAST (a cheap sub-job over the raw
+    // blocks), not a collected scalar — a collect would add a blocking
+    // job round-trip per half-step (the pageRankImpl dangling lesson).
+    def l1Normalized(raw: DataFrame, c: String, outCol: String)
+        : DataFrame = {
+      val s = raw.agg(sum(col(c)).as("s"))
+      raw.crossJoin(broadcast(s))
+        .select(col("node"), (col(c) / col("s")).as(outCol))
+    }
     var i = 0
     while (i < iterations) graft.BenchProbe.time(s"hits_iter$i") {
-      val aRaw = universe.join(
+      val aRaw = Materialize.iterCut(universe.join(
         hub.select(col("node").as("src"), col("hub"))
           .join(e, Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("hub")).as("a0")),
         Seq("node"), "left")
-        .select(col("node"), coalesce(col("a0"), lit(0.0)).as("a0"))
-      val aSum = aRaw.agg(sum(col("a0")).as("s"))
-      val aN = Materialize.iterCut(aRaw.crossJoin(broadcast(aSum))
-        .select(col("node"), (col("a0") / col("s")).as("authority")))
-      val hRaw = universe.join(
+        .select(col("node"), coalesce(col("a0"), lit(0.0)).as("a0")))
+      val aN = l1Normalized(aRaw, "a0", "authority")
+      val hRaw = Materialize.iterCut(universe.join(
         aN.select(col("node").as("dst"), col("authority"))
           .join(e, Seq("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(col("authority")).as("h0")),
         Seq("node"), "left")
-        .select(col("node"), coalesce(col("h0"), lit(0.0)).as("h0"))
-      val hSum = hRaw.agg(sum(col("h0")).as("s"))
-      val hN = Materialize.iterCut(hRaw.crossJoin(broadcast(hSum))
-        .select(col("node"), (col("h0") / col("s")).as("hub")))
-      if (auth != null) Materialize.release(auth)
-      Materialize.release(hub)
-      auth = aN
-      hub = hN
+        .select(col("node"), coalesce(col("h0"), lit(0.0)).as("h0")))
+      val hN = l1Normalized(hRaw, "h0", "hub")
+      if (authCut != null) Materialize.release(authCut)
+      Materialize.release(hubCut)
+      auth = aN; authCut = aRaw
+      hub = hN; hubCut = hRaw
       i += 1
     }
     Materialize.release(e)
@@ -468,16 +573,22 @@ object Graph {
       .join(universe.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(universe.select(col("node").as("dst")), Seq("dst"), "left_semi")
     // iterCut for the same cached-plan-partitioning reason as
-    // pageRankImpl's e
-    val und = Materialize.iterCut((weightCol match {
+    // pageRankImpl's e; co-locate FIRST, collapse after — the (src,
+    // dst) dedup/weight-sum rides the src exchange (HashPartitioning
+    // on src satisfies the (src, dst) clustering), so ONE exchange of
+    // the undirected edge relation replaces the former pair
+    val undCo = undRaw.repartition(col("src"))
+    val und = Materialize.iterCut(weightCol match {
       // weighted: parallel/bidirectional duplicates SUM (a doubly-
       // listed link is a stronger tie); unweighted keeps the classic
-      // deduped-edge vote, bit-identical to the r14 plan
-      case Some(_) => undRaw.groupBy(col("src"), col("dst"))
+      // deduped-edge vote, bit-identical to the r14 plan. NOTE: NaN
+      // edge weights are unsupported — min(struct(-cnt, label)) sorts
+      // a NaN vote last where the r14 rank window sorted it first;
+      // normalize or filter NaNs before calling with a weight column.
+      case Some(_) => undCo.groupBy(col("src"), col("dst"))
         .agg(sum(col("ew")).as("ew"))
-      case None => undRaw.distinct()
+      case None => undCo.dropDuplicates(Seq("src", "dst"))
     })
-      .repartition(col("src")))
 
     var labels = Materialize.iterCut(
       universe.select(col("node"), col("node").as("label")))

@@ -418,17 +418,25 @@ object Queries
       val tmp = graft.TempDirs.create("graft-q190x")
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
       val index = docs.filter($"doc_id" % 5 =!= 0)
-      Layout.byKey(Dedup.bandBuckets(
-          Dedup.minhashSignatures(index, "text", "doc_id",
-            hash = Dedup.Md5), hash = Dedup.Md5), "band_hash", 4)
-        .write.mode("overwrite").parquet(s"$tmp/idx")
+      graft.BenchProbe.time("build") {
+        Layout.byKey(Dedup.bandBuckets(
+            Dedup.minhashSignatures(index, "text", "doc_id",
+              hash = Dedup.Md5), hash = Dedup.Md5), "band_hash", 4)
+          .write.mode("overwrite").parquet(s"$tmp/idx")
+      }
       val persisted = s.read.parquet(s"$tmp/idx")
       (0 until 8).map { b =>
-        val delta = docs.filter($"doc_id" % 5 === 0)
-          .select(($"doc_id" + 10000000L * (b + 1)).as("doc_id"), $"text")
-        Dedup.incrementalCandidatesPruned(persisted,
-          Dedup.bandBuckets(Dedup.minhashSignatures(delta, "text",
-            "doc_id", hash = Dedup.Md5), hash = Dedup.Md5))
+        // per-batch probe: each serve's CONSTRUCTION (delta signature
+        // compute + band-key collect) is timed per batch so the
+        // entry's scalar decomposes in the bench probe line
+        graft.BenchProbe.time(s"serve$b") {
+          val delta = docs.filter($"doc_id" % 5 === 0)
+            .select(($"doc_id" + 10000000L * (b + 1)).as("doc_id"),
+              $"text")
+          Dedup.incrementalCandidatesPruned(persisted,
+            Dedup.bandBuckets(Dedup.minhashSignatures(delta, "text",
+              "doc_id", hash = Dedup.Md5), hash = Dedup.Md5))
+        }
       }.reduce(_ unionByName _).orderBy($"id_a", $"id_b")
     }),
     "q149x_pagerank_resume_resident" -> ((s: SparkSession, dir: String) => {

@@ -465,8 +465,10 @@ private[queries] trait QueriesCuration { this: Queries.type =>
         explode(sequence(lit(1L), lit(1L) + $"doc_id" % 3)).as("j"))
       .select($"doc_id".as("src"),
         (($"doc_id" * 17 + $"j" * 61) % 200).as("dst"))
-    Graph.pageRank(edges, nodes, "src", "dst", iterations = 5)
-      .join(Graph.degrees(edges, nodes, "src", "dst"), Seq("node"))
+    // rank + degrees share ONE materialization of the deduped edge
+    // frame (values ≡ pageRank(...).join(degrees(...)) — the former
+    // shape paid a second scan+dedup of the edge relation)
+    Graph.pageRankWithDegrees(edges, nodes, "src", "dst", iterations = 5)
       .select($"node", $"out_deg", $"in_deg",
         (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
       .orderBy($"node")
@@ -817,8 +819,8 @@ private[queries] trait QueriesCuration { this: Queries.type =>
     val nodes = t(s, dir, "documents").filter($"doc_id" < 40)
       .select(concat(lit("site"), $"doc_id".cast("string"),
         lit(".com")).as("domain"))
-    Graph.pageRank(edges, nodes, "src", "dst", iterations = 3)
-      .join(Graph.degrees(edges, nodes, "src", "dst"), Seq("node"))
+    // shared edge materialization for rank + degrees (q144's note)
+    Graph.pageRankWithDegrees(edges, nodes, "src", "dst", iterations = 3)
       .select($"node", $"out_deg", $"in_deg",
         (floor($"rank" * 1000000.0 + 0.5) / 1000000.0).as("rank"))
       .orderBy($"node")

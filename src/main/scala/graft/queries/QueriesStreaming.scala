@@ -309,9 +309,12 @@ private[queries] trait QueriesStreaming { this: Queries.type =>
       val fp = batch.toDF()
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       // first occurrence WITHIN the batch (min doc_id per fingerprint)
+      // — materialized once: it feeds the bloom build, the broadcast
+      // key set and the anti join's delta side (frontierBatch's note)
       val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-      val firstHere = fp.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val firstHere = graft.operators.Materialize(
+        fp.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn"))
       val fs = Staging.fsOf(sp, idx)
       val known =
         if (fs.exists(new org.apache.hadoop.fs.Path(idx)))

@@ -186,14 +186,20 @@ object Streams {
     val c = batch.select(col(idCol).as("doc_id"),
       T.canonicalUrl(col(urlCol)).as("canon"))
     val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
-    val firstHere = c.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    // materialized ONCE per batch: firstHere feeds the bloom build,
+    // the broadcast batch-key set AND the anti join's delta side — the
+    // lazy form re-ran the canonicalize + first-seen window for each
+    // (three window shuffles of the batch per micro-batch at scale)
+    val firstHere = Materialize(c
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn"))
     val fs = Staging.fsOf(sp, seenPath)
     val known =
       if (fs.exists(new org.apache.hadoop.fs.Path(seenPath)))
         sp.read.parquet(seenPath)
       else firstHere.select(col("canon")).limit(0)
-    val fresh = Materialize(frontierFresh(firstHere, known))
+    val fresh = Materialize(
+      graft.BenchProbe.time("fb_probe")(frontierFresh(firstHere, known)))
     val enriched = fresh
       .withColumn("domain", T.registrableDomainFromUrl(col("canon")))
       .withColumn("path",
@@ -216,12 +222,18 @@ object Streams {
         (coalesce(col("prior_n"), lit(0L)) + col("brank")).cast("int"))
       .filter(col("rank") <= perDomainQuota)
       .select(col("doc_id"), col("domain"), col("canon"), col("rank")))
-    IncrementalAgg.refreshAdditive(sp, countsPath,
-      admitted.select(col("domain")).withColumn("one", lit(1L)),
-      Seq("domain"), Seq("one"), s"b$batchId")
-    admitted.write.mode(SaveMode.Append).parquet(admittedPath)
-    fresh.select(col("canon")).write.mode(SaveMode.Append)
-      .parquet(seenPath)
+    graft.BenchProbe.time("fb_counts") {
+      IncrementalAgg.refreshAdditive(sp, countsPath,
+        admitted.select(col("domain")).withColumn("one", lit(1L)),
+        Seq("domain"), Seq("one"), s"b$batchId")
+    }
+    graft.BenchProbe.time("fb_admit") {
+      admitted.write.mode(SaveMode.Append).parquet(admittedPath)
+    }
+    graft.BenchProbe.time("fb_seen") {
+      fresh.select(col("canon")).write.mode(SaveMode.Append)
+        .parquet(seenPath)
+    }
   }
 
   /** ST1+ST7 capstone: the continuous crawl frontier — each arriving
