@@ -19,6 +19,12 @@ import graft.functions.ColumnPlugins
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // let-binding codegen rewrite (guide §4): turn the bound() idiom's
+    // interpreted single-element-transform into Catalyst's
+    // With/common-expression form once everything is resolved — runs
+    // in the operator-optimization batch, BEFORE the optimizer's
+    // mandatory RewriteWithExpression hoists the definitions
+    ext.injectOptimizerRule(_ => graft.expressions.RewriteBoundLambda)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

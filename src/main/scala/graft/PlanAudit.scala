@@ -3,20 +3,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 
 /** Suite-wide interpreted-expression inventory (optimization-guide §4 /
-  * task rule 4): for every declared query, walk the FINAL physical
-  * plan's expression trees and report every node that mixes in
-  * `CodegenFallback` — the expressions whole-stage codegen cannot
-  * compile, which run interpreted per row. Output is one line per
-  * query (`name: expr[,expr…]` or `name: -`), suitable for committing
-  * as the round's codegen evidence.
+  * task rule 4): run every declared query and, via a
+  * QueryExecutionListener, walk the executed physical plan of EVERY
+  * action the entry triggers — including the checkpoint/write-hidden
+  * intermediate plans a final-frame explain cannot see (signature
+  * materializations, index builds, micro-batch sinks) — and report
+  * every expression that mixes in `CodegenFallback`, i.e. runs
+  * interpreted per row inside otherwise-codegen stages. Output: one
+  * line per query (`name: expr[,expr…]` or `-`), committable as the
+  * round's codegen evidence.
   *
-  * Limits, stated so the inventory is honest: (1) iterative operators
-  * truncate lineage per round, so only the FINAL frame's plan is
-  * walked — their iteration bodies are audited via GRAFT_EXPLAIN_ITER
-  * instead; (2) foreachBatch sink plans are invisible here;
-  * (3) constructing a query executes its construction-time actions
-  * (index writes, stream drains), so a full audit run costs about one
-  * Verify pass.
+  * Cost: about one Verify pass (every entry executes).
   *
   * Usage: `sbt "runMain graft.PlanAudit"` (env: SPARK_GRAFT_SF_DIR,
   * SPARK_GRAFT_CPUS, SPARK_GRAFT_ONLY as in Bench).
@@ -35,23 +32,46 @@ object PlanAudit {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val falls =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def walk(
+            qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          try qe.executedPlan.foreach { node =>
+            node.expressions.foreach(_.foreach {
+              case e: CodegenFallback => falls.add(e.prettyName)
+              case _ => ()
+            })
+          } catch { case _: Throwable => () }
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = walk(qe)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = walk(qe)
+      }
+    spark.listenerManager.register(listener)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     (SparkEntry.queries.toSeq ++ SparkEntry.benchOnly.toSeq)
       .sortBy(_._1)
       .filter(p => only.forall(_.exists(p._1.startsWith)))
       .foreach { case (name, fn) =>
+        falls.clear()
         try {
-          val df = fn(spark, sfDir)
-          val falls = scala.collection.mutable.SortedSet[String]()
-          df.queryExecution.executedPlan.foreach { node =>
-            node.expressions.foreach(_.foreach {
-              case e: CodegenFallback => falls += e.prettyName
-              case _ => ()
-            })
-          }
+          fn(spark, sfDir).count()
+          // the listener bus delivers asynchronously — let in-flight
+          // events land before reading the set
+          Thread.sleep(300)
+          val fs = new java.util.TreeSet[String](falls)
           println(s"[audit] $name: " +
-            (if (falls.isEmpty) "-" else falls.mkString(",")))
+            (if (fs.isEmpty) "-"
+             else {
+               val it = scala.jdk.CollectionConverters
+                 .IterableHasAsScala(fs).asScala
+               it.mkString(",")
+             }))
         } catch {
           case e: Throwable =>
             println(s"[audit] $name: ERROR ${e.getClass.getSimpleName}")

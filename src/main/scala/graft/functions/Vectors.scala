@@ -11,11 +11,22 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** Let-binding for column expressions: evaluate `value` ONCE per row
-    * and hand it to `body` as a lambda variable. Catalyst inlines
+    * and hand it to `body` as a shared reference. Catalyst inlines
     * projected subexpressions into every use site (no CSE through
     * lambda captures), so any value referenced more than once — or
     * referenced inside a HOF lambda, where it would re-evaluate per
     * element — must be pinned this way.
+    *
+    * The single-element-transform spelling below is what the ANALYZER
+    * sees (lambda-binding is the one pre-analysis construct that can
+    * carry a let); it is CodegenFallback, so left as-is every bound
+    * kernel body would run interpreted. The injected optimizer rule
+    * [[graft.expressions.RewriteBoundLambda]] rewrites the resolved
+    * pattern into Catalyst's `With`/common-expression form (the
+    * machinery Spark's own runtime replacements use), which the
+    * mandatory RewriteWithExpression rule then hoists into a
+    * projection — single evaluation AND whole-stage codegen (guide
+    * §4 / PlanAudit evidence, round 22).
     */
   def bound(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
