@@ -36,8 +36,13 @@ object Vectors {
   private def expr(c: Column) =
     org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
 
-  /** Element-wise cast to double (floats promote exactly). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Element-wise cast to double (floats promote exactly). A direct
+    * array cast, NOT `transform(v, _.cast("double"))`: Cast is
+    * codegen'd element-wise over arrays, while ArrayTransform is
+    * CodegenFallback (round-22 PlanAudit) — identical values and null
+    * behavior either way.
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product in double precision (M5 hot path, SURVEY.md §2.11) —
     * native codegen'd expression; same summation order as the HOF
